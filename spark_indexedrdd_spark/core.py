@@ -1,0 +1,577 @@
+"""IndexedDataFrame — the distributed, immutable, unique-key map.
+
+This is the PySpark-native re-expression of the reference's
+``IndexedRDD[K, V]`` (reference IndexedRDD.scala:29-40): a DataFrame of
+``(key cols…, value cols…)`` rows with
+
+1. **unique keys** — duplicates merged at build time by a pluggable,
+   deterministic merge expression (reference merges "arbitrarily",
+   IndexedRDD.scala:463; we pick a deterministic rule so results are
+   oracle-checkable);
+2. **hash partitioning by key** — ``df.repartition(n, *keys)``; the
+   partitioner is the global half of the index (IndexedRDD.scala:42,479-481).
+   Catalyst's EnsureRequirements elides the exchange on later key-joins
+   between co-partitioned IndexedDataFrames — the DataFrame analog of the
+   reference's zero-shuffle ``zipIndexedRDDPartitions`` path
+   (IndexedRDD.scala:185-198);
+3. **a cached columnar form** — ``.cache()`` stands in for the
+   per-partition ART index (PARTPartition.scala:26-40): point reads are
+   in-memory columnar filters with short-circuit scan, and the optional
+   RDD fast path in ``operators/point.py`` reproduces the
+   touch-only-owning-partitions property of multiget
+   (IndexedRDD.scala:79-94).
+
+Every mutation (put/multiput/delete/…) is **functional**: it returns a new
+IndexedDataFrame and leaves the parent usable — the reference achieves this
+with O(1) copy-on-write tree snapshots (PARTPartition.scala:53-69); Spark
+gives it for free because DataFrames are immutable plans.
+
+Value-type generality: the reference's opaque ``V`` maps to one or more
+typed value columns (structs/arrays/maps welcome). Merge/join functions are
+column-expression builders ``(Column, Column) -> Column`` so the whole
+operator surface stays inside Catalyst/whole-stage-codegen (no Python UDF
+in any hot path).
+
+Composite keys (the reference's Tuple2Serializer, KeySerializer.scala:145-176)
+are first-class: ``keys`` is a list of columns and every operator threads it
+through.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Mapping, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# (old_value, new_value) -> merged_value, as Column expressions.
+MergeFn = Callable[[Column, Column], Column]
+# new_value -> initial_value for keys absent from the base (reference `z`,
+# IndexedRDD.scala:107-121).
+InitFn = Callable[[Column], Column]
+
+OVERWRITE: MergeFn = lambda old, new: new  # noqa: E731  (reference default: last wins)
+KEEP_OLD: MergeFn = lambda old, new: old  # noqa: E731
+SUM_MERGE: MergeFn = lambda old, new: old + new  # noqa: E731
+IDENTITY: InitFn = lambda new: new  # noqa: E731
+
+
+def _as_list(x: str | Sequence[str]) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+class IndexedDataFrame:
+    """A distributed unique-key map K -> V backed by a DataFrame.
+
+    Parameters
+    ----------
+    df : DataFrame with columns ``keys + value_cols`` (unique keys assumed —
+        use :meth:`build` to enforce).
+    keys : ordered key column names (>=1; >1 = composite key).
+    num_partitions : the hash-partition count contract. Joins between two
+        IndexedDataFrames with equal ``num_partitions`` and key layout are
+        exchange-free once both sides are materialized.
+    """
+
+    def __init__(self, df: DataFrame, keys: Sequence[str], num_partitions: int):
+        self.keys = _as_list(keys)
+        missing = [k for k in self.keys if k not in df.columns]
+        if missing:
+            raise ValueError(f"key columns {missing} not in DataFrame {df.columns}")
+        self.df = df
+        self.num_partitions = int(num_partitions)
+        self.value_cols = [c for c in df.columns if c not in self.keys]
+
+    # ------------------------------------------------------------------ #
+    # Construction (reference ops 1-2: IndexedRDD.scala:461-486)
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        keys: str | Sequence[str],
+        num_partitions: int | None = None,
+        merge: MergeFn | None = None,
+        order_col: str | None = None,
+        cache: bool = True,
+    ) -> "IndexedDataFrame":
+        """Construct from a possibly-duplicated-key DataFrame.
+
+        Reference: ``IndexedRDD(elems)`` / ``updatable(elems, z, f)``
+        (IndexedRDD.scala:461-486; build loop PARTPartition.scala:208-225):
+        hash-partition by key, fold duplicate keys.
+
+        Duplicate handling (deterministic, unlike the reference's
+        "arbitrary" default):
+
+        - ``merge=None``: keep the row with the max value of ``order_col``
+          (or of the first value column) per key — a deterministic
+          "last wins".
+        - ``merge=fn``: fold all values per key with ``fn`` — requires a
+          single value column and an associative+commutative ``fn``
+          (e.g. ``SUM_MERGE``); implemented as a hash aggregate so Spark
+          does map-side partial aggregation (scale: no single hot reducer).
+        """
+        key_list = _as_list(keys)
+        n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        n = int(n)
+        value_cols = [c for c in df.columns if c not in key_list]
+
+        if merge is None:
+            ord_c = order_col or (value_cols[0] if value_cols else None)
+            if ord_c is None:  # key-only frame: plain distinct
+                deduped = df.dropDuplicates(key_list)
+            else:
+                # max_by is a single hash aggregate (partial+final), no window
+                # sort — survives skewed keys far better than row_number.
+                deduped = df.groupBy(*key_list).agg(
+                    *[
+                        F.max_by(c, F.struct(F.col(ord_c), F.col(c))).alias(c)
+                        for c in value_cols
+                    ]
+                )
+        else:
+            if len(value_cols) != 1:
+                raise ValueError("merge fn requires exactly one value column")
+            v = value_cols[0]
+            deduped = df.groupBy(*key_list).agg(
+                F.reduce(
+                    F.collect_list(v),
+                    F.lit(None).cast(df.schema[v].dataType),
+                    lambda acc, x: F.when(acc.isNull(), x).otherwise(merge(acc, x)),
+                ).alias(v)
+            )
+
+        out = deduped.repartition(n, *key_list)
+        if cache:
+            out = out.cache()
+        return cls(out, key_list, n)
+
+    @classmethod
+    def from_unique(
+        cls,
+        df: DataFrame,
+        keys: str | Sequence[str],
+        num_partitions: int | None = None,
+        cache: bool = True,
+    ) -> "IndexedDataFrame":
+        """Construct from a DataFrame already known to have unique keys
+        (skips the dedupe aggregate; still installs the partitioning
+        contract, reference IndexedRDD.scala:479-481)."""
+        key_list = _as_list(keys)
+        n = int(
+            num_partitions
+            or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        out = df.repartition(n, *key_list)
+        if cache:
+            out = out.cache()
+        return cls(out, key_list, n)
+
+    # ------------------------------------------------------------------ #
+    # Internals
+    # ------------------------------------------------------------------ #
+
+    def _derive(self, df: DataFrame) -> "IndexedDataFrame":
+        """Wrap a derived plan that preserves key layout + partitioning."""
+        return IndexedDataFrame(df, self.keys, self.num_partitions)
+
+    def _single_value(self) -> str:
+        if len(self.value_cols) != 1:
+            raise ValueError(
+                f"operation requires a single value column, have {self.value_cols}"
+            )
+        return self.value_cols[0]
+
+    def _key_tuple(self, k: Any) -> tuple:
+        return k if isinstance(k, tuple) else (k,)
+
+    def _align(self, other: "IndexedDataFrame | DataFrame") -> DataFrame:
+        """Accept either an IndexedDataFrame or a plain DataFrame of
+        (key…, value…) rows — the reference's every-op-accepts-RDD[(K,V)]
+        interop (IndexedRDD.scala:222-283; align path :193-198). Catalyst
+        inserts the exchange for the un-indexed side automatically; the
+        indexed base never reshuffles."""
+        df = other.df if isinstance(other, IndexedDataFrame) else other
+        missing = [k for k in self.keys if k not in df.columns]
+        if missing:
+            raise ValueError(f"other side missing key columns {missing}")
+        return df
+
+    # ------------------------------------------------------------------ #
+    # Reads (ops 3-4, 19-20)
+    # ------------------------------------------------------------------ #
+
+    def get(self, key: Any) -> Any:
+        """Point lookup (reference IndexedRDD.scala:76 via multiget;
+        kernel PARTPartition.scala:40). Returns the value (scalar if a
+        single value column, else a Row), or None."""
+        res = self.multiget([key])
+        return res.get(self._key_tuple(key) if len(self.keys) > 1 else key)
+
+    def multiget(self, ks: Iterable[Any]) -> dict:
+        """Batch point lookup (reference IndexedRDD.scala:79-94).
+
+        Filter + collect on the cached columnar form; Catalyst
+        short-circuits non-matching batches via in-memory column stats.
+        For the strict touch-only-owning-partitions behavior on huge
+        cached indexes, see ``operators.point.PointLookupIndex``.
+        Missing keys are absent from the result (reference :93).
+        """
+        key_tuples = [self._key_tuple(k) for k in ks]
+        if not key_tuples:
+            return {}
+        if len(self.keys) == 1:
+            cond = F.col(self.keys[0]).isin([t[0] for t in key_tuples])
+        else:
+            from functools import reduce as _reduce
+            from operator import and_, or_
+
+            cond = _reduce(
+                or_,
+                [
+                    _reduce(
+                        and_,
+                        [F.col(k) == F.lit(x) for k, x in zip(self.keys, t)],
+                    )
+                    for t in key_tuples
+                ],
+            )
+        rows = self.df.where(cond).collect()
+        single = len(self.value_cols) == 1
+        out = {}
+        for r in rows:
+            k = tuple(r[c] for c in self.keys)
+            key = k[0] if len(self.keys) == 1 else k
+            out[key] = r[self.value_cols[0]] if single else r
+        return out
+
+    def count(self) -> int:
+        """Entry count (reference IndexedRDD.scala:66-68)."""
+        return self.df.count()
+
+    def to_df(self) -> DataFrame:
+        """Full scan / pair-view (reference compute(), IndexedRDD.scala:71-73)."""
+        return self.df
+
+    def collect(self):
+        return self.df.collect()
+
+    # ------------------------------------------------------------------ #
+    # Functional mutation (ops 5-8)
+    # ------------------------------------------------------------------ #
+
+    def put(self, key: Any, value: Any) -> "IndexedDataFrame":
+        """Functional point upsert (reference IndexedRDD.scala:96-103);
+        the parent IndexedDataFrame is unchanged."""
+        return self.multiput({key: value})
+
+    def multiput(
+        self,
+        kvs: Mapping[Any, Any],
+        f: MergeFn = OVERWRITE,
+        z: InitFn = IDENTITY,
+    ) -> "IndexedDataFrame":
+        """Batch functional upsert from a driver-side map
+        (reference IndexedRDD.scala:105-153; kernel PARTPartition.scala:51-61).
+
+        Existing key -> ``f(old, new)``; absent key -> ``z(new)``.
+        The driver map becomes a tiny DataFrame that is **broadcast** into
+        the merge join — at cluster scale the base never moves and no
+        shuffle happens at all.
+        """
+        v = self._single_value()
+        spark = self.df.sparkSession
+        rows = [(*self._key_tuple(k), val) for k, val in kvs.items()]
+        updates = spark.createDataFrame(
+            rows, schema=self.df.select(*self.keys, v).schema
+        )
+        return self.multiput_df(updates, f=f, z=z, broadcast_updates=True)
+
+    def multiput_df(
+        self,
+        updates: DataFrame | "IndexedDataFrame",
+        f: MergeFn = OVERWRITE,
+        z: InitFn = IDENTITY,
+        broadcast_updates: bool = False,
+    ) -> "IndexedDataFrame":
+        """Distributed batch upsert (reference multiputRDD,
+        IndexedRDD.scala:122-164; kernel PARTPartition.scala:51-61).
+
+        Full outer join on key + merge projection — the DataFrame
+        formulation of MERGE WHEN MATCHED / WHEN NOT MATCHED:
+
+        - both present -> ``f(old, new)``
+        - only base    -> old value unchanged
+        - only updates -> ``z(new)``
+
+        Updates may carry duplicate keys; they are pre-folded with ``f``
+        so the join side has unique keys (map-side partial aggregation).
+        Scale: base side is already hash-partitioned on key, so only the
+        updates side shuffles (or broadcasts when small).
+        """
+        v = self._single_value()
+        up = self._align(updates)
+        uv = [c for c in up.columns if c not in self.keys]
+        if len(uv) != 1:
+            raise ValueError(f"updates must have one value column, got {uv}")
+        up = up.withColumnRenamed(uv[0], "__u") if uv[0] != "__u" else up
+        # fold duplicate update keys with f (same contract as the kernel's
+        # sequential probe-insert loop, PARTPartition.scala:56-60)
+        up = up.groupBy(*self.keys).agg(
+            F.reduce(
+                F.collect_list("__u"),
+                F.lit(None).cast(up.schema["__u"].dataType),
+                lambda acc, x: F.when(acc.isNull(), x).otherwise(f(acc, x)),
+            ).alias("__u")
+        )
+        if broadcast_updates:
+            up = F.broadcast(up)
+        base = self.df
+        joined = base.join(up, on=self.keys, how="full")
+        merged = (
+            F.when(F.col("__u").isNull(), F.col(v))
+            .when(F.col(v).isNull(), z(F.col("__u")))
+            .otherwise(f(F.col(v), F.col("__u")))
+            .cast(base.schema[v].dataType)
+            .alias(v)
+        )
+        out = joined.select(*self.keys, merged)
+        return self._derive(out)
+
+    def delete(self, ks: Iterable[Any]) -> "IndexedDataFrame":
+        """Functional batch delete (reference IndexedRDD.scala:166-175;
+        kernel PARTPartition.scala:63-69): left anti join. Deleting an
+        absent key is a no-op (IndexedRDDSuite.scala:216)."""
+        spark = self.df.sparkSession
+        rows = [self._key_tuple(k) for k in ks]
+        if not rows:
+            return self
+        dels = spark.createDataFrame(rows, schema=self.df.select(*self.keys).schema)
+        return self.delete_df(dels, broadcast_deletes=True)
+
+    def delete_df(
+        self, dels: DataFrame, broadcast_deletes: bool = False
+    ) -> "IndexedDataFrame":
+        d = dels.select(*self.keys).dropDuplicates(self.keys)
+        if broadcast_deletes:
+            d = F.broadcast(d)
+        return self._derive(self.df.join(d, on=self.keys, how="left_anti"))
+
+    # ------------------------------------------------------------------ #
+    # Projection / predicate (ops 9-10)
+    # ------------------------------------------------------------------ #
+
+    def filter(self, pred: Column) -> "IndexedDataFrame":
+        """Keep entries satisfying ``pred`` (reference IndexedRDD.scala:207-208).
+        Partitioning is preserved (a filter never changes distribution) —
+        the property the reference maintains with
+        ``preservesPartitioning=true`` (IndexedRDD.scala:180)."""
+        return self._derive(self.df.where(pred))
+
+    def map_values(
+        self, fn: Callable[..., Column | dict[str, Column]], alias: str | None = None
+    ) -> "IndexedDataFrame":
+        """Transform values, keys/partitioning preserved (reference
+        IndexedRDD.scala:210-216; kernel PARTPartition.scala:71-75).
+
+        ``fn`` receives one Column per current value column, *prefixed by
+        the key columns* if its arity asks for them (both reference
+        overloads: ``f: V=>V2`` and ``f: (K,V)=>V2``). Returns either a
+        single Column (aliased ``alias`` or the existing single value
+        name) or a dict of named Columns (multi-column value output —
+        a superset of the reference)."""
+        import inspect
+
+        nargs = len(inspect.signature(fn).parameters)
+        vcols = [F.col(c) for c in self.value_cols]
+        kcols = [F.col(c) for c in self.keys]
+        args = (kcols + vcols) if nargs == len(self.keys) + len(vcols) else vcols
+        res = fn(*args)
+        if isinstance(res, dict):
+            out = self.df.select(*self.keys, *[c.alias(n) for n, c in res.items()])
+        else:
+            name = alias or self._single_value()
+            out = self.df.select(*self.keys, res.alias(name))
+        return self._derive(out)
+
+    # ------------------------------------------------------------------ #
+    # Joins + diff (ops 11-15)
+    # ------------------------------------------------------------------ #
+
+    def diff(self, other: "IndexedDataFrame | DataFrame") -> "IndexedDataFrame":
+        """Changed-rows detector (reference IndexedRDD.scala:218-227;
+        kernel PARTPartition.scala:85-101): keys present in BOTH sides
+        whose values differ, keeping *this* side's value. NOT set-minus
+        (IndexedRDDSuite.scala:61-77)."""
+        other_df = self._align(other)
+        ov = [c for c in other_df.columns if c not in self.keys]
+        renamed = other_df.select(
+            *self.keys, *[F.col(c).alias(f"__o_{c}") for c in ov]
+        )
+        cond = None
+        for mine, theirs in zip(self.value_cols, [f"__o_{c}" for c in ov]):
+            # null-safe inequality so NULL-valued entries compare sanely
+            c = ~F.col(mine).eqNullSafe(F.col(theirs))
+            cond = c if cond is None else (cond | c)
+        out = (
+            self.df.join(renamed, on=self.keys, how="inner")
+            .where(cond)
+            .select(*self.keys, *self.value_cols)
+        )
+        return self._derive(out)
+
+    def full_outer_join(
+        self,
+        other: "IndexedDataFrame | DataFrame",
+        f: MergeFn,
+        alias: str = "v",
+    ) -> "IndexedDataFrame":
+        """Full outer join (reference IndexedRDD.scala:229-252; kernel
+        PARTPartition.scala:103-135). ``f(left, right)`` sees NULL for the
+        missing side — the Column analog of the reference's
+        ``(K, Option[V], Option[V2]) => W``. The reference's maybeLazy
+        incremental view (LazyPartition.scala:29-46) is subsumed by plan
+        laziness: stacked full_outer_joins execute once at the action."""
+        left, right = self._two_sided(other)
+        out = left.join(right, on=self.keys, how="full").select(
+            *self.keys, f(F.col("__l"), F.col("__r")).alias(alias)
+        )
+        return self._derive(out)
+
+    def join_update(
+        self, other: "IndexedDataFrame | DataFrame", f: MergeFn
+    ) -> "IndexedDataFrame":
+        """The reference's ``join`` (IndexedRDD.scala:254-265; kernel
+        PARTPartition.scala:137-154): left join that CANNOT change the
+        value type — matched keys get ``f(old, new)``, unmatched keep the
+        old value unchanged."""
+        v = self._single_value()
+        left, right = self._two_sided(other)
+        merged = (
+            F.when(F.col("__r").isNull(), F.col("__l"))
+            .otherwise(f(F.col("__l"), F.col("__r")))
+            .cast(self.df.schema[v].dataType)
+            .alias(v)
+        )
+        return self._derive(left.join(right, on=self.keys, how="left").select(*self.keys, merged))
+
+    def left_join(
+        self,
+        other: "IndexedDataFrame | DataFrame",
+        f: MergeFn,
+        alias: str = "v",
+    ) -> "IndexedDataFrame":
+        """Left outer join, f sees NULL right, may change value type
+        (reference IndexedRDD.scala:267-274; kernel PARTPartition.scala:156-175)."""
+        left, right = self._two_sided(other)
+        out = left.join(right, on=self.keys, how="left").select(
+            *self.keys, f(F.col("__l"), F.col("__r")).alias(alias)
+        )
+        return self._derive(out)
+
+    def inner_join(
+        self,
+        other: "IndexedDataFrame | DataFrame",
+        f: MergeFn,
+        alias: str = "v",
+    ) -> "IndexedDataFrame":
+        """Inner equi-join on key (reference IndexedRDD.scala:276-283;
+        kernel PARTPartition.scala:177-196)."""
+        left, right = self._two_sided(other)
+        out = left.join(right, on=self.keys, how="inner").select(
+            *self.keys, f(F.col("__l"), F.col("__r")).alias(alias)
+        )
+        return self._derive(out)
+
+    def _two_sided(self, other: "IndexedDataFrame | DataFrame") -> tuple[DataFrame, DataFrame]:
+        """Normalize both sides to (keys…, __l) and (keys…, __r) with the
+        value packed as a struct when multi-column. Mirrors the reference
+        dispatch that accepts either an indexed or raw other side
+        (IndexedRDD.scala:222-283)."""
+        other_df = self._align(other)
+        ov = [c for c in other_df.columns if c not in self.keys]
+
+        def pack(df: DataFrame, vcols: list[str], name: str) -> DataFrame:
+            if len(vcols) == 1:
+                return df.select(*self.keys, F.col(vcols[0]).alias(name))
+            return df.select(*self.keys, F.struct(*vcols).alias(name))
+
+        return pack(self.df, self.value_cols, "__l"), pack(other_df, ov, "__r")
+
+    # ------------------------------------------------------------------ #
+    # Index sharing / keyed aggregation (ops 16-18)
+    # ------------------------------------------------------------------ #
+
+    def create_using_index(
+        self,
+        elems: DataFrame,
+        merge: MergeFn | None = None,
+        order_col: str | None = None,
+    ) -> "IndexedDataFrame":
+        """Re-key a fresh dataset onto this index's partitioning
+        (reference IndexedRDD.scala:285-291; kernel PARTPartition.scala:198-199
+        — the shared thing is the partitioner). Duplicate keys folded
+        deterministically (see :meth:`build`)."""
+        return IndexedDataFrame.build(
+            elems, self.keys, num_partitions=self.num_partitions,
+            merge=merge, order_col=order_col,
+        )
+
+    def aggregate_using_index(
+        self, elems: DataFrame, reduce_fn: MergeFn
+    ) -> "IndexedDataFrame":
+        """Keyed reduce aligned to this index's partitioning (reference
+        IndexedRDD.scala:293-297; kernel PARTPartition.scala:201-203).
+        Result keys come purely from ``elems`` — keys absent from the
+        index survive (IndexedRDDSuite.scala:179-181). Implemented as a
+        hash aggregate (partial + final — Catalyst's map-side combine),
+        shuffled straight into this index's partition count."""
+        ev = [c for c in elems.columns if c not in self.keys]
+        if len(ev) != 1:
+            raise ValueError(f"elems must have one value column, got {ev}")
+        v = ev[0]
+        agg = elems.groupBy(*self.keys).agg(
+            F.reduce(
+                F.collect_list(v),
+                F.lit(None).cast(elems.schema[v].dataType),
+                lambda acc, x: F.when(acc.isNull(), x).otherwise(reduce_fn(acc, x)),
+            ).alias(v)
+        )
+        out = agg.repartition(self.num_partitions, *self.keys)
+        return IndexedDataFrame(out, self.keys, self.num_partitions)
+
+    def aggregate_using_index_expr(
+        self, elems: DataFrame, agg_expr: Column, alias: str = "v"
+    ) -> "IndexedDataFrame":
+        """Fast path of :meth:`aggregate_using_index` when the reduce is a
+        native aggregate (sum/min/max/…): whole-stage-codegen hash agg,
+        no collect_list materialization. Prefer this at scale."""
+        agg = elems.groupBy(*self.keys).agg(agg_expr.alias(alias))
+        out = agg.repartition(self.num_partitions, *self.keys)
+        return IndexedDataFrame(out, self.keys, self.num_partitions)
+
+    def reindex(self) -> "IndexedDataFrame":
+        """Force/compact the composed plan (reference IndexedRDD.scala:299-304;
+        LazyPartition.scala:134-135 forces the pending merge). Here:
+        materialize into the cache so downstream ops read columnar bytes
+        instead of re-executing lineage."""
+        out = self.df.repartition(self.num_partitions, *self.keys).cache()
+        out.count()
+        return IndexedDataFrame(out, self.keys, self.num_partitions)
+
+    # ------------------------------------------------------------------ #
+    # Storage passthroughs (op 21, IndexedRDD.scala:46-64)
+    # ------------------------------------------------------------------ #
+
+    def persist(self, storage_level: str = "MEMORY_AND_DISK") -> "IndexedDataFrame":
+        from pyspark import StorageLevel
+
+        self.df.persist(getattr(StorageLevel, storage_level))
+        return self
+
+    def unpersist(self, blocking: bool = False) -> "IndexedDataFrame":
+        self.df.unpersist(blocking)
+        return self

@@ -1,0 +1,86 @@
+"""Source layer: the driver's TPC-H-ish parquet tables + KV view builders.
+
+The reference has no source layer at all — ingestion is any upstream
+``RDD[(K, V)]`` (reference IndexedRDD.scala:465-466). Here the source layer
+is ``spark.read.parquet`` (columnar, predicate pushdown, column pruning)
+plus builders for the KV views used throughout tests/bench (FIXTURES.md §2).
+
+Scale note: reads keep Catalyst pushdown intact — callers filter/select on
+the returned DataFrame and the parquet scan prunes row groups/columns.
+Never collect here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.core import IndexedDataFrame
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# --------------------------------------------------------------------- #
+# KV views (FIXTURES.md §2) — the bench/oracle instantiations of the
+# reference's IndexedRDD[K, V] on real tables.
+# --------------------------------------------------------------------- #
+
+
+def orders_kv(spark: SparkSession, sf_dir: str, cache: bool = True) -> IndexedDataFrame:
+    """key=o_orderkey, value=o_totalprice — the flagship KV view."""
+    df = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return IndexedDataFrame.from_unique(df, "o_orderkey", cache=cache)
+
+
+def customer_kv(spark: SparkSession, sf_dir: str, cache: bool = True) -> IndexedDataFrame:
+    """key=c_custkey, value=struct(c_acctbal, c_mktsegment) — nested value."""
+    df = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.struct("c_acctbal", "c_mktsegment").alias("cval")
+    )
+    return IndexedDataFrame.from_unique(df, "c_custkey", cache=cache)
+
+
+def lineitem_kv(spark: SparkSession, sf_dir: str, cache: bool = True) -> IndexedDataFrame:
+    """Composite key (l_orderkey, l_linenumber) -> revenue.
+
+    Exercises the reference's Tuple2 composite keys
+    (KeySerializer.scala:145-176) as multi-column keys."""
+    df = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("rev"),
+    )
+    return IndexedDataFrame.from_unique(df, ["l_orderkey", "l_linenumber"], cache=cache)
+
+
+def nation_kv(spark: SparkSession, sf_dir: str, cache: bool = True) -> IndexedDataFrame:
+    df = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return IndexedDataFrame.from_unique(df, "n_nationkey", cache=cache)

@@ -1,0 +1,258 @@
+"""Parity tests for IndexedDataFrame against the reference's end-to-end
+suite (reference IndexedRDDSuite.scala:28-218). Same fixtures
+(FIXTURES.md §1): pairs = keys 0..100, v = k, 5 partitions; assertions are
+closed-form sets, order-insensitive (reference compares collect.toSet)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.core import SUM_MERGE, IndexedDataFrame
+
+N = 100
+
+
+@pytest.fixture(scope="module")
+def pairs_df(spark):
+    return spark.createDataFrame([(i, i) for i in range(N + 1)], "k long, v long")
+
+
+@pytest.fixture(scope="module")
+def idx(pairs_df):
+    return IndexedDataFrame.build(pairs_df, "k", num_partitions=5)
+
+
+def kv_set(idf):
+    return {(r["k"], r["v"]) for r in idf.collect()}
+
+
+# --- get / multiget (IndexedRDDSuite.scala:36-45) ---------------------- #
+
+
+def test_get(idx):
+    assert idx.get(0) == 0
+    assert idx.get(49) == 49
+    assert idx.get(-1) is None  # miss
+
+
+def test_get_after_filter_miss(idx):
+    evens = idx.filter(F.col("v") % 2 == 0)
+    assert evens.get(2) == 2
+    assert evens.get(3) is None  # present pre-filter, absent post-filter
+
+
+def test_multiget(idx):
+    assert idx.multiget([0, 1, 2, -1]) == {0: 0, 1: 1, 2: 2}
+
+
+# --- filter (IndexedRDDSuite.scala:47-52) ------------------------------ #
+
+
+def test_filter_count(idx):
+    evens = idx.filter(F.col("v") % 2 == 0)
+    assert evens.count() == 51
+    assert kv_set(evens) == {(i, i) for i in range(0, N + 1, 2)}
+
+
+# --- mapValues (IndexedRDDSuite.scala:54-59) --------------------------- #
+
+
+def test_map_values(idx):
+    doubled = idx.map_values(lambda v: v * 2)
+    assert kv_set(doubled) == {(i, 2 * i) for i in range(N + 1)}
+
+
+def test_map_values_with_key(idx):
+    kv = idx.map_values(lambda k, v: k + v)
+    assert kv_set(kv) == {(i, 2 * i) for i in range(N + 1)}
+
+
+# --- diff (IndexedRDDSuite.scala:61-85) -------------------------------- #
+
+
+def flip_evens(spark):
+    return spark.createDataFrame(
+        [(i, -i if i % 2 == 0 else i) for i in range(N + 1)], "k long, v long"
+    )
+
+
+def test_diff(spark, idx):
+    d = idx.diff(flip_evens(spark))
+    # values differ exactly on nonzero evens (0 == -0); keeps this's value
+    assert kv_set(d) == {(i, i) for i in range(2, N + 1, 2)}
+
+
+def test_diff_plain_df_mismatched_partitions(spark, pairs_df):
+    a = IndexedDataFrame.build(pairs_df, "k", num_partitions=2)
+    b = flip_evens(spark).repartition(3)
+    assert kv_set(a.diff(b)) == {(i, i) for i in range(2, N + 1, 2)}
+
+
+# --- fullOuterJoin (IndexedRDDSuite.scala:87-108) ----------------------- #
+
+
+def test_full_outer_join(spark):
+    n2 = 200
+    common = spark.createDataFrame([(i, i) for i in range(n2)], "k long, v long")
+    a = IndexedDataFrame.build(common.where("k < 100"), "k", num_partitions=5)
+    b = common.where("k >= 50")
+    out = a.full_outer_join(b, lambda l, r: F.coalesce(l, F.lit(0)) + F.coalesce(r, F.lit(0)))
+    expected = (
+        {(i, i) for i in range(50)}            # a only
+        | {(i, 2 * i) for i in range(50, 100)}  # both
+        | {(i, i) for i in range(100, n2)}      # b only
+    )
+    assert kv_set(out) == expected
+
+
+def test_full_outer_join_indexed_other(spark):
+    n2 = 200
+    common = spark.createDataFrame([(i, i) for i in range(n2)], "k long, v long")
+    a = IndexedDataFrame.build(common.where("k < 100"), "k", num_partitions=5)
+    b = IndexedDataFrame.build(common.where("k >= 50"), "k", num_partitions=5)
+    out = a.full_outer_join(b, lambda l, r: F.coalesce(l, F.lit(0)) + F.coalesce(r, F.lit(0)))
+    assert out.count() == n2
+
+
+# --- leftJoin (IndexedRDDSuite.scala:110-132) --------------------------- #
+
+
+def test_left_join(spark, idx):
+    evens = spark.createDataFrame([(i, i) for i in range(0, N + 1, 2)], "k long, v long")
+    out = idx.left_join(evens, lambda l, r: l - F.coalesce(r, F.lit(0)))
+    expected = {(i, 0) for i in range(0, N + 1, 2)} | {
+        (i, i) for i in range(1, N + 1, 2)
+    }
+    assert kv_set(out) == expected
+
+
+def test_left_join_mismatched_partitions(spark, pairs_df):
+    a = IndexedDataFrame.build(pairs_df, "k", num_partitions=2)
+    evens = spark.createDataFrame(
+        [(i, i) for i in range(0, N + 1, 2)], "k long, v long"
+    ).repartition(3)
+    out = a.left_join(evens, lambda l, r: l - F.coalesce(r, F.lit(0)))
+    assert out.count() == N + 1
+
+
+# --- join, type-preserving (IndexedRDDSuite.scala:134-145) -------------- #
+
+
+def test_join_update(spark, idx):
+    evens = spark.createDataFrame([(i, 10 * i) for i in range(0, N + 1, 2)], "k long, v long")
+    out = idx.join_update(evens, lambda old, new: old + new)
+    expected = {(i, 11 * i) for i in range(0, N + 1, 2)} | {
+        (i, i) for i in range(1, N + 1, 2)
+    }
+    assert kv_set(out) == expected
+
+
+# --- innerJoin (IndexedRDDSuite.scala:147-169) -------------------------- #
+
+
+def test_inner_join(spark, idx):
+    evens = spark.createDataFrame([(i, i) for i in range(0, N + 1, 2)], "k long, v long")
+    out = idx.inner_join(evens, lambda l, r: l + r)
+    assert kv_set(out) == {(i, 2 * i) for i in range(0, N + 1, 2)}
+
+
+def test_inner_join_mismatched_partitions(spark, pairs_df):
+    a = IndexedDataFrame.build(pairs_df, "k", num_partitions=3)
+    evens = spark.createDataFrame(
+        [(i, i) for i in range(0, N + 1, 2)], "k long, v long"
+    ).repartition(2)
+    assert a.inner_join(evens, lambda l, r: l + r).count() == 51
+
+
+# --- aggregateUsingIndex (IndexedRDDSuite.scala:171-182) ---------------- #
+
+
+def test_aggregate_using_index(spark, idx):
+    messages = spark.createDataFrame(
+        [(i, 1) for i in range(N + 1)]
+        + [(i, 1) for i in range(0, N + 1, 2)]
+        + [(-1, 5)],  # key absent from the index survives (reference :179-181)
+        "k long, v long",
+    )
+    out = idx.aggregate_using_index(messages, SUM_MERGE)
+    expected = (
+        {(i, 2) for i in range(0, N + 1, 2)}
+        | {(i, 1) for i in range(1, N + 1, 2)}
+        | {(-1, 5)}
+    )
+    assert kv_set(out) == expected
+
+
+# --- put/multiput/multiput_df (IndexedRDDSuite.scala:191-210) ----------- #
+
+
+def test_put_new_and_existing(idx):
+    v2 = idx.put(-1, 999)
+    assert v2.get(-1) == 999 and v2.count() == N + 2
+    v3 = v2.put(0, 42)
+    assert v3.get(0) == 42 and v3.count() == N + 2
+
+
+def test_multiput_sum_merge(idx):
+    out = idx.multiput({0: 1, 1: 1, -1: -1}, f=SUM_MERGE)
+    assert out.multiget([0, 1, -1]) == {0: 1, 1: 2, -1: -1}
+    # version isolation: parent unchanged (reference README.md:31-34)
+    assert idx.multiget([0, 1]) == {0: 0, 1: 1}
+    assert idx.get(-1) is None
+
+
+def test_multiput_df(spark, idx):
+    updates = spark.createDataFrame([(0, 1), (1, 1), (-1, -1)], "k long, v long")
+    out = idx.multiput_df(updates, f=SUM_MERGE)
+    assert out.multiget([0, 1, -1]) == {0: 1, 1: 2, -1: -1}
+    assert out.count() == N + 2
+
+
+def test_multiput_df_duplicate_update_keys(spark, idx):
+    updates = spark.createDataFrame([(0, 1), (0, 2), (-1, 3), (-1, 4)], "k long, v long")
+    out = idx.multiput_df(updates, f=SUM_MERGE)
+    assert out.get(0) == 3  # 0 + 1 + 2
+    assert out.get(-1) == 7  # 3 + 4
+
+
+# --- delete (IndexedRDDSuite.scala:212-217) ----------------------------- #
+
+
+def test_delete(idx):
+    out = idx.delete([0, -1])  # -1 absent: no-op
+    assert out.get(0) is None
+    assert out.count() == N
+    assert idx.get(0) == 0  # parent unchanged
+
+
+# --- build semantics ----------------------------------------------------- #
+
+
+def test_build_dedupes_deterministically(spark):
+    df = spark.createDataFrame([(1, 5), (1, 9), (2, 3)], "k long, v long")
+    idx2 = IndexedDataFrame.build(df, "k", num_partitions=2)
+    assert idx2.multiget([1, 2]) == {1: 9, 2: 3}  # max-value wins
+
+
+def test_build_merge_fn(spark):
+    df = spark.createDataFrame([(1, 5), (1, 9), (2, 3)], "k long, v long")
+    idx2 = IndexedDataFrame.build(df, "k", num_partitions=2, merge=SUM_MERGE)
+    assert idx2.multiget([1, 2]) == {1: 14, 2: 3}
+
+
+# --- composite keys (KeySerializer.scala:145-176 parity) ----------------- #
+
+
+def test_composite_keys_end_to_end(spark):
+    df = spark.createDataFrame(
+        [(i, j, i * 10 + j) for i in range(10) for j in range(3)],
+        "k1 long, k2 int, v long",
+    )
+    cidx = IndexedDataFrame.build(df, ["k1", "k2"], num_partitions=4)
+    assert cidx.count() == 30
+    assert cidx.get((3, 2)) == 32
+    assert cidx.multiget([(0, 0), (9, 2), (5, 99)]) == {(0, 0): 0, (9, 2): 92}
+    out = cidx.multiput({(0, 0): 100, (99, 0): 1}, f=SUM_MERGE)
+    assert out.get((0, 0)) == 100 and out.get((99, 0)) == 1
+    assert out.count() == 31
+    deleted = out.delete([(0, 0), (42, 42)])
+    assert deleted.get((0, 0)) is None and deleted.count() == 30

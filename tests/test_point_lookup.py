@@ -1,0 +1,55 @@
+"""Tests for the targeted-partition multiget fast path
+(reference IndexedRDD.scala:79-94)."""
+
+import pytest
+
+from spark_indexedrdd_spark.core import IndexedDataFrame
+from spark_indexedrdd_spark.operators.point import PointLookupIndex, stable_hash
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    df = spark.createDataFrame([(i, i * 2) for i in range(200)], "k long, v long")
+    return IndexedDataFrame.build(df, "k", num_partitions=5)
+
+
+def test_multiget_hits_and_misses(idx):
+    pli = PointLookupIndex(idx)
+    assert pli.multiget([0, 7, 199, -1, 1000]) == {0: 0, 7: 14, 199: 398}
+    assert pli.get(42) == 84
+    assert pli.get(-42) is None
+
+
+def test_string_keys(spark):
+    df = spark.createDataFrame(
+        [(f"key{i}", i) for i in range(50)], "k string, v long"
+    )
+    idx = IndexedDataFrame.build(df, "k", num_partitions=4)
+    pli = PointLookupIndex(idx)
+    assert pli.multiget(["key0", "key49", "nope"]) == {"key0": 0, "key49": 49}
+
+
+def test_composite_keys(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{j}", i + j) for i in range(10) for j in range(3)],
+        "k1 long, k2 string, v long",
+    )
+    idx = IndexedDataFrame.build(df, ["k1", "k2"], num_partitions=4)
+    pli = PointLookupIndex(idx)
+    assert pli.multiget([(0, "s0"), (9, "s2"), (5, "nope")]) == {
+        (0, "s0"): 0,
+        (9, "s2"): 11,
+    }
+
+
+def test_stable_hash_deterministic():
+    assert stable_hash("abc") == stable_hash("abc")
+    assert stable_hash((1, "a")) == stable_hash((1, "a"))
+    assert stable_hash(7) == 7
+
+
+def test_targets_only_owning_partitions(idx):
+    pli = PointLookupIndex(idx)
+    ks = [3, 17]
+    parts = {pli.partition_of(k) for k in ks}
+    assert len(parts) <= 2  # the job plan touches at most these
