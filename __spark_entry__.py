@@ -1,38 +1,354 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator from SURVEY.md §2 is instantiated on the driver's parquet
+tables as a ``queries()`` entry with a matching ANSI-SQL ``oracle_sql()``
+formulation DuckDB can run on the same tables. Column names and types are
+aligned on both sides (aggregates rounded where cross-engine float
+summation order could differ).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+import os
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_indexedrdd_spark.core import SUM_MERGE, IndexedDataFrame  # noqa: E402
+from spark_indexedrdd_spark.sources.tables import (  # noqa: E402
+    lineitem_kv,
+    load_table,
+    orders_kv,
+)
+
+# Deterministic point-lookup key set: hits at every sf (orderkeys are dense
+# 0..N-1, N>=1500) plus misses (reference tests cover the miss path,
+# IndexedRDDSuite.scala:40-44).
+MULTIGET_KEYS = list(range(1, 1500, 83)) + [-1, -2, 10**9]
+
+
+# --------------------------------------------------------------------- #
+# Flagship (SURVEY.md §7 phase A): build → multiput merge → innerJoin →
+# filter changed rows — the reference README's own sequence
+# (reference README.md:23-45) over driver testdata.
+# --------------------------------------------------------------------- #
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    kv = orders_kv(spark, sf_dir)
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", F.lit(1000.0).alias("u"))
+    )
+    updated = kv.multiput_df(updates, f=SUM_MERGE)
+    joined = updated.inner_join(kv, lambda new, old: new - old, alias="delta")
+    changed = joined.filter(F.col("delta") > 0)
+    return changed.to_df()
+
+
+# --------------------------------------------------------------------- #
+# Core operator queries (SURVEY.md §2 ops 1-21)
+# --------------------------------------------------------------------- #
+
+
+def q_build_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 1+20: construct + full scan (IndexedRDD.scala:461-486,71-73)."""
+    return orders_kv(spark, sf_dir).to_df()
+
+
+def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 19: count (IndexedRDD.scala:66-68)."""
+    n = orders_kv(spark, sf_dir).count()
+    return spark.createDataFrame([(n,)], "cnt long")
+
+
+def q_multiget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 3-4: point lookups, hit+miss mix (IndexedRDD.scala:76-94).
+    DataFrame form of multiget so the oracle can check it; the dict form
+    and the targeted-partition fast path are covered in tests/."""
+    kv = orders_kv(spark, sf_dir)
+    return kv.df.where(F.col("o_orderkey").isin(MULTIGET_KEYS))
+
+
+def q_multiput_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 5-7: batch upsert with sum merge + new keys
+    (IndexedRDD.scala:105-164; PARTPartition.scala:51-61)."""
+    kv = orders_kv(spark, sf_dir)
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", F.lit(1000.0).alias("u"))
+        .unionAll(
+            spark.createDataFrame(
+                [(-1, 11.5), (-2, 22.5)], "o_orderkey long, u double"
+            )
+        )
+    )
+    return kv.multiput_df(updates, f=SUM_MERGE).to_df()
+
+
+def q_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 8: batch delete via left anti (IndexedRDD.scala:166-175)."""
+    kv = orders_kv(spark, sf_dir)
+    dels = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 7 == 0
+    )
+    return kv.delete_df(dels.select("o_orderkey")).to_df()
+
+
+def q_filter_mapvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 9-10: predicate + value transform (IndexedRDD.scala:200-216)."""
+    kv = orders_kv(spark, sf_dir)
+    return (
+        kv.filter(F.col("o_totalprice") > 100000.0)
+        .map_values(lambda v: v * 1.1, alias="boosted")
+        .to_df()
+    )
+
+
+def q_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 11: changed-rows detector, keeps this side's value
+    (IndexedRDD.scala:218-227; semantics IndexedRDDSuite.scala:61-77)."""
+    kv = orders_kv(spark, sf_dir)
+    other = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return kv.diff(other).to_df()
+
+
+def _evens_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 15 (IndexedRDD.scala:276-283)."""
+    kv = orders_kv(spark, sf_dir)
+    return kv.inner_join(_evens_side(spark, sf_dir), lambda a, b: a + b).to_df()
+
+
+def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 14: f sees NULL right (IndexedRDD.scala:267-274)."""
+    kv = orders_kv(spark, sf_dir)
+    return kv.left_join(
+        _evens_side(spark, sf_dir),
+        lambda a, b: a - F.coalesce(b, F.lit(0.0)),
+    ).to_df()
+
+
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 12 (IndexedRDD.scala:229-252)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = IndexedDataFrame.from_unique(
+        orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ),
+        "o_orderkey",
+    )
+    b = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("b_val")
+    )
+    return a.full_outer_join(
+        b, lambda l, r: F.coalesce(l, F.lit(0.0)) + F.coalesce(r, F.lit(0.0))
+    ).to_df()
+
+
+def q_join_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 13: type-preserving left join — matched keys f(old,new),
+    unmatched unchanged (IndexedRDD.scala:254-265)."""
+    kv = orders_kv(spark, sf_dir)
+    other = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return kv.join_update(other, lambda old, new: old + new).to_df()
+
+
+def q_aggregate_using_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 17, native-aggregate path: keyed sum of lineitem revenue aligned
+    to the orders index (IndexedRDD.scala:293-297). Rounded: cross-engine
+    float summation order differs."""
+    kv = orders_kv(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    # exact decimal accumulation -> double: order-independent and
+    # bit-identical to DuckDB (float sum order differs; ROUND differs at
+    # decimal midpoints between engines)
+    out = kv.aggregate_using_index_expr(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        F.sum(F.col("rev").cast("decimal(18,4)")).cast("double"),
+        alias="total_rev",
+    )
+    return out.to_df()
+
+
+def q_aggregate_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 17, fold path: user reduce function over exact integer values
+    (the reference's reduceFunc contract, PARTPartition.scala:201-203)."""
+    kv = orders_kv(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return kv.aggregate_using_index(li, SUM_MERGE).to_df()
+
+
+def q_create_using_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 16: re-key a fresh dataset onto this index's partitioning with
+    deterministic dup-merge (IndexedRDD.scala:285-291)."""
+    kv = orders_kv(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    return kv.create_using_index(li).to_df()
+
+
+def q_composite_key_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite (multi-column) keys end-to-end — the reference's Tuple2
+    keys (KeySerializer.scala:145-176)."""
+    return lineitem_kv(spark, sf_dir).to_df()
+
+
+def q_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner join on a composite key."""
+    kv = lineitem_kv(spark, sf_dir)
+    other = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_linenumber") <= 3)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_quantity").alias("qty"))
+    )
+    return kv.inner_join(other, lambda a, b: a / b, alias="unit_rev").to_df()
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "build_scan": q_build_scan,
+    "count": q_count,
+    "multiget": q_multiget,
+    "multiput_merge": q_multiput_merge,
+    "delete": q_delete,
+    "filter_mapvalues": q_filter_mapvalues,
+    "diff": q_diff,
+    "inner_join": q_inner_join,
+    "left_join": q_left_join,
+    "full_outer_join": q_full_outer_join,
+    "join_update": q_join_update,
+    "aggregate_using_index": q_aggregate_using_index,
+    "aggregate_fold": q_aggregate_fold,
+    "create_using_index": q_create_using_index,
+    "composite_key_scan": q_composite_key_scan,
+    "composite_key_join": q_composite_key_join,
+}
+
+_MULTIGET_IN = ", ".join(str(k) for k in MULTIGET_KEYS)
+
+ORACLE: dict[str, str] = {
+    "build_scan": "SELECT o_orderkey, o_totalprice FROM orders",
+    "count": "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM orders",
+    "multiget": f"""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey IN ({_MULTIGET_IN})
+    """,
+    "multiput_merge": """
+        WITH updates AS (
+            SELECT o_orderkey AS k, CAST(1000.0 AS DOUBLE) AS u
+            FROM orders WHERE o_orderkey % 10 = 0
+            UNION ALL SELECT CAST(-1 AS BIGINT), CAST(11.5 AS DOUBLE)
+            UNION ALL SELECT CAST(-2 AS BIGINT), CAST(22.5 AS DOUBLE)
+        )
+        SELECT COALESCE(o.o_orderkey, u.k) AS o_orderkey,
+               CASE WHEN u.k IS NULL THEN o.o_totalprice
+                    WHEN o.o_orderkey IS NULL THEN u.u
+                    ELSE o.o_totalprice + u.u END AS o_totalprice
+        FROM orders o FULL OUTER JOIN updates u ON o.o_orderkey = u.k
+    """,
+    "delete": """
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+    "filter_mapvalues": """
+        SELECT o_orderkey, o_totalprice * 1.1 AS boosted
+        FROM orders WHERE o_totalprice > 100000.0
+    """,
+    "diff": """
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    "inner_join": """
+        SELECT o_orderkey, o_totalprice + o_totalprice AS v
+        FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    "left_join": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice - o_totalprice
+                    ELSE o_totalprice END AS v
+        FROM orders
+    """,
+    "full_outer_join": """
+        WITH a AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+             b AS (SELECT o_orderkey, o_totalprice * 2 AS b_val FROM orders WHERE o_orderkey % 3 = 0)
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               COALESCE(a.o_totalprice, 0.0) + COALESCE(b.b_val, 0.0) AS v
+        FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    """,
+    "join_update": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + o_totalprice
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+    """,
+    "aggregate_using_index": """
+        SELECT l_orderkey AS o_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "aggregate_fold": """
+        SELECT l_orderkey AS o_orderkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "create_using_index": """
+        SELECT l_orderkey AS o_orderkey,
+               MAX(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "composite_key_scan": """
+        SELECT l_orderkey, l_linenumber,
+               MAX(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem GROUP BY l_orderkey, l_linenumber
+    """,
+    "composite_key_join": """
+        WITH kv AS (
+            SELECT l_orderkey, l_linenumber,
+                   MAX(l_extendedprice * (1 - l_discount)) AS rev
+            FROM lineitem GROUP BY l_orderkey, l_linenumber
+        ), o AS (
+            SELECT l_orderkey, l_linenumber, MAX(l_quantity) AS qty
+            FROM lineitem WHERE l_linenumber <= 3
+            GROUP BY l_orderkey, l_linenumber
+        )
+        SELECT kv.l_orderkey, kv.l_linenumber, kv.rev / o.qty AS unit_rev
+        FROM kv JOIN o USING (l_orderkey, l_linenumber)
+    """,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE)

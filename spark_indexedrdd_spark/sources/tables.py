@@ -73,12 +73,17 @@ def lineitem_kv(spark: SparkSession, sf_dir: str, cache: bool = True) -> Indexed
 
     Exercises the reference's Tuple2 composite keys
     (KeySerializer.scala:145-176) as multi-column keys."""
+    # raw IEEE product (no rounding): bit-identical across engines, unlike
+    # ROUND at decimal midpoints (Spark HALF_UP vs DuckDB double math).
+    # (l_orderkey, l_linenumber) is NOT unique in the testdata — build()
+    # dedupes deterministically (max rev wins), exercising the reference's
+    # duplicate-merge construction path (IndexedRDD.scala:463-486).
     df = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("rev"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
     )
-    return IndexedDataFrame.from_unique(df, ["l_orderkey", "l_linenumber"], cache=cache)
+    return IndexedDataFrame.build(df, ["l_orderkey", "l_linenumber"], cache=cache)
 
 
 def nation_kv(spark: SparkSession, sf_dir: str, cache: bool = True) -> IndexedDataFrame:
