@@ -1,0 +1,170 @@
+"""Benchmark harness: times the headline operator queries (BASELINE.md)
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each timed query ends in a small action (count / collect of a bounded
+result) so the measurement covers the full distributed plan, not driver
+materialization of giant results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spark_indexedrdd_spark.core import SUM_MERGE  # noqa: E402
+from spark_indexedrdd_spark.operators.point import PointLookupIndex  # noqa: E402
+from spark_indexedrdd_spark.session import get_spark  # noqa: E402
+from spark_indexedrdd_spark.sources.tables import load_table, orders_kv  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        def deco(fn):
+            t0 = time.perf_counter()
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 4)
+            return fn
+
+        return deco
+
+    orders = load_table(spark, SF_DIR, "orders")
+    n_orders = orders.count()  # warm the file listing; not timed
+
+    # --- build index (dedupe + repartition + cache + materialize) ------ #
+    state = {}
+
+    @timed("build_index")
+    def _build():
+        kv = orders_kv(spark, SF_DIR)
+        kv.count()  # materialize cache
+        state["kv"] = kv
+
+    kv = state["kv"]
+
+    # --- multiget: 1k keys, hit+miss mix (BASELINE.md) ------------------ #
+    ks = list(range(1, n_orders, max(1, n_orders // 1000)))[:1000] + [-1, -2]
+
+    @timed("multiget_isin")
+    def _mget():
+        assert len(kv.multiget(ks)) >= 900
+
+    @timed("point_index_build")
+    def _pib():
+        state["pli"] = PointLookupIndex(kv)
+
+    @timed("multiget_targeted")
+    def _mget2():
+        assert len(state["pli"].multiget(ks)) >= 900
+
+    # --- multiput 10% sum-merge ----------------------------------------- #
+    @timed("multiput_merge")
+    def _mput():
+        updates = orders.where(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey", F.lit(1000.0).alias("u")
+        )
+        kv.multiput_df(updates, f=SUM_MERGE).df.count()
+
+    # --- delete 10% ------------------------------------------------------ #
+    @timed("delete")
+    def _del():
+        dels = orders.where(F.col("o_orderkey") % 10 == 0).select("o_orderkey")
+        kv.delete_df(dels).df.count()
+
+    # --- diff vs 50%-modified copy --------------------------------------- #
+    @timed("diff")
+    def _diff():
+        other = orders.select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice") * 2)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        kv.diff(other).df.count()
+
+    # --- joins ------------------------------------------------------------ #
+    cust_orders = orders.select(
+        F.col("o_orderkey"), F.col("o_custkey").cast("double").alias("ck")
+    )
+
+    @timed("inner_join")
+    def _ij():
+        kv.inner_join(cust_orders, lambda a, b: a + b).df.count()
+
+    @timed("left_join")
+    def _lj():
+        kv.left_join(
+            cust_orders.where(F.col("o_orderkey") % 2 == 0),
+            lambda a, b: a - F.coalesce(b, F.lit(0.0)),
+        ).df.count()
+
+    @timed("full_outer_join")
+    def _foj():
+        kv.full_outer_join(
+            cust_orders.where(F.col("o_orderkey") % 3 == 0),
+            lambda a, b: F.coalesce(a, F.lit(0.0)) + F.coalesce(b, F.lit(0.0)),
+        ).df.count()
+
+    @timed("join_update")
+    def _ju():
+        kv.join_update(
+            cust_orders.where(F.col("o_orderkey") % 5 == 0),
+            lambda a, b: a + b,
+        ).df.count()
+
+    # --- aggregateUsingIndex: lineitem revenue sum onto orders index ------ #
+    @timed("aggregate_using_index")
+    def _agg():
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+        kv.aggregate_using_index_expr(li, F.sum("rev"), alias="total").df.count()
+
+    # --- full scan + count ------------------------------------------------ #
+    @timed("scan_count")
+    def _scan():
+        assert kv.count() == n_orders
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "core_operator_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
