@@ -19,11 +19,17 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spark_indexedrdd_spark.core import SUM_MERGE, IndexedDataFrame  # noqa: E402
+from spark_indexedrdd_spark.functions import dedup as _dedup  # noqa: E402
+from spark_indexedrdd_spark.functions import multimodal as _mm  # noqa: E402
+from spark_indexedrdd_spark.functions import similarity as _sim  # noqa: E402
+from spark_indexedrdd_spark.functions import text as _text  # noqa: E402
+from spark_indexedrdd_spark.operators import analytics as _an  # noqa: E402
 from spark_indexedrdd_spark.sources.tables import (  # noqa: E402
     lineitem_kv,
     load_table,
     orders_kv,
 )
+from spark_indexedrdd_spark.streaming import windows as _win  # noqa: E402
 
 # Deterministic point-lookup key set: hits at every sf (orderkeys are dense
 # 0..N-1, N>=1500) plus misses (reference tests cover the miss path,
@@ -236,7 +242,104 @@ def q_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kv.inner_join(other, lambda a, b: a / b, alias="unit_rev").to_df()
 
 
+# --------------------------------------------------------------------- #
+# Extension surface (SURVEY.md §2.5 / phase E): SQL analytics + LLM-data-
+# pipeline operators. Each delegates to the package module that also
+# generates its oracle SQL, so the two sides cannot drift.
+# --------------------------------------------------------------------- #
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # text analysis
+    "text_stats": lambda s, d: _text.text_stats(_docs(s, d)),
+    "lang_id": lambda s, d: _text.lang_id(_docs(s, d)),
+    "doc_fingerprint": lambda s, d: _text.fingerprint(_docs(s, d)),
+    # dedup
+    "dedup_exact": lambda s, d: _dedup.exact_dedup(_docs(s, d)),
+    "minhash_signatures": lambda s, d: _dedup.minhash_signatures(_docs(s, d)),
+    "dedup_lsh_candidates": lambda s, d: _dedup.lsh_candidates(_docs(s, d)),
+    "simhash": lambda s, d: _dedup.simhash(_docs(s, d)),
+    "dedup_ngram_jaccard": lambda s, d: _dedup.ngram_jaccard_pairs(_docs(s, d)),
+    "simhash_near_pairs": lambda s, d: _dedup.simhash_near_pairs(
+        _docs(s, d), max_hamming=8
+    ),
+    # similarity search
+    "similarity_topk": lambda s, d: _sim.cosine_topk(_emb(s, d)),
+    "similarity_topk_fast": lambda s, d: _sim.cosine_topk_fast(_emb(s, d)),
+    "embedding_neardup": lambda s, d: _sim.near_duplicates(_emb(s, d), 0.3),
+    "similarity_ann_lsh": lambda s, d: _sim.hyperplane_lsh_ann(_emb(s, d)),
+    # SQL analytics
+    "pricing_summary": lambda s, d: _an.pricing_summary(
+        load_table(s, d, "lineitem")
+    ),
+    "top_orders_per_customer": lambda s, d: _an.top_orders_per_customer(
+        load_table(s, d, "orders")
+    ),
+    "global_topk_orders": lambda s, d: _an.global_topk_orders(
+        load_table(s, d, "orders")
+    ),
+    "rollup_doc_counts": lambda s, d: _an.rollup_doc_counts(_docs(s, d)),
+    "segment_set_ops": lambda s, d: _an.segment_set_ops(
+        load_table(s, d, "customer"), 1, 2
+    ),
+    "asof_join": lambda s, d: _an.asof_join_events(load_table(s, d, "events")),
+    "sessionize": lambda s, d: _an.sessionize(load_table(s, d, "events")),
+    # event-time windows (batch formulation; streaming equivalence is
+    # covered in tests/test_analytics_streaming.py)
+    "tumbling_window": lambda s, d: _win.tumbling_counts(
+        load_table(s, d, "events")
+    ),
+    "sliding_window": lambda s, d: _win.sliding_counts(
+        load_table(s, d, "events")
+    ),
+    # multimodal
+    "binary_meta": lambda s, d: _mm.binary_meta(_mm.attach_binary(_docs(s, d))),
+}
+
+EXTENSION_ORACLE: dict[str, str] = {
+    "text_stats": _text.sql_text_stats(),
+    "lang_id": _text.sql_lang_id(),
+    "doc_fingerprint": _text.sql_fingerprint(),
+    "dedup_exact": _dedup.sql_exact_dedup(),
+    "minhash_signatures": _dedup.sql_minhash_signatures(),
+    "dedup_lsh_candidates": _dedup.sql_lsh_candidates(),
+    "simhash": _dedup.sql_simhash(),
+    "dedup_ngram_jaccard": _dedup.sql_ngram_jaccard_pairs(),
+    "similarity_topk": _sim.sql_cosine_topk(),
+    "embedding_neardup": _sim.sql_near_duplicates(threshold=0.3),
+    "pricing_summary": _an.SQL_PRICING_SUMMARY,
+    "top_orders_per_customer": _an.sql_top_orders_per_customer(),
+    "global_topk_orders": _an.sql_global_topk_orders(),
+    "rollup_doc_counts": _an.SQL_ROLLUP_DOC_COUNTS,
+    "segment_set_ops": _an.sql_segment_set_ops(1, 2),
+    "asof_join": _an.SQL_ASOF_JOIN_EVENTS,
+    "sessionize": _an.sql_sessionize(),
+    "tumbling_window": _win.sql_tumbling_counts(),
+    "sliding_window": _win.sql_sliding_counts(),
+    "binary_meta": _mm.sql_binary_meta(),
+}
+
+# Queries with no SQL oracle (approximate / Python-path operators): the
+# driver records a rows-only check; their correctness is established in
+# tests/ against the oracle-checked exact variants.
+ROWS_ONLY = (
+    "simhash_near_pairs",   # pairs via pigeonhole blocking; fingerprints
+                            # themselves are oracle-checked via `simhash`
+    "similarity_topk_fast",  # numpy/BLAS path; id-equality vs brute force
+                             # asserted in tests/test_similarity.py
+    "similarity_ann_lsh",   # approximate by design; recall tested
+)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    **EXTENSION_QUERIES,
     "build_scan": q_build_scan,
     "count": q_count,
     "multiget": q_multiget,
@@ -258,6 +361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _MULTIGET_IN = ", ".join(str(k) for k in MULTIGET_KEYS)
 
 ORACLE: dict[str, str] = {
+    **EXTENSION_ORACLE,
     "build_scan": "SELECT o_orderkey, o_totalprice FROM orders",
     "count": "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM orders",
     "multiget": f"""

@@ -1,0 +1,462 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each Spark-first (built-in expressions; shuffles only where
+set semantics require them) with a DuckDB-SQL twin generated from the same
+constants:
+
+- exact: hash-groupBy on normalized text (one shuffle on the digest).
+- MinHash + LSH: shingle → k minhashes → b bands → bucket self-join.
+  Candidate generation never compares all pairs: the self-join key is
+  (band_id, band_hash), so at 100 TB the shuffle is by band bucket and
+  skew is bounded by bucket size (salt/boost bands if a bucket explodes).
+- SimHash: 64-bit sign-aggregated token-hash fingerprint (two 32-bit
+  halves to stay inside portable BIGINT math).
+- n-gram Jaccard: exact set overlap for candidate pairs within a
+  blocking key (defaults to ``source`` — never all-pairs).
+- embedding cosine: see functions/similarity.py (near_duplicates).
+
+Cross-engine determinism: all hashing is md5-hex (identical in Spark and
+DuckDB); minhash = lexicographic MIN over hex strings (uniform over the
+hash space, so the Jaccard estimator is unaffected).
+
+Reference parity note: the reference has no dedup operators at all
+(SURVEY.md §2.5) — this is the extension surface for LLM-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.functions.text import sql_tokens, tokens
+
+# MinHash configuration (shared by Spark + SQL sides).
+NUM_HASHES = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+SHINGLE_SIZE = 3
+
+
+# --------------------------------------------------------------------- #
+# Exact dedup
+# --------------------------------------------------------------------- #
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per exact (normalized) text: returns
+    (doc_id, fp_md5, group_size). One hash-aggregate; at scale this is a
+    single shuffle on the digest with map-side partial aggregation."""
+    norm = F.concat_ws(" ", tokens(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), F.md5(norm).alias("fp_md5"))
+        .groupBy("fp_md5")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").cast("long").alias("group_size"),
+        )
+        .select(id_col, "fp_md5", "group_size")
+    )
+
+
+def sql_exact_dedup(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    t = sql_tokens(text_col)
+    return f"""
+        SELECT MIN({id_col}) AS {id_col}, fp_md5,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM (SELECT {id_col}, md5(array_to_string({t}, ' ')) AS fp_md5 FROM {table})
+        GROUP BY fp_md5
+    """
+
+
+# --------------------------------------------------------------------- #
+# Shingles (shared by MinHash + Jaccard)
+# --------------------------------------------------------------------- #
+
+
+def shingle_array(text: "F.Column") -> "F.Column":
+    """Distinct word n-gram shingles as a per-row array — a pure array
+    transform (no explode, no window, no shuffle): the 100 TB-friendly
+    construction. Guarded for docs shorter than the shingle size
+    (F.sequence(1, 0) would generate a DESCENDING sequence)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), n - (SHINGLE_SIZE - 1))
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(SHINGLE_SIZE)]
+    )
+    return F.when(
+        n >= SHINGLE_SIZE, F.array_distinct(F.transform(starts, mk))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    return df.select(
+        F.col(id_col), F.explode(shingle_array(F.col(text_col))).alias("shingle")
+    )
+
+
+def sql_shingle_list() -> str:
+    """DuckDB list expression over an ``__toks`` column (see sql_shingles).
+    range(1, L-1) = starts [1..L-2] (1-based, inclusive slice indexing)."""
+    join_parts = " || ' ' || ".join(
+        f"__toks[i + {j}]" for j in range(SHINGLE_SIZE)
+    )
+    return (
+        f"CASE WHEN len(__toks) >= {SHINGLE_SIZE} THEN "
+        f"list_distinct(list_transform(range(1, len(__toks) - {SHINGLE_SIZE - 2}), "
+        f"i -> {join_parts})) ELSE [] END"
+    )
+
+
+def sql_shingles(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    t = sql_tokens(text_col)
+    return f"""
+        SELECT {id_col}, UNNEST({sql_shingle_list()}) AS shingle
+        FROM (SELECT {id_col}, {t} AS __toks FROM {table})
+    """
+
+
+# --------------------------------------------------------------------- #
+# MinHash signatures + LSH candidate pairs
+# --------------------------------------------------------------------- #
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """k=16 minhashes per doc: h_i = MIN(md5('i:' || shingle)).
+    Lexicographic min over md5 hex = a valid minhash family (uniform over
+    the hash space). One aggregate over the shingle explosion — the
+    16 mins are computed in a single hash-agg pass, map-side partial."""
+    sh = shingles(df, text_col, id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def sql_minhash_signatures(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    mins = ",\n               ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(NUM_HASHES)
+    )
+    return f"""
+        SELECT {id_col},
+               {mins}
+        FROM ({sql_shingles(table, text_col, id_col)})
+        GROUP BY {id_col}
+    """
+
+
+def _band_cols() -> list[tuple[int, list[str]]]:
+    return [
+        (b, [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)])
+        for b in range(NUM_BANDS)
+    ]
+
+
+def lsh_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates.
+
+    Signature → b band digests → explode to (band_id, band_hash) →
+    self-join on the band bucket → distinct (a < b) pairs, with the
+    estimated Jaccard = matching minhash positions / k.
+
+    Scale: the only shuffles are the band-bucket exchange and the final
+    distinct; no all-pairs comparison ever happens. Output:
+    (doc_a, doc_b, est_jaccard).
+    """
+    sig = minhash_signatures(df, text_col, id_col).cache()
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+                    )
+                    for b, cols in _band_cols()
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+    left = bands.select(
+        F.col(id_col).alias("doc_a"), "band_id", "band_hash"
+    )
+    right = bands.select(
+        F.col(id_col).alias("doc_b"), "band_id", "band_hash"
+    )
+    pairs = (
+        left.join(right, on=["band_id", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sa = sig.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / F.lit(float(NUM_HASHES))).alias("est_jaccard"),
+        )
+    )
+
+
+def sql_lsh_candidates(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    sep = " || '|' || "
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band_id, md5({sep.join(cols)}) AS band_hash FROM sig"
+        for b, cols in _band_cols()
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
+    )
+    return f"""
+        WITH sig AS ({sql_minhash_signatures(table, text_col, id_col)}),
+        bands AS ({band_rows}),
+        pairs AS (
+            SELECT DISTINCT l.{id_col} AS doc_a, r.{id_col} AS doc_b
+            FROM bands l JOIN bands r
+              ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+            WHERE l.{id_col} < r.{id_col}
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(({match_sum}) AS DOUBLE) / {float(NUM_HASHES)} AS est_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.{id_col} = p.doc_a
+        JOIN sig sb ON sb.{id_col} = p.doc_b
+    """
+
+
+# --------------------------------------------------------------------- #
+# SimHash (64-bit, as two 32-bit halves)
+# --------------------------------------------------------------------- #
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document SimHash: token md5 → two 32-bit halves → per-bit
+    weighted sign sum over tokens (with multiplicity) → 64 bits packed
+    as (simhash_hi, simhash_lo) BIGINTs. Hamming-close docs are near-dups.
+
+    Single explode + hash-agg: at scale one shuffle on doc_id (or none if
+    the doc table is already partitioned by doc_id)."""
+    toks = tokens(F.col(text_col))
+    ex = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    digest = F.md5(F.col("tok"))
+    hi = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+    ex = ex.select(id_col, hi.alias("h_hi"), lo.alias("h_lo"))
+
+    def bit_sum(h: str, i: int):
+        bit = F.shiftright(F.col(h), i).bitwiseAND(F.lit(1))
+        return F.sum(bit * 2 - 1)
+
+    aggs = [bit_sum("h_hi", i).alias(f"s_hi_{i}") for i in range(32)] + [
+        bit_sum("h_lo", i).alias(f"s_lo_{i}") for i in range(32)
+    ]
+    agg = ex.groupBy(id_col).agg(*aggs)
+
+    def pack(prefix: str):
+        out = F.lit(0).cast("long")
+        for i in range(32):
+            out = out + F.when(F.col(f"s_{prefix}_{i}") > 0, F.lit(2**i).cast("long")).otherwise(0)
+        return out
+
+    return agg.select(
+        F.col(id_col),
+        pack("hi").alias("simhash_hi"),
+        pack("lo").alias("simhash_lo"),
+    )
+
+
+def sql_simhash(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    t = sql_tokens(text_col)
+    sums = ",\n           ".join(
+        [
+            f"SUM(((h_hi >> {i}) & 1) * 2 - 1) AS s_hi_{i}" for i in range(32)
+        ]
+        + [f"SUM(((h_lo >> {i}) & 1) * 2 - 1) AS s_lo_{i}" for i in range(32)]
+    )
+    pack_hi = " + ".join(
+        f"CASE WHEN s_hi_{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END" for i in range(32)
+    )
+    pack_lo = " + ".join(
+        f"CASE WHEN s_lo_{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END" for i in range(32)
+    )
+    return f"""
+        WITH ex AS (
+            SELECT {id_col},
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_hi,
+                   ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_lo
+            FROM (SELECT {id_col}, UNNEST({t}) AS tok FROM {table})
+        ), agg AS (
+            SELECT {id_col},
+           {sums}
+            FROM ex GROUP BY {id_col}
+        )
+        SELECT {id_col},
+               CAST({pack_hi} AS BIGINT) AS simhash_hi,
+               CAST({pack_lo} AS BIGINT) AS simhash_lo
+        FROM agg
+    """
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Blocking: two fingerprints within hamming d of each other agree
+    exactly on at least one of (d+1) disjoint chunks (pigeonhole) — here
+    4 chunks of 16 bits, valid for d ≤ 3. Self-join per chunk bucket,
+    then exact popcount filter. No all-pairs pass; same shape as the
+    LSH band join, so it scales the same way."""
+    sh = simhash(df, text_col, id_col).cache()
+    chunks = [
+        (0, F.col("simhash_hi").bitwiseAND(F.lit(0xFFFF))),
+        (1, F.shiftright("simhash_hi", 16).bitwiseAND(F.lit(0xFFFF))),
+        (2, F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF))),
+        (3, F.shiftright("simhash_lo", 16).bitwiseAND(F.lit(0xFFFF))),
+    ]
+    blocked = sh.select(
+        F.col(id_col),
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(cid).alias("chunk_id"), c.alias("chunk_val"))
+                    for cid, c in chunks
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash_hi", "simhash_lo", "c.chunk_id", "c.chunk_val")
+
+    a = blocked.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("simhash_hi").alias("hi_a"),
+        F.col("simhash_lo").alias("lo_a"),
+        "chunk_id",
+        "chunk_val",
+    )
+    b = blocked.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("simhash_hi").alias("hi_b"),
+        F.col("simhash_lo").alias("lo_b"),
+        "chunk_id",
+        "chunk_val",
+    )
+    cand = (
+        a.join(b, on=["chunk_id", "chunk_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    )
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------- #
+# Exact n-gram Jaccard within a blocking key
+# --------------------------------------------------------------------- #
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard similarity of shingle sets for every candidate pair
+    sharing ``block_col`` (blocked — never all-pairs). Output:
+    (doc_a, doc_b, inter, size_a, size_b, jaccard).
+
+    Scale: the heavy join is on the shingle value *within* a block, so
+    the shuffle key is (shingle) and hot shingles are the skew risk —
+    mitigate upstream by dropping top-frequency shingles (stop-shingles)
+    if needed."""
+    sh = shingles(df, text_col, id_col)
+    blocks = df.select(F.col(id_col), F.col(block_col).alias("_blk"))
+    sh = sh.join(blocks, id_col)
+
+    sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("sz"))
+
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_blk"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_blk"), "shingle")
+    inter = (
+        a.join(b, on=["_blk", "shingle"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "size_a",
+            "size_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def sql_ngram_jaccard_pairs(
+    table: str = "documents",
+    block_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+        WITH sh AS (
+            SELECT s.{id_col}, s.shingle, d.{block_col} AS blk
+            FROM ({sql_shingles(table, text_col, id_col)}) s
+            JOIN {table} d USING ({id_col})
+        ),
+        sizes AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY {id_col}),
+        inter AS (
+            SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS inter
+            FROM sh a JOIN sh b ON a.blk = b.blk AND a.shingle = b.shingle
+            WHERE a.{id_col} < b.{id_col}
+            GROUP BY a.{id_col}, b.{id_col}
+        )
+        SELECT i.doc_a, i.doc_b, i.inter,
+               sa.sz AS size_a, sb.sz AS size_b,
+               CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.{id_col} = i.doc_a
+        JOIN sizes sb ON sb.{id_col} = i.doc_b
+    """

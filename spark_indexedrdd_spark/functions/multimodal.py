@@ -1,0 +1,148 @@
+"""Multimodal-column plumbing: images/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched operators.
+
+The decode step itself is STUBBED (this container has no image/audio
+libraries): ``decode_image`` raises NotImplementedError unless a
+deterministic fake decoder is requested. Everything around it — schema,
+batch iteration, partitioning, UDF signatures — is real and tested, so
+swapping in a real decoder (PIL/torchaudio/ffmpeg) is a one-function
+change on a cluster that has the libs.
+
+Scale notes: binary payloads ride in parquet as byte arrays; operators
+are narrow maps over Arrow batches (mapInPandas), so a 100 TB media
+table processes with zero shuffles, bounded executor memory (batch
+size), and column pruning still applies to the metadata columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+import zlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, payload binary, mime string, byte_len long"
+)
+
+
+def attach_binary(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Demo media table: utf-8 bytes of the text as the opaque payload +
+    typed metadata columns. In production this is the parquet schema of
+    the ingested media table."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.length(payload).cast("long").alias("byte_len"),
+    )
+
+
+def binary_meta(df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """Pure-JVM metadata over a binary column: exact byte length, md5
+    digest, hex prefix. No Python involved — this is the fast path for
+    dedup/indexing of media payloads."""
+    return df.select(
+        F.col(id_col),
+        F.length(bin_col).cast("long").alias("byte_len"),
+        F.md5(F.col(bin_col)).alias("content_md5"),
+        F.substring(F.hex(F.col(bin_col)), 1, 16).alias("hex_prefix"),
+    )
+
+
+def sql_binary_meta(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Oracle for binary_meta(attach_binary(documents)): DuckDB encode()
+    produces the same utf-8 bytes; md5(VARCHAR) hashes those same bytes
+    (DuckDB has no md5(BLOB)); hex agrees after upper()."""
+    return f"""
+        SELECT {id_col},
+               CAST(octet_length(encode({text_col})) AS BIGINT) AS byte_len,
+               md5({text_col}) AS content_md5,
+               upper(substr(hex(encode({text_col})), 1, 16)) AS hex_prefix
+        FROM {table}
+    """
+
+
+# --------------------------------------------------------------------- #
+# Decode / feature-extract (Arrow-batched; decoder stubbed)
+# --------------------------------------------------------------------- #
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake 'image decode': derives (width, height,
+    channels) from a crc of the bytes. Stands in for PIL.Image.open."""
+    crc = zlib.crc32(payload)
+    return (16 + crc % 240, 16 + (crc >> 8) % 240, 1 + (crc >> 16) % 4)
+
+
+def decode_image(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    use_fake_decoder: bool = False,
+) -> DataFrame:
+    """Decode image payloads to (doc_id, width, height, channels).
+
+    STUB: real decoding needs an image library not present in this
+    container. The Spark-side plumbing (Arrow batches in, typed rows
+    out, decoder exceptions surfaced per-batch) is real; pass
+    ``use_fake_decoder=True`` for the deterministic fake used in tests.
+    """
+    if not use_fake_decoder:
+        raise NotImplementedError(
+            "real image decoding requires PIL/opencv (not in this container); "
+            "pass use_fake_decoder=True for the deterministic test decoder"
+        )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in it:
+            decoded = [_fake_decode(bytes(p)) for p in pdf[bin_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "channels": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        batches, schema=f"{id_col} long, width int, height int, channels int"
+    )
+
+
+def frame_sample(
+    df: DataFrame,
+    n_frames: int = 4,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """'Video' frame sampling: emit n deterministic byte-slices per
+    payload as (doc_id, frame_idx, frame_bytes). Real shape of a
+    frame-sampling operator (row explosion inside Arrow batches with
+    bounded memory); the slicing stands in for ffmpeg keyframe extraction.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r[bin_col])
+                step = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    rows.append(
+                        (int(r[id_col]), i, payload[i * step : i * step + step])
+                    )
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_bytes"])
+
+    return df.select(id_col, bin_col).mapInPandas(
+        batches, schema=f"{id_col} long, frame_idx int, frame_bytes binary"
+    )

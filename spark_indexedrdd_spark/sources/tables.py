@@ -36,7 +36,32 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _normalize_events(df)
+    return df
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) in parquet, which Spark rejects
+    unless spark.sql.legacy.parquet.nanosAsLong=true (set in session.py)
+    reads it as nanosecond longs. Normalize to:
+
+    - ``ts``     timestamp (microsecond, floor — matches DuckDB's
+                 epoch_us truncation)
+    - ``ts_us``  bigint microseconds — the column event-time operators
+                 compare/order on, so Spark and the DuckDB oracle use
+                 identical integer arithmetic.
+    """
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts_us", F.expr("ts DIV 1000")).withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))
+        )
+    else:
+        df = df.withColumn("ts_us", F.unix_micros(F.col("ts")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

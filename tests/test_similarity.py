@@ -1,0 +1,80 @@
+"""Similarity-search tests: oracle parity for the brute-force scorer,
+fast-path equivalence, and LSH recall on clustered data."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.functions import similarity as SM
+from spark_indexedrdd_spark.sources.tables import load_table
+from tests.oracle_utils import compare, duck_con
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duck_con(sf_dir)
+    yield c
+    c.close()
+
+
+def test_cosine_topk_oracle(emb, con):
+    report = compare(SM.cosine_topk(emb), SM.sql_cosine_topk(), con)
+    assert report["ok"], report
+
+
+def test_near_duplicates_oracle(emb, con):
+    report = compare(
+        SM.near_duplicates(emb, 0.3), SM.sql_near_duplicates(threshold=0.3), con
+    )
+    assert report["ok"], report
+
+
+def test_fast_path_matches_bruteforce_ids(emb):
+    bf = {(r.q_id, r.rank): r.cand_id for r in SM.cosine_topk(emb).collect()}
+    fast = {(r.q_id, r.rank): r.cand_id for r in SM.cosine_topk_fast(emb).collect()}
+    assert bf == fast and len(bf) == 50
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Synthetic clustered embeddings where ANN recall is meaningful:
+    10 tight clusters of 30 vectors in 16-d."""
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for c in range(10):
+        center = rng.standard_normal(16) * 3
+        for _ in range(30):
+            v = center + rng.standard_normal(16) * 0.1
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_lsh_ann_recall_on_clusters(clustered):
+    qids = [0, 30, 60, 90, 120]
+    bf = {
+        (r.q_id, r.cand_id)
+        for r in SM.cosine_topk(clustered, query_ids=qids, k=5).collect()
+    }
+    ann = {
+        (r.q_id, r.cand_id)
+        for r in SM.hyperplane_lsh_ann(
+            clustered, query_ids=qids, k=5, dim=16
+        ).collect()
+    }
+    recall = len(ann & bf) / len(bf)
+    assert recall >= 0.9, f"LSH recall {recall} too low on clustered data"
+
+
+def test_lsh_ann_prunes_candidates(clustered):
+    """The point of LSH: the scored candidate set must be much smaller
+    than all-pairs on clusterable data."""
+    qids = [0, 30, 60]
+    ann = SM.hyperplane_lsh_ann(clustered, query_ids=qids, k=5, dim=16)
+    assert ann.count() <= len(qids) * 5

@@ -1,0 +1,104 @@
+"""Oracle-parity + behavior tests for text analysis and dedup operators
+over the real documents table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.functions import dedup as DD
+from spark_indexedrdd_spark.functions import text as TX
+from spark_indexedrdd_spark.sources.tables import load_table
+from tests.oracle_utils import compare, duck_con
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duck_con(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize(
+    "builder,sql_builder",
+    [
+        (TX.text_stats, TX.sql_text_stats),
+        (TX.lang_id, TX.sql_lang_id),
+        (TX.fingerprint, TX.sql_fingerprint),
+        (DD.exact_dedup, DD.sql_exact_dedup),
+        (DD.shingles, DD.sql_shingles),
+        (DD.minhash_signatures, DD.sql_minhash_signatures),
+        (DD.lsh_candidates, DD.sql_lsh_candidates),
+        (DD.simhash, DD.sql_simhash),
+        (DD.ngram_jaccard_pairs, DD.sql_ngram_jaccard_pairs),
+    ],
+    ids=lambda b: getattr(b, "__name__", str(b)),
+)
+def test_oracle_parity(builder, sql_builder, docs, con):
+    report = compare(builder(docs), sql_builder(), con)
+    assert report["ok"], report
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "  THE   quick  Brown fox "),  # same after normalization
+        (3, "something else entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.group_size for r in DD.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}  # keeps min doc_id per group
+
+
+def test_lsh_finds_planted_near_duplicates(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("gamma", "gamax", 1)  # one token changed
+    far = "totally different words with no overlap whatsoever at all " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in DD.lsh_candidates(df).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] > 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_pairs_on_planted_dups(spark):
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = base.replace("tok50", "tok50x")
+    far = " ".join(f"other{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in DD.simhash_near_pairs(df, max_hamming=10).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_jaccard_exactness(spark):
+    # doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} -> inter 1, union 3
+    df = spark.createDataFrame(
+        [(1, "a b c d", "s"), (2, "a b c e", "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = DD.ngram_jaccard_pairs(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b, r.inter, r.size_a, r.size_b) == (1, 2, 1, 2, 2)
+    assert abs(r.jaccard - 1 / 3) < 1e-15
+
+
+def test_lang_id_prefers_profile_language(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der hund ist nicht in das haus und die katze"),
+            (3, "el gato es que no se en la casa y un perro"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in TX.lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "es"}
