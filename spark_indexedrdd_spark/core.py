@@ -295,7 +295,7 @@ class IndexedDataFrame:
         updates: DataFrame | "IndexedDataFrame",
         f: MergeFn = OVERWRITE,
         z: InitFn = IDENTITY,
-        broadcast_updates: bool = False,
+        broadcast_updates: bool = False,  # kept for API compat; see hint note below
     ) -> "IndexedDataFrame":
         """Distributed batch upsert (reference multiputRDD,
         IndexedRDD.scala:122-164; kernel PARTPartition.scala:51-61).
@@ -310,7 +310,9 @@ class IndexedDataFrame:
         Updates may carry duplicate keys; they are pre-folded with ``f``
         so the join side has unique keys (map-side partial aggregation).
         Scale: base side is already hash-partitioned on key, so only the
-        updates side shuffles (or broadcasts when small).
+        updates side shuffles. (``broadcast_updates`` is a no-op: full
+        outer joins cannot broadcast a side; the SHUFFLE_HASH hint below
+        is the fast path for small batches.)
         """
         v = self._single_value()
         up = self._align(updates)
@@ -327,10 +329,17 @@ class IndexedDataFrame:
                 lambda acc, x: F.when(acc.isNull(), x).otherwise(f(acc, x)),
             ).alias("__u")
         )
-        if broadcast_updates:
-            up = F.broadcast(up)
         base = self.df
-        joined = base.join(up, on=self.keys, how="full")
+        # FULL OUTER with a SHUFFLE_HASH hint on the updates side.
+        # Full outer joins can't broadcast either side, and the default
+        # sort-merge would SORT the whole base per multiput. The shuffled
+        # hash join instead builds a hash table from the (small) updates
+        # per partition and probes/streams the base — the exact Spark
+        # analog of the reference kernel's tree-probe multiput
+        # (PARTPartition.scala:51-61): base never re-shuffles (it already
+        # satisfies the hash distribution), never sorts, and the output
+        # keeps the key partitioning contract.
+        joined = base.join(up.hint("SHUFFLE_HASH"), on=self.keys, how="full")
         merged = (
             F.when(F.col("__u").isNull(), F.col(v))
             .when(F.col(v).isNull(), z(F.col("__u")))

@@ -1,0 +1,101 @@
+"""Plan-shape assertions: the physical properties the reference
+hand-implements must actually hold in our Catalyst plans.
+
+- co-partitioned IndexedDataFrame joins run with ZERO live shuffles
+  (the reference's zipIndexedRDDPartitions path, IndexedRDD.scala:185-198)
+- driver-side delete batches broadcast (base never moves)
+- multiput uses a shuffled-hash full outer (no sort of the base; only the
+  updates side shuffles) — the Spark analog of the reference's per-
+  partition probe kernel (PARTPartition.scala:51-61)
+- point lookups push the key predicate into the parquet scan
+- projections prune columns at the scan
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.core import SUM_MERGE, IndexedDataFrame
+from spark_indexedrdd_spark.plans import explain as X
+from spark_indexedrdd_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Disable auto-broadcast so join-shape assertions exercise the
+    co-partitioning contract rather than tiny-data broadcasting."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_delete_driver_batch_broadcasts(spark, orders):
+    kv = IndexedDataFrame.from_unique(
+        orders.select("o_orderkey", "o_totalprice"), "o_orderkey"
+    )
+    out = kv.delete([1, 2, 3])
+    plan = X.executed_plan(out.df)
+    assert X.has_broadcast_join(X.final_plan_section(plan)), plan
+
+
+def test_multiput_no_sort_and_base_never_shuffles(spark, orders):
+    kv = IndexedDataFrame.from_unique(
+        orders.select("o_orderkey", "o_totalprice"), "o_orderkey", num_partitions=8
+    ).reindex()
+    out = kv.multiput({1: 1.0, -5: 2.0}, f=SUM_MERGE)
+    plan = X.executed_plan(out.df)
+    final = X.final_plan_section(plan)
+    assert "ShuffledHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
+    # only the tiny updates side shuffles (dup-fold agg + join alignment)
+    assert X.count_live_shuffles(out.df) <= 2, final
+
+
+def test_point_lookup_pushes_predicate_to_scan(spark, orders):
+    df = orders.select("o_orderkey", "o_totalprice").where(
+        F.col("o_orderkey").isin([1, 2, 3])
+    )
+    pushed = X.pushed_filters(df)
+    assert "In(o_orderkey" in pushed, pushed
+
+
+def test_projection_prunes_scan_columns(spark, orders):
+    df = orders.select("o_orderkey")
+    schema = X.read_schema(df)
+    assert "o_orderkey" in schema
+    assert "o_totalprice" not in schema, schema
+
+
+def test_copartitioned_join_zero_live_shuffles(spark, orders, no_broadcast):
+    """Two cached IndexedDataFrames with the same key/partition count:
+    the join reuses their partitioning — no runtime shuffle at all."""
+    a = IndexedDataFrame.from_unique(
+        orders.select("o_orderkey", "o_totalprice"), "o_orderkey", num_partitions=8
+    ).reindex()
+    b = IndexedDataFrame.from_unique(
+        orders.select("o_orderkey", (F.col("o_totalprice") * 2).alias("v2")),
+        "o_orderkey",
+        num_partitions=8,
+    ).reindex()
+    joined = a.inner_join(b, lambda x, y: x + y)
+    n = X.count_live_shuffles(joined.df)
+    assert n == 0, (
+        f"expected zero live shuffles, got {n}:\n"
+        f"{X.final_plan_section(X.executed_plan(joined.df))}"
+    )
+
+
+def test_filter_preserves_partitioning(spark, orders, no_broadcast):
+    kv = IndexedDataFrame.from_unique(
+        orders.select("o_orderkey", "o_totalprice"), "o_orderkey", num_partitions=8
+    ).reindex()
+    filtered = kv.filter(F.col("o_totalprice") > 1000)
+    joined = filtered.inner_join(kv, lambda x, y: x + y)
+    assert X.count_live_shuffles(joined.df) == 0, X.final_plan_section(
+        X.executed_plan(joined.df)
+    )
