@@ -151,6 +151,57 @@ def main() -> None:
     def _scan():
         assert kv.count() == n_orders
 
+    # --- extension surface: analytics + LLM-pipeline operators ------------ #
+    from spark_indexedrdd_spark.functions import dedup as _dedup
+    from spark_indexedrdd_spark.functions import similarity as _sim
+    from spark_indexedrdd_spark.functions import text as _text
+    from spark_indexedrdd_spark.operators import analytics as _an
+
+    li_full = load_table(spark, SF_DIR, "lineitem")
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    events = load_table(spark, SF_DIR, "events")
+
+    @timed("pricing_summary")
+    def _q1():
+        _an.pricing_summary(li_full).collect()
+
+    @timed("window_topk_per_group")
+    def _wtk():
+        _an.top_orders_per_customer(orders).count()
+
+    @timed("sessionize")
+    def _sess():
+        _an.sessionize(events).count()
+
+    @timed("asof_join")
+    def _asof():
+        _an.asof_join_events(events).count()
+
+    @timed("text_stats")
+    def _tstats():
+        _text.text_stats(docs).count()
+
+    @timed("dedup_exact")
+    def _dexact():
+        _dedup.exact_dedup(docs).count()
+
+    @timed("dedup_minhash_lsh")
+    def _dlsh():
+        _dedup.lsh_candidates(docs).count()
+
+    @timed("simhash")
+    def _dsim():
+        _dedup.simhash(docs).count()
+
+    @timed("similarity_topk_fast")
+    def _stk():
+        _sim.cosine_topk_fast(emb).count()
+
+    @timed("embedding_neardup")
+    def _endup():
+        _sim.near_duplicates(emb, 0.3).count()
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -73,12 +73,16 @@ def sql_exact_dedup(table: str = "documents", text_col: str = "text", id_col: st
 # --------------------------------------------------------------------- #
 
 
-def shingle_array(text: "F.Column") -> "F.Column":
+def shingle_array(toks: "F.Column") -> "F.Column":
     """Distinct word n-gram shingles as a per-row array — a pure array
     transform (no explode, no window, no shuffle): the 100 TB-friendly
     construction. Guarded for docs shorter than the shingle size
-    (F.sequence(1, 0) would generate a DESCENDING sequence)."""
-    toks = tokens(text)
+    (F.sequence(1, 0) would generate a DESCENDING sequence).
+
+    ``toks`` MUST be a materialized column reference, not the tokens()
+    expression tree: Spark does no common-subexpression elimination
+    inside higher-order-function lambdas, so an embedded tokenizer would
+    re-split the text once per element_at — measured 20x slower."""
     n = F.size(toks)
     starts = F.sequence(F.lit(1), n - (SHINGLE_SIZE - 1))
     mk = lambda i: F.concat_ws(  # noqa: E731
@@ -91,8 +95,11 @@ def shingle_array(text: "F.Column") -> "F.Column":
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
-    return df.select(
-        F.col(id_col), F.explode(shingle_array(F.col(text_col))).alias("shingle")
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    return toked.select(
+        F.col(id_col), F.explode(shingle_array(F.col("__toks"))).alias("shingle")
     )
 
 
@@ -122,27 +129,44 @@ def sql_shingles(table: str = "documents", text_col: str = "text", id_col: str =
 # --------------------------------------------------------------------- #
 
 
+# Universal-hash family for minhash: h_i(x) = (a_i*x + b_i) mod P over a
+# single 32-bit base hash x per shingle. ONE md5 per shingle instead of k
+# (k md5s was the 17s hotspot at sf0.1); integer arithmetic is exact and
+# identical in both engines. a_i odd < 2^29, b_i < 2^31, so a*x+b < 2^62
+# never overflows int64.
+MINHASH_P = 2147483647  # 2^31 - 1 (prime)
+_MH_A = [(2 * i + 1) * 40503 % (1 << 29) for i in range(1, NUM_HASHES + 1)]
+_MH_B = [(i * 1566083941 + 12345) % (1 << 31) for i in range(NUM_HASHES)]
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """k=16 minhashes per doc: h_i = MIN(md5('i:' || shingle)).
-    Lexicographic min over md5 hex = a valid minhash family (uniform over
-    the hash space). One aggregate over the shingle explosion — the
-    16 mins are computed in a single hash-agg pass, map-side partial."""
+    """k=16 minhashes per doc: h_i = MIN((a_i*x + b_i) mod P) over shingle
+    base hashes x = first-8-hex-chars(md5(shingle)). One aggregate over
+    the shingle explosion — all 16 mins in a single hash-agg pass with
+    map-side partials; one md5 per shingle."""
     sh = shingles(df, text_col, id_col)
+    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    sh = sh.select(F.col(id_col), x.alias("x"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(NUM_HASHES)
+        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
 
 def sql_minhash_signatures(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
     mins = ",\n               ".join(
-        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(NUM_HASHES)
+        f"MIN((x * {a} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
     )
     return f"""
         SELECT {id_col},
                {mins}
-        FROM ({sql_shingles(table, text_col, id_col)})
+        FROM (
+            SELECT {id_col},
+                   ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+            FROM ({sql_shingles(table, text_col, id_col)})
+        )
         GROUP BY {id_col}
     """
 
@@ -175,7 +199,11 @@ def lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(c).cast("string") for c in cols]
+                            )
+                        ).alias("band_hash"),
                     )
                     for b, cols in _band_cols()
                 ]
@@ -222,7 +250,8 @@ def lsh_candidates(
 def sql_lsh_candidates(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
     sep = " || '|' || "
     band_rows = " UNION ALL ".join(
-        f"SELECT {id_col}, {b} AS band_id, md5({sep.join(cols)}) AS band_hash FROM sig"
+        f"SELECT {id_col}, {b} AS band_id, "
+        f"md5({sep.join(f'CAST({c} AS VARCHAR)' for c in cols)}) AS band_hash FROM sig"
         for b, cols in _band_cols()
     )
     match_sum = " + ".join(

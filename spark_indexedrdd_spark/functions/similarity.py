@@ -44,16 +44,30 @@ def cosine_topk(
     the candidate side), scoring is a narrow map, and the only shuffle
     is the window partitioned by q_id over q x N scored rows. Ties break
     on cand_id so results are deterministic."""
+    from spark_indexedrdd_spark.functions.vectors import dot, norm
+
+    # norms computed ONCE per vector before the join (cosine() inline
+    # would recompute both norms for every (q, cand) pair — a 3x saving
+    # at N x q pairs). Same arithmetic, so still oracle-exact.
     q = F.broadcast(
         emb.where(F.col(id_col).isin(list(query_ids))).select(
-            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_norm"),
         )
     )
-    cand = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    cand = emb.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
     scored = q.crossJoin(cand).where(F.col("q_id") != F.col("cand_id")).select(
         "q_id",
         "cand_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        (
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
     return (
@@ -70,14 +84,18 @@ def sql_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
+    from spark_indexedrdd_spark.functions.vectors import sql_dot, sql_norm
+
     ids = ", ".join(str(i) for i in query_ids)
-    cos = sql_cosine(f"q.{vec_col}", f"c.{vec_col}")
     return f"""
-        WITH q AS (SELECT {id_col}, {vec_col} FROM {table} WHERE {id_col} IN ({ids})),
+        WITH n AS (
+            SELECT {id_col}, {vec_col}, {sql_norm(vec_col)} AS nrm FROM {table}
+        ),
+        q AS (SELECT * FROM n WHERE {id_col} IN ({ids})),
         scored AS (
             SELECT q.{id_col} AS q_id, c.{id_col} AS cand_id,
-                   {cos} AS cosine_sim
-            FROM q, {table} c
+                   {sql_dot(f'q.{vec_col}', f'c.{vec_col}')} / (q.nrm * c.nrm) AS cosine_sim
+            FROM q, n c
             WHERE q.{id_col} <> c.{id_col}
         ),
         ranked AS (
@@ -100,15 +118,21 @@ def near_duplicates(
     (never all-pairs): (vec_a, vec_b, cosine_sim) with sim >= threshold.
     At scale the block column is a cluster/LSH bucket id; here the
     testdata's label plays that role."""
-    a = emb.select(
-        F.col(id_col).alias("vec_a"),
+    from spark_indexedrdd_spark.functions.vectors import dot, norm
+
+    normed = emb.select(
+        F.col(id_col),
         F.col(block_col).alias("_blk"),
-        F.col(vec_col).alias("va"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),  # once per vector, not per pair
     )
-    b = emb.select(
-        F.col(id_col).alias("vec_b"),
-        F.col(block_col).alias("_blk"),
-        F.col(vec_col).alias("vb"),
+    a = normed.select(
+        F.col(id_col).alias("vec_a"), "_blk",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col(id_col).alias("vec_b"), "_blk",
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
     return (
         a.join(b, "_blk")
@@ -116,7 +140,9 @@ def near_duplicates(
         .select(
             "vec_a",
             "vec_b",
-            cosine(F.col("va"), F.col("vb")).alias("cosine_sim"),
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine_sim"
+            ),
         )
         .where(F.col("cosine_sim") >= threshold)
     )
@@ -129,10 +155,16 @@ def sql_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
-    cos = sql_cosine(f"a.{vec_col}", f"b.{vec_col}")
+    from spark_indexedrdd_spark.functions.vectors import sql_dot, sql_norm
+
+    cos = f"{sql_dot(f'a.{vec_col}', f'b.{vec_col}')} / (a.nrm * b.nrm)"
     return f"""
+        WITH n AS (
+            SELECT {id_col}, {block_col}, {vec_col}, {sql_norm(vec_col)} AS nrm
+            FROM {table}
+        )
         SELECT a.{id_col} AS vec_a, b.{id_col} AS vec_b, {cos} AS cosine_sim
-        FROM {table} a JOIN {table} b
+        FROM n a JOIN n b
           ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
         WHERE {cos} >= {threshold}
     """
