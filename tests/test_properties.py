@@ -1,0 +1,103 @@
+"""Property-based tests (Hypothesis) — the rebuild's analog of the
+reference's ScalaCheck suites (KeySerializerSuite.scala:28-132).
+
+The reference property-tests its byte codecs (round-trip + prefix
+freedom). Those codecs don't exist here (native Spark types), so the
+properties that matter become:
+
+- composite (multi-column) keys behave identically to single keys in
+  every operator (the Tuple2Serializer guarantee);
+- multiput with an associative+commutative merge is batch-order
+  insensitive;
+- delete/put algebra: put then delete is identity on the rest of the map.
+
+Hypothesis drives small key/value universes; each property executes the
+full distributed plan.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spark_indexedrdd_spark.core import SUM_MERGE, IndexedDataFrame
+
+KEYS = st.integers(min_value=-5, max_value=5)
+VALS = st.integers(min_value=-100, max_value=100)
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    df = spark.createDataFrame([(i, i * 10) for i in range(-5, 6)], "k long, v long")
+    return IndexedDataFrame.build(df, "k", num_partitions=3)
+
+
+@given(updates=st.dictionaries(KEYS, VALS, min_size=1, max_size=6))
+@_slow
+def test_multiput_matches_python_model(spark, base, updates):
+    model = {i: i * 10 for i in range(-5, 6)}
+    for k, u in updates.items():
+        model[k] = model[k] + u if k in model else u
+    out = base.multiput(updates, f=SUM_MERGE)
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == model
+
+
+@given(
+    batch=st.lists(st.tuples(KEYS, VALS), min_size=2, max_size=8),
+)
+@_slow
+def test_multiput_df_order_insensitive(spark, base, batch):
+    """Duplicate update keys fold with f; for associative+commutative f
+    the batch order must not matter."""
+    fwd = spark.createDataFrame(batch, "k long, v long")
+    rev = spark.createDataFrame(list(reversed(batch)), "k long, v long")
+    a = {r["k"]: r["v"] for r in base.multiput_df(fwd, f=SUM_MERGE).collect()}
+    b = {r["k"]: r["v"] for r in base.multiput_df(rev, f=SUM_MERGE).collect()}
+    assert a == b
+
+
+@given(ks=st.lists(KEYS, min_size=1, max_size=6, unique=True))
+@_slow
+def test_delete_then_lookup_miss_rest_intact(spark, base, ks):
+    out = base.delete(ks)
+    got = {r["k"]: r["v"] for r in out.collect()}
+    for k in ks:
+        assert k not in got
+    for i in range(-5, 6):
+        if i not in ks:
+            assert got[i] == i * 10
+
+
+@given(
+    pairs=st.dictionaries(
+        st.tuples(KEYS, st.sampled_from(["a", "b", "c"])),
+        VALS,
+        min_size=1,
+        max_size=8,
+    )
+)
+@_slow
+def test_composite_keys_equal_single_key_semantics(spark, pairs):
+    """Build+multiget over a composite key == the same data keyed by a
+    single synthetic key (the Tuple2 <-> flat-key isomorphism the
+    reference guarantees via Tuple2Serializer)."""
+    rows = [(k1, k2, v) for (k1, k2), v in pairs.items()]
+    comp = IndexedDataFrame.build(
+        spark.createDataFrame(rows, "k1 long, k2 string, v long"),
+        ["k1", "k2"],
+        num_partitions=3,
+    )
+    flat_rows = [(f"{k1}|{k2}", v) for (k1, k2), v in pairs.items()]
+    flat = IndexedDataFrame.build(
+        spark.createDataFrame(flat_rows, "k string, v long"), "k", num_partitions=3
+    )
+    got_comp = comp.multiget(list(pairs))
+    got_flat = flat.multiget([f"{k1}|{k2}" for (k1, k2) in pairs])
+    assert {f"{a}|{b}": v for (a, b), v in got_comp.items()} == got_flat
+    assert comp.count() == flat.count() == len(pairs)
