@@ -292,6 +292,23 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "asof_join": lambda s, d: _an.asof_join_events(load_table(s, d, "events")),
     "sessionize": lambda s, d: _an.sessionize(load_table(s, d, "events")),
+    # multi-join TPC-H-shaped queries (broadcast dims + fact shuffle)
+    "shipping_priority": lambda s, d: _an.shipping_priority(
+        load_table(s, d, "customer"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "lineitem"),
+    ),
+    "local_supplier_volume": lambda s, d: _an.local_supplier_volume(
+        load_table(s, d, "region"),
+        load_table(s, d, "nation"),
+        load_table(s, d, "customer"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "lineitem"),
+    ),
+    "distinct_counts": lambda s, d: _an.distinct_counts(
+        load_table(s, d, "orders")
+    ).select("n_cust_exact"),
     # event-time windows (batch formulation; streaming equivalence is
     # covered in tests/test_analytics_streaming.py)
     "tumbling_window": lambda s, d: _win.tumbling_counts(
@@ -322,6 +339,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "segment_set_ops": _an.sql_segment_set_ops(1, 2),
     "asof_join": _an.SQL_ASOF_JOIN_EVENTS,
     "sessionize": _an.sql_sessionize(),
+    "shipping_priority": _an.sql_shipping_priority(),
+    "local_supplier_volume": _an.sql_local_supplier_volume(),
+    "distinct_counts": _an.SQL_DISTINCT_COUNTS_EXACT,
     "tumbling_window": _win.sql_tumbling_counts(),
     "sliding_window": _win.sql_sliding_counts(),
     "binary_meta": _mm.sql_binary_meta(),

@@ -129,6 +129,121 @@ def sql_segment_set_ops(nation_a: int, nation_b: int) -> str:
     """
 
 
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1995-03-15",
+) -> DataFrame:
+    """TPC-H Q3 shape: 3-table join + grouped revenue + top-10.
+    Plan: customer is tiny -> Catalyst broadcasts it into orders; the
+    orders⋈lineitem join shuffles on orderkey (or reuses bucketing);
+    final top-10 is TakeOrderedAndProject."""
+    joined = (
+        customer.where(F.col("c_mktsegment") == segment)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < cutoff)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > cutoff)
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "revenue",
+            # o_orderdate parquet type is TIMESTAMP_NTZ; session is UTC so
+            # the cast to TIMESTAMP is value-preserving
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            "o_orderpriority",
+        )
+    )
+
+
+def sql_shipping_priority(segment: str = "BUILDING", cutoff: str = "1995-03-15") -> str:
+    return f"""
+        SELECT o_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               epoch_us(o_orderdate) AS o_orderdate_us,
+               o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = '{segment}'
+          AND c_custkey = o_custkey
+          AND o_orderdate < TIMESTAMP '{cutoff}'
+          AND o_orderkey = l_orderkey
+          AND l_shipdate > TIMESTAMP '{cutoff}'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join. The four dimension tables
+    (region/nation/customer/supplier) broadcast; only the orders⋈lineitem
+    fact join shuffles. Demonstrates Catalyst join reordering + broadcast
+    selection over a realistic snowflake."""
+    return (
+        region.where(F.col("r_name") == region_name)
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+def sql_local_supplier_volume(region_name: str = "ASIA") -> str:
+    return f"""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM region, nation, customer, orders, lineitem, supplier
+        WHERE r_name = '{region_name}'
+          AND n_regionkey = r_regionkey
+          AND c_nationkey = n_nationkey
+          AND o_custkey = c_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND s_nationkey = c_nationkey
+        GROUP BY n_name
+    """
+
+
+def distinct_counts(orders: DataFrame) -> DataFrame:
+    """Exact + approximate distinct aggregation. The approx column is the
+    100 TB path (HyperLogLog, no shuffle explosion); the oracle checks
+    the exact ones, tests bound the approx error."""
+    return orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_cust_exact"),
+        F.approx_count_distinct("o_custkey").cast("long").alias("n_cust_approx"),
+    )
+
+
+SQL_DISTINCT_COUNTS_EXACT = """
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust_exact FROM orders
+"""
+
+
 def asof_join_events(events: DataFrame) -> DataFrame:
     """As-of join (Spark has no native one; DuckDB does — the oracle uses
     it): for each 'purchase' event, the most recent prior-or-equal

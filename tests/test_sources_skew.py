@@ -1,0 +1,99 @@
+"""Bucketed persistence, partitioned sinks, and skew operators."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.core import IndexedDataFrame
+from spark_indexedrdd_spark.operators import skew
+from spark_indexedrdd_spark.plans import explain as X
+from spark_indexedrdd_spark.sources import sinks
+from spark_indexedrdd_spark.sources.bucketed import read_bucketed, write_bucketed
+from spark_indexedrdd_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+def test_bucketed_roundtrip_join_no_shuffle(spark, orders):
+    a = IndexedDataFrame.from_unique(
+        orders.select("o_orderkey", "o_totalprice"), "o_orderkey", num_partitions=4,
+        cache=False,
+    )
+    b = IndexedDataFrame.from_unique(
+        orders.select("o_orderkey", (F.col("o_totalprice") * 2).alias("v2")),
+        "o_orderkey",
+        num_partitions=4,
+        cache=False,
+    )
+    write_bucketed(a, "t_bucket_a", num_buckets=4)
+    write_bucketed(b, "t_bucket_b", num_buckets=4)
+    ra = read_bucketed(spark, "t_bucket_a", "o_orderkey", 4)
+    rb = read_bucketed(spark, "t_bucket_b", "o_orderkey", 4)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ra.inner_join(rb, lambda x, y: x + y)
+        assert joined.count() == orders.count()
+        # bucketing satisfies the join distribution: zero live shuffles
+        assert X.count_live_shuffles(joined.df) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partitioned_sink_prunes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="sink_") + "/docs"
+    sinks.write_partitioned(docs, out, ["lang"], target_partitions=2)
+    back = sinks.read_partitioned(spark, out)
+    assert back.count() == docs.count()
+    pruned = back.where(F.col("lang") == "en")
+    plan = pruned._jdf.queryExecution().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan
+    assert pruned.count() == docs.where("lang = 'en'").count()
+
+
+def test_salted_sum_is_exact(spark, orders):
+    plain = {
+        r.o_custkey: r.total
+        for r in orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total"))
+        .collect()
+    }
+    salted = {
+        r.o_custkey: r.total
+        for r in skew.salted_sum(orders, ["o_custkey"], "o_totalprice").collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert abs(plain[k] - salted[k]) < 1e-6
+
+
+def test_replicated_salt_join_matches_plain(spark, orders, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    salted = (
+        skew.replicated_salt_join(
+            orders.withColumnRenamed("o_custkey", "c_custkey"), cust, ["c_custkey"]
+        )
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_salted_broadcast_join_plan(spark, orders, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    out = skew.salted_broadcast_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), cust, ["c_custkey"]
+    )
+    plan = X.executed_plan(out)
+    assert X.has_broadcast_join(plan)
