@@ -166,6 +166,23 @@ def main() -> None:
     def _q1():
         _an.pricing_summary(li_full).collect()
 
+    @timed("shipping_priority_q3")
+    def _q3():
+        _an.shipping_priority(
+            load_table(spark, SF_DIR, "customer"), orders, li_full
+        ).collect()
+
+    @timed("local_supplier_volume_q5")
+    def _q5():
+        _an.local_supplier_volume(
+            load_table(spark, SF_DIR, "region"),
+            load_table(spark, SF_DIR, "nation"),
+            load_table(spark, SF_DIR, "customer"),
+            load_table(spark, SF_DIR, "supplier"),
+            orders,
+            li_full,
+        ).collect()
+
     @timed("window_topk_per_group")
     def _wtk():
         _an.top_orders_per_customer(orders).count()

@@ -223,6 +223,19 @@ class IndexedDataFrame:
         key_tuples = [self._key_tuple(k) for k in ks]
         if not key_tuples:
             return {}
+        if len(key_tuples) > 8192:
+            # very large batches: a broadcast semi-join beats a giant IN
+            # list (the optimizer's InSet kicks in above ~10 items, so IN
+            # stays fast well into the thousands — measured: isin wins at
+            # 1k keys; the join path is for 10k+ where predicate size and
+            # driver-side literal construction dominate)
+            keys_df = F.broadcast(
+                self.df.sparkSession.createDataFrame(
+                    key_tuples, schema=self.df.select(*self.keys).schema
+                ).dropDuplicates(self.keys)
+            )
+            rows = self.df.join(keys_df, on=self.keys, how="left_semi").collect()
+            return self._rows_to_dict(rows)
         if len(self.keys) == 1:
             cond = F.col(self.keys[0]).isin([t[0] for t in key_tuples])
         else:
@@ -240,6 +253,9 @@ class IndexedDataFrame:
                 ],
             )
         rows = self.df.where(cond).collect()
+        return self._rows_to_dict(rows)
+
+    def _rows_to_dict(self, rows) -> dict:
         single = len(self.value_cols) == 1
         out = {}
         for r in rows:

@@ -15,9 +15,10 @@ constants:
   blocking key (defaults to ``source`` — never all-pairs).
 - embedding cosine: see functions/similarity.py (near_duplicates).
 
-Cross-engine determinism: all hashing is md5-hex (identical in Spark and
-DuckDB); minhash = lexicographic MIN over hex strings (uniform over the
-hash space, so the Jaccard estimator is unaffected).
+Cross-engine determinism: all hashing derives from md5-hex (identical in
+Spark and DuckDB); minhash = integer universal hashing
+((a_i*x + b_i) mod 2^31-1) over one md5-derived base hash per shingle —
+exact int64 arithmetic in both engines.
 
 Reference parity note: the reference has no dedup operators at all
 (SURVEY.md §2.5) — this is the extension surface for LLM-data pipelines.
@@ -25,7 +26,7 @@ Reference parity note: the reference has no dedup operators at all
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_indexedrdd_spark.functions.text import sql_tokens, tokens
