@@ -155,11 +155,10 @@ def shipping_priority(
         .select(
             "o_orderkey",
             "revenue",
-            # o_orderdate parquet type is TIMESTAMP_NTZ; session is UTC so
-            # the cast to TIMESTAMP is value-preserving
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
-                "o_orderdate_us"
-            ),
+            # o_orderdate is TIMESTAMP_NTZ: format the naive value directly
+            # (a cast to TIMESTAMP would apply the session timezone, which
+            # the caller's session may not pin to UTC)
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_str"),
             "o_orderpriority",
         )
     )
@@ -169,7 +168,7 @@ def sql_shipping_priority(segment: str = "BUILDING", cutoff: str = "1995-03-15")
     return f"""
         SELECT o_orderkey,
                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-               epoch_us(o_orderdate) AS o_orderdate_us,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
                o_orderpriority
         FROM customer, orders, lineitem
         WHERE c_mktsegment = '{segment}'
