@@ -309,6 +309,11 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_counts": lambda s, d: _an.distinct_counts(
         load_table(s, d, "orders")
     ).select("n_cust_exact"),
+    "revenue_percentiles": lambda s, d: _an.revenue_percentiles(
+        load_table(s, d, "orders")
+    ),
+    "cube_doc_counts": lambda s, d: _an.cube_doc_counts(_docs(s, d)),
+    "pivot_lang_source": lambda s, d: _an.pivot_lang_source(_docs(s, d)),
     # event-time windows (batch formulation; streaming equivalence is
     # covered in tests/test_analytics_streaming.py)
     "tumbling_window": lambda s, d: _win.tumbling_counts(
@@ -342,6 +347,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "shipping_priority": _an.sql_shipping_priority(),
     "local_supplier_volume": _an.sql_local_supplier_volume(),
     "distinct_counts": _an.SQL_DISTINCT_COUNTS_EXACT,
+    "revenue_percentiles": _an.SQL_REVENUE_PERCENTILES,
+    "cube_doc_counts": _an.SQL_CUBE_DOC_COUNTS,
+    "pivot_lang_source": _an.SQL_PIVOT_LANG_SOURCE,
     "tumbling_window": _win.sql_tumbling_counts(),
     "sliding_window": _win.sql_sliding_counts(),
     "binary_meta": _mm.sql_binary_meta(),

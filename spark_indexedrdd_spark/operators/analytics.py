@@ -243,6 +243,63 @@ SQL_DISTINCT_COUNTS_EXACT = """
 """
 
 
+def revenue_percentiles(orders: DataFrame) -> DataFrame:
+    """Exact percentiles (linear interpolation — verified bit-identical
+    to DuckDB quantile_cont). At 100 TB use approx_percentile instead
+    (t-digest sketch, no global sort); the exact form is the oracle."""
+    p = F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return orders.agg(
+        p.getItem(0).alias("p50"),
+        p.getItem(1).alias("p90"),
+        p.getItem(2).alias("p99"),
+    )
+
+
+SQL_REVENUE_PERCENTILES = """
+    SELECT quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders
+"""
+
+
+def cube_doc_counts(documents: DataFrame) -> DataFrame:
+    """CUBE (lang, source): all 2^2 grouping sets in one pass."""
+    return documents.cube("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+SQL_CUBE_DOC_COUNTS = """
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
+PIVOT_SOURCES = ["src0", "src1", "src2", "src3", "src4"]
+
+
+def pivot_lang_source(documents: DataFrame) -> DataFrame:
+    """Pivot: doc counts per lang with one column per (pinned) source.
+    Pinning the pivot values keeps the plan single-pass (no distinct-
+    values pre-query) — required practice at scale."""
+    out = documents.groupBy("lang").pivot("source", PIVOT_SOURCES).count()
+    return out.select(
+        "lang",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s) for s in PIVOT_SOURCES],
+    )
+
+
+SQL_PIVOT_LANG_SOURCE = (
+    "SELECT lang, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN source = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS {s}"
+        for s in PIVOT_SOURCES
+    )
+    + " FROM documents GROUP BY lang"
+)
+
+
 def asof_join_events(events: DataFrame) -> DataFrame:
     """As-of join (Spark has no native one; DuckDB does — the oracle uses
     it): for each 'purchase' event, the most recent prior-or-equal
