@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spark_indexedrdd_spark.core import SUM_MERGE, IndexedDataFrame  # noqa: E402
 from spark_indexedrdd_spark.functions import dedup as _dedup  # noqa: E402
+from spark_indexedrdd_spark.functions import ivf as _ivf  # noqa: E402
 from spark_indexedrdd_spark.functions import multimodal as _mm  # noqa: E402
 from spark_indexedrdd_spark.functions import similarity as _sim  # noqa: E402
 from spark_indexedrdd_spark.functions import text as _text  # noqa: E402
@@ -262,6 +263,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": lambda s, d: _text.text_stats(_docs(s, d)),
     "lang_id": lambda s, d: _text.lang_id(_docs(s, d)),
     "doc_fingerprint": lambda s, d: _text.fingerprint(_docs(s, d)),
+    "quality_filter": lambda s, d: _text.quality_filter(_docs(s, d)),
     # dedup
     "dedup_exact": lambda s, d: _dedup.exact_dedup(_docs(s, d)),
     "minhash_signatures": lambda s, d: _dedup.minhash_signatures(_docs(s, d)),
@@ -276,6 +278,12 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_topk_fast": lambda s, d: _sim.cosine_topk_fast(_emb(s, d)),
     "embedding_neardup": lambda s, d: _sim.near_duplicates(_emb(s, d), 0.3),
     "similarity_ann_lsh": lambda s, d: _sim.hyperplane_lsh_ann(_emb(s, d)),
+    "similarity_ann_ivf": lambda s, d: _ivf.ivf_ann(
+        _emb(s, d), _sim.DEFAULT_QUERY_IDS
+    ),
+    "dedup_clusters": lambda s, d: _dedup.resolve_duplicate_clusters(
+        _dedup.lsh_candidates(_docs(s, d))
+    ),
     # SQL analytics
     "pricing_summary": lambda s, d: _an.pricing_summary(
         load_table(s, d, "lineitem")
@@ -330,6 +338,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "text_stats": _text.sql_text_stats(),
     "lang_id": _text.sql_lang_id(),
     "doc_fingerprint": _text.sql_fingerprint(),
+    "quality_filter": _text.sql_quality_filter(),
     "dedup_exact": _dedup.sql_exact_dedup(),
     "minhash_signatures": _dedup.sql_minhash_signatures(),
     "dedup_lsh_candidates": _dedup.sql_lsh_candidates(),
@@ -364,6 +373,9 @@ ROWS_ONLY = (
     "similarity_topk_fast",  # numpy/BLAS path; id-equality vs brute force
                              # asserted in tests/test_similarity.py
     "similarity_ann_lsh",   # approximate by design; recall tested
+    "similarity_ann_ivf",   # k-means IVF: iterative training, no SQL form
+    "dedup_clusters",       # iterative connected components; verified vs
+                            # a Python union-find in tests
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

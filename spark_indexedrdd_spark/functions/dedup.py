@@ -412,6 +412,90 @@ def simhash_near_pairs(
 
 
 # --------------------------------------------------------------------- #
+# Duplicate-cluster resolution (connected components over candidate pairs)
+# --------------------------------------------------------------------- #
+
+
+def resolve_duplicate_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 10,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Turn near-duplicate candidate PAIRS into duplicate CLUSTERS:
+    connected components by iterative min-label propagation, the step
+    that decides which documents to actually drop.
+
+    Output: (doc_id, cluster_id) where cluster_id = min doc_id in the
+    component; keep one representative per cluster (e.g. cluster_id).
+
+    Scale: each iteration is one join + one aggregate on the edge list —
+    the standard large-graph CC pattern (HashToMin). Converges in
+    O(log(diameter)) iterations; near-dup components are tiny (pairs of
+    chains), so ``max_iterations=10`` is generous. Iterative, so no SQL
+    oracle — verified against a Python union-find in tests."""
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .unionByName(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # step 1: pull the minimum label from neighbors
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # step 2: pointer jumping — adopt the label OF my label, turning
+        # O(diameter) propagation into O(log n) (path halving)
+        lab2 = stepped.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
+        jumped = (
+            stepped.join(lab2, stepped.label == lab2.l_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # localCheckpoint: truncate lineage so iteration depth can't
+        # overflow the planner (32 chained joins did)
+        new_labels = jumped.localCheckpoint(eager=True)
+        # fixpoint: no edge still connects two different labels
+        changed = (
+            new_labels.alias("l")
+            .join(edges.alias("e"), F.col("l.node") == F.col("e.a"))
+            .join(new_labels.alias("r"), F.col("e.b") == F.col("r.node"))
+            .where(F.col("l.label") > F.col("r.label"))
+            .take(1)
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+# --------------------------------------------------------------------- #
 # Exact n-gram Jaccard within a blocking key
 # --------------------------------------------------------------------- #
 

@@ -103,6 +103,52 @@ def sql_text_stats(table: str = "documents", text_col: str = "text", id_col: str
     """
 
 
+# Quality-filter thresholds (Gopher-style heuristics, simplified to the
+# stats we compute; shared constants keep Spark and SQL twins in sync).
+QF_MIN_TOKENS = 10
+QF_MAX_TOKENS = 100_000
+QF_MIN_AVG_TOKEN_LEN = 2.0
+QF_MAX_AVG_TOKEN_LEN = 12.0
+QF_MIN_UNIQ_RATIO = 0.1
+
+
+def quality_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Training-data quality gate: per-doc keep/drop decision with the
+    first failing reason. Pure column logic over text_stats — one narrow
+    pass, no shuffle."""
+    stats = text_stats(df, text_col, id_col)
+    reason = (
+        F.when(F.col("n_tokens") < QF_MIN_TOKENS, "too_few_tokens")
+        .when(F.col("n_tokens") > QF_MAX_TOKENS, "too_many_tokens")
+        .when(F.col("avg_token_len") < QF_MIN_AVG_TOKEN_LEN, "avg_token_too_short")
+        .when(F.col("avg_token_len") > QF_MAX_AVG_TOKEN_LEN, "avg_token_too_long")
+        .when(F.col("uniq_token_ratio") < QF_MIN_UNIQ_RATIO, "too_repetitive")
+        .otherwise("ok")
+    )
+    return stats.select(
+        F.col(id_col),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
+def sql_quality_filter(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+        WITH stats AS ({sql_text_stats(table, text_col, id_col)}),
+        r AS (
+            SELECT {id_col},
+                   CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_few_tokens'
+                        WHEN n_tokens > {QF_MAX_TOKENS} THEN 'too_many_tokens'
+                        WHEN avg_token_len < {QF_MIN_AVG_TOKEN_LEN} THEN 'avg_token_too_short'
+                        WHEN avg_token_len > {QF_MAX_AVG_TOKEN_LEN} THEN 'avg_token_too_long'
+                        WHEN uniq_token_ratio < {QF_MIN_UNIQ_RATIO} THEN 'too_repetitive'
+                        ELSE 'ok' END AS reason
+            FROM stats
+        )
+        SELECT {id_col}, reason, reason = 'ok' AS keep FROM r
+    """
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: stopword-profile hit counts, argmax with
     lexicographic tiebreak (deterministic in both engines)."""

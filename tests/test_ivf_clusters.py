@@ -1,0 +1,92 @@
+"""IVF ANN recall + duplicate-cluster resolution correctness."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.functions import similarity as SM
+from spark_indexedrdd_spark.functions.dedup import resolve_duplicate_clusters
+from spark_indexedrdd_spark.functions.ivf import ivf_ann
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for c in range(8):
+        center = rng.standard_normal(16) * 3
+        for _ in range(25):
+            v = center + rng.standard_normal(16) * 0.1
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_ivf_recall_on_clusters(clustered):
+    qids = [0, 25, 50, 75]
+    bf = {
+        (r.q_id, r.cand_id)
+        for r in SM.cosine_topk(clustered, query_ids=qids, k=5).collect()
+    }
+    ivf = {
+        (r.q_id, r.cand_id)
+        for r in ivf_ann(
+            clustered, qids, k=5, n_clusters=8, n_probe=3
+        ).collect()
+    }
+    recall = len(ivf & bf) / len(bf)
+    assert recall >= 0.9, f"IVF recall {recall}"
+
+
+def _python_union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [(1, 2), (2, 3), (4, 5)],                      # chain + pair
+        [(1, 2), (3, 4), (2, 3), (10, 11)],            # merge two chains
+        [(i, i + 1) for i in range(20)],                # long chain
+        [(1, 5), (5, 9), (2, 9), (7, 8), (100, 1)],     # tangled
+    ],
+)
+def test_resolve_clusters_matches_union_find(spark, pairs):
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in resolve_duplicate_clusters(df, max_iterations=32).collect()
+    }
+    want = _python_union_find(pairs)
+    assert got == want
+
+
+def test_quality_filter_reasons(spark):
+    rows = [
+        (1, "one two three"),                                 # too few tokens
+        (2, " ".join(["spark"] * 50)),                        # too repetitive
+        (3, " ".join(f"word{i}" for i in range(40))),          # ok
+        (4, " ".join(["supercalifragilistic"] * 30)),          # avg token too long
+    ]
+    from spark_indexedrdd_spark.functions.text import quality_filter
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.keep, r.reason) for r in quality_filter(df).collect()}
+    assert out[1] == (False, "too_few_tokens")
+    assert out[2] == (False, "too_repetitive")
+    assert out[3] == (True, "ok")
+    assert out[4] == (False, "avg_token_too_long")
