@@ -1,0 +1,52 @@
+"""Driver-environment simulation: the correctness harness runs entry()
+and queries() in ITS OWN SparkSession — bone-stock config, possibly a
+non-UTC timezone. This regression test runs a representative slice of
+the contract in a subprocess with exactly that shape, so session-config
+dependencies (legacy parquet flags, timezone-sensitive casts) can't
+creep back in."""
+
+import os
+import subprocess
+import sys
+
+SCRIPT = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master('local[2]')
+         .config('spark.ui.enabled','false')
+         .config('spark.sql.session.timeZone','America/New_York')
+         .config('spark.sql.shuffle.partitions','8')
+         .getOrCreate())
+spark.sparkContext.setLogLevel('ERROR')
+import __spark_entry__ as E
+import duckdb
+con = duckdb.connect()
+for t in ["orders","lineitem","customer","events","documents"]:
+    con.sql(f"CREATE VIEW {{t}} AS SELECT * FROM '/root/testdata/sf0.001/{{t}}.parquet'")
+assert E.entry(spark).count() > 0
+qs, osql = E.queries(), E.oracle_sql()
+for name in ["multiput_merge", "asof_join", "tumbling_window",
+             "shipping_priority", "quality_filter"]:
+    s = qs[name](spark, "/root/testdata/sf0.001").toPandas()
+    o = con.sql(osql[name]).df()
+    s = s.reindex(sorted(s.columns), axis=1).sort_values(
+        list(s.columns), na_position='first').reset_index(drop=True)
+    o = o.reindex(sorted(o.columns), axis=1).sort_values(
+        list(o.columns), na_position='first').reset_index(drop=True)
+    assert s.equals(o[s.columns]), name
+print("DRIVER_SIM_PASS")
+"""
+
+
+def test_plain_session_non_utc_runs_contract():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, TZ="America/New_York")
+    out = subprocess.run(
+        [sys.executable, "-c", SCRIPT.format(repo=repo)],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+    )
+    assert "DRIVER_SIM_PASS" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
