@@ -264,6 +264,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": lambda s, d: _text.lang_id(_docs(s, d)),
     "doc_fingerprint": lambda s, d: _text.fingerprint(_docs(s, d)),
     "quality_filter": lambda s, d: _text.quality_filter(_docs(s, d)),
+    "winnow_fingerprints": lambda s, d: _text.winnow_fingerprints(_docs(s, d)),
     # dedup
     "dedup_exact": lambda s, d: _dedup.exact_dedup(_docs(s, d)),
     "minhash_signatures": lambda s, d: _dedup.minhash_signatures(_docs(s, d)),
@@ -339,6 +340,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "lang_id": _text.sql_lang_id(),
     "doc_fingerprint": _text.sql_fingerprint(),
     "quality_filter": _text.sql_quality_filter(),
+    "winnow_fingerprints": _text.sql_winnow_fingerprints(),
     "dedup_exact": _dedup.sql_exact_dedup(),
     "minhash_signatures": _dedup.sql_minhash_signatures(),
     "dedup_lsh_candidates": _dedup.sql_lsh_candidates(),

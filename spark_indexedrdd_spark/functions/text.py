@@ -202,6 +202,78 @@ def sql_lang_id(table: str = "documents", text_col: str = "text", id_col: str = 
     """
 
 
+WINNOW_K = 3  # shingle size for winnowing (word k-grams)
+WINNOW_W = 4  # window size: one fingerprint per w consecutive hashes
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS rolling-hash scheme): hash every word k-gram, then keep the
+    minimum hash of each sliding window of w hashes. Guarantees any
+    shared run of >= k+w-1 tokens between two documents shares a
+    fingerprint — the standard local-similarity sketch.
+
+    Pure per-row array transforms (shingle -> md5-derived int hash ->
+    sliding-window min -> distinct) + one explode: no shuffle until the
+    downstream groupBy/join a caller adds. Output: (doc_id, fp) rows.
+    """
+    toks = tokens(F.col(text_col))
+    toked = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    mk = lambda i: F.concat_ws(  # noqa: E731  (column ref, not expr tree: HOF lambdas get no CSE)
+        " ", *[F.element_at(F.col("__toks"), i + j) for j in range(WINNOW_K)]
+    )
+    grams = F.when(
+        n >= WINNOW_K,
+        F.transform(F.sequence(F.lit(1), n - (WINNOW_K - 1)), mk),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    hashed = toked.select(F.col(id_col), hashes.alias("__hs"))
+    hn = F.size(F.col("__hs"))
+    wins = F.when(
+        hn >= WINNOW_W,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), hn - (WINNOW_W - 1)),
+                lambda i: F.array_min(F.slice(F.col("__hs"), i, WINNOW_W)),
+            )
+        ),
+    ).otherwise(F.array_distinct(F.col("__hs")))  # short doc: keep all
+    return hashed.select(F.col(id_col), F.explode(wins).alias("fp"))
+
+
+def sql_winnow_fingerprints(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    t = sql_tokens(text_col)
+    gram = " || ' ' || ".join(f"__toks[i + {j}]" for j in range(WINNOW_K))
+    return f"""
+        WITH toked AS (SELECT {id_col}, {t} AS __toks FROM {table}),
+        hashed AS (
+            SELECT {id_col},
+                   CASE WHEN len(__toks) >= {WINNOW_K} THEN
+                       list_transform(range(1, len(__toks) - {WINNOW_K - 2}),
+                           i -> ('0x' || substr(md5({gram}), 1, 8))::BIGINT)
+                   ELSE [] END AS __hs
+            FROM toked
+        ),
+        winnowed AS (
+            SELECT {id_col},
+                   CASE WHEN len(__hs) >= {WINNOW_W} THEN
+                       list_distinct(list_transform(range(1, len(__hs) - {WINNOW_W - 2}),
+                           i -> list_min(__hs[i : i + {WINNOW_W - 1}])))
+                   ELSE list_distinct(__hs) END AS fps
+            FROM hashed
+        )
+        SELECT {id_col}, UNNEST(fps) AS fp FROM winnowed
+    """
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: md5 of the whitespace-normalized lowered
     text (robust to formatting), plus a 32-bit rolling-hash-style value

@@ -28,6 +28,7 @@ def con(sf_dir):
         (TX.text_stats, TX.sql_text_stats),
         (TX.lang_id, TX.sql_lang_id),
         (TX.fingerprint, TX.sql_fingerprint),
+        (TX.winnow_fingerprints, TX.sql_winnow_fingerprints),
         (DD.exact_dedup, DD.sql_exact_dedup),
         (DD.shingles, DD.sql_shingles),
         (DD.minhash_signatures, DD.sql_minhash_signatures),
@@ -89,6 +90,27 @@ def test_jaccard_exactness(spark):
     r = rows[0]
     assert (r.doc_a, r.doc_b, r.inter, r.size_a, r.size_b) == (1, 2, 1, 2, 2)
     assert abs(r.jaccard - 1 / 3) < 1e-15
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing's contract: two docs sharing a run of >= k+w-1 tokens
+    share at least one fingerprint; disjoint docs share none."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens >= k+w-1=6
+    df = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four five six seven"),
+            (2, f"nine ten eleven {shared} twelve thirteen fourteen"),
+            (3, "completely different words everywhere all the time here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = TX.winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
 
 
 def test_lang_id_prefers_profile_language(spark):
