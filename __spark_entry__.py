@@ -322,6 +322,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "orders")
     ),
     "cube_doc_counts": lambda s, d: _an.cube_doc_counts(_docs(s, d)),
+    "json_prop_stats": lambda s, d: _an.json_prop_stats(load_table(s, d, "events")),
+    "orders_by_month": lambda s, d: _an.orders_by_month(load_table(s, d, "orders")),
     "pivot_lang_source": lambda s, d: _an.pivot_lang_source(_docs(s, d)),
     # event-time windows (batch formulation; streaming equivalence is
     # covered in tests/test_analytics_streaming.py)
@@ -360,6 +362,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "distinct_counts": _an.SQL_DISTINCT_COUNTS_EXACT,
     "revenue_percentiles": _an.SQL_REVENUE_PERCENTILES,
     "cube_doc_counts": _an.SQL_CUBE_DOC_COUNTS,
+    "json_prop_stats": _an.SQL_JSON_PROP_STATS,
+    "orders_by_month": _an.SQL_ORDERS_BY_MONTH,
     "pivot_lang_source": _an.SQL_PIVOT_LANG_SOURCE,
     "tumbling_window": _win.sql_tumbling_counts(),
     "sliding_window": _win.sql_sliding_counts(),

@@ -300,6 +300,45 @@ SQL_PIVOT_LANG_SOURCE = (
 )
 
 
+def json_prop_stats(events: DataFrame) -> DataFrame:
+    """Scalar-function surface (JSON): extract a field from the props
+    JSON string column and aggregate. get_json_object is JVM-side
+    (Jackson), no UDF."""
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k_val")
+        )
+        .groupBy("k_val")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+SQL_JSON_PROP_STATS = """
+    SELECT CAST(props->>'k' AS INTEGER) AS k_val,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+"""
+
+
+def orders_by_month(orders: DataFrame) -> DataFrame:
+    """Scalar-function surface (date): month bucketing via formatting of
+    the naive timestamp (TZ-independent; see driver-session notes)."""
+    return (
+        orders.select(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .groupBy("month")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+SQL_ORDERS_BY_MONTH = """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+"""
+
+
 def asof_join_events(events: DataFrame) -> DataFrame:
     """As-of join (Spark has no native one; DuckDB does — the oracle uses
     it): for each 'purchase' event, the most recent prior-or-equal
