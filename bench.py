@@ -219,6 +219,37 @@ def main() -> None:
     def _endup():
         _sim.near_duplicates(emb, 0.3).count()
 
+    # --- the reference README's own scale: 1M-entry KV point ops -------- #
+    # (reference README.md:24-34 builds a 1,000,000-entry IndexedRDD and
+    # does driver-side put/get/delete — the only scale the reference
+    # documents, so the direct single-node throughput comparison)
+    from spark_indexedrdd_spark.core import IndexedDataFrame
+
+    @timed("readme_1m_build")
+    def _r1m():
+        df = spark.range(1, 1_000_001).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+        )
+        kv1m = IndexedDataFrame.from_unique(df, "k", num_partitions=CPUS)
+        kv1m.count()
+        state["kv1m"] = kv1m
+
+    @timed("readme_1m_point_index")
+    def _r1mi():
+        state["pli1m"] = PointLookupIndex(state["kv1m"])
+
+    @timed("readme_1m_multiget_1k")
+    def _r1mg():
+        ks1m = list(range(1, 1_000_001, 1000))
+        assert len(state["pli1m"].multiget(ks1m)) == 1000
+
+    @timed("readme_1m_put_get_delete")
+    def _r1pgd():
+        kv1m = state["kv1m"]
+        v2 = kv1m.put(1234, 10873)
+        assert v2.get(1234) == 10873
+        assert v2.delete([1234]).get(1234) is None
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
