@@ -301,6 +301,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "asof_join": lambda s, d: _an.asof_join_events(load_table(s, d, "events")),
     "sessionize": lambda s, d: _an.sessionize(load_table(s, d, "events")),
+    "range_join_sessions": lambda s, d: _an.events_to_sessions(
+        load_table(s, d, "events")
+    ),
     # multi-join TPC-H-shaped queries (broadcast dims + fact shuffle)
     "shipping_priority": lambda s, d: _an.shipping_priority(
         load_table(s, d, "customer"),
@@ -357,6 +360,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "segment_set_ops": _an.sql_segment_set_ops(1, 2),
     "asof_join": _an.SQL_ASOF_JOIN_EVENTS,
     "sessionize": _an.sql_sessionize(),
+    "range_join_sessions": _an.sql_events_to_sessions(),
     "shipping_priority": _an.sql_shipping_priority(),
     "local_supplier_volume": _an.sql_local_supplier_volume(),
     "distinct_counts": _an.SQL_DISTINCT_COUNTS_EXACT,

@@ -399,6 +399,75 @@ SQL_ASOF_JOIN_EVENTS = """
 """
 
 
+RANGE_BUCKET_US = 3_600_000_000  # 1 hour
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Range (interval-containment) join — an operator Spark has no
+    native strategy for (an inequality-only join plans as a broadcast
+    nested loop: all-pairs work).
+
+    Bucketization makes it an equi-join: intervals explode over the
+    fixed-size buckets they cover; points compute their bucket; the join
+    key is (extra_keys..., bucket) and the inequality is a cheap post-
+    filter. Shuffle cost ~ rows x (interval_len / bucket + 1), never
+    |points| x |intervals|. Both inputs keep all their columns."""
+    keys = list(extra_keys or [])
+    b = F.lit(RANGE_BUCKET_US)
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / b).cast("long"),
+                (F.col(end_col) / b).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket", (F.col(point_col) / b).cast("long"))
+    return (
+        pt.join(iv, on=[*keys, "__bucket"])
+        .where(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("__bucket")
+    )
+
+
+def events_to_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Range-join instantiation: assign every event to its session's
+    [start, end] interval (sessions from :func:`sessionize`). Every event
+    lands in exactly one session, so the output is a total assignment —
+    checkable against a plain BETWEEN join in the oracle."""
+    sessions = sessionize(events, gap_minutes)
+    assigned = range_join(
+        events.select("user_id", "event_id", "ts_us"),
+        sessions,
+        point_col="ts_us",
+        start_col="sess_start_us",
+        end_col="sess_end_us",
+        extra_keys=["user_id"],
+    )
+    return assigned.select("user_id", "event_id", "sess_id")
+
+
+def sql_events_to_sessions(gap_minutes: int = 30) -> str:
+    return f"""
+        WITH sessions AS ({sql_sessionize(gap_minutes)})
+        SELECT e.user_id, e.event_id, s.sess_id
+        FROM events e JOIN sessions s
+          ON e.user_id = s.user_id
+         AND epoch_us(e.ts) BETWEEN s.sess_start_us AND s.sess_end_us
+    """
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: new session when the gap to the previous event of
     the same user exceeds ``gap_minutes``. lag + conditional cumsum —

@@ -90,6 +90,20 @@ def test_copartitioned_join_zero_live_shuffles(spark, orders, no_broadcast):
     )
 
 
+def test_range_join_is_not_nested_loop(spark, sf_dir, no_broadcast):
+    """The bucketized range join must plan as an equi-join (hash/SMJ) +
+    post-filter, never BroadcastNestedLoopJoin (the all-pairs plan Spark
+    produces for a raw inequality join)."""
+    from spark_indexedrdd_spark.operators.analytics import events_to_sessions
+
+    events = load_table(spark, sf_dir, "events")
+    out = events_to_sessions(events)
+    plan = X.executed_plan(out.df if hasattr(out, "df") else out)
+    final = X.final_plan_section(plan)
+    assert "NestedLoop" not in final, final
+    assert ("SortMergeJoin" in final) or ("ShuffledHashJoin" in final), final
+
+
 def test_filter_preserves_partitioning(spark, orders, no_broadcast):
     kv = IndexedDataFrame.from_unique(
         orders.select("o_orderkey", "o_totalprice"), "o_orderkey", num_partitions=8
