@@ -14,7 +14,7 @@ shuffle once at write time.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from spark_indexedrdd_spark.core import IndexedDataFrame
 
@@ -46,6 +46,31 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def write_sorted(
+    idf: IndexedDataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Persist as range-partitioned, key-sorted parquet — the file-layout
+    substitute for the reference's per-partition ART index
+    (SURVEY.md §1.4): each file covers a narrow key range and stores
+    per-row-group min/max stats, so a point read prunes to one file and
+    one row group. Complements bucketing (which optimizes joins) for the
+    point-lookup-heavy workload."""
+    (
+        idf.df.repartitionByRange(idf.num_partitions, *idf.keys)
+        .sortWithinPartitions(*idf.keys)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def read_sorted(
+    spark: SparkSession, path: str, keys: list[str] | str
+) -> "DataFrame":
+    """Reopen sorted parquet for point reads. Filters on the key reach
+    the scan as PushedFilters and prune via file/row-group statistics."""
+    return spark.read.parquet(path)
 
 
 def read_bucketed(

@@ -45,6 +45,25 @@ def test_bucketed_roundtrip_join_no_shuffle(spark, orders):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_sorted_parquet_point_read_prunes(spark, orders):
+    import tempfile as _tf
+
+    from spark_indexedrdd_spark.sources.bucketed import read_sorted, write_sorted
+
+    kv = IndexedDataFrame.from_unique(
+        orders.select("o_orderkey", "o_totalprice"), "o_orderkey",
+        num_partitions=4, cache=False,
+    )
+    path = _tf.mkdtemp(prefix="sorted_") + "/orders_kv"
+    write_sorted(kv, path)
+    back = read_sorted(spark, path, "o_orderkey")
+    point = back.where(F.col("o_orderkey") == 42)
+    plan = point._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)" in plan, plan
+    assert point.count() == 1
+    assert back.count() == orders.count()
+
+
 def test_partitioned_sink_prunes(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="sink_") + "/docs"
