@@ -299,6 +299,12 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_set_ops": lambda s, d: _an.segment_set_ops(
         load_table(s, d, "customer"), 1, 2
     ),
+    "segment_intersect": lambda s, d: _an.segment_intersect(
+        load_table(s, d, "customer"), 1, 2
+    ),
+    "percentiles_by_segment": lambda s, d: _an.percentiles_by_segment(
+        load_table(s, d, "orders"), load_table(s, d, "customer")
+    ),
     "asof_join": lambda s, d: _an.asof_join_events(load_table(s, d, "events")),
     "sessionize": lambda s, d: _an.sessionize(load_table(s, d, "events")),
     "range_join_sessions": lambda s, d: _an.events_to_sessions(
@@ -358,6 +364,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "global_topk_orders": _an.sql_global_topk_orders(),
     "rollup_doc_counts": _an.SQL_ROLLUP_DOC_COUNTS,
     "segment_set_ops": _an.sql_segment_set_ops(1, 2),
+    "segment_intersect": _an.sql_segment_intersect(1, 2),
+    "percentiles_by_segment": _an.SQL_PERCENTILES_BY_SEGMENT,
     "asof_join": _an.SQL_ASOF_JOIN_EVENTS,
     "sessionize": _an.sql_sessionize(),
     "range_join_sessions": _an.sql_events_to_sessions(),

@@ -339,6 +339,46 @@ SQL_ORDERS_BY_MONTH = """
 """
 
 
+def segment_intersect(customer: DataFrame, nation_a: int, nation_b: int) -> DataFrame:
+    """Set-op family completion: segments present in BOTH nations."""
+    a = customer.where(F.col("c_nationkey") == nation_a).select("c_mktsegment")
+    b = customer.where(F.col("c_nationkey") == nation_b).select("c_mktsegment")
+    return a.intersect(b)
+
+
+def sql_segment_intersect(nation_a: int, nation_b: int) -> str:
+    return f"""
+        SELECT DISTINCT c_mktsegment FROM customer WHERE c_nationkey = {nation_a}
+        INTERSECT
+        SELECT DISTINCT c_mktsegment FROM customer WHERE c_nationkey = {nation_b}
+    """
+
+
+def percentiles_by_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Grouped percentiles over a broadcast-dim join: median + p90 order
+    value per market segment."""
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    p = F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9)))
+    return joined.groupBy("c_mktsegment").agg(
+        p.getItem(0).alias("p50"),
+        p.getItem(1).alias("p90"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+
+
+SQL_PERCENTILES_BY_SEGMENT = """
+    SELECT c_mktsegment,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
 def asof_join_events(events: DataFrame) -> DataFrame:
     """As-of join (Spark has no native one; DuckDB does — the oracle uses
     it): for each 'purchase' event, the most recent prior-or-equal
