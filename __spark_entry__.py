@@ -339,6 +339,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tumbling_window": lambda s, d: _win.tumbling_counts(
         load_table(s, d, "events")
     ),
+    "session_window": lambda s, d: _win.session_window_counts(
+        load_table(s, d, "events")
+    ),
     "sliding_window": lambda s, d: _win.sliding_counts(
         load_table(s, d, "events")
     ),
@@ -378,6 +381,12 @@ EXTENSION_ORACLE: dict[str, str] = {
     "orders_by_month": _an.SQL_ORDERS_BY_MONTH,
     "pivot_lang_source": _an.SQL_PIVOT_LANG_SOURCE,
     "tumbling_window": _win.sql_tumbling_counts(),
+    # the native session-window operator must agree with the SQL
+    # sessionization formulation projected to the same columns
+    "session_window": f"""
+        SELECT user_id, sess_start_us, n_events
+        FROM ({_an.sql_sessionize()})
+    """,
     "sliding_window": _win.sql_sliding_counts(),
     "binary_meta": _mm.sql_binary_meta(),
 }

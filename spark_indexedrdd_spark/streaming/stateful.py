@@ -12,7 +12,6 @@ shards locally; timeouts evict idle users.
 from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
-from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame

@@ -100,6 +100,27 @@ def sql_sliding_counts(length_min: int = 60, slide_min: int = 30) -> str:
     """
 
 
+def session_window_counts(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Native session windows (F.session_window): gap-based sessions per
+    user computed by the engine's session-window operator — the
+    streaming-capable twin of operators/analytics.sessionize (which
+    builds sessions with lag+cumsum). Equivalence of the two is asserted
+    in tests. Works on batch and streaming inputs (streaming requires a
+    watermark upstream)."""
+    return (
+        events.groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("sess_start_us"),
+            "n_events",
+        )
+    )
+
+
 def streaming_tumbling_counts(
     spark: SparkSession,
     events_path: str,

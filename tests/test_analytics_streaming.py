@@ -50,6 +50,21 @@ def test_oracle_parity(name, build, sql, tables, con):
     assert report["ok"], report
 
 
+def test_native_session_window_matches_sessionize(tables):
+    """F.session_window and the lag+cumsum sessionize must produce the
+    same sessions. Note: session_window closes at last_event + gap and
+    our ts is micros-floored, so compare (user, session start, count)."""
+    ours = {
+        (r.user_id, r.sess_start_us): r.n_events
+        for r in AN.sessionize(tables["events"], 30).collect()
+    }
+    native = {
+        (r.user_id, r.sess_start_us): r.n_events
+        for r in windows.session_window_counts(tables["events"], 30).collect()
+    }
+    assert ours == native
+
+
 # ---------------------- streaming ------------------------------------- #
 
 
