@@ -23,7 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from spark_indexedrdd_spark.core import SUM_MERGE  # noqa: E402
-from spark_indexedrdd_spark.operators.point import PointLookupIndex  # noqa: E402
+from spark_indexedrdd_spark.operators.point import (  # noqa: E402
+    NativeHashPointIndex,
+    PointLookupIndex,
+)
 from spark_indexedrdd_spark.session import get_spark  # noqa: E402
 from spark_indexedrdd_spark.sources.tables import load_table, orders_kv  # noqa: E402
 
@@ -81,6 +84,15 @@ def main() -> None:
     @timed("multiget_targeted")
     def _mget2():
         assert len(state["pli"].multiget(ks)) >= 900
+
+    # native index: reuses the frame's own partitioning (no pickle shuffle)
+    @timed("native_index_build")
+    def _nib():
+        state["nli"] = NativeHashPointIndex(kv)
+
+    @timed("multiget_native")
+    def _nmget():
+        assert len(state["nli"].multiget(ks)) >= 900
 
     # --- multiput 10% sum-merge ----------------------------------------- #
     @timed("multiput_merge")

@@ -49,6 +49,94 @@ def stable_hash(key: Any) -> int:
     return zlib.crc32(repr(key).encode("utf-8")) & 0x7FFFFFFF
 
 
+class NativeHashPointIndex:
+    """Zero-extra-shuffle point index: reuses the IndexedDataFrame's OWN
+    hash partitioning instead of re-partitioning through a Python RDD.
+
+    ``df.repartition(n, *keys)`` places each row in physical partition
+    ``pmod(murmur3_hash(keys), n)`` — verified empirically for long,
+    string, and composite keys (tests/test_point_lookup.py). So the
+    per-partition dicts are built straight off the cached partitions
+    (one narrow scan, no partitionBy pickle shuffle), and a multiget
+    computes the owning partitions with one tiny hash-of-literals job,
+    then ``sc.runJob`` touches only those partitions — the reference's
+    multiget scheduling (IndexedRDD.scala:79-94) with Spark's own
+    partitioner as the global index, exactly as the reference uses ITS
+    partitioner (IndexedRDD.scala:42).
+
+    Requires the frame to follow the build contract (an explicit
+    ``repartition(num_partitions, *keys)`` output — REPARTITION_BY_NUM,
+    which AQE never coalesces). Joins/aggregations derived from it also
+    satisfy hash partitioning, but their runtime partition COUNT can be
+    AQE-coalesced; reindex() first for derived frames."""
+
+    def __init__(self, idf: IndexedDataFrame):
+        self.keys = list(idf.keys)
+        self.value_cols = list(idf.value_cols)
+        self.n = idf.num_partitions
+        self._spark = idf.df.sparkSession
+        self._key_schema = idf.df.select(*self.keys).schema
+        nk = len(self.keys)
+        single_key = nk == 1
+        single_val = len(self.value_cols) == 1
+
+        def to_dict(it):
+            d = {}
+            for row in it:
+                k = row[0] if single_key else tuple(row[:nk])
+                d[k] = row[nk] if single_val else tuple(row[nk:])
+            return iter([d])
+
+        self._parts = idf.df.rdd.mapPartitions(
+            to_dict, preservesPartitioning=True
+        ).cache()
+        self._parts.count()
+
+    def owning_partitions(self, key_tuples: list[tuple]) -> dict[int, list]:
+        """One tiny hash-of-literals job: Spark itself tells us each
+        key's partition (same murmur3 the exchange used)."""
+        from pyspark.sql import functions as F
+
+        kdf = self._spark.createDataFrame(key_tuples, schema=self._key_schema)
+        rows = kdf.select(
+            *self.keys, F.pmod(F.hash(*self.keys), F.lit(self.n)).alias("__p")
+        ).collect()
+        by_part: dict[int, list] = {}
+        nk = len(self.keys)
+        for r in rows:
+            k = r[0] if nk == 1 else tuple(r[:nk])
+            by_part.setdefault(r["__p"], []).append(k)
+        return by_part
+
+    def multiget(self, ks: Iterable[Any]) -> dict:
+        ks = list(ks)
+        if not ks:
+            return {}
+        key_tuples = [k if isinstance(k, tuple) else (k,) for k in ks]
+        by_part = self.owning_partitions(key_tuples)
+        target_parts = sorted(by_part)
+
+        def probe(iterator):
+            pid = TaskContext.get().partitionId()
+            wanted = by_part.get(pid, [])
+            for d in iterator:
+                return [(k, d[k]) for k in wanted if k in d]
+            return []
+
+        sc = self._parts.context
+        found = sc.runJob(self._parts, probe, partitions=target_parts)
+        if len(self.keys) == 1:
+            return dict(found)
+        return dict(found)
+
+    def get(self, key: Any):
+        k = key if isinstance(key, tuple) or len(self.keys) == 1 else (key,)
+        return self.multiget([k]).get(k)
+
+    def unpersist(self) -> None:
+        self._parts.unpersist()
+
+
 class PointLookupIndex:
     """Per-partition hash index over an IndexedDataFrame's entries."""
 
