@@ -265,6 +265,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": lambda s, d: _text.fingerprint(_docs(s, d)),
     "quality_filter": lambda s, d: _text.quality_filter(_docs(s, d)),
     "winnow_fingerprints": lambda s, d: _text.winnow_fingerprints(_docs(s, d)),
+    "redact_pii": lambda s, d: _text.redact_pii(_docs(s, d)),
+    "contamination_check": lambda s, d: _text.contamination_check(_docs(s, d)),
     # dedup
     "dedup_exact": lambda s, d: _dedup.exact_dedup(_docs(s, d)),
     "minhash_signatures": lambda s, d: _dedup.minhash_signatures(_docs(s, d)),
@@ -355,6 +357,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "doc_fingerprint": _text.sql_fingerprint(),
     "quality_filter": _text.sql_quality_filter(),
     "winnow_fingerprints": _text.sql_winnow_fingerprints(),
+    "redact_pii": _text.sql_redact_pii(),
+    "contamination_check": _text.sql_contamination_check(),
     "dedup_exact": _dedup.sql_exact_dedup(),
     "minhash_signatures": _dedup.sql_minhash_signatures(),
     "dedup_lsh_candidates": _dedup.sql_lsh_candidates(),

@@ -274,6 +274,125 @@ def sql_winnow_fingerprints(
     """
 
 
+# PII patterns (shared constants: Spark and DuckDB twins can't drift).
+# Both engines use RE2-ish syntax for these classes; no lookbehind.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>"),
+    ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Training-data scrubbing: replace emails / phone numbers / IPv4s
+    with typed placeholder tokens. Chained regexp_replace — JVM regex,
+    one narrow pass, order fixed (email first so phone can't eat one).
+    Returns (doc_id, clean_text, n_redactions)."""
+    clean = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    n_red = sum(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+        for pat, _ in PII_PATTERNS
+    )
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_red.cast("long").alias("n_redactions"),
+    )
+
+
+def sql_redact_pii(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    clean = text_col
+    counts = []
+    for pat, repl in PII_PATTERNS:
+        sq = pat.replace("'", "''")
+        clean = f"regexp_replace({clean}, '{sq}', '{repl}', 'g')"
+        counts.append(f"len(regexp_extract_all({text_col}, '{sq}'))")
+    n = " + ".join(counts)
+    return f"""
+        SELECT {id_col}, {clean} AS clean_text,
+               CAST({n} AS BIGINT) AS n_redactions
+        FROM {table}
+    """
+
+
+# Benchmark-contamination probes: fixed strings standing in for eval-set
+# items; real pipelines load these from the benchmark corpora.
+CONTAMINATION_PROBES: list[str] = [
+    "key agg row scan slow fast table value part hash",
+    "batch window spark order data column agg join small line",
+    "this exact phrase appears in no training document at all",
+]
+
+
+def contamination_check(
+    df: DataFrame,
+    probes: list[str] | None = None,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-decontamination: flag documents sharing >= min_shared
+    word shingles with any probe text (an eval-set item). The probe
+    shingle set is tiny -> broadcast; the corpus side is the shingle
+    explosion (no shuffle until the count agg). Output:
+    (doc_id, probe_id, shared_shingles)."""
+    from spark_indexedrdd_spark.functions.dedup import shingle_array, shingles
+
+    spark = df.sparkSession
+    probes = probes if probes is not None else CONTAMINATION_PROBES
+    probe_df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(probes)], "probe_id int, text string"
+    )
+    # tiny frame (a few probe rows): materialize tokens first anyway so
+    # the shingle construction matches shingles()/sql twins exactly
+    probe_toked = probe_df.select(
+        "probe_id", tokens(F.col("text")).alias("__toks")
+    )
+    probe_sh = F.broadcast(
+        probe_toked.select(
+            "probe_id",
+            F.explode(shingle_array(F.col("__toks"))).alias("shingle"),
+        )
+    )
+    doc_sh = shingles(df, text_col, id_col)
+    return (
+        doc_sh.join(probe_sh, "shingle")
+        .groupBy(id_col, "probe_id")
+        .agg(F.count("*").cast("long").alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= min_shared)
+    )
+
+
+def sql_contamination_check(
+    probes: list[str] | None = None,
+    min_shared: int = 2,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    from spark_indexedrdd_spark.functions.dedup import sql_shingle_list, sql_shingles
+
+    probes = probes if probes is not None else CONTAMINATION_PROBES
+    vals = ", ".join(
+        f"({i}, '{p.replace(chr(39), chr(39)*2)}')" for i, p in enumerate(probes)
+    )
+    return f"""
+        WITH probe(probe_id, text) AS (VALUES {vals}),
+        probe_sh AS (
+            SELECT probe_id, UNNEST({sql_shingle_list()}) AS shingle
+            FROM (SELECT probe_id, {sql_tokens('text')} AS __toks FROM probe)
+        ),
+        doc_sh AS ({sql_shingles(table, text_col, id_col)})
+        SELECT d.{id_col}, p.probe_id,
+               CAST(COUNT(*) AS BIGINT) AS shared_shingles
+        FROM doc_sh d JOIN probe_sh p USING (shingle)
+        GROUP BY d.{id_col}, p.probe_id
+        HAVING COUNT(*) >= {min_shared}
+    """
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: md5 of the whitespace-normalized lowered
     text (robust to formatting), plus a 32-bit rolling-hash-style value

@@ -113,6 +113,33 @@ def test_winnowing_guarantee(spark):
     assert not (by_doc[2] & by_doc[3])
 
 
+def test_redact_pii_planted(spark):
+    rows = [
+        (1, "contact me at alice.smith+x@example.co.uk or 192.168.1.100 thanks"),
+        (2, "call +1 (555) 123-4567 today"),
+        (3, "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.clean_text, r.n_redactions) for r in TX.redact_pii(df).collect()}
+    assert "<EMAIL>" in out[1][0] and "<IP>" in out[1][0] and out[1][1] == 2
+    assert "<PHONE>" in out[2][0] and out[2][1] == 1
+    assert out[3] == ("nothing sensitive here at all", 0)
+
+
+def test_contamination_check_planted(spark):
+    from spark_indexedrdd_spark.functions.text import CONTAMINATION_PROBES
+
+    probe = CONTAMINATION_PROBES[0]
+    rows = [
+        (1, f"some preamble {probe} and a closing remark here"),  # contaminated
+        (2, "entirely unrelated content with zero overlap whatsoever today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hits = {(r.doc_id, r.probe_id) for r in TX.contamination_check(df).collect()}
+    assert (1, 0) in hits
+    assert all(doc != 2 for doc, _ in hits)
+
+
 def test_lang_id_prefers_profile_language(spark):
     df = spark.createDataFrame(
         [
