@@ -28,6 +28,10 @@ import zlib
 from pyspark import TaskContext
 
 from spark_indexedrdd_spark.core import IndexedDataFrame
+from spark_indexedrdd_spark.hashing import (
+    hashers_for_schema,
+    spark_partition_of,
+)
 
 
 def stable_hash(key: Any) -> int:
@@ -76,6 +80,9 @@ class NativeHashPointIndex:
         self.n = idf.num_partitions
         self._spark = idf.df.sparkSession
         self._key_schema = idf.df.select(*self.keys).schema
+        # driver-side Murmur3 (hashing.py) when every key type supports it;
+        # None -> owning_partitions asks Spark with a hash-of-literals job
+        self._hashers = hashers_for_schema(self._key_schema)
         nk = len(self.keys)
         single_key = nk == 1
         single_val = len(self.value_cols) == 1
@@ -93,16 +100,25 @@ class NativeHashPointIndex:
         self._parts.count()
 
     def owning_partitions(self, key_tuples: list[tuple]) -> dict[int, list]:
-        """One tiny hash-of-literals job: Spark itself tells us each
-        key's partition (same murmur3 the exchange used)."""
+        """Each key's owning partition, computed ON THE DRIVER with the
+        pure-Python Murmur3 (hashing.py) — zero Spark jobs, exactly the
+        reference's driver-side ``partitioner.getPartition(k)``
+        (IndexedRDD.scala:80-83). Key types without a driver-side hash
+        fall back to one tiny hash-of-literals job."""
+        nk = len(self.keys)
+        by_part: dict[int, list] = {}
+        if self._hashers is not None:
+            for kt in key_tuples:
+                p = spark_partition_of(kt, self._hashers, self.n)
+                by_part.setdefault(p, []).append(kt[0] if nk == 1 else kt)
+            return by_part
+
         from pyspark.sql import functions as F
 
         kdf = self._spark.createDataFrame(key_tuples, schema=self._key_schema)
         rows = kdf.select(
             *self.keys, F.pmod(F.hash(*self.keys), F.lit(self.n)).alias("__p")
         ).collect()
-        by_part: dict[int, list] = {}
-        nk = len(self.keys)
         for r in rows:
             k = r[0] if nk == 1 else tuple(r[:nk])
             by_part.setdefault(r["__p"], []).append(k)
@@ -138,7 +154,15 @@ class NativeHashPointIndex:
 
 
 class PointLookupIndex:
-    """Per-partition hash index over an IndexedDataFrame's entries."""
+    """Per-partition hash index over an IndexedDataFrame's entries.
+
+    Fast path: when every key type has a driver-side Murmur3 (hashing.py)
+    and the frame's physical partition count matches the build contract,
+    the dicts are built straight off the frame's OWN hash layout — one
+    narrow scan, no Python ``partitionBy`` pickle shuffle — and
+    ``partition_of`` is a driver-side computation. Frames with exotic key
+    types or a non-contract layout (e.g. AQE-coalesced derived frames)
+    take the layout-independent ``stable_hash`` shuffle path instead."""
 
     def __init__(self, idf: IndexedDataFrame):
         self.keys = list(idf.keys)
@@ -147,20 +171,40 @@ class PointLookupIndex:
         nk = len(self.keys)
         single_key = nk == 1
         single_val = len(self.value_cols) == 1
+        self._hashers = hashers_for_schema(idf.df.select(*self.keys).schema)
 
-        def to_pair(row):
-            k = row[0] if single_key else tuple(row[:nk])
-            v = row[nk] if single_val else tuple(row[nk:])
-            return (k, v)
+        def to_dict(it):
+            d = {}
+            for row in it:
+                k = row[0] if single_key else tuple(row[:nk])
+                d[k] = row[nk] if single_val else tuple(row[nk:])
+            return iter([d])
 
-        pairs = idf.df.rdd.map(to_pair).partitionBy(self.n, stable_hash)
-        # one dict per partition — the in-memory index
-        self._parts = pairs.mapPartitions(
-            lambda it: iter([dict(it)]), preservesPartitioning=True
-        ).cache()
+        base = idf.df.rdd
+        if self._hashers is not None and base.getNumPartitions() == self.n:
+            # rows already live in pmod(murmur3(keys), n) (build contract):
+            # index in place, zero extra shuffle
+            self._parts = base.mapPartitions(
+                to_dict, preservesPartitioning=True
+            ).cache()
+        else:
+            self._hashers = None  # partition_of must mirror stable_hash
+
+            def to_pair(row):
+                k = row[0] if single_key else tuple(row[:nk])
+                v = row[nk] if single_val else tuple(row[nk:])
+                return (k, v)
+
+            pairs = base.map(to_pair).partitionBy(self.n, stable_hash)
+            self._parts = pairs.mapPartitions(
+                lambda it: iter([dict(it)]), preservesPartitioning=True
+            ).cache()
         self._parts.count()  # materialize
 
     def partition_of(self, key: Any) -> int:
+        if self._hashers is not None:
+            kt = key if isinstance(key, tuple) else (key,)
+            return spark_partition_of(kt, self._hashers, self.n)
         return stable_hash(key) % self.n
 
     def multiget(self, ks: Iterable[Any]) -> dict:

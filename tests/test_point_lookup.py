@@ -117,3 +117,85 @@ def test_targets_only_owning_partitions(idx):
     ks = [3, 17]
     parts = {pli.partition_of(k) for k in ks}
     assert len(parts) <= 2  # the job plan touches at most these
+
+
+# --------------------------------------------------------------------- #
+# driver-side Murmur3 (hashing.py): must equal Spark's F.hash exactly
+# --------------------------------------------------------------------- #
+
+
+def test_python_murmur3_matches_spark_hash(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from spark_indexedrdd_spark import hashing as H
+
+    cases = [
+        ("k long", [(v,) for v in [0, 1, -1, 2**33, -(2**40), 7]]),
+        ("k int", [(v,) for v in [0, 1, -1, 2**31 - 1, -(2**31)]]),
+        ("k string", [(s,) for s in ["", "a", "abc", "abcd", "héllo", "x" * 37]]),
+        ("k double", [(v,) for v in [0.0, -0.0, 1.5, -3.25, 1e300]]),
+        ("k boolean", [(True,), (False,)]),
+        ("k date", [(datetime.date(1970, 1, 1),), (datetime.date(2026, 8, 13),)]),
+        (
+            T.StructType(
+                [
+                    T.StructField("a", T.LongType()),
+                    T.StructField("b", T.StringType()),
+                ]
+            ),
+            [(1, "x"), (2, None), (None, "y"), (None, None), (99, "zz")],
+        ),
+    ]
+    for schema, rows in cases:
+        df = spark.createDataFrame(rows, schema=schema)
+        got = df.select(F.hash(*df.columns).alias("h")).collect()
+        hs = H.hashers_for_schema(df.schema)
+        assert hs is not None
+        for g, r in zip(got, rows):
+            assert g["h"] == H.spark_hash_tuple(tuple(r), hs), (schema, r)
+
+
+def test_timestamp_keys_have_no_driver_hash(spark):
+    # session-TZ-dependent — must fall back to the ask-Spark path
+    from pyspark.sql import types as T
+
+    from spark_indexedrdd_spark import hashing as H
+
+    schema = T.StructType([T.StructField("t", T.TimestampType())])
+    assert H.hashers_for_schema(schema) is None
+
+
+def test_pli_native_path_used_for_contract_frames(spark):
+    df = spark.createDataFrame([(i, i) for i in range(100)], "k long, v long")
+    idx = IndexedDataFrame.build(df, "k", num_partitions=5)
+    pli = PointLookupIndex(idx)
+    assert pli._hashers is not None  # zero-extra-shuffle layout
+    assert pli.multiget([0, 99, 1000]) == {0: 0, 99: 99}
+
+
+def test_pli_falls_back_when_layout_breaks_contract(spark):
+    # frame whose physical partition count disagrees with num_partitions:
+    # the layout-independent stable_hash path must kick in and still be
+    # correct
+    df = spark.createDataFrame([(i, i * 3) for i in range(100)], "k long, v long")
+    idx = IndexedDataFrame(df.repartition(3, "k").cache(), ["k"], 7)
+    pli = PointLookupIndex(idx)
+    assert pli._hashers is None
+    assert pli.multiget([0, 50, 99, -5]) == {0: 0, 50: 150, 99: 297}
+    assert 0 <= pli.partition_of(12345) < 7
+
+
+def test_nli_owning_partitions_driver_side(spark):
+    from spark_indexedrdd_spark.operators.point import NativeHashPointIndex
+
+    df = spark.createDataFrame(
+        [(f"doc{i}", float(i)) for i in range(80)], "k string, v double"
+    )
+    idx = IndexedDataFrame.build(df, "k", num_partitions=6)
+    ni = NativeHashPointIndex(idx)
+    assert ni._hashers is not None
+    ks = [f"doc{i}" for i in range(0, 80, 7)] + ["missing"]
+    assert ni.multiget(ks) == {f"doc{i}": float(i) for i in range(0, 80, 7)}
