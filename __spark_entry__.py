@@ -298,6 +298,22 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "orders")
     ),
     "rollup_doc_counts": lambda s, d: _an.rollup_doc_counts(_docs(s, d)),
+    "volume_shipping_q7": lambda s, d: _an.volume_shipping(
+        load_table(s, d, "supplier"),
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "customer"),
+        load_table(s, d, "nation"),
+    ),
+    "returned_items_q10": lambda s, d: _an.returned_item_report(
+        load_table(s, d, "customer"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "nation"),
+    ),
+    "promo_revenue_q14": lambda s, d: _an.promo_revenue(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    ),
     "segment_set_ops": lambda s, d: _an.segment_set_ops(
         load_table(s, d, "customer"), 1, 2
     ),
@@ -370,6 +386,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "top_orders_per_customer": _an.sql_top_orders_per_customer(),
     "global_topk_orders": _an.sql_global_topk_orders(),
     "rollup_doc_counts": _an.SQL_ROLLUP_DOC_COUNTS,
+    "volume_shipping_q7": _an.sql_volume_shipping(),
+    "returned_items_q10": _an.sql_returned_item_report(),
+    "promo_revenue_q14": _an.sql_promo_revenue(),
     "segment_set_ops": _an.sql_segment_set_ops(1, 2),
     "segment_intersect": _an.sql_segment_intersect(1, 2),
     "percentiles_by_segment": _an.SQL_PERCENTILES_BY_SEGMENT,

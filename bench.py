@@ -178,6 +178,10 @@ def main() -> None:
     def _q1():
         _an.pricing_summary(li_full).collect()
 
+    @timed("pricing_summary_fast")
+    def _q1f():
+        _an.pricing_summary(li_full, exact=False).collect()
+
     @timed("shipping_priority_q3")
     def _q3():
         _an.shipping_priority(

@@ -20,18 +20,25 @@ def _dec_sum(col) -> "F.Column":
     return F.sum(col.cast("decimal(18,6)")).cast("double")
 
 
-def pricing_summary(lineitem: DataFrame) -> DataFrame:
+def pricing_summary(lineitem: DataFrame, exact: bool = True) -> DataFrame:
     """TPC-H Q1-shaped grouped aggregation: one hash-agg, map-side
-    partial, 2 grouping keys — the canonical scale-out aggregate."""
+    partial, 2 grouping keys — the canonical scale-out aggregate.
+
+    ``exact=True`` accumulates in DECIMAL(18,6) so the sums are
+    bit-identical across engines (the oracle-parity form).
+    ``exact=False`` sums native doubles — the plan Tungsten vectorizes
+    hardest, and what a 100 TB run should use when last-ulp
+    cross-engine reproducibility isn't required (~2× less agg CPU)."""
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    s = _dec_sum if exact else (lambda c: F.sum(c).cast("double"))
     return (
         lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
-            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dec_sum(disc_price).alias("sum_disc_price"),
-            _dec_sum(charge).alias("sum_charge"),
+            s(F.col("l_quantity")).alias("sum_qty"),
+            s(F.col("l_extendedprice")).alias("sum_base_price"),
+            s(disc_price).alias("sum_disc_price"),
+            s(charge).alias("sum_charge"),
             F.count("*").cast("long").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -557,4 +564,179 @@ def sql_sessionize(gap_minutes: int = 30) -> str:
                CAST(COUNT(*) AS BIGINT) AS n_events,
                MIN(ts_us) AS sess_start_us, MAX(ts_us) AS sess_end_us
         FROM sess GROUP BY user_id, sess_id
+    """
+
+
+def volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    start: str = "1996-01-01",
+    end: str = "1997-12-31",
+) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional trade volume between two nations by
+    year. The nation filter is applied BEFORE the broadcast joins (each
+    nation leg pre-filtered to the two names), so the inner joins drop
+    out-of-scope suppliers/customers early instead of filtering after the
+    fact join — the OR-of-pairs predicate can't push across join branches
+    on its own. Only the lineitem⋈orders⋈customer fact joins shuffle."""
+    both = [nation_a, nation_b]
+    n1 = nation.where(F.col("n_name").isin(both)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.where(F.col("n_name").isin(both)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        lineitem.where(
+            (F.col("l_shipdate") >= start) & (F.col("l_shipdate") <= end)
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def sql_volume_shipping(
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    start: str = "1996-01-01",
+    end: str = "1997-12-31",
+) -> str:
+    return f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND n1.n_name IN ('{nation_a}', '{nation_b}')
+          AND n2.n_name IN ('{nation_a}', '{nation_b}')
+          AND n1.n_name <> n2.n_name
+          AND l_shipdate >= TIMESTAMP '{start}'
+          AND l_shipdate <= TIMESTAMP '{end}'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """
+
+
+def returned_item_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returns in a
+    quarter. Selective filters (returnflag, 3-month order window) are on
+    the scan side of each fact table so they push into the parquet read;
+    nation broadcasts; the top-k is TakeOrderedAndProject with a
+    deterministic custkey tiebreak (revenue is cross-engine bit-exact,
+    so the tie order — and hence the row SET — matches the oracle)."""
+    j = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+def sql_returned_item_report(
+    start: str = "1996-01-01", end: str = "1996-04-01", k: int = 20
+) -> str:
+    return f"""
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '{start}'
+          AND o_orderdate < TIMESTAMP '{end}'
+          AND l_returnflag = 'R'
+          AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT {k}
+    """
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: promotional revenue share. One broadcast join
+    (part is the small dim), one global two-sum aggregate; the final
+    percentage is plain IEEE double arithmetic over two decimal-exact
+    sums, so it is bit-identical across engines."""
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = lineitem.where(
+        (F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end)
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.agg(
+        _dec_sum(
+            F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+        ).alias("promo_revenue"),
+        _dec_sum(disc).alias("total_revenue"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+        "promo_revenue",
+        "total_revenue",
+    )
+
+
+def sql_promo_revenue(start: str = "1996-01-01", end: str = "1997-01-01") -> str:
+    return f"""
+        SELECT CAST(100.0 AS DOUBLE) * promo_revenue / total_revenue AS promo_pct,
+               promo_revenue, total_revenue
+        FROM (
+            SELECT
+                CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND l_shipdate >= TIMESTAMP '{start}'
+              AND l_shipdate < TIMESTAMP '{end}'
+        )
     """

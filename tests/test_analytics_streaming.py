@@ -22,7 +22,16 @@ def con(sf_dir):
 def tables(spark, sf_dir):
     return {
         t: load_table(spark, sf_dir, t)
-        for t in ["lineitem", "orders", "customer", "events", "documents"]
+        for t in [
+            "lineitem",
+            "orders",
+            "customer",
+            "events",
+            "documents",
+            "supplier",
+            "nation",
+            "part",
+        ]
     }
 
 
@@ -37,6 +46,25 @@ CASES = [
     ("tumbling", lambda t: windows.tumbling_counts(t["events"]), windows.sql_tumbling_counts),
     ("sliding", lambda t: windows.sliding_counts(t["events"]), windows.sql_sliding_counts),
     (
+        "volume_shipping_q7",
+        lambda t: AN.volume_shipping(
+            t["supplier"], t["lineitem"], t["orders"], t["customer"], t["nation"]
+        ),
+        AN.sql_volume_shipping,
+    ),
+    (
+        "returned_items_q10",
+        lambda t: AN.returned_item_report(
+            t["customer"], t["orders"], t["lineitem"], t["nation"]
+        ),
+        AN.sql_returned_item_report,
+    ),
+    (
+        "promo_revenue_q14",
+        lambda t: AN.promo_revenue(t["lineitem"], t["part"]),
+        AN.sql_promo_revenue,
+    ),
+    (
         "binary_meta",
         lambda t: MM.binary_meta(MM.attach_binary(t["documents"])),
         MM.sql_binary_meta,
@@ -48,6 +76,25 @@ CASES = [
 def test_oracle_parity(name, build, sql, tables, con):
     report = compare(build(tables), sql(), con)
     assert report["ok"], report
+
+
+def test_pricing_summary_fast_matches_exact_approximately(tables):
+    """The double-sum scale path must agree with the decimal-exact form
+    to float-accumulation tolerance (same rows, same grouping)."""
+    exact = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in AN.pricing_summary(tables["lineitem"]).collect()
+    }
+    fast = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in AN.pricing_summary(tables["lineitem"], exact=False).collect()
+    }
+    assert exact.keys() == fast.keys()
+    for k, e in exact.items():
+        f = fast[k]
+        assert e.count_order == f.count_order
+        for c in ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"]:
+            assert abs(e[c] - f[c]) <= 1e-6 * max(1.0, abs(e[c])), (k, c)
 
 
 def test_native_session_window_matches_sessionize(tables):
