@@ -25,6 +25,7 @@ from spark_indexedrdd_spark.functions import multimodal as _mm  # noqa: E402
 from spark_indexedrdd_spark.functions import similarity as _sim  # noqa: E402
 from spark_indexedrdd_spark.functions import text as _text  # noqa: E402
 from spark_indexedrdd_spark.operators import analytics as _an  # noqa: E402
+from spark_indexedrdd_spark.operators import bloom as _bloom  # noqa: E402
 from spark_indexedrdd_spark.sources.tables import (  # noqa: E402
     lineitem_kv,
     load_table,
@@ -314,6 +315,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue_q14": lambda s, d: _an.promo_revenue(
         load_table(s, d, "lineitem"), load_table(s, d, "part")
     ),
+    "bloom_pruned_join": lambda s, d: _bloom.urgent_revenue_bloom(
+        load_table(s, d, "lineitem"), load_table(s, d, "orders")
+    ),
     "segment_set_ops": lambda s, d: _an.segment_set_ops(
         load_table(s, d, "customer"), 1, 2
     ),
@@ -389,6 +393,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "volume_shipping_q7": _an.sql_volume_shipping(),
     "returned_items_q10": _an.sql_returned_item_report(),
     "promo_revenue_q14": _an.sql_promo_revenue(),
+    "bloom_pruned_join": _bloom.sql_urgent_revenue_bloom(),
     "segment_set_ops": _an.sql_segment_set_ops(1, 2),
     "segment_intersect": _an.sql_segment_intersect(1, 2),
     "percentiles_by_segment": _an.SQL_PERCENTILES_BY_SEGMENT,

@@ -113,3 +113,37 @@ def test_filter_preserves_partitioning(spark, orders, no_broadcast):
     assert X.count_live_shuffles(joined.df) == 0, X.final_plan_section(
         X.executed_plan(joined.df)
     )
+
+def test_runtime_bloom_filter_injected_for_selective_dim_join(spark):
+    """The bloom-prunable join shape must actually get Catalyst's
+    runtime bloom filter (might_contain on the fact side) when the join
+    shuffles and the application-side threshold allows it."""
+    from pyspark.sql import functions as F
+
+    from spark_indexedrdd_spark.operators import bloom as B
+    from spark_indexedrdd_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    od = load_table(spark, "/root/testdata/sf0.001", "orders")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = B.urgent_revenue_bloom(li, od, force_for_small_data=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        # and pruning must not change results vs the plain join
+        plain = (
+            li.join(
+                od.where(F.col("o_orderpriority") == "1-URGENT"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_returnflag")
+            .agg(F.count("*").cast("long").alias("n_items"))
+        )
+        got = {r.l_returnflag: r.n_items for r in out.collect()}
+        want = {r.l_returnflag: r.n_items for r in plain.collect()}
+        assert {k: v for k, v in got.items()}.keys() == want.keys()
+        for k in want:
+            assert got[k] == want[k]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
