@@ -318,6 +318,15 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_pruned_join": lambda s, d: _bloom.urgent_revenue_bloom(
         load_table(s, d, "lineitem"), load_table(s, d, "orders")
     ),
+    "customers_without_orders": lambda s, d: _an.customers_without_orders(
+        load_table(s, d, "customer"), load_table(s, d, "orders")
+    ),
+    "orders_above_cust_avg": lambda s, d: _an.orders_above_customer_average(
+        load_table(s, d, "orders")
+    ),
+    "running_revenue_by_month": lambda s, d: _an.running_revenue_by_month(
+        load_table(s, d, "orders")
+    ),
     "segment_set_ops": lambda s, d: _an.segment_set_ops(
         load_table(s, d, "customer"), 1, 2
     ),
@@ -394,6 +403,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "returned_items_q10": _an.sql_returned_item_report(),
     "promo_revenue_q14": _an.sql_promo_revenue(),
     "bloom_pruned_join": _bloom.sql_urgent_revenue_bloom(),
+    "customers_without_orders": _an.sql_customers_without_orders(),
+    "orders_above_cust_avg": _an.sql_orders_above_customer_average(),
+    "running_revenue_by_month": _an.sql_running_revenue_by_month(),
     "segment_set_ops": _an.sql_segment_set_ops(1, 2),
     "segment_intersect": _an.sql_segment_intersect(1, 2),
     "percentiles_by_segment": _an.SQL_PERCENTILES_BY_SEGMENT,

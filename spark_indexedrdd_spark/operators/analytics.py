@@ -740,3 +740,127 @@ def sql_promo_revenue(start: str = "1996-01-01", end: str = "1997-01-01") -> str
               AND l_shipdate < TIMESTAMP '{end}'
         )
     """
+
+
+def customers_without_orders(
+    customer: DataFrame, orders: DataFrame, since: str = "1999-01-01"
+) -> DataFrame:
+    """Anti-join shape (TPC-H Q22 spirit): customers with no order after
+    a date, counted per market segment with their idle balance. The anti
+    join build side is the FILTERED orders key set; Catalyst broadcasts
+    it when small, else shuffled-hash — either way only keys move."""
+    recent = orders.where(F.col("o_orderdate") >= since).select("o_custkey")
+    return (
+        customer.join(
+            recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_idle_customers"),
+            _dec_sum(F.col("c_acctbal")).alias("idle_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def sql_customers_without_orders(since: str = "1999-01-01") -> str:
+    return f"""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_idle_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS idle_balance
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '{since}'
+        )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """
+
+
+def orders_above_customer_average(
+    orders: DataFrame, factor: float = 2.0, k: int = 50
+) -> DataFrame:
+    """Correlated-subquery shape (TPC-H Q17/Q18 spirit): orders whose
+    price exceeds ``factor`` × that customer's average. Decorrelated the
+    way Catalyst itself would: one grouped aggregate over the fact, then
+    a self-join on the group key — both sides shuffle once on o_custkey
+    and the per-customer average is computed map-side-partial first.
+    The threshold comparison is IEEE double on a decimal-exact average,
+    identical in both engines."""
+    avg_per_cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        (
+            _dec_sum(F.col("o_totalprice"))
+            / F.count("*").cast("double")
+        ).alias("avg_price")
+    )
+    return (
+        orders.join(avg_per_cust, F.col("o_custkey") == F.col("ck"))
+        .where(F.col("o_totalprice") > F.lit(factor) * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "avg_price")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def sql_orders_above_customer_average(factor: float = 2.0, k: int = 50) -> str:
+    return f"""
+        SELECT o_orderkey, o_custkey, o_totalprice, avg_price
+        FROM orders
+        JOIN (
+            SELECT o_custkey AS ck,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS avg_price
+            FROM orders GROUP BY o_custkey
+        ) a ON o_custkey = ck
+        WHERE o_totalprice > {factor} * avg_price
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT {k}
+    """
+
+
+def running_revenue_by_month(orders: DataFrame, max_custkey: int = 200) -> DataFrame:
+    """Cumulative window shape: per-customer running revenue over order
+    months (lag/cumsum family — the reference cannot express windows at
+    all). One shuffle on the partition key; the running sum is computed
+    inside the sort of each customer's frame. Bounded to a customer
+    range so the driver-gate result stays small; the plan is
+    range-filter + window either way."""
+    monthly = (
+        orders.where(F.col("o_custkey") <= max_custkey)
+        .groupBy(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        )
+        .agg(_dec_sum(F.col("o_totalprice")).alias("month_revenue"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # decimal-accumulate the running sum so fold order can't matter
+    return monthly.select(
+        "o_custkey",
+        "order_month",
+        "month_revenue",
+        F.sum(F.col("month_revenue").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_revenue"),
+    )
+
+
+def sql_running_revenue_by_month(max_custkey: int = 200) -> str:
+    return f"""
+        SELECT o_custkey, order_month, month_revenue,
+               CAST(SUM(CAST(month_revenue AS DECIMAL(18,6))) OVER (
+                   PARTITION BY o_custkey ORDER BY order_month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_revenue
+        FROM (
+            SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS order_month,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS month_revenue
+            FROM orders WHERE o_custkey <= {max_custkey}
+            GROUP BY o_custkey, order_month
+        )
+    """

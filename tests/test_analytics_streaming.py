@@ -65,6 +65,21 @@ CASES = [
         AN.sql_promo_revenue,
     ),
     (
+        "customers_without_orders",
+        lambda t: AN.customers_without_orders(t["customer"], t["orders"]),
+        AN.sql_customers_without_orders,
+    ),
+    (
+        "orders_above_cust_avg",
+        lambda t: AN.orders_above_customer_average(t["orders"]),
+        AN.sql_orders_above_customer_average,
+    ),
+    (
+        "running_revenue_by_month",
+        lambda t: AN.running_revenue_by_month(t["orders"]),
+        AN.sql_running_revenue_by_month,
+    ),
+    (
         "binary_meta",
         lambda t: MM.binary_meta(MM.attach_binary(t["documents"])),
         MM.sql_binary_meta,
@@ -173,3 +188,34 @@ def test_multimodal_plumbing(spark, tables):
 
     with pytest.raises(NotImplementedError):
         MM.decode_image(media)  # real decoder absent: clearly-marked stub
+
+
+def test_streaming_dedup_bounded_state_matches_batch(spark, sf_dir, tmp_path):
+    """Planted exact-duplicate events (delivery retries): the streaming
+    dropDuplicatesWithinWatermark output must equal batch dropDuplicates
+    on the same keys — and contain no event_id twice."""
+    import shutil
+
+    from spark_indexedrdd_spark.streaming.dedup import streaming_dedup
+
+    src = f"{sf_dir}/events.parquet"
+    dup_dir = tmp_path / "events_dup.parquet"
+    dup_dir.mkdir()
+    shutil.copy(src, dup_dir / "part-0.parquet")
+    # retry storm: first 500 events delivered a second time
+    spark.read.parquet(src).limit(500).write.mode("append").parquet(str(dup_dir))
+
+    out = streaming_dedup(spark, str(dup_dir), keys=("event_id",))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT event_id FROM t_dedup").collect()
+    ids = [r.event_id for r in got]
+    n_batch = spark.read.parquet(src).count()
+    assert len(ids) == len(set(ids)) == n_batch

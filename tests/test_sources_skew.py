@@ -116,3 +116,50 @@ def test_salted_broadcast_join_plan(spark, orders, sf_dir):
     )
     plan = X.executed_plan(out)
     assert X.has_broadcast_join(plan)
+
+# ---------------------- z-order layout --------------------------------- #
+
+
+def test_zorder_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-ordered parquet must give row-group stats pruning on BOTH sort
+    columns; a lexicographic sort only prunes its leading column."""
+    from spark_indexedrdd_spark.sources import zorder as Z
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = orders.count()
+    zpath = str(tmp_path / "orders_z")
+    lpath = str(tmp_path / "orders_lex")
+    cols = ["o_custkey", "o_totalprice"]
+    Z.write_zordered(orders, zpath, cols, num_files=16, row_group_rows=1)
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .option("parquet.page.size", 8 * 1024)
+        .parquet(lpath)
+    )
+
+    # content round-trip
+    assert spark.read.parquet(zpath).count() == n
+    a = sorted(r.o_orderkey for r in spark.read.parquet(zpath).select("o_orderkey").collect())
+    b = sorted(r.o_orderkey for r in orders.select("o_orderkey").collect())
+    assert a == b
+
+    # narrow ranges: ~5% of each column's span
+    ck = orders.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    tp = orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    ck_lo = ck[0] + (ck[1] - ck[0]) * 45 // 100
+    ck_hi = ck[0] + (ck[1] - ck[0]) * 50 // 100
+    tp_lo = tp[0] + (tp[1] - tp[0]) * 0.45
+    tp_hi = tp[0] + (tp[1] - tp[0]) * 0.50
+
+    z_ck = Z.rowgroup_prune_fraction(zpath, "o_custkey", ck_lo, ck_hi)
+    z_tp = Z.rowgroup_prune_fraction(zpath, "o_totalprice", tp_lo, tp_hi)
+    l_tp = Z.rowgroup_prune_fraction(lpath, "o_totalprice", tp_lo, tp_hi)
+
+    # z-order prunes meaningfully on BOTH dims
+    assert z_ck < 0.6, z_ck
+    assert z_tp < 0.6, z_tp
+    # and beats the lexicographic layout on the trailing column
+    assert z_tp < l_tp, (z_tp, l_tp)
