@@ -61,6 +61,21 @@ def _as_list(x: str | Sequence[str]) -> list[str]:
     return [x] if isinstance(x, str) else list(x)
 
 
+# Driver-side equivalents of the merge projection's cast-to-base-dtype,
+# for the point-read overlay. int() and Java's double->long cast both
+# truncate toward zero; types outside this map simply skip the overlay.
+_OVERLAY_COERCERS: dict[str, Callable[[Any], Any]] = {
+    "byte": int,
+    "short": int,
+    "integer": int,
+    "long": int,
+    "float": float,
+    "double": float,
+    "string": str,
+    "boolean": bool,
+}
+
+
 class IndexedDataFrame:
     """A distributed unique-key map K -> V backed by a DataFrame.
 
@@ -82,6 +97,14 @@ class IndexedDataFrame:
         self.df = df
         self.num_partitions = int(num_partitions)
         self.value_cols = [c for c in df.columns if c not in self.keys]
+        # Point-read overlay (reference PARTPartition copy-on-write point
+        # ops, PARTPartition.scala:40-69): set ONLY by no-merge multiput /
+        # delete. The df plan stays authoritative; the overlay mirrors
+        # exactly what the plan computes for those keys so point reads
+        # skip the cluster round-trip. Never inherited by derived frames.
+        self._point_parent: "IndexedDataFrame | None" = None
+        self._point_overlay: dict | None = None
+        self._point_tombstones: frozenset | None = None
 
     # ------------------------------------------------------------------ #
     # Construction (reference ops 1-2: IndexedRDD.scala:461-486)
@@ -223,6 +246,22 @@ class IndexedDataFrame:
         key_tuples = [self._key_tuple(k) for k in ks]
         if not key_tuples:
             return {}
+        if self._point_parent is not None:
+            # overlay fast path: answer puts/deletes driver-side, send
+            # only the remainder to the (pre-mutation) parent
+            single = len(self.keys) == 1
+            out: dict = {}
+            remainder: list = []
+            for kt in key_tuples:
+                if kt in self._point_tombstones:
+                    continue
+                if kt in self._point_overlay:
+                    out[kt[0] if single else kt] = self._point_overlay[kt]
+                else:
+                    remainder.append(kt[0] if single else kt)
+            if remainder:
+                out.update(self._point_parent.multiget(remainder))
+            return out
         if len(key_tuples) > 8192:
             # very large batches: a broadcast semi-join beats a giant IN
             # list (the optimizer's InSet kicks in above ~10 items, so IN
@@ -300,11 +339,29 @@ class IndexedDataFrame:
         """
         v = self._single_value()
         spark = self.df.sparkSession
-        rows = [(*self._key_tuple(k), val) for k, val in kvs.items()]
+        coerce = _OVERLAY_COERCERS.get(self.df.schema[v].dataType.typeName())
+        vals = {
+            k: (val if val is None or coerce is None else coerce(val))
+            for k, val in kvs.items()
+        }
+        rows = [(*self._key_tuple(k), val) for k, val in vals.items()]
         updates = spark.createDataFrame(
             rows, schema=self.df.select(*self.keys, v).schema
         )
-        return self.multiput_df(updates, f=f, z=z, broadcast_updates=True)
+        out = self.multiput_df(updates, f=f, z=z, broadcast_updates=True)
+        if f is OVERWRITE and z is IDENTITY:
+            # last-wins upsert: the merged value is the driver-supplied
+            # value regardless of the old one, so point reads can be
+            # served from a driver-side overlay (the plan computes the
+            # identical result). Values are coerced the way the merge
+            # projection's cast would; unknown types skip the overlay.
+            if coerce is not None:
+                out._point_parent = self
+                out._point_overlay = {
+                    self._key_tuple(k): val for k, val in vals.items()
+                }
+                out._point_tombstones = frozenset()
+        return out
 
     def multiput_df(
         self,
@@ -375,7 +432,13 @@ class IndexedDataFrame:
         if not rows:
             return self
         dels = spark.createDataFrame(rows, schema=self.df.select(*self.keys).schema)
-        return self.delete_df(dels, broadcast_deletes=True)
+        out = self.delete_df(dels, broadcast_deletes=True)
+        # deletes are value-independent: point reads of deleted keys are
+        # answered driver-side (absent), the rest by the parent
+        out._point_parent = self
+        out._point_overlay = {}
+        out._point_tombstones = frozenset(rows)
+        return out
 
     def delete_df(
         self, dels: DataFrame, broadcast_deletes: bool = False

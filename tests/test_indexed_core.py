@@ -256,3 +256,51 @@ def test_composite_keys_end_to_end(spark):
     assert out.count() == 31
     deleted = out.delete([(0, 0), (42, 42)])
     assert deleted.get((0, 0)) is None and deleted.count() == 30
+
+
+# --- point-read overlay (reference PARTPartition.scala:40-69) ---------- #
+
+
+def test_overlay_get_matches_plan(idx):
+    """Overlay-served point reads must equal what the df plan computes."""
+    v2 = idx.put(7, 7000)
+    assert v2._point_parent is not None  # overlay active
+    assert v2.get(7) == 7000
+    # the plan agrees with the overlay
+    assert {r.v for r in v2.df.where(F.col("k") == 7).collect()} == {7000}
+    # untouched key falls through to the parent
+    assert v2.get(13) == 13
+    # version isolation both ways
+    assert idx.get(7) == 7
+
+
+def test_overlay_chain_put_delete_put(idx):
+    v2 = idx.put(3, 333).delete([3, 5]).put(5, 555)
+    assert v2.get(3) is None
+    assert v2.get(5) == 555
+    assert v2.get(4) == 4
+    plan = {r.k: r.v for r in v2.df.where(F.col("k").isin([3, 4, 5])).collect()}
+    assert plan == {4: 4, 5: 555}
+
+
+def test_overlay_new_key_and_none_passthrough(idx):
+    v2 = idx.put(9999, 42)
+    assert v2.get(9999) == 42
+    assert v2.get(-1) is None
+    assert {r.v for r in v2.df.where(F.col("k") == 9999).collect()} == {42}
+
+
+def test_merge_put_skips_overlay(idx):
+    """A merge-put's value depends on the old value — must NOT be served
+    from the overlay; the plan is the only truth."""
+    v2 = idx.multiput({7: 1000}, f=SUM_MERGE)
+    assert v2._point_parent is None
+    assert v2.get(7) == 1007
+
+
+def test_overlay_value_coercion(spark):
+    df = spark.createDataFrame([(1, 1.5)], "k long, v double")
+    kv = IndexedDataFrame.build(df, "k", num_partitions=2)
+    v2 = kv.put(1, 10873)  # int into a double column
+    got = v2.get(1)
+    assert got == 10873.0 and isinstance(got, float)
