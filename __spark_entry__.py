@@ -32,6 +32,7 @@ from spark_indexedrdd_spark.sources.tables import (  # noqa: E402
     orders_kv,
 )
 from spark_indexedrdd_spark.streaming import windows as _win  # noqa: E402
+from spark_indexedrdd_spark.streaming import joins as _sj  # noqa: E402
 
 # Deterministic point-lookup key set: hits at every sf (orderkeys are dense
 # 0..N-1, N>=1500) plus misses (reference tests cover the miss path,
@@ -327,6 +328,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_revenue_by_month": lambda s, d: _an.running_revenue_by_month(
         load_table(s, d, "orders")
     ),
+    "funnel_purchase_after_signup": lambda s, d: _sj.batch_purchase_after_signup(
+        load_table(s, d, "events")
+    ),
     "segment_set_ops": lambda s, d: _an.segment_set_ops(
         load_table(s, d, "customer"), 1, 2
     ),
@@ -406,6 +410,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "customers_without_orders": _an.sql_customers_without_orders(),
     "orders_above_cust_avg": _an.sql_orders_above_customer_average(),
     "running_revenue_by_month": _an.sql_running_revenue_by_month(),
+    "funnel_purchase_after_signup": _sj.sql_batch_purchase_after_signup(),
     "segment_set_ops": _an.sql_segment_set_ops(1, 2),
     "segment_intersect": _an.sql_segment_intersect(1, 2),
     "percentiles_by_segment": _an.SQL_PERCENTILES_BY_SEGMENT,

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from spark_indexedrdd_spark.functions import multimodal as MM
 from spark_indexedrdd_spark.operators import analytics as AN
 from spark_indexedrdd_spark.sources.tables import load_table
+from spark_indexedrdd_spark.streaming import joins as SJ
 from spark_indexedrdd_spark.streaming import stateful, windows
 from tests.oracle_utils import compare, duck_con
 
@@ -78,6 +79,11 @@ CASES = [
         "running_revenue_by_month",
         lambda t: AN.running_revenue_by_month(t["orders"]),
         AN.sql_running_revenue_by_month,
+    ),
+    (
+        "funnel_join",
+        lambda t: SJ.batch_purchase_after_signup(t["events"]),
+        SJ.sql_batch_purchase_after_signup,
     ),
     (
         "binary_meta",
@@ -219,3 +225,53 @@ def test_streaming_dedup_bounded_state_matches_batch(spark, sf_dir, tmp_path):
     ids = [r.event_id for r in got]
     n_batch = spark.read.parquet(src).count()
     assert len(ids) == len(set(ids)) == n_batch
+
+
+def test_stream_stream_funnel_join_matches_batch(spark, sf_dir, tables):
+    """Watermarked stream-stream self-join (purchase within 60 min of
+    signup) must produce exactly the batch join's rows."""
+    batch = {
+        (r.user_id, r.signup_ts_us, r.purchase_ts_us)
+        for r in SJ.batch_purchase_after_signup(tables["events"]).collect()
+    }
+    assert batch  # shape sanity: the funnel matches something
+
+    out = SJ.streaming_purchase_after_signup(spark, f"{sf_dir}/events.parquet")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_funnel")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.signup_ts_us, r.purchase_ts_us)
+        for r in spark.sql("SELECT * FROM t_funnel").collect()
+    }
+    assert got == batch
+
+
+def test_stream_static_enrichment(spark, sf_dir, tables):
+    dim = (
+        tables["events"]
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+    out = SJ.stream_static_enrich(spark, f"{sf_dir}/events.parquet", dim)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_enrich")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM t_enrich")
+    assert got.count() == tables["events"].count()
+    assert got.where(F.col("tier").isNull()).count() == 0
+    one = got.first()
+    assert one.tier == one.user_id % 3
