@@ -331,6 +331,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_purchase_after_signup": lambda s, d: _sj.batch_purchase_after_signup(
         load_table(s, d, "events")
     ),
+    "hash_split": lambda s, d: _text.hash_split(_docs(s, d)),
+    "pack_documents": lambda s, d: _text.pack_documents(_docs(s, d)),
     "segment_set_ops": lambda s, d: _an.segment_set_ops(
         load_table(s, d, "customer"), 1, 2
     ),
@@ -411,6 +413,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "orders_above_cust_avg": _an.sql_orders_above_customer_average(),
     "running_revenue_by_month": _an.sql_running_revenue_by_month(),
     "funnel_purchase_after_signup": _sj.sql_batch_purchase_after_signup(),
+    "hash_split": _text.sql_hash_split(),
+    "pack_documents": _text.sql_pack_documents(),
     "segment_set_ops": _an.sql_segment_set_ops(1, 2),
     "segment_intersect": _an.sql_segment_intersect(1, 2),
     "percentiles_by_segment": _an.SQL_PERCENTILES_BY_SEGMENT,

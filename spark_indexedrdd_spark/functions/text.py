@@ -12,7 +12,7 @@ projection into the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Stopword profiles for the language-ID heuristic. Deterministic,
@@ -415,4 +415,103 @@ def sql_fingerprint(table: str = "documents", text_col: str = "text", id_col: st
         SELECT {id_col}, fp_md5,
                CAST(('0x' || substr(fp_md5, 1, 8))::BIGINT AS BIGINT) AS fp32
         FROM n
+    """
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.9,
+    valid: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/valid/test split by content-independent hash
+    of the document id — the split a 100 TB pipeline needs: stable under
+    re-runs, re-partitioning, and incremental appends (a doc's split
+    never changes), with no sampling state. bucket = first 8 hex chars of
+    md5(seed||id) as a uniform [0,1) draw; pure JVM expressions.
+
+    Returns (id, bucket, split). Cross-engine exact: the md5 hex prefix
+    and the integer-to-double division are identical in DuckDB."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(seed) + ":"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = (h / F.lit(float(1 << 32))).alias("bucket")
+    split = (
+        F.when(F.col("bucket") < train, "train")
+        .when(F.col("bucket") < train + valid, "valid")
+        .otherwise("test")
+        .alias("split")
+    )
+    return df.select(F.col(id_col), bucket).select(id_col, "bucket", split)
+
+
+def sql_hash_split(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    train: float = 0.9,
+    valid: float = 0.05,
+    seed: int = 42,
+) -> str:
+    return f"""
+        SELECT {id_col}, bucket,
+               CASE WHEN bucket < {train} THEN 'train'
+                    WHEN bucket < {train + valid} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT {id_col},
+                   CAST(('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) / 4294967296.0 AS bucket
+            FROM {table}
+        )
+    """
+
+
+def pack_documents(
+    df: DataFrame,
+    capacity_chars: int = 8000,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Context-window packing: assign documents to fixed-capacity bins
+    per (lang, source) stream. The SQL-expressible single-pass form:
+    bin = floor(cumulative_size_before_doc / capacity) over a
+    deterministic doc order — each bin holds consecutive docs and
+    overflows by at most one document past capacity (the standard
+    streaming approximation of greedy first-fit; exact greedy is
+    inherently sequential). One shuffle on the stream key; the cumsum is
+    computed inside each stream's sorted frame."""
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0)).alias("cum_before")
+    return (
+        df.select("lang", "source", F.col(id_col), F.col(size_col), cum_before)
+        .withColumn(
+            "pack_id", F.floor(F.col("cum_before") / capacity_chars).cast("long")
+        )
+        .select("lang", "source", id_col, size_col, "pack_id")
+    )
+
+
+def sql_pack_documents(
+    table: str = "documents",
+    capacity_chars: int = 8000,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> str:
+    return f"""
+        SELECT lang, source, {id_col}, {size_col},
+               CAST(FLOOR(COALESCE(SUM({size_col}) OVER (
+                   PARTITION BY lang, source ORDER BY {id_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {capacity_chars}) AS BIGINT) AS pack_id
+        FROM {table}
     """

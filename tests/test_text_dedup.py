@@ -35,6 +35,8 @@ def con(sf_dir):
         (DD.lsh_candidates, DD.sql_lsh_candidates),
         (DD.simhash, DD.sql_simhash),
         (DD.ngram_jaccard_pairs, DD.sql_ngram_jaccard_pairs),
+        (TX.hash_split, TX.sql_hash_split),
+        (TX.pack_documents, TX.sql_pack_documents),
     ],
     ids=lambda b: getattr(b, "__name__", str(b)),
 )
@@ -151,3 +153,38 @@ def test_lang_id_prefers_profile_language(spark):
     )
     out = {r.doc_id: r.pred_lang for r in TX.lang_id(df).collect()}
     assert out == {1: "en", 2: "de", 3: "es"}
+
+
+def test_hash_split_fractions_and_stability(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    s = TX.hash_split(docs)
+    counts = {r.split: r.n for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == docs.count()
+    # 90/5/5 within generous tolerance at small n
+    assert abs(counts.get("train", 0) / n - 0.9) < 0.06
+    # stable under recomputation and subsetting: a doc's split never changes
+    sub = TX.hash_split(docs.limit(50)).collect()
+    full = {r.doc_id: r.split for r in s.collect()}
+    assert all(full[r.doc_id] == r.split for r in sub)
+
+
+def test_pack_documents_capacity_bound(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cap = 8000
+    packed = TX.pack_documents(docs, capacity_chars=cap)
+    per_bin = packed.groupBy("lang", "source", "pack_id").agg(
+        F.sum("n_chars").alias("total"), F.max("n_chars").alias("biggest")
+    )
+    # streaming first-fit bound: bin total < capacity + its biggest doc
+    bad = per_bin.where(F.col("total") >= cap + F.col("biggest")).count()
+    assert bad == 0
+    # bins are consecutive doc ranges: max doc of bin k < min doc of bin k+1
+    import itertools
+    rows = sorted(
+        packed.collect(), key=lambda r: (r.lang, r.source, r.pack_id, r.doc_id)
+    )
+    for (lang, source), grp in itertools.groupby(rows, key=lambda r: (r.lang, r.source)):
+        grp = list(grp)
+        for a, b in zip(grp, grp[1:]):
+            assert a.pack_id <= b.pack_id
