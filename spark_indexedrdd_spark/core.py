@@ -105,6 +105,8 @@ class IndexedDataFrame:
         self._point_parent: "IndexedDataFrame | None" = None
         self._point_overlay: dict | None = None
         self._point_tombstones: frozenset | None = None
+        # optional attached NativeHashPointIndex (with_point_index())
+        self._pindex = None
 
     # ------------------------------------------------------------------ #
     # Construction (reference ops 1-2: IndexedRDD.scala:461-486)
@@ -246,6 +248,12 @@ class IndexedDataFrame:
         key_tuples = [self._key_tuple(k) for k in ks]
         if not key_tuples:
             return {}
+        if self._pindex is not None and len(self.value_cols) == 1:
+            # attached index: schedule only the owning partitions
+            single = len(self.keys) == 1
+            return self._pindex.multiget(
+                [kt[0] if single else kt for kt in key_tuples]
+            )
         if self._point_parent is not None:
             # overlay fast path: answer puts/deletes driver-side, send
             # only the remainder to the (pre-mutation) parent
@@ -302,6 +310,24 @@ class IndexedDataFrame:
             key = k[0] if len(self.keys) == 1 else k
             out[key] = r[self.value_cols[0]] if single else r
         return out
+
+    def with_point_index(self) -> "IndexedDataFrame":
+        """Attach a :class:`NativeHashPointIndex` built from this frame's
+        own partitioning (the reference's stance that the index IS the
+        data structure, IndexedRDD.scala:39-45). Every subsequent
+        ``get``/``multiget`` schedules only the key-owning partitions via
+        driver-side Murmur3 routing instead of filtering the cache.
+        Built once, reused; returns self for chaining. Later put/delete
+        versions answer their own mutations from the overlay and route
+        the remainder here — no rebuild per version (the reference's
+        shared-index property)."""
+        if self._pindex is None:
+            from spark_indexedrdd_spark.operators.point import (
+                NativeHashPointIndex,
+            )
+
+            self._pindex = NativeHashPointIndex(self)
+        return self
 
     def count(self) -> int:
         """Entry count (reference IndexedRDD.scala:66-68)."""

@@ -304,3 +304,16 @@ def test_overlay_value_coercion(spark):
     v2 = kv.put(1, 10873)  # int into a double column
     got = v2.get(1)
     assert got == 10873.0 and isinstance(got, float)
+
+
+def test_with_point_index_routes_multiget(idx):
+    plain = idx.multiget([0, 50, 100, -3])
+    v = idx.with_point_index()
+    assert v is idx and idx._pindex is not None
+    assert idx.multiget([0, 50, 100, -3]) == plain
+    assert idx.get(50) == 50 and idx.get(-3) is None
+    # overlay versions answer mutations locally, remainder via the index
+    v2 = idx.put(50, 5000).delete([0])
+    assert v2.get(50) == 5000
+    assert v2.get(0) is None
+    assert v2.get(100) == 100
