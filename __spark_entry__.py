@@ -333,6 +333,12 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "hash_split": lambda s, d: _text.hash_split(_docs(s, d)),
     "pack_documents": lambda s, d: _text.pack_documents(_docs(s, d)),
+    "late_shipment_orders": lambda s, d: _an.late_shipment_orders(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    ),
+    "supplier_diversity": lambda s, d: _an.supplier_diversity_by_brand(
+        load_table(s, d, "part"), load_table(s, d, "lineitem")
+    ),
     "segment_set_ops": lambda s, d: _an.segment_set_ops(
         load_table(s, d, "customer"), 1, 2
     ),
@@ -415,6 +421,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "funnel_purchase_after_signup": _sj.sql_batch_purchase_after_signup(),
     "hash_split": _text.sql_hash_split(),
     "pack_documents": _text.sql_pack_documents(),
+    "late_shipment_orders": _an.sql_late_shipment_orders(),
+    "supplier_diversity": _an.SQL_SUPPLIER_DIVERSITY_BY_BRAND,
     "segment_set_ops": _an.sql_segment_set_ops(1, 2),
     "segment_intersect": _an.sql_segment_intersect(1, 2),
     "percentiles_by_segment": _an.SQL_PERCENTILES_BY_SEGMENT,

@@ -864,3 +864,62 @@ def sql_running_revenue_by_month(max_custkey: int = 200) -> str:
             GROUP BY o_custkey, order_month
         )
     """
+
+
+def late_shipment_orders(
+    orders: DataFrame, lineitem: DataFrame, since: str = "2000-06-01"
+) -> DataFrame:
+    """Semi-join shape (TPC-H Q4 spirit): count orders by priority that
+    have AT LEAST ONE lineitem shipped after a date. LEFT SEMI keeps the
+    probe side single-copy (no fan-out, no dedup after) and the filtered
+    key set is all that moves — broadcast when small, shuffled-hash
+    beyond."""
+    late = lineitem.where(F.col("l_shipdate") >= since).select("l_orderkey")
+    return (
+        orders.join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def sql_late_shipment_orders(since: str = "2000-06-01") -> str:
+    return f"""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate >= TIMESTAMP '{since}'
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+
+def supplier_diversity_by_brand(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Distinct-aggregate-after-join shape (TPC-H Q16 spirit): distinct
+    supplier count per part brand. COUNT(DISTINCT) expands to a two-phase
+    plan (partial distinct on (brand, suppkey), then count) — the
+    formulation that scales, vs collecting supplier sets. part broadcasts
+    into the lineitem scan."""
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_SUPPLIER_DIVERSITY_BY_BRAND = """
+    SELECT p_brand,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""

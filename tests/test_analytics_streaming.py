@@ -86,6 +86,16 @@ CASES = [
         SJ.sql_batch_purchase_after_signup,
     ),
     (
+        "late_shipment_orders",
+        lambda t: AN.late_shipment_orders(t["orders"], t["lineitem"]),
+        AN.sql_late_shipment_orders,
+    ),
+    (
+        "supplier_diversity",
+        lambda t: AN.supplier_diversity_by_brand(t["part"], t["lineitem"]),
+        lambda: AN.SQL_SUPPLIER_DIVERSITY_BY_BRAND,
+    ),
+    (
         "binary_meta",
         lambda t: MM.binary_meta(MM.attach_binary(t["documents"])),
         MM.sql_binary_meta,
