@@ -30,8 +30,8 @@ from pyspark.sql import functions as F
 
 def _normalized_rank(df: DataFrame, col: str, bits: int) -> Column:
     """Column's value scaled linearly to [0, 2^bits) from its observed
-    min/max (one agg job at build time; for heavily skewed columns
-    replace with approxQuantile bucket boundaries — same interleave)."""
+    min/max (one agg job at build time). Uniform-ish columns only; use
+    ``quantile=True`` in the callers for skewed ones."""
     lo, hi = df.agg(
         F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
     ).first()
@@ -45,12 +45,48 @@ def _normalized_rank(df: DataFrame, col: str, bits: int) -> Column:
     )
 
 
-def zorder_key(df: DataFrame, cols: Sequence[str], bits_per_col: int = 12) -> Column:
+def _quantile_rank(df: DataFrame, col: str, bits: int) -> Column:
+    """Skew-robust rank: bucket index against approxQuantile boundaries,
+    so each of the 2^bits ranks holds ~equal row counts no matter how
+    skewed the values. One sampling pass at build time (Greenwald-Khanna
+    sketch — never a sort); the lookup compiles to a binary-searchable
+    CASE chain... in practice a flat `width_bucket`-style comparison sum,
+    still pure codegen. bits is capped at 8 here (256 boundaries) —
+    beyond that boundary-list size outgrows its value for clustering."""
+    bits = min(bits, 8)
+    n = 1 << bits
+    probs = [i / n for i in range(1, n)]
+    bounds = df.stat.approxQuantile(col, probs, 0.001)
+    dedup: list[float] = []
+    for b in bounds:
+        if not dedup or b > dedup[-1]:
+            dedup.append(b)
+    if not dedup:
+        return F.lit(0).cast("long")
+    v = F.col(col).cast("double")
+    # rank = #boundaries strictly below v — a sum of comparisons, fused
+    # by codegen into one expression (no UDF, no join)
+    rank = F.lit(0)
+    for b in dedup:
+        rank = rank + F.when(v > F.lit(b), 1).otherwise(0)
+    return rank.cast("long")
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits_per_col: int = 12,
+    quantile: bool = False,
+) -> Column:
     """Morton key: bit i of column j lands at position i*ncols + j.
     Unrolled into a flat bitwiseOR tree (ncols*bits terms) that codegen
-    fuses; 2-3 columns at 12 bits each is the practical sweet spot."""
+    fuses; 2-3 columns at 12 bits each is the practical sweet spot.
+    ``quantile=True`` switches to equi-depth ranks (skewed columns)."""
     ncols = len(cols)
-    ranks = [_normalized_rank(df, c, bits_per_col) for c in cols]
+    if quantile:
+        bits_per_col = min(bits_per_col, 8)
+    rank_of = _quantile_rank if quantile else _normalized_rank
+    ranks = [rank_of(df, c, bits_per_col) for c in cols]
     key = F.lit(0).cast("long")
     for j, r in enumerate(ranks):
         for i in range(bits_per_col):
@@ -66,12 +102,13 @@ def write_zordered(
     num_files: int = 8,
     bits_per_col: int = 12,
     row_group_rows: int | None = None,
+    quantile: bool = False,
 ) -> None:
     """Write ``df`` as parquet tiled along the z-curve of ``cols``:
     range-partition by z-key (sampled boundaries → balanced files), sort
     within each partition, drop the key before writing. Readers filter
     on ANY of ``cols`` and row-group stats prune."""
-    zk = zorder_key(df, cols, bits_per_col)
+    zk = zorder_key(df, cols, bits_per_col, quantile=quantile)
     out = (
         df.withColumn("__z", zk)
         .repartitionByRange(num_files, "__z")

@@ -163,3 +163,23 @@ def test_zorder_prunes_on_both_columns(spark, sf_dir, tmp_path):
     assert z_tp < 0.6, z_tp
     # and beats the lexicographic layout on the trailing column
     assert z_tp < l_tp, (z_tp, l_tp)
+
+
+def test_zorder_quantile_ranks_handle_skew(spark, tmp_path):
+    """Power-law column: min-max ranks collapse almost everything into
+    rank 0; equi-depth quantile ranks must spread rows evenly enough
+    that z-ordering still prunes on the skewed dimension."""
+    from spark_indexedrdd_spark.sources import zorder as Z
+
+    df = (
+        spark.range(20000)
+        .withColumn("skewed", (F.pow(F.lit(10.0), F.col("id") % 7) * (F.col("id") % 97 + 1)))
+        .withColumn("uniform", F.col("id") % 1000)
+    )
+    zpath = str(tmp_path / "skew_z")
+    Z.write_zordered(df, zpath, ["skewed", "uniform"], num_files=16, quantile=True, row_group_rows=1)
+    assert spark.read.parquet(zpath).count() == 20000
+    # a narrow band in the BULK of the skewed distribution must prune
+    lo, hi = 50.0, 500.0
+    frac = Z.rowgroup_prune_fraction(zpath, "skewed", lo, hi)
+    assert frac < 0.6, frac
