@@ -146,3 +146,49 @@ def frame_sample(
     return df.select(id_col, bin_col).mapInPandas(
         batches, schema=f"{id_col} long, frame_idx int, frame_bytes binary"
     )
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    use_fake_extractor: bool = False,
+) -> DataFrame:
+    """Feature extraction over binary payloads → ``array<float>``
+    embedding column, Arrow-batched (mapInPandas). The model forward
+    pass is STUBBED like the decoder (no vision/audio model in this
+    container); the fake extractor is deterministic (per-payload seeded
+    byte histogram, L2-normalized) so the OUTPUT feeds the repo's real
+    ANN/near-dup operators end-to-end — the full multimodal pipeline
+    (decode → featurize → dedup/search) minus only the model weights.
+
+    Scale: narrow map, zero shuffles; batch size bounds executor memory;
+    the embedding column then enters `functions.similarity` /
+    `functions.ivf` exactly like the embeddings table does."""
+    if not use_fake_extractor:
+        raise NotImplementedError(
+            "real feature extraction needs a vision/audio model runtime "
+            "not present in this container; pass use_fake_extractor=True "
+            "for the deterministic stand-in"
+        )
+
+    out_schema = f"{id_col} long, embedding array<float>"
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            embs = []
+            for payload in pdf[bin_col]:
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                # deterministic "model": byte histogram folded to dim
+                hist = np.bincount(b % dim, minlength=dim).astype("float32")
+                n = float(np.linalg.norm(hist))
+                embs.append((hist / n if n > 0 else hist).tolist())
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "embedding": embs}
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, schema=out_schema)

@@ -285,3 +285,31 @@ def test_stream_static_enrichment(spark, sf_dir, tables):
     assert got.where(F.col("tier").isNull()).count() == 0
     one = got.first()
     assert one.tier == one.user_id % 3
+
+
+def test_multimodal_feature_extraction_feeds_ann(spark, tables):
+    """Full multimodal pipeline: binary payload → Arrow-batched feature
+    extraction → the SAME near-dup operator the embeddings table uses."""
+    from spark_indexedrdd_spark.functions import similarity as SIM
+
+    media = MM.attach_binary(tables["documents"].limit(60))
+    feats = MM.extract_features(media, use_fake_extractor=True)
+    rows = feats.collect()
+    assert len(rows) == 60
+    import math
+
+    for r in rows[:5]:
+        assert len(r.embedding) == 16
+        assert abs(math.fsum(x * x for x in r.embedding) - 1.0) < 1e-3
+
+    # identical payloads must be exact neighbors through the ANN surface
+    dup = media.limit(1).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = media.limit(1).unionByName(dup)
+    f2 = MM.extract_features(both, use_fake_extractor=True).withColumn(
+        "label", F.lit(0)
+    ).withColumnRenamed("doc_id", "vec_id")
+    pairs = SIM.near_duplicates(f2, threshold=0.999).collect()
+    assert len(pairs) == 1 and pairs[0].cosine_sim > 0.999
+
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(media)  # real model absent: clearly-marked stub
