@@ -339,6 +339,12 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_diversity": lambda s, d: _an.supplier_diversity_by_brand(
         load_table(s, d, "part"), load_table(s, d, "lineitem")
     ),
+    "grouping_sets_doc_stats": lambda s, d: _an.grouping_sets_doc_stats(
+        _docs(s, d)
+    ),
+    "revenue_month_over_month": lambda s, d: _an.revenue_month_over_month(
+        load_table(s, d, "orders")
+    ),
     "segment_set_ops": lambda s, d: _an.segment_set_ops(
         load_table(s, d, "customer"), 1, 2
     ),
@@ -423,6 +429,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "pack_documents": _text.sql_pack_documents(),
     "late_shipment_orders": _an.sql_late_shipment_orders(),
     "supplier_diversity": _an.SQL_SUPPLIER_DIVERSITY_BY_BRAND,
+    "grouping_sets_doc_stats": _an.SQL_GROUPING_SETS_DOC_STATS,
+    "revenue_month_over_month": _an.SQL_REVENUE_MONTH_OVER_MONTH,
     "segment_set_ops": _an.sql_segment_set_ops(1, 2),
     "segment_intersect": _an.sql_segment_intersect(1, 2),
     "percentiles_by_segment": _an.SQL_PERCENTILES_BY_SEGMENT,

@@ -923,3 +923,60 @@ SQL_SUPPLIER_DIVERSITY_BY_BRAND = """
     GROUP BY p_brand
     ORDER BY p_brand
 """
+
+
+def grouping_sets_doc_stats(documents: DataFrame) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond rollup/cube): per-lang, per-source,
+    and grand total in ONE pass — Spark expands the sets inside a single
+    Expand + hash-agg, no union of scans."""
+    return (
+        documents.groupingSets(
+            [["lang"], ["source"], []], "lang", "source"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+SQL_GROUPING_SETS_DOC_STATS = """
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    ORDER BY lang, source
+"""
+
+
+def revenue_month_over_month(orders: DataFrame) -> DataFrame:
+    """lag/lead window shape: monthly revenue with previous-month value
+    and delta. One global-by-month frame — the window key is the month
+    (few rows after the pre-aggregation), so the single-partition window
+    is over an already-tiny aggregate, not the fact table."""
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(_dec_sum(F.col("o_totalprice")).alias("revenue"))
+    w = Window.orderBy("order_month")
+    return monthly.select(
+        "order_month",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        (F.col("revenue") - F.coalesce(F.lag("revenue").over(w), F.lit(0.0))).alias(
+            "delta"
+        ),
+    )
+
+
+SQL_REVENUE_MONTH_OVER_MONTH = """
+    SELECT order_month, revenue,
+           LAG(revenue) OVER (ORDER BY order_month) AS prev_revenue,
+           revenue - COALESCE(LAG(revenue) OVER (ORDER BY order_month), 0.0) AS delta
+    FROM (
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY order_month
+    )
+"""

@@ -96,6 +96,16 @@ CASES = [
         lambda: AN.SQL_SUPPLIER_DIVERSITY_BY_BRAND,
     ),
     (
+        "grouping_sets",
+        lambda t: AN.grouping_sets_doc_stats(t["documents"]),
+        lambda: AN.SQL_GROUPING_SETS_DOC_STATS,
+    ),
+    (
+        "month_over_month",
+        lambda t: AN.revenue_month_over_month(t["orders"]),
+        lambda: AN.SQL_REVENUE_MONTH_OVER_MONTH,
+    ),
+    (
         "binary_meta",
         lambda t: MM.binary_meta(MM.attach_binary(t["documents"])),
         MM.sql_binary_meta,

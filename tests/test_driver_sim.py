@@ -22,12 +22,15 @@ spark.sparkContext.setLogLevel('ERROR')
 import __spark_entry__ as E
 import duckdb
 con = duckdb.connect()
-for t in ["orders","lineitem","customer","events","documents"]:
+for t in ["orders","lineitem","customer","events","documents",
+          "supplier","nation","part"]:
     con.sql(f"CREATE VIEW {{t}} AS SELECT * FROM '/root/testdata/sf0.001/{{t}}.parquet'")
 assert E.entry(spark).count() > 0
 qs, osql = E.queries(), E.oracle_sql()
 for name in ["multiput_merge", "asof_join", "tumbling_window",
-             "shipping_priority", "quality_filter"]:
+             "shipping_priority", "quality_filter",
+             "funnel_purchase_after_signup", "revenue_month_over_month",
+             "volume_shipping_q7", "hash_split", "grouping_sets_doc_stats"]:
     s = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     o = con.sql(osql[name]).df()
     s = s.reindex(sorted(s.columns), axis=1).sort_values(
