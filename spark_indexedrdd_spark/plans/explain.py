@@ -126,4 +126,48 @@ def read_schema(df: DataFrame) -> str:
 
 
 def wholestage_codegen_spans(plan: str) -> int:
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
+    """Distinct codegen stages in a plan string — handles both the tree
+    form ('WholeStageCodegen (3)') and the simple form ('*(3) HashAgg…')."""
+    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    ids |= set(re.findall(r"\*\((\d+)\)", plan))
+    return len(ids)
+
+
+def plan_report(df: DataFrame, execute: bool = False) -> dict:
+    """One-call plan health check — the numbers a scale review asks for:
+
+    shuffles, broadcasts, join strategies, what reached the parquet scan
+    (pushed filters + pruned columns), and codegen coverage. With
+    ``execute=True`` the shuffle count is the AQE-final executed number
+    (runs the query); otherwise everything is static.
+
+    Intended use: ``assert plan_report(q)["broadcast_joins"] >= 1`` in
+    tests, or print it while iterating on an operator."""
+    plan = df._jdf.queryExecution().toString()
+    # AQE's pre-execution plan carries no codegen markers; the dedicated
+    # codegen explain mode reports the subtree count directly
+    cg = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", cg)
+    report = {
+        "exchanges_static": count_exchanges(plan),
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+        "sort_merge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        "shuffled_hash_joins": len(re.findall(r"ShuffledHashJoin", plan)),
+        "nested_loop_joins": len(re.findall(r"NestedLoopJoin", plan)),
+        "pushed_filters": pushed_filters(df),
+        "read_schema": read_schema(df),
+        "codegen_spans": int(m.group(1)) if m else wholestage_codegen_spans(plan),
+        "python_stages": len(
+            re.findall(r"(?:ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas)", plan)
+        ),
+    }
+    if execute:
+        report["live_shuffles"] = count_live_shuffles(df)
+        # AQE compiles codegen per query stage at runtime — the executed
+        # plan is the only place the real span count exists
+        report["codegen_spans"] = wholestage_codegen_spans(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+    return report

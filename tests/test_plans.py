@@ -147,3 +147,26 @@ def test_runtime_bloom_filter_injected_for_selective_dim_join(spark):
             assert got[k] == want[k]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def test_plan_report_shapes(spark):
+    from pyspark.sql import functions as F
+
+    from spark_indexedrdd_spark.operators import analytics as AN
+    from spark_indexedrdd_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    q = AN.shipping_priority(
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+    )
+    r = X.plan_report(q, execute=True)
+    assert r["broadcast_joins"] >= 1          # customer broadcasts
+    assert r["nested_loop_joins"] == 0
+    assert r["python_stages"] == 0            # fully JVM-side
+    assert r["codegen_spans"] >= 1
+    assert "o_orderdate" in r["pushed_filters"] or "lt" in r["pushed_filters"].lower()
+    # column pruning reached the scans: lineitem's text-heavy columns absent
+    assert "l_comment" not in r["read_schema"]
+    assert isinstance(r["live_shuffles"], int)

@@ -101,3 +101,56 @@ def test_composite_keys_equal_single_key_semantics(spark, pairs):
     got_flat = flat.multiget([f"{k1}|{k2}" for (k1, k2) in pairs])
     assert {f"{a}|{b}": v for (a, b), v in got_comp.items()} == got_flat
     assert comp.count() == flat.count() == len(pairs)
+
+
+# --- driver-side Murmur3 == F.hash, property form ---------------------- #
+
+
+def test_murmur3_property_batch(spark):
+    """One batched comparison over adversarial + random values of every
+    supported key type (cheaper than per-example Spark jobs; the fixed
+    unit cases live in test_point_lookup.py)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from spark_indexedrdd_spark import hashing as H
+
+    rnd = random.Random(20260813)
+    longs = [rnd.randint(-(2**62), 2**62) for _ in range(150)] + [
+        0, -1, 1, 2**31, -(2**31), 2**62
+    ]
+    strs = [
+        "".join(
+            chr(rnd.randint(32, 0x2FFF)) for _ in range(rnd.randint(0, 40))
+        )
+        for _ in range(150)
+    ] + ["", " ", "é中\U0001f600"]
+    doubles = [rnd.uniform(-1e18, 1e18) for _ in range(100)] + [
+        0.0, -0.0, 1e-300, float("inf"), float("-inf")
+    ]
+
+    for schema, vals in [
+        (T.StructType([T.StructField("k", T.LongType())]), [(v,) for v in longs]),
+        (T.StructType([T.StructField("k", T.StringType())]), [(v,) for v in strs]),
+        (T.StructType([T.StructField("k", T.DoubleType())]), [(v,) for v in doubles]),
+        (
+            T.StructType(
+                [
+                    T.StructField("a", T.LongType()),
+                    T.StructField("b", T.StringType()),
+                    T.StructField("c", T.DoubleType()),
+                ]
+            ),
+            [
+                (l, s, d)
+                for l, s, d in zip(longs[:80], strs[:80], doubles[:80])
+            ],
+        ),
+    ]:
+        df = spark.createDataFrame(vals, schema=schema)
+        got = df.select(F.hash(*df.columns).alias("h")).collect()
+        hs = H.hashers_for_schema(df.schema)
+        for g, row in zip(got, vals):
+            assert g["h"] == H.spark_hash_tuple(tuple(row), hs), row
