@@ -61,6 +61,29 @@ def _as_list(x: str | Sequence[str]) -> list[str]:
     return [x] if isinstance(x, str) else list(x)
 
 
+_SQL_SAFE_STR = __import__("re").compile(r"[^'\"\\\x00-\x1f`]*\Z")
+
+
+def _sql_literal(v: Any) -> str | None:
+    """Conservative SQL-literal rendering for IN-list construction.
+    Returns None for anything that can't be inlined verbatim-safely
+    (quotes/backslashes/control chars, NaN/inf) — the caller then falls
+    back to the Column ``isin`` path. Exists because building a Column
+    ``isin`` does one py4j round trip PER literal (~0.6ms each — 0.6s
+    for a 1k-key multiget); one parsed SQL string costs ~3ms total."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return None
+        return repr(v)
+    if isinstance(v, str) and _SQL_SAFE_STR.match(v):
+        return "'" + v + "'"
+    return None
+
+
 # Driver-side equivalents of the merge projection's cast-to-base-dtype,
 # for the point-read overlay. int() and Java's double->long cast both
 # truncate toward zero; types outside this map simply skip the overlay.
@@ -283,24 +306,45 @@ class IndexedDataFrame:
             )
             rows = self.df.join(keys_df, on=self.keys, how="left_semi").collect()
             return self._rows_to_dict(rows)
-        if len(self.keys) == 1:
-            cond = F.col(self.keys[0]).isin([t[0] for t in key_tuples])
-        else:
-            from functools import reduce as _reduce
-            from operator import and_, or_
-
-            cond = _reduce(
-                or_,
-                [
-                    _reduce(
-                        and_,
-                        [F.col(k) == F.lit(x) for k, x in zip(self.keys, t)],
-                    )
-                    for t in key_tuples
-                ],
-            )
-        rows = self.df.where(cond).collect()
+        rows = self.df.where(self._in_condition(key_tuples)).collect()
         return self._rows_to_dict(rows)
+
+    def _in_condition(self, key_tuples: list[tuple]) -> Column:
+        """Membership predicate over literal key tuples. Fast path: ONE
+        parsed SQL expression (a py4j call per literal in ``isin`` makes
+        the Column path ~200× slower to build at 1k keys); values the
+        renderer won't inline fall back to the Column construction."""
+        lits = [
+            [_sql_literal(x) for x in t] for t in key_tuples
+        ]
+        if all(all(x is not None for x in t) for t in lits):
+            if len(self.keys) == 1:
+                body = ",".join(t[0] for t in lits)
+                return F.expr(f"`{self.keys[0]}` IN ({body})")
+            conj = " OR ".join(
+                "("
+                + " AND ".join(
+                    f"`{k}` = {x}" for k, x in zip(self.keys, t)
+                )
+                + ")"
+                for t in lits
+            )
+            return F.expr(conj)
+        if len(self.keys) == 1:
+            return F.col(self.keys[0]).isin([t[0] for t in key_tuples])
+        from functools import reduce as _reduce
+        from operator import and_, or_
+
+        return _reduce(
+            or_,
+            [
+                _reduce(
+                    and_,
+                    [F.col(k) == F.lit(x) for k, x in zip(self.keys, t)],
+                )
+                for t in key_tuples
+            ],
+        )
 
     def _rows_to_dict(self, rows) -> dict:
         single = len(self.value_cols) == 1

@@ -317,3 +317,25 @@ def test_with_point_index_routes_multiget(idx):
     assert v2.get(50) == 5000
     assert v2.get(0) is None
     assert v2.get(100) == 100
+
+
+def test_multiget_sql_unsafe_string_keys_fall_back(spark):
+    """Keys the SQL-literal renderer refuses (quotes, backslashes) must
+    still resolve via the Column fallback."""
+    weird = ["o'brien", 'a"b', "back\\slash", "plain"]
+    df = spark.createDataFrame(
+        [(w, i) for i, w in enumerate(weird)], "k string, v long"
+    )
+    kv = IndexedDataFrame.build(df, "k", num_partitions=2)
+    got = kv.multiget(weird + ["missing"])
+    assert got == {w: i for i, w in enumerate(weird)}
+
+
+def test_multiget_composite_inlined_condition(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{j}", i * 10 + j) for i in range(10) for j in range(3)],
+        "k1 long, k2 string, v long",
+    )
+    kv = IndexedDataFrame.build(df, ["k1", "k2"], num_partitions=3)
+    got = kv.multiget([(1, "s0"), (9, "s2"), (4, "nope")])
+    assert got == {(1, "s0"): 10, (9, "s2"): 92}
