@@ -183,3 +183,26 @@ def test_zorder_quantile_ranks_handle_skew(spark, tmp_path):
     lo, hi = 50.0, 500.0
     frac = Z.rowgroup_prune_fraction(zpath, "skewed", lo, hi)
     assert frac < 0.6, frac
+
+
+def test_register_views_sql_passthrough(spark, sf_dir):
+    """A user can run raw Spark SQL over the registered views and get
+    the same answer as the DataFrame operators."""
+    from spark_indexedrdd_spark.operators import analytics as AN
+    from spark_indexedrdd_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    via_sql = spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate >= TIMESTAMP '2000-06-01')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    ).collect()
+    via_df = AN.late_shipment_orders(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    ).collect()
+    assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_df]
