@@ -26,6 +26,7 @@ from spark_indexedrdd_spark.functions import similarity as _sim  # noqa: E402
 from spark_indexedrdd_spark.functions import text as _text  # noqa: E402
 from spark_indexedrdd_spark.operators import analytics as _an  # noqa: E402
 from spark_indexedrdd_spark.operators import bloom as _bloom  # noqa: E402
+from spark_indexedrdd_spark.operators import skew as _skew  # noqa: E402
 from spark_indexedrdd_spark.sources.tables import (  # noqa: E402
     lineitem_kv,
     load_table,
@@ -345,6 +346,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_month_over_month": lambda s, d: _an.revenue_month_over_month(
         load_table(s, d, "orders")
     ),
+    "skew_salted_revenue": lambda s, d: _skew.salted_revenue_by_returnflag(
+        load_table(s, d, "lineitem")
+    ),
     "segment_set_ops": lambda s, d: _an.segment_set_ops(
         load_table(s, d, "customer"), 1, 2
     ),
@@ -431,6 +435,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "supplier_diversity": _an.SQL_SUPPLIER_DIVERSITY_BY_BRAND,
     "grouping_sets_doc_stats": _an.SQL_GROUPING_SETS_DOC_STATS,
     "revenue_month_over_month": _an.SQL_REVENUE_MONTH_OVER_MONTH,
+    "skew_salted_revenue": _skew.SQL_SALTED_REVENUE_BY_RETURNFLAG,
     "segment_set_ops": _an.sql_segment_set_ops(1, 2),
     "segment_intersect": _an.sql_segment_intersect(1, 2),
     "percentiles_by_segment": _an.SQL_PERCENTILES_BY_SEGMENT,

@@ -66,3 +66,39 @@ def replicated_salt_join(
     )
     out = b.join(m, on=[*key_cols, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def salted_revenue_by_returnflag(lineitem: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Driver-gate form of the salted aggregate on a GENUINELY skewed
+    key (l_returnflag has 3 values — every key is hot). Both stages
+    accumulate in DECIMAL(18,6), which is order-independent, so the
+    two-stage salted result is bit-identical to the oracle's one-stage
+    sum — exactness of the mitigation is part of the contract."""
+    salted = lineitem.withColumn(
+        "__salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    partial = salted.groupBy("l_returnflag", "__salt").agg(
+        F.sum(rev).alias("__partial"),
+        F.count("*").alias("__n"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("__partial").cast("double").alias("revenue"),
+            F.sum("__n").cast("long").alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_SALTED_REVENUE_BY_RETURNFLAG = """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""

@@ -154,3 +154,25 @@ def test_murmur3_property_batch(spark):
         hs = H.hashers_for_schema(df.schema)
         for g, row in zip(got, vals):
             assert g["h"] == H.spark_hash_tuple(tuple(row), hs), row
+
+
+@_slow
+@given(
+    weird=st.lists(
+        st.text(min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_multiget_arbitrary_string_keys(spark, weird):
+    """Hypothesis-generated string keys (quotes, backslashes, unicode,
+    control chars): multiget must behave exactly like a Python dict
+    regardless of which predicate path (inline SQL vs Column) it takes."""
+    from spark_indexedrdd_spark.core import IndexedDataFrame
+
+    rows = [(w, i) for i, w in enumerate(weird)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    kv = IndexedDataFrame.build(df, "k", num_partitions=2)
+    got = kv.multiget(weird + ["\x00nope'--"])
+    assert got == {w: i for i, w in enumerate(weird)}

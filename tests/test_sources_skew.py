@@ -206,3 +206,18 @@ def test_register_views_sql_passthrough(spark, sf_dir):
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     ).collect()
     assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_df]
+
+
+def test_salted_revenue_oracle_exact(spark, sf_dir):
+    from tests.oracle_utils import compare, duck_con
+
+    con = duck_con(sf_dir)
+    try:
+        rep = compare(
+            skew.salted_revenue_by_returnflag(load_table(spark, sf_dir, "lineitem")),
+            skew.SQL_SALTED_REVENUE_BY_RETURNFLAG,
+            con,
+        )
+        assert rep["ok"], rep
+    finally:
+        con.close()
