@@ -304,14 +304,20 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     lo = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
     ex = ex.select(id_col, hi.alias("h_hi"), lo.alias("h_lo"))
 
-    def bit_sum(h: str, i: int):
-        bit = F.shiftright(F.col(h), i).bitwiseAND(F.lit(1))
-        return F.sum(bit * 2 - 1)
+    # pre-project the 64 ±1 bit signals so the aggregate is 64 plain
+    # SUMs — same codegen-latency lever as minhash (2.3× cold)
+    def bit_signal(h: str, i: int):
+        return (F.shiftright(F.col(h), i).bitwiseAND(F.lit(1)) * 2 - 1)
 
-    aggs = [bit_sum("h_hi", i).alias(f"s_hi_{i}") for i in range(32)] + [
-        bit_sum("h_lo", i).alias(f"s_lo_{i}") for i in range(32)
+    sig = ex.select(
+        F.col(id_col),
+        *[bit_signal("h_hi", i).alias(f"__b_hi_{i}") for i in range(32)],
+        *[bit_signal("h_lo", i).alias(f"__b_lo_{i}") for i in range(32)],
+    )
+    aggs = [F.sum(f"__b_hi_{i}").alias(f"s_hi_{i}") for i in range(32)] + [
+        F.sum(f"__b_lo_{i}").alias(f"s_lo_{i}") for i in range(32)
     ]
-    agg = ex.groupBy(id_col).agg(*aggs)
+    agg = sig.groupBy(id_col).agg(*aggs)
 
     def pack(prefix: str):
         out = F.lit(0).cast("long")
