@@ -203,20 +203,28 @@ def lsh_candidates(
     (doc_a, doc_b, est_jaccard).
     """
     sig = minhash_signatures(df, text_col, id_col).cache()
-    bands = sig.select(
+    # pre-project the band digests as flat columns, then assemble the
+    # explode array from the already-computed columns (codegen-latency
+    # lever: keeps the md5/concat out of the array constructor)
+    digests = sig.select(
+        F.col(id_col),
+        *[
+            F.md5(
+                F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+            ).alias(f"__bh{b}")
+            for b, cols in _band_cols()
+        ],
+    )
+    bands = digests.select(
         F.col(id_col),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *[F.col(c).cast("string") for c in cols]
-                            )
-                        ).alias("band_hash"),
+                        F.col(f"__bh{b}").alias("band_hash"),
                     )
-                    for b, cols in _band_cols()
+                    for b, _ in _band_cols()
                 ]
             )
         ).alias("band"),
