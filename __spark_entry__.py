@@ -349,6 +349,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_revenue": lambda s, d: _skew.salted_revenue_by_returnflag(
         load_table(s, d, "lineitem")
     ),
+    "segment_except_all": lambda s, d: _an.segment_except_all(
+        load_table(s, d, "customer"), 1, 2
+    ),
     "segment_set_ops": lambda s, d: _an.segment_set_ops(
         load_table(s, d, "customer"), 1, 2
     ),
@@ -436,6 +439,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "grouping_sets_doc_stats": _an.SQL_GROUPING_SETS_DOC_STATS,
     "revenue_month_over_month": _an.SQL_REVENUE_MONTH_OVER_MONTH,
     "skew_salted_revenue": _skew.SQL_SALTED_REVENUE_BY_RETURNFLAG,
+    "segment_except_all": _an.sql_segment_except_all(1, 2),
     "segment_set_ops": _an.sql_segment_set_ops(1, 2),
     "segment_intersect": _an.sql_segment_intersect(1, 2),
     "percentiles_by_segment": _an.SQL_PERCENTILES_BY_SEGMENT,

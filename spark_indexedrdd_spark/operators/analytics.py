@@ -1003,3 +1003,34 @@ SQL_REVENUE_MONTH_OVER_MONTH = """
         FROM orders GROUP BY order_month
     )
 """
+
+
+def segment_except_all(
+    customer: DataFrame, nation_a: int, nation_b: int
+) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity-aware): each segment
+    occurrence in nation A minus one matching occurrence in nation B.
+    Spark's exceptAll ≡ SQL EXCEPT ALL — counted per-row, not per-set —
+    completing the set-op family next to `segment_set_ops` (EXCEPT) and
+    `segment_intersect` (INTERSECT). Grouped to a deterministic count so
+    the oracle comparison is order-free."""
+    a = customer.where(F.col("c_nationkey") == nation_a).select("c_mktsegment")
+    b = customer.where(F.col("c_nationkey") == nation_b).select("c_mktsegment")
+    return (
+        a.exceptAll(b)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("long").alias("surplus"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def sql_segment_except_all(nation_a: int, nation_b: int) -> str:
+    return f"""
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS surplus FROM (
+            SELECT c_mktsegment FROM customer WHERE c_nationkey = {nation_a}
+            EXCEPT ALL
+            SELECT c_mktsegment FROM customer WHERE c_nationkey = {nation_b}
+        )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """

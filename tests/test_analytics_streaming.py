@@ -106,6 +106,11 @@ CASES = [
         lambda: AN.SQL_REVENUE_MONTH_OVER_MONTH,
     ),
     (
+        "except_all",
+        lambda t: AN.segment_except_all(t["customer"], 1, 2),
+        lambda: AN.sql_segment_except_all(1, 2),
+    ),
+    (
         "binary_meta",
         lambda t: MM.binary_meta(MM.attach_binary(t["documents"])),
         MM.sql_binary_meta,
