@@ -352,6 +352,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_except_all": lambda s, d: _an.segment_except_all(
         load_table(s, d, "customer"), 1, 2
     ),
+    "windowed_event_dedup": lambda s, d: _dedup.windowed_event_dedup(
+        load_table(s, d, "events")
+    ),
     "segment_set_ops": lambda s, d: _an.segment_set_ops(
         load_table(s, d, "customer"), 1, 2
     ),
@@ -440,6 +443,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "revenue_month_over_month": _an.SQL_REVENUE_MONTH_OVER_MONTH,
     "skew_salted_revenue": _skew.SQL_SALTED_REVENUE_BY_RETURNFLAG,
     "segment_except_all": _an.sql_segment_except_all(1, 2),
+    "windowed_event_dedup": _dedup.sql_windowed_event_dedup(),
     "segment_set_ops": _an.sql_segment_set_ops(1, 2),
     "segment_intersect": _an.sql_segment_intersect(1, 2),
     "percentiles_by_segment": _an.SQL_PERCENTILES_BY_SEGMENT,

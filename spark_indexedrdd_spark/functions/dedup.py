@@ -598,3 +598,45 @@ def sql_ngram_jaccard_pairs(
         JOIN sizes sa ON sa.{id_col} = i.doc_a
         JOIN sizes sb ON sb.{id_col} = i.doc_b
     """
+
+
+def windowed_event_dedup(events: DataFrame, window_minutes: int = 60) -> DataFrame:
+    """Batch windowed dedup: within each (user, event_type, time bucket),
+    keep only the earliest event — the feed-processing rule "one event of
+    a kind per user per hour". Integer-microsecond bucket arithmetic so
+    the bucket edges are bit-identical cross-engine; deterministic
+    event_id tiebreak. One shuffle on the dedup key; row_number stops at
+    1 per group (no full sort materialization beyond each group).
+
+    The streaming twin with watermark-bounded state is
+    `streaming.dedup.streaming_dedup` (keys=(user_id, event_type,
+    bucket))."""
+    from pyspark.sql import Window
+
+    us = window_minutes * 60 * 1_000_000
+    bucket = (F.col("ts_us") - (F.col("ts_us") % F.lit(us))).alias("bucket_us")
+    w = Window.partitionBy("user_id", "event_type", "bucket_us").orderBy(
+        "ts_us", "event_id"
+    )
+    return (
+        events.select("event_id", "user_id", "event_type", "value", "ts_us", bucket)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "bucket_us", "ts_us", "value")
+    )
+
+
+def sql_windowed_event_dedup(window_minutes: int = 60) -> str:
+    us = window_minutes * 60 * 1_000_000
+    return f"""
+        SELECT event_id, user_id, event_type, bucket_us, ts_us, value FROM (
+            SELECT event_id, user_id, event_type, value,
+                   epoch_us(ts) AS ts_us,
+                   epoch_us(ts) - (epoch_us(ts) % {us}) AS bucket_us,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type,
+                                    epoch_us(ts) - (epoch_us(ts) % {us})
+                       ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """

@@ -188,3 +188,24 @@ def test_pack_documents_capacity_bound(spark, sf_dir):
         grp = list(grp)
         for a, b in zip(grp, grp[1:]):
             assert a.pack_id <= b.pack_id
+
+
+def test_windowed_event_dedup_oracle_and_rule(spark, sf_dir):
+    from tests.oracle_utils import compare, duck_con
+
+    events = load_table(spark, sf_dir, "events")
+    out = DD.windowed_event_dedup(events)
+    con = duck_con(sf_dir)
+    try:
+        rep = compare(out, DD.sql_windowed_event_dedup(), con)
+        assert rep["ok"], rep
+    finally:
+        con.close()
+    # the rule itself: one event per (user, type, hour bucket)
+    dup = (
+        out.groupBy("user_id", "event_type", "bucket_us")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
