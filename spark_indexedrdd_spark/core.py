@@ -733,3 +733,63 @@ class IndexedDataFrame:
     def unpersist(self, blocking: bool = False) -> "IndexedDataFrame":
         self.df.unpersist(blocking)
         return self
+
+
+def merge_into(
+    base: IndexedDataFrame,
+    updates: DataFrame,
+    when_matched: str | MergeFn = "update",
+    when_not_matched: str = "insert",
+) -> IndexedDataFrame:
+    """Lakehouse-style MERGE INTO over the IndexedDataFrame upsert
+    machinery (one full-outer SHUFFLE_HASH pass either way):
+
+    - ``when_matched``: "update" (new value wins), "delete" (matched base
+      rows removed), "keep" (base wins), or a ``(old, new) -> Column``
+      merge expression.
+    - ``when_not_matched``: "insert" (new keys added) or "ignore"
+      (updates only ever modify existing keys).
+
+    The reference's multiput covers update/insert
+    (IndexedRDD.scala:105-164); delete-when-matched composes the same
+    join with an anti-filter instead of a second pass."""
+    v = base._single_value()
+    up = base._align(updates)
+    uv = [c for c in up.columns if c not in base.keys]
+    if len(uv) != 1:
+        raise ValueError(f"updates must have one value column, got {uv}")
+
+    if when_matched == "delete":
+        keys_only = up.select(*base.keys).dropDuplicates(base.keys)
+        deleted = base.delete_df(keys_only)
+        if when_not_matched == "insert":
+            # matched keys leave, unmatched updates enter: union the
+            # anti-joined updates in (they can't collide with survivors)
+            incoming = up.join(
+                base.df.select(*base.keys), on=base.keys, how="left_anti"
+            ).withColumnRenamed(uv[0], v)
+            out = deleted.df.unionByName(incoming)
+            n = base.num_partitions
+            return IndexedDataFrame(
+                out.repartition(n, *base.keys).cache(), base.keys, n
+            )
+        return deleted
+
+    if callable(when_matched):
+        f: MergeFn = when_matched
+    elif when_matched == "update":
+        f = OVERWRITE
+    elif when_matched == "keep":
+        f = KEEP_OLD
+    else:
+        raise ValueError(f"unknown when_matched: {when_matched!r}")
+
+    if when_not_matched == "insert":
+        return base.multiput_df(up, f=f)
+    if when_not_matched == "ignore":
+        # restrict updates to existing keys, then upsert
+        existing = up.join(
+            base.df.select(*base.keys), on=base.keys, how="left_semi"
+        )
+        return base.multiput_df(existing, f=f)
+    raise ValueError(f"unknown when_not_matched: {when_not_matched!r}")

@@ -339,3 +339,38 @@ def test_multiget_composite_inlined_condition(spark):
     kv = IndexedDataFrame.build(df, ["k1", "k2"], num_partitions=3)
     got = kv.multiget([(1, "s0"), (9, "s2"), (4, "nope")])
     assert got == {(1, "s0"): 10, (9, "s2"): 92}
+
+
+# --- MERGE INTO sugar --------------------------------------------------- #
+
+
+def test_merge_into_matrix(spark):
+    from spark_indexedrdd_spark.core import merge_into
+
+    base_df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"
+    )
+    ups = spark.createDataFrame([(2, 200), (9, 900)], "k long, u long")
+    kv = IndexedDataFrame.build(base_df, "k", num_partitions=2)
+
+    def snap(idf):
+        return {r.k: r.v for r in idf.collect()}
+
+    assert snap(merge_into(kv, ups)) == {1: 10, 2: 200, 3: 30, 9: 900}
+    assert snap(merge_into(kv, ups, when_not_matched="ignore")) == {
+        1: 10, 2: 200, 3: 30,
+    }
+    assert snap(merge_into(kv, ups, when_matched="keep")) == {
+        1: 10, 2: 20, 3: 30, 9: 900,
+    }
+    assert snap(
+        merge_into(kv, ups, when_matched=lambda old, new: old + new)
+    ) == {1: 10, 2: 220, 3: 30, 9: 900}
+    assert snap(
+        merge_into(kv, ups, when_matched="delete", when_not_matched="ignore")
+    ) == {1: 10, 3: 30}
+    assert snap(merge_into(kv, ups, when_matched="delete")) == {
+        1: 10, 3: 30, 9: 900,
+    }
+    # base untouched (functional semantics)
+    assert snap(kv) == {1: 10, 2: 20, 3: 30}
