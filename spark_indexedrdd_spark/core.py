@@ -61,6 +61,30 @@ def _as_list(x: str | Sequence[str]) -> list[str]:
     return [x] if isinstance(x, str) else list(x)
 
 
+def _null_safe_fold(f: MergeFn, value: Column, dtype) -> Column:
+    """Aggregate fold of ``value`` with ``f`` that preserves NULL elements.
+
+    ``collect_list`` silently drops NULL elements, so folding the raw
+    column would make a NULL value vanish from the reduce. Wrap each value
+    in a single-field struct (a struct containing a NULL field is itself
+    non-NULL) and thread an explicit ``has`` flag through the reduce
+    instead of branching on value nullness — the Column analog of the
+    reference's Option-based fold (PARTPartition.scala:56-60)."""
+    zero = F.struct(
+        F.lit(False).alias("has"), F.lit(None).cast(dtype).alias("v")
+    )
+    return F.reduce(
+        F.collect_list(F.struct(value.alias("v"))),
+        zero,
+        lambda acc, x: F.struct(
+            F.lit(True).alias("has"),
+            F.when(acc["has"], f(acc["v"], x["v"]))
+            .otherwise(x["v"])
+            .alias("v"),
+        ),
+    )["v"]
+
+
 _SQL_SAFE_STR = __import__("re").compile(r"[^'\"\\\x00-\x1f`]*\Z")
 
 
@@ -85,17 +109,108 @@ def _sql_literal(v: Any) -> str | None:
 
 
 # Driver-side equivalents of the merge projection's cast-to-base-dtype,
-# for the point-read overlay. int() and Java's double->long cast both
-# truncate toward zero; types outside this map simply skip the overlay.
+# for multiput value validation and the point-read overlay. Each coercer
+# is EXACT: it either produces the same value the plan's cast would, or
+# raises — never a silent cross-kind conversion (``multiput({1: 5})`` on
+# a string column raises TypeError instead of storing "5") and never a
+# lossy representation (FloatType round-trips through an IEEE float32 so
+# an overlay-served ``get`` matches the plan bit-for-bit). Types outside
+# this map simply skip the coercion and the overlay.
+
+
+def _numeric_guard(x: Any, col_kind: str) -> None:
+    # bool is an int subclass but putting True into a numeric column is a
+    # kind error, not a narrowing — reject it too.
+    if isinstance(x, bool) or not isinstance(x, (int, float)):
+        raise TypeError(
+            f"cannot store {type(x).__name__} value {x!r} in a {col_kind} "
+            f"column; multiput coerces within a kind only (numeric<->numeric)"
+        )
+
+
+def _int_coercer(bits: int, kind: str) -> Callable[[Any], int]:
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+
+    def coerce(x: Any) -> int:
+        _numeric_guard(x, kind)
+        i = int(x)
+        if not (lo <= i <= hi):
+            raise ValueError(f"value {x!r} out of range for {kind} column")
+        return i
+
+    return coerce
+
+
+def _float32_coerce(x: Any) -> float:
+    _numeric_guard(x, "float")
+    import struct as _struct
+
+    return _struct.unpack("<f", _struct.pack("<f", float(x)))[0]
+
+
+def _float64_coerce(x: Any) -> float:
+    _numeric_guard(x, "double")
+    return float(x)
+
+
+def _string_coerce(x: Any) -> str:
+    if not isinstance(x, str):
+        raise TypeError(
+            f"cannot store {type(x).__name__} value {x!r} in a string column"
+        )
+    return x
+
+
+def _bool_coerce(x: Any) -> bool:
+    if not isinstance(x, bool):
+        raise TypeError(
+            f"cannot store {type(x).__name__} value {x!r} in a boolean column"
+        )
+    return x
+
+
 _OVERLAY_COERCERS: dict[str, Callable[[Any], Any]] = {
-    "byte": int,
-    "short": int,
-    "integer": int,
-    "long": int,
-    "float": float,
-    "double": float,
-    "string": str,
-    "boolean": bool,
+    "byte": _int_coercer(8, "byte"),
+    "short": _int_coercer(16, "short"),
+    "integer": _int_coercer(32, "integer"),
+    "long": _int_coercer(64, "long"),
+    "float": _float32_coerce,
+    "double": _float64_coerce,
+    "string": _string_coerce,
+    "boolean": _bool_coerce,
+}
+
+# Python mirrors of the merge expressions whose driver-side evaluation is
+# provably identical to the plan's JVM evaluation, per value dtype. Used
+# by the merged-version point-read overlay (reference LazyPartition
+# member probing, LazyPartition.scala:43-46): a get() after
+# multiput(f=SUM_MERGE) probes the parent for the old value and applies
+# the merge driver-side instead of executing the full-outer-join plan.
+# long: Java's + wraps at 64 bits (non-ANSI mode) — mirror with an
+# explicit wrap. double: IEEE binary64 addition is identical in Python
+# and the JVM. Other dtypes (float32 double-rounding, small-int wrap
+# chains) are excluded rather than risk a divergent overlay answer.
+
+
+def _wrap64(i: int) -> int:
+    return ((i + (1 << 63)) % (1 << 64)) - (1 << 63)
+
+
+def _null_prop(fn: Callable[[Any, Any], Any]) -> Callable[[Any, Any], Any]:
+    # mirror SQL three-valued arithmetic: NULL op x = NULL
+    return lambda old, new: (
+        None if old is None or new is None else fn(old, new)
+    )
+
+
+_PY_POINT_MERGES: dict[tuple[int, str], Callable[[Any, Any], Any]] = {
+    (id(SUM_MERGE), "long"): _null_prop(lambda old, new: _wrap64(old + new)),
+    (id(SUM_MERGE), "double"): _null_prop(lambda old, new: old + new),
+    (id(KEEP_OLD), "long"): lambda old, new: old,
+    (id(KEEP_OLD), "double"): lambda old, new: old,
+    (id(KEEP_OLD), "string"): lambda old, new: old,
+    (id(KEEP_OLD), "boolean"): lambda old, new: old,
+    (id(KEEP_OLD), "integer"): lambda old, new: old,
 }
 
 
@@ -128,6 +243,10 @@ class IndexedDataFrame:
         self._point_parent: "IndexedDataFrame | None" = None
         self._point_overlay: dict | None = None
         self._point_tombstones: frozenset | None = None
+        # None = overlay values are final (overwrite/delete); a callable =
+        # merge-multiput overlay: get() probes the parent for the old
+        # value and applies this Python mirror of f driver-side
+        self._point_merge: Callable[[Any, Any], Any] | None = None
         # optional attached NativeHashPointIndex (with_point_index())
         self._pindex = None
 
@@ -174,22 +293,23 @@ class IndexedDataFrame:
             else:
                 # max_by is a single hash aggregate (partial+final), no window
                 # sort — survives skewed keys far better than row_number.
-                deduped = df.groupBy(*key_list).agg(
-                    *[
-                        F.max_by(c, F.struct(F.col(ord_c), F.col(c))).alias(c)
-                        for c in value_cols
-                    ]
+                # The winning ROW is picked once (one max_by over the packed
+                # value struct) so all value columns come from the same
+                # source row — per-column max_by could stitch a "torn" row
+                # that never existed when order_col ties.
+                winner = F.max_by(
+                    F.struct(*value_cols),
+                    F.struct(F.col(ord_c), *[F.col(c) for c in value_cols]),
+                ).alias("__w")
+                deduped = df.groupBy(*key_list).agg(winner).select(
+                    *key_list, *[F.col("__w")[c].alias(c) for c in value_cols]
                 )
         else:
             if len(value_cols) != 1:
                 raise ValueError("merge fn requires exactly one value column")
             v = value_cols[0]
             deduped = df.groupBy(*key_list).agg(
-                F.reduce(
-                    F.collect_list(v),
-                    F.lit(None).cast(df.schema[v].dataType),
-                    lambda acc, x: F.when(acc.isNull(), x).otherwise(merge(acc, x)),
-                ).alias(v)
+                _null_safe_fold(merge, F.col(v), df.schema[v].dataType).alias(v)
             )
 
         out = deduped.repartition(n, *key_list)
@@ -279,19 +399,40 @@ class IndexedDataFrame:
             )
         if self._point_parent is not None:
             # overlay fast path: answer puts/deletes driver-side, send
-            # only the remainder to the (pre-mutation) parent
+            # only the remainder to the (pre-mutation) parent. For a
+            # merge-multiput version, overlay keys still probe the parent
+            # for the old value (the reference LazyPartition's member
+            # probing, LazyPartition.scala:43-46) — but the merge itself
+            # runs driver-side, so the full-outer-join plan never executes.
             single = len(self.keys) == 1
+            key_tuples = list(dict.fromkeys(key_tuples))
             out: dict = {}
-            remainder: list = []
+            probe: list = []  # keys the parent must answer
+            merge_keys: list[tuple] = []  # overlay keys needing old value
             for kt in key_tuples:
                 if kt in self._point_tombstones:
                     continue
+                k = kt[0] if single else kt
                 if kt in self._point_overlay:
-                    out[kt[0] if single else kt] = self._point_overlay[kt]
+                    if self._point_merge is None:
+                        out[k] = self._point_overlay[kt]
+                    else:
+                        merge_keys.append((kt, k))
+                        probe.append(k)
                 else:
-                    remainder.append(kt[0] if single else kt)
-            if remainder:
-                out.update(self._point_parent.multiget(remainder))
+                    probe.append(k)
+            parent_res = self._point_parent.multiget(probe) if probe else {}
+            merged_away = set()
+            for kt, k in merge_keys:
+                new = self._point_overlay[kt]
+                if k in parent_res:
+                    out[k] = self._point_merge(parent_res[k], new)
+                    merged_away.add(k)
+                else:
+                    out[k] = new  # absent key -> z(new), z is IDENTITY here
+            out.update(
+                {k: val for k, val in parent_res.items() if k not in merged_away}
+            )
             return out
         if len(key_tuples) > 8192:
             # very large batches: a broadcast semi-join beats a giant IN
@@ -419,18 +560,29 @@ class IndexedDataFrame:
             rows, schema=self.df.select(*self.keys, v).schema
         )
         out = self.multiput_df(updates, f=f, z=z, broadcast_updates=True)
-        if f is OVERWRITE and z is IDENTITY:
-            # last-wins upsert: the merged value is the driver-supplied
-            # value regardless of the old one, so point reads can be
-            # served from a driver-side overlay (the plan computes the
-            # identical result). Values are coerced the way the merge
-            # projection's cast would; unknown types skip the overlay.
-            if coerce is not None:
+        if z is IDENTITY and coerce is not None:
+            # Point-read overlay. Two flavors:
+            # - f=OVERWRITE: the merged value IS the driver-supplied value,
+            #   so reads are answered entirely from the overlay.
+            # - f is a recognized merge (SUM_MERGE/KEEP_OLD) on a dtype
+            #   whose driver-side evaluation provably matches the JVM's:
+            #   reads probe the parent for the old value and merge
+            #   driver-side (reference LazyPartition.scala:43-46).
+            # Values were coerced exactly as the merge projection's cast
+            # would; unknown types skipped the overlay above.
+            dt = self.df.schema[v].dataType.typeName()
+            py_f = (
+                None
+                if f is OVERWRITE
+                else _PY_POINT_MERGES.get((id(f), dt))
+            )
+            if f is OVERWRITE or py_f is not None:
                 out._point_parent = self
                 out._point_overlay = {
                     self._key_tuple(k): val for k, val in vals.items()
                 }
                 out._point_tombstones = frozenset()
+                out._point_merge = py_f
         return out
 
     def multiput_df(
@@ -463,16 +615,22 @@ class IndexedDataFrame:
         if len(uv) != 1:
             raise ValueError(f"updates must have one value column, got {uv}")
         up = up.withColumnRenamed(uv[0], "__u") if uv[0] != "__u" else up
-        # fold duplicate update keys with f (same contract as the kernel's
-        # sequential probe-insert loop, PARTPartition.scala:56-60)
-        up = up.groupBy(*self.keys).agg(
-            F.reduce(
-                F.collect_list("__u"),
-                F.lit(None).cast(up.schema["__u"].dataType),
-                lambda acc, x: F.when(acc.isNull(), x).otherwise(f(acc, x)),
-            ).alias("__u")
+        # Fold duplicate update keys with f (same contract as the kernel's
+        # sequential probe-insert loop, PARTPartition.scala:56-60).
+        # NULL update values are legal (the reference's V is an arbitrary
+        # Option-wrapped value): wrap each value in a struct so
+        # collect_list can't drop NULL elements, and thread an explicit
+        # `has` flag through the fold instead of branching on value
+        # nullness.
+        folded = _null_safe_fold(f, F.col("__u"), up.schema["__u"].dataType)
+        up = up.groupBy(*self.keys).agg(folded.alias("__u")).withColumn(
+            "__has_u", F.lit(True)
         )
-        base = self.df
+        # Presence marker on the base too: a key whose base value is NULL
+        # is still PRESENT and must get f(old, new), not z(new) —
+        # branching on value nullness would conflate the two (the
+        # reference distinguishes them via Option, IndexedRDD.scala:105-164).
+        base = self.df.withColumn("__has_b", F.lit(True))
         # FULL OUTER with a SHUFFLE_HASH hint on the updates side.
         # Full outer joins can't broadcast either side, and the default
         # sort-merge would SORT the whole base per multiput. The shuffled
@@ -484,10 +642,10 @@ class IndexedDataFrame:
         # keeps the key partitioning contract.
         joined = base.join(up.hint("SHUFFLE_HASH"), on=self.keys, how="full")
         merged = (
-            F.when(F.col("__u").isNull(), F.col(v))
-            .when(F.col(v).isNull(), z(F.col("__u")))
+            F.when(F.col("__has_u").isNull(), F.col(v))
+            .when(F.col("__has_b").isNull(), z(F.col("__u")))
             .otherwise(f(F.col(v), F.col("__u")))
-            .cast(base.schema[v].dataType)
+            .cast(self.df.schema[v].dataType)
             .alias(v)
         )
         out = joined.select(*self.keys, merged)
@@ -608,8 +766,11 @@ class IndexedDataFrame:
         old value unchanged."""
         v = self._single_value()
         left, right = self._two_sided(other)
+        # presence marker: a matched key whose right value is NULL still
+        # gets f(old, NULL) — only truly unmatched keys keep the old value
+        right = right.withColumn("__has_r", F.lit(True))
         merged = (
-            F.when(F.col("__r").isNull(), F.col("__l"))
+            F.when(F.col("__has_r").isNull(), F.col("__l"))
             .otherwise(f(F.col("__l"), F.col("__r")))
             .cast(self.df.schema[v].dataType)
             .alias(v)
@@ -692,10 +853,8 @@ class IndexedDataFrame:
             raise ValueError(f"elems must have one value column, got {ev}")
         v = ev[0]
         agg = elems.groupBy(*self.keys).agg(
-            F.reduce(
-                F.collect_list(v),
-                F.lit(None).cast(elems.schema[v].dataType),
-                lambda acc, x: F.when(acc.isNull(), x).otherwise(reduce_fn(acc, x)),
+            _null_safe_fold(
+                reduce_fn, F.col(v), elems.schema[v].dataType
             ).alias(v)
         )
         out = agg.repartition(self.num_partitions, *self.keys)
