@@ -186,14 +186,28 @@ _OVERLAY_COERCERS: dict[str, Callable[[Any], Any]] = {
 # member probing, LazyPartition.scala:43-46): a get() after
 # multiput(f=SUM_MERGE) probes the parent for the old value and applies
 # the merge driver-side instead of executing the full-outer-join plan.
-# long: Java's + wraps at 64 bits (non-ANSI mode) — mirror with an
-# explicit wrap. double: IEEE binary64 addition is identical in Python
-# and the JVM. Other dtypes (float32 double-rounding, small-int wrap
-# chains) are excluded rather than risk a divergent overlay answer.
+# long: depends on the session's ANSI mode — under
+# spark.sql.ansi.enabled=false Java's + wraps at 64 bits (mirror with an
+# explicit wrap); under ANSI (the Spark 4 default) long+long overflow
+# raises ARITHMETIC_OVERFLOW, so the mirror raises too instead of
+# returning a value the plan would refuse to produce. double: IEEE
+# binary64 addition is identical in Python and the JVM in either mode.
+# Other dtypes (float32 double-rounding, small-int wrap chains) are
+# excluded rather than risk a divergent overlay answer.
 
 
 def _wrap64(i: int) -> int:
     return ((i + (1 << 63)) % (1 << 64)) - (1 << 63)
+
+
+def _ansi_add64(old: int, new: int) -> int:
+    s = old + new
+    if not -(1 << 63) <= s < (1 << 63):
+        raise ArithmeticError(
+            "long overflow in point-merge overlay (ANSI mode): executing "
+            "the plan would raise ARITHMETIC_OVERFLOW for this key"
+        )
+    return s
 
 
 def _null_prop(fn: Callable[[Any, Any], Any]) -> Callable[[Any, Any], Any]:
@@ -203,15 +217,25 @@ def _null_prop(fn: Callable[[Any, Any], Any]) -> Callable[[Any, Any], Any]:
     )
 
 
-_PY_POINT_MERGES: dict[tuple[int, str], Callable[[Any, Any], Any]] = {
-    (id(SUM_MERGE), "long"): _null_prop(lambda old, new: _wrap64(old + new)),
-    (id(SUM_MERGE), "double"): _null_prop(lambda old, new: old + new),
-    (id(KEEP_OLD), "long"): lambda old, new: old,
-    (id(KEEP_OLD), "double"): lambda old, new: old,
-    (id(KEEP_OLD), "string"): lambda old, new: old,
-    (id(KEEP_OLD), "boolean"): lambda old, new: old,
-    (id(KEEP_OLD), "integer"): lambda old, new: old,
-}
+_KEEP_OLD_DTYPES = frozenset({"long", "double", "string", "boolean", "integer"})
+
+
+def _py_point_merge_for(
+    f: Any, dt: str, ansi: bool
+) -> Callable[[Any, Any], Any] | None:
+    """The driver-side mirror of merge ``f`` on value dtype ``dt``, or
+    None if no provably-JVM-identical mirror exists for the session's
+    ANSI mode."""
+    if f is KEEP_OLD and dt in _KEEP_OLD_DTYPES:
+        return lambda old, new: old
+    if f is SUM_MERGE:
+        if dt == "double":
+            return _null_prop(lambda old, new: old + new)
+        if dt == "long":
+            return _null_prop(_ansi_add64 if ansi else (
+                lambda old, new: _wrap64(old + new)
+            ))
+    return None
 
 
 class IndexedDataFrame:
@@ -547,6 +571,14 @@ class IndexedDataFrame:
         The driver map becomes a tiny DataFrame that is **broadcast** into
         the merge join — at cluster scale the base never moves and no
         shuffle happens at all.
+
+        Value coercion is STRICT: values must match the value column's
+        kind. Cross-kind conversions raise ``TypeError`` (bool into a
+        numeric column, str into a numeric column, non-str into a string
+        column) and out-of-range ints raise ``ValueError`` — before any
+        DataFrame is built — rather than silently storing ``int(True)``
+        or ``int("5")``. Within-kind narrowing (int into double, float
+        into float32) coerces exactly as the plan's cast would.
         """
         v = self._single_value()
         spark = self.df.sparkSession
@@ -571,10 +603,14 @@ class IndexedDataFrame:
             # Values were coerced exactly as the merge projection's cast
             # would; unknown types skipped the overlay above.
             dt = self.df.schema[v].dataType.typeName()
+            ansi = (
+                str(
+                    spark.conf.get("spark.sql.ansi.enabled", "true")
+                ).lower()
+                == "true"
+            )
             py_f = (
-                None
-                if f is OVERWRITE
-                else _PY_POINT_MERGES.get((id(f), dt))
+                None if f is OVERWRITE else _py_point_merge_for(f, dt, ansi)
             )
             if f is OVERWRITE or py_f is not None:
                 out._point_parent = self

@@ -36,6 +36,10 @@ NUM_HASHES = 16
 NUM_BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 SHINGLE_SIZE = 3
+# Stop-shingle guard for ngram_jaccard_pairs: a shingle appearing in
+# more than this many documents is boilerplate, not signal, and its join
+# key would expand quadratically. Shared by the Spark and SQL sides.
+STOP_SHINGLE_DF = 1000
 
 
 # --------------------------------------------------------------------- #
@@ -372,25 +376,56 @@ def sql_simhash(table: str = "documents", text_col: str = "text", id_col: str = 
     """
 
 
+def _chunk_ranges(k: int) -> list[tuple[str, int, int]]:
+    """Split the 64 fingerprint bits into ``k`` disjoint contiguous
+    chunks that never cross the hi/lo half boundary: (half, start, width).
+    DISJOINTNESS is what the pigeonhole claim needs (≤ d differing bits
+    dirty ≤ d of d+1 disjoint chunks, so one stays clean); full coverage
+    is not required — for k=1 only the hi half is used, which merely
+    coarsens buckets, never loses a pair. Single shift+mask per chunk."""
+    if not 1 <= k <= 64:
+        raise ValueError(f"need 1..64 chunks, got {k}")
+    k_hi = min((k + 1) // 2, 32)
+    k_lo = k - k_hi
+    out: list[tuple[str, int, int]] = []
+    for half, kn in (("hi", k_hi), ("lo", k_lo)):
+        if kn == 0:
+            continue
+        base, rem = divmod(32, kn)
+        start = 0
+        for i in range(kn):
+            width = base + (1 if i < rem else 0)
+            out.append((half, start, width))
+            start += width
+    return out
+
+
 def simhash_near_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming — EXACT
+    (set-identical to the all-pairs result, verified by the all-pairs SQL
+    oracle :func:`sql_simhash_near_pairs`).
 
     Blocking: two fingerprints within hamming d of each other agree
-    exactly on at least one of (d+1) disjoint chunks (pigeonhole) — here
-    4 chunks of 16 bits, valid for d ≤ 3. Self-join per chunk bucket,
-    then exact popcount filter. No all-pairs pass; same shape as the
-    LSH band join, so it scales the same way."""
+    exactly on at least one of (d+1) disjoint chunks (pigeonhole), so
+    blocking on (d+1) chunk buckets loses nothing. Self-join per chunk
+    bucket, then exact popcount filter. No all-pairs pass; same shape as
+    the LSH band join, so it scales the same way. Larger d ⇒ narrower
+    chunks ⇒ bigger buckets — inherent to simhash blocking, not a plan
+    defect."""
     sh = simhash(df, text_col, id_col).cache()
     chunks = [
-        (0, F.col("simhash_hi").bitwiseAND(F.lit(0xFFFF))),
-        (1, F.shiftright("simhash_hi", 16).bitwiseAND(F.lit(0xFFFF))),
-        (2, F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF))),
-        (3, F.shiftright("simhash_lo", 16).bitwiseAND(F.lit(0xFFFF))),
+        (
+            cid,
+            F.shiftright(f"simhash_{half}", start).bitwiseAND(
+                F.lit((1 << width) - 1)
+            ),
+        )
+        for cid, (half, start, width) in enumerate(_chunk_ranges(max_hamming + 1))
     ]
     blocked = sh.select(
         F.col(id_col),
@@ -433,6 +468,32 @@ def simhash_near_pairs(
     return cand.select(
         "doc_a", "doc_b", ham.cast("int").alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def sql_simhash_near_pairs(
+    table: str = "documents",
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Exact oracle for :func:`simhash_near_pairs`. The pigeonhole
+    blocking is LOSSLESS for ``max_hamming`` ≤ 3 (two fingerprints within
+    hamming 3 must agree exactly on one of the 4 disjoint 16-bit chunks),
+    so the blocked Spark result is set-identical to the all-pairs result
+    — which is what the oracle computes directly: a self-join on
+    ``id < id`` with an xor-popcount filter. All-pairs is fine at oracle
+    scale (sf0.01 ≈ 500 docs); the Spark side never does it."""
+    ham = (
+        f"bit_count(xor(a.simhash_hi, b.simhash_hi)) "
+        f"+ bit_count(xor(a.simhash_lo, b.simhash_lo))"
+    )
+    return f"""
+        WITH sh AS ({sql_simhash(table, text_col, id_col)})
+        SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+               CAST({ham} AS INTEGER) AS hamming
+        FROM sh a JOIN sh b ON a.{id_col} < b.{id_col}
+        WHERE {ham} <= {int(max_hamming)}
+    """
 
 
 # --------------------------------------------------------------------- #
@@ -529,16 +590,31 @@ def ngram_jaccard_pairs(
     block_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    stop_shingle_df: int = STOP_SHINGLE_DF,
 ) -> DataFrame:
     """Exact Jaccard similarity of shingle sets for every candidate pair
     sharing ``block_col`` (blocked — never all-pairs). Output:
     (doc_a, doc_b, inter, size_a, size_b, jaccard).
 
     Scale: the heavy join is on the shingle value *within* a block, so
-    the shuffle key is (shingle) and hot shingles are the skew risk —
-    mitigate upstream by dropping top-frequency shingles (stop-shingles)
-    if needed."""
+    the shuffle key is (shingle) and hot shingles are the skew risk.
+    Guard: shingles whose document frequency exceeds ``stop_shingle_df``
+    (boilerplate — license headers, nav chrome) are dropped from the
+    shingle SETS before the join, bounding any one join key's row count
+    to ``stop_shingle_df`` per side (≤ cap² pair expansions). Sizes and
+    Jaccard are computed over the capped sets on both engines, so the
+    semantics stay exact and cross-engine identical. A shingle shared by
+    more than ``stop_shingle_df`` documents carries ~zero similarity
+    signal but would otherwise dominate the shuffle."""
     sh = shingles(df, text_col, id_col)
+    # stop-shingle skew guard: document frequency = row count, because
+    # shingles() emits distinct shingles per doc. The freq join shuffles
+    # on `shingle` — the same key as the pair join below.
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    sh = sh.join(
+        freq.where(F.col("__df") <= F.lit(int(stop_shingle_df))).select("shingle"),
+        "shingle",
+    )
     blocks = df.select(F.col(id_col), F.col(block_col).alias("_blk"))
     sh = sh.join(blocks, id_col)
 
@@ -576,12 +652,19 @@ def sql_ngram_jaccard_pairs(
     block_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    stop_shingle_df: int = STOP_SHINGLE_DF,
 ) -> str:
     return f"""
-        WITH sh AS (
+        WITH sh0 AS ({sql_shingles(table, text_col, id_col)}),
+        freq AS (
+            SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle
+        ),
+        sh AS (
             SELECT s.{id_col}, s.shingle, d.{block_col} AS blk
-            FROM ({sql_shingles(table, text_col, id_col)}) s
+            FROM sh0 s
+            JOIN freq f USING (shingle)
             JOIN {table} d USING ({id_col})
+            WHERE f.df <= {int(stop_shingle_df)}
         ),
         sizes AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY {id_col}),
         inter AS (

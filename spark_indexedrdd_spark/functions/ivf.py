@@ -22,16 +22,34 @@ from pyspark.sql import functions as F
 from spark_indexedrdd_spark.functions.vectors import dot, norm
 
 
+# KMeans training-set cap: centroid quality saturates long before the
+# full corpus — fit on a seeded sample of at most this many vectors and
+# assign the FULL corpus afterwards. Keeps the iterative fit bounded
+# (~100k × dim doubles) no matter the corpus size.
+TRAIN_SAMPLE_CAP = 100_000
+
+
 def _centroids_df(emb: DataFrame, k: int, seed: int, id_col: str, vec_col: str):
-    """k-means via pyspark.ml (Lloyd's); returns (cluster_id, centroid
-    array, centroid norm). Falls back to a deterministic sample of k
-    vectors as centroids if pyspark.ml is unavailable."""
+    """k-means via pyspark.ml (Lloyd's) over a seeded sample of at most
+    ``TRAIN_SAMPLE_CAP`` vectors; returns (cluster_id, centroid array,
+    centroid norm). Falls back to a deterministic sample of k vectors as
+    centroids if pyspark.ml is unavailable."""
     spark = emb.sparkSession
     try:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        ds = emb.select(
+        n = emb.count()
+        train = (
+            emb
+            if n <= TRAIN_SAMPLE_CAP
+            # sample() is a narrow scan-side filter — no shuffle, no
+            # collect; oversample 10% then cap exactly.
+            else emb.sample(
+                fraction=min(1.0, 1.1 * TRAIN_SAMPLE_CAP / n), seed=seed
+            ).limit(TRAIN_SAMPLE_CAP)
+        )
+        ds = train.select(
             F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
         )
         model = KMeans(k=k, seed=seed, maxIter=10).fit(ds)

@@ -175,6 +175,9 @@ def sql_near_duplicates(
 # --------------------------------------------------------------------- #
 
 
+MAX_FAST_QUERIES = 10_000
+
+
 def cosine_topk_fast(
     emb: DataFrame,
     query_ids: Iterable[int] = tuple(DEFAULT_QUERY_IDS),
@@ -186,24 +189,37 @@ def cosine_topk_fast(
     accumulation), computed as a vectorized matmul per Arrow batch with
     per-batch top-k, then a global re-rank of the tiny union.
 
-    Scale: candidate side is scanned once, never shuffled; driver ships
-    the query matrix in the closure (use a broadcast variable for very
-    large query sets); the final window sees only q x k x n_batches rows.
-    """
+    Scale: candidate side is scanned once, never shuffled; the query
+    matrix is shipped to executors ONCE per node via ``sc.broadcast``
+    (torrent protocol), not serialized into every task closure. The
+    query count is capped at ``MAX_FAST_QUERIES`` (the q×dim matrix must
+    fit beside each Arrow batch in executor memory; 10k × 512 float64 ≈
+    40 MB) — beyond the cap, use the LSH/IVF ANN tiers, which never
+    materialize a dense query matrix. The final window sees only
+    q × k × n_batches rows."""
     import numpy as np
 
+    query_ids = list(query_ids)
+    if len(query_ids) > MAX_FAST_QUERIES:
+        raise ValueError(
+            f"cosine_topk_fast got {len(query_ids)} query ids; the dense "
+            f"broadcast path is capped at {MAX_FAST_QUERIES} — use "
+            "hyperplane_lsh_ann / ivf_ann for large query sets"
+        )
     q_rows = (
-        emb.where(F.col(id_col).isin(list(query_ids)))
+        emb.where(F.col(id_col).isin(query_ids))
         .select(id_col, vec_col)
         .collect()
     )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
+    bc = emb.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
 
     def score_batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
+        q_ids, q_mat, q_norm = bc.value
         for pdf in it:
             if not len(pdf):
                 continue

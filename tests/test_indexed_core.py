@@ -290,12 +290,114 @@ def test_overlay_new_key_and_none_passthrough(idx):
     assert {r.v for r in v2.df.where(F.col("k") == 9999).collect()} == {42}
 
 
-def test_merge_put_skips_overlay(idx):
-    """A merge-put's value depends on the old value — must NOT be served
-    from the overlay; the plan is the only truth."""
-    v2 = idx.multiput({7: 1000}, f=SUM_MERGE)
-    assert v2._point_parent is None
+def test_merge_put_overlay_contract(idx):
+    """The merge-multiput overlay (reference LazyPartition member
+    probing, LazyPartition.scala:43-46): a `get` after
+    `multiput(f=SUM_MERGE)` probes the PARENT for the old value and
+    merges driver-side — the full-outer-join plan never executes — and
+    the answer is identical to the plan's."""
+    v2 = idx.multiput({7: 1000, 99999: 5}, f=SUM_MERGE)
+    # the overlay IS installed (round 2 behavior; round 1 skipped it)
+    assert v2._point_parent is idx and v2._point_merge is not None
+    # merged value == plan's value (existing key: old + new)
     assert v2.get(7) == 1007
+    assert {r.v for r in v2.df.where(F.col("k") == 7).collect()} == {1007}
+    # absent key -> z(new) = new, also plan-identical
+    assert v2.get(99999) == 5
+    assert {r.v for r in v2.df.where(F.col("k") == 99999).collect()} == {5}
+    # untouched key falls through to the parent
+    assert v2.get(13) == 13
+
+
+def test_merge_put_overlay_ansi_overflow(spark):
+    """Under ANSI mode (Spark 4 default) long+long overflow raises in the
+    plan — the driver-side mirror must raise too, never return a wrapped
+    value the plan would refuse to produce (ADVICE r2)."""
+    big = (1 << 63) - 10
+    df = spark.createDataFrame([(1, big)], "k long, v long")
+    kv = IndexedDataFrame.build(df, "k", num_partitions=2)
+    ansi = str(spark.conf.get("spark.sql.ansi.enabled", "true")).lower() == "true"
+    v2 = kv.multiput({1: 100}, f=SUM_MERGE)  # overflows int64
+    if ansi:
+        with pytest.raises(ArithmeticError):
+            v2.get(1)
+    else:
+        assert v2.get(1) == ((big + 100 + (1 << 63)) % (1 << 64)) - (1 << 63)
+    # non-overflowing sums are served either way
+    v3 = kv.multiput({1: -100}, f=SUM_MERGE)
+    assert v3.get(1) == big - 100
+
+
+def test_merge_put_overlay_wraps_when_ansi_off(spark):
+    """With spark.sql.ansi.enabled=false the JVM wraps at 64 bits — the
+    mirror must wrap identically (checked against the executed plan)."""
+    prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        big = (1 << 63) - 10
+        df = spark.createDataFrame([(1, big)], "k long, v long")
+        kv = IndexedDataFrame.build(df, "k", num_partitions=2)
+        v2 = kv.multiput({1: 100}, f=SUM_MERGE)
+        expected = ((big + 100 + (1 << 63)) % (1 << 64)) - (1 << 63)
+        assert v2.get(1) == expected
+        assert [r.v for r in v2.df.where(F.col("k") == 1).collect()] == [expected]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_decimal38_key_point_ops(spark):
+    """BigInt key parity (reference KeySerializer.scala:69-80 maps to
+    DECIMAL(38,0) per SURVEY §1.4): build / get / multiget / put / delete
+    on a decimal-keyed frame, including a >64-bit key value."""
+    from decimal import Decimal
+
+    huge = Decimal(10) ** 30 + 7  # does not fit in int64
+    df = spark.createDataFrame(
+        [(Decimal(i), float(i)) for i in range(10)] + [(huge, 123.5)],
+        "k decimal(38,0), v double",
+    )
+    kv = IndexedDataFrame.build(df, "k", num_partitions=3)
+    assert kv.get(Decimal(3)) == 3.0
+    assert kv.get(huge) == 123.5
+    assert kv.get(Decimal(999)) is None
+    got = kv.multiget([Decimal(1), huge, Decimal(999)])
+    assert got == {Decimal(1): 1.0, huge: 123.5}
+    v2 = kv.put(Decimal(3), 33.5).delete([Decimal(0), huge])
+    assert v2.get(Decimal(3)) == 33.5
+    assert v2.get(Decimal(0)) is None and v2.get(huge) is None
+    assert v2.count() == 9
+
+
+def test_uuid_string_key_point_ops(spark):
+    """UUID key parity (reference KeySerializer.scala:100-108 maps to
+    canonical 36-char uuid strings): point ops route and compare
+    correctly on uuid-formatted string keys."""
+    import uuid
+
+    keys = [str(uuid.UUID(int=i)) for i in range(8)]
+    df = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k string, v long"
+    )
+    kv = IndexedDataFrame.build(df, "k", num_partitions=3)
+    assert kv.get(keys[5]) == 5
+    assert kv.get(str(uuid.UUID(int=10**9))) is None
+    assert kv.multiget(keys[:3]) == {keys[0]: 0, keys[1]: 1, keys[2]: 2}
+    v2 = kv.delete(keys[:2]).put(keys[7], 700)
+    assert v2.get(keys[0]) is None
+    assert v2.get(keys[7]) == 700
+    assert v2.count() == 6
+
+
+def test_multiput_strict_value_coercion_raises(idx):
+    """multiput value coercion is STRICT (round 2 deliberate change):
+    bool into a numeric column, str into long, and out-of-int64-range
+    ints raise instead of being silently coerced."""
+    with pytest.raises(TypeError):
+        idx.multiput({1: True})  # bool is a kind error, not 1
+    with pytest.raises(TypeError):
+        idx.multiput({1: "5"})  # no silent str->int parsing
+    with pytest.raises(ValueError):
+        idx.multiput({1: 1 << 64})  # out of int64 range
 
 
 def test_overlay_value_coercion(spark):

@@ -40,6 +40,15 @@ def test_fast_path_matches_bruteforce_ids(emb):
     assert bf == fast and len(bf) == 50
 
 
+def test_fast_path_rejects_unbounded_query_sets(emb):
+    """The dense broadcast path is capped: beyond MAX_FAST_QUERIES the
+    q×dim matrix stops fitting beside Arrow batches — callers must move
+    to the LSH/IVF tiers, not silently melt executors."""
+    too_many = range(SM.MAX_FAST_QUERIES + 1)
+    with pytest.raises(ValueError, match="capped"):
+        SM.cosine_topk_fast(emb, query_ids=too_many)
+
+
 @pytest.fixture(scope="module")
 def clustered(spark):
     """Synthetic clustered embeddings where ANN recall is meaningful:

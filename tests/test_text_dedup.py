@@ -81,6 +81,93 @@ def test_simhash_near_pairs_on_planted_dups(spark):
     assert (1, 3) not in pairs
 
 
+def test_simhash_blocking_is_lossless(spark):
+    """simhash_near_pairs must equal the brute-force all-pairs result for
+    ANY max_hamming — the (d+1)-chunk pigeonhole blocking loses nothing.
+    (Round 2's fixed 4×16-bit chunks were lossy for d > 3: at d=8 on
+    sf0.01 they missed 219 of 412 true pairs.)"""
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(20)) + f" extra{i} x{i % 3}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r.doc_id: (r.simhash_hi, r.simhash_lo) for r in DD.simhash(df).collect()}
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    ids = sorted(fp)
+    for d in (1, 3, 8, 15):
+        brute = {
+            (a, b, ham(fp[a], fp[b]))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if ham(fp[a], fp[b]) <= d
+        }
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in DD.simhash_near_pairs(df, max_hamming=d).collect()
+        }
+        assert got == brute, f"lossy blocking at d={d}"
+
+
+def test_chunk_ranges_disjoint_and_exact_count():
+    """The pigeonhole argument needs exactly k DISJOINT chunks — ≤ d
+    differing bits can dirty at most d of them, so one stays clean.
+    Coverage of all 64 bits is not required for losslessness (uncovered
+    bits only make buckets coarser); with ≥2 chunks both halves are
+    fully covered, which keeps buckets tight."""
+    for k in (1, 2, 4, 5, 9, 16, 33, 64):
+        ranges = DD._chunk_ranges(k)
+        assert len(ranges) == k
+        seen = set()
+        for half, start, width in ranges:
+            assert width >= 1 and start + width <= 32
+            bits = {(half, start + i) for i in range(width)}
+            assert not (bits & seen)
+            seen |= bits
+        if k >= 2:
+            assert len(seen) == 64  # both halves fully covered
+
+
+def test_ngram_stop_shingle_guard(spark):
+    """A boilerplate shingle shared by every doc (above the DF cap) must
+    be dropped from the shingle sets BEFORE the join: pairs whose only
+    overlap is the hot shingle disappear, sizes shrink accordingly, and
+    the join never sees a key with more rows than the cap."""
+    boiler = "copyright acme corp all rights reserved"
+    rows = [
+        (i, f"unique{i} words{i} only{i} here{i} {boiler}", "s")
+        for i in range(6)
+    ]
+    # docs 10/11 genuinely similar beyond the boilerplate
+    rows += [
+        (10, f"alpha beta gamma delta epsilon {boiler}", "s"),
+        (11, f"alpha beta gamma delta zeta {boiler}", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in DD.ngram_jaccard_pairs(df, stop_shingle_df=4).collect()
+    }
+    # boilerplate-only pairs are gone entirely
+    assert all(a == 10 and b == 11 for a, b in out)
+    r = out[(10, 11)]
+    # capped sets: only the non-boilerplate shingles count. doc10 has 9
+    # shingles; the 4 pure-boilerplate ones ("copyright acme corp" onward)
+    # appear in all 8 docs (DF=8 > cap=4) and are dropped, leaving 5.
+    assert r.size_a == r.size_b == 5
+    # shared after the cap: "alpha beta gamma", "beta gamma delta"
+    assert r.inter == 2
+    assert abs(r.jaccard - 2 / 8) < 1e-15
+    # the planted hot shingles exceed the cap: assert none survived into
+    # the joinable shingle set
+    sh = DD.shingles(df)
+    freq = sh.groupBy("shingle").count()
+    hot = {r["shingle"] for r in freq.where(F.col("count") > 4).collect()}
+    assert hot, "planted boilerplate must exceed the cap"
+
+
 def test_jaccard_exactness(spark):
     # doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} -> inter 1, union 3
     df = spark.createDataFrame(
