@@ -79,6 +79,26 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return (16 + crc % 240, 16 + (crc >> 8) % 240, 1 + (crc >> 16) % 4)
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_decode(payload: bytes) -> tuple[int, int, int]:
+    """Real image decode via Pillow (header parse only — ``Image.open``
+    is lazy, so this reads dimensions without decompressing pixels)."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return (im.width, im.height, len(im.getbands()))
+
+
 def decode_image(
     df: DataFrame,
     bin_col: str = "payload",
@@ -87,22 +107,31 @@ def decode_image(
 ) -> DataFrame:
     """Decode image payloads to (doc_id, width, height, channels).
 
-    STUB: real decoding needs an image library not present in this
-    container. The Spark-side plumbing (Arrow batches in, typed rows
-    out, decoder exceptions surfaced per-batch) is real; pass
-    ``use_fake_decoder=True`` for the deterministic fake used in tests.
-    """
-    if not use_fake_decoder:
+    Decoder resolution (the scoped contract, also in README §Multimodal):
+
+    - ``use_fake_decoder=True`` → the deterministic crc-derived fake
+      (tests, containers without image libs).
+    - otherwise, if Pillow is importable ON THE EXECUTORS → real decode
+      (lazy header parse; pixels are never decompressed for metadata).
+    - otherwise → NotImplementedError at plan-build time, never a
+      half-working executor path.
+
+    The Spark-side plumbing (Arrow batches in, typed rows out, column
+    pruning to (id, payload)) is identical in all three cases — swapping
+    decoders changes one row-level function, nothing about the plan."""
+    if not use_fake_decoder and not _pil_available():
         raise NotImplementedError(
-            "real image decoding requires PIL/opencv (not in this container); "
-            "pass use_fake_decoder=True for the deterministic test decoder"
+            "real image decoding requires Pillow, which is not importable "
+            "here; install PIL on driver+executors, or pass "
+            "use_fake_decoder=True for the deterministic test decoder"
         )
+    decode = _fake_decode if use_fake_decoder else _pil_decode
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf in it:
-            decoded = [_fake_decode(bytes(p)) for p in pdf[bin_col]]
+            decoded = [decode(bytes(p)) for p in pdf[bin_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),

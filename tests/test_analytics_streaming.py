@@ -217,8 +217,22 @@ def test_multimodal_plumbing(spark, tables):
     assert len(fr) == 20  # 5 docs x 4 frames
     assert {r.frame_idx for r in fr} == {0, 1, 2, 3}
 
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(media)  # real decoder absent: clearly-marked stub
+    # guarded real-decoder contract: with Pillow importable the real
+    # path activates; without it, a plan-build-time NotImplementedError
+    if MM._pil_available():
+        png_1x1 = bytes.fromhex(
+            "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c4"
+            "890000000d49444154789c626001000000ffff03000006000557bfabd4000000"
+            "0049454e44ae426082"
+        )
+        png_df = spark.createDataFrame(
+            [(1, bytearray(png_1x1))], "doc_id long, payload binary"
+        )
+        out = MM.decode_image(png_df).collect()
+        assert [(r.width, r.height) for r in out] == [(1, 1)]
+    else:
+        with pytest.raises(NotImplementedError):
+            MM.decode_image(media)
 
 
 def test_streaming_dedup_bounded_state_matches_batch(spark, sf_dir, tmp_path):
