@@ -417,6 +417,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_purchase_after_signup": lambda s, d: _sj.batch_purchase_after_signup(
         load_table(s, d, "events")
     ),
+    "funnel_signup_conversion": lambda s, d: _sj.batch_signup_conversion(
+        load_table(s, d, "events")
+    ),
     "hash_split": lambda s, d: _text.hash_split(_docs(s, d)),
     "pack_documents": lambda s, d: _text.pack_documents(_docs(s, d)),
     "late_shipment_orders": lambda s, d: _an.late_shipment_orders(
@@ -520,6 +523,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "orders_above_cust_avg": _an.sql_orders_above_customer_average(),
     "running_revenue_by_month": _an.sql_running_revenue_by_month(),
     "funnel_purchase_after_signup": _sj.sql_batch_purchase_after_signup(),
+    "funnel_signup_conversion": _sj.sql_batch_signup_conversion(),
     "hash_split": _text.sql_hash_split(),
     "pack_documents": _text.sql_pack_documents(),
     "late_shipment_orders": _an.sql_late_shipment_orders(),
@@ -612,6 +616,8 @@ CHANGED_R3 = (
     "decimal_key_ops",         # new: DECIMAL(38,0) key parity
     "similarity_topk_fast",    # rows-only: query matrix now sc.broadcast
     "similarity_ann_ivf",      # rows-only: sampled KMeans fit
+    "funnel_signup_conversion",  # new: stream-stream LEFT OUTER funnel's
+                                 # batch twin
 )
 
 # Tier 2: everything deferred past rounds 1-2's 50-entry cutoff — the
@@ -648,11 +654,11 @@ REPRESENTATIVE = (
     "windowed_event_dedup",
     "asof_join",
     "skew_salted_revenue",
-    "binary_meta",
 )
 
 # Past the cutoff: hash-green in CORRECTNESS_r02 and unchanged since.
 _R2_GREEN_UNCHANGED = (
+    "binary_meta",
     "cube_doc_counts",
     "json_prop_stats",
     "orders_by_month",

@@ -929,6 +929,19 @@ class IndexedDataFrame:
         self.df.unpersist(blocking)
         return self
 
+    def set_name(self, name: str) -> "IndexedDataFrame":
+        """Reference ``setName`` passthrough (IndexedRDD.scala:52-56).
+        DataFrames carry no name field, so the name lands where it is
+        actually useful: a temp-view registration (SQL access +
+        identifies the frame in the Spark UI's SQL tab) and ``self.name``
+        for callers. Preferred-locations (IndexedRDD.scala:58-64) has no
+        DataFrame analog by design: executor locality is delegated to the
+        scheduler's file-split locality, which is what a 1000-executor
+        cluster wants anyway."""
+        self.name = name
+        self.df.createOrReplaceTempView(name)
+        return self
+
 
 def merge_into(
     base: IndexedDataFrame,

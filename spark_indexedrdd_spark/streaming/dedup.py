@@ -21,7 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spark_indexedrdd_spark.streaming.windows import _as_stream_dir
+from spark_indexedrdd_spark.streaming.windows import _as_stream_dir, events_stream
 
 
 def streaming_dedup(
@@ -35,13 +35,7 @@ def streaming_dedup(
     Returned unstarted; drive with ``trigger(availableNow=True)`` in
     append mode (dedup emits rows immediately — no window close to wait
     for)."""
-    batch_df = spark.read.parquet(events_path)
-    stream = spark.readStream.schema(batch_df.schema).parquet(
-        _as_stream_dir(events_path)
-    )
-    from spark_indexedrdd_spark.sources.tables import _normalize_events
-
-    stream = _normalize_events(stream)
+    stream = events_stream(spark, events_path)
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )

@@ -34,6 +34,21 @@ def _as_stream_dir(path: str) -> str:
     return d
 
 
+def events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """readStream over the events parquet, normalized (ts_us + ts).
+    Sets the nanos-timestamp legacy conf itself — streaming entry points
+    must be session-independent, never rely on an earlier load_table
+    call having set it (the harness runs queries in ITS session)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_df = spark.read.parquet(events_path)
+    stream = spark.readStream.schema(batch_df.schema).parquet(
+        _as_stream_dir(events_path)
+    )
+    from spark_indexedrdd_spark.sources.tables import _normalize_events
+
+    return _normalize_events(stream)
+
+
 def tumbling_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
     """Tumbling event-time window: per (window, event_type) count + exact
     value sum. Works on a batch OR streaming events DataFrame."""
@@ -132,14 +147,7 @@ def streaming_tumbling_counts(
     bounding state). Returned unstarted; tests drive it with
     trigger(availableNow=True) into a memory sink and diff against
     tumbling_counts on the same data."""
-    batch_df = spark.read.parquet(events_path)
-    stream = (
-        spark.readStream.schema(batch_df.schema)
-        .parquet(_as_stream_dir(events_path))
-    )
-    from spark_indexedrdd_spark.sources.tables import _normalize_events
-
-    stream = _normalize_events(stream)
+    stream = events_stream(spark, events_path)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")

@@ -174,6 +174,57 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tables):
     assert batch.equals(got[batch.columns])
 
 
+def test_transform_with_state_matches_batch(spark, sf_dir, tables):
+    """The transformWithState (Spark 4) variant must converge to the same
+    per-user totals as the batch aggregate. Needs the RocksDB state
+    store + protobuf; when protobuf is absent (this container) the
+    operator must refuse at plan-build time, not crash the query."""
+    events = tables["events"]
+    if not stateful.tws_runtime_available():
+        with pytest.raises(NotImplementedError):
+            stateful.running_user_totals_tws(events)
+        return
+    batch = {
+        r.user_id: (r.n_events, round(r.total_value, 6), r.last_ts_us)
+        for r in stateful.batch_user_totals(events).collect()
+    }
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            ).parquet(windows._as_stream_dir(f"{sf_dir}/events.parquet"))
+        )
+        from spark_indexedrdd_spark.sources.tables import _normalize_events
+
+        out = stateful.running_user_totals_tws(_normalize_events(stream))
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_tws")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    got = {}
+    for r in spark.sql("SELECT * FROM t_tws").collect():
+        prevrow = got.get(r.user_id)
+        if prevrow is None or r.n_events >= prevrow[0]:
+            got[r.user_id] = (r.n_events, round(r.total_value, 6), r.last_ts_us)
+    assert got == batch
+
+
 def test_stateful_running_totals_matches_batch(spark, sf_dir, tables):
     events = tables["events"]
     batch = {
@@ -290,6 +341,60 @@ def test_stream_stream_funnel_join_matches_batch(spark, sf_dir, tables):
         for r in spark.sql("SELECT * FROM t_funnel").collect()
     }
     assert got == batch
+
+
+def test_stream_stream_left_outer_funnel_matches_batch(spark, sf_dir, tables):
+    """LEFT OUTER stream-stream join: matched rows identical to the inner
+    funnel, plus exactly one NULL-padded row per unconverted signup —
+    and the stream (where the watermark has passed, which availableNow
+    guarantees for a finite source) must equal the batch left join."""
+    batch_rows = SJ.batch_signup_conversion(tables["events"]).collect()
+    batch = {
+        (r.user_id, r.signup_ts_us, r.purchase_ts_us, r.purchase_value)
+        for r in batch_rows
+    }
+    # the outer join keeps every signup
+    n_signups = tables["events"].where(F.col("event_type") == "signup").count()
+    assert len({(r.user_id, r.signup_ts_us) for r in batch_rows}) == n_signups
+    assert any(r.purchase_ts_us is None for r in batch_rows)  # unconverted exist
+
+    out = SJ.streaming_signup_conversion(spark, f"{sf_dir}/events.parquet")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_funnel_outer")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.signup_ts_us, r.purchase_ts_us, r.purchase_value)
+        for r in spark.sql("SELECT * FROM t_funnel_outer").collect()
+    }
+    # Documented outer-join contract: a NULL row is emitted only once the
+    # global watermark passes signup_ts + within. The global watermark is
+    # the MIN across both watermarked legs (each = its leg's max event
+    # time - delay), so on a finite stream, signups within
+    # (delay + within) of the EARLIER-ending leg keep their state
+    # buffered forever — their NULL rows are legitimately absent.
+    # Matched rows are all emitted; NULL rows must match batch exactly
+    # below the cutoff.
+    leg_max = (
+        tables["events"]
+        .where(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts_us").alias("m"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    cutoff = leg_max - (2 * 3600 + 61 * 60) * 1_000_000  # delay+within+1min
+    matched = {t for t in batch if t[2] is not None}
+    assert matched <= got
+    got_nulls = {t for t in got if t[2] is None}
+    batch_nulls = {t for t in batch if t[2] is None}
+    assert {t for t in batch_nulls if t[1] < cutoff} <= got_nulls <= batch_nulls
+    assert got_nulls, "watermark-passed unconverted signups must be emitted"
 
 
 def test_stream_static_enrichment(spark, sf_dir, tables):

@@ -345,6 +345,14 @@ def test_merge_put_overlay_wraps_when_ansi_off(spark):
         spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
+def test_set_name_registers_view(spark, idx):
+    """Op 21 cosmetics (reference IndexedRDD.scala:52-56): set_name gives
+    the frame a name + SQL access via a temp view."""
+    out = idx.set_name("named_kv")
+    assert out is idx and idx.name == "named_kv"
+    assert spark.sql("SELECT count(*) AS c FROM named_kv").collect()[0].c == N + 1
+
+
 def test_decimal38_key_point_ops(spark):
     """BigInt key parity (reference KeySerializer.scala:69-80 maps to
     DECIMAL(38,0) per SURVEY §1.4): build / get / multiget / put / delete
