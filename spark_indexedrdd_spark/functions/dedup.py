@@ -316,31 +316,50 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     lo = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
     ex = ex.select(id_col, hi.alias("h_hi"), lo.alias("h_lo"))
 
-    # pre-project the 64 ±1 bit signals so the aggregate is 64 plain
-    # SUMs — same codegen-latency lever as minhash (2.3× cold)
-    def bit_signal(h: str, i: int):
-        return (F.shiftright(F.col(h), i).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    sig = ex.select(
-        F.col(id_col),
-        *[bit_signal("h_hi", i).alias(f"__b_hi_{i}") for i in range(32)],
-        *[bit_signal("h_lo", i).alias(f"__b_lo_{i}") for i in range(32)],
+    # Packed bit-count aggregation: 3 bit-counters per 20-bit field in
+    # one 64-bit accumulator → 22 SUMs + 1 COUNT instead of 64 SUMs.
+    # Equivalent sign rule: old sum(±1) > 0 ⟺ 2·cnt(bit) > n_tokens.
+    # Measured trade (sf0.1, local[32]): cold 4.8s→2.2s (smaller
+    # generated aggregate), warm 1.6s→1.9s (+20% per-row packing
+    # arithmetic), partial-agg shuffle payload 64→23 longs per doc
+    # (512→184 B — the 100 TB lever: map-side combine fully collapses
+    # per doc, so shuffle bytes scale with doc count × buffer width).
+    # 20-bit fields keep the top field's sum < 2^60 for up to 2^20
+    # (~1M) tokens per document — pre-chunk pathological docs beyond.
+    FIELD, PER = 20, 3
+    n_packs = (64 + PER - 1) // PER  # 22
+    bits = [("hi", i) for i in range(32)] + [("lo", i) for i in range(32)]
+    packs = []
+    for g in range(n_packs):
+        expr = F.lit(0).cast("long")
+        for j, (half, i) in enumerate(bits[g * PER : g * PER + PER]):
+            b = F.shiftright(F.col(f"h_{half}"), i).bitwiseAND(F.lit(1))
+            expr = expr + b.cast("long") * F.lit(1 << (FIELD * j)).cast("long")
+        packs.append(expr.alias(f"__p{g}"))
+    sig = ex.select(F.col(id_col), *packs)
+    agg = sig.groupBy(id_col).agg(
+        *[F.sum(f"__p{g}").alias(f"s{g}") for g in range(n_packs)],
+        F.count("*").alias("__n"),
     )
-    aggs = [F.sum(f"__b_hi_{i}").alias(f"s_hi_{i}") for i in range(32)] + [
-        F.sum(f"__b_lo_{i}").alias(f"s_lo_{i}") for i in range(32)
-    ]
-    agg = sig.groupBy(id_col).agg(*aggs)
 
-    def pack(prefix: str):
+    def bit_set(b: int):
+        cnt = F.shiftright(
+            F.col(f"s{b // PER}"), FIELD * (b % PER)
+        ).bitwiseAND(F.lit((1 << FIELD) - 1))
+        return cnt * 2 > F.col("__n")
+
+    def pack_half(offset: int):
         out = F.lit(0).cast("long")
         for i in range(32):
-            out = out + F.when(F.col(f"s_{prefix}_{i}") > 0, F.lit(2**i).cast("long")).otherwise(0)
+            out = out + F.when(
+                bit_set(offset + i), F.lit(2**i).cast("long")
+            ).otherwise(0)
         return out
 
     return agg.select(
         F.col(id_col),
-        pack("hi").alias("simhash_hi"),
-        pack("lo").alias("simhash_lo"),
+        pack_half(0).alias("simhash_hi"),
+        pack_half(32).alias("simhash_lo"),
     )
 
 
