@@ -300,7 +300,12 @@ def main() -> None:
     )
     best: dict[str, float] = {}
     round_totals = []
-    for _ in range(ROUNDS):
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "300"))
+    t_start = time.perf_counter()
+    for r in range(ROUNDS):
+        # always run round 1; start another only while inside the budget
+        if r > 0 and time.perf_counter() - t_start > budget:
+            break
         spark.catalog.clearCache()
         t = run_suite(spark)
         round_totals.append(round(sum(t.values()), 4))
@@ -314,7 +319,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": best,
                 "sf": _sf_from_dir(SF_DIR),
-                "rounds": ROUNDS,
+                "rounds": len(round_totals),
                 "round_totals": round_totals,
             }
         )
