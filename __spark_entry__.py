@@ -421,6 +421,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "events")
     ),
     "hash_split": lambda s, d: _text.hash_split(_docs(s, d)),
+    "doc_sample": lambda s, d: _text.hash_sample(_docs(s, d)).select(
+        "doc_id", "lang", "source", "n_chars"
+    ),
     "pack_documents": lambda s, d: _text.pack_documents(_docs(s, d)),
     "late_shipment_orders": lambda s, d: _an.late_shipment_orders(
         load_table(s, d, "orders"), load_table(s, d, "lineitem")
@@ -525,6 +528,10 @@ EXTENSION_ORACLE: dict[str, str] = {
     "funnel_purchase_after_signup": _sj.sql_batch_purchase_after_signup(),
     "funnel_signup_conversion": _sj.sql_batch_signup_conversion(),
     "hash_split": _text.sql_hash_split(),
+    "doc_sample": """
+        SELECT doc_id, lang, source, n_chars
+        FROM (""" + _text.sql_hash_sample() + """)
+    """,
     "pack_documents": _text.sql_pack_documents(),
     "late_shipment_orders": _an.sql_late_shipment_orders(),
     "supplier_diversity": _an.SQL_SUPPLIER_DIVERSITY_BY_BRAND,
@@ -618,6 +625,7 @@ CHANGED_R3 = (
     "similarity_ann_ivf",      # rows-only: sampled KMeans fit
     "funnel_signup_conversion",  # new: stream-stream LEFT OUTER funnel's
                                  # batch twin
+    "doc_sample",                # new: deterministic hash-threshold sample
 )
 
 # Tier 2: everything deferred past rounds 1-2's 50-entry cutoff — the
@@ -653,11 +661,11 @@ REPRESENTATIVE = (
     "dedup_lsh_candidates",
     "windowed_event_dedup",
     "asof_join",
-    "skew_salted_revenue",
 )
 
 # Past the cutoff: hash-green in CORRECTNESS_r02 and unchanged since.
 _R2_GREEN_UNCHANGED = (
+    "skew_salted_revenue",
     "binary_meta",
     "cube_doc_counts",
     "json_prop_stats",

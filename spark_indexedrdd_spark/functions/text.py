@@ -472,6 +472,43 @@ def sql_hash_split(
     """
 
 
+def hash_sample(
+    df: DataFrame,
+    rate: float = 0.1,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic sample by id-hash threshold — the eval-slice /
+    debugging sample a 100 TB pipeline needs: stable under re-runs,
+    repartitioning, and incremental appends (a doc is in or out forever,
+    per seed), composable with :func:`hash_split` (different seeds give
+    independent draws). Unlike ``df.sample()`` there is no sampler state
+    and no rand() — just a pure row-level predicate, so it pushes down
+    the scan and costs nothing beyond the read. Keeps ALL columns."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(seed) + ":"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.where(h / F.lit(float(1 << 32)) < F.lit(float(rate)))
+
+
+def sql_hash_sample(
+    table: str = "documents",
+    rate: float = 0.1,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> str:
+    return f"""
+        SELECT * FROM {table}
+        WHERE CAST(('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) / 4294967296.0 < {rate}
+    """
+
+
 def pack_documents(
     df: DataFrame,
     capacity_chars: int = 8000,

@@ -242,6 +242,31 @@ def test_lang_id_prefers_profile_language(spark):
     assert out == {1: "en", 2: "de", 3: "es"}
 
 
+def test_hash_sample_deterministic_and_append_stable(spark, sf_dir):
+    """hash_sample: same rows on every run and under repartitioning; a
+    doc's membership never changes when more docs are appended; rate is
+    approximately honored; different seeds draw near-independently."""
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = {r.doc_id for r in TX.hash_sample(docs, 0.2).select("doc_id").collect()}
+    s2 = {
+        r.doc_id
+        for r in TX.hash_sample(docs.repartition(7), 0.2).select("doc_id").collect()
+    }
+    assert s1 == s2 and s1
+    # append-stability: sampling half the table gives exactly the
+    # members of the full-table sample that are in that half
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    sh = {r.doc_id for r in TX.hash_sample(half, 0.2).select("doc_id").collect()}
+    assert sh == {d for d in s1 if d % 2 == 0}
+    n = docs.count()
+    assert 0.1 * n < len(s1) < 0.3 * n
+    other = {
+        r.doc_id
+        for r in TX.hash_sample(docs, 0.2, seed=7).select("doc_id").collect()
+    }
+    assert other != s1  # a different seed is a different draw
+
+
 def test_hash_split_fractions_and_stability(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     s = TX.hash_split(docs)
