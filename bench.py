@@ -258,6 +258,30 @@ def run_suite(spark) -> dict[str, float]:
             lambda a, b: a + b,
         ).df.count()
 
+    # --- partitioned write + partition-pruned read ----------------------- #
+    # (hive-layout write by a low-cardinality column; the pruned read must
+    # touch only the matching directories — the write-once cost that buys
+    # every downstream filter a directory-level prune at 100 TB)
+    from spark_indexedrdd_spark.sources.sinks import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    @timed("partitioned_write_once")
+    def _pw():
+        write_partitioned(
+            docs, "spark-warehouse/bench_docs_part", ["lang"], target_partitions=8
+        )
+
+    @timed("partition_pruned_read")
+    def _pr():
+        got = (
+            read_partitioned(spark, "spark-warehouse/bench_docs_part")
+            .where(F.col("lang") == "en")
+            .count()
+        )
+        assert got > 0
+
     # --- the reference README's own scale: 1M-entry KV point ops -------- #
     # (reference README.md:24-34 builds a 1,000,000-entry IndexedRDD and
     # does driver-side put/get/delete — the only scale the reference
