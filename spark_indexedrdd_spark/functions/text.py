@@ -483,8 +483,10 @@ def hash_sample(
     repartitioning, and incremental appends (a doc is in or out forever,
     per seed), composable with :func:`hash_split` (different seeds give
     independent draws). Unlike ``df.sample()`` there is no sampler state
-    and no rand() — just a pure row-level predicate, so it pushes down
-    the scan and costs nothing beyond the read. Keeps ALL columns."""
+    and no rand() — just a pure row-level predicate evaluated inside the
+    scan stage's codegen (no shuffle, no extra pass; the md5 itself
+    cannot reach parquet's PushedFilters, only plain comparisons can).
+    Keeps ALL columns."""
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(str(seed) + ":"), F.col(id_col).cast("string"))),
