@@ -581,16 +581,20 @@ ROWS_ONLY = (
 # Declaration order matters: the driver's correctness gate evaluates the
 # FIRST 50 entries of queries() in iteration order (round 1 evidence:
 # CORRECTNESS_r01.json holds exactly the first 50). Round-3 tiers:
-#   1. queries whose implementation or oracle changed THIS round —
-#      must re-verify,
-#   2. the 24 entries deferred past rounds 1-2's cutoff (rows-only checks
-#      + queries hash-verified only in CORRECTNESS_r01) — rotate in so
-#      every declared query has a fresh driver row,
+#   1. the 9 queries whose implementation or oracle changed (or are new)
+#      THIS round — must re-verify (CHANGED_R3 below),
+#   2. the 22 remaining entries deferred past rounds 1-2's cutoff
+#      (rows-only checks + queries hash-verified only in
+#      CORRECTNESS_r01; 2 more of the original 24 deferred —
+#      similarity_topk_fast, similarity_ann_ivf — changed this round and
+#      sit in tier 1) — rotate in so every declared query has a fresh
+#      driver row,
 #   3. the 16 core SURVEY §2 reference-parity ops (all hash-green in
 #      CORRECTNESS_r02; core.py changed this round, so keep them checked),
-#   4. fill to 50 with high-value representatives.
-# Entries past the cutoff are exclusively queries that hash-matched in
-# CORRECTNESS_r02.json and whose code paths are unchanged since.
+#   4. fill to 50 with 3 high-value representatives.
+# The 28 entries past the cutoff are exclusively queries that
+# hash-matched in CORRECTNESS_r02.json and whose code paths are
+# unchanged since.
 # --------------------------------------------------------------------- #
 
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -618,6 +622,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # their distribution strategy — broadcast query matrix, sampled IVF fit.)
 CHANGED_R3 = (
     "dedup_ngram_jaccard",     # stop-shingle skew guard (both sides)
+    "simhash",                 # packed bit-count aggregation (22 buffers)
     "simhash_near_pairs",      # exact oracle + lossless (d+1)-chunk blocking
     "uuid_key_ops",            # new: UUID-string key parity
     "decimal_key_ops",         # new: DECIMAL(38,0) key parity
@@ -660,11 +665,11 @@ REPRESENTATIVE = (
     "pricing_summary",
     "dedup_lsh_candidates",
     "windowed_event_dedup",
-    "asof_join",
 )
 
 # Past the cutoff: hash-green in CORRECTNESS_r02 and unchanged since.
 _R2_GREEN_UNCHANGED = (
+    "asof_join",
     "skew_salted_revenue",
     "binary_meta",
     "cube_doc_counts",
@@ -678,7 +683,6 @@ _R2_GREEN_UNCHANGED = (
     "quality_filter",
     "dedup_exact",
     "minhash_signatures",
-    "simhash",
     "similarity_topk",
     "embedding_neardup",
     "volume_shipping_q7",
