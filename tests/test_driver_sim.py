@@ -32,7 +32,8 @@ for name in ["multiput_merge", "asof_join", "tumbling_window",
              "funnel_purchase_after_signup", "revenue_month_over_month",
              "volume_shipping_q7", "hash_split", "grouping_sets_doc_stats",
              "uuid_key_ops", "decimal_key_ops", "simhash_near_pairs",
-             "dedup_ngram_jaccard"]:
+             "dedup_ngram_jaccard", "funnel_signup_conversion",
+             "doc_sample"]:
     s = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     o = con.sql(osql[name]).df()
     s = s.reindex(sorted(s.columns), axis=1).sort_values(
