@@ -280,7 +280,9 @@ def q_uuid_key_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(h, 21, 12),
     )
     base = cust.select(uuid_col.alias("ck_uuid"), "c_custkey", "c_acctbal")
-    kv = IndexedDataFrame.build(base, "ck_uuid")
+    # customer keys are unique → from_unique skips the dedupe aggregate's
+    # exchange; only the partitioning-contract shuffle remains
+    kv = IndexedDataFrame.from_unique(base, "ck_uuid")
     v2 = kv.delete([uuid_of_custkey(k) for k in UUID_DELETE_CUSTKEYS])
     return v2.to_df()
 
@@ -297,7 +299,7 @@ def q_decimal_key_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").cast("decimal(38,0)").alias("ck_dec"),
         F.col("c_acctbal").alias("bal"),
     )
-    kv = IndexedDataFrame.build(base, "ck_dec")
+    kv = IndexedDataFrame.from_unique(base, "ck_dec")
     v2 = kv.multiput({Decimal(-1): 111.5, Decimal(1): 999.25})
     return v2.to_df().select(
         F.col("ck_dec").cast("bigint").alias("ck"), "bal"
