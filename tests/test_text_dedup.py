@@ -81,6 +81,35 @@ def test_simhash_near_pairs_on_planted_dups(spark):
     assert (1, 3) not in pairs
 
 
+def test_incremental_lsh_never_pairs_corpus_with_itself(spark):
+    """Incremental ingest: candidates touch a NEW doc (new×corpus,
+    new×new); near-dup pairs entirely inside the corpus are not
+    re-reported — that work was done when those docs were ingested."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    far = "totally different words with no overlap whatsoever at all " * 5
+    fresh = "unrelated new content nothing shared here at all ever " * 5
+    # exact duplicates guarantee identical signatures → all bands match,
+    # so every expected pair is deterministic (no band-hash luck)
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base), (3, far)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, base), (11, base), (12, fresh)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in DD.incremental_lsh_candidates(new, corpus).collect()
+    }
+    assert all(a in {10, 11, 12} for a, _ in pairs)  # every pair touches new
+    assert (10, 1) in pairs and (10, 2) in pairs     # new×corpus found
+    assert (10, 11) in pairs                         # new×new found (a<b once)
+    assert (11, 10) not in pairs
+    # the corpus-internal duplicate (1,2) is NOT re-reported — that work
+    # was done when those docs were ingested
+    assert not any({a, b} == {1, 2} for a, b in pairs)
+    assert not any(3 in (a, b) or 12 in (a, b) for a, b in pairs)  # far docs
+
+
 def test_simhash_blocking_is_lossless(spark):
     """simhash_near_pairs must equal the brute-force all-pairs result for
     ANY max_hamming — the (d+1)-chunk pigeonhole blocking loses nothing.
