@@ -45,6 +45,40 @@ print("DRIVER_SIM_PASS")
 """
 
 
+STREAM_SCRIPT = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master('local[2]')
+         .config('spark.ui.enabled','false')
+         .config('spark.sql.shuffle.partitions','4')
+         .getOrCreate())
+spark.sparkContext.setLogLevel('ERROR')
+# NO load_table first: the streaming readers must set the nanos conf
+# themselves (regression: they used to rely on an earlier batch load)
+from spark_indexedrdd_spark.streaming.joins import streaming_purchase_after_signup
+out = streaming_purchase_after_signup(spark, '/root/testdata/sf0.001/events.parquet')
+q = (out.writeStream.outputMode('append').format('memory')
+     .queryName('m').trigger(availableNow=True).start())
+q.processAllAvailable(); q.stop()
+assert spark.sql('SELECT count(*) c FROM m').collect()[0].c > 0
+print("STREAM_FRESH_SESSION_PASS")
+"""
+
+
+def test_streaming_readers_are_session_independent():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", STREAM_SCRIPT.format(repo=repo)],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert "STREAM_FRESH_SESSION_PASS" in out.stdout, (
+        out.stdout[-2000:] + out.stderr[-2000:]
+    )
+
+
 def test_plain_session_non_utc_runs_contract():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, TZ="America/New_York")
