@@ -430,8 +430,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     # arithmetic), partial-agg shuffle payload 64→23 longs per doc
     # (512→184 B — the 100 TB lever: map-side combine fully collapses
     # per doc, so shuffle bytes scale with doc count × buffer width).
-    # 20-bit fields keep the top field's sum < 2^60 for up to 2^20
-    # (~1M) tokens per document — pre-chunk pathological docs beyond.
+    # 20-bit fields keep each bit-counter exact for up to 2^20-1 (~1M)
+    # tokens per document; the guard below turns the overflow case into a
+    # loud error (never a silently corrupted fingerprint).
     FIELD, PER = 20, 3
     n_packs = (64 + PER - 1) // PER  # 22
     bits = [("hi", i) for i in range(32)] + [("lo", i) for i in range(32)]
@@ -446,6 +447,31 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     agg = sig.groupBy(id_col).agg(
         *[F.sum(f"__p{g}").alias(f"s{g}") for g in range(n_packs)],
         F.count("*").alias("__n"),
+    )
+    # Token-count guard: a per-bit counter is bounded by __n, so
+    # __n <= 2^FIELD - 1 guarantees no field ever carries into its
+    # neighbor. Beyond that the packed representation CANNOT be exact,
+    # so fail loudly (CASE branches evaluate lazily — the error fires
+    # only for an oversized doc, and costs one comparison per document,
+    # not per token). Pre-chunk or pre-truncate pathological docs
+    # upstream if they are expected.
+    cap = (1 << FIELD) - 1
+    agg = agg.withColumn(
+        "__n",
+        F.when(
+            F.col("__n") > F.lit(cap),
+            F.raise_error(
+                F.concat(
+                    F.lit("simhash: document "),
+                    F.col(id_col).cast("string"),
+                    F.lit(
+                        f" has more than {cap} tokens; the packed bit-count"
+                        " aggregation would overflow its 20-bit fields —"
+                        " pre-chunk oversized documents before simhash()"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__n")),
     )
 
     def bit_set(b: int):

@@ -350,3 +350,29 @@ def test_windowed_event_dedup_oracle_and_rule(spark, sf_dir):
         .count()
     )
     assert dup == 0
+
+
+def test_simhash_raises_on_token_overflow(spark):
+    """A document with more tokens than the 20-bit packed counters can
+    count (2^20 - 1) must FAIL LOUDLY, never produce a silently
+    corrupted fingerprint (the packed-aggregation capacity contract)."""
+    n_over = (1 << 20) + 1  # one past capacity
+    big = "x " * n_over
+    df = spark.createDataFrame(
+        [(1, big), (2, "a normal small document")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="more than .* tokens"):
+        DD.simhash(df).collect()
+
+
+def test_simhash_ok_just_under_token_cap(spark):
+    """2^20 - 1 tokens is exactly representable — no false positive from
+    the guard, and the fingerprint of an all-identical-token doc equals
+    the token's own hash bits (majority of n identical votes)."""
+    n_ok = (1 << 20) - 1
+    df = spark.createDataFrame([(1, "x " * n_ok)], "doc_id long, text string")
+    row = DD.simhash(df).collect()[0]
+    one = DD.simhash(
+        spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    ).collect()[0]
+    assert (row.simhash_hi, row.simhash_lo) == (one.simhash_hi, one.simhash_lo)
