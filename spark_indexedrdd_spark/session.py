@@ -38,8 +38,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # testdata events.ts is TIMESTAMP(NANOS): read as long, converted
-        # to micros in sources.tables._normalize_events
+        # Legacy testdata wrote events.ts as TIMESTAMP(NANOS); the flag
+        # reads that as long (normalized in sources.tables). No-op for
+        # the current timestamp[us] data.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

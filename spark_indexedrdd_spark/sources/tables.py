@@ -37,9 +37,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS); Spark refuses it unless read as
-        # long. Runtime-settable, so set it defensively here too — the
-        # caller's session (e.g. the driver's) may not have configured it.
+        # Older testdata wrote events.ts as TIMESTAMP(NANOS), which Spark
+        # only reads with this flag (as nanosecond longs). Current data is
+        # timestamp[us]; the flag is a no-op there. Runtime-settable, so
+        # set it defensively — the caller's session may not have it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
@@ -48,25 +49,53 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) in parquet, which Spark rejects
-    unless spark.sql.legacy.parquet.nanosAsLong=true (set in session.py)
-    reads it as nanosecond longs. Normalize to:
+    """Normalize ``events.ts`` regardless of how the parquet encodes it.
 
-    - ``ts``     timestamp (microsecond, floor — matches DuckDB's
-                 epoch_us truncation)
-    - ``ts_us``  bigint microseconds — the column event-time operators
-                 compare/order on, so Spark and the DuckDB oracle use
-                 identical integer arithmetic.
+    Observed encodings of the testdata over time:
+
+    - ``timestamp[us]`` without timezone (current): Spark infers
+      TIMESTAMP_NTZ (wall-clock, no zone).
+    - TIMESTAMP(NANOS) (legacy): only readable with
+      ``spark.sql.legacy.parquet.nanosAsLong=true`` → arrives as
+      nanosecond LongType.
+    - ``timestamp[us, tz=UTC]``: Spark reads TIMESTAMP_LTZ.
+
+    All three normalize to:
+
+    - ``ts_us``  bigint microseconds since the UTC epoch — the column
+                 event-time operators compare/order on, so Spark and the
+                 DuckDB oracle use identical integer arithmetic.
+    - ``ts``     TIMESTAMP (instant) rebuilt from ``ts_us`` so every
+                 branch yields the same type downstream.
+
+    The NTZ branch uses ``timestampdiff(MICROSECOND, ntz_epoch, ts)`` —
+    pure wall-clock arithmetic, independent of the session timezone, so a
+    plain non-UTC session (the driver's) computes the same ``ts_us`` as
+    our UTC-pinned session. DuckDB's ``epoch_us(ts)`` on the same file is
+    wall-clock micros too, so the engines agree exactly.
     """
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
-    if isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts_us", F.expr("ts DIV 1000")).withColumn(
-            "ts", F.timestamp_micros(F.col("ts_us"))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # legacy nanosAsLong path: nanos → floor-divide to micros
+        df = df.withColumn("ts_us", F.expr("ts DIV 1000"))
+    elif isinstance(ts_type, TimestampNTZType):
+        # tz-independent: wall-clock micros since the NTZ epoch
+        df = df.withColumn(
+            "ts_us",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ),
         )
-    else:
+    elif isinstance(ts_type, TimestampType):
         df = df.withColumn("ts_us", F.unix_micros(F.col("ts")))
-    return df
+    else:
+        raise TypeError(
+            f"events.ts has unsupported type {ts_type}; expected "
+            "TIMESTAMP, TIMESTAMP_NTZ, or legacy nanosAsLong LongType"
+        )
+    return df.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
