@@ -463,7 +463,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             F.raise_error(
                 F.concat(
                     F.lit("simhash: document "),
-                    F.col(id_col).cast("string"),
+                    # coalesce: a NULL id must not null out the whole
+                    # diagnostic message
+                    F.coalesce(F.col(id_col).cast("string"), F.lit("<null>")),
                     F.lit(
                         f" has more than {cap} tokens; the packed bit-count"
                         " aggregation would overflow its 20-bit fields —"
@@ -668,8 +670,10 @@ def resolve_duplicate_clusters(
     Scale: each iteration is one join + one aggregate on the edge list —
     the standard large-graph CC pattern (HashToMin). Converges in
     O(log(diameter)) iterations; near-dup components are tiny (pairs of
-    chains), so ``max_iterations=10`` is generous. Iterative, so no SQL
-    oracle — verified against a Python union-find in tests."""
+    chains), so ``max_iterations=10`` is generous. Verified against a
+    Python union-find in tests AND against the recursive-CTE oracle
+    :func:`sql_duplicate_clusters` (transitive closure + MIN-reachable
+    label — same fixpoint, different evaluation strategy)."""
     edges = (
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .unionByName(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
@@ -729,6 +733,33 @@ def resolve_duplicate_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def sql_duplicate_clusters(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """Exact oracle for :func:`resolve_duplicate_clusters` over
+    :func:`lsh_candidates` pairs: a recursive CTE computes the transitive
+    closure of the (undirected) candidate-pair graph, then each node's
+    cluster_id is its MIN reachable node — the same fixpoint the Spark
+    side's pointer-jumping label propagation converges to. All-pairs
+    reachability is fine at oracle scale; the Spark side never
+    materializes it."""
+    return f"""
+        WITH RECURSIVE cand AS ({sql_lsh_candidates(table, text_col, id_col)}),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM cand
+            UNION
+            SELECT doc_b, doc_a FROM cand
+        ),
+        reach(node, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+        )
+        SELECT node AS {id_col}, MIN(r) AS cluster_id
+        FROM reach GROUP BY node
+    """
 
 
 # --------------------------------------------------------------------- #

@@ -39,15 +39,20 @@ def _centroids_df(emb: DataFrame, k: int, seed: int, id_col: str, vec_col: str):
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        n = emb.count()
+        # Bounded-probe count: limit(cap+1).count() short-circuits after
+        # cap+1 rows (CollectLimit scans partitions incrementally), so
+        # deciding "is the corpus bigger than the cap?" never costs a
+        # full scan — at 100 TB the old emb.count() here was a whole
+        # extra pass over the corpus per index build.
+        n_bounded = emb.select(id_col).limit(TRAIN_SAMPLE_CAP + 1).count()
         train = (
             emb
-            if n <= TRAIN_SAMPLE_CAP
-            # sample() is a narrow scan-side filter — no shuffle, no
-            # collect; oversample 10% then cap exactly.
-            else emb.sample(
-                fraction=min(1.0, 1.1 * TRAIN_SAMPLE_CAP / n), seed=seed
-            ).limit(TRAIN_SAMPLE_CAP)
+            if n_bounded <= TRAIN_SAMPLE_CAP
+            # corpus is known to exceed the cap: a fixed-fraction seeded
+            # sample (narrow, scan-side — no shuffle, no collect) capped
+            # at exactly TRAIN_SAMPLE_CAP rows. 5% of >100k rows is
+            # >5000 training vectors — far above any sane k.
+            else emb.sample(fraction=0.05, seed=seed).limit(TRAIN_SAMPLE_CAP)
         )
         ds = train.select(
             F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
@@ -109,7 +114,18 @@ def ivf_ann(
 ) -> DataFrame:
     """IVF top-k: (q_id, cand_id, cosine_sim, rank). Approximate — a true
     neighbor in an unprobed list is missed; recall is tested on clustered
-    data in tests/test_similarity.py."""
+    data in tests/test_similarity.py and tests/test_ivf_clusters.py.
+
+    Why no SQL oracle (driver records a rows-only check): the probed
+    lists depend on centroids from pyspark.ml KMeans — an iterative
+    Lloyd's fit whose centroid updates are parallel float reductions with
+    nondeterministic summation order across engines, so no ANSI-SQL
+    formulation can reproduce the partition of the corpus bit-exactly.
+    (Contrast hyperplane_lsh_ann, whose bucketing is a deterministic
+    fold against literal planes and therefore HAS an exact oracle —
+    sql_hyperplane_lsh_ann.) End-to-end determinism of THIS operator
+    given one engine is still pinned: fixed seed, fixed iteration count,
+    rank ties broken by cand_id."""
     assigned, cents = build_ivf(emb, n_clusters, seed, id_col, vec_col)
     assigned = assigned.cache()
 

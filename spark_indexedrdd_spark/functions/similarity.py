@@ -83,10 +83,20 @@ def sql_cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> str:
+    """``round_digits=None`` ranks and emits the raw fold-exact double
+    (the oracle for :func:`cosine_topk`). With ``round_digits=d`` the
+    score is ROUNDed to d decimals BEFORE ranking (cand_id tie-break) —
+    the oracle for :func:`cosine_topk_fast`, whose BLAS accumulation
+    differs from the sequential fold by ~1 ulp: rounding collapses that
+    difference, and ranking on the rounded value keeps rank assignment
+    identical on both engines."""
     from spark_indexedrdd_spark.functions.vectors import sql_dot, sql_norm
 
     ids = ", ".join(str(i) for i in query_ids)
+    raw = f"{sql_dot(f'q.{vec_col}', f'c.{vec_col}')} / (q.nrm * c.nrm)"
+    score = raw if round_digits is None else f"ROUND({raw}, {int(round_digits)})"
     return f"""
         WITH n AS (
             SELECT {id_col}, {vec_col}, {sql_norm(vec_col)} AS nrm FROM {table}
@@ -94,7 +104,7 @@ def sql_cosine_topk(
         q AS (SELECT * FROM n WHERE {id_col} IN ({ids})),
         scored AS (
             SELECT q.{id_col} AS q_id, c.{id_col} AS cand_id,
-                   {sql_dot(f'q.{vec_col}', f'c.{vec_col}')} / (q.nrm * c.nrm) AS cosine_sim
+                   {score} AS cosine_sim
             FROM q, n c
             WHERE q.{id_col} <> c.{id_col}
         ),
@@ -184,10 +194,20 @@ def cosine_topk_fast(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int = 9,
 ) -> DataFrame:
     """Same result as :func:`cosine_topk` (modulo float ulps from BLAS
     accumulation), computed as a vectorized matmul per Arrow batch with
     per-batch top-k, then a global re-rank of the tiny union.
+
+    Oracle contract: BLAS sums in a different order than the sequential
+    fold, so raw scores differ from SQL by ~1 ulp. The emitted
+    ``cosine_sim`` is therefore ROUNDed to ``round_digits`` decimals and
+    the final rank is computed ON the rounded value (cand_id tie-break),
+    which makes the result hash-comparable to
+    ``sql_cosine_topk(round_digits=...)``. Per-batch candidate selection
+    still uses raw scores — any global top-k candidate is in its batch's
+    top-(k+1) regardless of sub-ulp ordering.
 
     Scale: candidate side is scanned once, never shuffled; the query
     matrix is shipped to executors ONCE per node via ``sc.broadcast``
@@ -196,7 +216,13 @@ def cosine_topk_fast(
     fit beside each Arrow batch in executor memory; 10k × 512 float64 ≈
     40 MB) — beyond the cap, use the LSH/IVF ANN tiers, which never
     materialize a dense query matrix. The final window sees only
-    q × k × n_batches rows."""
+    q × k × n_batches rows.
+
+    Broadcast lifetime: the query-matrix broadcast is pinned to the
+    returned DataFrame (``._sgraft_broadcast``), so it stays fetchable
+    for as long as the plan is alive and becomes eligible for Spark's
+    ContextCleaner as soon as the caller drops the DataFrame — repeated
+    calls in a long session don't accumulate broadcasts."""
     import numpy as np
 
     query_ids = list(query_ids)
@@ -240,12 +266,17 @@ def cosine_topk_fast(
     partial = emb.select(id_col, vec_col).mapInPandas(
         score_batches, schema="q_id long, cand_id long, cosine_sim double"
     )
+    rounded = partial.withColumn(
+        "cosine_sim", F.round("cosine_sim", round_digits)
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
+    out = (
+        rounded.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_id", "cand_id", "cosine_sim", F.col("rank").cast("int"))
     )
+    out._sgraft_broadcast = bc  # ties broadcast lifetime to the plan
+    return out
 
 
 # --------------------------------------------------------------------- #
@@ -270,6 +301,18 @@ def hyperplane_signature(
     return sig
 
 
+def _lsh_planes(
+    n_planes: int, n_tables: int, seed: int, dim: int
+) -> list[list[list[float]]]:
+    """Deterministic hyperplanes shared by the Spark operator and its SQL
+    oracle — same seed → identical float64 values on both sides (Python
+    float repr round-trips exactly through both engines' literals)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [rng.standard_normal((n_planes, dim)).tolist() for _ in range(n_tables)]
+
+
 def hyperplane_lsh_ann(
     emb: DataFrame,
     query_ids: Iterable[int] = tuple(DEFAULT_QUERY_IDS),
@@ -285,15 +328,16 @@ def hyperplane_lsh_ann(
     tables; candidates = union of bucket collisions; exact cosine re-rank
     of the (small) candidate set. Deterministic planes from a seeded RNG.
 
+    Oracle-exact despite being an ANN: signatures are sign bits of
+    sequential-fold double dot products against literal planes, and the
+    re-rank is the fold-exact cosine — every arithmetic step is
+    bit-identical in :func:`sql_hyperplane_lsh_ann`, so the DuckDB twin
+    reproduces bucket collisions AND scores exactly.
+
     Scale: each table is an equi-join on (table_id, bucket) — shuffle
     keys are buckets, so cost ~ collisions, never all-pairs. Recall is
     tested against brute force in tests/test_similarity.py."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    tables = [
-        rng.standard_normal((n_planes, dim)).tolist() for _ in range(n_tables)
-    ]
+    tables = _lsh_planes(n_planes, n_tables, seed, dim)
 
     def bucketed(df: DataFrame, out_id: str) -> DataFrame:
         return df.select(
@@ -335,3 +379,65 @@ def hyperplane_lsh_ann(
         .where(F.col("rank") <= k)
         .select("q_id", "cand_id", "cosine_sim", F.col("rank").cast("int"))
     )
+
+
+def sql_hyperplane_lsh_ann(
+    table: str = "embeddings",
+    query_ids: Iterable[int] = tuple(DEFAULT_QUERY_IDS),
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """Exact DuckDB twin of :func:`hyperplane_lsh_ann` (same parameters).
+
+    Bit-exactness argument: the Spark side computes each signature bit as
+    ``sign(fold_left(v[i] * plane[i]))`` in double precision with literal
+    plane values; this SQL computes the identical sequential fold
+    (``sql_dot``) against the same literals (``CAST('<repr>' AS DOUBLE)``
+    — Python float repr round-trips exactly through strtod), so the sign
+    bits, bucket collisions, and the fold-exact cosine re-rank are all
+    bit-identical. The plan shape differs (OR-of-bucket-equalities
+    instead of explode+equi-join) but the produced pair set is the same:
+    pairs sharing at least one table's bucket."""
+    from spark_indexedrdd_spark.functions.vectors import sql_cosine, sql_dot
+
+    tables = _lsh_planes(n_planes, n_tables, seed, dim)
+    sig_exprs = []
+    for t, planes in enumerate(tables):
+        terms = []
+        for i, plane in enumerate(planes):
+            lit = (
+                "["
+                + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in plane)
+                + "]"
+            )
+            d = sql_dot(vec_col, lit)
+            terms.append(f"CASE WHEN ({d}) >= 0 THEN {2 ** i} ELSE 0 END")
+        sig_exprs.append(f"CAST(({' + '.join(terms)}) AS BIGINT) AS b{t}")
+    ids = ", ".join(str(i) for i in query_ids)
+    bucket_or = " OR ".join(f"q.b{t} = c.b{t}" for t in range(n_tables))
+    return f"""
+        WITH s AS (
+            SELECT {id_col}, {vec_col}, {", ".join(sig_exprs)} FROM {table}
+        ),
+        q AS (SELECT * FROM s WHERE {id_col} IN ({ids})),
+        cand AS (
+            SELECT DISTINCT q.{id_col} AS q_id, q.{vec_col} AS qv,
+                   c.{id_col} AS cand_id, c.{vec_col} AS cv
+            FROM q JOIN s c ON q.{id_col} <> c.{id_col} AND ({bucket_or})
+        ),
+        scored AS (
+            SELECT q_id, cand_id, {sql_cosine("qv", "cv")} AS cosine_sim
+            FROM cand
+        ),
+        ranked AS (
+            SELECT q_id, cand_id, cosine_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, cand_id) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT q_id, cand_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
+    """
