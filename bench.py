@@ -234,6 +234,23 @@ def run_suite(spark) -> dict[str, float]:
     def _stk():
         _sim.cosine_topk_fast(emb).count()
 
+    # --- incremental dedup: signature store vs in-plan ------------------- #
+    # (write once per corpus, then every ingest batch reads k+1 columns of
+    # parquet signatures instead of re-hashing the corpus text)
+    new_docs = docs.where("doc_id % 20 = 0")
+
+    @timed("sigstore_write_once")
+    def _sigw():
+        _dedup.write_signature_store(
+            docs.where("doc_id % 20 != 0"), "spark-warehouse/bench_sigstore"
+        )
+
+    @timed("dedup_incremental_from_store")
+    def _siginc():
+        _dedup.incremental_lsh_candidates_from_store(
+            new_docs, "spark-warehouse/bench_sigstore"
+        ).count()
+
     @timed("embedding_neardup")
     def _endup():
         _sim.near_duplicates(emb, 0.3).count()
@@ -323,6 +340,7 @@ def main() -> None:
         shuffle_partitions=CPUS,
     )
     best: dict[str, float] = {}
+    cold: dict[str, float] = {}
     round_totals = []
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "300"))
     t_start = time.perf_counter()
@@ -333,6 +351,10 @@ def main() -> None:
         spark.catalog.clearCache()
         t = run_suite(spark)
         round_totals.append(round(sum(t.values()), 4))
+        if r == 0:
+            # first-pass numbers: codegen/JIT + page-cache cold — what a
+            # one-shot job actually pays, reported beside the min
+            cold = dict(t)
         best = {k: min(v, best.get(k, v)) for k, v in t.items()}
     total = round(sum(best.values()), 4)
     print(
@@ -342,6 +364,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": best,
+                "queries_cold": cold,
                 "sf": _sf_from_dir(SF_DIR),
                 "rounds": len(round_totals),
                 "round_totals": round_totals,

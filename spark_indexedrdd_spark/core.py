@@ -267,10 +267,14 @@ class IndexedDataFrame:
         self._point_parent: "IndexedDataFrame | None" = None
         self._point_overlay: dict | None = None
         self._point_tombstones: frozenset | None = None
-        # None = overlay values are final (overwrite/delete); a callable =
+        # None = overlay values are final (overwrite/delete); (f, dtype) =
         # merge-multiput overlay: get() probes the parent for the old
-        # value and applies this Python mirror of f driver-side
-        self._point_merge: Callable[[Any, Any], Any] | None = None
+        # value and applies the Python mirror of f driver-side. Stored as
+        # a SPEC, not a resolved callable: the ANSI flag is runtime-
+        # settable, so the mirror is resolved against the session conf at
+        # READ time — a get() after toggling spark.sql.ansi.enabled
+        # behaves exactly as executing the plan then would.
+        self._point_merge_spec: tuple[Any, str] | None = None
         # optional attached NativeHashPointIndex (with_point_index())
         self._pindex = None
 
@@ -403,6 +407,20 @@ class IndexedDataFrame:
         res = self.multiget([key])
         return res.get(self._key_tuple(key) if len(self.keys) > 1 else key)
 
+    def _resolve_point_merge(self) -> Callable[[Any, Any], Any] | None:
+        """Resolve the merge-overlay's Python mirror against the
+        session's CURRENT ANSI mode (the flag is runtime-settable; a
+        snapshot at multiput() time could disagree with what executing
+        the plan at read time would do)."""
+        f, dt = self._point_merge_spec
+        ansi = (
+            str(
+                self.df.sparkSession.conf.get("spark.sql.ansi.enabled", "true")
+            ).lower()
+            == "true"
+        )
+        return _py_point_merge_for(f, dt, ansi)
+
     def multiget(self, ks: Iterable[Any]) -> dict:
         """Batch point lookup (reference IndexedRDD.scala:79-94).
 
@@ -421,13 +439,21 @@ class IndexedDataFrame:
             return self._pindex.multiget(
                 [kt[0] if single else kt for kt in key_tuples]
             )
-        if self._point_parent is not None:
+        if self._point_parent is not None and (
+            self._point_merge_spec is None
+            or (pm := self._resolve_point_merge()) is not None
+        ):
             # overlay fast path: answer puts/deletes driver-side, send
             # only the remainder to the (pre-mutation) parent. For a
             # merge-multiput version, overlay keys still probe the parent
             # for the old value (the reference LazyPartition's member
             # probing, LazyPartition.scala:43-46) — but the merge itself
-            # runs driver-side, so the full-outer-join plan never executes.
+            # runs driver-side, so the full-outer-join plan never
+            # executes. If the CURRENT session mode has no provable
+            # driver-side mirror for the merge, this block is skipped and
+            # the lookup executes the plan instead (correct, just slower).
+            if self._point_merge_spec is None:
+                pm = None
             single = len(self.keys) == 1
             key_tuples = list(dict.fromkeys(key_tuples))
             out: dict = {}
@@ -438,7 +464,7 @@ class IndexedDataFrame:
                     continue
                 k = kt[0] if single else kt
                 if kt in self._point_overlay:
-                    if self._point_merge is None:
+                    if pm is None:
                         out[k] = self._point_overlay[kt]
                     else:
                         merge_keys.append((kt, k))
@@ -450,7 +476,7 @@ class IndexedDataFrame:
             for kt, k in merge_keys:
                 new = self._point_overlay[kt]
                 if k in parent_res:
-                    out[k] = self._point_merge(parent_res[k], new)
+                    out[k] = pm(parent_res[k], new)
                     merged_away.add(k)
                 else:
                     out[k] = new  # absent key -> z(new), z is IDENTITY here
@@ -602,23 +628,22 @@ class IndexedDataFrame:
             #   driver-side (reference LazyPartition.scala:43-46).
             # Values were coerced exactly as the merge projection's cast
             # would; unknown types skipped the overlay above.
+            # Mirror EXISTENCE is checked here (mode-independent: every
+            # supported merge/dtype has a mirror under both ANSI modes);
+            # the mirror itself is resolved at READ time against the
+            # session's then-current ANSI flag (_resolve_point_merge).
             dt = self.df.schema[v].dataType.typeName()
-            ansi = (
-                str(
-                    spark.conf.get("spark.sql.ansi.enabled", "true")
-                ).lower()
-                == "true"
+            mergeable = f is not OVERWRITE and (
+                _py_point_merge_for(f, dt, True) is not None
+                or _py_point_merge_for(f, dt, False) is not None
             )
-            py_f = (
-                None if f is OVERWRITE else _py_point_merge_for(f, dt, ansi)
-            )
-            if f is OVERWRITE or py_f is not None:
+            if f is OVERWRITE or mergeable:
                 out._point_parent = self
                 out._point_overlay = {
                     self._key_tuple(k): val for k, val in vals.items()
                 }
                 out._point_tombstones = frozenset()
-                out._point_merge = py_f
+                out._point_merge_spec = None if f is OVERWRITE else (f, dt)
         return out
 
     def multiput_df(

@@ -1,12 +1,14 @@
 """Multimodal-column plumbing: images/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched operators.
 
-The decode step itself is STUBBED (this container has no image/audio
-libraries): ``decode_image`` raises NotImplementedError unless a
-deterministic fake decoder is requested. Everything around it — schema,
-batch iteration, partitioning, UDF signatures — is real and tested, so
-swapping in a real decoder (PIL/torchaudio/ffmpeg) is a one-function
-change on a cluster that has the libs.
+Image decode is REAL without any image library: ``header_decode`` parses
+PNG/JPEG/GIF dimensions+channels from header bytes in pure Python
+(Pillow takes over automatically when importable, extending format
+coverage). Only the model-based feature extraction remains a
+deterministic stand-in (no vision/audio model runtime in this
+container); everything around it — schema, batch iteration,
+partitioning, UDF signatures — is real and tested, so swapping in a
+model runtime is a one-function change on a cluster that has it.
 
 Scale notes: binary payloads ride in parquet as byte arrays; operators
 are narrow maps over Arrow batches (mapInPandas), so a 100 TB media
@@ -99,6 +101,63 @@ def _pil_decode(payload: bytes) -> tuple[int, int, int]:
         return (im.width, im.height, len(im.getbands()))
 
 
+# PNG color type -> sample count (PNG spec §11.2.2 IHDR)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG start-of-frame markers (ITU T.81 table B.1): every SOFn except
+# C4/C8/CC (those are DHT/JPG/DAC, not frames)
+_JPEG_SOF = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+
+def header_decode(payload: bytes) -> tuple[int, int, int]:
+    """Dependency-free (width, height, channels) from PNG / JPEG / GIF
+    header bytes — pure-Python struct parsing, no Pillow, no pixel
+    decompression. This is the real decode branch that runs in
+    containers without image libraries; formats beyond these three raise
+    a loud ValueError (extend here, or install Pillow for full coverage).
+    """
+    b = payload
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is mandated first: length(4) type(4) at offset 8, then
+        # width/height as big-endian u32, bit depth, color type
+        if len(b) < 26 or b[12:16] != b"IHDR":
+            raise ValueError("corrupt PNG: IHDR not first chunk")
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        color_type = b[25]
+        if color_type not in _PNG_CHANNELS:
+            raise ValueError(f"corrupt PNG: color type {color_type}")
+        return (w, h, _PNG_CHANNELS[color_type])
+    if b[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                raise ValueError("corrupt JPEG: lost marker sync")
+            while i < len(b) and b[i] == 0xFF:  # fill bytes are legal
+                i += 1
+            marker = b[i]
+            i += 1
+            # standalone markers without a length field
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                continue
+            seg_len = int.from_bytes(b[i : i + 2], "big")
+            if marker in _JPEG_SOF:
+                h = int.from_bytes(b[i + 3 : i + 5], "big")
+                w = int.from_bytes(b[i + 5 : i + 7], "big")
+                return (w, h, b[i + 7])
+            i += seg_len
+        raise ValueError("corrupt JPEG: no SOF marker before EOF")
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        return (w, h, 3)  # palette entries are RGB triples
+    raise ValueError(
+        "unsupported image format (pure-Python header decode covers "
+        "PNG/JPEG/GIF; install Pillow for other formats)"
+    )
+
+
 def decode_image(
     df: DataFrame,
     bin_col: str = "payload",
@@ -110,22 +169,21 @@ def decode_image(
     Decoder resolution (the scoped contract, also in README §Multimodal):
 
     - ``use_fake_decoder=True`` → the deterministic crc-derived fake
-      (tests, containers without image libs).
-    - otherwise, if Pillow is importable ON THE EXECUTORS → real decode
-      (lazy header parse; pixels are never decompressed for metadata).
-    - otherwise → NotImplementedError at plan-build time, never a
-      half-working executor path.
+      (tests with arbitrary payload bytes).
+    - otherwise, if Pillow is importable → real decode for any format
+      PIL knows (lazy header parse; pixels never decompressed).
+    - otherwise → :func:`header_decode`, the dependency-free PNG/JPEG/GIF
+      header parser — REAL decoding of real image bytes, runnable in
+      this container and CI; unsupported formats fail loudly per-row.
 
     The Spark-side plumbing (Arrow batches in, typed rows out, column
     pruning to (id, payload)) is identical in all three cases — swapping
     decoders changes one row-level function, nothing about the plan."""
-    if not use_fake_decoder and not _pil_available():
-        raise NotImplementedError(
-            "real image decoding requires Pillow, which is not importable "
-            "here; install PIL on driver+executors, or pass "
-            "use_fake_decoder=True for the deterministic test decoder"
-        )
-    decode = _fake_decode if use_fake_decoder else _pil_decode
+    decode = (
+        _fake_decode
+        if use_fake_decoder
+        else (_pil_decode if _pil_available() else header_decode)
+    )
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd

@@ -268,22 +268,87 @@ def test_multimodal_plumbing(spark, tables):
     assert len(fr) == 20  # 5 docs x 4 frames
     assert {r.frame_idx for r in fr} == {0, 1, 2, 3}
 
-    # guarded real-decoder contract: with Pillow importable the real
-    # path activates; without it, a plan-build-time NotImplementedError
-    if MM._pil_available():
-        png_1x1 = bytes.fromhex(
-            "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c4"
-            "890000000d49444154789c626001000000ffff03000006000557bfabd4000000"
-            "0049454e44ae426082"
+    # real-decoder path: runs in THIS container via the dependency-free
+    # header parser (PIL takes over transparently when installed — both
+    # decode these bytes identically)
+    png_1x1 = bytes.fromhex(
+        "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c4"
+        "890000000d49444154789c626001000000ffff03000006000557bfabd4000000"
+        "0049454e44ae426082"
+    )
+    png_df = spark.createDataFrame(
+        [(1, bytearray(png_1x1))], "doc_id long, payload binary"
+    )
+    out = MM.decode_image(png_df).collect()
+    assert [(r.width, r.height, r.channels) for r in out] == [(1, 1, 4)]
+
+
+def _make_png(w, h, color_type=6):
+    import struct
+    import zlib as _z
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF)
         )
-        png_df = spark.createDataFrame(
-            [(1, bytearray(png_1x1))], "doc_id long, payload binary"
-        )
-        out = MM.decode_image(png_df).collect()
-        assert [(r.width, r.height) for r in out] == [(1, 1)]
-    else:
-        with pytest.raises(NotImplementedError):
-            MM.decode_image(media)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    px = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = b"".join(b"\x00" + b"\x00" * (w * px) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_jpeg(w, h, channels=3):
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 8 + 3 * channels)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + bytes([channels])
+        + b"".join(bytes([i + 1, 0x11, 0]) for i in range(channels))
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_header_decode_formats():
+    """Pure-Python header parser: real bytes of each supported format,
+    including a JPEG whose SOF sits after several other segments, and a
+    loud failure on junk."""
+    assert MM.header_decode(_make_png(640, 480, color_type=6)) == (640, 480, 4)
+    assert MM.header_decode(_make_png(31, 7, color_type=0)) == (31, 7, 1)
+    assert MM.header_decode(_make_png(16, 16, color_type=2)) == (16, 16, 3)
+    assert MM.header_decode(_make_jpeg(1920, 1080, channels=3)) == (1920, 1080, 3)
+    assert MM.header_decode(_make_jpeg(8, 8, channels=1)) == (8, 8, 1)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 4
+    assert MM.header_decode(gif) == (320, 200, 3)
+    with pytest.raises(ValueError, match="unsupported image format"):
+        MM.header_decode(b"not an image at all")
+    with pytest.raises(ValueError, match="no SOF"):
+        MM.header_decode(b"\xff\xd8\xff\xd9")
+
+
+def test_decode_image_real_path_without_pillow(spark):
+    """decode_image's real branch must work in this Pillow-less container
+    end-to-end through the Arrow-batched plan."""
+    rows = [
+        (1, bytearray(_make_png(64, 32, color_type=2))),
+        (2, bytearray(_make_jpeg(100, 50, channels=3))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.width, r.height, r.channels)
+           for r in MM.decode_image(df).collect()}
+    assert got == {1: (64, 32, 3), 2: (100, 50, 3)}
 
 
 def test_streaming_dedup_bounded_state_matches_batch(spark, sf_dir, tmp_path):

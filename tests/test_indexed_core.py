@@ -298,7 +298,7 @@ def test_merge_put_overlay_contract(idx):
     the answer is identical to the plan's."""
     v2 = idx.multiput({7: 1000, 99999: 5}, f=SUM_MERGE)
     # the overlay IS installed (round 2 behavior; round 1 skipped it)
-    assert v2._point_parent is idx and v2._point_merge is not None
+    assert v2._point_parent is idx and v2._point_merge_spec is not None
     # merged value == plan's value (existing key: old + new)
     assert v2.get(7) == 1007
     assert {r.v for r in v2.df.where(F.col("k") == 7).collect()} == {1007}
@@ -326,6 +326,30 @@ def test_merge_put_overlay_ansi_overflow(spark):
     # non-overflowing sums are served either way
     v3 = kv.multiput({1: -100}, f=SUM_MERGE)
     assert v3.get(1) == big - 100
+
+
+def test_merge_put_overlay_reads_ansi_at_get_time(spark):
+    """The ANSI flag is runtime-settable: toggling it BETWEEN multiput and
+    get must change the overlay's behavior exactly as it would change the
+    plan's (mirror resolved at read time, not snapshotted — ADVICE r3)."""
+    prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    big = (1 << 63) - 10
+    wrapped = ((big + 100 + (1 << 63)) % (1 << 64)) - (1 << 63)
+    df = spark.createDataFrame([(1, big)], "k long, v long")
+    kv = IndexedDataFrame.build(df, "k", num_partitions=2)
+    try:
+        # put under ANSI on, read under ANSI off -> wraps
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        v2 = kv.multiput({1: 100}, f=SUM_MERGE)
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        assert v2.get(1) == wrapped
+        # put under ANSI off, read under ANSI on -> raises like the plan
+        v3 = kv.multiput({1: 100}, f=SUM_MERGE)
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        with pytest.raises(ArithmeticError):
+            v3.get(1)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
 def test_merge_put_overlay_wraps_when_ansi_off(spark):

@@ -110,6 +110,48 @@ def test_incremental_lsh_never_pairs_corpus_with_itself(spark):
     assert not any(3 in (a, b) or 12 in (a, b) for a, b in pairs)  # far docs
 
 
+def test_signature_store_equivalent_to_inplan_incremental(spark, sf_dir, tmp_path):
+    """The store-backed incremental path must produce exactly the rows
+    of the in-plan query-form — same pairs, same est_jaccard — while
+    reading the corpus side from parquet signatures instead of text."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where("doc_id % 20 = 0")
+    corpus = docs.where("doc_id % 20 != 0")
+    store = str(tmp_path / "sigstore")
+    DD.write_signature_store(corpus, store)
+
+    inplan = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in DD.incremental_lsh_candidates(new, corpus).collect()
+    }
+    stored = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in DD.incremental_lsh_candidates_from_store(new, store).collect()
+    }
+    assert stored == inplan and len(stored) > 0
+
+
+def test_signature_store_append_batch_flow(spark, tmp_path):
+    """Two-batch ingest: batch 2's candidates must see batch 1 as corpus
+    after append_signature_batch folded it in."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    far = "totally different words with no overlap whatsoever at all " * 5
+    store = str(tmp_path / "sigstore")
+    corpus = spark.createDataFrame([(1, base), (2, far)], "doc_id long, text string")
+    DD.write_signature_store(corpus, store)
+
+    batch1 = spark.createDataFrame([(10, base)], "doc_id long, text string")
+    p1 = {(r.doc_a, r.doc_b) for r in
+          DD.incremental_lsh_candidates_from_store(batch1, store).collect()}
+    assert p1 == {(10, 1)}
+    DD.append_signature_batch(batch1, store)
+
+    batch2 = spark.createDataFrame([(20, base)], "doc_id long, text string")
+    p2 = {(r.doc_a, r.doc_b) for r in
+          DD.incremental_lsh_candidates_from_store(batch2, store).collect()}
+    assert p2 == {(20, 1), (20, 10)}  # sees original corpus AND batch 1
+
+
 def test_simhash_blocking_is_lossless(spark):
     """simhash_near_pairs must equal the brute-force all-pairs result for
     ANY max_hamming — the (d+1)-chunk pigeonhole blocking loses nothing.
