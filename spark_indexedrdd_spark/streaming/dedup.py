@@ -39,3 +39,56 @@ def streaming_dedup(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def streaming_incremental_lsh(
+    spark: SparkSession,
+    docs_path: str,
+    sig_store_path: str,
+    candidates_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int = 1,
+):
+    """Continuous-ingest near-duplicate detection: each arriving document
+    file becomes a micro-batch that is (1) LSH-banded against the
+    persisted signature store — near-dup candidates vs the whole accepted
+    corpus, at |new bands| × bucket-occupancy cost — then (2) folded into
+    the store, so the NEXT batch sees it as corpus. The streaming twin of
+    ``functions.dedup.incremental_lsh_candidates_from_store`` +
+    ``append_signature_batch``; candidate rows append to
+    ``candidates_path`` as parquet.
+
+    This is the 100 TB continuous-dedup shape: per batch, corpus text is
+    never re-read — only its ~136 B/doc signatures — and corpus×corpus
+    never happens.
+
+    Delivery note: foreachBatch is at-least-once — on recovery a replayed
+    batch can append its candidate rows (and signatures) twice.
+    Candidates dedupe downstream by (doc_a, doc_b); duplicated signature
+    rows only add identical band rows, which cannot change any future
+    candidate SET (the banded join's DISTINCT absorbs them).
+
+    Returns the unstarted ``DataStreamWriter``; drive with e.g.
+    ``.trigger(availableNow=True).option("checkpointLocation", ...)``.
+    """
+    from spark_indexedrdd_spark.functions.dedup import (
+        append_signature_batch,
+        incremental_lsh_candidates_from_store,
+    )
+
+    schema = spark.read.parquet(docs_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_path)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        cands = incremental_lsh_candidates_from_store(
+            batch_df, sig_store_path, text_col, id_col
+        )
+        cands.write.mode("append").parquet(candidates_path)
+        append_signature_batch(batch_df, sig_store_path, text_col, id_col)
+
+    return stream.writeStream.foreachBatch(_process).outputMode("append")

@@ -382,6 +382,66 @@ def test_streaming_dedup_bounded_state_matches_batch(spark, sf_dir, tmp_path):
     assert len(ids) == len(set(ids)) == n_batch
 
 
+def test_streaming_incremental_lsh_matches_sequential_batches(spark, sf_dir, tmp_path):
+    """File-per-micro-batch streaming ingest against the signature store
+    must produce exactly the candidates of applying the batch store path
+    sequentially — and each batch must see all prior batches as corpus."""
+    from spark_indexedrdd_spark.functions import dedup as DD
+    from spark_indexedrdd_spark.streaming.dedup import streaming_incremental_lsh
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where("doc_id % 10 NOT IN (0, 1)")
+    b1 = docs.where("doc_id % 10 = 0")
+    b2 = docs.where("doc_id % 10 = 1")
+
+    store = str(tmp_path / "store")
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    cands_dir = str(tmp_path / "cands")
+    DD.write_signature_store(corpus, store)
+    # batch-path expectation, applied sequentially to a SEPARATE store
+    store2 = str(tmp_path / "store2")
+    DD.write_signature_store(corpus, store2)
+    expected = set()
+    for b in (b1, b2):
+        expected |= {
+            (r.doc_a, r.doc_b, r.est_jaccard)
+            for r in DD.incremental_lsh_candidates_from_store(b, store2).collect()
+        }
+        DD.append_signature_batch(b, store2)
+
+    # two files -> two micro-batches, in arrival order (flat files in the
+    # source dir; mtimes pinned so the file source triggers f1 first)
+    import glob
+    import os
+    import shutil
+
+    for i, b in enumerate((b1, b2), start=1):
+        tmp_out = str(tmp_path / f"w{i}")
+        b.coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        dest = str(stream_dir / f"f{i}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    q = (
+        streaming_incremental_lsh(spark, str(stream_dir), store, cands_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in spark.read.parquet(cands_dir).collect()
+    }
+    assert got == expected and len(got) > 0
+    # the store absorbed both batches
+    n_store = spark.read.parquet(store).count()
+    assert n_store == corpus.count() + b1.count() + b2.count()
+
+
 def test_stream_stream_funnel_join_matches_batch(spark, sf_dir, tables):
     """Watermarked stream-stream self-join (purchase within 60 min of
     signup) must produce exactly the batch join's rows."""
