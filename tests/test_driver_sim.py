@@ -23,7 +23,7 @@ import __spark_entry__ as E
 import duckdb
 con = duckdb.connect()
 for t in ["orders","lineitem","customer","events","documents",
-          "supplier","nation","part"]:
+          "supplier","nation","part","embeddings","region"]:
     con.sql(f"CREATE VIEW {{t}} AS SELECT * FROM '/root/testdata/sf0.001/{{t}}.parquet'")
 assert E.entry(spark).count() > 0
 qs, osql = E.queries(), E.oracle_sql()
@@ -33,7 +33,8 @@ for name in ["multiput_merge", "asof_join", "tumbling_window",
              "volume_shipping_q7", "hash_split", "grouping_sets_doc_stats",
              "uuid_key_ops", "decimal_key_ops", "simhash_near_pairs",
              "dedup_ngram_jaccard", "funnel_signup_conversion",
-             "doc_sample"]:
+             "doc_sample", "dedup_clusters", "similarity_topk_fast",
+             "similarity_ann_lsh"]:
     s = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     o = con.sql(osql[name]).df()
     s = s.reindex(sorted(s.columns), axis=1).sort_values(
