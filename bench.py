@@ -255,6 +255,17 @@ def run_suite(spark) -> dict[str, float]:
     def _endup():
         _sim.near_duplicates(emb, 0.3).count()
 
+    # --- ANN tiers: bucketed LSH and IVF (never all-pairs) --------------- #
+    @timed("similarity_ann_lsh")
+    def _annl():
+        _sim.hyperplane_lsh_ann(emb).count()
+
+    @timed("similarity_ann_ivf")
+    def _anni():
+        from spark_indexedrdd_spark.functions import ivf as _ivf
+
+        _ivf.ivf_ann(emb, _sim.DEFAULT_QUERY_IDS).count()
+
     # --- bucketed persistence: the 100 TB join path ---------------------- #
     # (write once, then every cross-job join is exchange-free; the write
     # is the amortized one-time cost, reported separately)

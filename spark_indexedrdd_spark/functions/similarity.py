@@ -288,17 +288,58 @@ def hyperplane_signature(
     vec: "F.Column", planes: "list[list[float]]"
 ) -> "F.Column":
     """Sign-bit signature of ``vec`` against fixed hyperplanes, as a
-    bit-packed long — pure column expressions (JVM-side)."""
+    bit-packed long — pure column expressions (JVM-side). One HOF fold
+    per plane; fine for a handful of planes. For the all-tables LSH path
+    use :func:`_signature_udf` — the Arrow-vectorized form with the same
+    bit-exact arithmetic and a constant-size plan."""
+    from spark_indexedrdd_spark.functions.vectors import dot_literal
+
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        d = F.aggregate(
-            F.zip_with(vec, arr, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        d = dot_literal(vec, plane)
         sig = sig + F.when(d >= 0, F.lit(2**i).cast("long")).otherwise(0)
     return sig
+
+
+def _signature_udf(tables: "list[list[list[float]]]"):
+    """Pandas UDF computing EVERY table's bucket in one pass:
+    ``array<long>`` of length n_tables per row.
+
+    Bit-exactness (the property the SQL oracle depends on): each plane
+    dot is accumulated dimension-by-dimension in float64 —
+    ``acc += v[:, i] * p[i]`` — sequential over dimensions, vectorized
+    over ROWS. Per row that is exactly the left fold
+    ``0.0 + v[0]*p[0] + v[1]*p[1] + …`` the oracle's ``list_reduce``
+    computes (numpy never reorders the i-loop; elementwise float64 ops
+    are IEEE), so sign bits are identical — unlike ``np.dot``, whose
+    blocked summation reorders additions. The plan stays constant-size
+    (one UDF node), where unrolled column expressions put ~65k nodes
+    through the optimizer (measured: 45 s of driver-side compile) and
+    HOF folds pay interpreted per-element dispatch (measured: 5.8 s at
+    sf0.1)."""
+    import numpy as np
+    import pandas as pd
+
+    plane_mats = [np.asarray(t, dtype=np.float64) for t in tables]
+
+    def sig_all(emb):
+        v = np.array(emb.tolist(), dtype=np.float64)  # (n, dim) — f32→f64 exact
+        n = v.shape[0]
+        out = np.zeros((n, len(plane_mats)), dtype=np.int64)
+        for t, planes in enumerate(plane_mats):
+            bucket = np.zeros(n, dtype=np.int64)
+            for b, p in enumerate(planes):
+                acc = np.zeros(n, dtype=np.float64)
+                for i in range(p.shape[0]):
+                    acc += v[:, i] * p[i]
+                bucket += (acc >= 0).astype(np.int64) << b
+            out[:, t] = bucket
+        return pd.Series(list(out))
+
+    # real-object annotations: `from __future__ import annotations` would
+    # stringify inline hints, which pandas_udf's inference can't resolve
+    sig_all.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return F.pandas_udf(sig_all, "array<long>")
 
 
 def _lsh_planes(
@@ -338,25 +379,18 @@ def hyperplane_lsh_ann(
     keys are buckets, so cost ~ collisions, never all-pairs. Recall is
     tested against brute force in tests/test_similarity.py."""
     tables = _lsh_planes(n_planes, n_tables, seed, dim)
+    sig_all = _signature_udf(tables)
 
     def bucketed(df: DataFrame, out_id: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(f"{out_id}_vec"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table_id"),
-                            hyperplane_signature(F.col(vec_col), planes).alias(
-                                "bucket"
-                            ),
-                        )
-                        for t, planes in enumerate(tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(out_id, f"{out_id}_vec", "tb.table_id", "tb.bucket")
+            sig_all(F.col(vec_col)).alias("__sigs"),
+        ).select(
+            out_id,
+            f"{out_id}_vec",
+            F.posexplode("__sigs").alias("table_id", "bucket"),
+        )
 
     q = bucketed(
         emb.where(F.col(id_col).isin(list(query_ids))), "q_id"
@@ -371,6 +405,9 @@ def hyperplane_lsh_ann(
     scored = cand.select(
         "q_id",
         "cand_id",
+        # HOF fold cosine: the candidate set is small (bucket collisions
+        # only), so interpreted per-element cost is negligible — and the
+        # unrolled form's ~400-node tree × plan reuse isn't worth it here
         cosine(F.col("q_id_vec"), F.col("cand_id_vec")).alias("cosine_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))

@@ -17,7 +17,16 @@ from pyspark.sql import functions as F
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<numeric> columns: sequential double fold
-    in array order (deterministic; whole-stage codegen)."""
+    in array order (deterministic).
+
+    Measured guidance (sf0.1, local[16], warm): this HOF fold is the
+    FASTEST column×column form — unrolling into GetArrayItem chains was
+    tried and lost (near_duplicates 1.4 s → 3.4 s; ivf_ann 3.5 s →
+    6.8 s), and a 65k-node unrolled LSH plan cost 45 s of driver-side
+    optimization. When one side is a fixed set of literal planes and
+    per-row cost dominates (LSH signatures), the winner is the
+    Arrow-vectorized ``similarity._signature_udf`` — same bit-exact
+    sequential accumulation, constant-size plan."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
 
@@ -28,6 +37,19 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def dot_literal(a: Column, plane: "list[float]") -> Column:
+    """Fold-order dot against a driver-side literal vector, unrolled as a
+    chained scalar expression (``0.0 + a[0]*p0 + a[1]*p1 + …``) —
+    bit-identical to :func:`dot` (same IEEE sequence; ``0.0 +`` start
+    reproduces the fold init). Codegen-friendly for a HANDFUL of planes;
+    for many planes × many rows use ``similarity._signature_udf`` (the
+    expression-tree size becomes an optimizer cost)."""
+    acc = F.lit(0.0)
+    for i, p in enumerate(plane):
+        acc = acc + a[i].cast("double") * F.lit(float(p))
+    return acc
 
 
 # ------------------------------------------------------------------ #
