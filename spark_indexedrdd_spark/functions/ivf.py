@@ -128,8 +128,13 @@ def ivf_ann(
     sql_hyperplane_lsh_ann.) End-to-end determinism of THIS operator
     given one engine is still pinned: fixed seed, fixed iteration count,
     rank ties broken by cand_id."""
+    # assigned appears exactly ONCE in the final plan — caching it here
+    # would live in the CacheManager until someone explicitly unpersists
+    # (DF caches are not GC-cleaned), leaking a corpus-sized cache per
+    # call. Callers that issue MANY query batches against one index
+    # should build_ivf() once, cache `assigned` themselves, and own the
+    # unpersist.
     assigned, cents = build_ivf(emb, n_clusters, seed, id_col, vec_col)
-    assigned = assigned.cache()
 
     q = emb.where(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")

@@ -418,6 +418,46 @@ def hyperplane_lsh_ann(
     )
 
 
+def ann_recall(
+    emb: DataFrame,
+    ann_result: DataFrame,
+    query_ids: Iterable[int] = tuple(DEFAULT_QUERY_IDS),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query recall@k of an ANN result against in-plan brute force:
+    (q_id, n_hits, recall) with recall = |ann ∩ true top-k| / k.
+
+    The monitoring instrument a production ANN tier needs: run it on a
+    sampled query set each ingest cycle and alert when recall drifts
+    (e.g. the IVF centroids went stale as the corpus distribution
+    moved). ``ann_result`` is any frame with (q_id, cand_id) — the
+    output shape of ``cosine_topk_fast`` / ``hyperplane_lsh_ann`` /
+    ``ivf.ivf_ann``. Deterministic for deterministic inputs: ties in the
+    brute-force ranking break on cand_id, same as every tier.
+
+    Scale: brute force over a SAMPLED query set is q × corpus — one
+    corpus scan (the same cost profile as ``cosine_topk``); the ANN side
+    is tiny (q × k rows). Never run it over the full query log."""
+    truth = cosine_topk(emb, query_ids, k, id_col, vec_col).select(
+        "q_id", "cand_id"
+    )
+    hits = (
+        truth.join(
+            ann_result.select("q_id", "cand_id"), ["q_id", "cand_id"], "left_semi"
+        )
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = truth.select("q_id").distinct()
+    return base.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k))).alias("recall"),
+    )
+
+
 def sql_hyperplane_lsh_ann(
     table: str = "embeddings",
     query_ids: Iterable[int] = tuple(DEFAULT_QUERY_IDS),

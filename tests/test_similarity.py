@@ -81,6 +81,25 @@ def test_lsh_ann_recall_on_clusters(clustered):
     assert recall >= 0.9, f"LSH recall {recall} too low on clustered data"
 
 
+def test_ann_recall_operator(clustered):
+    """ann_recall: 1.0 for brute-force-vs-itself; >= the suite's floor
+    for the LSH tier; 0.0 rows (not missing rows) for an empty ANN."""
+    qids = [0, 30, 60, 90, 120]
+    bf = SM.cosine_topk(clustered, query_ids=qids, k=5)
+    perfect = SM.ann_recall(clustered, bf, query_ids=qids, k=5)
+    assert {r.recall for r in perfect.collect()} == {1.0}
+
+    ann = SM.hyperplane_lsh_ann(clustered, query_ids=qids, k=5, dim=16)
+    rows = SM.ann_recall(clustered, ann, query_ids=qids, k=5).collect()
+    assert len(rows) == len(qids)
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert mean_recall >= 0.9
+
+    empty = bf.where("q_id IS NULL")
+    zeros = SM.ann_recall(clustered, empty, query_ids=qids, k=5).collect()
+    assert len(zeros) == len(qids) and all(r.recall == 0.0 for r in zeros)
+
+
 def test_lsh_ann_prunes_candidates(clustered):
     """The point of LSH: the scored candidate set must be much smaller
     than all-pairs on clusterable data."""
