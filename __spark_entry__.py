@@ -22,6 +22,7 @@ from spark_indexedrdd_spark.core import SUM_MERGE, IndexedDataFrame  # noqa: E40
 from spark_indexedrdd_spark.functions import dedup as _dedup  # noqa: E402
 from spark_indexedrdd_spark.functions import ivf as _ivf  # noqa: E402
 from spark_indexedrdd_spark.functions import multimodal as _mm  # noqa: E402
+from spark_indexedrdd_spark.functions import quant as _quant  # noqa: E402
 from spark_indexedrdd_spark.functions import similarity as _sim  # noqa: E402
 from spark_indexedrdd_spark.functions import text as _text  # noqa: E402
 from spark_indexedrdd_spark.operators import analytics as _an  # noqa: E402
@@ -503,6 +504,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     # multimodal
     "binary_meta": lambda s, d: _mm.binary_meta(_mm.attach_binary(_docs(s, d))),
+    # int8 embedding quantization: ingest-time acceptance stats
+    "embedding_quantize_stats": lambda s, d: _quant.quantize_error_stats(
+        _emb(s, d)
+    ),
 }
 
 EXTENSION_ORACLE: dict[str, str] = {
@@ -570,6 +575,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     """,
     "sliding_window": _win.sql_sliding_counts(),
     "binary_meta": _mm.sql_binary_meta(),
+    "embedding_quantize_stats": _quant.sql_quantize_error_stats(),
 }
 
 # Queries with no SQL oracle: the driver records a rows-only check.

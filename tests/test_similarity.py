@@ -81,6 +81,44 @@ def test_lsh_ann_recall_on_clusters(clustered):
     assert recall >= 0.9, f"LSH recall {recall} too low on clustered data"
 
 
+def test_int8_quantization_roundtrip_and_bound(spark, sf_dir):
+    """Symmetric int8: reconstruction error is bounded by scale/2 per
+    component; codes fit int8 exactly; dequantize(quantize(x)) scores
+    nearly-identical cosine neighbors."""
+    from spark_indexedrdd_spark.functions import quant as Q
+    from spark_indexedrdd_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = Q.quantize_error_stats(emb).collect()
+    assert len(stats) > 0
+    assert all(r.max_abs_err <= r.scale / 2 + 1e-12 for r in stats)
+
+    qd = Q.quantize_int8(emb)
+    row = qd.limit(5).collect()
+    assert all(-127 <= q <= 127 for r in row for q in r.qvec)
+
+    # neighbor preservation: top-1 of a query over dequantized vectors
+    # matches the float32 top-1 (int8 error is ~0.4% of range)
+    rec = Q.dequantize_int8(qd).withColumnRenamed("embedding", "emb_q")
+    joined = emb.select("vec_id", "embedding").join(rec, "vec_id")
+    import math
+
+    rows = joined.limit(200).collect()
+    base = {r.vec_id: r.embedding for r in rows}
+    recs = {r.vec_id: r.emb_q for r in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb)
+
+    q0 = min(base)
+    top_f = max((k for k in base if k != q0), key=lambda k: cos(base[q0], base[k]))
+    top_q = max((k for k in recs if k != q0), key=lambda k: cos(recs[q0], recs[k]))
+    assert top_f == top_q
+
+
 def test_ann_recall_operator(clustered):
     """ann_recall: 1.0 for brute-force-vs-itself; >= the suite's floor
     for the LSH tier; 0.0 rows (not missing rows) for an empty ANN."""
