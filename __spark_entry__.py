@@ -382,6 +382,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": lambda s, d: _dedup.resolve_duplicate_clusters(
         _dedup.lsh_candidates(_docs(s, d))
     ),
+    "dedup_pipeline": lambda s, d: _dedup.dedup_pipeline(_docs(s, d)),
     # SQL analytics
     "pricing_summary": lambda s, d: _an.pricing_summary(
         load_table(s, d, "lineitem")
@@ -522,6 +523,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "minhash_signatures": _dedup.sql_minhash_signatures(),
     "dedup_lsh_candidates": _dedup.sql_lsh_candidates(),
     "dedup_incremental_lsh": _dedup.sql_incremental_lsh_candidates("doc_id % 20 = 0"),
+    "dedup_pipeline": _dedup.sql_dedup_pipeline(),
     "simhash": _dedup.sql_simhash(),
     "dedup_ngram_jaccard": _dedup.sql_ngram_jaccard_pairs(),
     "similarity_topk": _sim.sql_cosine_topk(),

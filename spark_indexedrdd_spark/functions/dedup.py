@@ -834,6 +834,111 @@ def sql_duplicate_clusters(
 
 
 # --------------------------------------------------------------------- #
+# End-to-end corpus dedup: exact groups first, then near-dup clusters
+# over the representatives
+# --------------------------------------------------------------------- #
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed flow a real corpus dedup runs, as one operator:
+    (doc_id, status, canonical_id) with status ∈ {'kept', 'exact_dup',
+    'near_dup'} and ``canonical_id`` the document that survives in the
+    output corpus.
+
+    1. EXACT pass: group by normalized-text digest; the min id per
+       group represents it. Running this FIRST is the 100 TB skew
+       defense for stage 2 — a million-copy boilerplate template is one
+       representative, not a million LSH band rows that would meet in
+       one bucket and explode into 10^12 candidate pairs.
+    2. NEAR pass over representatives only: LSH candidates filtered to
+       ``est_jaccard >= jaccard_threshold``, resolved to connected
+       components; the min rep per component is canonical.
+    3. Verdict join: an exact dup inherits its representative's cluster
+       (canonical chains collapse — never a dangling canonical_id).
+
+    Every step is min-based and deterministic; the oracle
+    (:func:`sql_dedup_pipeline`) recomputes the same fixpoint with a
+    recursive CTE."""
+    norm = F.concat_ws(" ", tokens(F.col(text_col)))
+    fp = df.select(F.col(id_col), F.md5(norm).alias("fp_md5"))
+    g = fp.groupBy("fp_md5").agg(F.min(id_col).alias("rep"))
+    m = fp.join(g, "fp_md5").select(id_col, "rep")
+    reps = df.join(
+        g.select(F.col("rep").alias(id_col)), id_col
+    )
+    pairs = lsh_candidates(reps, text_col, id_col).where(
+        F.col("est_jaccard") >= jaccard_threshold
+    )
+    cc = resolve_duplicate_clusters(pairs).select(
+        F.col("doc_id").alias("__cc_rep"), "cluster_id"
+    )
+    out = m.join(cc, m.rep == F.col("__cc_rep"), "left")
+    return out.select(
+        F.col(id_col),
+        F.when(F.col(id_col) != F.col("rep"), F.lit("exact_dup"))
+        .when(
+            F.col("cluster_id").isNotNull()
+            & (F.col("cluster_id") != F.col("rep")),
+            F.lit("near_dup"),
+        )
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        F.coalesce(F.col("cluster_id"), F.col("rep")).alias("canonical_id"),
+    )
+
+
+def sql_dedup_pipeline(
+    jaccard_threshold: float = 0.5,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle twin of :func:`dedup_pipeline`: same exact-group digest,
+    same LSH candidates over the representative subquery, transitive
+    closure + MIN-reachable label for the clusters."""
+    t = sql_tokens(text_col)
+    reps_subquery = (
+        f"(SELECT d.* FROM {table} d JOIN g ON d.{id_col} = g.rep)"
+    )
+    return f"""
+        WITH RECURSIVE fp AS (
+            SELECT {id_col}, md5(array_to_string({t}, ' ')) AS fp_md5
+            FROM {table}
+        ),
+        g AS (SELECT fp_md5, MIN({id_col}) AS rep FROM fp GROUP BY fp_md5),
+        m AS (SELECT fp.{id_col}, g.rep FROM fp JOIN g USING (fp_md5)),
+        cand AS ({sql_lsh_candidates(reps_subquery, text_col, id_col)}),
+        strong AS (
+            SELECT doc_a, doc_b FROM cand
+            WHERE est_jaccard >= {float(jaccard_threshold)}
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM strong
+            UNION
+            SELECT doc_b, doc_a FROM strong
+        ),
+        reach(node, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+        ),
+        cc AS (SELECT node AS rep, MIN(r) AS cluster_id FROM reach GROUP BY node)
+        SELECT m.{id_col},
+               CASE WHEN m.{id_col} <> m.rep THEN 'exact_dup'
+                    WHEN cc.cluster_id IS NOT NULL AND cc.cluster_id <> m.rep
+                        THEN 'near_dup'
+                    ELSE 'kept' END AS status,
+               COALESCE(cc.cluster_id, m.rep) AS canonical_id
+        FROM m LEFT JOIN cc ON m.rep = cc.rep
+    """
+
+
+# --------------------------------------------------------------------- #
 # Exact n-gram Jaccard within a blocking key
 # --------------------------------------------------------------------- #
 

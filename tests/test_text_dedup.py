@@ -35,6 +35,7 @@ def con(sf_dir):
         (DD.lsh_candidates, DD.sql_lsh_candidates),
         (DD.simhash, DD.sql_simhash),
         (DD.ngram_jaccard_pairs, DD.sql_ngram_jaccard_pairs),
+        (DD.dedup_pipeline, DD.sql_dedup_pipeline),
         (TX.hash_split, TX.sql_hash_split),
         (TX.pack_documents, TX.sql_pack_documents),
     ],
@@ -108,6 +109,37 @@ def test_incremental_lsh_never_pairs_corpus_with_itself(spark):
     # was done when those docs were ingested
     assert not any({a, b} == {1, 2} for a, b in pairs)
     assert not any(3 in (a, b) or 12 in (a, b) for a, b in pairs)  # far docs
+
+
+def test_dedup_pipeline_verdicts(spark):
+    """Planted corpus: exact copies collapse to one representative BEFORE
+    LSH; near-dups cluster through the representative; an exact copy of
+    a near-dup inherits the CLUSTER canonical (chains collapse)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("gamma", "gamax", 1)
+    far = "totally different words with no overlap whatsoever at all " * 5
+    rows = [
+        (1, base),   # kept — canonical of everything base-like
+        (2, base),   # exact copy of 1
+        (3, near),   # near-dup of 1
+        (4, near),   # exact copy of 3 -> canonical must chain to 1
+        (5, far),    # kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.status, r.canonical_id)
+        for r in DD.dedup_pipeline(df).collect()
+    }
+    assert got == {
+        1: ("kept", 1),
+        2: ("exact_dup", 1),
+        3: ("near_dup", 1),
+        4: ("exact_dup", 1),
+        5: ("kept", 5),
+    }
+    # survivors = canonical set
+    survivors = {c for _, c in got.values()}
+    assert survivors == {1, 5}
 
 
 def test_signature_store_equivalent_to_inplan_incremental(spark, sf_dir, tmp_path):
