@@ -509,6 +509,12 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize_stats": lambda s, d: _quant.quantize_error_stats(
         _emb(s, d)
     ),
+    # column profiling (ANALYZE TABLE): int/string columns only in the
+    # oracle-checked form — double/timestamp string FORMATS differ
+    # across engines (profile_table docstring)
+    "profile_documents": lambda s, d: _an.profile_table(
+        _docs(s, d), ["doc_id", "lang", "source", "n_chars"]
+    ),
 }
 
 EXTENSION_ORACLE: dict[str, str] = {
@@ -578,6 +584,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "sliding_window": _win.sql_sliding_counts(),
     "binary_meta": _mm.sql_binary_meta(),
     "embedding_quantize_stats": _quant.sql_quantize_error_stats(),
+    "profile_documents": _an.sql_profile_table(
+        "documents", ["doc_id", "lang", "source", "n_chars"]
+    ),
 }
 
 # Queries with no SQL oracle: the driver records a rows-only check.
@@ -605,8 +614,11 @@ ROWS_ONLY = (
 #      count), and the two funnel queries broken by the events bug,
 #   3. fill to 50 with 15 of the 16 core SURVEY §2 ops ("count" sits
 #      out — trivially stable, r4 hash-green, pytest-covered).
-# Past the cutoff: exclusively queries hash-green in CORRECTNESS_r04 and
-# unchanged since (CHANGED_R3 / DEFERRED_R2 / REPRESENTATIVE + "count").
+# Past the cutoff: queries hash-green in CORRECTNESS_r04 and unchanged
+# since (CHANGED_R3 / DEFERRED_R2 / REPRESENTATIVE + "count"), plus the
+# entries NEW in round 5 (dedup_pipeline, embedding_quantize_stats,
+# profile_documents) — rotate those three INTO round 6's window first;
+# they have pytest + local oracle verification but no driver row yet.
 # --------------------------------------------------------------------- #
 
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

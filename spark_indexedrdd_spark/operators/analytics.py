@@ -1034,3 +1034,76 @@ def sql_segment_except_all(nation_a: int, nation_b: int) -> str:
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
     """
+
+
+def profile_table(
+    df: DataFrame, columns: "list[str] | None" = None, exact: bool = True
+) -> DataFrame:
+    """Column-profile report — the ANALYZE-TABLE pass a training-data
+    pipeline runs before ingest: one row per column with
+    (column, n_rows, n_nulls, n_distinct, min_str, max_str).
+
+    ``exact=True`` uses COUNT(DISTINCT) — oracle-checkable, one
+    shuffle-free aggregate per profile since all columns aggregate in a
+    SINGLE pass (no per-column jobs, no collect loop). At 100 TB switch
+    ``exact=False``: HyperLogLog ``approx_count_distinct`` keeps the
+    pass single-scan with bounded memory per column (no exact-distinct
+    hash tables), at ±2% error (rows-only check — the estimate is
+    engine-specific). min/max are computed on the string form so one
+    schema covers heterogeneous column types; numeric profiling per se
+    belongs to the caller's typed queries.
+
+    The un-pivot to rows happens AFTER aggregation via a stack of
+    struct literals — driver-size data, no explode of the input."""
+    cols = columns or df.columns
+    cnt = F.count(F.lit(1))
+    d_fn = F.count_distinct if exact else F.approx_count_distinct
+    aggs = [cnt.alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__nn_{c}"),
+            d_fn(F.col(c)).cast("long").alias(f"__nd_{c}"),
+            # typed MIN/MAX, then one cast of the result — numeric
+            # ordering, and the string form only has to agree for the
+            # columns the caller profiles (ints/strings are identical
+            # across engines; double/timestamp FORMATS differ, so keep
+            # those out of oracle-checked profile queries)
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nn_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_str"),
+                F.col(f"__mx_{c}").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def sql_profile_table(
+    table: str, columns: "list[str]"
+) -> str:
+    """Oracle for exact :func:`profile_table`: one SELECT per column,
+    UNION ALL'd — fine at oracle scale; the Spark side does it in a
+    single aggregate pass."""
+    parts = [
+        f"""
+        SELECT '{c}' AS column,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_str,
+               CAST(MAX({c}) AS VARCHAR) AS max_str
+        FROM {table}
+        """
+        for c in columns
+    ]
+    return " UNION ALL ".join(parts)

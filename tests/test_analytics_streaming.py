@@ -257,6 +257,21 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir, tables):
     assert got == batch
 
 
+def test_profile_table_nulls_and_approx(spark):
+    from spark_indexedrdd_spark.operators.analytics import profile_table
+
+    rows = [(1, "a"), (2, None), (3, "a"), (None, "b")]
+    df = spark.createDataFrame(rows, "k long, v string")
+    got = {r.column: r for r in profile_table(df).collect()}
+    assert got["k"].n_rows == 4 and got["k"].n_nulls == 1
+    assert got["k"].n_distinct == 3  # NULL not counted as a distinct value
+    assert got["v"].n_nulls == 1 and got["v"].n_distinct == 2
+    assert got["v"].min_str == "a" and got["v"].max_str == "b"
+    # approx path: same shape, estimates within HLL tolerance at this size
+    ap = {r.column: r for r in profile_table(df, exact=False).collect()}
+    assert ap["k"].n_distinct == 3 and ap["v"].n_distinct == 2
+
+
 def test_multimodal_plumbing(spark, tables):
     media = MM.attach_binary(tables["documents"].limit(20))
     decoded = MM.decode_image(media, use_fake_decoder=True)
