@@ -410,6 +410,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue_q14": lambda s, d: _an.promo_revenue(
         load_table(s, d, "lineitem"), load_table(s, d, "part")
     ),
+    "forecast_revenue_q6": lambda s, d: _an.forecast_revenue_q6(
+        load_table(s, d, "lineitem")
+    ),
     "bloom_pruned_join": lambda s, d: _bloom.urgent_revenue_bloom(
         load_table(s, d, "lineitem"), load_table(s, d, "orders")
     ),
@@ -541,6 +544,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "volume_shipping_q7": _an.sql_volume_shipping(),
     "returned_items_q10": _an.sql_returned_item_report(),
     "promo_revenue_q14": _an.sql_promo_revenue(),
+    "forecast_revenue_q6": _an.sql_forecast_revenue_q6(),
     "bloom_pruned_join": _bloom.sql_urgent_revenue_bloom(),
     "customers_without_orders": _an.sql_customers_without_orders(),
     "orders_above_cust_avg": _an.sql_orders_above_customer_average(),

@@ -1107,3 +1107,53 @@ def sql_profile_table(
         for c in columns
     ]
     return " UNION ALL ".join(parts)
+
+
+def forecast_revenue_q6(
+    lineitem: DataFrame,
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+    d_lo: float = 0.05,
+    d_hi: float = 0.07,
+    qty_cap: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): one highly selective
+    scan + a single global sum — the canonical pushdown showcase. All
+    three predicates reach the parquet scan (`PushedFilters` in
+    .explain), so row groups outside the ship-date year are never read;
+    no join, no shuffle beyond the final 1-row combine. Sum accumulates
+    in DECIMAL(18,4) then casts to double — the cross-engine
+    order-independent pattern (see q_aggregate_using_index)."""
+    f = lineitem.where(
+        (F.col("l_shipdate") >= year_start)
+        & (F.col("l_shipdate") < year_end)
+        & (F.col("l_discount") >= d_lo)
+        & (F.col("l_discount") <= d_hi)
+        & (F.col("l_quantity") < qty_cap)
+    )
+    return f.agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+def sql_forecast_revenue_q6(
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+    d_lo: float = 0.05,
+    d_hi: float = 0.07,
+    qty_cap: float = 24.0,
+) -> str:
+    return f"""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{year_start}'
+          AND l_shipdate < TIMESTAMP '{year_end}'
+          AND l_discount BETWEEN {d_lo} AND {d_hi}
+          AND l_quantity < {qty_cap}
+    """
