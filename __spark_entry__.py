@@ -379,6 +379,18 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ann_ivf": lambda s, d: _ivf.ivf_ann(
         _emb(s, d), _sim.DEFAULT_QUERY_IDS
     ),
+    # deterministic-centroid IVF: same assign → probe → re-rank pipeline
+    # as the kmeans tier, but fold-exact end to end — the hash-checked
+    # twin that pins the IVF *pipeline* in the driver gate (the kmeans
+    # tier stays rows-only by nature of Lloyd's float reductions)
+    "similarity_ann_ivf_det": lambda s, d: _ivf.ivf_ann(
+        _emb(s, d), _sim.DEFAULT_QUERY_IDS, method="det"
+    ),
+    # ANN quality monitor: recall@5 of the LSH tier vs in-plan brute
+    # force — pins ANN quality in the correctness gate, not just pytest
+    "ann_recall": lambda s, d: _sim.ann_recall(
+        _emb(s, d), _sim.hyperplane_lsh_ann(_emb(s, d))
+    ),
     "dedup_clusters": lambda s, d: _dedup.resolve_duplicate_clusters(
         _dedup.lsh_candidates(_docs(s, d))
     ),
@@ -536,6 +548,10 @@ EXTENSION_ORACLE: dict[str, str] = {
     "simhash": _dedup.sql_simhash(),
     "dedup_ngram_jaccard": _dedup.sql_ngram_jaccard_pairs(),
     "similarity_topk": _sim.sql_cosine_topk(),
+    "similarity_ann_ivf_det": _ivf.sql_ivf_ann(
+        query_ids=_sim.DEFAULT_QUERY_IDS
+    ),
+    "ann_recall": _sim.sql_ann_recall(),
     "embedding_neardup": _sim.sql_near_duplicates(threshold=0.3),
     "pricing_summary": _an.SQL_PRICING_SUMMARY,
     "top_orders_per_customer": _an.sql_top_orders_per_customer(),

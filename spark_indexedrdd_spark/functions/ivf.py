@@ -1,25 +1,52 @@
 """IVF (inverted-file) approximate nearest neighbor — the clustering
 counterpart to hyperplane LSH (functions/similarity.py).
 
-Index build: k-means centroids over (a sample of) the corpus; every
-vector is assigned to its nearest centroid (the "inverted list").
-Query: score each query against the centroids only, probe the
-``n_probe`` nearest lists, exact-rerank inside them.
+Index build: centroids over (a sample of) the corpus; every vector is
+assigned to its nearest centroid (the "inverted list"). Query: score
+each query against the centroids only, probe the ``n_probe`` nearest
+lists, exact-rerank inside them.
 
-Scale: the centroid table is tiny (broadcast); assignment is a narrow
-map; a query touches n_probe/k of the corpus instead of all of it. The
-inverted lists are just a cluster_id column — repartitioning by it makes
-each list co-located, and the probe join is an equi-join on cluster_id.
+Scale: the centroid set is tiny and lives as LITERALS in the plan —
+assignment and probe selection are pure per-row projections (HOF folds
+over a literal centroid matrix), so between the corpus scan and the
+candidate join there is NO exchange at all. (The first implementation
+crossJoined the corpus against the centroid table and picked the argmax
+with a window partitioned by vec_id — a k×-amplified full-corpus
+shuffle that existed only to compute an argmax. At 100 TB with k=16
+that shuffle IS the job; the literal-fold projection deletes it.)
+The probe side (q × n_probe rows) is broadcast into the candidate
+equi-join, so the corpus is scanned exactly once, never shuffled; the
+only exchange in the whole query is the final top-k window over the
+(small) candidate set — the same terminal shape as hyperplane LSH.
+
+A persisted index would additionally write ``assigned`` partitioned BY
+cluster_id so a probe reads only n_probe/k of the files; ``build_ivf``
+keeps that repartition available for that use.
+
+Two centroid modes:
+
+- ``kmeans`` (default): pyspark.ml Lloyd's over a seeded bounded
+  sample. Best recall; NOT SQL-reproducible (parallel float reductions)
+  — the driver records a rows-only check for it.
+- ``det``: the embeddings of the k smallest vec_ids, taken as
+  centroids verbatim (no iterations). Every arithmetic step — the
+  assignment argmax, the probe ranking, the re-rank cosine — is a
+  sequential double fold, so :func:`sql_ivf_ann` reproduces the result
+  bit-exactly in DuckDB and the IVF *pipeline* (assign → probe →
+  re-rank) gets a hash-checked driver row. Recall is worse than
+  kmeans (centroids are arbitrary corpus points); it is the
+  correctness twin, not the quality path.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from spark_indexedrdd_spark.functions.vectors import dot, norm
+from spark_indexedrdd_spark.functions.vectors import cosine, dot
 
 
 # KMeans training-set cap: centroid quality saturates long before the
@@ -28,48 +55,114 @@ from spark_indexedrdd_spark.functions.vectors import dot, norm
 # (~100k × dim doubles) no matter the corpus size.
 TRAIN_SAMPLE_CAP = 100_000
 
+# The bounded size probe counts at most this many rows (CollectLimit
+# short-circuits, so this is never a full scan). 20× the cap keeps the
+# derived sample fraction CONTINUOUS at the cap boundary: with the old
+# fixed 5% fraction, a corpus of cap+1 rows suddenly trained on ~5k
+# vectors instead of ~100k.
+_PROBE_LIMIT = 20 * TRAIN_SAMPLE_CAP
 
-def _centroids_df(emb: DataFrame, k: int, seed: int, id_col: str, vec_col: str):
-    """k-means via pyspark.ml (Lloyd's) over a seeded sample of at most
-    ``TRAIN_SAMPLE_CAP`` vectors; returns (cluster_id, centroid array,
-    centroid norm). Falls back to a deterministic sample of k vectors as
-    centroids if pyspark.ml is unavailable."""
-    spark = emb.sparkSession
+
+def _py_norm(vec: "list[float]") -> float:
+    """L2 norm with the exact IEEE sequence of ``vectors.dot(a, a)``:
+    a left fold of x*x products in array order, then sqrt. Computing it
+    driver-side (the centroid is driver-side anyway) keeps the literal
+    bit-identical to what either engine would compute from the data."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _kmeans_centroids(
+    emb: DataFrame, k: int, seed: int, id_col: str, vec_col: str
+) -> "list[list[float]]":
+    """Lloyd's centroids over a seeded sample of at most
+    ``TRAIN_SAMPLE_CAP`` vectors. Falls back to the deterministic
+    first-k centroids if pyspark.ml is unavailable."""
     try:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        # Bounded-probe count: limit(cap+1).count() short-circuits after
-        # cap+1 rows (CollectLimit scans partitions incrementally), so
-        # deciding "is the corpus bigger than the cap?" never costs a
-        # full scan — at 100 TB the old emb.count() here was a whole
-        # extra pass over the corpus per index build.
-        n_bounded = emb.select(id_col).limit(TRAIN_SAMPLE_CAP + 1).count()
-        train = (
-            emb
-            if n_bounded <= TRAIN_SAMPLE_CAP
-            # corpus is known to exceed the cap: a fixed-fraction seeded
-            # sample (narrow, scan-side — no shuffle, no collect) capped
-            # at exactly TRAIN_SAMPLE_CAP rows. 5% of >100k rows is
-            # >5000 training vectors — far above any sane k.
-            else emb.sample(fraction=0.05, seed=seed).limit(TRAIN_SAMPLE_CAP)
-        )
+        # Bounded-probe count: limit(N).count() short-circuits after N
+        # rows, so deciding the sample fraction never costs a full scan.
+        n_bounded = emb.select(id_col).limit(_PROBE_LIMIT + 1).count()
+        if n_bounded <= TRAIN_SAMPLE_CAP:
+            train = emb
+        else:
+            # Scale the fraction to land near the cap instead of a fixed
+            # 5%: continuous through the cap boundary (cap+1 rows →
+            # fraction ≈ 1.0 → still ~cap training vectors). Past the
+            # probe limit n_bounded saturates and the fraction floors at
+            # 5% — of >2M rows that is >100k sampled, and limit() trims
+            # back to the cap.
+            frac = min(1.0, max(0.05, 1.1 * TRAIN_SAMPLE_CAP / n_bounded))
+            train = emb.sample(fraction=frac, seed=seed).limit(TRAIN_SAMPLE_CAP)
         ds = train.select(
-            F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
         )
         model = KMeans(k=k, seed=seed, maxIter=10).fit(ds)
-        cents = [
-            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-        ]
+        return [[float(x) for x in c] for c in model.clusterCenters()]
     except Exception:  # pragma: no cover - ml always present in this image
-        rows = (
-            emb.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
-        )
-        cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
-    out = spark.createDataFrame(cents, "cluster_id int, centroid array<double>")
-    return out.select(
-        "cluster_id", "centroid", norm(F.col("centroid")).alias("c_norm")
+        return _det_centroids(emb, k, id_col, vec_col)
+
+
+def _det_centroids(
+    emb: DataFrame, k: int, id_col: str, vec_col: str
+) -> "list[list[float]]":
+    """The embeddings of the k smallest ids, verbatim — deterministic
+    and reproducible from the data by any engine (the SQL twin derives
+    the identical set with ORDER BY id LIMIT k)."""
+    rows = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def _centroids(
+    emb: DataFrame, k: int, seed: int, id_col: str, vec_col: str, method: str
+) -> "list[tuple[list[float], float]]":
+    if method == "det":
+        cents = _det_centroids(emb, k, id_col, vec_col)
+    elif method == "kmeans":
+        cents = _kmeans_centroids(emb, k, seed, id_col, vec_col)
+    else:
+        raise ValueError(f"unknown IVF centroid method: {method!r}")
+    return [(c, _py_norm(c)) for c in cents]
+
+
+def _centroid_sims(vec: Column, cents: "list[tuple[list[float], float]]") -> Column:
+    """array<double> of dot(vec, centroid_i) / ||centroid_i|| — the
+    query-side norm is constant per row, so dividing by it cannot change
+    any argmax/ranking and is omitted. One sequential fold per centroid
+    over a LITERAL matrix: a narrow projection, no join, no shuffle."""
+    cmat = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c, _ in cents]
     )
+    cnorms = F.array(*[F.lit(float(n)) for _, n in cents])
+    return F.transform(
+        cmat, lambda c, i: dot(vec, c) / F.element_at(cnorms, i + F.lit(1))
+    )
+
+
+def _nearest_centroid(vec: Column, cents: "list[tuple[list[float], float]]") -> Column:
+    """cluster_id of the nearest centroid. array_position returns the
+    FIRST index of the max, so sim ties resolve to the smallest
+    cluster_id — the same tie-break the SQL twin's ROW_NUMBER uses."""
+    sims = _centroid_sims(vec, cents)
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def _probe_clusters(
+    vec: Column, cents: "list[tuple[list[float], float]]", n_probe: int
+) -> Column:
+    """array<int> of the n_probe nearest cluster_ids, best first.
+    Struct sort on (-sim, cluster_id): descending sim, ascending id on
+    ties — identical ordering to the SQL twin's window."""
+    sims = _centroid_sims(vec, cents)
+    pairs = F.transform(
+        sims, lambda s, i: F.struct((-s).alias("neg_sim"), i.alias("cid"))
+    )
+    top = F.slice(F.array_sort(pairs), 1, n_probe)
+    return F.transform(top, lambda st: st["cid"].cast("int"))
 
 
 def build_ivf(
@@ -78,29 +171,28 @@ def build_ivf(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
+    method: str = "kmeans",
+    repartition_lists: bool = True,
+) -> "tuple[DataFrame, list[tuple[list[float], float]]]":
     """Returns (assigned, centroids): ``assigned`` is the corpus with a
-    cluster_id column (the inverted file), repartitioned by cluster so
-    each list is co-located. Vector arithmetic stays the HOF fold —
-    measured faster than unrolled GetArrayItem chains for column×column
-    dots (3.5 s vs 6.8 s warm at sf0.1)."""
-    cents = F.broadcast(_centroids_df(emb, k, seed, id_col, vec_col))
-    scored = emb.crossJoin(cents).select(
+    cluster_id column (the inverted file); ``centroids`` is the
+    driver-side [(vector, norm), ...] list whose index is the
+    cluster_id. Assignment is a narrow literal-fold projection — no
+    join, no window, no shuffle (cf. module docstring).
+
+    ``repartition_lists=True`` additionally clusters the rows by
+    cluster_id — the layout a PERSISTED index wants (each inverted list
+    co-located / one file group per list, so probes prune). One-shot
+    queries should pass False: their candidate join broadcasts the probe
+    side, which needs no co-location."""
+    cents = _centroids(emb, k, seed, id_col, vec_col, method)
+    assigned = emb.select(
         F.col(id_col),
         F.col(vec_col),
-        "cluster_id",
-        (
-            dot(F.col(vec_col), F.col("centroid"))
-            / (norm(F.col(vec_col)) * F.col("c_norm"))
-        ).alias("c_sim"),
+        _nearest_centroid(F.col(vec_col), cents).alias("cluster_id"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cluster_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, vec_col, "cluster_id")
-        .repartition("cluster_id")
-    )
+    if repartition_lists:
+        assigned = assigned.repartition("cluster_id")
     return assigned, cents
 
 
@@ -113,58 +205,49 @@ def ivf_ann(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "kmeans",
 ) -> DataFrame:
     """IVF top-k: (q_id, cand_id, cosine_sim, rank). Approximate — a true
     neighbor in an unprobed list is missed; recall is tested on clustered
     data in tests/test_similarity.py and tests/test_ivf_clusters.py.
 
-    Why no SQL oracle (driver records a rows-only check): the probed
-    lists depend on centroids from pyspark.ml KMeans — an iterative
-    Lloyd's fit whose centroid updates are parallel float reductions with
-    nondeterministic summation order across engines, so no ANSI-SQL
-    formulation can reproduce the partition of the corpus bit-exactly.
-    (Contrast hyperplane_lsh_ann, whose bucketing is a deterministic
-    fold against literal planes and therefore HAS an exact oracle —
-    sql_hyperplane_lsh_ann.) End-to-end determinism of THIS operator
-    given one engine is still pinned: fixed seed, fixed iteration count,
-    rank ties broken by cand_id."""
-    # assigned appears exactly ONCE in the final plan — caching it here
-    # would live in the CacheManager until someone explicitly unpersists
-    # (DF caches are not GC-cleaned), leaking a corpus-sized cache per
-    # call. Callers that issue MANY query batches against one index
-    # should build_ivf() once, cache `assigned` themselves, and own the
-    # unpersist.
-    assigned, cents = build_ivf(emb, n_clusters, seed, id_col, vec_col)
+    ``method="kmeans"``: no SQL oracle (driver records a rows-only
+    check) — pyspark.ml KMeans centroid updates are parallel float
+    reductions with nondeterministic summation order across engines, so
+    no ANSI-SQL formulation reproduces the corpus partition bit-exactly.
+    End-to-end determinism within Spark is still pinned: fixed seed,
+    fixed iteration count, rank ties broken by cand_id.
 
-    q = emb.where(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ``method="det"``: first-k-ids centroids; every step is a sequential
+    double fold, so :func:`sql_ivf_ann` is an EXACT DuckDB twin and the
+    driver hash-checks the full assign → probe → re-rank pipeline.
+
+    Plan shape: corpus scanned once (assignment fused into the scan
+    projection), probe side broadcast, one window over the candidate
+    set. ``.explain()`` shows no exchange between the scan and the
+    candidate join."""
+    assigned, cents = build_ivf(
+        emb, n_clusters, seed, id_col, vec_col, method, repartition_lists=False
     )
-    q_scored = q.crossJoin(cents).select(
-        "q_id",
-        "q_vec",
-        "cluster_id",
-        (
-            dot(F.col("q_vec"), F.col("centroid"))
-            / (norm(F.col("q_vec")) * F.col("c_norm"))
-        ).alias("c_sim"),
-    )
-    wq = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("cluster_id"))
+
     probes = (
-        q_scored.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= n_probe)
-        .select("q_id", "q_vec", "cluster_id")
+        emb.where(F.col(id_col).isin(list(query_ids)))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(
+                _probe_clusters(F.col(vec_col), cents, n_probe)
+            ).alias("cluster_id"),
+        )
     )
 
-    cand = probes.join(assigned, "cluster_id").where(
+    cand = F.broadcast(probes).join(assigned, "cluster_id").where(
         F.col("q_id") != F.col(id_col)
     )
     scored = cand.select(
         "q_id",
         F.col(id_col).alias("cand_id"),
-        (
-            dot(F.col("q_vec"), F.col(vec_col))
-            / (norm(F.col("q_vec")) * norm(F.col(vec_col)))
-        ).alias("cosine_sim"),
+        cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
     return (
@@ -172,3 +255,72 @@ def ivf_ann(
         .where(F.col("rank") <= k)
         .select("q_id", "cand_id", "cosine_sim", F.col("rank").cast("int"))
     )
+
+
+def sql_ivf_ann(
+    table: str = "embeddings",
+    query_ids: Iterable[int] = (),
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Exact DuckDB twin of ``ivf_ann(..., method="det")``.
+
+    Bit-exactness argument (same as sql_hyperplane_lsh_ann): both sides
+    use sequential double folds for every dot product; the centroid set
+    is ORDER BY id LIMIT k on both sides; the Spark side's driver-side
+    centroid norms (``_py_norm``) fold in the same IEEE sequence as
+    ``sql_norm`` here; argmax ties resolve to the smallest cluster_id on
+    both sides (array_position-of-first-max vs ROW_NUMBER ORDER BY sim
+    DESC, cluster_id). The oracle's plan (cross join + windows) is the
+    NAIVE formulation — parity requires identical values, not identical
+    plans; the Spark side is the shuffle-free one."""
+    from spark_indexedrdd_spark.functions.vectors import sql_cosine, sql_dot, sql_norm
+
+    ids = ", ".join(str(i) for i in query_ids)
+    c_sim = f"({sql_dot(f'e.{vec_col}', 'c.centroid')} / c.c_norm)"
+    q_sim = f"({sql_dot(f'q.{vec_col}', 'c.centroid')} / c.c_norm)"
+    return f"""
+        WITH cents AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS INTEGER) AS cluster_id,
+                   {vec_col} AS centroid,
+                   {sql_norm(vec_col)} AS c_norm
+            FROM (SELECT {id_col}, {vec_col} FROM {table}
+                  ORDER BY {id_col} LIMIT {n_clusters})
+        ),
+        assigned AS (
+            SELECT {id_col}, {vec_col}, cluster_id FROM (
+                SELECT e.{id_col}, e.{vec_col}, c.cluster_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.{id_col}
+                           ORDER BY {c_sim} DESC, c.cluster_id
+                       ) AS rn
+                FROM {table} e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT q_id, q_vec, cluster_id FROM (
+                SELECT q.{id_col} AS q_id, q.{vec_col} AS q_vec, c.cluster_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.{id_col}
+                           ORDER BY {q_sim} DESC, c.cluster_id
+                       ) AS rn
+                FROM (SELECT * FROM {table} WHERE {id_col} IN ({ids})) q
+                CROSS JOIN cents c
+            ) WHERE rn <= {n_probe}
+        ),
+        scored AS (
+            SELECT p.q_id, a.{id_col} AS cand_id,
+                   {sql_cosine('p.q_vec', f'a.{vec_col}')} AS cosine_sim
+            FROM probes p JOIN assigned a USING (cluster_id)
+            WHERE p.q_id <> a.{id_col}
+        ),
+        ranked AS (
+            SELECT q_id, cand_id, cosine_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, cand_id) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT q_id, cand_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
+    """

@@ -458,6 +458,35 @@ def ann_recall(
     )
 
 
+def sql_ann_recall(
+    table: str = "embeddings",
+    query_ids: Iterable[int] = tuple(DEFAULT_QUERY_IDS),
+    k: int = 5,
+) -> str:
+    """DuckDB twin of ``ann_recall(emb, hyperplane_lsh_ann(emb))`` —
+    recall of the LSH tier against brute force is plain SQL over the two
+    tiers' own exact oracles: truth = raw-fold top-k, ann = the LSH
+    twin; recall = |intersection| / k per query. Exact because both
+    subqueries are exact (bit-identical folds) and the arithmetic here
+    is integer-count / small-literal division."""
+    truth = sql_cosine_topk(table, query_ids, k)
+    ann = sql_hyperplane_lsh_ann(table, query_ids, k)
+    return f"""
+        WITH truth AS (SELECT q_id, cand_id FROM ({truth})),
+        ann AS (SELECT q_id, cand_id FROM ({ann})),
+        hits AS (
+            SELECT t.q_id, COUNT(*) AS n_hits
+            FROM truth t JOIN ann a ON t.q_id = a.q_id AND t.cand_id = a.cand_id
+            GROUP BY t.q_id
+        ),
+        base AS (SELECT DISTINCT q_id FROM truth)
+        SELECT b.q_id,
+               CAST(COALESCE(h.n_hits, 0) AS INTEGER) AS n_hits,
+               COALESCE(h.n_hits, 0) / CAST({float(k)} AS DOUBLE) AS recall
+        FROM base b LEFT JOIN hits h ON b.q_id = h.q_id
+    """
+
+
 def sql_hyperplane_lsh_ann(
     table: str = "embeddings",
     query_ids: Iterable[int] = tuple(DEFAULT_QUERY_IDS),
