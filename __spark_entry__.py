@@ -623,22 +623,24 @@ ROWS_ONLY = (
 # --------------------------------------------------------------------- #
 # Declaration order matters: the driver's correctness gate evaluates the
 # FIRST 50 entries of queries() in iteration order (round 1 evidence:
-# CORRECTNESS_r01.json holds exactly the first 50). Round-5 rotation:
-#   1. the 29 entries that last had a driver row in CORRECTNESS_r02
-#      (_R2_GREEN_UNCHANGED) — round 4 proved environment drift can
-#      silently break "green, unchanged" queries (events.ts re-encoding),
-#      and this set contains every event-time query, so it goes FIRST,
-#   2. the 6 queries whose implementation or oracle changed THIS round
-#      (CHANGED_R5): three newly-oracled former rows-only entries, the
-#      rows-only-by-design IVF whose build changed (sampled fit, no full
-#      count), and the two funnel queries broken by the events bug,
-#   3. fill to 50 with 15 of the 16 core SURVEY §2 ops ("count" sits
-#      out — trivially stable, r4 hash-green, pytest-covered).
-# Past the cutoff: queries hash-green in CORRECTNESS_r04 and unchanged
-# since (CHANGED_R3 / DEFERRED_R2 / REPRESENTATIVE + "count"), plus the
-# entries NEW in round 5 (dedup_pipeline, embedding_quantize_stats,
-# profile_documents) — rotate those three INTO round 6's window first;
-# they have pytest + local oracle verification but no driver row yet.
+# CORRECTNESS_r01.json holds exactly the first 50). Round-6 rotation
+# (the full construction is _WINDOW_R6 below; invariant enforced by
+# tests/test_driver_sim.py::test_window_covers_every_query_within_two_rounds):
+#   1. NEVER_CHECKED — the six entries with no driver row in ANY round:
+#      the four past-cutoff newcomers from round 5 plus the two queries
+#      new THIS round (deterministic IVF twin, ann_recall),
+#   2. CHANGED_R6 — similarity_ann_ivf: still rows-only by design, but
+#      its assignment/probe implementation was rewritten (literal-fold,
+#      shuffle-free), so its rows-only row must be refreshed,
+#   3. every entry whose latest driver row predates round 5 (last green
+#      in r4 or r1) — 29 queries,
+#   4. fill to 50 with the most drift-sensitive round-5-green entries:
+#      the CHANGED_R5 set and the event-time queries (round 4 proved
+#      event-time queries are where environment drift bites), plus two
+#      core representatives.
+# Past the cutoff: entries hash-green in CORRECTNESS_r05 and unchanged
+# since — every one of them is covered by the union of the r5 and r6
+# windows, so nothing goes more than one round unverified.
 # --------------------------------------------------------------------- #
 
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -660,40 +662,46 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "composite_key_join": q_composite_key_join,
 }
 
-# Tier 1: implementation or oracle changed THIS round — must re-verify.
-# (uuid/decimal key ops are NEW queries; the two dedup entries delivered
-# the changes round 2's comment promised; the similarity pair changed
-# their distribution strategy — broadcast query matrix, sampled IVF fit.)
-CHANGED_R3 = (
-    "dedup_ngram_jaccard",     # stop-shingle skew guard (both sides)
-    "simhash",                 # packed bit-count aggregation (22 buffers)
-    "simhash_near_pairs",      # exact oracle + lossless (d+1)-chunk blocking
-    "uuid_key_ops",            # new: UUID-string key parity
-    "decimal_key_ops",         # new: DECIMAL(38,0) key parity
-    "similarity_topk_fast",    # rows-only: query matrix now sc.broadcast
-    "similarity_ann_ivf",      # rows-only: sampled KMeans fit
-    "funnel_signup_conversion",  # new: stream-stream LEFT OUTER funnel's
-                                 # batch twin
-    "doc_sample",                # new: deterministic hash-threshold sample
-    "dedup_incremental_lsh",     # new: incremental-ingest LSH (new×corpus
-                                 # + new×new, never corpus×corpus)
+_NEW_R3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "uuid_key_ops": q_uuid_key_ops,
+    "decimal_key_ops": q_decimal_key_ops,
+}
+
+# No driver row in ANY round yet — always at the very front.
+NEVER_CHECKED = (
+    "dedup_pipeline",            # new r5, landed past the cutoff
+    "embedding_quantize_stats",  # new r5, landed past the cutoff
+    "profile_documents",         # new r5, landed past the cutoff
+    "forecast_revenue_q6",       # new r5, landed past the cutoff
+    "similarity_ann_ivf_det",    # new r6: fold-exact IVF pipeline twin
+    "ann_recall",                # new r6: LSH recall vs brute force
 )
 
-# Tier 2: everything deferred past rounds 1-2's 50-entry cutoff — the
-# rows-only set plus queries whose only hash-green row is CORRECTNESS_r01.
-DEFERRED_R2 = (
+# Implementation changed in round 6 — rows-only row must be refreshed.
+CHANGED_R6 = (
+    "similarity_ann_ivf",  # assignment/probe rewritten: literal-fold
+                           # projections, broadcast probe join (no corpus
+                           # shuffle); sample fraction now continuous
+)
+
+# Latest driver row predates round 5 (hash-green r4 or r1, unchanged).
+_STALE_PRE_R5 = (
     "winnow_fingerprints",
     "redact_pii",
     "contamination_check",
-    "similarity_ann_lsh",
-    "dedup_clusters",
+    "dedup_lsh_candidates",
+    "dedup_incremental_lsh",
+    "simhash",
+    "dedup_ngram_jaccard",
+    "simhash_near_pairs",
+    "pricing_summary",
     "top_orders_per_customer",
     "global_topk_orders",
     "rollup_doc_counts",
     "customers_without_orders",
     "orders_above_cust_avg",
     "running_revenue_by_month",
-    "funnel_purchase_after_signup",
+    "doc_sample",
     "late_shipment_orders",
     "supplier_diversity",
     "grouping_sets_doc_stats",
@@ -704,68 +712,33 @@ DEFERRED_R2 = (
     "percentiles_by_segment",
     "distinct_counts",
     "revenue_percentiles",
+    "uuid_key_ops",
+    "decimal_key_ops",
+    "count",
 )
 
-# Tier 4 fill: high-value representatives (hash-green r1+r2, unchanged).
-REPRESENTATIVE = (
-    "pricing_summary",
-    "dedup_lsh_candidates",
-)
-
-# Past the cutoff: hash-green in CORRECTNESS_r02 and unchanged since.
-_R2_GREEN_UNCHANGED = (
+# Fill to 50: round-5-green entries most worth re-checking — the
+# r5-changed set (newest oracles), every event-time query (where
+# environment drift has actually bitten, r4), two core representatives.
+_FILL_R6 = (
+    "dedup_clusters",
+    "similarity_topk_fast",
+    "similarity_ann_lsh",       # ann_recall's subject — verify alongside
+    "funnel_signup_conversion",
+    "funnel_purchase_after_signup",
     "windowed_event_dedup",
     "asof_join",
-    "skew_salted_revenue",
-    "binary_meta",
-    "cube_doc_counts",
-    "json_prop_stats",
-    "orders_by_month",
-    "pivot_lang_source",
     "tumbling_window",
     "session_window",
     "sliding_window",
-    "text_stats",
-    "quality_filter",
-    "dedup_exact",
-    "minhash_signatures",
-    "similarity_topk",
-    "embedding_neardup",
-    "volume_shipping_q7",
-    "returned_items_q10",
-    "promo_revenue_q14",
-    "bloom_pruned_join",
-    "shipping_priority",
-    "local_supplier_volume",
-    "hash_split",
-    "pack_documents",
     "sessionize",
     "range_join_sessions",
-    "lang_id",
-    "doc_fingerprint",
-)
-
-_NEW_R3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "uuid_key_ops": q_uuid_key_ops,
-    "decimal_key_ops": q_decimal_key_ops,
-}
-
-# Implementation or oracle changed in round 5 — must re-verify.
-CHANGED_R5 = (
-    "dedup_clusters",           # new recursive-CTE connected-components oracle
-    "similarity_topk_fast",     # ranks on ROUND(score, 9); sql_cosine_topk twin
-    "similarity_ann_lsh",       # new exact oracle (literal-plane fold parity)
-    "similarity_ann_ivf",       # rows-only by design; bounded-probe sampled fit
-    "funnel_signup_conversion",  # events loader fixed (TIMESTAMP_NTZ)
-    "funnel_purchase_after_signup",
+    "build_scan",
+    "multiput_merge",
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}
-_WINDOW = (
-    tuple(_R2_GREEN_UNCHANGED)
-    + CHANGED_R5
-    + tuple(k for k in CORE_QUERIES if k != "count")
-)
+_WINDOW = NEVER_CHECKED + CHANGED_R6 + _STALE_PRE_R5 + _FILL_R6
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{k: _ALL.get(k, CORE_QUERIES.get(k)) for k in _WINDOW},

@@ -319,7 +319,14 @@ def incremental_lsh_candidates(
     (:func:`write_signature_store` / :func:`append_signature_batch` /
     :func:`incremental_lsh_candidates_from_store`), which reads the
     corpus side's signatures from parquet instead.
-    Output: (doc_a=new id, doc_b, est_jaccard)."""
+    Output: (doc_a=new id, doc_b, est_jaccard).
+
+    Cache ownership: the new-side signature frame is cached (it feeds
+    three plan branches) and stays in the CacheManager until
+    ``spark.catalog.clearCache()`` — one small (~136 B/doc) entry per
+    call. Loops issuing MANY batches must use the streaming form
+    (``streaming.dedup.streaming_incremental_lsh``), which computes the
+    signatures once and unpersists per batch."""
     sig_new = minhash_signatures(new_df, text_col, id_col).cache()
     sig_old = minhash_signatures(corpus_df, text_col, id_col)
     return _incremental_candidates_from_sigs(sig_new, sig_old, id_col)
@@ -334,10 +341,19 @@ def _incremental_candidates_from_sigs(
     bn = _sig_bands(sig_new, id_col)
     bo = _sig_bands(sig_old, id_col)
     a = bn.select(F.col(id_col).alias("doc_a"), "band_id", "band_hash")
-    nc = a.join(
-        bo.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash"),
-        on=["band_id", "band_hash"],
-    ).select("doc_a", "doc_b")
+    # doc_a != doc_b: ids are CONTRACTUALLY disjoint, but under
+    # at-least-once replay (signature append succeeded, checkpoint
+    # commit lost) a replayed batch sees its own docs in the store and
+    # would emit (X, X, 1.0) self-pairs — new set members that no
+    # downstream (doc_a, doc_b) dedupe absorbs. The guard is free.
+    nc = (
+        a.join(
+            bo.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash"),
+            on=["band_id", "band_hash"],
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
     nn = (
         a.join(
             bn.select(F.col(id_col).alias("doc_b"), "band_id", "band_hash"),
@@ -413,7 +429,10 @@ def incremental_lsh_candidates_from_store(
     :func:`incremental_lsh_candidates` (pytest-pinned equivalence), but
     the per-batch cost is hash(new batch) + a columnar scan of the
     signature table — the corpus text is never touched. Ids must be
-    disjoint (new vs stored)."""
+    disjoint (new vs stored). Same cache-ownership note as
+    :func:`incremental_lsh_candidates`: one-shot callers leak one small
+    cached signature frame until ``clearCache()``; per-micro-batch loops
+    must use the streaming form, which unpersists each batch."""
     sig_new = minhash_signatures(new_df, text_col, id_col).cache()
     sig_old = read_signature_store(new_df.sparkSession, sig_store_path)
     return _incremental_candidates_from_sigs(sig_new, sig_old, id_col)

@@ -30,6 +30,11 @@ from spark_indexedrdd_spark.functions.vectors import cosine, sql_cosine
 
 DEFAULT_QUERY_IDS = [0, 50, 100, 150, 200, 250, 300, 350, 400, 450]
 
+# Candidate-count ceiling before cosine_topk warns: its final window
+# shuffles q × N scored rows into |q| partitions — one task per query
+# id, skewed BY CONSTRUCTION at large N. The fast/ANN tiers don't.
+BRUTE_FORCE_CAND_WARN = 2_000_000
+
 
 def cosine_topk(
     emb: DataFrame,
@@ -40,11 +45,32 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k: (q_id, cand_id, cosine_sim, rank).
 
-    Plan shape: the query set is a broadcast inner join (no shuffle of
-    the candidate side), scoring is a narrow map, and the only shuffle
-    is the window partitioned by q_id over q x N scored rows. Ties break
-    on cand_id so results are deterministic."""
+    This is the small-corpus ORACLE TWIN, not the scale path: the only
+    shuffle is the window partitioned by q_id over q × N scored rows —
+    |q| partitions, one task per query, skewed by construction at large
+    N. Above ``BRUTE_FORCE_CAND_WARN`` candidates it warns (checked with
+    a short-circuiting bounded probe, never a full count) and steers to
+    :func:`cosine_topk_fast` (per-batch top-k, candidates never
+    shuffled) or the LSH/IVF ANN tiers. It stays a warning rather than
+    an auto-switch because the fast path ranks on ROUNDed scores — a
+    documented, slightly different contract.
+
+    Plan shape otherwise: the query set is a broadcast inner join (no
+    shuffle of the candidate side) and scoring is a narrow map. Ties
+    break on cand_id so results are deterministic."""
+    import warnings
+
     from spark_indexedrdd_spark.functions.vectors import dot, norm
+
+    n_bounded = emb.select(id_col).limit(BRUTE_FORCE_CAND_WARN + 1).count()
+    if n_bounded > BRUTE_FORCE_CAND_WARN:
+        warnings.warn(
+            f"cosine_topk is scoring >{BRUTE_FORCE_CAND_WARN:,} candidates "
+            "through a per-query-id window (skewed by construction); use "
+            "cosine_topk_fast or the hyperplane_lsh_ann / ivf_ann tiers "
+            "at this scale",
+            stacklevel=2,
+        )
 
     # norms computed ONCE per vector before the join (cosine() inline
     # would recompute both norms for every (q, cand) pair — a 3x saving
@@ -206,8 +232,12 @@ def cosine_topk_fast(
     the final rank is computed ON the rounded value (cand_id tie-break),
     which makes the result hash-comparable to
     ``sql_cosine_topk(round_digits=...)``. Per-batch candidate selection
-    still uses raw scores — any global top-k candidate is in its batch's
-    top-(k+1) regardless of sub-ulp ordering.
+    uses the same (rounded desc, cand_id asc) ordering as the final
+    rank — a global top-k candidate is therefore always inside its
+    batch's top-(k+1) under that ordering, even when more than k+1
+    batch candidates tie at rounded precision (duplicate-heavy
+    corpora), where raw-score selection could drop the tie-break
+    winner.
 
     Scale: candidate side is scanned once, never shuffled; the query
     matrix is shipped to executors ONCE per node via ``sc.broadcast``
@@ -255,10 +285,20 @@ def cosine_topk_fast(
             sims = (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
             out = []
             kk = min(k + 1, sims.shape[1])  # +1: self may be in batch
+            # Per-batch selection must use the FINAL ordering (rounded
+            # score desc, cand_id asc), not raw scores: with >kk
+            # candidates tied at rounded precision (duplicate-heavy
+            # corpora), raw argpartition could drop the candidate the
+            # cand_id tie-break would rank first, silently diverging
+            # from the pinned oracle. Threshold on the kk-th largest
+            # rounded value, then lexsort the (usually kk-sized) pool.
+            rounded = np.round(sims, round_digits)
+            thr = -np.partition(-rounded, kk - 1, axis=1)[:, kk - 1]
             for qi in range(sims.shape[0]):
                 row = sims[qi]
-                top = np.argpartition(-row, kk - 1)[:kk]
-                for ci in top:
+                pool = np.nonzero(rounded[qi] >= thr[qi])[0]
+                sel = pool[np.lexsort((c_ids[pool], -rounded[qi][pool]))][:kk]
+                for ci in sel:
                     if c_ids[ci] != q_ids[qi]:
                         out.append((q_ids[qi], c_ids[ci], float(row[ci])))
             yield pd.DataFrame(out, columns=["q_id", "cand_id", "cosine_sim"])

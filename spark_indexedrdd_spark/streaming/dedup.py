@@ -67,14 +67,17 @@ def streaming_incremental_lsh(
     batch can append its candidate rows (and signatures) twice.
     Candidates dedupe downstream by (doc_a, doc_b); duplicated signature
     rows only add identical band rows, which cannot change any future
-    candidate SET (the banded join's DISTINCT absorbs them).
+    candidate SET (the banded join's DISTINCT absorbs them). A replayed
+    batch also sees ITS OWN docs in the store — the banded join's
+    ``doc_a != doc_b`` guard keeps self-pairs out even then.
 
     Returns the unstarted ``DataStreamWriter``; drive with e.g.
     ``.trigger(availableNow=True).option("checkpointLocation", ...)``.
     """
     from spark_indexedrdd_spark.functions.dedup import (
-        append_signature_batch,
-        incremental_lsh_candidates_from_store,
+        _incremental_candidates_from_sigs,
+        minhash_signatures,
+        read_signature_store,
     )
 
     schema = spark.read.parquet(docs_path).schema
@@ -85,10 +88,22 @@ def streaming_incremental_lsh(
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        cands = incremental_lsh_candidates_from_store(
-            batch_df, sig_store_path, text_col, id_col
-        )
-        cands.write.mode("append").parquet(candidates_path)
-        append_signature_batch(batch_df, sig_store_path, text_col, id_col)
+        # Hash the batch text ONCE, cache the (tiny) signature frame,
+        # and serve both the candidate join and the store append from
+        # it. The cache is unpersisted before the batch returns —
+        # DataFrame caches are not GC-cleaned, so the previous shape
+        # (incremental_lsh_candidates_from_store's internal cache, never
+        # released) leaked one cached plan per micro-batch into executor
+        # storage memory for the stream's lifetime.
+        sig_new = minhash_signatures(batch_df, text_col, id_col).cache()
+        try:
+            sig_old = read_signature_store(
+                batch_df.sparkSession, sig_store_path
+            )
+            cands = _incremental_candidates_from_sigs(sig_new, sig_old, id_col)
+            cands.write.mode("append").parquet(candidates_path)
+            sig_new.write.mode("append").parquet(sig_store_path)
+        finally:
+            sig_new.unpersist()
 
     return stream.writeStream.foreachBatch(_process).outputMode("append")

@@ -80,6 +80,33 @@ def test_streaming_readers_are_session_independent():
     )
 
 
+def test_window_covers_every_query_within_two_rounds():
+    """Rotation-bookkeeping tripwire: the driver hash-checks only the
+    first 50 ``queries()`` entries per round, so every contract query
+    must appear in THIS round's window or the previous round's recorded
+    window (the latest CORRECTNESS_r*.json) — otherwise a query can
+    silently go unverified for >2 rounds, which is exactly how the
+    round-4 events regression hid. Red here means: rotate the window."""
+    import glob
+    import json
+
+    import __spark_entry__ as E
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    window = set(list(E.queries().keys())[:50])
+    assert tuple(E._WINDOW) == tuple(list(E.queries().keys())[:50]), (
+        "_WINDOW bookkeeping drifted from queries() iteration order"
+    )
+    records = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    prev = set(json.load(open(records[-1]))) if records else set()
+    stale = [q for q in E.queries() if q not in window and q not in prev]
+    assert not stale, (
+        f"{len(stale)} queries absent from both this round's window and "
+        f"the last recorded round ({os.path.basename(records[-1]) if records else 'none'}): "
+        f"{stale}"
+    )
+
+
 def test_plain_session_non_utc_runs_contract():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, TZ="America/New_York")

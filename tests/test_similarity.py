@@ -144,3 +144,41 @@ def test_lsh_ann_prunes_candidates(clustered):
     qids = [0, 30, 60]
     ann = SM.hyperplane_lsh_ann(clustered, query_ids=qids, k=5, dim=16)
     assert ann.count() <= len(qids) * 5
+
+
+def test_brute_force_warns_above_candidate_ceiling(emb, monkeypatch):
+    """cosine_topk is the small-q oracle twin; above the candidate
+    ceiling its per-query-id window is skewed by construction, so it
+    must warn and steer to the fast/ANN tiers (threshold monkeypatched
+    down — the real 2M ceiling needs no 2M-row fixture)."""
+    import warnings
+
+    monkeypatch.setattr(SM, "BRUTE_FORCE_CAND_WARN", 10)
+    with pytest.warns(UserWarning, match="cosine_topk_fast"):
+        SM.cosine_topk(emb, query_ids=[0, 50], k=2)
+
+    monkeypatch.setattr(SM, "BRUTE_FORCE_CAND_WARN", 2_000_000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        SM.cosine_topk(emb, query_ids=[0, 50], k=2).collect()
+
+
+def test_fast_path_rounded_tie_break_survives_batching(spark):
+    """Duplicate-heavy corpus: many candidates tie at rounded precision
+    inside ONE Arrow batch. Per-batch selection must use the final
+    (rounded desc, cand_id asc) ordering — raw-score argpartition could
+    keep an arbitrary member of the tie and drop the cand_id winner."""
+    base = [1.0, 0.5, 0.25, 0.125]
+    rows = [(0, base)]
+    # 40 exact duplicates of a near-miss vector, ids descending so the
+    # raw-selection order disagrees with the cand_id tie-break
+    near = [1.0, 0.5, 0.25, 0.124999]
+    for i in range(40):
+        rows.append((1000 - i, near))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(1)
+    out = SM.cosine_topk_fast(df, query_ids=[0], k=3).collect()
+    got = [(r.rank, r.cand_id) for r in sorted(out, key=lambda r: r.rank)]
+    # ties at rounded precision resolve to the SMALLEST cand_ids
+    assert got == [(1, 961), (2, 962), (3, 963)], got
