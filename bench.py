@@ -266,6 +266,35 @@ def run_suite(spark) -> dict[str, float]:
 
         _ivf.ivf_ann(emb, _sim.DEFAULT_QUERY_IDS).count()
 
+    @timed("similarity_ann_ivf_det")
+    def _annid():
+        from spark_indexedrdd_spark.functions import ivf as _ivf
+
+        _ivf.ivf_ann(emb, _sim.DEFAULT_QUERY_IDS, method="det").count()
+
+    @timed("ann_recall")
+    def _annr():
+        _sim.ann_recall(emb, _sim.hyperplane_lsh_ann(emb)).count()
+
+    # --- r5/r6 newcomers: end-to-end dedup, profiling, quantization ------ #
+    @timed("dedup_pipeline")
+    def _dpipe():
+        _dedup.dedup_pipeline(docs).count()
+
+    @timed("profile_documents")
+    def _prof():
+        _an.profile_table(docs, ["doc_id", "lang", "source", "n_chars"]).collect()
+
+    @timed("forecast_revenue_q6")
+    def _fq6():
+        _an.forecast_revenue_q6(li_full).collect()
+
+    @timed("embedding_quantize_stats")
+    def _equant():
+        from spark_indexedrdd_spark.functions import quant as _quant
+
+        _quant.quantize_error_stats(emb).collect()
+
     # --- bucketed persistence: the 100 TB join path ---------------------- #
     # (write once, then every cross-job join is exchange-free; the write
     # is the amortized one-time cost, reported separately)
