@@ -356,6 +356,13 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": lambda s, d: _text.fingerprint(_docs(s, d)),
     "quality_filter": lambda s, d: _text.quality_filter(_docs(s, d)),
     "winnow_fingerprints": lambda s, d: _text.winnow_fingerprints(_docs(s, d)),
+    # r6 pipeline additions: Gopher-style repetition signals, per-domain
+    # crawl caps, corpus vocabulary top-k
+    "repetition_stats": lambda s, d: _text.repetition_stats(_docs(s, d)),
+    "domain_cap_sample": lambda s, d: _text.domain_cap_sample(
+        _docs(s, d), cap=100
+    ),
+    "corpus_top_terms": lambda s, d: _text.corpus_top_terms(_docs(s, d)),
     "redact_pii": lambda s, d: _text.redact_pii(_docs(s, d)),
     "contamination_check": lambda s, d: _text.contamination_check(_docs(s, d)),
     # dedup
@@ -424,6 +431,24 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "forecast_revenue_q6": lambda s, d: _an.forecast_revenue_q6(
         load_table(s, d, "lineitem")
+    ),
+    # TPC-H plan shapes (r6): EXISTS→semi, outer-join distribution,
+    # aggregate-then-join HAVING, disjunctive pushdown, scalar-subquery
+    # + anti join — each exercises a distinct Catalyst capability
+    "order_priority_q4": lambda s, d: _an.order_priority_semijoin(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    ),
+    "customer_order_dist_q13": lambda s, d: _an.customer_order_distribution(
+        load_table(s, d, "customer"), load_table(s, d, "orders")
+    ),
+    "large_orders_q18": lambda s, d: _an.large_orders(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    ),
+    "disjunctive_revenue_q19": lambda s, d: _an.disjunctive_part_revenue(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    ),
+    "waiting_customers_q22": lambda s, d: _an.waiting_customers(
+        load_table(s, d, "customer"), load_table(s, d, "orders")
     ),
     "bloom_pruned_join": lambda s, d: _bloom.urgent_revenue_bloom(
         load_table(s, d, "lineitem"), load_table(s, d, "orders")
@@ -538,6 +563,14 @@ EXTENSION_ORACLE: dict[str, str] = {
     "doc_fingerprint": _text.sql_fingerprint(),
     "quality_filter": _text.sql_quality_filter(),
     "winnow_fingerprints": _text.sql_winnow_fingerprints(),
+    "repetition_stats": _text.sql_repetition_stats(),
+    "domain_cap_sample": _text.sql_domain_cap_sample(cap=100),
+    "corpus_top_terms": _text.sql_corpus_top_terms(),
+    "order_priority_q4": _an.sql_order_priority_semijoin(),
+    "customer_order_dist_q13": _an.SQL_CUSTOMER_ORDER_DISTRIBUTION,
+    "large_orders_q18": _an.sql_large_orders(),
+    "disjunctive_revenue_q19": _an.SQL_DISJUNCTIVE_PART_REVENUE,
+    "waiting_customers_q22": _an.sql_waiting_customers(),
     "redact_pii": _text.sql_redact_pii(),
     "contamination_check": _text.sql_contamination_check(),
     "dedup_exact": _dedup.sql_exact_dedup(),
@@ -626,9 +659,10 @@ ROWS_ONLY = (
 # CORRECTNESS_r01.json holds exactly the first 50). Round-6 rotation
 # (the full construction is _WINDOW_R6 below; invariant enforced by
 # tests/test_driver_sim.py::test_window_covers_every_query_within_two_rounds):
-#   1. NEVER_CHECKED — the six entries with no driver row in ANY round:
-#      the four past-cutoff newcomers from round 5 plus the two queries
-#      new THIS round (deterministic IVF twin, ann_recall),
+#   1. NEVER_CHECKED — the 14 entries with no driver row in ANY round:
+#      the four past-cutoff newcomers from round 5 plus the ten queries
+#      new THIS round (deterministic IVF twin, ann_recall, three
+#      pipeline ops, five TPC-H plan shapes),
 #   2. CHANGED_R6 — similarity_ann_ivf: still rows-only by design, but
 #      its assignment/probe implementation was rewritten (literal-fold,
 #      shuffle-free), so its rows-only row must be refreshed,
@@ -675,6 +709,14 @@ NEVER_CHECKED = (
     "forecast_revenue_q6",       # new r5, landed past the cutoff
     "similarity_ann_ivf_det",    # new r6: fold-exact IVF pipeline twin
     "ann_recall",                # new r6: LSH recall vs brute force
+    "repetition_stats",          # new r6: Gopher repetition signals
+    "domain_cap_sample",         # new r6: per-domain crawl caps
+    "corpus_top_terms",          # new r6: corpus vocabulary top-k
+    "order_priority_q4",         # new r6: EXISTS → left-semi shape
+    "customer_order_dist_q13",   # new r6: outer-join distribution
+    "large_orders_q18",          # new r6: aggregate-then-join HAVING
+    "disjunctive_revenue_q19",   # new r6: OR-of-conjunctions pushdown
+    "waiting_customers_q22",     # new r6: scalar subquery + anti join
 )
 
 # Implementation changed in round 6 — rows-only row must be refreshed.
@@ -718,8 +760,11 @@ _STALE_PRE_R5 = (
 )
 
 # Fill to 50: round-5-green entries most worth re-checking — the
-# r5-changed set (newest oracles), every event-time query (where
-# environment drift has actually bitten, r4), two core representatives.
+# r5-changed set (newest oracles) and ann_recall's subject. (The
+# event-time set and core representatives that filled these slots
+# before the r6 newcomers displaced them are all r5-green, so the
+# two-round coverage invariant still holds — enforced by
+# tests/test_driver_sim.py.)
 _FILL_R6 = (
     "dedup_clusters",
     "similarity_topk_fast",
@@ -727,14 +772,6 @@ _FILL_R6 = (
     "funnel_signup_conversion",
     "funnel_purchase_after_signup",
     "windowed_event_dedup",
-    "asof_join",
-    "tumbling_window",
-    "session_window",
-    "sliding_window",
-    "sessionize",
-    "range_join_sessions",
-    "build_scan",
-    "multiput_merge",
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}

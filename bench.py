@@ -295,6 +295,44 @@ def run_suite(spark) -> dict[str, float]:
 
         _quant.quantize_error_stats(emb).collect()
 
+    @timed("repetition_stats")
+    def _reps():
+        _text.repetition_stats(docs).count()
+
+    @timed("domain_cap_sample")
+    def _dcap():
+        _text.domain_cap_sample(docs, cap=100).count()
+
+    @timed("corpus_top_terms")
+    def _ctop():
+        _text.corpus_top_terms(docs).collect()
+
+    @timed("order_priority_q4")
+    def _q4():
+        _an.order_priority_semijoin(orders, li_full).collect()
+
+    @timed("customer_order_dist_q13")
+    def _q13():
+        _an.customer_order_distribution(
+            load_table(spark, SF_DIR, "customer"), orders
+        ).collect()
+
+    @timed("large_orders_q18")
+    def _q18():
+        _an.large_orders(orders, li_full).count()
+
+    @timed("disjunctive_revenue_q19")
+    def _q19():
+        _an.disjunctive_part_revenue(
+            li_full, load_table(spark, SF_DIR, "part")
+        ).collect()
+
+    @timed("waiting_customers_q22")
+    def _q22():
+        _an.waiting_customers(
+            load_table(spark, SF_DIR, "customer"), orders
+        ).collect()
+
     # --- bucketed persistence: the 100 TB join path ---------------------- #
     # (write once, then every cross-job join is exchange-free; the write
     # is the amortized one-time cost, reported separately)

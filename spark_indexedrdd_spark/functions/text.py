@@ -554,3 +554,189 @@ def sql_pack_documents(
                ), 0) / {capacity_chars}) AS BIGINT) AS pack_id
         FROM {table}
     """
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals — the Gopher-style filters that
+    catch boilerplate/generated text where simple length/stopword checks
+    pass: (doc_id, n_tokens, dup_bigram_frac, dup_trigram_frac,
+    repetition_flag). dup_ngram_frac = 1 - distinct n-grams / n-grams;
+    high values mean the document keeps repeating the same phrases
+    (public heuristic: Rae et al. 2021 "Scaling Language Models" §A1.2,
+    also C4's boilerplate filters).
+
+    Scale: pure per-row array expressions (n-gram construction via
+    slice+zip_with, distinct via array_distinct) — a narrow map inside
+    the scan stage, no shuffle, no UDF. Exact-ratio arithmetic, so the
+    DuckDB twin is bit-identical."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+
+    def ngram_dup_frac(width: int) -> Column:
+        # n-grams by zipping shifted slices: [t0..tn-2] x [t1..tn-1]
+        grams = F.slice(toks, 1, F.greatest(n - (width - 1), F.lit(0)))
+        for off in range(1, width):
+            grams = F.zip_with(
+                grams,
+                F.slice(toks, 1 + off, F.greatest(n - (width - 1), F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        n_grams = F.size(grams)
+        return F.when(
+            n_grams <= 0, F.lit(0.0)
+        ).otherwise(
+            1.0 - F.size(F.array_distinct(grams)) / n_grams.cast("double")
+        )
+
+    dup2 = ngram_dup_frac(2)
+    dup3 = ngram_dup_frac(3)
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_tokens"),
+        dup2.alias("dup_bigram_frac"),
+        dup3.alias("dup_trigram_frac"),
+        ((dup2 > 0.2) | (dup3 > 0.18)).alias("repetition_flag"),
+    )
+
+
+def sql_repetition_stats(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`repetition_stats` — same n-gram
+    construction (list_transform over an index range), same exact-ratio
+    arithmetic, same flag thresholds."""
+    toks = sql_tokens(text_col)
+
+    def gram(width: int) -> str:
+        parts = " || ' ' || ".join(
+            f"t[i + {off}]" if off else "t[i]" for off in range(width)
+        )
+        return (
+            f"list_transform(range(1, greatest(len(t) - {width - 1}, 0) + 1),"
+            f" i -> {parts})"
+        )
+
+    def dup_frac(width: int) -> str:
+        g = gram(width)
+        return f"""
+            CASE WHEN len({g}) <= 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct({g})) / CAST(len({g}) AS DOUBLE)
+            END
+        """
+
+    return f"""
+        WITH tk AS (SELECT {id_col}, {toks} AS t FROM {table})
+        SELECT {id_col},
+               CAST(len(t) AS INTEGER) AS n_tokens,
+               {dup_frac(2)} AS dup_bigram_frac,
+               {dup_frac(3)} AS dup_trigram_frac,
+               (({dup_frac(2)}) > 0.2 OR ({dup_frac(3)}) > 0.18) AS repetition_flag
+        FROM tk
+    """
+
+
+def domain_cap_sample(
+    df: DataFrame,
+    cap: int = 100,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """At most ``cap`` documents per domain, chosen by a deterministic
+    hash order — the standard web-corpus defense against a single crawl
+    domain dominating the training mix. Hash order (not id order) so the
+    kept set is an unbiased per-domain sample, yet stable across re-runs
+    and incremental appends; ties broken by id. Emits the kept rows'
+    (domain, doc_id, domain_rank).
+
+    Scale: one shuffle on the domain column (the window's partition
+    key). A pathologically hot domain makes one big partition, but the
+    rank predicate truncates it at ``cap`` — WindowGroupLimit pushes the
+    rank<=cap cutoff below the exchange (partial mode), so the shuffle
+    carries at most cap rows per domain per map task, not the whole
+    domain. Knuth-multiplicative ordering hash: exact 64-bit integer
+    arithmetic, identical in any engine."""
+    order_h = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296))
+    w = Window.partitionBy(domain_col).orderBy(order_h.asc(), F.col(id_col).asc())
+    return (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.col(id_col),
+            F.row_number().over(w).alias("domain_rank"),
+        )
+        .where(F.col("domain_rank") <= cap)
+    )
+
+
+def sql_domain_cap_sample(
+    table: str = "documents",
+    cap: int = 100,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+        SELECT domain, {id_col}, domain_rank FROM (
+            SELECT {domain_col} AS domain, {id_col},
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY {domain_col}
+                       ORDER BY ({id_col} * 2654435761) % 4294967296, {id_col}
+                   ) AS INTEGER) AS domain_rank
+            FROM {table}
+        ) WHERE domain_rank <= {cap}
+    """
+
+
+def corpus_top_terms(
+    df: DataFrame, k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level term frequencies: the k most frequent tokens with
+    counts and corpus share — the vocabulary health-check (tokenizer
+    coverage, boilerplate discovery) run once per ingest. Deterministic:
+    ties rank by term.
+
+    Scale: explode is a narrow per-row flatMap; the groupBy(term) agg
+    does map-side partial aggregation, so its shuffle carries at most
+    |vocab| rows per map task, not |corpus tokens|. The grand total and
+    the rank ride ONE unpartitioned window over the aggregated vocab —
+    a deliberate single-partition pass over |vocab| (bounded: natural-
+    language vocabularies are millions of rows, not corpus-sized), which
+    keeps the whole query one aggregation pass instead of recomputing
+    the counts for a separate total."""
+    terms = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    counts = terms.groupBy("term").agg(F.count("*").alias("n"))
+    w_all = Window.partitionBy()
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("total", F.sum("n").over(w_all))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "term",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n") / F.col("total").cast("double")).alias("corpus_share"),
+            F.col("rank").cast("int"),
+        )
+    )
+
+
+def sql_corpus_top_terms(
+    table: str = "documents", k: int = 50, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    toks = sql_tokens(text_col)
+    return f"""
+        WITH t AS (
+            SELECT unnest({toks}) AS term FROM {table}
+        ),
+        counts AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY term
+        ),
+        ranked AS (
+            SELECT term, n,
+                   n / CAST((SELECT SUM(n) FROM counts) AS DOUBLE) AS corpus_share,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS INTEGER) AS rank
+            FROM counts
+        )
+        SELECT term, n, corpus_share, rank FROM ranked WHERE rank <= {k}
+    """

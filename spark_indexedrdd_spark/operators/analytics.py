@@ -1157,3 +1157,211 @@ def sql_forecast_revenue_q6(
           AND l_discount BETWEEN {d_lo} AND {d_hi}
           AND l_quantity < {qty_cap}
     """
+
+
+def order_priority_semijoin(
+    orders: DataFrame, lineitem: DataFrame, late_days: int = 60
+) -> DataFrame:
+    """TPC-H Q4 shape (reference has no SQL surface; SURVEY §2.5
+    extension): count orders per priority where AT LEAST ONE line
+    shipped more than ``late_days`` after the order date — an EXISTS
+    that must compile to a LEFT SEMI join, never a join+distinct (the
+    semi join short-circuits on first match and emits each order once,
+    where join+distinct would materialize every matching line).
+
+    Scale: the semi join shuffles both sides on orderkey once; the
+    non-equi lateness condition rides the join as a residual filter, so
+    no post-join pass. Output: (o_orderpriority, n_orders)."""
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+
+
+def sql_order_priority_semijoin(late_days: int = 60) -> str:
+    return f"""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL {int(late_days)} DAY
+        )
+        GROUP BY o_orderpriority
+    """
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer —
+    (c_count, custdist) where custdist customers placed exactly c_count
+    orders, INCLUDING the zero bucket (hence the left outer join;
+    an inner join would silently drop order-less customers).
+
+    Scale: two aggregations with map-side partial combine. The first
+    shuffles on custkey (count per customer — at most |customers| rows
+    survive each map task); the second shuffles the tiny per-customer
+    counts on c_count. Nothing ever carries order line width."""
+    per_cust = (
+        customer.join(
+            orders.select("o_custkey", "o_orderkey"),
+            customer["c_custkey"] == orders["o_custkey"],
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+"""
+
+
+def large_orders(
+    orders: DataFrame, lineitem: DataFrame, min_qty: float = 250.0
+) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): orders whose total line
+    quantity exceeds ``min_qty``, with the total attached.
+
+    Scale: aggregate-then-join — the quantity sum reduces lineitem to
+    at most |orders| rows (map-side partial combine) BEFORE the join,
+    and the HAVING predicate cuts that to the few large orders, so the
+    join probe side is tiny (broadcastable under AQE). Joining first
+    and aggregating after would shuffle every line with full order
+    width. Quantities are integral doubles, so the sum is exact in any
+    accumulation order — safe to hash-compare cross-engine (unlike
+    price sums, which need the decimal accumulator)."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > min_qty)
+    )
+    # o_orderdate is deliberately not projected: raw timestamp columns
+    # need per-engine epoch normalization (see asof_join) and add nothing
+    # here — o_orderkey already identifies the order.
+    return orders.join(
+        big, orders["o_orderkey"] == big["l_orderkey"]
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "total_qty")
+
+
+def sql_large_orders(min_qty: float = 250.0) -> str:
+    return f"""
+        SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+        FROM orders
+        JOIN (
+            SELECT l_orderkey, SUM(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > {min_qty}
+        ) big ON o_orderkey = big.l_orderkey
+    """
+
+
+def disjunctive_part_revenue(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under an OR of brand/size/
+    quantity conjunctions). The plan property under test: Catalyst must
+    extract the common ``l_partkey = p_partkey`` equi-condition and the
+    per-side conjuncts it can push (quantity bounds to the lineitem
+    scan, brand/size to the part scan) instead of evaluating the whole
+    disjunction post-join.
+
+    Scale: part is the small side — broadcast, so lineitem is scanned
+    once, never shuffled; revenue accumulates in decimal (order-free,
+    cross-engine exact). Output: one row (revenue)."""
+    j = lineitem.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    def band(brand: str, qlo: int, qhi: int, slo: int, shi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("l_quantity").between(qlo, qhi)
+            & F.col("p_size").between(slo, shi)
+        )
+    cond = (
+        band("Brand#12", 1, 11, 1, 5)
+        | band("Brand#23", 10, 20, 1, 10)
+        | band("Brand#34", 20, 30, 1, 15)
+    )
+    return j.where(cond).agg(
+        _dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue")
+    )
+
+
+SQL_DISJUNCTIVE_PART_REVENUE = """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
+
+def waiting_customers(
+    customer: DataFrame, orders: DataFrame, big_order: float = 350_000.0
+) -> DataFrame:
+    """TPC-H Q22 shape: per nation, the count and total balance of
+    above-average-balance customers who never placed an order above
+    ``big_order`` — scalar aggregate subquery + anti join + group.
+
+    Cross-engine exactness of the threshold: the average is computed as
+    decimal-accumulated sum (order-free) divided by the count in ONE
+    double division — both engines produce the identical double, so the
+    strict > comparison can never flip a customer across engines. The
+    per-nation balance total is decimal-accumulated for the same
+    reason.
+
+    Scale: the average is a full-column aggregate that reduces to one
+    row (broadcast into the filter); the anti join shuffles on custkey
+    against only the big-order keys (pre-filtered projection of
+    orders); the final group-by is over the small survivor set."""
+    stats = customer.agg(
+        (_dec_sum(F.col("c_acctbal")) / F.count("*")).alias("avg_bal")
+    )
+    big = orders.where(F.col("o_totalprice") > big_order).select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(stats))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(big, customer["c_custkey"] == big["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cust"),
+            _dec_sum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+def sql_waiting_customers(big_order: float = 350_000.0) -> str:
+    return f"""
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+            FROM customer
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {big_order}
+        )
+        GROUP BY c_nationkey
+    """

@@ -170,3 +170,44 @@ def test_plan_report_shapes(spark):
     # column pruning reached the scans: lineitem's text-heavy columns absent
     assert "l_comment" not in r["read_schema"]
     assert isinstance(r["live_shuffles"], int)
+
+
+def test_tpch_shape_plans(spark):
+    """The r6 TPC-H shapes must compile to the plan each docstring
+    promises — the plan IS the contract at 100 TB, not an accident."""
+    from spark_indexedrdd_spark.functions import text as T
+    from spark_indexedrdd_spark.operators import analytics as AN
+    from spark_indexedrdd_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    docs = load_table(spark, sf, "documents")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # Q4: EXISTS compiles to LEFT SEMI, never join+distinct
+    p = plan(AN.order_priority_semijoin(orders, li))
+    assert "LeftSemi" in p and "Distinct" not in p
+
+    # Q19: per-side conjuncts pushed into BOTH parquet scans; the small
+    # part side broadcasts so lineitem is never shuffled
+    p = plan(AN.disjunctive_part_revenue(li, part))
+    assert "BroadcastHashJoin" in p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("p_size" in l for l in pushed), pushed
+    # column pruning: only the 4 needed lineitem columns reach the scan
+    scan = next(l for l in p.splitlines() if "l_extendedprice" in l)
+    assert "l_shipdate" not in scan
+
+    # Q18: the quantity sum aggregates BEFORE the join (probe side is the
+    # tiny HAVING survivor set, broadcastable)
+    p = plan(AN.large_orders(orders, li))
+    assert "BroadcastHashJoin" in p
+
+    # domain caps: rank<=cap truncates below the exchange too
+    # (partial + final WindowGroupLimit)
+    p = plan(T.domain_cap_sample(docs))
+    assert p.count("WindowGroupLimit") == 2

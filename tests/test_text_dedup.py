@@ -450,3 +450,40 @@ def test_simhash_ok_just_under_token_cap(spark):
         spark.createDataFrame([(1, "x")], "doc_id long, text string")
     ).collect()[0]
     assert (row.simhash_hi, row.simhash_lo) == (one.simhash_hi, one.simhash_lo)
+
+
+def test_repetition_stats_flags_repetitive_docs(spark):
+    """A document that repeats one phrase must flag; varied text must
+    not; degenerate inputs (empty, single token) get 0.0 fractions."""
+    from spark_indexedrdd_spark.functions.text import repetition_stats
+
+    rows = [
+        (1, "buy now " * 50),                       # one bigram forever
+        (2, "the quick brown fox jumps over a lazy dog near the river"),
+        (3, ""),
+        (4, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].repetition_flag and out[1].dup_bigram_frac > 0.9
+    assert not out[2].repetition_flag
+    assert out[3].dup_bigram_frac == 0.0 and out[3].n_tokens == 0
+    assert out[4].dup_bigram_frac == 0.0 and not out[4].repetition_flag
+
+
+def test_domain_cap_sample_caps_and_is_stable(spark):
+    """No domain exceeds the cap; the kept set is identical across
+    repartitionings (hash order is data-derived, not partition-derived)."""
+    from spark_indexedrdd_spark.functions.text import domain_cap_sample
+
+    rows = [(i, f"src{i % 3}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = domain_cap_sample(df, cap=10).collect()
+    per = {}
+    for r in kept:
+        per.setdefault(r.domain, []).append(r.doc_id)
+    assert all(len(v) <= 10 for v in per.values()) and len(per) == 3
+    kept2 = domain_cap_sample(df.repartition(7), cap=10).collect()
+    assert {(r.domain, r.doc_id) for r in kept} == {
+        (r.domain, r.doc_id) for r in kept2
+    }
