@@ -363,6 +363,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _docs(s, d), cap=100
     ),
     "corpus_top_terms": lambda s, d: _text.corpus_top_terms(_docs(s, d)),
+    "temperature_sample": lambda s, d: _text.temperature_sample(_docs(s, d)),
     "redact_pii": lambda s, d: _text.redact_pii(_docs(s, d)),
     "contamination_check": lambda s, d: _text.contamination_check(_docs(s, d)),
     # dedup
@@ -566,6 +567,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "repetition_stats": _text.sql_repetition_stats(),
     "domain_cap_sample": _text.sql_domain_cap_sample(cap=100),
     "corpus_top_terms": _text.sql_corpus_top_terms(),
+    "temperature_sample": _text.sql_temperature_sample(),
     "order_priority_q4": _an.sql_order_priority_semijoin(),
     "customer_order_dist_q13": _an.SQL_CUSTOMER_ORDER_DISTRIBUTION,
     "large_orders_q18": _an.sql_large_orders(),
@@ -712,6 +714,7 @@ NEVER_CHECKED = (
     "repetition_stats",          # new r6: Gopher repetition signals
     "domain_cap_sample",         # new r6: per-domain crawl caps
     "corpus_top_terms",          # new r6: corpus vocabulary top-k
+    "temperature_sample",        # new r6: language-temperature resampling
     "order_priority_q4",         # new r6: EXISTS → left-semi shape
     "customer_order_dist_q13",   # new r6: outer-join distribution
     "large_orders_q18",          # new r6: aggregate-then-join HAVING
@@ -771,7 +774,6 @@ _FILL_R6 = (
     "similarity_ann_lsh",       # ann_recall's subject — verify alongside
     "funnel_signup_conversion",
     "funnel_purchase_after_signup",
-    "windowed_event_dedup",
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}

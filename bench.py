@@ -303,6 +303,10 @@ def run_suite(spark) -> dict[str, float]:
     def _dcap():
         _text.domain_cap_sample(docs, cap=100).count()
 
+    @timed("temperature_sample")
+    def _tsamp():
+        _text.temperature_sample(docs).count()
+
     @timed("corpus_top_terms")
     def _ctop():
         _text.corpus_top_terms(docs).collect()

@@ -740,3 +740,99 @@ def sql_corpus_top_terms(
         )
         SELECT term, n, corpus_share, rank FROM ranked WHERE rank <= {k}
     """
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based language rebalancing (public recipe: XLM-R /
+    mT5 corpus mixing): sampling probability per language ∝ (n_l)^alpha,
+    scaled so the expected kept fraction of the corpus is
+    ``budget_frac``. alpha<1 flattens the language distribution (upweights
+    low-resource languages relative to their share); alpha=1 is
+    proportional (plain uniform sampling); per-language rates cap at 1.0
+    (a language cannot be sampled above its size — the standard
+    truncation, which makes the realized total land slightly under
+    budget when a rate saturates).
+
+    Membership is the deterministic id-hash threshold of
+    :func:`hash_sample` — stable under re-runs, repartitioning, and
+    appends. Output: (doc_id, lang, rate) for KEPT rows.
+
+    Scale: one tiny groupBy(lang) count (map-side combined, |langs|
+    rows), broadcast back onto the corpus; the keep predicate is then a
+    narrow per-row filter inside the scan stage. Cross-engine note: the
+    rate involves pow(), whose last ulp is not guaranteed identical
+    across libm builds — rates are ROUNDed to 12 decimals on BOTH
+    engines before the threshold comparison (same collapse trick as the
+    fast cosine path), so the kept set hash-matches."""
+    counts = df.groupBy(lang_col).agg(F.count("*").alias("__n"))
+    tot = Window.partitionBy()
+    rates = counts.select(
+        F.col(lang_col),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (
+                    F.lit(float(budget_frac))
+                    * F.sum("__n").over(tot).cast("double")
+                    * (
+                        F.pow(F.col("__n").cast("double"), float(alpha))
+                        / F.sum(
+                            F.pow(F.col("__n").cast("double"), float(alpha))
+                        ).over(tot)
+                    )
+                )
+                / F.col("__n").cast("double"),
+            ),
+            12,
+        ).alias("rate"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(seed) + ":"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.select(id_col, lang_col)
+        .join(F.broadcast(rates), lang_col)
+        .where(h / F.lit(float(1 << 32)) < F.col("rate"))
+        .select(id_col, F.col(lang_col).alias("lang"), "rate")
+    )
+
+
+def sql_temperature_sample(
+    table: str = "documents",
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> str:
+    return f"""
+        WITH c AS (
+            SELECT {lang_col}, CAST(COUNT(*) AS DOUBLE) AS n
+            FROM {table} GROUP BY {lang_col}
+        ),
+        r AS (
+            SELECT {lang_col},
+                   ROUND(LEAST(1.0,
+                       {float(budget_frac)} * (SELECT SUM(n) FROM c)
+                       * (POW(n, {float(alpha)}) / (SELECT SUM(POW(n, {float(alpha)})) FROM c))
+                       / n
+                   ), 12) AS rate
+            FROM c
+        )
+        SELECT d.{id_col}, d.{lang_col} AS lang, r.rate
+        FROM {table} d JOIN r ON d.{lang_col} = r.{lang_col}
+        WHERE CAST(('0x' || substr(md5('{seed}:' || CAST(d.{id_col} AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) / 4294967296.0 < r.rate
+    """

@@ -487,3 +487,21 @@ def test_domain_cap_sample_caps_and_is_stable(spark):
     assert {(r.domain, r.doc_id) for r in kept} == {
         (r.domain, r.doc_id) for r in kept2
     }
+
+
+def test_temperature_sample_flattens_language_mix(spark):
+    """alpha<1 must upweight the rare language relative to proportional
+    sampling, total kept ≈ budget, and membership is repartition-stable."""
+    from spark_indexedrdd_spark.functions.text import temperature_sample
+
+    rows = [(i, "en") for i in range(900)] + [(900 + i, "yo") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_sample(df, alpha=0.3, budget_frac=0.5).collect()
+    by = {}
+    for r in kept:
+        by[r.lang] = by.get(r.lang, 0) + 1
+    # proportional would keep ~50 'yo' docs; temperature must keep more
+    assert by.get("yo", 0) > 60, by
+    assert 0.35 * 1000 < len(kept) < 0.65 * 1000
+    kept2 = temperature_sample(df.repartition(5), alpha=0.3, budget_frac=0.5).collect()
+    assert {r.doc_id for r in kept} == {r.doc_id for r in kept2}
