@@ -699,10 +699,16 @@ def corpus_top_terms(
     does map-side partial aggregation, so its shuffle carries at most
     |vocab| rows per map task, not |corpus tokens|. The grand total and
     the rank ride ONE unpartitioned window over the aggregated vocab —
-    a deliberate single-partition pass over |vocab| (bounded: natural-
-    language vocabularies are millions of rows, not corpus-sized), which
-    keeps the whole query one aggregation pass instead of recomputing
-    the counts for a separate total."""
+    a deliberate single-partition pass of |vocab| × ~16-byte rows
+    (natural-language vocabularies are millions of types ≈ 100 MB —
+    fine through one task even for a 100 TB corpus). The alternative
+    (total as a separate aggregate) recomputes the whole explode+count
+    subtree — Spark does not reuse the exchange across the two
+    consumers (measured) — i.e. a second full corpus scan, which is
+    strictly worse. Degenerate vocabularies (billions of types from
+    URLs/hashes) should be cleaned upstream (quality_filter /
+    repetition_stats) before corpus statistics; that is pipeline order,
+    not an operator knob."""
     terms = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
     counts = terms.groupBy("term").agg(F.count("*").alias("n"))
     w_all = Window.partitionBy()
