@@ -364,6 +364,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "corpus_top_terms": lambda s, d: _text.corpus_top_terms(_docs(s, d)),
     "temperature_sample": lambda s, d: _text.temperature_sample(_docs(s, d)),
+    "weighted_sample": lambda s, d: _text.weighted_sample(_docs(s, d)),
     "redact_pii": lambda s, d: _text.redact_pii(_docs(s, d)),
     "contamination_check": lambda s, d: _text.contamination_check(_docs(s, d)),
     # dedup
@@ -568,6 +569,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "domain_cap_sample": _text.sql_domain_cap_sample(cap=100),
     "corpus_top_terms": _text.sql_corpus_top_terms(),
     "temperature_sample": _text.sql_temperature_sample(),
+    "weighted_sample": _text.sql_weighted_sample(),
     "order_priority_q4": _an.sql_order_priority_semijoin(),
     "customer_order_dist_q13": _an.SQL_CUSTOMER_ORDER_DISTRIBUTION,
     "large_orders_q18": _an.sql_large_orders(),
@@ -715,6 +717,7 @@ NEVER_CHECKED = (
     "domain_cap_sample",         # new r6: per-domain crawl caps
     "corpus_top_terms",          # new r6: corpus vocabulary top-k
     "temperature_sample",        # new r6: language-temperature resampling
+    "weighted_sample",           # new r6: Efraimidis-Spirakis selection
     "order_priority_q4",         # new r6: EXISTS → left-semi shape
     "customer_order_dist_q13",   # new r6: outer-join distribution
     "large_orders_q18",          # new r6: aggregate-then-join HAVING
@@ -773,7 +776,6 @@ _FILL_R6 = (
     "similarity_topk_fast",
     "similarity_ann_lsh",       # ann_recall's subject — verify alongside
     "funnel_signup_conversion",
-    "funnel_purchase_after_signup",
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}

@@ -307,6 +307,10 @@ def run_suite(spark) -> dict[str, float]:
     def _tsamp():
         _text.temperature_sample(docs).count()
 
+    @timed("weighted_sample")
+    def _wsamp():
+        _text.weighted_sample(docs).count()
+
     @timed("corpus_top_terms")
     def _ctop():
         _text.corpus_top_terms(docs).collect()

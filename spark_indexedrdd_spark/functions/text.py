@@ -842,3 +842,78 @@ def sql_temperature_sample(
         FROM {table} d JOIN r ON d.{lang_col} = r.{lang_col}
         WHERE CAST(('0x' || substr(md5('{seed}:' || CAST(d.{id_col} AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) / 4294967296.0 < r.rate
     """
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of k rows, deterministic:
+    Efraimidis–Spirakis (2006) one-pass reservoir keys — each row gets
+    ``key = u^(1/w)`` with u a stable id-hash uniform in (0,1], and the
+    k largest keys win. Inclusion probability is proportional to weight
+    without replacement — the data-selection primitive for "keep the
+    best k documents by quality score" (weights = quality/length/model
+    scores). Rows with weight <= 0 are excluded (a zero-weight row can
+    never win; documented rather than clamped).
+
+    Determinism/oracle: u derives from the same md5 hash as
+    :func:`hash_sample` (stable under re-runs/repartition/appends); the
+    key is ROUNDed to 12 decimals on both engines before ranking (pow's
+    last ulp is libm-dependent — same collapse as temperature_sample),
+    ties break on id.
+
+    Scale: narrow per-row key computation inside the scan; the global
+    top-k window is WindowGroupLimit-pruned, so each map task ships only
+    its local top-k — never a full sort, never a full shuffle.
+    Output: (doc_id, weight, sample_rank)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(seed) + ":"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # (h+1)/2^32 ∈ (0, 1]: u=0 (log-singular in the classic form) is
+    # impossible, and u=1 gives key=1 — fine under max-ranking
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 32))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.pow(u, F.lit(1.0) / w), 12)
+    win = Window.orderBy(F.desc("__key"), F.asc(id_col))
+    return (
+        df.where(w > 0)
+        .select(F.col(id_col), w.alias("weight"), key.alias("__key"))
+        .withColumn("sample_rank", F.row_number().over(win))
+        .where(F.col("sample_rank") <= k)
+        .select(id_col, "weight", F.col("sample_rank").cast("int"))
+    )
+
+
+def sql_weighted_sample(
+    table: str = "documents",
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> str:
+    u = (
+        f"(CAST(('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) + 1)"
+        f" / 4294967296.0"
+    )
+    return f"""
+        SELECT {id_col}, weight, sample_rank FROM (
+            SELECT {id_col},
+                   CAST({weight_col} AS DOUBLE) AS weight,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY ROUND(POW({u}, 1.0 / CAST({weight_col} AS DOUBLE)), 12) DESC,
+                                {id_col}
+                   ) AS INTEGER) AS sample_rank
+            FROM {table}
+            WHERE CAST({weight_col} AS DOUBLE) > 0
+        ) WHERE sample_rank <= {k}
+    """

@@ -505,3 +505,21 @@ def test_temperature_sample_flattens_language_mix(spark):
     assert 0.35 * 1000 < len(kept) < 0.65 * 1000
     kept2 = temperature_sample(df.repartition(5), alpha=0.3, budget_frac=0.5).collect()
     assert {r.doc_id for r in kept} == {r.doc_id for r in kept2}
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    """Efraimidis-Spirakis: heavy-weight rows dominate the sample;
+    size is exactly k; membership is repartition-stable; weight<=0 rows
+    can never appear."""
+    from spark_indexedrdd_spark.functions.text import weighted_sample
+
+    rows = [(i, 1.0) for i in range(500)] + [(500 + i, 100.0) for i in range(500)]
+    rows += [(2000, 0.0), (2001, -5.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = weighted_sample(df, k=100, weight_col="w").collect()
+    assert len(kept) == 100
+    heavy = sum(1 for r in kept if r.weight == 100.0)
+    assert heavy > 85, heavy
+    assert all(r.weight > 0 for r in kept)
+    kept2 = weighted_sample(df.repartition(9), k=100, weight_col="w").collect()
+    assert {r.doc_id for r in kept} == {r.doc_id for r in kept2}
