@@ -452,6 +452,12 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "waiting_customers_q22": lambda s, d: _an.waiting_customers(
         load_table(s, d, "customer"), load_table(s, d, "orders")
     ),
+    "small_qty_revenue_q17": lambda s, d: _an.small_quantity_revenue(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    ),
+    "waiting_suppliers_q21": lambda s, d: _an.waiting_suppliers(
+        load_table(s, d, "lineitem"), load_table(s, d, "orders")
+    ),
     "bloom_pruned_join": lambda s, d: _bloom.urgent_revenue_bloom(
         load_table(s, d, "lineitem"), load_table(s, d, "orders")
     ),
@@ -575,6 +581,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "large_orders_q18": _an.sql_large_orders(),
     "disjunctive_revenue_q19": _an.SQL_DISJUNCTIVE_PART_REVENUE,
     "waiting_customers_q22": _an.sql_waiting_customers(),
+    "small_qty_revenue_q17": _an.sql_small_quantity_revenue(),
+    "waiting_suppliers_q21": _an.SQL_WAITING_SUPPLIERS,
     "redact_pii": _text.sql_redact_pii(),
     "contamination_check": _text.sql_contamination_check(),
     "dedup_exact": _dedup.sql_exact_dedup(),
@@ -723,6 +731,8 @@ NEVER_CHECKED = (
     "large_orders_q18",          # new r6: aggregate-then-join HAVING
     "disjunctive_revenue_q19",   # new r6: OR-of-conjunctions pushdown
     "waiting_customers_q22",     # new r6: scalar subquery + anti join
+    "small_qty_revenue_q17",     # new r6: correlated scalar avg, decorrelated
+    "waiting_suppliers_q21",     # new r6: EXISTS + NOT EXISTS combination
 )
 
 # Implementation changed in round 6 — rows-only row must be refreshed.
@@ -772,10 +782,8 @@ _STALE_PRE_R5 = (
 # two-round coverage invariant still holds — enforced by
 # tests/test_driver_sim.py.)
 _FILL_R6 = (
-    "dedup_clusters",
-    "similarity_topk_fast",
     "similarity_ann_lsh",       # ann_recall's subject — verify alongside
-    "funnel_signup_conversion",
+    "similarity_topk_fast",
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}

@@ -341,6 +341,16 @@ def run_suite(spark) -> dict[str, float]:
             load_table(spark, SF_DIR, "customer"), orders
         ).collect()
 
+    @timed("small_qty_revenue_q17")
+    def _q17():
+        _an.small_quantity_revenue(
+            li_full, load_table(spark, SF_DIR, "part")
+        ).collect()
+
+    @timed("waiting_suppliers_q21")
+    def _q21():
+        _an.waiting_suppliers(li_full, orders).count()
+
     # --- bucketed persistence: the 100 TB join path ---------------------- #
     # (write once, then every cross-job join is exchange-free; the write
     # is the amortized one-time cost, reported separately)

@@ -1365,3 +1365,109 @@ def sql_waiting_customers(big_order: float = 350_000.0) -> str:
         )
         GROUP BY c_nationkey
     """
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, factor: float = 0.5
+) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue lost if small orders — lines with quantity under ``factor``
+    × that part's average quantity — were not filled. The plan property
+    under test: the correlated scalar subquery (per-part average) must
+    decorrelate to aggregate-then-join, ONE extra aggregation over
+    lineitem, not a per-row subquery execution.
+
+    Cross-engine exactness: quantities are integral doubles, so the
+    per-part sum is exact in any accumulation order and sum/count is one
+    IEEE division — the threshold compares identically on both engines.
+    Revenue accumulates in decimal; the final /7.0 is one IEEE op.
+
+    Scale: the per-part average aggregates lineitem down to |parts| rows
+    (map-side combine) and is broadcast back, as is the part side — the
+    big lineitem table is scanned once, never shuffled. Output: one row
+    (avg_yearly)."""
+    avg_q = lineitem.groupBy("l_partkey").agg(
+        (
+            F.sum("l_quantity") / F.count("l_quantity")
+        ).alias("avg_qty")
+    )
+    j = (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_q), "l_partkey")
+        .where(F.col("l_quantity") < F.lit(float(factor)) * F.col("avg_qty"))
+    )
+    return j.agg(
+        (_dec_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+def sql_small_quantity_revenue(factor: float = 0.5) -> str:
+    return f"""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity < (
+            SELECT {float(factor)} * (SUM(l2.l_quantity) / COUNT(l2.l_quantity))
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+        )
+    """
+
+
+def waiting_suppliers(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for each
+    supplier, count the lines in finalized multi-supplier orders where
+    THIS supplier shipped strictly last — an EXISTS (another supplier
+    participated) combined with a NOT EXISTS (no other supplier shipped
+    later), i.e. one left-semi and one left-anti join against the same
+    lineitem table with non-equi residuals. The double correlated
+    EXISTS is the hardest decorrelation shape in the TPC-H suite.
+
+    Scale: all three lineitem sides shuffle once on l_orderkey (the
+    equi key); the suppkey/shipdate inequalities ride the joins as
+    residual predicates. Orders pre-filters to status 'F' before its
+    join. Output: (l_suppkey, numwait)."""
+    l1 = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    fin = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    base = l1.join(fin, l1["l_orderkey"] == fin["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l2 = lineitem.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    multi = base.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    l3 = lineitem.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    last = multi.join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3"))
+        & (F.col("l_suppkey") != F.col("s3"))
+        & (F.col("d3") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    return last.groupBy("l_suppkey").agg(
+        F.count("*").cast("bigint").alias("numwait")
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+    SELECT l1.l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > l1.l_shipdate
+      )
+    GROUP BY l1.l_suppkey
+"""

@@ -211,3 +211,24 @@ def test_tpch_shape_plans(spark):
     # (partial + final WindowGroupLimit)
     p = plan(T.domain_cap_sample(docs))
     assert p.count("WindowGroupLimit") == 2
+
+
+def test_q21_compiles_to_semi_plus_anti(spark):
+    """Q21's EXISTS + NOT EXISTS must be one left-semi and one left-anti
+    join with residual inequality predicates — never a cartesian or a
+    join+distinct reconstruction."""
+    from spark_indexedrdd_spark.operators import analytics as AN
+    from spark_indexedrdd_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    p = (
+        AN.waiting_suppliers(
+            load_table(spark, sf, "lineitem"),
+            load_table(spark, sf, "orders"),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p and "Distinct" not in p
