@@ -232,3 +232,28 @@ def test_q21_compiles_to_semi_plus_anti(spark):
     )
     assert "LeftSemi" in p and "LeftAnti" in p
     assert "CartesianProduct" not in p and "Distinct" not in p
+
+
+def test_contract_wide_no_accidental_cross_joins(spark):
+    """Safety net over the ENTIRE queries() contract: no query may
+    compile to a CartesianProduct, and BroadcastNestedLoopJoin is
+    allowed only where it is the intended shape — a broadcast query set
+    crossed against the corpus (brute-force cosine scorer and its
+    recall consumer) or a broadcast one-row scalar-subquery frame
+    (Q22). Anything else is an accidental O(n*m) plan regression."""
+    import __spark_entry__ as E
+
+    BNLJ_INTENDED = {
+        "similarity_topk",        # broadcast queries x candidates scorer
+        "ann_recall",             # embeds the brute-force scorer as truth
+        "waiting_customers_q22",  # broadcast 1-row avg (scalar subquery)
+    }
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in E.queries().items():
+        p = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in p:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in p and name not in BNLJ_INTENDED:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
