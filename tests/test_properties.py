@@ -176,3 +176,33 @@ def test_multiget_arbitrary_string_keys(spark, weird):
     kv = IndexedDataFrame.build(df, "k", num_partitions=2)
     got = kv.multiget(weird + ["\x00nope'--"])
     assert got == {w: i for i, w in enumerate(weird)}
+
+
+WORDS = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "the", "x9", "日本", "z"]),
+    min_size=0,
+    max_size=12,
+)
+
+
+@_slow
+@given(docs=st.lists(WORDS, min_size=1, max_size=5))
+def test_repetition_stats_matches_python_model(spark, docs):
+    """HOF n-gram construction vs a plain-Python model over arbitrary
+    token sequences — pins the shifted-slice zip (width>len, empties,
+    unicode, all-identical runs) against an independent formulation."""
+    from spark_indexedrdd_spark.functions.text import repetition_stats
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+
+    def frac(toks, w):
+        grams = [" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)]
+        return 0.0 if not grams else 1.0 - len(set(grams)) / len(grams)
+
+    for i, words in enumerate(docs):
+        toks = [t.lower() for t in words]
+        assert got[i].n_tokens == len(toks)
+        assert got[i].dup_bigram_frac == frac(toks, 2), (i, toks)
+        assert got[i].dup_trigram_frac == frac(toks, 3), (i, toks)
