@@ -655,9 +655,14 @@ def domain_cap_sample(
     rank predicate truncates it at ``cap`` — WindowGroupLimit pushes the
     rank<=cap cutoff below the exchange (partial mode), so the shuffle
     carries at most cap rows per domain per map task, not the whole
-    domain. Knuth-multiplicative ordering hash: exact 64-bit integer
-    arithmetic, identical in any engine."""
-    order_h = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296))
+    domain. The ordering hash is the same md5-of-id used by
+    hash_sample/weighted_sample — engine-identical and safe for
+    arbitrarily large ids (a Knuth multiplicative ``id * 2654435761``
+    was tried first and overflows BIGINT past id ≈ 3.5e9, which under
+    Spark 4's default ANSI mode is a runtime error, not a wrap)."""
+    order_h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
     w = Window.partitionBy(domain_col).orderBy(order_h.asc(), F.col(id_col).asc())
     return (
         df.select(
@@ -680,7 +685,8 @@ def sql_domain_cap_sample(
             SELECT {domain_col} AS domain, {id_col},
                    CAST(ROW_NUMBER() OVER (
                        PARTITION BY {domain_col}
-                       ORDER BY ({id_col} * 2654435761) % 4294967296, {id_col}
+                       ORDER BY ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT,
+                                {id_col}
                    ) AS INTEGER) AS domain_rank
             FROM {table}
         ) WHERE domain_rank <= {cap}
