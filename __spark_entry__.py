@@ -380,6 +380,14 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs": lambda s, d: _dedup.simhash_near_pairs(
         _docs(s, d), max_hamming=8
     ),
+    # exact-substring span dedup stats (Lee et al. 2021): corpus-wide
+    # duplicated-span fraction per document
+    "duplicate_spans": lambda s, d: _text.duplicate_spans(_docs(s, d)),
+    # SemDeDup (Abbas et al. 2023): cluster-then-intra-cluster cosine
+    # verdicts; det centroids make the whole verdict table hash-exact
+    "semantic_dedup": lambda s, d: _ivf.semantic_dedup(
+        _emb(s, d), threshold=0.3
+    ),
     # similarity search
     "similarity_topk": lambda s, d: _sim.cosine_topk(_emb(s, d)),
     "similarity_topk_fast": lambda s, d: _sim.cosine_topk_fast(_emb(s, d)),
@@ -457,6 +465,21 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "waiting_suppliers_q21": lambda s, d: _an.waiting_suppliers(
         load_table(s, d, "lineitem"), load_table(s, d, "orders")
+    ),
+    # TPC-H Q8/Q15 (added late in r6, past this round's check window —
+    # front-queue both in the round-7 rotation): widest snowflake with a
+    # conditional-share aggregate; view + scalar-subquery-max
+    "market_share_q8": lambda s, d: _an.market_share(
+        load_table(s, d, "part"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "customer"),
+        load_table(s, d, "nation"),
+        load_table(s, d, "region"),
+    ),
+    "top_supplier_q15": lambda s, d: _an.top_supplier(
+        load_table(s, d, "lineitem"), load_table(s, d, "supplier")
     ),
     "bloom_pruned_join": lambda s, d: _bloom.urgent_revenue_bloom(
         load_table(s, d, "lineitem"), load_table(s, d, "orders")
@@ -583,6 +606,10 @@ EXTENSION_ORACLE: dict[str, str] = {
     "waiting_customers_q22": _an.sql_waiting_customers(),
     "small_qty_revenue_q17": _an.sql_small_quantity_revenue(),
     "waiting_suppliers_q21": _an.SQL_WAITING_SUPPLIERS,
+    "market_share_q8": _an.sql_market_share(),
+    "top_supplier_q15": _an.sql_top_supplier(),
+    "duplicate_spans": _text.sql_duplicate_spans(),
+    "semantic_dedup": _ivf.sql_semantic_dedup(threshold=0.3),
     "redact_pii": _text.sql_redact_pii(),
     "contamination_check": _text.sql_contamination_check(),
     "dedup_exact": _dedup.sql_exact_dedup(),
@@ -671,10 +698,10 @@ ROWS_ONLY = (
 # CORRECTNESS_r01.json holds exactly the first 50). Round-6 rotation
 # (the full construction is _WINDOW_R6 below; invariant enforced by
 # tests/test_driver_sim.py::test_window_covers_every_query_within_two_rounds):
-#   1. NEVER_CHECKED — the 14 entries with no driver row in ANY round:
-#      the four past-cutoff newcomers from round 5 plus the ten queries
-#      new THIS round (deterministic IVF twin, ann_recall, three
-#      pipeline ops, five TPC-H plan shapes),
+#   1. NEVER_CHECKED — the 20 entries with no driver row in ANY round:
+#      the four past-cutoff newcomers from round 5 plus sixteen queries
+#      new THIS round (deterministic IVF twin, ann_recall, five
+#      pipeline ops, seven TPC-H plan shapes, SemDeDup, span dedup),
 #   2. CHANGED_R6 — similarity_ann_ivf: still rows-only by design, but
 #      its assignment/probe implementation was rewritten (literal-fold,
 #      shuffle-free), so its rows-only row must be refreshed,
@@ -733,6 +760,8 @@ NEVER_CHECKED = (
     "waiting_customers_q22",     # new r6: scalar subquery + anti join
     "small_qty_revenue_q17",     # new r6: correlated scalar avg, decorrelated
     "waiting_suppliers_q21",     # new r6: EXISTS + NOT EXISTS combination
+    "duplicate_spans",           # new r6: exact-substring span dedup stats
+    "semantic_dedup",            # new r6: SemDeDup cluster-then-compare
 )
 
 # Implementation changed in round 6 — rows-only row must be refreshed.
@@ -775,15 +804,23 @@ _STALE_PRE_R5 = (
     "count",
 )
 
-# Fill to 50: round-5-green entries most worth re-checking — the
-# r5-changed set (newest oracles) and ann_recall's subject. (The
-# event-time set and core representatives that filled these slots
-# before the r6 newcomers displaced them are all r5-green, so the
-# two-round coverage invariant still holds — enforced by
-# tests/test_driver_sim.py.)
-_FILL_R6 = (
-    "similarity_ann_lsh",       # ann_recall's subject — verify alongside
-    "similarity_topk_fast",
+# No fill needed: NEVER_CHECKED (20) + CHANGED_R6 (1) + stale (29)
+# lands exactly on the 50-entry cutoff. Everything displaced from
+# earlier fill drafts (similarity_ann_lsh, similarity_topk_fast, the
+# event-time set, core representatives) is r5-green, so the two-round
+# coverage invariant still holds — enforced by tests/test_driver_sim.py.
+_FILL_R6 = ()
+
+# Landed after this round's window was frozen (the 50-entry capacity is
+# exactly consumed by the never-checked backlog + pre-r5 stale set): no
+# driver row this round BY CONSTRUCTION. tests/test_driver_sim.py
+# accepts this escape hatch ONLY for queries with no verification
+# history at all, and its existence obliges the round-7 rotation to put
+# these FIRST (the same treatment this round gave round 5's four
+# past-cutoff newcomers).
+PAST_CUTOFF_NEW = (
+    "market_share_q8",   # TPC-H Q8: widest snowflake, conditional share
+    "top_supplier_q15",  # TPC-H Q15: view + scalar-subquery max
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}

@@ -282,6 +282,127 @@ def ivf_ann(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "det",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings, then mark a vector as a
+    duplicate iff some SAME-CLUSTER vector with a smaller id has cosine
+    similarity >= ``threshold``. Returns one verdict row per vector:
+    (vec_id, cluster_id, keep, dup_of) where ``dup_of`` is the smallest
+    such neighbor id (NULL when kept) — the deterministic stand-in for
+    the paper's keep-farthest-from-centroid rule, chosen so the verdict
+    is reproducible by any engine.
+
+    Scale: this is the whole point of the clustering pass — the
+    pairwise comparison is INTRA-CLUSTER only, never all-pairs. With k
+    clusters the candidate pair count drops from N²/2 to ~N²/(2k)
+    (uniform case); at 100 TB you raise k so the expected cluster fits
+    a task (the paper also caps per-cluster membership). The plan:
+    shuffle-free centroid assignment fused into the scan (cf. module
+    docstring), ONE shuffle of the corpus on cluster_id for the
+    self-join, then a left join of verdicts back onto the assignment —
+    which reuses the same cluster_id partitioning.
+
+    ``method="det"`` (default here, unlike ``ivf_ann``): first-k-ids
+    centroids make the full verdict table fold-exact, so
+    :func:`sql_semantic_dedup` is an exact DuckDB twin and the driver
+    hash-checks this operator. ``method="kmeans"`` is the quality path
+    at scale; its verdicts are deterministic within Spark but not
+    SQL-reproducible (same Lloyd's caveat as ``ivf_ann``)."""
+    assigned, _cents = build_ivf(
+        emb, n_clusters, seed, id_col, vec_col, method, repartition_lists=False
+    )
+    from spark_indexedrdd_spark.functions.vectors import dot, norm
+
+    normed = assigned.select(
+        F.col(id_col),
+        "cluster_id",
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),  # once per vector, not per pair
+    )
+    a = normed.select(
+        F.col(id_col).alias("__a"), "cluster_id",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col(id_col).alias("__b"), "cluster_id",
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    dup_of = (
+        a.join(b, "cluster_id")
+        .where(F.col("__b") < F.col("__a"))
+        .where(
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+            >= F.lit(float(threshold))
+        )
+        .groupBy(F.col("__a").alias(id_col))
+        .agg(F.min("__b").alias("dup_of"))
+    )
+    return (
+        assigned.select(id_col, "cluster_id")
+        .join(dup_of, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )
+
+
+def sql_semantic_dedup(
+    table: str = "embeddings",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Exact DuckDB twin of ``semantic_dedup(..., method="det")`` — the
+    cents/assigned CTEs are identical to :func:`sql_ivf_ann` (same
+    bit-exactness argument); the verdict adds an intra-cluster pairwise
+    threshold compare on the fold-exact cosine, which both engines
+    evaluate on bit-identical doubles."""
+    from spark_indexedrdd_spark.functions.vectors import sql_cosine, sql_dot, sql_norm
+
+    c_sim = f"({sql_dot(f'e.{vec_col}', 'c.centroid')} / c.c_norm)"
+    return f"""
+        WITH cents AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS INTEGER) AS cluster_id,
+                   {vec_col} AS centroid,
+                   {sql_norm(vec_col)} AS c_norm
+            FROM (SELECT {id_col}, {vec_col} FROM {table}
+                  ORDER BY {id_col} LIMIT {n_clusters})
+        ),
+        assigned AS (
+            SELECT {id_col}, {vec_col}, cluster_id FROM (
+                SELECT e.{id_col}, e.{vec_col}, c.cluster_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.{id_col}
+                           ORDER BY {c_sim} DESC, c.cluster_id
+                       ) AS rn
+                FROM {table} e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        dup AS (
+            SELECT a.{id_col}, MIN(b.{id_col}) AS dup_of
+            FROM assigned a JOIN assigned b USING (cluster_id)
+            WHERE b.{id_col} < a.{id_col}
+              AND {sql_cosine(f'a.{vec_col}', f'b.{vec_col}')} >= {float(threshold)}
+            GROUP BY a.{id_col}
+        )
+        SELECT a.{id_col}, a.cluster_id,
+               d.dup_of IS NULL AS keep, d.dup_of
+        FROM assigned a LEFT JOIN dup d USING ({id_col})
+    """
+
+
 def sql_ivf_ann(
     table: str = "embeddings",
     query_ids: Iterable[int] = (),

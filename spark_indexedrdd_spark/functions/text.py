@@ -923,3 +923,109 @@ def sql_weighted_sample(
             WHERE CAST({weight_col} AS DOUBLE) > 0
         ) WHERE sample_rank <= {k}
     """
+
+
+def duplicate_spans(
+    df: DataFrame,
+    width: int = 10,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring span dedup statistics (the corpus-level signal
+    behind Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499): hash every ``width``-token
+    sliding window (step ``stride``), count how often each span occurs
+    ANYWHERE in the corpus, and report per document how much of it is
+    corpus-duplicated text: (doc_id, n_spans, n_dup_spans,
+    dup_span_frac). A span is duplicated when its corpus-wide
+    occurrence count is >= 2 — within-document repeats count, exactly
+    as a suffix-array dedup would see them.
+
+    Scale: span construction is a narrow per-row array expression
+    (sequence → slice → md5) fused into the scan; the explode amplifies
+    each doc to ~n_tokens/stride rows, and ``stride`` is the knob that
+    trades resolution for cost at 100 TB (stride=width gives
+    non-overlapping spans at 1/width the rows — what a petabyte run
+    wants). Then: one map-side-combined count to distinct
+    (doc, span) pairs, one span-keyed count for corpus totals, one
+    equi-join of those two (both already span-keyed), one final doc
+    aggregation. No UDFs; every hash is md5 so the DuckDB twin is
+    bit-identical, and the fraction is a single IEEE division.
+
+    Docs shorter than ``width`` tokens have zero spans and report
+    dup_span_frac = 0.0 (restored by the left join — explode drops
+    them)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n >= width,
+        F.sequence(F.lit(1), n - width + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    span_hashes = F.transform(
+        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, width)))
+    )
+    occ = df.select(F.col(id_col), F.explode(span_hashes).alias("__h"))
+    per_doc_span = occ.groupBy(id_col, "__h").agg(
+        F.count("*").cast("long").alias("__c")
+    )
+    corpus = per_doc_span.groupBy("__h").agg(F.sum("__c").alias("__tc"))
+    stats = (
+        per_doc_span.join(corpus, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.sum(F.when(F.col("__tc") >= 2, F.col("__c")).otherwise(0)).alias(
+                "__nd"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("int").alias("n_spans"),
+            F.coalesce(F.col("__nd"), F.lit(0)).cast("int").alias("n_dup_spans"),
+            F.when(F.coalesce(F.col("__n"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("__nd").cast("double") / F.col("__n").cast("double")
+            )
+            .alias("dup_span_frac"),
+        )
+    )
+
+
+def sql_duplicate_spans(
+    table: str = "documents",
+    width: int = 10,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`duplicate_spans` — same md5 span hashing
+    over the same token windows, integer counts, one IEEE division."""
+    toks = sql_tokens(text_col)
+    spans = (
+        f"list_transform(range(1, greatest(len(t) - {width - 1}, 0) + 1, {stride}),"
+        f" i -> md5(array_to_string(list_slice(t, i, i + {width - 1}), ' ')))"
+    )
+    return f"""
+        WITH tk AS (SELECT {id_col}, {toks} AS t FROM {table}),
+        occ AS (SELECT {id_col}, unnest({spans}) AS h FROM tk),
+        per AS (SELECT {id_col}, h, CAST(COUNT(*) AS BIGINT) AS c
+                FROM occ GROUP BY {id_col}, h),
+        tot AS (SELECT h, SUM(c) AS tc FROM per GROUP BY h),
+        st AS (
+            SELECT {id_col}, SUM(c) AS n,
+                   SUM(CASE WHEN tc >= 2 THEN c ELSE 0 END) AS nd
+            FROM per JOIN tot USING (h) GROUP BY {id_col}
+        )
+        SELECT d.{id_col},
+               CAST(COALESCE(st.n, 0) AS INTEGER) AS n_spans,
+               CAST(COALESCE(st.nd, 0) AS INTEGER) AS n_dup_spans,
+               CASE WHEN COALESCE(st.n, 0) = 0 THEN 0.0
+                    ELSE CAST(st.nd AS DOUBLE) / CAST(st.n AS DOUBLE)
+               END AS dup_span_frac
+        FROM {table} d LEFT JOIN st USING ({id_col})
+    """

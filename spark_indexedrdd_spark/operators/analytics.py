@@ -1471,3 +1471,174 @@ SQL_WAITING_SUPPLIERS = """
       )
     GROUP BY l1.l_suppkey
 """
+
+
+def market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    supp_nation: str = "NATION_2",
+    market_region: str = "ASIA",
+    p_type: str = "PROMO",
+    start: str = "1995-01-01",
+    end: str = "2001-01-01",
+) -> DataFrame:
+    """TPC-H Q8 shape (national market share): for each order year, the
+    fraction of revenue from ``p_type`` parts sold to customers in
+    ``market_region`` that was supplied by ``supp_nation``. The widest
+    join tree in the suite — a 7-table snowflake where only the
+    lineitem⋈orders⋈customer fact joins shuffle; part (type-filtered),
+    supplier, and both nation/region dimension legs broadcast (customer
+    is column-pruned but NOT force-broadcast — at 100 TB it is a fact
+    table, so AQE picks the strategy). The
+    share is a conditional-sum-over-sum on the SAME aggregated rows, so
+    the numerator costs no second pass.
+
+    Cross-engine exactness: numerator and denominator accumulate in
+    DECIMAL(18,6) (order-independent); the share is then ONE IEEE
+    double division per year — identical on both engines.
+
+    Scale: the part filter prunes the fact scan via the broadcast hash
+    join's build side (and a Bloom/DPP runtime filter under AQE); the
+    per-year output is 6 rows. Output: (o_year, mkt_share)."""
+    pk = part.where(F.col("p_type") == p_type).select("p_partkey")
+    mkt_nations = (
+        nation.join(
+            region.where(F.col("r_name") == market_region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    supp_leg = supplier.join(
+        F.broadcast(
+            nation.where(F.col("n_name") == supp_nation).select(
+                F.col("n_nationkey").alias("s_nk"), "n_name"
+            )
+        ),
+        F.col("s_nationkey") == F.col("s_nk"),
+        "left",
+    ).select("s_suppkey", F.col("n_name").isNotNull().alias("is_supp_nation"))
+    j = (
+        lineitem.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(mkt_nations), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supp_leg), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        j.select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev.alias("__rev"),
+            F.when(F.col("is_supp_nation"), rev).otherwise(
+                F.lit(0).cast("decimal(18,6)")
+            ).alias("__nat_rev"),
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum("__nat_rev").cast("double")
+                / F.sum("__rev").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def sql_market_share(
+    supp_nation: str = "NATION_2",
+    market_region: str = "ASIA",
+    p_type: str = "PROMO",
+    start: str = "1995-01-01",
+    end: str = "2001-01-01",
+) -> str:
+    return f"""
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+               CAST(SUM(CASE WHEN n2.n_name = '{supp_nation}'
+                             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS mkt_share
+        FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          AND r_name = '{market_region}' AND s_nationkey = n2.n_nationkey
+          AND o_orderdate >= TIMESTAMP '{start}'
+          AND o_orderdate < TIMESTAMP '{end}'
+          AND p_type = '{p_type}'
+        GROUP BY o_year
+        ORDER BY o_year
+    """
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): revenue per supplier over one
+    quarter, then the supplier(s) whose revenue equals the maximum —
+    the reference query's CREATE VIEW + scalar-subquery-max, expressed
+    as one aggregation reused twice. Catalyst plans the max as a
+    single-row aggregate broadcast into the filter, so the revenue agg
+    is computed once per branch over an already-tiny (|suppliers|)
+    input; the quarter filter prunes the fact scan.
+
+    Cross-engine exactness: revenue accumulates in DECIMAL(18,6) per
+    supplier; MAX over the resulting doubles is order-independent, and
+    equality against it selects identical rows on both engines.
+
+    Output: (s_suppkey, s_name, total_revenue) — ties all kept, per the
+    official query's semantics."""
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end)
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    best = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        rev.join(F.broadcast(best), F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def sql_top_supplier(start: str = "1996-01-01", end: str = "1996-04-01") -> str:
+    return f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{start}'
+              AND l_shipdate < TIMESTAMP '{end}'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """

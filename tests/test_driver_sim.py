@@ -100,7 +100,26 @@ def test_window_covers_every_query_within_two_rounds():
     )
     records = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
     prev = set(json.load(open(records[-1]))) if records else set()
-    stale = [q for q in E.queries() if q not in window and q not in prev]
+    history = set()
+    for rec in records:
+        history |= set(json.load(open(rec)))
+    # Escape hatch for queries added AFTER the window's 50 slots were
+    # consumed: valid only with no verification history at all, and the
+    # declaration obliges the next rotation to front-queue them.
+    past_cutoff = set(getattr(E, "PAST_CUTOFF_NEW", ()))
+    assert past_cutoff <= set(E.queries()), "PAST_CUTOFF_NEW names unknown query"
+    assert not (past_cutoff & window), (
+        "PAST_CUTOFF_NEW entries are in the window — remove the declaration"
+    )
+    assert not (past_cutoff & history), (
+        "PAST_CUTOFF_NEW entries have driver history — they are STALE, not "
+        "new; they must rotate into the window, not hide behind the hatch"
+    )
+    stale = [
+        q
+        for q in E.queries()
+        if q not in window and q not in prev and q not in past_cutoff
+    ]
     assert not stale, (
         f"{len(stale)} queries absent from both this round's window and "
         f"the last recorded round ({os.path.basename(records[-1]) if records else 'none'}): "

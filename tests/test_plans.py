@@ -212,6 +212,31 @@ def test_tpch_shape_plans(spark):
     p = plan(T.domain_cap_sample(docs))
     assert p.count("WindowGroupLimit") == 2
 
+    # Q8: all dimension legs broadcast (part/supplier/nation/region);
+    # the p_type filter is pushed into the part scan; never a cartesian
+    p = plan(
+        AN.market_share(
+            part,
+            load_table(spark, sf, "supplier"),
+            li,
+            orders,
+            load_table(spark, sf, "customer"),
+            load_table(spark, sf, "nation"),
+            load_table(spark, sf, "region"),
+        )
+    )
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("p_type" in l for l in pushed), pushed
+
+    # Q15: the max-revenue threshold arrives as a broadcast single-row
+    # side, and the quarter filter reaches the lineitem scan
+    p = plan(AN.top_supplier(li, load_table(spark, sf, "supplier")))
+    assert "BroadcastHashJoin" in p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed), pushed
+
 
 def test_q21_compiles_to_semi_plus_anti(spark):
     """Q21's EXISTS + NOT EXISTS must be one left-semi and one left-anti

@@ -182,3 +182,52 @@ def test_fast_path_rounded_tie_break_survives_batching(spark):
     got = [(r.rank, r.cand_id) for r in sorted(out, key=lambda r: r.rank)]
     # ties at rounded precision resolve to the SMALLEST cand_ids
     assert got == [(1, 961), (2, 962), (3, 963)], got
+
+
+def test_semantic_dedup_verdicts_planted(spark):
+    """SemDeDup on a planted corpus: exact copies of a vector collapse
+    onto the smallest id; near-orthogonal vectors all survive; verdict
+    invariants hold (dup_of < vec_id, dup_of in the same cluster,
+    exactly one keep per duplicate group)."""
+    from spark_indexedrdd_spark.functions.ivf import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(8, 16)).astype("float32")
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):  # three exact copies of each base vector
+            rows.append((vid, [float(x) for x in b]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(
+        df, threshold=0.999, n_clusters=4, method="det"
+    ).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(out) == 24
+    clusters = {r.vec_id: r.cluster_id for r in out}
+    for r in out:
+        if r.dup_of is not None:
+            assert r.dup_of < r.vec_id
+            assert clusters[r.dup_of] == r.cluster_id
+            assert not r.keep
+    # copies land in the same cluster (identical vectors, identical
+    # argmax) and collapse to the group's smallest id
+    for g in range(8):
+        ids = [3 * g, 3 * g + 1, 3 * g + 2]
+        assert by_id[ids[1]].dup_of == ids[0]
+        assert by_id[ids[2]].dup_of == ids[0]
+        assert by_id[ids[0]].keep
+
+
+def test_semantic_dedup_orthogonal_all_kept(spark):
+    """Orthonormal basis vectors: no pair exceeds any positive
+    threshold, so every vector is kept."""
+    from spark_indexedrdd_spark.functions.ivf import semantic_dedup
+
+    rows = [
+        (i, [1.0 if j == i else 0.0 for j in range(8)]) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, threshold=0.5, n_clusters=3, method="det").collect()
+    assert all(r.keep and r.dup_of is None for r in out)

@@ -523,3 +523,54 @@ def test_weighted_sample_prefers_heavy_weights(spark):
     assert all(r.weight > 0 for r in kept)
     kept2 = weighted_sample(df.repartition(9), k=100, weight_col="w").collect()
     assert {r.doc_id for r in kept} == {r.doc_id for r in kept2}
+
+
+def test_duplicate_spans_planted_corpus(spark):
+    """Exact-substring span semantics on a planted corpus: a 10-token
+    span shared by two documents is duplicated in BOTH (corpus count
+    >= 2), a within-document repeat counts against itself, unique text
+    reports zero, and sub-width docs get (0, 0, 0.0)."""
+    from spark_indexedrdd_spark.functions.text import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, shared + " one two three"),           # shares the span with 2
+        (2, "x y " + shared),                      # same 10-token span
+        (3, shared + " " + shared),                # self-repeat, no partner
+        (4, "totally unique words with no overlap at all here today now"),
+        (5, "too short"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicate_spans(df, width=10).collect()}
+    # doc1: 4 spans (13 tokens), the first is the shared span
+    assert out[1].n_spans == 4 and out[1].n_dup_spans >= 1
+    assert out[2].n_dup_spans >= 1
+    # doc3 repeats the span within itself: its two copies both count
+    assert out[3].n_dup_spans >= 2
+    assert out[4].n_dup_spans == 0 and out[4].dup_span_frac == 0.0
+    assert out[5].n_spans == 0 and out[5].dup_span_frac == 0.0
+    assert out[6].n_spans == 0 and out[6].dup_span_frac == 0.0
+    # fraction is occurrences-based
+    assert out[1].dup_span_frac == out[1].n_dup_spans / out[1].n_spans
+
+
+def test_duplicate_spans_stride_reduces_spans(spark):
+    """stride=width produces the non-overlapping tiling: span count is
+    ~n/width instead of n-width+1 — the documented 100 TB cost knob —
+    and duplicated spans are still caught when aligned."""
+    from spark_indexedrdd_spark.functions.text import duplicate_spans
+
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    dense = {r.doc_id: r for r in duplicate_spans(df, width=10).collect()}
+    tiled = {
+        r.doc_id: r
+        for r in duplicate_spans(df, width=10, stride=10).collect()
+    }
+    assert dense[1].n_spans == 91
+    assert tiled[1].n_spans == 10
+    # identical docs: everything is duplicated under either stride
+    assert dense[1].dup_span_frac == 1.0 and tiled[1].dup_span_frac == 1.0
