@@ -351,6 +351,34 @@ def run_suite(spark) -> dict[str, float]:
     def _q21():
         _an.waiting_suppliers(li_full, orders).count()
 
+    @timed("market_share_q8")
+    def _q8():
+        _an.market_share(
+            load_table(spark, SF_DIR, "part"),
+            load_table(spark, SF_DIR, "supplier"),
+            li_full,
+            orders,
+            load_table(spark, SF_DIR, "customer"),
+            load_table(spark, SF_DIR, "nation"),
+            load_table(spark, SF_DIR, "region"),
+        ).collect()
+
+    @timed("top_supplier_q15")
+    def _q15():
+        _an.top_supplier(
+            li_full, load_table(spark, SF_DIR, "supplier")
+        ).collect()
+
+    @timed("duplicate_spans")
+    def _dspans():
+        _text.duplicate_spans(docs).count()
+
+    @timed("semantic_dedup")
+    def _semdd():
+        from spark_indexedrdd_spark.functions import ivf as _ivf
+
+        _ivf.semantic_dedup(emb, threshold=0.3).count()
+
     # --- bucketed persistence: the 100 TB join path ---------------------- #
     # (write once, then every cross-job join is exchange-free; the write
     # is the amortized one-time cost, reported separately)

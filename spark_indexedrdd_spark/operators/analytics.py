@@ -1594,11 +1594,15 @@ def top_supplier(
 ) -> DataFrame:
     """TPC-H Q15 shape (top supplier): revenue per supplier over one
     quarter, then the supplier(s) whose revenue equals the maximum —
-    the reference query's CREATE VIEW + scalar-subquery-max, expressed
-    as one aggregation reused twice. Catalyst plans the max as a
-    single-row aggregate broadcast into the filter, so the revenue agg
-    is computed once per branch over an already-tiny (|suppliers|)
-    input; the quarter filter prunes the fact scan.
+    the reference query's CREATE VIEW + scalar-subquery-max. The naive
+    self-referencing formulation (aggregate once for the per-supplier
+    view, again for the max, join them) plans TWO full lineitem scans —
+    exchange reuse does not fire across the two aggregation branches —
+    so the max here rides a single-partition window OVER the
+    already-aggregated |suppliers|-row output instead: lineitem is
+    scanned and shuffled exactly once (plan-asserted in
+    tests/test_plans.py), and the window input is dim-sized (same
+    documented bound as corpus_top_terms' vocab window).
 
     Cross-engine exactness: revenue accumulates in DECIMAL(18,6) per
     supplier; MAX over the resulting doubles is order-independent, and
@@ -1617,9 +1621,10 @@ def top_supplier(
             ).alias("total_revenue")
         )
     )
-    best = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    w = Window.partitionBy()
     return (
-        rev.join(F.broadcast(best), F.col("total_revenue") == F.col("__max_rev"))
+        rev.withColumn("__max_rev", F.max("total_revenue").over(w))
+        .where(F.col("total_revenue") == F.col("__max_rev"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")

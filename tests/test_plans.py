@@ -230,10 +230,15 @@ def test_tpch_shape_plans(spark):
     pushed = [l for l in p.splitlines() if "PushedFilters" in l]
     assert any("p_type" in l for l in pushed), pushed
 
-    # Q15: the max-revenue threshold arrives as a broadcast single-row
-    # side, and the quarter filter reaches the lineitem scan
+    # Q15: ONE lineitem scan (the scalar-subquery form planned two —
+    # the max must ride the window over the aggregated view), and the
+    # quarter filter reaches that scan
     p = plan(AN.top_supplier(li, load_table(spark, sf, "supplier")))
     assert "BroadcastHashJoin" in p
+    li_scans = [
+        l for l in p.splitlines() if "Scan parquet" in l and "l_suppkey" in l
+    ]
+    assert len(li_scans) == 1, li_scans
     pushed = [l for l in p.splitlines() if "PushedFilters" in l]
     assert any("l_shipdate" in l for l in pushed), pushed
 
