@@ -206,3 +206,94 @@ def test_repetition_stats_matches_python_model(spark, docs):
         assert got[i].n_tokens == len(toks)
         assert got[i].dup_bigram_frac == frac(toks, 2), (i, toks)
         assert got[i].dup_trigram_frac == frac(toks, 3), (i, toks)
+
+
+@_slow
+@given(docs=st.lists(WORDS, min_size=1, max_size=5))
+def test_duplicate_spans_matches_python_model(spark, docs):
+    """Span hashing + corpus counting vs a plain-Python model: for every
+    width-3 window (stride 1), a position is duplicated iff its token
+    span occurs >= 2 times anywhere in the corpus (within-doc repeats
+    included). Pins the sequence/slice construction and the two-level
+    aggregation against an independent formulation."""
+    from collections import Counter
+
+    from spark_indexedrdd_spark.functions.text import duplicate_spans
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in duplicate_spans(df, width=3).collect()}
+
+    toks = {i: [t.lower() for t in words] for i, words in enumerate(docs)}
+    spans = {
+        i: [" ".join(t[j:j + 3]) for j in range(len(t) - 2)]
+        for i, t in toks.items()
+    }
+    corpus = Counter(s for ss in spans.values() for s in ss)
+    for i in toks:
+        n = len(spans[i])
+        nd = sum(1 for s in spans[i] if corpus[s] >= 2)
+        assert got[i].n_spans == n, (i, spans[i])
+        assert got[i].n_dup_spans == nd, (i, spans[i])
+        expect = 0.0 if n == 0 else nd / n
+        assert got[i].dup_span_frac == expect
+
+
+@_slow
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.sampled_from([-1.0, -0.5, 0.0, 0.5, 1.0, 2.0]),
+            min_size=4,
+            max_size=4,
+        ).filter(lambda v: any(x != 0.0 for x in v)),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_semantic_dedup_matches_python_model(spark, vecs):
+    """Det-centroid SemDeDup vs a plain-Python model: same first-k
+    centroids, same argmax tie-break (first max), same min-smaller-id
+    duplicate rule. Exact float comparison is safe — the planted values
+    make every dot product exact in binary floating point."""
+    import math
+
+    from spark_indexedrdd_spark.functions.ivf import semantic_dedup
+
+    k = 2
+    thr = 0.9
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            df, threshold=thr, n_clusters=k, method="det"
+        ).collect()
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cents = [vecs[i] for i in range(min(k, len(vecs)))]
+    assign = {}
+    for i, v in enumerate(vecs):
+        sims = [dot(v, c) / math.sqrt(dot(c, c)) for c in cents]
+        assign[i] = max(range(len(sims)), key=lambda j: (sims[j], -j))
+    dup_of = {}
+    for i, v in enumerate(vecs):
+        near = [
+            j
+            for j in range(i)
+            if assign[j] == assign[i]
+            and dot(v, vecs[j])
+            / (math.sqrt(dot(v, v)) * math.sqrt(dot(vecs[j], vecs[j])))
+            >= thr
+        ]
+        dup_of[i] = min(near) if near else None
+    for i in range(len(vecs)):
+        assert got[i].cluster_id == assign[i], (i, vecs)
+        assert got[i].dup_of == dup_of[i], (i, vecs)
+        assert got[i].keep == (dup_of[i] is None)
