@@ -383,6 +383,11 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exact-substring span dedup stats (Lee et al. 2021): corpus-wide
     # duplicated-span fraction per document
     "duplicate_spans": lambda s, d: _text.duplicate_spans(_docs(s, d)),
+    # the removal counterpart: canonical occurrence kept, every other
+    # occurrence's tokens deleted; returns cleaned text
+    "remove_duplicate_spans": lambda s, d: _text.remove_duplicate_spans(
+        _docs(s, d)
+    ),
     # SemDeDup (Abbas et al. 2023): cluster-then-intra-cluster cosine
     # verdicts; det centroids make the whole verdict table hash-exact
     "semantic_dedup": lambda s, d: _ivf.semantic_dedup(
@@ -609,6 +614,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "market_share_q8": _an.sql_market_share(),
     "top_supplier_q15": _an.sql_top_supplier(),
     "duplicate_spans": _text.sql_duplicate_spans(),
+    "remove_duplicate_spans": _text.sql_remove_duplicate_spans(),
     "semantic_dedup": _ivf.sql_semantic_dedup(threshold=0.3),
     "redact_pii": _text.sql_redact_pii(),
     "contamination_check": _text.sql_contamination_check(),
@@ -819,8 +825,9 @@ _FILL_R6 = ()
 # these FIRST (the same treatment this round gave round 5's four
 # past-cutoff newcomers).
 PAST_CUTOFF_NEW = (
-    "market_share_q8",   # TPC-H Q8: widest snowflake, conditional share
-    "top_supplier_q15",  # TPC-H Q15: view + scalar-subquery max
+    "market_share_q8",         # TPC-H Q8: widest snowflake, conditional share
+    "top_supplier_q15",        # TPC-H Q15: view + scalar-subquery max
+    "remove_duplicate_spans",  # Lee et al. span REMOVAL (cleaned text)
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}

@@ -373,6 +373,10 @@ def run_suite(spark) -> dict[str, float]:
     def _dspans():
         _text.duplicate_spans(docs).count()
 
+    @timed("remove_duplicate_spans")
+    def _rdspans():
+        _text.remove_duplicate_spans(docs).count()
+
     @timed("semantic_dedup")
     def _semdd():
         from spark_indexedrdd_spark.functions import ivf as _ivf

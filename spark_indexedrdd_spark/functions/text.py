@@ -996,6 +996,147 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    width: int = 10,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REMOVAL counterpart of :func:`duplicate_spans` — the actual
+    dedup step of Lee et al. 2021 (arXiv:2107.06499), fixed-width form:
+    for every ``width``-token span occurring >= 2 times in the corpus,
+    keep exactly ONE canonical occurrence (the lexicographically
+    smallest (doc_id, position)) and delete the tokens of every other
+    occurrence. Returns (doc_id, n_tokens, n_removed, clean_text).
+
+    Determinism: the canonical occurrence is a pure MIN over
+    (doc_id, position) pairs, so any engine picks the same survivor;
+    token coverage is integer-range arithmetic. The DuckDB twin is
+    bit-identical.
+
+    Scale: same shuffle structure as duplicate_spans (span hashes are
+    corpus-aggregated once; ``stride`` bounds the explode), plus one
+    collect_list of removal STARTS per affected doc — bounded by
+    spans-per-doc, not corpus size. The final token filter is a per-row
+    HOF over (token index × removal ranges) — quadratic only in
+    per-document terms. Positions are 1-based on both engines."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n >= width,
+        F.sequence(F.lit(1), n - width + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    span_hashes = F.transform(
+        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, width)))
+    )
+    # (doc, start_pos, hash) occurrences; pos is 1-based token index
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode(span_hashes).alias("__sp", "__h"),
+    ).select(
+        id_col,
+        (F.col("__sp") * stride + 1).alias("__p"),
+        "__h",
+    )
+    dup_canon = (
+        occ.groupBy("__h")
+        .agg(
+            F.count("*").alias("__cnt"),
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("__p").alias("p"))).alias(
+                "__canon"
+            ),
+        )
+        .where(F.col("__cnt") >= 2)
+        .select("__h", "__canon")
+    )
+    removals = (
+        occ.join(dup_canon, "__h")
+        .where(
+            ~(
+                (F.col(id_col) == F.col("__canon.d"))
+                & (F.col("__p") == F.col("__canon.p"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("__p")).alias("__starts"))
+    )
+    starts_or_empty = F.coalesce(
+        F.col("__starts"), F.array().cast("array<int>")
+    )
+    kept = F.filter(
+        toks,
+        lambda _t, i: ~F.exists(
+            starts_or_empty,
+            lambda s: (s <= i + 1) & (i + 1 < s + width),
+        ),
+    )
+    return (
+        df.join(removals, id_col, "left")
+        .select(
+            F.col(id_col),
+            n.cast("int").alias("n_tokens"),
+            (n - F.size(kept)).cast("int").alias("n_removed"),
+            F.concat_ws(" ", kept).alias("clean_text"),
+        )
+    )
+
+
+def sql_remove_duplicate_spans(
+    table: str = "documents",
+    width: int = 10,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`remove_duplicate_spans` — same md5 spans,
+    same MIN-(doc,pos) canonical rule, same 1-based range coverage."""
+    toks = sql_tokens(text_col)
+    spans = (
+        f"list_transform(range(1, greatest(len(t) - {width - 1}, 0) + 1, {stride}),"
+        f" i -> md5(array_to_string(list_slice(t, i, i + {width - 1}), ' ')))"
+    )
+    return f"""
+        WITH tk AS (SELECT {id_col}, {toks} AS t FROM {table}),
+        sp AS (SELECT {id_col}, unnest(range(1, len({spans}) + 1)) AS i,
+                      {spans} AS hs
+               FROM tk),
+        occ AS (
+            SELECT {id_col}, CAST((i - 1) * {stride} + 1 AS INTEGER) AS p,
+                   hs[i] AS h
+            FROM sp
+        ),
+        marked AS (
+            SELECT {id_col}, p, h,
+                   COUNT(*) OVER (PARTITION BY h) AS cnt,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY h ORDER BY {id_col}, p
+                   ) AS rn
+            FROM occ
+        ),
+        rem AS (
+            SELECT {id_col}, list_sort(list(DISTINCT p)) AS starts
+            FROM marked WHERE cnt >= 2 AND rn > 1
+            GROUP BY {id_col}
+        ),
+        kept AS (
+            SELECT tk.{id_col}, tk.t,
+                   list_filter(tk.t, (tok, i) -> len(list_filter(
+                       COALESCE(rem.starts, []),
+                       s -> s <= i AND i < s + {width}
+                   )) = 0) AS kt
+            FROM tk LEFT JOIN rem USING ({id_col})
+        )
+        SELECT {id_col},
+               CAST(len(t) AS INTEGER) AS n_tokens,
+               CAST(len(t) - len(kt) AS INTEGER) AS n_removed,
+               -- array_to_string([]) is NULL in DuckDB but concat_ws
+               -- gives '' in Spark: normalize fully-removed docs to ''
+               COALESCE(array_to_string(kt, ' '), '') AS clean_text
+        FROM kept
+    """
+
+
 def sql_duplicate_spans(
     table: str = "documents",
     width: int = 10,

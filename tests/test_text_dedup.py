@@ -574,3 +574,50 @@ def test_duplicate_spans_stride_reduces_spans(spark):
     assert tiled[1].n_spans == 10
     # identical docs: everything is duplicated under either stride
     assert dense[1].dup_span_frac == 1.0 and tiled[1].dup_span_frac == 1.0
+
+
+def test_remove_duplicate_spans_canonical_rule(spark):
+    """Removal semantics: the lexicographically-smallest (doc, pos)
+    occurrence of a duplicated span survives; every other occurrence's
+    tokens are deleted; unique text is untouched; a within-document
+    repeat keeps its first copy."""
+    from spark_indexedrdd_spark.functions.text import remove_duplicate_spans
+
+    span = "a1 a2 a3 a4 a5"
+    self_span = "b1 b2 b3 b4 b5"
+    rows = [
+        (1, span + " tail1 tail2"),            # canonical (smallest doc_id)
+        (2, "head1 head2 " + span),            # later doc: span removed
+        (3, span + " mid " + span),            # both copies non-canonical
+        (4, "u1 u2 u3 u4 u5 u6 u7"),           # untouched
+        (5, self_span + " mid2 " + self_span), # within-doc: 1st copy IS
+                                               # canonical, 2nd removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r for r in remove_duplicate_spans(df, width=5).collect()
+    }
+    assert out[1].n_removed == 0 and out[1].clean_text == span + " tail1 tail2"
+    assert out[2].n_removed == 5 and out[2].clean_text == "head1 head2"
+    # doc3's canonical lives in doc1, so BOTH of doc3's copies go
+    assert out[3].n_removed == 10 and out[3].clean_text == "mid"
+    assert out[4].n_removed == 0 and out[4].clean_text == rows[3][1]
+    assert out[5].n_removed == 5
+    assert out[5].clean_text == self_span + " mid2"
+
+
+def test_remove_duplicate_spans_full_removal_empty_text(spark):
+    """A document that is entirely a copy of an earlier one collapses
+    to empty clean_text (n_removed == n_tokens) — and overlapping
+    duplicated windows never double-count a token."""
+    from spark_indexedrdd_spark.functions.text import remove_duplicate_spans
+
+    text = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r for r in remove_duplicate_spans(df, width=5).collect()
+    }
+    assert out[1].n_removed == 0 and out[1].clean_text == text
+    assert out[2].n_removed == 12 and out[2].clean_text == ""
