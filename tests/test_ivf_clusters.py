@@ -90,3 +90,33 @@ def test_quality_filter_reasons(spark):
     assert out[2] == (False, "too_repetitive")
     assert out[3] == (True, "ok")
     assert out[4] == (False, "avg_token_too_long")
+
+
+def test_semantic_dedup_kmeans_quality_on_clusters(clustered):
+    """The kmeans quality tier of semantic_dedup on well-separated
+    clusters with planted near-duplicates: every planted near-pair is
+    collapsed (the clustering must put near-identical vectors in the
+    same cluster), distinct clusters' members all survive, and the
+    verdict is deterministic across runs (fixed seed)."""
+    from spark_indexedrdd_spark.functions.ivf import semantic_dedup
+
+    # plant exact duplicates of the first member of each label cluster
+    dups = clustered.where("vec_id % 25 = 0").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = clustered.select("vec_id", "embedding").unionAll(dups)
+    out = semantic_dedup(
+        corpus, threshold=0.99999, n_clusters=8, method="kmeans"
+    ).collect()
+    by_id = {r.vec_id: r for r in out}
+    for g in range(8):
+        orig, copy = 25 * g, 25 * g + 10_000
+        assert by_id[copy].dup_of == orig, (g, by_id[copy])
+        assert by_id[orig].keep
+    # exact copies score ~1.0; same-cluster neighbors top out near
+    # 1 - noise^2/|center|^2 ~ 0.9989, so 0.99999 separates them cleanly
+    assert sum(1 for r in out if not r.keep) == 8
+    out2 = semantic_dedup(
+        corpus, threshold=0.99999, n_clusters=8, method="kmeans"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
