@@ -388,6 +388,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remove_duplicate_spans": lambda s, d: _text.remove_duplicate_spans(
         _docs(s, d)
     ),
+    # one-row corpus duplication summary (exact form; the HLL approx
+    # twin is the 100 TB path, pytest-pinned within rsd of this)
+    "corpus_span_stats": lambda s, d: _text.corpus_span_stats(_docs(s, d)),
     # SemDeDup (Abbas et al. 2023): cluster-then-intra-cluster cosine
     # verdicts; det centroids make the whole verdict table hash-exact
     "semantic_dedup": lambda s, d: _ivf.semantic_dedup(
@@ -615,6 +618,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "top_supplier_q15": _an.sql_top_supplier(),
     "duplicate_spans": _text.sql_duplicate_spans(),
     "remove_duplicate_spans": _text.sql_remove_duplicate_spans(),
+    "corpus_span_stats": _text.sql_corpus_span_stats(),
     "semantic_dedup": _ivf.sql_semantic_dedup(threshold=0.3),
     "redact_pii": _text.sql_redact_pii(),
     "contamination_check": _text.sql_contamination_check(),
@@ -828,6 +832,7 @@ PAST_CUTOFF_NEW = (
     "market_share_q8",         # TPC-H Q8: widest snowflake, conditional share
     "top_supplier_q15",        # TPC-H Q15: view + scalar-subquery max
     "remove_duplicate_spans",  # Lee et al. span REMOVAL (cleaned text)
+    "corpus_span_stats",       # one-row corpus dup-rate summary
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}

@@ -377,6 +377,14 @@ def run_suite(spark) -> dict[str, float]:
     def _rdspans():
         _text.remove_duplicate_spans(docs).count()
 
+    @timed("corpus_span_stats")
+    def _cspans():
+        _text.corpus_span_stats(docs).collect()
+
+    @timed("corpus_span_stats_approx")
+    def _cspansa():
+        _text.corpus_span_stats(docs, approx=True).collect()
+
     @timed("semantic_dedup")
     def _semdd():
         from spark_indexedrdd_spark.functions import ivf as _ivf

@@ -996,6 +996,85 @@ def duplicate_spans(
     )
 
 
+def corpus_span_stats(
+    df: DataFrame,
+    width: int = 10,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    approx: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """One-row corpus duplication summary: (n_spans, n_distinct_spans,
+    dup_rate) where dup_rate = 1 - distinct/total over all
+    ``width``-token spans — the single number that tells you whether a
+    crawl snapshot needs the full :func:`remove_duplicate_spans` pass
+    before training.
+
+    ``approx=False`` (driver-checked): exact COUNT(DISTINCT md5) — the
+    distinct-aggregate shuffles one row per DISTINCT span, which at
+    100 TB is corpus-vocabulary-sized. ``approx=True`` is the scale
+    path: ``approx_count_distinct`` (HyperLogLog++, relative error
+    ``rsd``) — partial sketches merge map-side, so the exchange carries
+    one ~1.5 KB sketch per task instead of the distinct span set. The
+    approx twin is pytest-pinned within rsd of the exact answer; it has
+    no SQL oracle (HLL register layouts are engine-specific)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n >= width,
+        F.sequence(F.lit(1), n - width + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    span_hashes = F.transform(
+        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, width)))
+    )
+    occ = df.select(F.explode(span_hashes).alias("__h"))
+    distinct = (
+        F.approx_count_distinct("__h", rsd) if approx
+        else F.count_distinct("__h")
+    )
+    return occ.agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        distinct.cast("bigint").alias("n_distinct_spans"),
+    ).select(
+        "n_spans",
+        "n_distinct_spans",
+        F.when(F.col("n_spans") == 0, F.lit(0.0))
+        .otherwise(
+            1.0
+            - F.col("n_distinct_spans").cast("double")
+            / F.col("n_spans").cast("double")
+        )
+        .alias("dup_rate"),
+    )
+
+
+def sql_corpus_span_stats(
+    table: str = "documents",
+    width: int = 10,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of the EXACT form of :func:`corpus_span_stats`."""
+    toks = sql_tokens(text_col)
+    spans = (
+        f"list_transform(range(1, greatest(len(t) - {width - 1}, 0) + 1, {stride}),"
+        f" i -> md5(array_to_string(list_slice(t, i, i + {width - 1}), ' ')))"
+    )
+    return f"""
+        WITH tk AS (SELECT {toks} AS t FROM {table}),
+        occ AS (SELECT unnest({spans}) AS h FROM tk)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_spans,
+               CASE WHEN COUNT(*) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE)
+               END AS dup_rate
+        FROM occ
+    """
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     width: int = 10,

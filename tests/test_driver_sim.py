@@ -35,7 +35,9 @@ for name in ["multiput_merge", "asof_join", "tumbling_window",
              "dedup_ngram_jaccard", "funnel_signup_conversion",
              "doc_sample", "dedup_clusters", "similarity_topk_fast",
              "similarity_ann_lsh", "order_priority_q4", "repetition_stats",
-             "corpus_top_terms", "similarity_ann_ivf_det"]:
+             "corpus_top_terms", "similarity_ann_ivf_det",
+             "duplicate_spans", "remove_duplicate_spans", "semantic_dedup",
+             "market_share_q8", "top_supplier_q15"]:
     s = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     o = con.sql(osql[name]).df()
     s = s.reindex(sorted(s.columns), axis=1).sort_values(

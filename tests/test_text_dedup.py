@@ -621,3 +621,29 @@ def test_remove_duplicate_spans_full_removal_empty_text(spark):
     }
     assert out[1].n_removed == 0 and out[1].clean_text == text
     assert out[2].n_removed == 12 and out[2].clean_text == ""
+
+
+def test_corpus_span_stats_exact_and_approx(spark, sf_dir):
+    """The exact form matches a hand-computable planted corpus; the HLL
+    approx form lands within 3×rsd of the exact distinct count on real
+    testdata (deterministic: Spark's HLL++ has no run-to-run
+    randomness), with the same n_spans."""
+    from spark_indexedrdd_spark.functions.text import corpus_span_stats
+
+    text = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    row = corpus_span_stats(df, width=5).collect()[0]
+    # 8 spans per doc, every span occurs twice
+    assert (row.n_spans, row.n_distinct_spans) == (16, 8)
+    assert row.dup_rate == 0.5
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = corpus_span_stats(docs).collect()[0]
+    approx = corpus_span_stats(docs, approx=True, rsd=0.02).collect()[0]
+    assert approx.n_spans == exact.n_spans
+    rel = abs(approx.n_distinct_spans - exact.n_distinct_spans) / max(
+        1, exact.n_distinct_spans
+    )
+    assert rel <= 0.06, rel
