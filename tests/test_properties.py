@@ -297,3 +297,44 @@ def test_semantic_dedup_matches_python_model(spark, vecs):
         assert got[i].cluster_id == assign[i], (i, vecs)
         assert got[i].dup_of == dup_of[i], (i, vecs)
         assert got[i].keep == (dup_of[i] is None)
+
+
+@_slow
+@given(docs=st.lists(WORDS, min_size=1, max_size=4))
+def test_remove_duplicate_spans_matches_python_model(spark, docs):
+    """Removal semantics vs a plain-Python model: canonical =
+    lexicographically-smallest (doc, pos) occurrence of each duplicated
+    width-3 span; every other occurrence covers [pos, pos+3); kept
+    tokens are the uncovered ones, in order."""
+    from collections import Counter
+
+    from spark_indexedrdd_spark.functions.text import remove_duplicate_spans
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r for r in remove_duplicate_spans(df, width=3).collect()
+    }
+
+    toks = {i: [t.lower() for t in words] for i, words in enumerate(docs)}
+    occ = [
+        (i, p + 1, " ".join(t[p:p + 3]))
+        for i, t in toks.items()
+        for p in range(len(t) - 2)
+    ]
+    cnt = Counter(h for _, _, h in occ)
+    canon = {}
+    for i, p, h in sorted(occ):
+        canon.setdefault(h, (i, p))
+    for i, t in toks.items():
+        starts = {
+            p for (d, p, h) in occ
+            if d == i and cnt[h] >= 2 and canon[h] != (d, p)
+        }
+        kept = [
+            tok for j, tok in enumerate(t, start=1)
+            if not any(s <= j < s + 3 for s in starts)
+        ]
+        assert got[i].n_tokens == len(t)
+        assert got[i].n_removed == len(t) - len(kept), (i, docs)
+        assert got[i].clean_text == " ".join(kept), (i, docs)
