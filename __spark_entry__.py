@@ -707,7 +707,7 @@ ROWS_ONLY = (
 # FIRST 50 entries of queries() in iteration order (round 1 evidence:
 # CORRECTNESS_r01.json holds exactly the first 50). Round-6 rotation
 # (the full construction is _WINDOW_R6 below; invariant enforced by
-# tests/test_driver_sim.py::test_window_covers_every_query_within_two_rounds):
+# tests/test_driver_sim.py::test_window_covers_every_query_within_coverage_horizon):
 #   1. NEVER_CHECKED — the 20 entries with no driver row in ANY round:
 #      the four past-cutoff newcomers from round 5 plus sixteen queries
 #      new THIS round (deterministic IVF twin, ann_recall, five

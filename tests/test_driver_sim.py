@@ -83,25 +83,35 @@ def test_streaming_readers_are_session_independent():
     )
 
 
-def test_window_covers_every_query_within_two_rounds():
+def test_window_covers_every_query_within_coverage_horizon():
     """Rotation-bookkeeping tripwire: the driver hash-checks only the
-    first 50 ``queries()`` entries per round, so every contract query
-    must appear in THIS round's window or the previous round's recorded
-    window (the latest CORRECTNESS_r*.json) — otherwise a query can
-    silently go unverified for >2 rounds, which is exactly how the
-    round-4 events regression hid. Red here means: rotate the window."""
+    first 50 ``queries()`` entries per round, so the tightest possible
+    guarantee is full-contract coverage every ceil(n/50) rounds — with
+    n <= 100 that is the two-round cycle this test originally pinned;
+    past 100 contract queries the horizon grows to 3, and this test
+    asserts the rotation stays ON that tightest-achievable schedule:
+    every query must appear in this round's window or in the last
+    (horizon - 1) recorded rounds. Red here means: rotate the window —
+    silent staleness is exactly how the round-4 events regression
+    hid."""
     import glob
     import json
+    import math
 
     import __spark_entry__ as E
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n = len(E.queries())
+    horizon = max(2, math.ceil(n / 50))
     window = set(list(E.queries().keys())[:50])
     assert tuple(E._WINDOW) == tuple(list(E.queries().keys())[:50]), (
         "_WINDOW bookkeeping drifted from queries() iteration order"
     )
     records = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
-    prev = set(json.load(open(records[-1]))) if records else set()
+    recent = records[-(horizon - 1):]
+    prev = set()
+    for rec in recent:
+        prev |= set(json.load(open(rec)))
     history = set()
     for rec in records:
         history |= set(json.load(open(rec)))
@@ -123,9 +133,9 @@ def test_window_covers_every_query_within_two_rounds():
         if q not in window and q not in prev and q not in past_cutoff
     ]
     assert not stale, (
-        f"{len(stale)} queries absent from both this round's window and "
-        f"the last recorded round ({os.path.basename(records[-1]) if records else 'none'}): "
-        f"{stale}"
+        f"{len(stale)} queries absent from this round's window and from "
+        f"the last {horizon - 1} recorded round(s) "
+        f"({[os.path.basename(r) for r in recent]}): {stale}"
     )
 
 
