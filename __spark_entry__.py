@@ -489,6 +489,24 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_supplier_q15": lambda s, d: _an.top_supplier(
         load_table(s, d, "lineitem"), load_table(s, d, "supplier")
     ),
+    # Q2/Q11/Q20 shapes without a partsupp table: the cost/threshold
+    # relations derive from lineitem; the defining decorrelation
+    # demands (correlated min over a grouped view; scalar threshold
+    # from the same aggregate; nested-IN semijoin chain) are intact
+    "min_cost_supplier_q2": lambda s, d: _an.min_cost_supplier(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "part"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "nation"),
+    ),
+    "important_parts_q11": lambda s, d: _an.important_parts(
+        load_table(s, d, "lineitem")
+    ),
+    "excess_suppliers_q20": lambda s, d: _an.excess_suppliers(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "part"),
+    ),
     "bloom_pruned_join": lambda s, d: _bloom.urgent_revenue_bloom(
         load_table(s, d, "lineitem"), load_table(s, d, "orders")
     ),
@@ -616,6 +634,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "waiting_suppliers_q21": _an.SQL_WAITING_SUPPLIERS,
     "market_share_q8": _an.sql_market_share(),
     "top_supplier_q15": _an.sql_top_supplier(),
+    "min_cost_supplier_q2": _an.sql_min_cost_supplier(),
+    "important_parts_q11": _an.sql_important_parts(),
+    "excess_suppliers_q20": _an.sql_excess_suppliers(),
     "duplicate_spans": _text.sql_duplicate_spans(),
     "remove_duplicate_spans": _text.sql_remove_duplicate_spans(),
     "corpus_span_stats": _text.sql_corpus_span_stats(),
@@ -833,6 +854,9 @@ PAST_CUTOFF_NEW = (
     "top_supplier_q15",        # TPC-H Q15: view + scalar-subquery max
     "remove_duplicate_spans",  # Lee et al. span REMOVAL (cleaned text)
     "corpus_span_stats",       # one-row corpus dup-rate summary
+    "min_cost_supplier_q2",    # TPC-H Q2: correlated min, decorrelated
+    "important_parts_q11",     # TPC-H Q11: scalar threshold in HAVING
+    "excess_suppliers_q20",    # TPC-H Q20: nested-IN semijoin chain
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}

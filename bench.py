@@ -369,6 +369,27 @@ def run_suite(spark) -> dict[str, float]:
             li_full, load_table(spark, SF_DIR, "supplier")
         ).collect()
 
+    @timed("min_cost_supplier_q2")
+    def _q2():
+        _an.min_cost_supplier(
+            li_full,
+            load_table(spark, SF_DIR, "part"),
+            load_table(spark, SF_DIR, "supplier"),
+            load_table(spark, SF_DIR, "nation"),
+        ).collect()
+
+    @timed("important_parts_q11")
+    def _q11():
+        _an.important_parts(li_full).count()
+
+    @timed("excess_suppliers_q20")
+    def _q20():
+        _an.excess_suppliers(
+            li_full,
+            load_table(spark, SF_DIR, "supplier"),
+            load_table(spark, SF_DIR, "part"),
+        ).collect()
+
     @timed("duplicate_spans")
     def _dspans():
         _text.duplicate_spans(docs).count()

@@ -1631,6 +1631,230 @@ def top_supplier(
     )
 
 
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    max_size: int = 10,
+    p_type: str = "STANDARD",
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part): for each part of the
+    given type up to the given size, the supplier(s) offering the lowest observed
+    unit cost, ordered by account balance. The schema has no partsupp
+    table, so the cost relation is DERIVED from lineitem —
+    MIN(l_extendedprice / l_quantity) per (part, supplier) — which
+    preserves the query's defining shape: a correlated MIN subquery
+    against a grouped view, decorrelated by Catalyst to
+    aggregate-then-join (per-part min joined back on equality), never a
+    per-row subquery execution. The output order is the reference's
+    ORDER BY s_acctbal DESC LIMIT k, made total with (p_partkey,
+    s_suppkey) tie-breaks → TakeOrderedAndProject, no global sort.
+
+    Cross-engine exactness: each unit cost is ONE IEEE division; MIN is
+    order-independent; the equality join against the per-part min
+    compares identical doubles.
+
+    Scale: the cost view aggregates lineitem down to |part×supplier
+    observed| rows in one shuffle; the part filter broadcasts and
+    prunes BEFORE the aggregation (build-side pruning of the fact
+    scan); supplier/nation broadcast. Output: (s_acctbal, s_name,
+    n_name, p_partkey, cost)."""
+    pk = part.where(
+        (F.col("p_size") <= max_size) & (F.col("p_type") == p_type)
+    ).select("p_partkey")
+    cost = (
+        lineitem.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("cost").alias("__min_cost")
+    )
+    return (
+        cost.join(
+            F.broadcast(best),
+            (F.col("l_partkey") == F.col("__pk"))
+            & (F.col("cost") == F.col("__min_cost")),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("l_partkey").alias("p_partkey"), "cost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_name")
+        )
+        .limit(k)
+    )
+
+
+def sql_min_cost_supplier(
+    max_size: int = 10, p_type: str = "STANDARD", k: int = 100
+) -> str:
+    return f"""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS cost
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_size <= {max_size} AND p_type = '{p_type}'
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_acctbal, s_name, n_name, c.l_partkey AS p_partkey, c.cost
+        FROM cost c
+        JOIN supplier ON s_suppkey = c.l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE c.cost = (
+            SELECT MIN(c2.cost) FROM cost c2 WHERE c2.l_partkey = c.l_partkey
+        )
+        ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
+        LIMIT {k}
+    """
+
+
+def important_parts(
+    lineitem: DataFrame, factor: float = 1.5
+) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose total revenue
+    exceeds ``factor`` × the MEAN per-part revenue — a GROUP BY with a
+    scalar threshold derived from the same aggregate, the Q11 HAVING
+    shape. (The official query's fraction-of-total threshold is
+    SF-dependent by spec; the mean-relative form keeps the result
+    non-degenerate at every scale with one constant.) Like Q15, the naive two-branch
+    formulation would scan lineitem twice; the global total here rides
+    a single-partition window over the |parts|-row aggregate, so the
+    fact table is scanned and shuffled once (plan-asserted).
+
+    Cross-engine exactness: per-part revenue AND the global total both
+    accumulate in decimal (the window sum stays decimal — associative,
+    order-free); the threshold is one double multiply, the compare is
+    on identical doubles.
+
+    Scale: one hash-agg on l_partkey; the window input is |parts| rows
+    (dim-sized, the corpus_top_terms bound). Output: (l_partkey,
+    part_rev), ordered by value desc with key tie-break."""
+    pr = lineitem.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("__rev_dec")
+    )
+    w = Window.partitionBy()
+    return (
+        pr.withColumn("__total", F.sum("__rev_dec").over(w))
+        .withColumn("__n", F.count("*").over(w))
+        .where(
+            F.col("__rev_dec").cast("double")
+            > F.col("__total").cast("double")
+            / F.col("__n").cast("double")
+            * F.lit(float(factor))
+        )
+        .select(
+            "l_partkey", F.col("__rev_dec").cast("double").alias("part_rev")
+        )
+        .orderBy(F.desc("part_rev"), F.asc("l_partkey"))
+    )
+
+
+def sql_important_parts(factor: float = 1.5) -> str:
+    return f"""
+        WITH pr AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev_dec
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(rev_dec AS DOUBLE) AS part_rev
+        FROM (
+            SELECT l_partkey, rev_dec, SUM(rev_dec) OVER () AS total,
+                   COUNT(*) OVER () AS n
+            FROM pr
+        )
+        WHERE CAST(rev_dec AS DOUBLE) > CAST(total AS DOUBLE) / CAST(n AS DOUBLE) * {float(factor)}
+        ORDER BY part_rev DESC, l_partkey ASC
+    """
+
+
+def excess_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    p_type: str = "PROMO",
+    factor: float = 2.0,
+) -> DataFrame:
+    """TPC-H Q20 shape (excess suppliers): suppliers who shipped more
+    than ``factor`` × the per-supplier average quantity of some
+    ``p_type`` part — a CHAIN of nested IN subqueries (supplier IN
+    (... part IN (...))) that must decorrelate to stacked left-semi
+    joins over aggregated views, never per-row subquery execution.
+    (The official query thresholds partsupp availability; with no
+    partsupp table the shipped-quantity average per part plays the
+    threshold role — same nesting, same decorrelation demands.)
+
+    Cross-engine exactness: quantities are integral doubles (exact
+    sums any order); the average is one division; COUNT is exact.
+
+    Scale: one (part, supplier) aggregation of the type-filtered fact
+    rows (broadcast part prunes the scan); the per-part average
+    aggregates that small view again; the final supplier filter is a
+    semi join against a key set. Output: (s_suppkey, s_name)."""
+    pk = part.where(F.col("p_type") == p_type).select("p_partkey")
+    shipped = (
+        lineitem.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    per_part = shipped.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.sum("qty") / F.count("qty")).alias("__avg_qty")
+    )
+    excess_keys = (
+        shipped.join(F.broadcast(per_part), F.col("l_partkey") == F.col("__pk"))
+        .where(F.col("qty") > F.lit(float(factor)) * F.col("__avg_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            excess_keys,
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def sql_excess_suppliers(p_type: str = "PROMO", factor: float = 2.0) -> str:
+    return f"""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM (
+                SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+                FROM lineitem
+                WHERE l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_type = '{p_type}'
+                )
+                GROUP BY l_partkey, l_suppkey
+            ) s
+            WHERE s.qty > {float(factor)} * (
+                SELECT SUM(s2.qty) / COUNT(s2.qty) FROM (
+                    SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+                    FROM lineitem
+                    WHERE l_partkey IN (
+                        SELECT p_partkey FROM part WHERE p_type = '{p_type}'
+                    )
+                    GROUP BY l_partkey, l_suppkey
+                ) s2
+                WHERE s2.l_partkey = s.l_partkey
+            )
+        )
+        ORDER BY s_suppkey
+    """
+
+
 def sql_top_supplier(start: str = "1996-01-01", end: str = "1996-04-01") -> str:
     return f"""
         WITH revenue AS (

@@ -230,6 +230,36 @@ def test_tpch_shape_plans(spark):
     pushed = [l for l in p.splitlines() if "PushedFilters" in l]
     assert any("p_type" in l for l in pushed), pushed
 
+    # Q11: ONE lineitem scan — the global threshold rides the window
+    # over the aggregated view, same discipline as Q15
+    p = plan(AN.important_parts(li))
+    li_scans = [
+        l for l in p.splitlines() if "Scan parquet" in l and "l_partkey" in l
+    ]
+    assert len(li_scans) == 1, li_scans
+
+    # Q20: the nested-IN chain is semi joins over aggregated views,
+    # never a cartesian or join+distinct reconstruction
+    p = plan(
+        AN.excess_suppliers(
+            li, load_table(spark, sf, "supplier"), part
+        )
+    )
+    assert "LeftSemi" in p and "CartesianProduct" not in p
+
+    # Q2: correlated min decorrelates to aggregate-then-join; the
+    # part filter reaches its scan; top-k is TakeOrderedAndProject,
+    # never a global sort
+    p = plan(
+        AN.min_cost_supplier(
+            li, part, load_table(spark, sf, "supplier"),
+            load_table(spark, sf, "nation"),
+        )
+    )
+    assert "TakeOrderedAndProject" in p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("p_size" in l for l in pushed), pushed
+
     # Q15: ONE lineitem scan (the scalar-subquery form planned two —
     # the max must ride the window over the aggregated view), and the
     # quarter filter reaches that scan
