@@ -412,6 +412,28 @@ def run_suite(spark) -> dict[str, float]:
 
         _ivf.semantic_dedup(emb, threshold=0.3).count()
 
+    # IVF store: write once, then each ingest batch reads only its
+    # clusters' directories (the embedding analog of the sig store)
+    @timed("ivf_store_write_once")
+    def _ivfw():
+        from spark_indexedrdd_spark.functions import ivf as _ivf
+
+        _ivf.write_ivf_store(
+            emb.where("vec_id % 20 != 0").select("vec_id", "embedding"),
+            "spark-warehouse/bench_ivf_store",
+            method="det",
+        )
+
+    @timed("semantic_dedup_incremental")
+    def _semddi():
+        from spark_indexedrdd_spark.functions import ivf as _ivf
+
+        _ivf.incremental_semantic_dedup_from_store(
+            emb.where("vec_id % 20 = 0").select("vec_id", "embedding"),
+            "spark-warehouse/bench_ivf_store",
+            threshold=0.3,
+        ).count()
+
     # --- bucketed persistence: the 100 TB join path ---------------------- #
     # (write once, then every cross-job join is exchange-free; the write
     # is the amortized one-time cost, reported separately)

@@ -357,6 +357,170 @@ def semantic_dedup(
     )
 
 
+# --------------------------------------------------------------------- #
+# IVF store: the persisted-embedding path for continuous semantic dedup
+# (the embedding-side analog of dedup.write_signature_store)
+# --------------------------------------------------------------------- #
+
+
+def write_ivf_store(
+    emb: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "kmeans",
+) -> None:
+    """Materialize the corpus as a partitioned IVF index: vectors (with
+    precomputed norms and centroid assignment) at ``path/vectors``
+    PARTITIONED BY cluster_id — so any cluster-scoped read prunes to
+    one directory — and the centroid table at ``path/centroids``.
+
+    This is the one-time (per corpus) cost that makes per-batch
+    incremental semantic dedup touch only the clusters the batch lands
+    in: a batch hitting c of k clusters reads ~c/k of the stored
+    vectors, and the centroids (k rows) are the only global state."""
+    from spark_indexedrdd_spark.functions.vectors import norm
+
+    cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
+    assigned = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("nrm"),
+        _assign_udf(cents)(F.col(vec_col)).alias("cluster_id"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        path + "/vectors"
+    )
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(i, c, n) for i, (c, n) in enumerate(cents)],
+        "cluster_id int, centroid array<double>, c_norm double",
+    ).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def read_ivf_store(
+    spark, path: str
+) -> "tuple[DataFrame, list[tuple[list[float], float]]]":
+    """Returns (vectors, centroids) — vectors lazily from the
+    partitioned parquet (cluster_id filters prune directories),
+    centroids as the driver-side list ``build_ivf`` produces."""
+    rows = (
+        spark.read.parquet(path + "/centroids")
+        .orderBy("cluster_id")
+        .collect()
+    )
+    cents = [([float(x) for x in r.centroid], float(r.c_norm)) for r in rows]
+    return spark.read.parquet(path + "/vectors"), cents
+
+
+def append_ivf_batch(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold an accepted ingest batch into the store: assign with the
+    STORED centroids (the index's clustering is fixed at build time —
+    re-fitting would silently re-shape every list) and append into the
+    per-cluster directories."""
+    from spark_indexedrdd_spark.functions.vectors import norm
+
+    _vecs, cents = read_ivf_store(new_emb.sparkSession, path)
+    assigned = new_emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("nrm"),
+        _assign_udf(cents)(F.col(vec_col)).alias("cluster_id"),
+    )
+    assigned.write.mode("append").partitionBy("cluster_id").parquet(
+        path + "/vectors"
+    )
+
+
+def incremental_semantic_dedup_from_store(
+    new_emb: DataFrame,
+    path: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup verdicts for an INCREMENTAL ingest batch against the
+    persisted IVF store: each new vector is assigned with the stored
+    centroids (broadcast inside one Arrow UDF — no shuffle), compared
+    against the store vectors of ITS OWN cluster (new×store) and
+    against same-cluster vectors of the batch with smaller ids
+    (new×new). The stored corpus is NEVER self-compared, and only the
+    clusters the batch lands in are read — the cluster_id IN (...)
+    filter prunes whole store directories.
+
+    Id contract: batch ids must be larger than every stored id
+    (monotone ingest order) — then a verdict here equals what the batch
+    :func:`semantic_dedup` would say over (corpus ∪ batch) with the
+    same centroids (pytest-pinned with det centroids). ``doc != doc``
+    guards keep at-least-once replays (batch appended, checkpoint lost)
+    from emitting self-pairs, mirroring the LSH store's note.
+
+    Returns (vec_id, cluster_id, keep, dup_of) for the NEW ids only."""
+    from spark_indexedrdd_spark.functions.vectors import dot, norm
+
+    spark = new_emb.sparkSession
+    _store_all, cents = read_ivf_store(spark, path)
+    new_n = new_emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+        _assign_udf(cents)(F.col(vec_col)).alias("cluster_id"),
+    )
+    hit = [
+        r.cluster_id
+        for r in new_n.select("cluster_id").distinct().collect()
+    ]
+    store = _store_all.where(F.col("cluster_id").isin(hit)).select(
+        F.col(id_col).alias("__b"),
+        F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cluster_id",
+    )
+    a = new_n.select(
+        F.col(id_col).alias("__a"), "cluster_id",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    nc = (
+        a.join(store, "cluster_id")
+        .where(F.col("__b") != F.col("__a"))
+        .where(sim >= F.lit(float(threshold)))
+        .select("__a", "__b")
+    )
+    b_new = new_n.select(
+        F.col(id_col).alias("__b"), "cluster_id",
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    nn = (
+        a.join(b_new, "cluster_id")
+        .where(F.col("__b") < F.col("__a"))
+        .where(sim >= F.lit(float(threshold)))
+        .select("__a", "__b")
+    )
+    dup_of = (
+        nc.unionByName(nn)
+        .groupBy(F.col("__a").alias(id_col))
+        .agg(F.min("__b").alias("dup_of"))
+    )
+    return (
+        new_n.select(id_col, "cluster_id")
+        .join(dup_of, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )
+
+
 def sql_semantic_dedup(
     table: str = "embeddings",
     threshold: float = 0.95,

@@ -107,3 +107,61 @@ def streaming_incremental_lsh(
             sig_new.unpersist()
 
     return stream.writeStream.foreachBatch(_process).outputMode("append")
+
+
+def streaming_semantic_dedup(
+    spark: SparkSession,
+    emb_path: str,
+    ivf_store_path: str,
+    verdicts_path: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int = 1,
+):
+    """Continuous-ingest SemDeDup: each arriving embedding file becomes
+    a micro-batch that is (1) assigned to the persisted IVF index's
+    clusters and compared against ONLY those clusters' stored vectors
+    (+ smaller-id batchmates) — the embedding-side twin of
+    ``streaming_incremental_lsh`` — then (2) appended into the store
+    under the SAME centroids, so the next batch sees it as corpus.
+    Per-vector verdict rows (vec_id, cluster_id, keep, dup_of) append
+    to ``verdicts_path``.
+
+    The 100 TB shape: corpus embeddings are read per batch only from
+    the clusters the batch lands in (partition-pruned directories);
+    corpus×corpus never happens; the only global state is k centroids.
+
+    Delivery note: foreachBatch is at-least-once — a replayed batch can
+    append verdicts (and vectors) twice. Verdicts dedupe downstream by
+    vec_id; the candidate join's ``id != id`` guard keeps a replayed
+    batch from flagging itself against its own stored copy, mirroring
+    the LSH store's note (duplicated store rows can, however, flip a
+    replayed vector's verdict to dup-of-itself's-copy — exactly-once
+    sinks should checkpoint-commit before append, as with any
+    foreachBatch pipeline).
+
+    Returns the unstarted ``DataStreamWriter``; drive with e.g.
+    ``.trigger(availableNow=True).option("checkpointLocation", ...)``.
+    """
+    from spark_indexedrdd_spark.functions.ivf import (
+        append_ivf_batch,
+        incremental_semantic_dedup_from_store,
+    )
+
+    schema = spark.read.parquet(emb_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(emb_path)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(id_col, vec_col)
+        verdicts = incremental_semantic_dedup_from_store(
+            batch, ivf_store_path, threshold, id_col, vec_col
+        )
+        verdicts.write.mode("append").parquet(verdicts_path)
+        append_ivf_batch(batch, ivf_store_path, id_col, vec_col)
+
+    return stream.writeStream.foreachBatch(_process).outputMode("append")

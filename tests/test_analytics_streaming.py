@@ -587,3 +587,66 @@ def test_multimodal_feature_extraction_feeds_ann(spark, tables):
 
     with pytest.raises(NotImplementedError):
         MM.extract_features(media)  # real model absent: clearly-marked stub
+
+
+def test_streaming_semantic_dedup_matches_sequential_batches(spark, sf_dir, tmp_path):
+    """File-per-micro-batch embedding ingest against the IVF store must
+    produce exactly the verdicts of applying the batch store path
+    sequentially — each batch assigned under the SAME stored centroids
+    and seeing all prior batches as corpus."""
+    from spark_indexedrdd_spark.functions import ivf as IV
+    from spark_indexedrdd_spark.streaming.dedup import streaming_semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.where("vec_id < 300")
+    b1 = emb.where("vec_id >= 300 AND vec_id < 400")
+    b2 = emb.where("vec_id >= 400")
+
+    store = str(tmp_path / "ivf")
+    IV.write_ivf_store(corpus, store, n_clusters=8, method="det")
+    store2 = str(tmp_path / "ivf2")
+    IV.write_ivf_store(corpus, store2, n_clusters=8, method="det")
+    expected = set()
+    for b in (b1, b2):
+        expected |= {
+            (r.vec_id, r.cluster_id, r.keep, r.dup_of)
+            for r in IV.incremental_semantic_dedup_from_store(
+                b, store2, threshold=0.3
+            ).collect()
+        }
+        IV.append_ivf_batch(b, store2)
+
+    import glob
+    import os
+    import shutil
+
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    verdicts_dir = str(tmp_path / "verdicts")
+    for i, b in enumerate((b1, b2), start=1):
+        tmp_out = str(tmp_path / f"w{i}")
+        b.coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        dest = str(stream_dir / f"f{i}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    q = (
+        streaming_semantic_dedup(
+            spark, str(stream_dir), store, verdicts_dir, threshold=0.3
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.vec_id, r.cluster_id, r.keep, r.dup_of)
+        for r in spark.read.parquet(verdicts_dir).collect()
+    }
+    assert got == expected and len(got) > 0
+    vecs, _cents = IV.read_ivf_store(spark, store)
+    assert vecs.count() == emb.count()

@@ -120,3 +120,85 @@ def test_semantic_dedup_kmeans_quality_on_clusters(clustered):
         corpus, threshold=0.99999, n_clusters=8, method="kmeans"
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_incremental_semantic_dedup_equals_batch(spark, sf_dir, tmp_path):
+    """Store-backed incremental verdicts must equal the batch
+    semantic_dedup over (corpus ∪ batch) restricted to the batch ids —
+    same centroids (det over the corpus, which holds the smallest ids,
+    so the union's first-k set is identical), same threshold."""
+    from spark_indexedrdd_spark.functions.ivf import (
+        incremental_semantic_dedup_from_store,
+        semantic_dedup,
+        write_ivf_store,
+    )
+    from spark_indexedrdd_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where("vec_id < 300").select("vec_id", "embedding")
+    batch = emb.where("vec_id >= 300").select("vec_id", "embedding")
+    store = str(tmp_path / "ivf_store")
+    write_ivf_store(corpus, store, n_clusters=8, method="det")
+
+    inc = {
+        r.vec_id: (r.cluster_id, r.keep, r.dup_of)
+        for r in incremental_semantic_dedup_from_store(
+            batch, store, threshold=0.3
+        ).collect()
+    }
+    full = {
+        r.vec_id: (r.cluster_id, r.keep, r.dup_of)
+        for r in semantic_dedup(
+            corpus.unionAll(batch), threshold=0.3, n_clusters=8, method="det"
+        ).collect()
+        if r.vec_id >= 300
+    }
+    assert inc == full and len(inc) > 0
+
+
+def test_ivf_store_append_and_pruning(spark, tmp_path):
+    """Appended batches join the store under the SAME centroids; a
+    cluster-scoped read touches only that cluster's files (partition
+    pruning — the property the per-cluster layout exists for)."""
+    import numpy as np
+
+    from spark_indexedrdd_spark.functions.ivf import (
+        append_ivf_batch,
+        incremental_semantic_dedup_from_store,
+        read_ivf_store,
+        write_ivf_store,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(4, 8)).astype("float64") * 3
+    def mk(ids, centers):
+        rows = [
+            (int(i), [float(x) for x in centers[j % 4] + rng.normal(size=8) * 0.05])
+            for j, i in enumerate(ids)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    corpus = mk(range(40), base)
+    store = str(tmp_path / "store")
+    write_ivf_store(corpus, store, n_clusters=4, method="det")
+
+    # batch 1: an exact copy of vec 0's embedding → flagged against store
+    v0 = corpus.where("vec_id = 0").collect()[0].embedding
+    b1 = spark.createDataFrame([(100, v0)], "vec_id long, embedding array<float>")
+    r1 = incremental_semantic_dedup_from_store(b1, store, threshold=0.999).collect()
+    assert len(r1) == 1 and not r1[0].keep and r1[0].dup_of == 0
+    append_ivf_batch(b1, store)
+
+    # batch 2: copy of 100 → must now see batch 1 in the store
+    b2 = spark.createDataFrame([(200, v0)], "vec_id long, embedding array<float>")
+    r2 = incremental_semantic_dedup_from_store(b2, store, threshold=0.999).collect()
+    assert not r2[0].keep and r2[0].dup_of == 0  # min-id neighbor, not 100
+
+    vecs, cents = read_ivf_store(spark, store)
+    assert len(cents) == 4
+    # cluster filters must prune at the PARTITION level (directory
+    # pruning), not as a post-scan data filter
+    one = vecs.where(F.col("cluster_id") == r2[0].cluster_id)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("cluster_id" in l for l in pf), plan
