@@ -451,6 +451,40 @@ def append_signature_batch(
     minhash_signatures(new_df, text_col, id_col).write.mode("append").parquet(path)
 
 
+def compact_store(
+    spark,
+    path: str,
+    num_partitions: int = 8,
+    partition_cols: "list[str] | None" = None,
+) -> None:
+    """Compact an append-grown parquet store (signature store, IVF
+    store's ``vectors``): every micro-batch append adds at least one
+    file, and a year of small batches turns the store scan into a
+    file-listing problem long before a data-size problem. Reads the
+    store, coalesces to ``num_partitions`` per partition directory, and
+    atomically swaps via write-to-temp + rename.
+
+    At 100 TB run this as periodic maintenance (e.g. when file count
+    exceeds ~10× the partition target); on object stores replace the
+    rename with the committer's atomic publish. Readers racing the swap
+    see the old store until the rename (POSIX) — acceptable for the
+    dedup stores whose readers re-list per micro-batch."""
+    import os
+    import shutil
+    import uuid
+
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df = spark.read.parquet(path)
+    writer = df.repartition(num_partitions).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def sql_incremental_lsh_candidates(
     new_pred: str = "doc_id % 20 = 0",
     table: str = "documents",

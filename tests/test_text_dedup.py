@@ -647,3 +647,40 @@ def test_corpus_span_stats_exact_and_approx(spark, sf_dir):
         1, exact.n_distinct_spans
     )
     assert rel <= 0.06, rel
+
+
+def test_compact_store_preserves_rows_and_shrinks_files(spark, tmp_path):
+    """Compaction after many appends: identical row set, far fewer
+    files, and the store path stays valid for the incremental reader."""
+    import glob
+
+    from spark_indexedrdd_spark.functions.dedup import (
+        append_signature_batch,
+        compact_store,
+        incremental_lsh_candidates_from_store,
+        write_signature_store,
+    )
+
+    store = str(tmp_path / "sig")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    corpus = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    write_signature_store(corpus, store)
+    for i in range(2, 8):
+        append_signature_batch(
+            spark.createDataFrame(
+                [(i, f"batch {i} words " + base)], "doc_id long, text string"
+            ),
+            store,
+        )
+    before = spark.read.parquet(store).sort("doc_id").collect()
+    n_files_before = len(glob.glob(f"{store}/*.parquet"))
+    compact_store(spark, store, num_partitions=1)
+    after = spark.read.parquet(store).sort("doc_id").collect()
+    n_files_after = len(glob.glob(f"{store}/*.parquet"))
+    assert after == before
+    assert n_files_after < n_files_before and n_files_after == 1
+    # reader still works against the compacted store
+    probe = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    got = {r.doc_b for r in
+           incremental_lsh_candidates_from_store(probe, store).collect()}
+    assert 1 in got
