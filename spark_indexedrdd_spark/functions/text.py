@@ -956,16 +956,9 @@ def duplicate_spans(
     Docs shorter than ``width`` tokens have zero spans and report
     dup_span_frac = 0.0 (restored by the left join — explode drops
     them)."""
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    starts = F.when(
-        n >= width,
-        F.sequence(F.lit(1), n - width + 1, F.lit(stride)),
-    ).otherwise(F.array().cast("array<int>"))
-    span_hashes = F.transform(
-        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, width)))
+    occ = _tokenized(df, text_col, id_col).select(
+        F.col(id_col), F.explode(_span_hashes(width, stride)).alias("__h")
     )
-    occ = df.select(F.col(id_col), F.explode(span_hashes).alias("__h"))
     per_doc_span = occ.groupBy(id_col, "__h").agg(
         F.count("*").cast("long").alias("__c")
     )
@@ -996,6 +989,35 @@ def duplicate_spans(
     )
 
 
+def _tokenized(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, __t=tokens) projection — the FENCE below every span
+    Generate. Higher-order-function lambdas are interpreted with NO
+    common-subexpression elimination: building spans directly over the
+    ``tokens(text)`` expression re-tokenizes the document once PER SPAN
+    inside the slice lambda (measured at sf0.1: the span explode cost
+    2.8 s single-task; with tokens materialized behind this projection
+    — which CollapseProject does not merge through a Generate — the
+    same explode is 0.5 s). Every span operator builds on this."""
+    return df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+
+
+def _span_starts(width: int, stride: int) -> Column:
+    n = F.size(F.col("__t"))
+    return F.when(
+        n >= width,
+        F.sequence(F.lit(1), n - width + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def _span_hashes(width: int, stride: int) -> Column:
+    return F.transform(
+        _span_starts(width, stride),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__t"), i, width))),
+    )
+
+
 def corpus_span_stats(
     df: DataFrame,
     width: int = 10,
@@ -1019,16 +1041,9 @@ def corpus_span_stats(
     one ~1.5 KB sketch per task instead of the distinct span set. The
     approx twin is pytest-pinned within rsd of the exact answer; it has
     no SQL oracle (HLL register layouts are engine-specific)."""
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    starts = F.when(
-        n >= width,
-        F.sequence(F.lit(1), n - width + 1, F.lit(stride)),
-    ).otherwise(F.array().cast("array<int>"))
-    span_hashes = F.transform(
-        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, width)))
+    occ = _tokenized(df, text_col, id_col).select(
+        F.explode(_span_hashes(width, stride)).alias("__h")
     )
-    occ = df.select(F.explode(span_hashes).alias("__h"))
     distinct = (
         F.approx_count_distinct("__h", rsd) if approx
         else F.count_distinct("__h")
@@ -1100,19 +1115,11 @@ def remove_duplicate_spans(
     spans-per-doc, not corpus size. The final token filter is a per-row
     HOF over (token index × removal ranges) — quadratic only in
     per-document terms. Positions are 1-based on both engines."""
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    starts = F.when(
-        n >= width,
-        F.sequence(F.lit(1), n - width + 1, F.lit(stride)),
-    ).otherwise(F.array().cast("array<int>"))
-    span_hashes = F.transform(
-        starts, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, width)))
-    )
+    tk = _tokenized(df, text_col, id_col)
     # (doc, start_pos, hash) occurrences; pos is 1-based token index
-    occ = df.select(
+    occ = tk.select(
         F.col(id_col),
-        F.posexplode(span_hashes).alias("__sp", "__h"),
+        F.posexplode(_span_hashes(width, stride)).alias("__sp", "__h"),
     ).select(
         id_col,
         (F.col("__sp") * stride + 1).alias("__p"),
@@ -1143,15 +1150,18 @@ def remove_duplicate_spans(
     starts_or_empty = F.coalesce(
         F.col("__starts"), F.array().cast("array<int>")
     )
+    # coverage filter over the MATERIALIZED token column (__t), same
+    # fence rationale as _tokenized
     kept = F.filter(
-        toks,
+        F.col("__t"),
         lambda _t, i: ~F.exists(
             starts_or_empty,
             lambda s: (s <= i + 1) & (i + 1 < s + width),
         ),
     )
+    n = F.size(F.col("__t"))
     return (
-        df.join(removals, id_col, "left")
+        tk.join(removals, id_col, "left")
         .select(
             F.col(id_col),
             n.cast("int").alias("n_tokens"),
