@@ -570,8 +570,13 @@ def repetition_stats(
     Scale: pure per-row array expressions (n-gram construction via
     slice+zip_with, distinct via array_distinct) — a narrow map inside
     the scan stage, no shuffle, no UDF. Exact-ratio arithmetic, so the
-    DuckDB twin is bit-identical."""
-    toks = tokens(F.col(text_col))
+    DuckDB twin is bit-identical. Tokens are materialized behind the
+    ``_tokenized`` fence: HOF projections are CodegenFallback
+    (interpreted, no CSE), so the ~6 references to the tokens
+    expression re-tokenized each row 6× — measured 3.2 s → 1.2 s at
+    sf0.1 with the fence, identical values."""
+    tk = _tokenized(df, text_col, id_col)
+    toks = F.col("__t")
     n = F.size(toks)
 
     def ngram_dup_frac(width: int) -> Column:
@@ -592,7 +597,7 @@ def repetition_stats(
 
     dup2 = ngram_dup_frac(2)
     dup3 = ngram_dup_frac(3)
-    return df.select(
+    return tk.select(
         F.col(id_col),
         n.cast("int").alias("n_tokens"),
         dup2.alias("dup_bigram_frac"),
