@@ -317,3 +317,40 @@ def test_contract_wide_no_accidental_cross_joins(spark):
         elif "BroadcastNestedLoopJoin" in p and name not in BNLJ_INTENDED:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_span_ops_keep_token_fence(spark):
+    """Regression tripwire for the measured HOF-CSE fix: the span
+    Generate must consume a MATERIALIZED token column (the _tokenized
+    projection), never re-derive split/filter inside the generator —
+    that shape re-tokenized every document once per span (2.8 s vs
+    0.5 s at sf0.1 for the explode alone)."""
+    from spark_indexedrdd_spark.functions import text as T
+    from spark_indexedrdd_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for df in (
+        T.duplicate_spans(docs),
+        T.remove_duplicate_spans(docs),
+        T.corpus_span_stats(docs),
+    ):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        gen = [l for l in p.splitlines() if "Generate explode" in l
+               or "Generate posexplode" in l]
+        assert gen, p
+        for l in gen:
+            assert "split(" not in l, (
+                "tokenization leaked back into the span generator:\n" + l
+            )
+    # repetition_stats: same fence, projection form (no Generate) —
+    # the output projection must reference __t, not re-split text
+    p = (
+        T.repetition_stats(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    out_proj = next(
+        l for l in p.splitlines() if "dup_bigram_frac" in l
+    )
+    assert "split(" not in out_proj, out_proj
