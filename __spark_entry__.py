@@ -23,6 +23,7 @@ from spark_indexedrdd_spark.functions import dedup as _dedup  # noqa: E402
 from spark_indexedrdd_spark.functions import ivf as _ivf  # noqa: E402
 from spark_indexedrdd_spark.functions import multimodal as _mm  # noqa: E402
 from spark_indexedrdd_spark.functions import quant as _quant  # noqa: E402
+from spark_indexedrdd_spark.functions import shards as _shards  # noqa: E402
 from spark_indexedrdd_spark.functions import similarity as _sim  # noqa: E402
 from spark_indexedrdd_spark.functions import text as _text  # noqa: E402
 from spark_indexedrdd_spark.operators import analytics as _an  # noqa: E402
@@ -391,6 +392,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # one-row corpus duplication summary (exact form; the HLL approx
     # twin is the 100 TB path, pytest-pinned within rsd of this)
     "corpus_span_stats": lambda s, d: _text.corpus_span_stats(_docs(s, d)),
+    # deterministic global shuffle + shard assignment for serving
+    "training_order": lambda s, d: _shards.training_order(_docs(s, d)),
     # SemDeDup (Abbas et al. 2023): cluster-then-intra-cluster cosine
     # verdicts; det centroids make the whole verdict table hash-exact
     "semantic_dedup": lambda s, d: _ivf.semantic_dedup(
@@ -640,6 +643,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     "duplicate_spans": _text.sql_duplicate_spans(),
     "remove_duplicate_spans": _text.sql_remove_duplicate_spans(),
     "corpus_span_stats": _text.sql_corpus_span_stats(),
+    "training_order": _shards.sql_training_order(),
     "semantic_dedup": _ivf.sql_semantic_dedup(threshold=0.3),
     "redact_pii": _text.sql_redact_pii(),
     "contamination_check": _text.sql_contamination_check(),
@@ -857,6 +861,7 @@ PAST_CUTOFF_NEW = (
     "min_cost_supplier_q2",    # TPC-H Q2: correlated min, decorrelated
     "important_parts_q11",     # TPC-H Q11: scalar threshold in HAVING
     "excess_suppliers_q20",    # TPC-H Q20: nested-IN semijoin chain
+    "training_order",          # deterministic serving-order shuffle
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}

@@ -418,6 +418,14 @@ def run_suite(spark) -> dict[str, float]:
     def _cspansa():
         _text.corpus_span_stats(docs, approx=True).collect()
 
+    @timed("training_shards_write_once")
+    def _tshards():
+        from spark_indexedrdd_spark.functions import shards as _shards
+
+        _shards.write_training_shards(
+            docs, "spark-warehouse/bench_training", n_shards=CPUS
+        )
+
     @timed("semantic_dedup")
     def _semdd():
         from spark_indexedrdd_spark.functions import ivf as _ivf

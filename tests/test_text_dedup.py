@@ -684,3 +684,53 @@ def test_compact_store_preserves_rows_and_shrinks_files(spark, tmp_path):
     got = {r.doc_b for r in
            incremental_lsh_candidates_from_store(probe, store).collect()}
     assert 1 in got
+
+
+def test_training_shards_layout_and_determinism(spark, sf_dir, tmp_path):
+    """Serving layout contract: every row lands in the shard its hash
+    dictates (repartition-stable), each shard's files hold rows in
+    order_key order, the manifest matches the data, and a new seed is a
+    different permutation without moving the same doc set."""
+    from spark_indexedrdd_spark.functions.shards import (
+        read_training_shard,
+        training_order,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {(r.doc_id, r.order_key, r.shard_id)
+         for r in training_order(docs).collect()}
+    b = {(r.doc_id, r.order_key, r.shard_id)
+         for r in training_order(docs.repartition(7)).collect()}
+    assert a == b  # physical layout cannot change the permutation
+    e2 = {r.doc_id: r.order_key for r in training_order(docs, seed=43).collect()}
+    e1 = {r.doc_id: r.order_key for r in training_order(docs, seed=42).collect()}
+    assert e1.keys() == e2.keys() and e1 != e2  # new epoch, same corpus
+
+    path = str(tmp_path / "serving")
+    write_training_shards(docs, path, n_shards=4)
+    man = {r.shard_id: r for r in
+           spark.read.parquet(path + "/_manifest").collect()}
+    total = 0
+    for sid in range(4):
+        rows = read_training_shard(spark, path, sid).collect()
+        total += len(rows)
+        assert len(rows) == man[sid].n_rows
+        keys = [r.order_key for r in rows]
+        assert keys == sorted(keys)  # reader restores training order
+        assert keys[0] == man[sid].min_order_key
+        assert keys[-1] == man[sid].max_order_key
+    assert total == docs.count()
+
+    # layout contract for NON-Spark trainers: every file is internally
+    # ordered, and name-sorted files concatenate to the shard's order
+    import glob
+
+    for sid in range(4):
+        files = sorted(glob.glob(f"{path}/shards/shard_id={sid}/*.parquet"))
+        concat = []
+        for f in files:
+            ks = [r.order_key for r in spark.read.parquet(f).collect()]
+            assert ks == sorted(ks), f  # per-file order
+            concat += ks
+        assert concat == sorted(concat), sid  # file-name order = global
