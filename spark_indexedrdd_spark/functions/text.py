@@ -53,8 +53,15 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     Columns: n_chars, n_tokens, n_bpe_tokens (regex-estimated subwords),
     avg_token_len, uniq_token_ratio, stopword_ratio, quality (composite).
     All ratios are double divisions of exact integer counts —
-    bit-identical across engines."""
-    toks = tokens(F.col(text_col))
+    bit-identical across engines. Tokens are materialized below the
+    stats projection (the `_tokenized` fence rationale: the projection
+    holds HOFs, so it is CodegenFallback with no CSE, and the ~7
+    references to the tokens expression would each re-split the
+    text)."""
+    tk = df.select(
+        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("__t")
+    )
+    toks = F.col("__t")
     n_tok = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
     n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
@@ -62,7 +69,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     total_tok_chars = F.aggregate(
         toks, F.lit(0), lambda acc, t: acc + F.length(t)
     )
-    return df.select(
+    return tk.select(
         F.col(id_col),
         F.length(text_col).cast("long").alias("n_chars"),
         n_tok.cast("long").alias("n_tokens"),
