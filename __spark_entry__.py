@@ -510,6 +510,25 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "supplier"),
         load_table(s, d, "part"),
     ),
+    # Q9/Q12/Q16 shapes (r7): the last three official queries the
+    # reduced schema can host — snowflake profit with a derived cost
+    # view, conditional priority counts over a cross-table lateness
+    # predicate, distinct-supplier census with a NOT-IN complaint list
+    "product_profit_q9": lambda s, d: _an.product_type_profit(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "part"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "nation"),
+        load_table(s, d, "orders"),
+    ),
+    "shipmode_priority_q12": lambda s, d: _an.shipmode_priority_dist(
+        load_table(s, d, "lineitem"), load_table(s, d, "orders")
+    ),
+    "parts_supplier_q16": lambda s, d: _an.parts_supplier_relationship(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "part"),
+        load_table(s, d, "supplier"),
+    ),
     "bloom_pruned_join": lambda s, d: _bloom.urgent_revenue_bloom(
         load_table(s, d, "lineitem"), load_table(s, d, "orders")
     ),
@@ -533,6 +552,13 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "doc_id", "lang", "source", "n_chars"
     ),
     "pack_documents": lambda s, d: _text.pack_documents(_docs(s, d)),
+    # training-prep fan-outs (r7): context-window chunking and
+    # fractional-epoch mixture materialization — both shuffle-free
+    # per-row Generates
+    "chunk_documents": lambda s, d: _text.chunk_documents(_docs(s, d)),
+    "epoch_upsample": lambda s, d: _text.epoch_upsample(
+        _docs(s, d), {"src0": 2.5, "src1": 0.5, "src2": 0.0}
+    ),
     "late_shipment_orders": lambda s, d: _an.late_shipment_orders(
         load_table(s, d, "orders"), load_table(s, d, "lineitem")
     ),
@@ -640,6 +666,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "min_cost_supplier_q2": _an.sql_min_cost_supplier(),
     "important_parts_q11": _an.sql_important_parts(),
     "excess_suppliers_q20": _an.sql_excess_suppliers(),
+    "product_profit_q9": _an.sql_product_type_profit(),
+    "shipmode_priority_q12": _an.sql_shipmode_priority_dist(),
+    "parts_supplier_q16": _an.sql_parts_supplier_relationship(),
     "duplicate_spans": _text.sql_duplicate_spans(),
     "remove_duplicate_spans": _text.sql_remove_duplicate_spans(),
     "corpus_span_stats": _text.sql_corpus_span_stats(),
@@ -680,6 +709,10 @@ EXTENSION_ORACLE: dict[str, str] = {
         FROM (""" + _text.sql_hash_sample() + """)
     """,
     "pack_documents": _text.sql_pack_documents(),
+    "chunk_documents": _text.sql_chunk_documents(),
+    "epoch_upsample": _text.sql_epoch_upsample(
+        epochs_by_source={"src0": 2.5, "src1": 0.5, "src2": 0.0}
+    ),
     "late_shipment_orders": _an.sql_late_shipment_orders(),
     "supplier_diversity": _an.SQL_SUPPLIER_DIVERSITY_BY_BRAND,
     "grouping_sets_doc_stats": _an.SQL_GROUPING_SETS_DOC_STATS,
@@ -862,6 +895,13 @@ PAST_CUTOFF_NEW = (
     "important_parts_q11",     # TPC-H Q11: scalar threshold in HAVING
     "excess_suppliers_q20",    # TPC-H Q20: nested-IN semijoin chain
     "training_order",          # deterministic serving-order shuffle
+    # --- new in round 7 (the window's 50 slots were already owed to the
+    # round-6 backlog; these join the front of the next rotation) ---
+    "product_profit_q9",       # TPC-H Q9: derived-cost snowflake profit
+    "shipmode_priority_q12",   # TPC-H Q12: conditional priority counts
+    "parts_supplier_q16",      # TPC-H Q16: distinct-supplier census
+    "chunk_documents",         # context-window chunking (training prep)
+    "epoch_upsample",          # fractional-epoch mixture materialization
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}

@@ -399,6 +399,43 @@ def run_suite(spark) -> dict[str, float]:
             load_table(spark, SF_DIR, "part"),
         ).collect()
 
+    # --- r7 newcomers: the last three TPC-H shapes + training fan-outs --- #
+
+    @timed("product_profit_q9")
+    def _q9():
+        _an.product_type_profit(
+            li_full,
+            load_table(spark, SF_DIR, "part"),
+            load_table(spark, SF_DIR, "supplier"),
+            load_table(spark, SF_DIR, "nation"),
+            orders,
+        ).collect()
+
+    @timed("shipmode_priority_q12")
+    def _q12():
+        _an.shipmode_priority_dist(li_full, orders).collect()
+
+    @timed("parts_supplier_q16")
+    def _q16():
+        _an.parts_supplier_relationship(
+            li_full,
+            load_table(spark, SF_DIR, "part"),
+            load_table(spark, SF_DIR, "supplier"),
+        ).collect()
+
+    # SUM(LENGTH(chunk_text)), not count(): under count(1) Catalyst
+    # prunes the slice+concat projection and only the start generator
+    # runs — the length reduction forces every chunk's text through
+    @timed("chunk_documents")
+    def _chunks():
+        _text.chunk_documents(docs).select(
+            F.sum(F.length("chunk_text"))
+        ).collect()
+
+    @timed("epoch_upsample")
+    def _epochs():
+        _text.epoch_upsample(docs, {"src0": 2.5, "src1": 0.5}).count()
+
     # .collect(), not .count(): the left-join + per-doc aggregate shape
     # lets Catalyst prune the whole span computation under count(1) —
     # a 0.2 s "measurement" of a 4.5 s query (observed at sf0.1)

@@ -1271,3 +1271,170 @@ def sql_duplicate_spans(
                END AS dup_span_frac
         FROM {table} d LEFT JOIN st USING ({id_col})
     """
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document into token windows of
+    at most ``max_tokens``, starting every ``stride`` tokens — the
+    training-prep step that turns variable-length documents into
+    model-context-sized examples (stride < max_tokens gives the standard
+    overlapping windows so no span is ever cut without context).
+
+    Contract: starts are 1, 1+stride, 2*stride+1, … up to the document's
+    token count; each chunk is the token slice [start, start+max_tokens)
+    re-joined with single spaces (tail chunks run shorter). An empty
+    document yields one empty chunk — the row is never silently dropped,
+    so per-document accounting downstream stays total. chunk_id =
+    (start-1)/stride is the 0-based window ordinal.
+
+    Scale: embarrassingly parallel — one Generate per row inside the
+    scan stage, NO shuffle anywhere. The tokenization sits behind the
+    :func:`_tokenized` projection fence (same measured 3-4× explode
+    saving as the span operators: HOF lambdas re-evaluate un-fenced
+    child expressions once per generated element). Output rows ≈
+    n_tokens/stride per doc; at 100 TB the fan-out is bounded and
+    streaming-friendly because nothing aggregates."""
+    ex = _tokenized(df, text_col, id_col).select(
+        F.col(id_col),
+        F.col("__t"),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(F.col("__t")), F.lit(1)),
+                F.lit(stride),
+            )
+        ).alias("chunk_start"),
+    )
+    return ex.select(
+        F.col(id_col),
+        F.expr(f"CAST((chunk_start - 1) DIV {stride} AS BIGINT)").alias(
+            "chunk_id"
+        ),
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.concat_ws(
+            " ", F.slice(F.col("__t"), F.col("chunk_start"), max_tokens)
+        ).alias("chunk_text"),
+        F.greatest(
+            F.least(
+                F.lit(max_tokens),
+                F.size(F.col("__t")) - F.col("chunk_start") + 1,
+            ),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("n_tokens"),
+    )
+
+
+def sql_chunk_documents(
+    table: str = "documents",
+    max_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+        SELECT {id_col},
+               CAST((cs - 1) // {stride} AS BIGINT) AS chunk_id,
+               CAST(cs AS INTEGER) AS chunk_start,
+               array_to_string(list_slice(t, cs, cs + {max_tokens} - 1), ' ') AS chunk_text,
+               CAST(GREATEST(LEAST({max_tokens}, len(t) - cs + 1), 0) AS INTEGER) AS n_tokens
+        FROM (
+            SELECT {id_col}, {sql_tokens(text_col)} AS t,
+                   unnest(generate_series(1, GREATEST(len({sql_tokens(text_col)}), 1), {stride})) AS cs
+            FROM {table}
+        )
+    """
+
+
+def epoch_upsample(
+    df: DataFrame,
+    epochs_by_source: dict | None = None,
+    default_epochs: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Fractional-epoch upsampling for corpus mixing: each source gets a
+    target epoch count e (e.g. 2.5 = every doc twice, half the docs a
+    third time); a document is emitted floor(e) times plus one more when
+    its deterministic id-hash fraction falls under frac(e). This is the
+    materialized form of the published data-mixture recipes (The Pile /
+    LLaMA tables quote per-source epochs): downstream shuffling/packing
+    consumes a plain DataFrame with a copy_id, no weighted sampler state.
+
+    The extra-copy membership reuses :func:`hash_sample`'s id-hash
+    threshold, so it is stable under re-runs, repartitioning, and
+    appends, and independent draws per seed. Epoch values are
+    non-negative; e = 0 drops the source entirely.
+
+    Scale: the epochs table is a literal (|sources| rows) joined
+    broadcast; the fan-out is a per-row Generate with NO shuffle —
+    sequence(0, n_copies-1) explodes inside the scan stage, so a 100 TB
+    upsample streams. Output: (id, source, copy_id) with copy_id in
+    [0, n_copies)."""
+    epochs_by_source = epochs_by_source or {}
+    e = F.lit(float(default_epochs))
+    for src, ep in sorted(epochs_by_source.items()):
+        e = F.when(F.col(source_col) == src, F.lit(float(ep))).otherwise(e)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(str(seed) + ":"), F.col(id_col).cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    frac_hit = (h / F.lit(float(1 << 32))) < (e - F.floor(e))
+    n_copies = (
+        F.floor(e).cast("long") + F.when(frac_hit, 1).otherwise(0)
+    ).alias("__copies")
+    base = df.select(F.col(id_col), F.col(source_col), n_copies)
+    return base.where(F.col("__copies") > 0).select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("__copies") - 1)
+        ).alias("copy_id"),
+    )
+
+
+def sql_epoch_upsample(
+    table: str = "documents",
+    epochs_by_source: dict | None = None,
+    default_epochs: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> str:
+    epochs_by_source = epochs_by_source or {}
+    e = f"CAST({float(default_epochs)} AS DOUBLE)"
+    for src, ep in sorted(epochs_by_source.items()):
+        e = (
+            f"CASE WHEN {source_col} = '{src}' THEN CAST({float(ep)} AS DOUBLE) "
+            f"ELSE {e} END"
+        )
+    h = (
+        f"CAST(('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8))"
+        f"::BIGINT AS DOUBLE)"
+    )
+    return f"""
+        SELECT {id_col}, {source_col},
+               unnest(generate_series(0, CAST(n_copies AS BIGINT) - 1)) AS copy_id
+        FROM (
+            SELECT {id_col}, {source_col},
+                   FLOOR(e) + (CASE WHEN {h} / 4294967296.0 < e - FLOOR(e)
+                               THEN 1 ELSE 0 END) AS n_copies
+            FROM (SELECT {id_col}, {source_col}, {e} AS e FROM {table})
+        )
+        WHERE n_copies > 0
+    """

@@ -1871,3 +1871,254 @@ def sql_top_supplier(start: str = "1996-01-01", end: str = "1996-04-01") -> str:
           AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         ORDER BY s_suppkey
     """
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    name_word: str = "widget",
+) -> DataFrame:
+    """TPC-H Q9 shape (product type profit): profit by supplier nation and
+    order year for parts whose name contains a word. The schema has no
+    partsupp table, so the supply-cost relation DERIVES from lineitem:
+    2% of the cheapest observed line price per (part, supplier) pair.
+    The constant factor keeps every summed term on a bounded decimal
+    grid — MIN(l_extendedprice) is a scale-2 data value, ×0.02 lands on
+    the scale-4 grid, ×integral l_quantity stays there, and
+    extendedprice×(1−discount) is scale-4 — so _dec_sum's scale-6
+    accumulation is exact and order-independent on both engines (a
+    division-derived unit cost would leave the grid and make the
+    double→decimal cast engine-sensitive).
+
+    Shape parity with the reference query: a five-way snowflake join
+    around the lineitem fact, an aggregate-defined cost view joined back
+    on the fact's (partkey, suppkey), and a two-level GROUP BY
+    (nation, year) with descending year order.
+
+    Scale: the part-name filter broadcasts and prunes the fact scan
+    BEFORE the cost aggregation, so both the cost view and the profit
+    join see only in-scope lines; the cost view is bounded by
+    |observed part×supplier| of the filtered parts (dim-sized →
+    broadcast); supplier/nation broadcast; orders⋈lineitem on orderkey
+    is the only fact-sized shuffle. One lineitem scan feeds both the
+    cost view and the profit expression via the shared pruned scan
+    (Catalyst reuses the broadcast-pruned subplan; worst case two
+    parallel pruned scans, never two full-table passes)."""
+    pk = part.where(F.col("p_name").contains(name_word)).select("p_partkey")
+    pruned = lineitem.join(
+        F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey")
+    )
+    cost = (
+        pruned.groupBy(
+            F.col("l_partkey").alias("c_pk"), F.col("l_suppkey").alias("c_sk")
+        )
+        .agg((F.min("l_extendedprice") * F.lit(0.02)).alias("supplycost"))
+    )
+    j = (
+        pruned.join(
+            F.broadcast(cost),
+            (F.col("l_partkey") == F.col("c_pk"))
+            & (F.col("l_suppkey") == F.col("c_sk")),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("supplycost") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_dec_sum(F.col("amount")).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def sql_product_type_profit(name_word: str = "widget") -> str:
+    return f"""
+        SELECT nation, o_year,
+               CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+        FROM (
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+                   l_extendedprice * (1 - l_discount)
+                     - cost.supplycost * l_quantity AS amount
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN (
+                SELECT l_partkey AS c_pk, l_suppkey AS c_sk,
+                       MIN(l_extendedprice) * CAST(0.02 AS DOUBLE) AS supplycost
+                FROM lineitem
+                WHERE l_partkey IN (
+                    SELECT p_partkey FROM part
+                    WHERE p_name LIKE '%{name_word}%'
+                )
+                GROUP BY c_pk, c_sk
+            ) cost ON l_partkey = c_pk AND l_suppkey = c_sk
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE p_name LIKE '%{name_word}%'
+        )
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """
+
+
+def shipmode_priority_dist(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    start: str = "1997-01-01",
+    end: str = "1998-01-01",
+    late_days: int = 30,
+) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority): per line
+    category, how many lateness-qualifying lines belong to high-priority
+    orders vs the rest. The schema has no l_shipmode/l_commitdate/
+    l_receiptdate, so the category is l_returnflag and the lateness
+    predicate is "shipped more than `late_days` after the order date" —
+    the defining shape survives intact: a fact⋈fact join on orderkey, a
+    multi-predicate date filter (one side pushable to the scan, one side
+    spanning both tables so it can only run post-join), and a CASE-WHEN
+    conditional aggregation over an order attribute.
+
+    Counts are BIGINTs — cross-engine exact by construction.
+
+    Scale: the [start, end) shipdate window pushes to the lineitem
+    parquet scan (PushedFilters); the cross-table lateness predicate
+    runs as a post-join filter; the single shuffle is the orderkey
+    join (AQE may flip it to broadcast when the date window makes the
+    pruned lineitem side small). Aggregation is partial (map-side
+    combine) into |categories| rows."""
+    high = ("1-URGENT", "2-HIGH")
+    j = (
+        lineitem.where(
+            (F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end)
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        )
+    )
+    is_high = F.col("o_orderpriority").isin(*high)
+    return (
+        j.groupBy(F.col("l_returnflag").alias("category"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("category")
+    )
+
+
+def sql_shipmode_priority_dist(
+    start: str = "1997-01-01", end: str = "1998-01-01", late_days: int = 30
+) -> str:
+    return f"""
+        SELECT l_returnflag AS category,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem, orders
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate >= TIMESTAMP '{start}'
+          AND l_shipdate < TIMESTAMP '{end}'
+          AND l_shipdate > o_orderdate + INTERVAL {late_days} DAY
+        GROUP BY category
+        ORDER BY category
+    """
+
+
+def parts_supplier_relationship(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    excl_brand: str = "Brand#3",
+    excl_type: str = "STANDARD",
+    sizes: tuple = (1, 4, 9, 16, 25, 36, 49),
+    balance_floor: float = 1000.0,
+) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (brand, type, size) for parts outside an excluded brand
+    and type, restricted to a size list, excluding suppliers on a
+    complaint list. Two derivations from the reduced schema: the
+    partsupp relation is the DISTINCT (l_partkey, l_suppkey) pairs
+    observed in lineitem, and — with no s_comment column — the
+    complaint list is suppliers under an account-balance floor. The
+    defining plan shapes survive: a NOT IN supplier subquery (null-free
+    key → Catalyst rewrites to a broadcast left-anti join, never a
+    per-row subquery), a dim-side filtered join, and a COUNT(DISTINCT)
+    over grouped keys.
+
+    Counts are BIGINTs — cross-engine exact.
+
+    Scale: the distinct pair extraction is ONE lineitem shuffle bounded
+    by |observed part×supplier| (dim-sized output); the part filter and
+    the anti-join list both broadcast; COUNT(DISTINCT suppkey) per
+    group re-shuffles only the dim-sized pair relation. No fact-sized
+    exchange after the first distinct."""
+    pairs = lineitem.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    pk = part.where(
+        (F.col("p_brand") != excl_brand)
+        & (F.col("p_type") != excl_type)
+        & (F.col("p_size").isin(*sizes))
+    )
+    excl = supplier.where(F.col("s_acctbal") < balance_floor).select(
+        F.col("s_suppkey").alias("x_suppkey")
+    )
+    return (
+        pairs.join(
+            F.broadcast(excl),
+            F.col("ps_suppkey") == F.col("x_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(pk), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def sql_parts_supplier_relationship(
+    excl_brand: str = "Brand#3",
+    excl_type: str = "STANDARD",
+    sizes: tuple = (1, 4, 9, 16, 25, 36, 49),
+    balance_floor: float = 1000.0,
+) -> str:
+    size_list = ", ".join(str(s) for s in sizes)
+    return f"""
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (
+            SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+            FROM lineitem
+        ) partsupp, part
+        WHERE p_partkey = ps_partkey
+          AND p_brand <> '{excl_brand}'
+          AND p_type <> '{excl_type}'
+          AND p_size IN ({size_list})
+          AND ps_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < {balance_floor}
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
