@@ -22,6 +22,7 @@ from spark_indexedrdd_spark.core import SUM_MERGE, IndexedDataFrame  # noqa: E40
 from spark_indexedrdd_spark.functions import dedup as _dedup  # noqa: E402
 from spark_indexedrdd_spark.functions import ivf as _ivf  # noqa: E402
 from spark_indexedrdd_spark.functions import multimodal as _mm  # noqa: E402
+from spark_indexedrdd_spark.functions import pq as _pq  # noqa: E402
 from spark_indexedrdd_spark.functions import quant as _quant  # noqa: E402
 from spark_indexedrdd_spark.functions import shards as _shards  # noqa: E402
 from spark_indexedrdd_spark.functions import similarity as _sim  # noqa: E402
@@ -414,6 +415,11 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ann_ivf_det": lambda s, d: _ivf.ivf_ann(
         _emb(s, d), _sim.DEFAULT_QUERY_IDS, method="det"
     ),
+    # PQ ADC top-k, det codebooks: the driver hash-checks the whole
+    # train → encode → asymmetric-distance pipeline (pq.py)
+    "similarity_ann_pq": lambda s, d: _pq.pq_ann(
+        _emb(s, d), _sim.DEFAULT_QUERY_IDS, method="det"
+    ),
     # ANN quality monitor: recall@5 of the LSH tier vs in-plan brute
     # force — pins ANN quality in the correctness gate, not just pytest
     "ann_recall": lambda s, d: _sim.ann_recall(
@@ -684,6 +690,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "simhash": _dedup.sql_simhash(),
     "dedup_ngram_jaccard": _dedup.sql_ngram_jaccard_pairs(),
     "similarity_topk": _sim.sql_cosine_topk(),
+    "similarity_ann_pq": _pq.sql_pq_ann(
+        query_ids=_sim.DEFAULT_QUERY_IDS
+    ),
     "similarity_ann_ivf_det": _ivf.sql_ivf_ann(
         query_ids=_sim.DEFAULT_QUERY_IDS
     ),
@@ -902,6 +911,7 @@ PAST_CUTOFF_NEW = (
     "parts_supplier_q16",      # TPC-H Q16: distinct-supplier census
     "chunk_documents",         # context-window chunking (training prep)
     "epoch_upsample",          # fractional-epoch mixture materialization
+    "similarity_ann_pq",       # product-quantized ADC ANN, det twin
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}

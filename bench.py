@@ -469,6 +469,21 @@ def run_suite(spark) -> dict[str, float]:
 
         _ivf.semantic_dedup(emb, threshold=0.3).count()
 
+    # force(), not count(): count(1) would prune the encoder UDF column
+    # and price only the parquet row count
+    @timed("pq_encode")
+    def _pqenc():
+        from spark_indexedrdd_spark.functions import pq as _pq
+
+        cbs = _pq.train_pq(emb, method="kmeans")
+        force(_pq.pq_encode(emb, cbs))
+
+    @timed("similarity_ann_pq")
+    def _pqann():
+        from spark_indexedrdd_spark.functions import pq as _pq
+
+        _pq.pq_ann(emb, [0, 50, 100, 150, 200], k=5, method="det").collect()
+
     # IVF store: write once, then each ingest batch reads only its
     # clusters' directories (the embedding analog of the sig store)
     @timed("ivf_store_write_once")

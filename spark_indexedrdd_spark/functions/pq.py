@@ -1,0 +1,398 @@
+"""Product quantization (PQ) for vector search at corpus scale.
+
+The reference engine has no vector surface at all (SURVEY.md §2.5 —
+amplab/spark-indexedrdd stops at KV ops); this module extends the
+similarity family (similarity.py, ivf.py, quant.py) with the standard
+memory-compression path for billion-vector ANN (Jégou, Douze, Schmid,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+paper): split each d-dim vector into ``m`` subspaces, learn a ``ksub``-
+word codebook per subspace, store each vector as ``m`` small codes.
+At d=64 float32 → m=8 one-byte codes that is a 32× scan-size reduction:
+the ADC scan reads 8 bytes per candidate instead of 256, which is the
+difference between an in-memory and an out-of-core index at 10^9+
+vectors.
+
+Design (same split as ivf.py):
+
+- ``method="kmeans"``: per-subspace Lloyd's codebooks over a seeded
+  bounded sample — the quality path; pyspark.ml float reductions are
+  not SQL-reproducible, so no exact oracle (recall pinned in tests).
+- ``method="det"``: codewords are the sub-slices of the first-ksub-
+  by-id embeddings — every downstream step is a sequential double
+  fold, so :func:`sql_pq_ann` is an EXACT DuckDB twin and the driver
+  hash-checks the full train → encode → ADC pipeline.
+
+Bit-exactness argument (same as ivf._centroid_sims_np): every distance
+is accumulated dimension-by-dimension in subspace order — numpy
+``acc = acc + diff*diff`` vectorized over rows, sequential over dims —
+which per row is exactly the left fold DuckDB's list_reduce computes
+(0.0 + t0 == t0 in IEEE). The ADC total folds the m per-subspace table
+entries in subspace order on both engines. argmin ties resolve to the
+smallest code on both sides (np.argmin first-index vs ROW_NUMBER
+ORDER BY d, code).
+
+Plan shape / scale:
+
+- Encoding is a narrow Arrow-vectorized projection — no join, no
+  window, no shuffle; it fuses into the scan stage and streams.
+- ADC scoring is PURE JVM: the per-query distance tables (m × ksub
+  doubles, built driver-side from the collected query rows — bounded
+  by |queries|, the same driver-sized contract as multiget) are folded
+  into the plan as literal arrays; each candidate costs m element_at
+  lookups + m additions inside whole-stage codegen. No Python touches
+  the corpus-sized path.
+- The q×N scored relation windows on q_id — fine for the documented
+  small-q use; at large q or corpus, compose with IVF probes (classic
+  IVFPQ: ivf.build_ivf prunes to probed lists, then ADC re-ranks the
+  survivors) so the scan never scores unprobed lists.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.functions.ivf import TRAIN_SAMPLE_CAP, _PROBE_LIMIT
+
+
+def _sub_bounds(d: int, m: int) -> "list[tuple[int, int]]":
+    """[(lo, hi), ...) 0-based half-open dim ranges; d must divide by m."""
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    step = d // m
+    return [(j * step, (j + 1) * step) for j in range(m)]
+
+
+def _py_sub_dist(a: "list[float]", b: "list[float]") -> float:
+    """Squared L2 with the exact IEEE sequence both engines use: left
+    fold of (a_i-b_i)^2 terms in dimension order from 0.0."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        t = float(x) - float(y)
+        acc = acc + t * t
+    return acc
+
+
+def _det_codebooks(
+    emb: DataFrame, m: int, ksub: int, id_col: str, vec_col: str
+) -> "list[list[list[float]]]":
+    """codebooks[sub][code] = sub-slice of the (code+1)-th embedding by
+    id order — reproducible from the data by any engine (the SQL twin
+    derives the identical codewords with ORDER BY id LIMIT ksub)."""
+    rows = emb.orderBy(id_col).limit(ksub).select(vec_col).collect()
+    vecs = [[float(x) for x in r[0]] for r in rows]
+    if len(vecs) < ksub:
+        raise ValueError(f"corpus has fewer than ksub={ksub} vectors")
+    bounds = _sub_bounds(len(vecs[0]), m)
+    return [[v[lo:hi] for v in vecs] for lo, hi in bounds]
+
+
+def _kmeans_codebooks(
+    emb: DataFrame, m: int, ksub: int, seed: int, id_col: str, vec_col: str
+) -> "list[list[list[float]]]":
+    """Per-subspace Lloyd's codebooks over ONE seeded bounded sample
+    (ivf._kmeans_centroids' continuous-fraction probe): the sample is
+    collected once, then m in-driver KMeans fits run over its slices —
+    m extra cluster jobs over a 100 TB corpus would be the wrong side
+    of the tradeoff when the training set is capped at 100k anyway."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        n_bounded = emb.select(id_col).limit(_PROBE_LIMIT + 1).count()
+        if n_bounded <= TRAIN_SAMPLE_CAP:
+            train = emb
+        else:
+            frac = min(1.0, max(0.05, 1.1 * TRAIN_SAMPLE_CAP / n_bounded))
+            train = emb.sample(fraction=frac, seed=seed).limit(TRAIN_SAMPLE_CAP)
+        sample = train.select(F.col(vec_col).cast("array<double>")).collect()
+        vecs = [r[0] for r in sample]
+        d = len(vecs[0])
+        spark = emb.sparkSession
+        books = []
+        for lo, hi in _sub_bounds(d, m):
+            sub_df = spark.createDataFrame(
+                [(v[lo:hi],) for v in vecs], f"sub: array<double>"
+            ).select(array_to_vector(F.col("sub")).alias("features"))
+            model = KMeans(k=ksub, seed=seed, maxIter=10).fit(sub_df)
+            books.append(
+                [[float(x) for x in c] for c in model.clusterCenters()]
+            )
+        return books
+    except Exception:  # pragma: no cover - ml present in this image
+        return _det_codebooks(emb, m, ksub, id_col, vec_col)
+
+
+def train_pq(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "kmeans",
+) -> "list[list[list[float]]]":
+    if method == "det":
+        return _det_codebooks(emb, m, ksub, id_col, vec_col)
+    if method == "kmeans":
+        return _kmeans_codebooks(emb, m, ksub, seed, id_col, vec_col)
+    raise ValueError(f"unknown PQ codebook method: {method!r}")
+
+
+def _encode_udf(codebooks: "list[list[list[float]]]"):
+    """Arrow-vectorized PQ encoder: array<int> of m codes per row.
+    Distances accumulate dimension-sequentially (bit-exact contract in
+    the module docstring); np.argmin takes the first minimum, matching
+    the SQL twin's (d, code) window order."""
+    import numpy as np
+    import pandas as pd
+
+    d = sum(len(cb[0]) for cb in codebooks)
+    bounds = _sub_bounds(d, len(codebooks))
+
+    def encode(emb_series: "pd.Series") -> "pd.Series":
+        v = np.array(emb_series.tolist(), dtype=np.float64)
+        codes = np.empty((v.shape[0], len(codebooks)), dtype=np.int32)
+        for j, ((lo, hi), cb) in enumerate(zip(bounds, codebooks)):
+            sub = v[:, lo:hi]
+            dists = np.empty((v.shape[0], len(cb)), dtype=np.float64)
+            for c, word in enumerate(cb):
+                acc = np.zeros(v.shape[0], dtype=np.float64)
+                for i, wi in enumerate(word):
+                    t = sub[:, i] - wi
+                    acc = acc + t * t
+                dists[:, c] = acc
+            codes[:, j] = np.argmin(dists, axis=1)
+        return pd.Series(list(codes))
+
+    encode.__annotations__ = {"emb_series": pd.Series, "return": pd.Series}
+    return F.pandas_udf(encode, "array<int>")
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): the compressed index — m ints per vector. A narrow
+    projection; persist this (ideally with ivf cluster_id for IVFPQ)
+    and the ANN scan never touches the float vectors again."""
+    return emb.select(
+        F.col(id_col),
+        _encode_udf(codebooks)(F.col(vec_col)).alias("codes"),
+    )
+
+
+def _adc_expr(m: int) -> "F.Column":
+    """ADC distance as a pure-JVM fold over a TABLE COLUMN:
+    Σ_sub tbl[sub][codes[sub]], added in subspace order from 0.0 — the
+    codegen twin of the SQL side's list_reduce over the ordered
+    per-subspace list. The table rides a broadcast column rather than
+    inlined literals: a literal m×ksub×|q| expression forest blew past
+    janino's 64 KB method limit at 8 queries (observed — codegen
+    fell back to interpreted), while this form is constant-size in
+    both q and ksub."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, sub: acc
+        + F.element_at(
+            F.element_at(F.col("tbl"), sub + 1),
+            F.element_at(F.col("codes"), sub + 1) + 1,
+        ),
+    )
+
+
+def pq_ann(
+    emb: DataFrame,
+    query_ids: Iterable[int],
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "kmeans",
+) -> DataFrame:
+    """PQ top-k by asymmetric distance (ADC): (q_id, cand_id, adc_dist,
+    rank). Approximate — candidates rank by quantized distance, so a
+    true neighbor can be out-ranked when quantization error exceeds the
+    margin; recall on clustered data is pinned in tests.
+
+    ``method="det"`` has the exact DuckDB twin :func:`sql_pq_ann`;
+    ``method="kmeans"`` is the quality path (rows-only, same contract
+    as ivf_ann). Queries stay driver-sized: their vectors are collected
+    to build the m×ksub distance tables (the multiget contract — |q|
+    rows, never the corpus), after which scoring is all JVM."""
+    cbs = train_pq(emb, m, ksub, seed, id_col, vec_col, method)
+    codes = pq_encode(emb, cbs, id_col, vec_col)
+
+    qids = list(query_ids)
+    q_rows = (
+        emb.where(F.col(id_col).isin(qids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    d = sum(len(cb[0]) for cb in cbs)
+    bounds = _sub_bounds(d, m)
+    per_query = []
+    for r in sorted(q_rows, key=lambda r: r[0]):
+        qv = [float(x) for x in r[1]]
+        table = [
+            [_py_sub_dist(qv[lo:hi], word) for word in cb]
+            for (lo, hi), cb in zip(bounds, cbs)
+        ]
+        per_query.append((int(r[0]), table))
+
+    tables = emb.sparkSession.createDataFrame(
+        per_query, "q_id: long, tbl: array<array<double>>"
+    )
+    scored = (
+        codes.select(F.col(id_col).alias("cand_id"), "codes")
+        .join(F.broadcast(tables))
+        .select("q_id", "cand_id", _adc_expr(m).alias("adc_dist"))
+        .where(F.col("q_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "cand_id", "adc_dist", F.col("rank").cast("int"))
+    )
+
+
+def pq_error_stats(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "kmeans",
+) -> DataFrame:
+    """One-row reconstruction report: mean/max squared L2 error of the
+    PQ approximation and the compression ratio — the go/no-go check
+    before swapping an index to codes. Error per row folds the m
+    per-subspace residuals in order (same exactness as the ADC path:
+    the residual d(sub_j, codeword(code_j)) IS the encode-time minimum,
+    recomputed via the same literal-table fold)."""
+    cbs = train_pq(emb, m, ksub, seed, id_col, vec_col, method)
+    codes = pq_encode(
+        emb.select(id_col, vec_col), cbs, id_col, vec_col
+    )
+    d = sum(len(cb[0]) for cb in cbs)
+    bounds = _sub_bounds(d, m)
+    enc = emb.join(codes.withColumnRenamed(id_col, "__cid"),
+                   F.col(id_col) == F.col("__cid"))
+    acc = F.lit(0.0)
+    for j, ((lo, hi), cb) in enumerate(zip(bounds, cbs)):
+        sub_dists = []
+        for word in cb:
+            w_acc = F.lit(0.0)
+            for i, wi in enumerate(word):
+                t = F.col(vec_col)[lo + i].cast("double") - F.lit(float(wi))
+                w_acc = w_acc + t * t
+            sub_dists.append(w_acc)
+        acc = acc + F.element_at(F.array(*sub_dists), F.col("codes")[j] + 1)
+    per_row = enc.select(acc.alias("sq_err"))
+    return per_row.agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(F.avg("sq_err"), 9).alias("mean_sq_err"),
+        F.round(F.max("sq_err"), 9).alias("max_sq_err"),
+        F.lit(float(d * 4) / float(m)).alias("compression_ratio"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# DuckDB twins (det method): codebooks derive from the table itself,
+# so no literals cross the engine boundary.
+# --------------------------------------------------------------------- #
+
+
+def _sql_sub_dist(a: str, b: str, dsub: int) -> str:
+    """Fold-order squared L2 between two dsub-length DOUBLE lists."""
+    terms = (
+        f"list_transform(range(1, {dsub + 1}),"
+        f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))"
+    )
+    return f"list_reduce({terms}, (x, y) -> x + y)"
+
+
+def sql_pq_ann(
+    table: str = "embeddings",
+    query_ids: Iterable[int] = (),
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Exact DuckDB twin of ``pq_ann(..., method="det")`` — train,
+    encode, and ADC re-expressed as the naive relational formulation
+    (codebook cross joins + argmin windows + an ORDERED per-subspace
+    list fold for the ADC total; parity needs identical values, not
+    identical plans)."""
+    ids = ", ".join(str(i) for i in query_ids)
+    dsub = dim // m
+    sub_slice = (
+        f"list_slice({vec_col}, sub_id * {dsub} + 1, sub_id * {dsub} + {dsub})"
+    )
+    enc_dist = _sql_sub_dist("s.sub", "cb.cw", dsub)
+    adc_dist = _sql_sub_dist("q.sub", "cb.cw", dsub)
+    return f"""
+        WITH cb AS (
+            SELECT sub_id, CAST(rn - 1 AS INTEGER) AS code,
+                   {sub_slice} AS cw
+            FROM (
+                SELECT {vec_col},
+                       ROW_NUMBER() OVER (ORDER BY {id_col}) AS rn
+                FROM (SELECT {id_col}, {vec_col} FROM {table}
+                      ORDER BY {id_col} LIMIT {ksub})
+            ), (SELECT unnest(range({m})) AS sub_id)
+        ),
+        corpus_sub AS (
+            SELECT {id_col}, sub_id, {sub_slice} AS sub
+            FROM {table}, (SELECT unnest(range({m})) AS sub_id)
+        ),
+        codes AS (
+            SELECT {id_col}, sub_id, code FROM (
+                SELECT s.{id_col}, s.sub_id, cb.code,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.{id_col}, s.sub_id
+                           ORDER BY {enc_dist}, cb.code
+                       ) AS rn
+                FROM corpus_sub s JOIN cb USING (sub_id)
+            ) WHERE rn = 1
+        ),
+        q_sub AS (
+            SELECT {id_col} AS q_id, sub_id, {sub_slice} AS sub
+            FROM (SELECT * FROM {table} WHERE {id_col} IN ({ids})),
+                 (SELECT unnest(range({m})) AS sub_id)
+        ),
+        adc AS (
+            SELECT q.q_id, c.{id_col} AS cand_id,
+                   list_reduce(
+                       list({adc_dist} ORDER BY q.sub_id),
+                       (x, y) -> x + y
+                   ) AS adc_dist
+            FROM q_sub q
+            JOIN codes c ON c.sub_id = q.sub_id
+            JOIN cb ON cb.sub_id = c.sub_id AND cb.code = c.code
+            WHERE q.q_id <> c.{id_col}
+            GROUP BY q.q_id, c.{id_col}
+        ),
+        ranked AS (
+            SELECT q_id, cand_id, adc_dist,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY adc_dist, cand_id
+                   ) AS INTEGER) AS rank
+            FROM adc
+        )
+        SELECT q_id, cand_id, adc_dist, rank FROM ranked WHERE rank <= {k}
+    """

@@ -1917,9 +1917,13 @@ def product_type_profit(
         )
         .agg((F.min("l_extendedprice") * F.lit(0.02)).alias("supplycost"))
     )
+    # NOT broadcast-hinted: the cost view is partsupp-sized (|observed
+    # part×supplier| of the filtered parts) — small enough for AQE to
+    # broadcast at moderate SF, but a forced hint would OOM the build
+    # side at 100 TB where it's a few percent of the fact; let AQE pick
     j = (
         pruned.join(
-            F.broadcast(cost),
+            cost,
             (F.col("l_partkey") == F.col("c_pk"))
             & (F.col("l_suppkey") == F.col("c_sk")),
         )

@@ -1,0 +1,138 @@
+"""Product quantization: encode determinism, ADC recall on clustered
+data, reconstruction stats, and the Python-model pin of the det path."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.functions import pq as PQ
+from spark_indexedrdd_spark.functions import similarity as SM
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(23)
+    rows = []
+    vid = 0
+    for c in range(8):
+        center = rng.standard_normal(16) * 3
+        for _ in range(25):
+            v = center + rng.standard_normal(16) * 0.1
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_sub_bounds_requires_divisibility():
+    assert PQ._sub_bounds(16, 4) == [(0, 4), (4, 8), (8, 12), (12, 16)]
+    with pytest.raises(ValueError):
+        PQ._sub_bounds(10, 4)
+
+
+def test_encode_matches_python_model(spark, clustered):
+    """The Arrow encoder's codes equal a per-row pure-Python argmin over
+    the same codebooks — pins the fold semantics independently of the
+    DuckDB oracle."""
+    cbs = PQ.train_pq(clustered, m=4, ksub=8, method="det")
+    got = {
+        r.vec_id: list(r.codes)
+        for r in PQ.pq_encode(clustered, cbs).collect()
+    }
+    data = {r.vec_id: [float(x) for x in r.embedding]
+            for r in clustered.collect()}
+    bounds = PQ._sub_bounds(16, 4)
+    for vid, vec in data.items():
+        want = []
+        for (lo, hi), cb in zip(bounds, cbs):
+            dists = [PQ._py_sub_dist(vec[lo:hi], w) for w in cb]
+            want.append(dists.index(min(dists)))
+        assert got[vid] == want, vid
+
+
+def test_encode_deterministic_across_runs(spark, clustered):
+    cbs = PQ.train_pq(clustered, m=4, ksub=8, method="kmeans", seed=7)
+    a = sorted(
+        (r.vec_id, tuple(r.codes))
+        for r in PQ.pq_encode(clustered, cbs).collect()
+    )
+    cbs2 = PQ.train_pq(clustered, m=4, ksub=8, method="kmeans", seed=7)
+    b = sorted(
+        (r.vec_id, tuple(r.codes))
+        for r in PQ.pq_encode(clustered, cbs2).collect()
+    )
+    assert a == b
+
+
+def test_pq_ann_finds_the_right_cluster(clustered):
+    """PQ's metric is squared L2 with per-cell quantization error on the
+    order of the codebook cell size. On 8 tight blobs (σ=0.1 noise vs
+    inter-center distances ~10) that error is far below the
+    inter-cluster margin but COMPARABLE to intra-blob distances — so
+    the honest quality contract here is cluster-level: every retrieved
+    neighbor comes from the query's blob (exact within-blob ordering is
+    what IVFPQ residual encoding exists for; measured: exact-top-5
+    recall on this data is ~0.35-0.7 across m/ksub settings while
+    same-cluster precision is 1.0)."""
+    qids = [0, 25, 50, 75]
+    labels = {r.vec_id: r.label for r in clustered.collect()}
+    rows = PQ.pq_ann(
+        clustered, qids, k=5, m=4, ksub=16, method="kmeans"
+    ).collect()
+    assert len(rows) == len(qids) * 5
+    same = sum(labels[r.q_id] == labels[r.cand_id] for r in rows)
+    assert same / len(rows) >= 0.95, f"cluster precision {same/len(rows)}"
+
+
+def test_pq_adc_orders_clusters_by_distance(clustered):
+    """Across-cluster resolution: for a query, candidates from its own
+    blob ADC-rank strictly ahead of any candidate from other blobs when
+    k exceeds the blob size (the 26th neighbor must jump blobs)."""
+    labels = {r.vec_id: r.label for r in clustered.collect()}
+    rows = PQ.pq_ann(
+        clustered, [0], k=26, m=4, ksub=16, method="kmeans"
+    ).collect()
+    own = [r.rank for r in rows if labels[r.cand_id] == labels[0]]
+    other = [r.rank for r in rows if labels[r.cand_id] != labels[0]]
+    assert len(own) == 24 and max(own) == 24  # all 24 blob-mates first
+    assert min(other) == 25
+
+
+def test_pq_ann_shapes_and_ranks(clustered):
+    out = PQ.pq_ann(clustered, [0, 25], k=3, m=4, ksub=8, method="det")
+    rows = out.collect()
+    assert {r.q_id for r in rows} == {0, 25}
+    for q in (0, 25):
+        ranks = sorted(r.rank for r in rows if r.q_id == q)
+        assert ranks == [1, 2, 3]
+        dists = [r.adc_dist for r in sorted(
+            (r for r in rows if r.q_id == q), key=lambda r: r.rank)]
+        assert dists == sorted(dists)
+    assert all(r.q_id != r.cand_id for r in rows)
+
+
+def test_error_stats_kmeans_beats_det_on_clusters(clustered):
+    """Lloyd's codebooks reconstruct clustered data better than
+    first-k-slice codewords — the quality/exactness tradeoff the two
+    methods exist for. Also pins the compression ratio arithmetic."""
+    det = PQ.pq_error_stats(clustered, m=4, ksub=8, method="det").collect()[0]
+    km = PQ.pq_error_stats(clustered, m=4, ksub=8, method="kmeans").collect()[0]
+    assert det.n_vectors == km.n_vectors == 200
+    assert km.mean_sq_err <= det.mean_sq_err
+    assert km.compression_ratio == 16 * 4 / 4.0
+    assert 0.0 <= km.mean_sq_err <= km.max_sq_err
+
+
+def test_pq_scoring_plan_is_jvm_side(clustered):
+    """The ADC scan must stay in the JVM: the only Python stage allowed
+    in the plan is the Arrow encoder projection — scoring itself is a
+    broadcast join + HOF fold."""
+    df = PQ.pq_ann(clustered, [0, 25], k=3, m=4, ksub=8, method="det")
+    from spark_indexedrdd_spark.plans import explain as X
+
+    plan = X.physical_plan(df)
+    # tree lines read "ArrowEvalPython (n)"; the formatted detail section
+    # repeats each node as "(n) ArrowEvalPython" — count tree lines only
+    assert plan.count("ArrowEvalPython (") <= 1, plan[:3000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
