@@ -420,6 +420,11 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ann_pq": lambda s, d: _pq.pq_ann(
         _emb(s, d), _sim.DEFAULT_QUERY_IDS, method="det"
     ),
+    # IVFPQ composition: probe pruning × code compression — the
+    # billion-vector architecture, det twin hash-checked end to end
+    "similarity_ann_ivfpq": lambda s, d: _pq.ivfpq_ann(
+        _emb(s, d), _sim.DEFAULT_QUERY_IDS, method="det"
+    ),
     # ANN quality monitor: recall@5 of the LSH tier vs in-plan brute
     # force — pins ANN quality in the correctness gate, not just pytest
     "ann_recall": lambda s, d: _sim.ann_recall(
@@ -693,6 +698,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "similarity_ann_pq": _pq.sql_pq_ann(
         query_ids=_sim.DEFAULT_QUERY_IDS
     ),
+    "similarity_ann_ivfpq": _pq.sql_ivfpq_ann(
+        query_ids=_sim.DEFAULT_QUERY_IDS
+    ),
     "similarity_ann_ivf_det": _ivf.sql_ivf_ann(
         query_ids=_sim.DEFAULT_QUERY_IDS
     ),
@@ -912,6 +920,7 @@ PAST_CUTOFF_NEW = (
     "chunk_documents",         # context-window chunking (training prep)
     "epoch_upsample",          # fractional-epoch mixture materialization
     "similarity_ann_pq",       # product-quantized ADC ANN, det twin
+    "similarity_ann_ivfpq",    # IVF-probe-pruned PQ scan, det twin
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}

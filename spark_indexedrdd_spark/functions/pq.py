@@ -396,3 +396,208 @@ def sql_pq_ann(
         )
         SELECT q_id, cand_id, adc_dist, rank FROM ranked WHERE rank <= {k}
     """
+
+
+def ivfpq_ann(
+    emb: DataFrame,
+    query_ids: Iterable[int],
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "kmeans",
+) -> DataFrame:
+    """IVFPQ: IVF probe pruning × PQ code scanning — the composition
+    that makes billion-vector search tractable. IVF cuts the candidate
+    set to ``n_probe/n_clusters`` of the corpus; PQ cuts the bytes per
+    scanned candidate by ``d*4/m``. At n_clusters=1024, n_probe=8,
+    d=64, m=8 the scan touches ~0.8% of the corpus at 1/32 the bytes —
+    a ~4000× I/O reduction vs brute force, which is the difference
+    between seconds and hours at 10^9 vectors.
+
+    This is the FLAT-code variant: codes quantize the raw vectors, so
+    the same code table serves any probe set. Classic IVFPQ quantizes
+    the RESIDUAL (x − centroid), which roughly halves quantization
+    error for the same m — at the cost of per-list codebooks that
+    complicate reuse and (here) the oracle; the flat form keeps the
+    exact det twin and the cluster-level quality contract pinned in
+    tests, and residual encoding layers on without changing the plan
+    shape.
+
+    Plan shape: corpus scanned once — assignment and encoding both fuse
+    into the scan projection (two Arrow stages, no shuffle); the query
+    side (probe lists + ADC tables) is computed driver-side from |q|
+    collected rows and broadcast; scoring is the JVM element_at fold of
+    :func:`_adc_expr` over only the probed lists' rows."""
+    from spark_indexedrdd_spark.functions.ivf import _assign_udf, _centroids
+
+    cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
+    cbs = train_pq(emb, m, ksub, seed, id_col, vec_col, method)
+    codes = emb.select(
+        F.col(id_col),
+        _assign_udf(cents)(F.col(vec_col)).alias("cluster_id"),
+        _encode_udf(cbs)(F.col(vec_col)).alias("codes"),
+    )
+
+    qids = list(query_ids)
+    q_rows = (
+        emb.where(F.col(id_col).isin(qids)).select(id_col, vec_col).collect()
+    )
+    d = sum(len(cb[0]) for cb in cbs)
+    bounds = _sub_bounds(d, m)
+    per_query = []
+    for r in sorted(q_rows, key=lambda r: r[0]):
+        qv = [float(x) for x in r[1]]
+        # probe selection, driver-side: the same sequential-fold
+        # centroid sims as ivf._centroid_sims_np / the SQL twin, ties
+        # to the smaller cluster_id via stable sort
+        sims = []
+        for cid, (c, c_norm) in enumerate(cents):
+            acc = 0.0
+            for x, ci in zip(qv, c):
+                acc = acc + float(x) * float(ci)
+            sims.append((-(acc / c_norm), cid))
+        probe_list = [cid for _, cid in sorted(sims)[:n_probe]]
+        table = [
+            [_py_sub_dist(qv[lo:hi], word) for word in cb]
+            for (lo, hi), cb in zip(bounds, cbs)
+        ]
+        per_query.append((int(r[0]), table, probe_list))
+
+    probes = (
+        emb.sparkSession.createDataFrame(
+            per_query,
+            "q_id: long, tbl: array<array<double>>, probe: array<int>",
+        )
+        .select("q_id", "tbl", F.explode("probe").alias("cluster_id"))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(codes, "cluster_id")
+        .select(
+            "q_id",
+            F.col(id_col).alias("cand_id"),
+            _adc_expr(m).alias("adc_dist"),
+        )
+        .where(F.col("q_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "cand_id", "adc_dist", F.col("rank").cast("int"))
+    )
+
+
+def sql_ivfpq_ann(
+    table: str = "embeddings",
+    query_ids: Iterable[int] = (),
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Exact DuckDB twin of ``ivfpq_ann(..., method="det")`` — the
+    cents/assigned/probes CTEs of :func:`ivf.sql_ivf_ann` composed with
+    the cb/codes/ADC CTEs of :func:`sql_pq_ann`, with the ADC join
+    restricted to candidates in the query's probed lists."""
+    from spark_indexedrdd_spark.functions.vectors import sql_dot, sql_norm
+
+    ids = ", ".join(str(i) for i in query_ids)
+    dsub = dim // m
+    sub_slice = (
+        f"list_slice({vec_col}, sub_id * {dsub} + 1, sub_id * {dsub} + {dsub})"
+    )
+    enc_dist = _sql_sub_dist("s.sub", "cb.cw", dsub)
+    adc_dist = _sql_sub_dist("q.sub", "cb.cw", dsub)
+    c_sim = f"({sql_dot(f'e.{vec_col}', 'c.centroid')} / c.c_norm)"
+    q_sim = f"({sql_dot(f'qq.{vec_col}', 'c.centroid')} / c.c_norm)"
+    return f"""
+        WITH cents AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS INTEGER) AS cluster_id,
+                   {vec_col} AS centroid,
+                   {sql_norm(vec_col)} AS c_norm
+            FROM (SELECT {id_col}, {vec_col} FROM {table}
+                  ORDER BY {id_col} LIMIT {n_clusters})
+        ),
+        assigned AS (
+            SELECT {id_col}, cluster_id FROM (
+                SELECT e.{id_col}, c.cluster_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.{id_col}
+                           ORDER BY {c_sim} DESC, c.cluster_id
+                       ) AS rn
+                FROM {table} e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        cb AS (
+            SELECT sub_id, CAST(rn - 1 AS INTEGER) AS code,
+                   {sub_slice} AS cw
+            FROM (
+                SELECT {vec_col},
+                       ROW_NUMBER() OVER (ORDER BY {id_col}) AS rn
+                FROM (SELECT {id_col}, {vec_col} FROM {table}
+                      ORDER BY {id_col} LIMIT {ksub})
+            ), (SELECT unnest(range({m})) AS sub_id)
+        ),
+        corpus_sub AS (
+            SELECT {id_col}, sub_id, {sub_slice} AS sub
+            FROM {table}, (SELECT unnest(range({m})) AS sub_id)
+        ),
+        codes AS (
+            SELECT {id_col}, sub_id, code FROM (
+                SELECT s.{id_col}, s.sub_id, cb.code,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.{id_col}, s.sub_id
+                           ORDER BY {enc_dist}, cb.code
+                       ) AS rn
+                FROM corpus_sub s JOIN cb USING (sub_id)
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT q_id, cluster_id FROM (
+                SELECT qq.{id_col} AS q_id, c.cluster_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qq.{id_col}
+                           ORDER BY {q_sim} DESC, c.cluster_id
+                       ) AS rn
+                FROM (SELECT * FROM {table} WHERE {id_col} IN ({ids})) qq
+                CROSS JOIN cents c
+            ) WHERE rn <= {n_probe}
+        ),
+        q_sub AS (
+            SELECT {id_col} AS q_id, sub_id, {sub_slice} AS sub
+            FROM (SELECT * FROM {table} WHERE {id_col} IN ({ids})),
+                 (SELECT unnest(range({m})) AS sub_id)
+        ),
+        adc AS (
+            SELECT q.q_id, c.{id_col} AS cand_id,
+                   list_reduce(
+                       list({adc_dist} ORDER BY q.sub_id),
+                       (x, y) -> x + y
+                   ) AS adc_dist
+            FROM q_sub q
+            JOIN codes c ON c.sub_id = q.sub_id
+            JOIN cb ON cb.sub_id = c.sub_id AND cb.code = c.code
+            JOIN assigned a ON a.{id_col} = c.{id_col}
+            JOIN probes p ON p.q_id = q.q_id AND p.cluster_id = a.cluster_id
+            WHERE q.q_id <> c.{id_col}
+            GROUP BY q.q_id, c.{id_col}
+        ),
+        ranked AS (
+            SELECT q_id, cand_id, adc_dist,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY adc_dist, cand_id
+                   ) AS INTEGER) AS rank
+            FROM adc
+        )
+        SELECT q_id, cand_id, adc_dist, rank FROM ranked WHERE rank <= {k}
+    """

@@ -136,3 +136,60 @@ def test_pq_scoring_plan_is_jvm_side(clustered):
     # repeats each node as "(n) ArrowEvalPython" — count tree lines only
     assert plan.count("ArrowEvalPython (") <= 1, plan[:3000]
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_equals_pq_restricted_to_probed_lists(clustered):
+    """Composition consistency: IVFPQ's result for a query equals plain
+    PQ ADC ranking restricted to candidates whose IVF cluster is in the
+    query's probe set (same codebooks, same seed)."""
+    import itertools
+
+    from spark_indexedrdd_spark.functions.ivf import build_ivf
+
+    qids = [0, 75]
+    ivfpq = {
+        (r.q_id, r.rank): r.cand_id
+        for r in PQ.ivfpq_ann(
+            clustered, qids, k=5, n_clusters=8, n_probe=2,
+            m=4, ksub=8, method="det",
+        ).collect()
+    }
+    assigned, cents = build_ivf(
+        clustered, 8, 42, "vec_id", "embedding", "det",
+        repartition_lists=False,
+    )
+    cluster = {r.vec_id: r.cluster_id for r in assigned.collect()}
+    # probe sets recomputed the slow way: top-2 centroid cosine per query
+    data = {r.vec_id: [float(x) for x in r.embedding]
+            for r in clustered.collect()}
+    import math
+    probe = {}
+    for q in qids:
+        sims = []
+        for cid, (c, cn) in enumerate(cents):
+            acc = 0.0
+            for x, ci in zip(data[q], c):
+                acc += x * ci
+            sims.append((-(acc / cn), cid))
+        probe[q] = {cid for _, cid in sorted(sims)[:2]}
+    full = PQ.pq_ann(
+        clustered, qids, k=len(data), m=4, ksub=8, method="det"
+    ).collect()
+    for q in qids:
+        allowed = [r for r in sorted(
+            (r for r in full if r.q_id == q), key=lambda r: r.rank
+        ) if cluster[r.cand_id] in probe[q]][:5]
+        got = [ivfpq[(q, rk)] for rk in range(1, 6)]
+        assert got == [r.cand_id for r in allowed], q
+
+
+def test_ivfpq_scan_fraction(clustered):
+    """The probe join must actually prune: with n_probe=2 of 8 equal
+    blobs, each query's scored candidate pool is ~2/8 of the corpus."""
+    qids = [0]
+    out = PQ.ivfpq_ann(
+        clustered, qids, k=10_000, n_clusters=8, n_probe=2,
+        m=4, ksub=8, method="kmeans",
+    )
+    n_scored = out.count()
+    assert n_scored <= 2 * 200 / 8 + 5, n_scored
