@@ -90,40 +90,67 @@ def _det_codebooks(
     return [[v[lo:hi] for v in vecs] for lo, hi in bounds]
 
 
+def _lloyd_np(x, ksub: int, seed: int, iters: int = 10):
+    """Seeded Lloyd's over an in-memory (n, dsub) float64 matrix.
+    Deterministic for a fixed seed; empty clusters reseed to the points
+    farthest from their assigned centroids (standard fix). Memory is
+    n×ksub×8 bytes for the distance matrix — ~13 MB at the 100k cap
+    with ksub=16."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = x.shape[0]
+    cents = x[rng.choice(n, size=min(ksub, n), replace=False)].copy()
+    if cents.shape[0] < ksub:  # tiny corpus: pad by repeating points
+        pad = x[rng.choice(n, size=ksub - cents.shape[0])]
+        cents = np.concatenate([cents, pad])
+    for _ in range(iters):
+        d2 = (
+            (x ** 2).sum(axis=1, keepdims=True)
+            - 2.0 * (x @ cents.T)
+            + (cents ** 2).sum(axis=1)[None, :]
+        )
+        assign = np.argmin(d2, axis=1)
+        far = np.argsort(-d2[np.arange(n), assign])
+        fi = 0
+        for c in range(ksub):
+            mask = assign == c
+            if mask.any():
+                cents[c] = x[mask].mean(axis=0)
+            else:
+                cents[c] = x[far[fi]]
+                fi += 1
+    return cents
+
+
 def _kmeans_codebooks(
     emb: DataFrame, m: int, ksub: int, seed: int, id_col: str, vec_col: str
 ) -> "list[list[list[float]]]":
     """Per-subspace Lloyd's codebooks over ONE seeded bounded sample
-    (ivf._kmeans_centroids' continuous-fraction probe): the sample is
-    collected once, then m in-driver KMeans fits run over its slices —
-    m extra cluster jobs over a 100 TB corpus would be the wrong side
-    of the tradeoff when the training set is capped at 100k anyway."""
-    try:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
+    (ivf._kmeans_centroids' continuous-fraction probe). The sample is
+    collected once and the m fits run DRIVER-SIDE in numpy
+    (:func:`_lloyd_np`): the training set is capped at 100k rows
+    regardless of corpus size, and m pyspark.ml fits at that scale cost
+    m×(driver→cluster roundtrip + 10 Spark jobs) — measured 19.7 s of a
+    20 s pq_encode bench at sf0.1 — versus well under a second of
+    in-memory numpy for the identical math. Cluster-side ML earns its
+    overhead only when the training data exceeds the driver, which the
+    cap prevents by construction. Seeded per subspace (seed+j) so
+    subspaces draw independent initializations."""
+    import numpy as np
 
-        n_bounded = emb.select(id_col).limit(_PROBE_LIMIT + 1).count()
-        if n_bounded <= TRAIN_SAMPLE_CAP:
-            train = emb
-        else:
-            frac = min(1.0, max(0.05, 1.1 * TRAIN_SAMPLE_CAP / n_bounded))
-            train = emb.sample(fraction=frac, seed=seed).limit(TRAIN_SAMPLE_CAP)
-        sample = train.select(F.col(vec_col).cast("array<double>")).collect()
-        vecs = [r[0] for r in sample]
-        d = len(vecs[0])
-        spark = emb.sparkSession
-        books = []
-        for lo, hi in _sub_bounds(d, m):
-            sub_df = spark.createDataFrame(
-                [(v[lo:hi],) for v in vecs], f"sub: array<double>"
-            ).select(array_to_vector(F.col("sub")).alias("features"))
-            model = KMeans(k=ksub, seed=seed, maxIter=10).fit(sub_df)
-            books.append(
-                [[float(x) for x in c] for c in model.clusterCenters()]
-            )
-        return books
-    except Exception:  # pragma: no cover - ml present in this image
-        return _det_codebooks(emb, m, ksub, id_col, vec_col)
+    n_bounded = emb.select(id_col).limit(_PROBE_LIMIT + 1).count()
+    if n_bounded <= TRAIN_SAMPLE_CAP:
+        train = emb
+    else:
+        frac = min(1.0, max(0.05, 1.1 * TRAIN_SAMPLE_CAP / n_bounded))
+        train = emb.sample(fraction=frac, seed=seed).limit(TRAIN_SAMPLE_CAP)
+    sample = train.select(F.col(vec_col).cast("array<double>")).collect()
+    v = np.array([r[0] for r in sample], dtype=np.float64)
+    return [
+        [[float(x) for x in c] for c in _lloyd_np(v[:, lo:hi], ksub, seed + j)]
+        for j, (lo, hi) in enumerate(_sub_bounds(v.shape[1], m))
+    ]
 
 
 def train_pq(
