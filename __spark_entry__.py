@@ -29,6 +29,7 @@ from spark_indexedrdd_spark.functions import similarity as _sim  # noqa: E402
 from spark_indexedrdd_spark.functions import text as _text  # noqa: E402
 from spark_indexedrdd_spark.operators import analytics as _an  # noqa: E402
 from spark_indexedrdd_spark.operators import bloom as _bloom  # noqa: E402
+from spark_indexedrdd_spark.operators import scd as _scd  # noqa: E402
 from spark_indexedrdd_spark.operators import skew as _skew  # noqa: E402
 from spark_indexedrdd_spark.sources.tables import (  # noqa: E402
     lineitem_kv,
@@ -351,6 +352,70 @@ def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+# SCD2 driver fixture: deterministic update batch over the customer
+# dimension — every-5th key updated (half of those a no-op, exercising
+# the unchanged branch), every-13th key spawning a NEW key. The SQL
+# twin derives the identical batch below (SQL_SCD2_UPDATES).
+SCD2_INIT_TS = "2020-01-01 00:00:00"
+SCD2_BATCH_TS = "2024-06-01 00:00:00"
+
+
+def _q_scd2_merge(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    k = F.col("c_custkey")
+    base = cust.where(k % 5 == 0).select(
+        "c_custkey",
+        F.when(k % 10 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(k % 15 == 0, F.lit("RESEGMENTED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    newk = cust.where(k % 13 == 0).select(
+        (k + 1_000_000).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    hist = _scd.scd2_init(cust, SCD2_INIT_TS)
+    out = _scd.scd2_apply(
+        hist,
+        base.unionByName(newk),
+        ["c_custkey"],
+        ["c_acctbal", "c_mktsegment"],
+        SCD2_BATCH_TS,
+    )
+    # validity bounds as strings for the cross-engine compare: pandas
+    # timestamp dtypes differ in resolution (ns vs us) between the two
+    # engines, and parse→format in ONE session cancels any session-TZ
+    # offset on both sides (epoch micros would NOT be TZ-safe here —
+    # the literals parse in session-local time)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.date_format("valid_from", fmt).alias("valid_from_s"),
+        F.date_format("valid_to", fmt).alias("valid_to_s"),
+        "is_current",
+    )
+
+
+SQL_SCD2_UPDATES = """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 15 = 0 THEN 'RESEGMENTED'
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM customer WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, 0.0, 'NEW'
+    FROM customer WHERE c_custkey % 13 = 0
+"""
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # text analysis
     "text_stats": lambda s, d: _text.text_stats(_docs(s, d)),
@@ -566,6 +631,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # training-prep fan-outs (r7): context-window chunking and
     # fractional-epoch mixture materialization — both shuffle-free
     # per-row Generates
+    # SCD2 history merge (r7): the explicit-history form of the
+    # reference's copy-on-write versioning — one deterministic update
+    # batch applied to a bootstrapped customer dimension
+    "scd2_merge": lambda s, d: _q_scd2_merge(s, d),
     "chunk_documents": lambda s, d: _text.chunk_documents(_docs(s, d)),
     "epoch_upsample": lambda s, d: _text.epoch_upsample(
         _docs(s, d), {"src0": 2.5, "src1": 0.5, "src2": 0.0}
@@ -726,6 +795,20 @@ EXTENSION_ORACLE: dict[str, str] = {
         FROM (""" + _text.sql_hash_sample() + """)
     """,
     "pack_documents": _text.sql_pack_documents(),
+    "scd2_merge": f"""
+        SELECT c_custkey, c_acctbal, c_mktsegment,
+               strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+               strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to_s,
+               is_current
+        FROM ({_scd.sql_scd2_apply(
+            "(SELECT c_custkey, c_acctbal, c_mktsegment FROM customer)",
+            ["c_custkey"],
+            ["c_acctbal", "c_mktsegment"],
+            SCD2_INIT_TS,
+            SCD2_BATCH_TS,
+            SQL_SCD2_UPDATES,
+        )})
+    """,
     "chunk_documents": _text.sql_chunk_documents(),
     "epoch_upsample": _text.sql_epoch_upsample(
         epochs_by_source={"src0": 2.5, "src1": 0.5, "src2": 0.0}
@@ -921,6 +1004,7 @@ PAST_CUTOFF_NEW = (
     "epoch_upsample",          # fractional-epoch mixture materialization
     "similarity_ann_pq",       # product-quantized ADC ANN, det twin
     "similarity_ann_ivfpq",    # IVF-probe-pruned PQ scan, det twin
+    "scd2_merge",              # SCD2 history merge + new-key inserts
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}
