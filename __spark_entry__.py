@@ -635,6 +635,14 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # reference's copy-on-write versioning — one deterministic update
     # batch applied to a bootstrapped customer dimension
     "scd2_merge": lambda s, d: _q_scd2_merge(s, d),
+    # event analytics (r7): epoch-week cohort retention and the n-step
+    # ordered funnel (single-fold subsequence matching)
+    "cohort_retention": lambda s, d: _an.cohort_retention(
+        load_table(s, d, "events")
+    ),
+    "ordered_funnel": lambda s, d: _an.ordered_funnel(
+        load_table(s, d, "events")
+    ),
     "chunk_documents": lambda s, d: _text.chunk_documents(_docs(s, d)),
     "epoch_upsample": lambda s, d: _text.epoch_upsample(
         _docs(s, d), {"src0": 2.5, "src1": 0.5, "src2": 0.0}
@@ -809,6 +817,8 @@ EXTENSION_ORACLE: dict[str, str] = {
             SQL_SCD2_UPDATES,
         )})
     """,
+    "cohort_retention": _an.sql_cohort_retention(),
+    "ordered_funnel": _an.sql_ordered_funnel(),
     "chunk_documents": _text.sql_chunk_documents(),
     "epoch_upsample": _text.sql_epoch_upsample(
         epochs_by_source={"src0": 2.5, "src1": 0.5, "src2": 0.0}
@@ -1005,6 +1015,8 @@ PAST_CUTOFF_NEW = (
     "similarity_ann_pq",       # product-quantized ADC ANN, det twin
     "similarity_ann_ivfpq",    # IVF-probe-pruned PQ scan, det twin
     "scd2_merge",              # SCD2 history merge + new-key inserts
+    "cohort_retention",        # epoch-week cohort retention grid
+    "ordered_funnel",          # n-step ordered funnel, one-fold form
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}

@@ -2126,3 +2126,171 @@ def sql_parts_supplier_relationship(
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """
+
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention over event time: users grouped by the epoch week
+    of their FIRST event; for each (cohort_week, week_offset), how many
+    of the cohort were active that week and the retention rate. Weeks
+    are fixed 7-day epoch buckets of the integer ``ts_us`` — calendar
+    months would hang the bucketing on session-timezone wall clocks
+    (the round-4 event-time lesson); epoch weeks keep every comparison
+    integer and engine-identical.
+
+    Scale: first-week and active-weeks both aggregate on user_id — ONE
+    shuffle each over (user, week)-grained data (map-side combined);
+    the cohort join is user-keyed between two user-grained aggregates
+    (NOT broadcast-hinted — the first-week view is user-dimension sized,
+    which can be billions of rows at corpus scale; AQE broadcasts it
+    when it is actually small); the |weeks|-row size view does
+    broadcast. The final (cohort, offset) aggregate is tiny.
+
+    Output: (cohort_week, week_offset, cohort_size, active_users,
+    retention) sorted."""
+    wk = (F.col("ts_us") / WEEK_US).cast("long")
+    first = events.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = events.select("user_id", wk.alias("week")).distinct()
+    cohort_sizes = first.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    j = active.join(first, "user_id")
+    return (
+        j.groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_size",
+            "active_users",
+            (
+                F.col("active_users").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def sql_cohort_retention() -> str:
+    wk = f"CAST(epoch_us(ts) // {WEEK_US} AS BIGINT)"
+    return f"""
+        WITH first AS (
+            SELECT user_id, MIN({wk}) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        active AS (
+            SELECT DISTINCT user_id, {wk} AS week FROM events
+        ),
+        sizes AS (
+            SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+            FROM first GROUP BY cohort_week
+        ),
+        ret AS (
+            SELECT f.cohort_week,
+                   CAST(a.week - f.cohort_week AS BIGINT) AS week_offset,
+                   CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+            FROM active a JOIN first f USING (user_id)
+            GROUP BY f.cohort_week, week_offset
+        )
+        SELECT r.cohort_week, r.week_offset, s.cohort_size, r.active_users,
+               CAST(r.active_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+                   AS retention
+        FROM ret r JOIN sizes s USING (cohort_week)
+        ORDER BY cohort_week, week_offset
+    """
+
+
+FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def ordered_funnel(
+    events: DataFrame, steps: "tuple[str, ...]" = FUNNEL_STEPS
+) -> DataFrame:
+    """N-step ordered funnel: for each step k, how many users performed
+    steps 1..k IN ORDER (greedy earliest-match over the (ts_us,
+    event_id) total order — greedy subsequence matching reaches the
+    maximum stage, so this equals the chained earliest-qualifying-event
+    formulation the SQL twin uses).
+
+    The per-user pass is ONE aggregation: events collect into a sorted
+    (ts_us, event_id, type) array per user and a single fold walks it,
+    advancing the stage whenever the next event matches steps[stage].
+    One shuffle on user_id total, no joins, no window — vs the textbook
+    n-fold self-join. A user's event array must fit a task (the
+    sessionize-scale caveat: a mega-user is a product problem first);
+    the reverse-cumulative step counts ride a ≤n-row window.
+
+    Output: (step, step_name, users) — users reaching step k or beyond."""
+    arr = F.sort_array(
+        F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+    )
+    step_lits = F.array(*[F.lit(s) for s in steps])
+    stage = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < len(steps))
+            & (e["event_type"] == F.element_at(step_lits, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    per_user = events.groupBy("user_id").agg(stage.alias("stage"))
+    counts = per_user.groupBy("stage").agg(F.count("*").alias("n"))
+    steps_df = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
+    )
+    # users reaching step k = Σ counts over stages >= k: a |steps|×
+    # |stages| theta-join of two tiny aggregates (NOT a sparse
+    # reverse-cumsum — a stage nobody stopped at would have no row and
+    # silently zero the earlier steps)
+    return (
+        F.broadcast(steps_df)
+        .join(counts, F.col("stage") >= F.col("step"), "left")
+        .groupBy("step", "step_name")
+        .agg(F.sum(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("users"))
+        .orderBy("step")
+    )
+
+
+def sql_ordered_funnel(steps: "tuple[str, ...]" = FUNNEL_STEPS) -> str:
+    """Chained earliest-qualifying-event CTEs with strict (ts_us,
+    event_id) tuple ordering — equivalent to the Spark side's greedy
+    fold (greedy earliest matching is optimal for subsequence
+    inclusion)."""
+    ctes = [
+        f"""s1 AS (
+            SELECT user_id, MIN(ROW(epoch_us(ts), event_id)) AS pos
+            FROM events WHERE event_type = '{steps[0]}'
+            GROUP BY user_id
+        )"""
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"""s{i + 1} AS (
+            SELECT e.user_id, MIN(ROW(epoch_us(e.ts), e.event_id)) AS pos
+            FROM events e JOIN s{i} USING (user_id)
+            WHERE e.event_type = '{steps[i]}'
+              AND ROW(epoch_us(e.ts), e.event_id) > s{i}.pos
+            GROUP BY e.user_id
+        )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step, '{s}' AS step_name,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM s{i + 1}) AS users"
+        for i, s in enumerate(steps)
+    )
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT CAST(step AS INTEGER) AS step, step_name, users
+        FROM ({selects})
+        ORDER BY step
+    """

@@ -256,3 +256,85 @@ def test_q16_not_in_plans_as_anti_join_not_subquery(spark, tpch):
     plan = X.physical_plan(df)
     assert "LeftAnti" in plan or "left_anti" in plan.lower(), plan[:3000]
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------- #
+# cohort retention + ordered funnel (r7 event analytics)
+# --------------------------------------------------------------------- #
+
+def _ev(spark, rows):
+    """rows: (event_id, ts_us, user_id, event_type) — build a frame in
+    the loader's normalized shape."""
+    return spark.createDataFrame(
+        [(e, t, u, ty) for e, t, u, ty in rows],
+        "event_id long, ts_us long, user_id long, event_type string",
+    )
+
+
+def test_ordered_funnel_order_matters(spark):
+    H = 3_600_000_000
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1 * H, 1, "signup"), (2, 2 * H, 1, "view"), (3, 3 * H, 1, "purchase"),
+        # user 2: purchase BEFORE view -> stops at step 1... but a later
+        # view would still advance; no later purchase -> stage 2
+        (4, 1 * H, 2, "signup"), (5, 2 * H, 2, "purchase"), (6, 3 * H, 2, "view"),
+        # user 3: never signs up -> stage 0 despite view+purchase
+        (7, 1 * H, 3, "view"), (8, 2 * H, 3, "purchase"),
+        # user 4: signup only
+        (9, 5 * H, 4, "signup"),
+        # user 5: full funnel with noise + repeats
+        (10, 1 * H, 5, "click"), (11, 2 * H, 5, "signup"),
+        (12, 3 * H, 5, "signup"), (13, 4 * H, 5, "view"),
+        (14, 5 * H, 5, "error"), (15, 6 * H, 5, "purchase"),
+    ]
+    from spark_indexedrdd_spark.operators.analytics import ordered_funnel
+
+    out = {r.step: r.users for r in ordered_funnel(_ev(spark, rows)).collect()}
+    # reached step1: users 1,2,4,5 ; step2: 1,2,5 ; step3: 1,5
+    assert out == {1: 4, 2: 3, 3: 2}
+
+
+def test_ordered_funnel_same_timestamp_ties_break_by_event_id(spark):
+    rows = [
+        (1, 100, 1, "signup"), (2, 100, 1, "view"), (3, 100, 1, "purchase"),
+        # reversed event ids at one instant: the array sorts to
+        # (purchase, view, signup), so greedy matching finds signup
+        # LAST and the user stops at stage 1
+        (6, 100, 2, "signup"), (5, 100, 2, "view"), (4, 100, 2, "purchase"),
+    ]
+    from spark_indexedrdd_spark.operators.analytics import ordered_funnel
+
+    out = {r.step: r.users for r in ordered_funnel(_ev(spark, rows)).collect()}
+    assert out == {1: 2, 2: 1, 3: 1}
+
+
+def test_cohort_retention_model(spark):
+    from spark_indexedrdd_spark.operators.analytics import (
+        WEEK_US,
+        cohort_retention,
+    )
+
+    rows = [
+        # cohort week 0: users 1, 2
+        (1, 0 * WEEK_US + 5, 1, "view"),
+        (2, 0 * WEEK_US + 9, 2, "view"),
+        # user 1 active weeks 0,1,2 ; user 2 active weeks 0,2
+        (3, 1 * WEEK_US + 5, 1, "click"),
+        (4, 2 * WEEK_US + 5, 1, "view"),
+        (5, 2 * WEEK_US + 7, 2, "view"),
+        # cohort week 1: user 3, active weeks 1 and 3
+        (6, 1 * WEEK_US + 1, 3, "view"),
+        (7, 3 * WEEK_US + 1, 3, "view"),
+    ]
+    got = {
+        (r.cohort_week, r.week_offset): (r.cohort_size, r.active_users, r.retention)
+        for r in cohort_retention(_ev(spark, rows)).collect()
+    }
+    assert got == {
+        (0, 0): (2, 2, 1.0),
+        (0, 1): (2, 1, 0.5),
+        (0, 2): (2, 2, 1.0),
+        (1, 0): (1, 1, 1.0),
+        (1, 2): (1, 1, 1.0),
+    }
