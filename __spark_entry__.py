@@ -490,6 +490,11 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ann_ivfpq": lambda s, d: _pq.ivfpq_ann(
         _emb(s, d), _sim.DEFAULT_QUERY_IDS, method="det"
     ),
+    # classic residual IVFPQ: codes quantize (x − centroid); the det
+    # twin reproduces residuals, codebooks, and per-list ADC exactly
+    "similarity_ann_ivfpq_res": lambda s, d: _pq.ivfpq_residual_ann(
+        _emb(s, d), _sim.DEFAULT_QUERY_IDS, method="det"
+    ),
     # ANN quality monitor: recall@5 of the LSH tier vs in-plan brute
     # force — pins ANN quality in the correctness gate, not just pytest
     "ann_recall": lambda s, d: _sim.ann_recall(
@@ -778,6 +783,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "similarity_ann_ivfpq": _pq.sql_ivfpq_ann(
         query_ids=_sim.DEFAULT_QUERY_IDS
     ),
+    "similarity_ann_ivfpq_res": _pq.sql_ivfpq_residual_ann(
+        query_ids=_sim.DEFAULT_QUERY_IDS
+    ),
     "similarity_ann_ivf_det": _ivf.sql_ivf_ann(
         query_ids=_sim.DEFAULT_QUERY_IDS
     ),
@@ -1017,6 +1025,7 @@ PAST_CUTOFF_NEW = (
     "scd2_merge",              # SCD2 history merge + new-key inserts
     "cohort_retention",        # epoch-week cohort retention grid
     "ordered_funnel",          # n-step ordered funnel, one-fold form
+    "similarity_ann_ivfpq_res",  # residual IVFPQ, det twin
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}

@@ -490,6 +490,14 @@ def run_suite(spark) -> dict[str, float]:
 
         _pq.ivfpq_ann(emb, [0, 50, 100, 150, 200], k=5, method="det").collect()
 
+    @timed("similarity_ann_ivfpq_res")
+    def _ivfpqresann():
+        from spark_indexedrdd_spark.functions import pq as _pq
+
+        _pq.ivfpq_residual_ann(
+            emb, [0, 50, 100, 150, 200], k=5, method="kmeans"
+        ).collect()
+
     # IVF store: write once, then each ingest batch reads only its
     # clusters' directories (the embedding analog of the sig store)
     @timed("ivf_store_write_once")

@@ -628,3 +628,317 @@ def sql_ivfpq_ann(
         )
         SELECT q_id, cand_id, adc_dist, rank FROM ranked WHERE rank <= {k}
     """
+
+
+def _res_codebooks(
+    emb: DataFrame,
+    cents: "list[tuple[list[float], float]]",
+    m: int,
+    ksub: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    method: str,
+) -> "list[list[list[float]]]":
+    """Codebooks over RESIDUALS (x − centroid[assign(x)]).
+
+    det: residuals of the first-ksub-by-id vectors, assigned driver-side
+    with the same sequential-fold sims / first-max tie-break as the SQL
+    twin's window. kmeans: numpy Lloyd's over the residuals of the
+    capped sample (assignment vectorized, same arithmetic)."""
+    import numpy as np
+
+    if method == "det":
+        rows = emb.orderBy(id_col).limit(ksub).select(vec_col).collect()
+        vecs = [[float(x) for x in r[0]] for r in rows]
+    else:
+        n_bounded = emb.select(id_col).limit(_PROBE_LIMIT + 1).count()
+        if n_bounded <= TRAIN_SAMPLE_CAP:
+            train = emb
+        else:
+            frac = min(1.0, max(0.05, 1.1 * TRAIN_SAMPLE_CAP / n_bounded))
+            train = emb.sample(fraction=frac, seed=seed).limit(TRAIN_SAMPLE_CAP)
+        vecs = [
+            [float(x) for x in r[0]]
+            for r in train.select(vec_col).collect()
+        ]
+    # driver-side assignment with the engines' exact fold arithmetic
+    residuals = []
+    for v in vecs:
+        best_j, best_s = 0, None
+        for j, (c, c_norm) in enumerate(cents):
+            acc = 0.0
+            for x, ci in zip(v, c):
+                acc = acc + float(x) * float(ci)
+            s = acc / c_norm
+            if best_s is None or s > best_s:
+                best_j, best_s = j, s
+        residuals.append(
+            [float(x) - float(ci) for x, ci in zip(v, cents[best_j][0])]
+        )
+    if method == "det":
+        bounds = _sub_bounds(len(residuals[0]), m)
+        return [[r[lo:hi] for r in residuals] for lo, hi in bounds]
+    rv = np.array(residuals, dtype=np.float64)
+    return [
+        [[float(x) for x in c] for c in _lloyd_np(rv[:, lo:hi], ksub, seed + j)]
+        for j, (lo, hi) in enumerate(_sub_bounds(rv.shape[1], m))
+    ]
+
+
+def _assign_res_encode(
+    emb: DataFrame,
+    cents: "list[tuple[list[float], float]]",
+    codebooks: "list[list[list[float]]]",
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One Arrow pass over the corpus: nearest centroid, then PQ codes
+    of the RESIDUAL → (id, cluster_id, codes). mapInPandas, not a
+    struct-returning pandas_udf: extracting two fields from one UDF
+    struct re-evaluates the UDF per field (no CSE across the collapsed
+    projection — observed two ArrowEvalPython nodes over the same scan,
+    i.e. assignment+encoding computed twice; the same no-CSE family as
+    text._tokenized's fence). Same fold arithmetic as the flat
+    encoder, applied to (v − centroid)."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_indexedrdd_spark.functions.ivf import _centroid_sims_np
+
+    d = sum(len(cb[0]) for cb in codebooks)
+    bounds = _sub_bounds(d, len(codebooks))
+    cent_m = np.array([c for c, _ in cents], dtype=np.float64)
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def assign_encode(batches):
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if v.shape[0] == 0:
+                continue
+            sims = _centroid_sims_np(pdf[vec_col], cents)
+            assign = np.argmax(sims, axis=1)
+            res = v - cent_m[assign]
+            codes = np.empty((v.shape[0], len(codebooks)), dtype=np.int32)
+            for j, ((lo, hi), cb) in enumerate(zip(bounds, codebooks)):
+                sub = res[:, lo:hi]
+                dists = np.empty((v.shape[0], len(cb)), dtype=np.float64)
+                for c, word in enumerate(cb):
+                    acc = np.zeros(v.shape[0], dtype=np.float64)
+                    for i, wi in enumerate(word):
+                        t = sub[:, i] - wi
+                        acc = acc + t * t
+                    dists[:, c] = acc
+                codes[:, j] = np.argmin(dists, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster_id": assign.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign_encode,
+        schema=f"{id_col} {id_type}, cluster_id int, codes array<int>",
+    )
+
+
+def ivfpq_residual_ann(
+    emb: DataFrame,
+    query_ids: Iterable[int],
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "kmeans",
+) -> DataFrame:
+    """Classic IVFPQ: PQ codes quantize the RESIDUAL (x − centroid)
+    instead of x itself. Residual magnitudes are cluster-radius-sized
+    rather than corpus-sized, so for the same m the quantizer spends
+    its codes on a far smaller ball — roughly halving reconstruction
+    error (Jégou 2011 §IV) and restoring within-list ranking that flat
+    codes blur (measured on the 8-blob fixture in tests/test_pq.py).
+    The cost: a query's distance table is per-PROBED-LIST (the residual
+    is relative to each list's centroid), so table build is
+    n_probe×m×ksub per query instead of m×ksub — still driver-trivial
+    for multiget-contract query counts.
+
+    Plan shape: identical to :func:`ivfpq_ann` — assignment + residual
+    + encoding fuse into ONE Arrow scan projection; the probe side
+    (now (q_id, cluster_id, tbl) rows) broadcasts; scoring is the same
+    JVM element_at fold over only probed lists."""
+    from spark_indexedrdd_spark.functions.ivf import _centroids
+
+    cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
+    cbs = _res_codebooks(emb, cents, m, ksub, seed, id_col, vec_col, method)
+    codes = _assign_res_encode(emb, cents, cbs, id_col, vec_col)
+
+    qids = list(query_ids)
+    q_rows = (
+        emb.where(F.col(id_col).isin(qids)).select(id_col, vec_col).collect()
+    )
+    d = sum(len(cb[0]) for cb in cbs)
+    bounds = _sub_bounds(d, m)
+    probe_rows = []
+    for r in sorted(q_rows, key=lambda r: r[0]):
+        qv = [float(x) for x in r[1]]
+        sims = []
+        for cid, (c, c_norm) in enumerate(cents):
+            acc = 0.0
+            for x, ci in zip(qv, c):
+                acc = acc + float(x) * float(ci)
+            sims.append((-(acc / c_norm), cid))
+        for _, cid in sorted(sims)[:n_probe]:
+            q_res = [x - float(ci) for x, ci in zip(qv, cents[cid][0])]
+            table = [
+                [_py_sub_dist(q_res[lo:hi], word) for word in cb]
+                for (lo, hi), cb in zip(bounds, cbs)
+            ]
+            probe_rows.append((int(r[0]), cid, table))
+
+    probes = emb.sparkSession.createDataFrame(
+        probe_rows,
+        "q_id: long, cluster_id: int, tbl: array<array<double>>",
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(codes, "cluster_id")
+        .select(
+            "q_id",
+            F.col(id_col).alias("cand_id"),
+            _adc_expr(m).alias("adc_dist"),
+        )
+        .where(F.col("q_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "cand_id", "adc_dist", F.col("rank").cast("int"))
+    )
+
+
+def sql_ivfpq_residual_ann(
+    table: str = "embeddings",
+    query_ids: Iterable[int] = (),
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Exact DuckDB twin of ``ivfpq_residual_ann(..., method="det")``:
+    residuals computed relationally (assigned ⋈ cents), codebooks from
+    the first-ksub residuals, per-(query, probed-list) residual tables
+    via the probes ⋈ cents join."""
+    from spark_indexedrdd_spark.functions.vectors import sql_dot, sql_norm
+
+    ids = ", ".join(str(i) for i in query_ids)
+    dsub = dim // m
+    res_slice = (
+        f"list_slice(residual, sub_id * {dsub} + 1, sub_id * {dsub} + {dsub})"
+    )
+    enc_dist = _sql_sub_dist("s.sub", "cb.cw", dsub)
+    adc_dist = _sql_sub_dist("q.sub", "cb.cw", dsub)
+    c_sim = f"({sql_dot(f'e.{vec_col}', 'c.centroid')} / c.c_norm)"
+    q_sim = f"({sql_dot(f'qq.{vec_col}', 'c.centroid')} / c.c_norm)"
+    residual_expr = (
+        f"list_transform(range(1, {dim} + 1),"
+        f" i -> CAST({vec_col}[i] AS DOUBLE) - centroid[i])"
+    )
+    q_residual_expr = (
+        f"list_transform(range(1, {dim} + 1),"
+        f" i -> CAST(qq.{vec_col}[i] AS DOUBLE) - c.centroid[i])"
+    )
+    return f"""
+        WITH cents AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS INTEGER) AS cluster_id,
+                   {vec_col} AS centroid,
+                   {sql_norm(vec_col)} AS c_norm
+            FROM (SELECT {id_col}, {vec_col} FROM {table}
+                  ORDER BY {id_col} LIMIT {n_clusters})
+        ),
+        assigned AS (
+            SELECT {id_col}, {vec_col}, cluster_id, centroid FROM (
+                SELECT e.{id_col}, e.{vec_col}, c.cluster_id, c.centroid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.{id_col}
+                           ORDER BY {c_sim} DESC, c.cluster_id
+                       ) AS rn
+                FROM {table} e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        res AS (
+            SELECT {id_col}, cluster_id, {residual_expr} AS residual
+            FROM assigned
+        ),
+        cb AS (
+            SELECT sub_id, CAST(rn - 1 AS INTEGER) AS code,
+                   {res_slice} AS cw
+            FROM (
+                SELECT residual,
+                       ROW_NUMBER() OVER (ORDER BY {id_col}) AS rn
+                FROM (SELECT {id_col}, residual FROM res
+                      ORDER BY {id_col} LIMIT {ksub})
+            ), (SELECT unnest(range({m})) AS sub_id)
+        ),
+        corpus_sub AS (
+            SELECT {id_col}, cluster_id, sub_id, {res_slice} AS sub
+            FROM res, (SELECT unnest(range({m})) AS sub_id)
+        ),
+        codes AS (
+            SELECT {id_col}, cluster_id, sub_id, code FROM (
+                SELECT s.{id_col}, s.cluster_id, s.sub_id, cb.code,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.{id_col}, s.sub_id
+                           ORDER BY {enc_dist}, cb.code
+                       ) AS rn
+                FROM corpus_sub s JOIN cb USING (sub_id)
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT q_id, cluster_id, residual FROM (
+                SELECT qq.{id_col} AS q_id, c.cluster_id,
+                       {q_residual_expr} AS residual,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qq.{id_col}
+                           ORDER BY {q_sim} DESC, c.cluster_id
+                       ) AS rn
+                FROM (SELECT * FROM {table} WHERE {id_col} IN ({ids})) qq
+                CROSS JOIN cents c
+            ) WHERE rn <= {n_probe}
+        ),
+        q_sub AS (
+            SELECT q_id, cluster_id, sub_id, {res_slice} AS sub
+            FROM probes, (SELECT unnest(range({m})) AS sub_id)
+        ),
+        adc AS (
+            SELECT q.q_id, c.{id_col} AS cand_id,
+                   list_reduce(
+                       list({adc_dist} ORDER BY q.sub_id),
+                       (x, y) -> x + y
+                   ) AS adc_dist
+            FROM q_sub q
+            JOIN codes c ON c.sub_id = q.sub_id
+                        AND c.cluster_id = q.cluster_id
+            JOIN cb ON cb.sub_id = c.sub_id AND cb.code = c.code
+            WHERE q.q_id <> c.{id_col}
+            GROUP BY q.q_id, c.{id_col}
+        ),
+        ranked AS (
+            SELECT q_id, cand_id, adc_dist,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY adc_dist, cand_id
+                   ) AS INTEGER) AS rank
+            FROM adc
+        )
+        SELECT q_id, cand_id, adc_dist, rank FROM ranked WHERE rank <= {k}
+    """

@@ -193,3 +193,53 @@ def test_ivfpq_scan_fraction(clustered):
     )
     n_scored = out.count()
     assert n_scored <= 2 * 200 / 8 + 5, n_scored
+
+
+def test_residual_ivfpq_beats_flat_within_cluster(clustered):
+    """The point of residual encoding: codes spend their precision on
+    the cluster-radius ball, restoring the within-blob ranking flat
+    codes blur. Exact-L2-top-5 recall must be strictly better than the
+    flat variant's on the 8-blob fixture (flat measured ~0.35-0.7
+    there)."""
+    qids = [0, 25, 50, 75]
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in clustered.collect()}
+    bf = set()
+    for q in qids:
+        d = sorted(
+            (float(np.sum((v - data[q]) ** 2)), vid)
+            for vid, v in data.items() if vid != q
+        )[:5]
+        bf |= {(q, vid) for _, vid in d}
+
+    def recall(df):
+        got = {(r.q_id, r.cand_id) for r in df.collect()}
+        return len(got & bf) / len(bf)
+
+    flat = recall(PQ.ivfpq_ann(
+        clustered, qids, k=5, n_clusters=8, n_probe=3,
+        m=4, ksub=16, method="kmeans",
+    ))
+    res = recall(PQ.ivfpq_residual_ann(
+        clustered, qids, k=5, n_clusters=8, n_probe=3,
+        m=4, ksub=16, method="kmeans",
+    ))
+    # measured on this fixture/seed: flat 0.3, residual 0.7 — exact
+    # within-blob ordering at sigma=0.1 spacing is beyond ksub=16
+    # codes either way, but residual more than doubles it
+    assert res >= 0.6, f"residual recall {res}"
+    assert res > flat + 0.2, (res, flat)
+
+
+def test_residual_ivfpq_single_arrow_stage(clustered):
+    """Assignment + residual + encoding must fuse into ONE Arrow
+    projection over the corpus scan."""
+    df = PQ.ivfpq_residual_ann(
+        clustered, [0, 25], k=3, n_clusters=8, n_probe=2,
+        m=4, ksub=8, method="det",
+    )
+    from spark_indexedrdd_spark.plans import explain as X
+
+    plan = X.physical_plan(df)
+    n_python = plan.count("ArrowEvalPython (") + plan.count("MapInPandas (")
+    assert n_python <= 1, plan[:3000]
