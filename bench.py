@@ -498,6 +498,26 @@ def run_suite(spark) -> dict[str, float]:
             emb, [0, 50, 100, 150, 200], k=5, method="kmeans"
         ).collect()
 
+    @timed("ivfpq_store_write_once")
+    def _ivfpqstore():
+        from spark_indexedrdd_spark.functions import pq as _pq
+
+        _pq.write_ivfpq_store(
+            emb, "spark-warehouse/bench_ivfpq_store", method="kmeans"
+        )
+
+    @timed("ivfpq_store_serve")
+    def _ivfpqserve():
+        from spark_indexedrdd_spark.functions import pq as _pq
+
+        qvecs = [
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.where("vec_id in (0, 50, 100, 150, 200)").collect()
+        ]
+        _pq.ivfpq_store_ann(
+            spark, "spark-warehouse/bench_ivfpq_store", qvecs, k=5
+        ).collect()
+
     # IVF store: write once, then each ingest batch reads only its
     # clusters' directories (the embedding analog of the sig store)
     @timed("ivf_store_write_once")

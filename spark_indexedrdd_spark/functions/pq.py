@@ -942,3 +942,150 @@ def sql_ivfpq_residual_ann(
         )
         SELECT q_id, cand_id, adc_dist, rank FROM ranked WHERE rank <= {k}
     """
+
+
+def write_ivfpq_store(
+    emb: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "kmeans",
+) -> None:
+    """Materialize the corpus as a SERVABLE IVFPQ index: residual codes
+    at ``path/codes`` PARTITIONED BY cluster_id, centroids at
+    ``path/centroids``, codebooks at ``path/codebooks``. This is the
+    at-scale serving layout: a query reads n_probe code directories —
+    m ints per row, never the float vectors — so the whole index is
+    n_probe/n_clusters × corpus-rows × m bytes per query, and the only
+    global state is k centroid rows + m×ksub codewords.
+
+    One pass over the corpus (the mapInPandas assign+encode), one
+    cluster-partitioned write. Defaults (n_probe) are stored alongside
+    so serving and build agree."""
+    from spark_indexedrdd_spark.functions.ivf import _centroids
+
+    cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
+    cbs = _res_codebooks(emb, cents, m, ksub, seed, id_col, vec_col, method)
+    codes = _assign_res_encode(emb, cents, cbs, id_col, vec_col)
+    codes.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        path + "/codes"
+    )
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(i, c, n) for i, (c, n) in enumerate(cents)],
+        "cluster_id int, centroid array<double>, c_norm double",
+    ).write.mode("overwrite").parquet(path + "/centroids")
+    spark.createDataFrame(
+        [
+            (sub, code, word)
+            for sub, cb in enumerate(cbs)
+            for code, word in enumerate(cb)
+        ],
+        "sub_id int, code int, cw array<double>",
+    ).write.mode("overwrite").parquet(path + "/codebooks")
+
+
+def read_ivfpq_store(spark, path: str):
+    """(codes_df, centroids, codebooks) — codes lazily from the
+    partitioned parquet (cluster_id filters prune to probed
+    directories); centroids/codebooks as the driver-side structures the
+    build produced."""
+    cent_rows = (
+        spark.read.parquet(path + "/centroids").orderBy("cluster_id").collect()
+    )
+    cents = [
+        ([float(x) for x in r.centroid], float(r.c_norm)) for r in cent_rows
+    ]
+    cb_rows = (
+        spark.read.parquet(path + "/codebooks")
+        .orderBy("sub_id", "code")
+        .collect()
+    )
+    m = 1 + max(r.sub_id for r in cb_rows)
+    cbs = [[] for _ in range(m)]
+    for r in cb_rows:
+        cbs[r.sub_id].append([float(x) for x in r.cw])
+    return spark.read.parquet(path + "/codes"), cents, cbs
+
+
+def append_ivfpq_batch(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold an ingest batch into the store: assign + encode with the
+    STORED centroids and codebooks (the quantizer is fixed at build
+    time — re-fitting would silently re-code every list) and append
+    into the per-cluster directories."""
+    _codes, cents, cbs = read_ivfpq_store(new_emb.sparkSession, path)
+    batch = _assign_res_encode(new_emb, cents, cbs, id_col, vec_col)
+    batch.write.mode("append").partitionBy("cluster_id").parquet(
+        path + "/codes"
+    )
+
+
+def ivfpq_store_ann(
+    spark,
+    path: str,
+    queries: "list[tuple[int, list[float]]]",
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve ANN from a persisted IVFPQ store: (q_id, cand_id,
+    adc_dist, rank) for driver-side query vectors. The codes read
+    filters cluster_id to the union of all probe lists — a
+    PARTITION-PRUNED scan of n_probe directories per query (asserted
+    in tests), reading m ints per candidate. Probe tables are the same
+    driver-side residual tables as :func:`ivfpq_residual_ann`."""
+    codes, cents, cbs = read_ivfpq_store(spark, path)
+    m = len(cbs)
+    d = sum(len(cb[0]) for cb in cbs)
+    bounds = _sub_bounds(d, m)
+    probe_rows = []
+    for q_id, qv in sorted(queries):
+        qv = [float(x) for x in qv]
+        sims = []
+        for cid, (c, c_norm) in enumerate(cents):
+            acc = 0.0
+            for x, ci in zip(qv, c):
+                acc = acc + float(x) * float(ci)
+            sims.append((-(acc / c_norm), cid))
+        for _, cid in sorted(sims)[:n_probe]:
+            q_res = [x - float(ci) for x, ci in zip(qv, cents[cid][0])]
+            table = [
+                [_py_sub_dist(q_res[lo:hi], word) for word in cb]
+                for (lo, hi), cb in zip(bounds, cbs)
+            ]
+            probe_rows.append((int(q_id), cid, table))
+
+    probed_clusters = sorted({cid for _, cid, _ in probe_rows})
+    probes = spark.createDataFrame(
+        probe_rows,
+        "q_id: long, cluster_id: int, tbl: array<array<double>>",
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(
+            codes.where(F.col("cluster_id").isin(probed_clusters)),
+            "cluster_id",
+        )
+        .select(
+            "q_id",
+            F.col(id_col).alias("cand_id"),
+            _adc_expr(m).alias("adc_dist"),
+        )
+        .where(F.col("q_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "cand_id", "adc_dist", F.col("rank").cast("int"))
+    )

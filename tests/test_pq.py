@@ -243,3 +243,48 @@ def test_residual_ivfpq_single_arrow_stage(clustered):
     plan = X.physical_plan(df)
     n_python = plan.count("ArrowEvalPython (") + plan.count("MapInPandas (")
     assert n_python <= 1, plan[:3000]
+
+
+def test_ivfpq_store_roundtrip_and_pruning(spark, clustered, tmp_path):
+    """Store-served ANN equals the in-plan residual IVFPQ (same det
+    quantizer), the codes read prunes to the probed partitions, and an
+    appended batch is encoded with the STORED quantizer."""
+    store = str(tmp_path / "ivfpq_store")
+    base = clustered.where("vec_id < 175")
+    batch = clustered.where("vec_id >= 175")
+    PQ.write_ivfpq_store(
+        base, store, n_clusters=8, m=4, ksub=8, method="det"
+    )
+    qvecs = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in clustered.where("vec_id in (0, 25)").collect()
+    ]
+    served = PQ.ivfpq_store_ann(spark, store, qvecs, k=5, n_probe=2)
+    inplan = PQ.ivfpq_residual_ann(
+        base, [0, 25], k=5, n_clusters=8, n_probe=2,
+        m=4, ksub=8, method="det",
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inplan.collect())
+    )
+    # partition pruning: the scan must carry a cluster_id partition filter
+    from spark_indexedrdd_spark.plans import explain as X
+
+    plan = X.physical_plan(served)
+    assert "PartitionFilters" in plan and "cluster_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan[:3000]
+
+    # append: batch rows coded with the stored quantizer land in the
+    # same cluster/codes a full rebuild with that quantizer gives
+    PQ.append_ivfpq_batch(batch, store)
+    codes, cents, cbs = PQ.read_ivfpq_store(spark, store)
+    assert codes.count() == 200
+    direct = PQ._assign_res_encode(batch, cents, cbs, "vec_id", "embedding")
+    stored_batch = codes.where("vec_id >= 175")
+    assert sorted(
+        (r.vec_id, r.cluster_id, tuple(r.codes))
+        for r in stored_batch.collect()
+    ) == sorted(
+        (r.vec_id, r.cluster_id, tuple(r.codes)) for r in direct.collect()
+    )
