@@ -1,0 +1,141 @@
+"""Mergeable summary store: incremental corpus statistics from
+KB-sized sketches (Apache DataSketches via Spark's built-in
+``hll_*`` / ``kll_*`` aggregates).
+
+The 100 TB problem this solves: "distinct users per (lang, source)" or
+"p95 document length" over a growing corpus normally re-scans
+everything per report. Sketches are MERGEABLE: each ingest batch
+aggregates to one sketch row per group (~1.5 KB HLL / ~3 KB KLL
+regardless of batch size), the store appends them, and any later read
+union-merges per group — no base-data re-read, ever. This is the
+summary-store twin of the signature store (dedup) and the IVF/IVFPQ
+stores (similarity): state proportional to |groups|, not |rows|.
+
+Exactness contract: HLL register updates are per-bucket MAXes —
+commutative and associative — so union(sketch(A), sketch(B)) has
+exactly the registers of sketch(A ∪ B): batch-split estimates equal
+single-shot estimates EXACTLY (pytest-pinned). KLL compaction is
+randomized, so quantile merges agree only within the sketch's error
+bound — the tests pin rank-error tolerance, not equality. No DuckDB
+oracle: estimates are DataSketches-implementation-defined and DuckDB's
+approx functions use different sketches; the tests compare against
+EXACT Spark aggregations with the library's published error bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_sketches(
+    df: DataFrame,
+    group_cols: "list[str]",
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """One HLL sketch per group over the value column: (group...,
+    hll binary, n_rows). Map-side partial aggregation applies — the
+    shuffle carries one partially-merged sketch per group per task."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("hll"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+def quantile_sketches(
+    df: DataFrame,
+    group_cols: "list[str]",
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """One KLL(double) sketch per group: (group..., kll binary)."""
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(
+            F.col(value_col).cast("double"), F.lit(k)
+        ).alias("kll"),
+    )
+
+
+def write_sketch_store(
+    df: DataFrame,
+    path: str,
+    group_cols: "list[str]",
+    distinct_col: str,
+    quantile_col: str,
+) -> None:
+    """Initialize the store with the first batch's per-group sketches."""
+    _batch_sketches(df, group_cols, distinct_col, quantile_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def append_sketch_batch(
+    df: DataFrame,
+    path: str,
+    group_cols: "list[str]",
+    distinct_col: str,
+    quantile_col: str,
+) -> None:
+    """Fold an ingest batch in: aggregate the BATCH to sketch rows and
+    append. No read of existing store data — merging is deferred to
+    read time, so appends from concurrent batches never conflict
+    (parquet append of disjoint files)."""
+    _batch_sketches(df, group_cols, distinct_col, quantile_col).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _batch_sketches(
+    df: DataFrame,
+    group_cols: "list[str]",
+    distinct_col: str,
+    quantile_col: str,
+) -> DataFrame:
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(distinct_col)).alias("hll"),
+        F.kll_sketch_agg_double(F.col(quantile_col).cast("double")).alias(
+            "kll"
+        ),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+def read_summary(
+    spark,
+    path: str,
+    group_cols: "list[str]",
+    quantiles: "tuple[float, ...]" = (0.5, 0.95),
+) -> DataFrame:
+    """Union-merge the store's sketch rows per group and report:
+    (group..., n_rows, distinct_est, q50, q95, ...). The scan reads
+    |groups|×|batches| KB-sized rows — independent of corpus size."""
+    sk = spark.read.parquet(path)
+    # no KLL union AGGREGATE exists (kll_sketch_merge_double is a binary
+    # scalar) — fold the per-batch sketches with it; the list is
+    # |batches| KB-sized blobs per group, driver-bounded by design
+    kll_merge = F.expr(
+        "aggregate(slice(klls, 2, greatest(size(klls) - 1, 0)),"
+        " element_at(klls, 1),"
+        " (acc, x) -> kll_sketch_merge_double(acc, x))"
+    )
+    merged = (
+        sk.groupBy(*group_cols)
+        .agg(
+            F.hll_union_agg("hll").alias("hll"),
+            F.collect_list("kll").alias("klls"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+        )
+        .select(*group_cols, "hll", kll_merge.alias("kll"), "n_rows")
+    )
+    qcols = [
+        F.kll_sketch_get_quantile_double(F.col("kll"), F.lit(float(q)))
+        .alias(f"q{int(q * 100)}")
+        for q in quantiles
+    ]
+    return merged.select(
+        *group_cols,
+        "n_rows",
+        F.hll_sketch_estimate("hll").cast("double").alias("distinct_est"),
+        *qcols,
+    )

@@ -307,6 +307,11 @@ def test_contract_wide_no_accidental_cross_joins(spark):
         "similarity_topk",        # broadcast queries x candidates scorer
         "ann_recall",             # embeds the brute-force scorer as truth
         "waiting_customers_q22",  # broadcast 1-row avg (scalar subquery)
+        "similarity_ann_pq",      # broadcast ADC tables x code scan (the
+                                  # brute-ADC scorer; IVFPQ is the pruned
+                                  # equi-join form)
+        "ordered_funnel",         # steps x stages theta-join of two
+                                  # aggregates, both <= |steps|+1 rows
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

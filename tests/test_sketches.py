@@ -1,0 +1,105 @@
+"""Mergeable summary store: HLL batch-split exactness, error bounds vs
+exact aggregations, and the KB-state incremental contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.functions import sketches as SK
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hll_estimates_within_bound(spark, docs):
+    est = {
+        (r.lang, r.source): r.distinct_est
+        for r in SK.distinct_sketches(docs, ["lang", "source"], "doc_id")
+        .select(
+            "lang", "source",
+            F.hll_sketch_estimate("hll").cast("double").alias("distinct_est"),
+        )
+        .collect()
+    }
+    exact = {
+        (r.lang, r.source): r.d
+        for r in docs.groupBy("lang", "source")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        # lg_k=12 -> rsd ~1.6%; allow 5% plus integer slack
+        assert abs(est[k] - exact[k]) <= max(3, 0.05 * exact[k]), k
+
+
+def test_batch_split_equals_single_shot(spark, docs, tmp_path):
+    """HLL register updates are per-bucket maxes — commutative — so a
+    store fed in two batches reports the SAME distinct estimates as one
+    fed everything at once."""
+    store_a = str(tmp_path / "sk_a")
+    store_b = str(tmp_path / "sk_b")
+    b1 = docs.where("doc_id % 2 = 0")
+    b2 = docs.where("doc_id % 2 = 1")
+    SK.write_sketch_store(b1, store_a, ["lang"], "doc_id", "n_chars")
+    SK.append_sketch_batch(b2, store_a, ["lang"], "doc_id", "n_chars")
+    SK.write_sketch_store(docs, store_b, ["lang"], "doc_id", "n_chars")
+    a = {
+        r.lang: (r.n_rows, r.distinct_est)
+        for r in SK.read_summary(spark, store_a, ["lang"]).collect()
+    }
+    b = {
+        r.lang: (r.n_rows, r.distinct_est)
+        for r in SK.read_summary(spark, store_b, ["lang"]).collect()
+    }
+    assert a == b
+
+
+def test_quantiles_within_rank_error(spark, docs, tmp_path):
+    store = str(tmp_path / "sk_q")
+    SK.write_sketch_store(docs, store, ["lang"], "doc_id", "n_chars")
+    got = {
+        r.lang: (r.q50, r.q95)
+        for r in SK.read_summary(spark, store, ["lang"]).collect()
+    }
+    for lang, (q50, q95) in got.items():
+        vals = sorted(
+            r.n_chars
+            for r in docs.where(F.col("lang") == lang).collect()
+        )
+        n = len(vals)
+        # KLL k=200 normalized rank error ~1.65%; allow 5% rank slack
+        def rank_of(v):
+            import bisect
+            return bisect.bisect_right(vals, v) / n
+
+        assert 0.45 <= rank_of(q50) <= 0.55, (lang, q50)
+        assert 0.90 <= rank_of(q95) <= 1.0, (lang, q95)
+
+
+def test_store_stays_kb_sized(spark, docs, tmp_path):
+    """The incremental contract: state grows with |groups|×|batches|,
+    never with rows — 4 appends of the full corpus stay a handful of
+    KB-scale rows per group."""
+    store = str(tmp_path / "sk_small")
+    SK.write_sketch_store(docs, store, ["lang"], "doc_id", "n_chars")
+    for _ in range(3):
+        SK.append_sketch_batch(docs, store, ["lang"], "doc_id", "n_chars")
+    sk = spark.read.parquet(store)
+    n_langs = docs.select("lang").distinct().count()
+    assert sk.count() == 4 * n_langs
+    sizes = sk.select(
+        (F.length("hll") + F.length("kll")).alias("b")
+    ).collect()
+    assert all(r.b < 64 * 1024 for r in sizes)
+    # and the merged report still matches the single-shot corpus counts
+    est = {
+        r.lang: r.n_rows
+        for r in SK.read_summary(spark, store, ["lang"]).collect()
+    }
+    exact = {
+        r.lang: 4 * r.c
+        for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    }
+    assert est == exact
