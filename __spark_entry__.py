@@ -648,6 +648,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ordered_funnel": lambda s, d: _an.ordered_funnel(
         load_table(s, d, "events")
     ),
+    "ewma_by_user": lambda s, d: _an.ewma_by_user(
+        load_table(s, d, "events")
+    ),
     "chunk_documents": lambda s, d: _text.chunk_documents(_docs(s, d)),
     "epoch_upsample": lambda s, d: _text.epoch_upsample(
         _docs(s, d), {"src0": 2.5, "src1": 0.5, "src2": 0.0}
@@ -827,6 +830,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     """,
     "cohort_retention": _an.sql_cohort_retention(),
     "ordered_funnel": _an.sql_ordered_funnel(),
+    "ewma_by_user": _an.sql_ewma_by_user(),
     "chunk_documents": _text.sql_chunk_documents(),
     "epoch_upsample": _text.sql_epoch_upsample(
         epochs_by_source={"src0": 2.5, "src1": 0.5, "src2": 0.0}
@@ -1026,6 +1030,7 @@ PAST_CUTOFF_NEW = (
     "cohort_retention",        # epoch-week cohort retention grid
     "ordered_funnel",          # n-step ordered funnel, one-fold form
     "similarity_ann_ivfpq_res",  # residual IVFPQ, det twin
+    "ewma_by_user",            # recursive smoothing as an array fold
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}

@@ -2294,3 +2294,57 @@ def sql_ordered_funnel(steps: "tuple[str, ...]" = FUNNEL_STEPS) -> str:
         FROM ({selects})
         ORDER BY step
     """
+
+
+def ewma_by_user(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Exponentially-weighted moving average of event values per user —
+    the standard smoothing for per-entity metric streams. EWMA is a
+    RECURSION (acc = α·x + (1−α)·acc), which window frames cannot
+    express; like :func:`ordered_funnel` it becomes ONE fold over the
+    per-user sorted (ts_us, event_id, value) array — a single shuffle
+    on user_id, no self-joins, no windows.
+
+    Cross-engine exactness: the fold is the identical IEEE sequence on
+    both engines (lit(alpha) parses to the same double; each step is
+    two multiplies and an add in array order), so the final EWMA
+    hash-matches without rounding.
+
+    Output: (user_id, n_events, last_value, ewma)."""
+    arr = F.sort_array(
+        F.collect_list(F.struct("ts_us", "event_id", "value"))
+    )
+    a = F.lit(float(alpha))
+    ew = F.aggregate(
+        arr,
+        F.lit(None).cast("double"),
+        lambda acc, e: F.when(acc.isNull(), e["value"]).otherwise(
+            a * e["value"] + (F.lit(1.0) - a) * acc
+        ),
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.element_at(arr, -1)["value"].alias("last_value"),
+            ew.alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def sql_ewma_by_user(alpha: float = 0.3) -> str:
+    """list_reduce twin: same init-on-first-element fold (DuckDB's
+    list_reduce seeds acc with the first element, which equals the
+    Spark side's null-init → first-value branch)."""
+    return f"""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               (list(value ORDER BY epoch_us(ts), event_id))[-1] AS last_value,
+               list_reduce(
+                   list(value ORDER BY epoch_us(ts), event_id),
+                   (acc, x) -> {float(alpha)} * x + (1.0 - {float(alpha)}) * acc
+               ) AS ewma
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """

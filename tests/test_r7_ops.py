@@ -338,3 +338,27 @@ def test_cohort_retention_model(spark):
         (1, 0): (1, 1, 1.0),
         (1, 2): (1, 1, 1.0),
     }
+
+
+def test_ewma_matches_python_model(spark):
+    from spark_indexedrdd_spark.operators.analytics import ewma_by_user
+
+    rows = [
+        (1, 100, 1, "view"), (2, 200, 1, "view"), (3, 300, 1, "view"),
+        (4, 100, 2, "view"),
+    ]
+    df = spark.createDataFrame(
+        [(e, t, u, ty, float(10 * e)) for e, t, u, ty in rows],
+        "event_id long, ts_us long, user_id long, event_type string, value double",
+    )
+    got = {r.user_id: (r.n_events, r.last_value, r.ewma)
+           for r in ewma_by_user(df, alpha=0.5).collect()}
+
+    def model(vals, a=0.5):
+        acc = None
+        for v in vals:
+            acc = v if acc is None else a * v + (1 - a) * acc
+        return acc
+
+    assert got[1] == (3, 30.0, model([10.0, 20.0, 30.0]))
+    assert got[2] == (1, 40.0, 40.0)  # single event: ewma == value
