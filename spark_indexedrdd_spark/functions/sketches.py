@@ -139,3 +139,85 @@ def read_summary(
         F.hll_sketch_estimate("hll").cast("double").alias("distinct_est"),
         *qcols,
     )
+
+
+def overlap_estimate(
+    spark,
+    path_a: str,
+    path_b: str,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Estimated distinct-overlap between two sketch stores by
+    inclusion-exclusion: |A∩B| ≈ |A| + |B| − |A∪B|, with the union
+    computed by exact HLL register merge. The at-scale form of "how
+    many documents do these two corpora share?" — the inputs are two
+    KB-sized sketch stores, never the corpora (the exact form is a
+    corpus×corpus join). Error compounds three estimates (~3×rsd);
+    for decisions near zero overlap prefer the exact
+    ``contamination_check`` on the suspect slice.
+
+    With ``group_cols`` the overlap is per matching group (inner join —
+    groups present in only one store have no overlap row); without, one
+    global row."""
+    a = spark.read.parquet(path_a)
+    b = spark.read.parquet(path_b)
+    gc = group_cols or []
+
+    def merged(df, name):
+        agg = df.groupBy(*gc).agg(F.hll_union_agg("hll").alias(name))
+        return agg
+
+    ma, mb = merged(a, "hll_a"), merged(b, "hll_b")
+    j = ma.join(mb, on=gc) if gc else ma.crossJoin(mb)
+    est_a = F.hll_sketch_estimate("hll_a").cast("double")
+    est_b = F.hll_sketch_estimate("hll_b").cast("double")
+    est_u = F.hll_sketch_estimate(
+        F.hll_union(F.col("hll_a"), F.col("hll_b"))
+    ).cast("double")
+    return j.select(
+        *gc,
+        est_a.alias("distinct_a"),
+        est_b.alias("distinct_b"),
+        est_u.alias("distinct_union"),
+        F.greatest(est_a + est_b - est_u, F.lit(0.0)).alias("overlap_est"),
+    )
+
+
+class StreamingSketchStore:
+    """foreachBatch ingest into a sketch store: each micro-batch
+    appends its per-group sketch rows (KB-sized, no read of existing
+    state, no merge until read time — concurrent appends never
+    conflict). The streaming twin of :func:`append_sketch_batch`, same
+    pattern as streaming.dedup's signature-store ingest."""
+
+    def __init__(
+        self,
+        path: str,
+        group_cols: "list[str]",
+        distinct_col: str,
+        quantile_col: str,
+    ):
+        self.path = path
+        self.group_cols = group_cols
+        self.distinct_col = distinct_col
+        self.quantile_col = quantile_col
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        append_sketch_batch(
+            batch_df,
+            self.path,
+            self.group_cols,
+            self.distinct_col,
+            self.quantile_col,
+        )
+
+    def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
+        return (
+            stream_df.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.foreach_batch)
+            .trigger(**trigger_kwargs)
+            .start()
+        )

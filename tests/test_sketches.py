@@ -103,3 +103,56 @@ def test_store_stays_kb_sized(spark, docs, tmp_path):
         for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()
     }
     assert est == exact
+
+
+def test_overlap_estimate(spark, docs, tmp_path):
+    """Half-overlapping doc-id sets: inclusion-exclusion recovers the
+    planted overlap within compounded sketch error."""
+    a = docs.where("doc_id < 300")          # 0..299
+    b = docs.where("doc_id >= 150")         # 150..499 -> overlap 150
+    pa, pb = str(tmp_path / "ov_a"), str(tmp_path / "ov_b")
+    SK.write_sketch_store(a, pa, [], "doc_id", "n_chars")
+    SK.write_sketch_store(b, pb, [], "doc_id", "n_chars")
+    r = SK.overlap_estimate(spark, pa, pb).collect()[0]
+    assert abs(r.distinct_a - 300) <= 15
+    assert abs(r.distinct_b - 350) <= 18
+    assert abs(r.overlap_est - 150) <= 30
+    # disjoint stores -> near-zero overlap
+    c = docs.where("doc_id >= 300")
+    pc = str(tmp_path / "ov_c")
+    SK.write_sketch_store(c, pc, [], "doc_id", "n_chars")
+    r2 = SK.overlap_estimate(spark, str(tmp_path / "ov_a"), pc).collect()[0]
+    assert r2.overlap_est <= 25
+
+
+def test_streaming_sketch_ingest(spark, docs, tmp_path):
+    """A 3-file stream appended via foreachBatch reports the same
+    distinct estimates as a single-shot store (HLL merge exactness)."""
+    import tempfile
+
+    src = str(tmp_path / "sk_stream_src")
+    for i in range(3):
+        docs.where(f"doc_id % 3 = {i}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    store = str(tmp_path / "sk_stream_store")
+    st = SK.StreamingSketchStore(store, ["lang"], "doc_id", "n_chars")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = st.attach(stream, tempfile.mkdtemp(prefix="skckpt_"), availableNow=True)
+    q.awaitTermination(120)
+
+    single = str(tmp_path / "sk_single")
+    SK.write_sketch_store(docs, single, ["lang"], "doc_id", "n_chars")
+    a = {
+        r.lang: (r.n_rows, r.distinct_est)
+        for r in SK.read_summary(spark, store, ["lang"]).collect()
+    }
+    b = {
+        r.lang: (r.n_rows, r.distinct_est)
+        for r in SK.read_summary(spark, single, ["lang"]).collect()
+    }
+    assert a == b
