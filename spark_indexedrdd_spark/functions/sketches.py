@@ -221,3 +221,69 @@ class StreamingSketchStore:
             .trigger(**trigger_kwargs)
             .start()
         )
+
+
+def quantile_drift(
+    spark,
+    path_a: str,
+    path_b: str,
+    group_cols: "list[str] | None" = None,
+    probe_ranks: "tuple[float, ...]" = (0.1, 0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Distribution-drift monitor between two sketch stores: a
+    Kolmogorov-Smirnov-style statistic from KLL sketches alone — the
+    max |rank_A(v) − rank_B(v)| over a common probe grid of values.
+    The grid is store A's GLOBAL quantiles at ``probe_ranks`` (one
+    KB-sized collect): ``kll_sketch_get_rank_double`` requires a
+    FOLDABLE value argument, so per-group probe values cannot ride a
+    column — a shared literal grid keeps the whole comparison one
+    vectorized select per store and is the standard fixed-grid KS
+    variant. Identical distributions give ~0 (within sketch rank error
+    ~1.7% at k=200); a shifted metric (this crawl's doc lengths vs
+    last month's) lights up without touching either corpus.
+
+    Output: (group..., ks_stat, drift columns d10/d25/... per probe)."""
+    gc = group_cols or []
+    fold = F.expr(
+        "aggregate(slice(ks, 2, greatest(size(ks) - 1, 0)),"
+        " element_at(ks, 1),"
+        " (acc, x) -> kll_sketch_merge_double(acc, x))"
+    )
+
+    def kll_of(path, name, groups):
+        sk = spark.read.parquet(path).select(*groups, F.col("kll").alias("k"))
+        return (
+            sk.groupBy(*groups)
+            .agg(F.collect_list("k").alias("ks"))
+            .select(*groups, fold.alias(name))
+        )
+
+    grid_row = (
+        kll_of(path_a, "g", [])
+        .select(
+            *[
+                F.kll_sketch_get_quantile_double(F.col("g"), F.lit(float(p)))
+                .alias(f"v{i}")
+                for i, p in enumerate(probe_ranks)
+            ]
+        )
+        .collect()[0]
+    )
+    grid = [float(grid_row[i]) for i in range(len(probe_ranks))]
+
+    a = kll_of(path_a, "kll_a", gc)
+    b = kll_of(path_b, "kll_b", gc)
+    j = a.join(b, on=gc) if gc else a.crossJoin(b)
+    drifts = []
+    for p, v in zip(probe_ranks, grid):
+        ra = F.kll_sketch_get_rank_double(F.col("kll_a"), F.lit(v))
+        rb = F.kll_sketch_get_rank_double(F.col("kll_b"), F.lit(v))
+        drifts.append(F.abs(ra - rb).alias(f"d{int(p * 100)}"))
+    out = j.select(*gc, *drifts)
+    return out.select(
+        *gc,
+        F.greatest(*[F.col(f"d{int(p * 100)}") for p in probe_ranks]).alias(
+            "ks_stat"
+        ),
+        *[F.col(f"d{int(p * 100)}") for p in probe_ranks],
+    )

@@ -156,3 +156,26 @@ def test_streaming_sketch_ingest(spark, docs, tmp_path):
         for r in SK.read_summary(spark, single, ["lang"]).collect()
     }
     assert a == b
+
+
+def test_quantile_drift_detects_shift(spark, docs, tmp_path):
+    """Same distribution -> ks_stat within sketch rank error; a
+    shifted copy (n_chars + 60% of its range) -> large ks_stat."""
+    from pyspark.sql import functions as F2
+
+    pa = str(tmp_path / "dr_a")
+    pb = str(tmp_path / "dr_b")
+    pc = str(tmp_path / "dr_c")
+    SK.write_sketch_store(docs, pa, [], "doc_id", "n_chars")
+    # independent same-distribution sample: the other half of doc ids
+    SK.write_sketch_store(
+        docs.where("doc_id % 2 = 0"), pb, [], "doc_id", "n_chars"
+    )
+    shifted = docs.withColumn("n_chars", F2.col("n_chars") + 200)
+    SK.write_sketch_store(shifted, pc, [], "doc_id", "n_chars")
+
+    same = SK.quantile_drift(spark, pa, pb).collect()[0].ks_stat
+    drift = SK.quantile_drift(spark, pa, pc).collect()[0].ks_stat
+    assert same < 0.1, same
+    assert drift > 0.3, drift
+    assert drift > same
