@@ -338,3 +338,78 @@ def test_remove_duplicate_spans_matches_python_model(spark, docs):
         assert got[i].n_tokens == len(t)
         assert got[i].n_removed == len(t) - len(kept), (i, docs)
         assert got[i].clean_text == " ".join(kept), (i, docs)
+
+
+# --------------------------------------------------------------------- #
+# SCD2 merge vs a pure-Python history model (r7)
+# --------------------------------------------------------------------- #
+
+_SCD_TS = ["2021-0{m}-01 00:00:00".format(m=m) for m in range(1, 8)]
+
+
+def _scd_model_apply(history, updates, ts):
+    """history: list of dicts with k,v,valid_from,valid_to,is_current."""
+    out = [r for r in history if not r["is_current"]]
+    open_rows = {r["k"]: r for r in history if r["is_current"]}
+    for k, r in open_rows.items():
+        u = updates.get(k)
+        if u is None or u == r["v"]:
+            out.append(r)
+        else:
+            out.append({**r, "valid_to": ts, "is_current": False})
+            out.append(
+                {"k": k, "v": u, "valid_from": ts, "valid_to": None,
+                 "is_current": True}
+            )
+    for k, u in updates.items():
+        if k not in open_rows:
+            out.append(
+                {"k": k, "v": u, "valid_from": ts, "valid_to": None,
+                 "is_current": True}
+            )
+    return out
+
+
+@given(
+    batches=st.lists(
+        st.dictionaries(KEYS, VALS, min_size=0, max_size=4),
+        min_size=1,
+        max_size=4,
+    )
+)
+@_slow
+def test_scd2_chained_batches_match_python_model(spark, batches):
+    from spark_indexedrdd_spark.operators.scd import scd2_apply, scd2_init
+
+    dim = spark.createDataFrame(
+        [(i, i * 10) for i in range(-2, 3)], "k long, v long"
+    )
+    hist = scd2_init(dim, "2020-01-01 00:00:00")
+    model = [
+        {"k": i, "v": i * 10, "valid_from": "2020-01-01 00:00:00",
+         "valid_to": None, "is_current": True}
+        for i in range(-2, 3)
+    ]
+    for i, batch in enumerate(batches):
+        ts = _SCD_TS[i]
+        if batch:
+            upd = spark.createDataFrame(
+                list(batch.items()), "k long, v long"
+            )
+            hist = scd2_apply(hist, upd, ["k"], ["v"], ts)
+            model = _scd_model_apply(model, batch, ts)
+    got = sorted(
+        (r.k, r.v, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in hist.collect()
+    )
+    want = sorted(
+        (
+            r["k"],
+            r["v"],
+            r["valid_from"],
+            str(None) if r["valid_to"] is None else r["valid_to"],
+            r["is_current"],
+        )
+        for r in model
+    )
+    assert got == want
