@@ -189,3 +189,37 @@ def sql_scd2_apply(
             SELECT 1 FROM open_rows o WHERE {o_keys} AND ({same})
         )
     """
+
+
+def scd2_temporal_join(
+    fact: DataFrame,
+    history: DataFrame,
+    key_map: "dict[str, str]",
+    ts_col: str,
+) -> DataFrame:
+    """Join fact rows to the dimension VERSION valid at the fact's own
+    timestamp — the point of keeping SCD2 history (an as-of-now join
+    would misattribute historical facts to current attributes).
+    ``key_map`` maps fact key columns to history key columns; the match
+    condition is key equality AND valid_from <= fact.ts < valid_to
+    (open intervals unbounded). Facts with no valid version (timestamp
+    before the key existed, or unknown key) keep NULL dimension
+    columns — dropping them would silently shrink the fact table.
+
+    Scale: a key-equality join (broadcast/SMJ as sizes dictate) with
+    the interval predicate as a cheap post-join residual — per key
+    there are only |versions| candidate rows, so the fan-out before
+    filtering is versions-per-key, not interval-length (the range-join
+    bucketing machinery is unnecessary here by construction). At most
+    ONE version matches per fact row (validity intervals partition
+    time), so the join never duplicates facts."""
+    on = None
+    for fk, hk in key_map.items():
+        c = fact[fk] == history[hk]
+        on = c if on is None else on & c
+    interval = (history["valid_from"] <= fact[ts_col]) & (
+        history["valid_to"].isNull() | (fact[ts_col] < history["valid_to"])
+    )
+    return fact.join(history, on & interval, "left").drop(
+        *[history[hk] for hk in key_map.values()]
+    )

@@ -127,3 +127,34 @@ def test_scd2_closed_rows_bypass_the_join(spark, dim):
     assert "is_current" in plan
     got = _rows(h2)
     assert got[(1, T0, T1, False)] == (10.0, "a")  # survived two merges
+
+
+def test_scd2_temporal_join(spark, dim):
+    hist = S.scd2_apply(
+        S.scd2_init(dim, T0),
+        spark.createDataFrame([Row(k=1, v=11.0, s="a"),
+                               Row(k=9, v=90.0, s="z")]),
+        ["k"], ["v", "s"], T1,
+    )
+    facts = spark.createDataFrame(
+        [
+            Row(f_id=1, fk=1, ts="2020-06-01 00:00:00"),  # v=10 era
+            Row(f_id=2, fk=1, ts="2021-06-01 00:00:00"),  # v=11 era
+            Row(f_id=3, fk=1, ts=T1),                     # boundary -> new
+            Row(f_id=4, fk=9, ts="2020-06-01 00:00:00"),  # before key existed
+            Row(f_id=5, fk=77, ts="2021-06-01 00:00:00"), # unknown key
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.f_id: r.v
+        for r in S.scd2_temporal_join(
+            facts, hist, {"fk": "k"}, "ts"
+        ).collect()
+    }
+    assert out[1] == 10.0
+    assert out[2] == 11.0
+    assert out[3] == 11.0           # valid_from inclusive
+    assert out[4] is None           # fact predates the key
+    assert out[5] is None           # unknown key kept with NULLs
+    # no fact duplication: exactly one output row per fact
+    assert len(out) == 5
