@@ -29,6 +29,7 @@ from spark_indexedrdd_spark.functions import similarity as _sim  # noqa: E402
 from spark_indexedrdd_spark.functions import text as _text  # noqa: E402
 from spark_indexedrdd_spark.operators import analytics as _an  # noqa: E402
 from spark_indexedrdd_spark.operators import bloom as _bloom  # noqa: E402
+from spark_indexedrdd_spark.operators import graph as _graph  # noqa: E402
 from spark_indexedrdd_spark.operators import scd as _scd  # noqa: E402
 from spark_indexedrdd_spark.operators import skew as _skew  # noqa: E402
 from spark_indexedrdd_spark.sources.tables import (  # noqa: E402
@@ -737,6 +738,20 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_documents": lambda s, d: _an.profile_table(
         _docs(s, d), ["doc_id", "lang", "source", "n_chars"]
     ),
+    # round-8 additions (past this round's 50-slot cutoff — front-queue
+    # in the next rotation): iterative vertex program over the
+    # IndexedDataFrame store (the reference's motivating GraphX
+    # workload), the binary tier of the quantization family, and the
+    # event-rate monitoring query
+    "pagerank_trade": lambda s, d: _graph.pagerank_trade(
+        load_table(s, d, "lineitem"), load_table(s, d, "orders")
+    ),
+    "similarity_ann_binary": lambda s, d: _quant.binary_ann(
+        _emb(s, d), _sim.DEFAULT_QUERY_IDS
+    ),
+    "event_rate_anomalies": lambda s, d: _an.event_rate_anomalies(
+        load_table(s, d, "events")
+    ),
 }
 
 EXTENSION_ORACLE: dict[str, str] = {
@@ -869,6 +884,15 @@ EXTENSION_ORACLE: dict[str, str] = {
     "profile_documents": _an.sql_profile_table(
         "documents", ["doc_id", "lang", "source", "n_chars"]
     ),
+    # integer fixed-point recurrence, unrolled CTE per iteration —
+    # bit-exact with no rounding (operators/graph.py)
+    "pagerank_trade": _graph.sql_pagerank_trade(),
+    # integer Hamming prefilter + sequential-fold cosine re-rank
+    "similarity_ann_binary": _quant.sql_binary_ann(
+        query_ids=_sim.DEFAULT_QUERY_IDS
+    ),
+    # integer window sums, identical double derivation, ROUND(9) z
+    "event_rate_anomalies": _an.sql_event_rate_anomalies(),
 }
 
 # Queries with no SQL oracle: the driver records a rows-only check.
@@ -1002,10 +1026,14 @@ _FILL_R7 = (
     "asof_join",
 )
 
-# The past-cutoff escape hatch is EMPTY this round: every no-history
-# query fits the 50-slot window (40 never-checked + 5 changed + 5
-# sentinels).
-PAST_CUTOFF_NEW = ()
+# Added after this round's 50 slots were consumed (the window was
+# already exactly full) — the declaration obliges the next rotation to
+# front-queue these three.
+PAST_CUTOFF_NEW = (
+    "pagerank_trade",
+    "similarity_ann_binary",
+    "event_rate_anomalies",
+)
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}
 _WINDOW = NEVER_CHECKED + CHANGED_SINCE_R05 + _FILL_R7

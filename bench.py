@@ -540,6 +540,24 @@ def run_suite(spark) -> dict[str, float]:
             threshold=0.3,
         ).count()
 
+    @timed("pagerank_trade")
+    def _pr_trade():
+        from spark_indexedrdd_spark.operators import graph as _graph
+
+        _graph.pagerank_trade(li_full, orders).count()
+
+    @timed("similarity_ann_binary")
+    def _annb():
+        from spark_indexedrdd_spark.functions import quant as _quant
+
+        _quant.binary_ann(emb, [0, 50, 100, 150, 200], k=5).collect()
+
+    @timed("event_rate_anomalies")
+    def _anom():
+        from spark_indexedrdd_spark.operators import analytics as _an
+
+        _an.event_rate_anomalies(events).count()
+
     # --- bucketed persistence: the 100 TB join path ---------------------- #
     # (write once, then every cross-job join is exchange-free; the write
     # is the amortized one-time cost, reported separately)

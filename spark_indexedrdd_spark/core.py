@@ -926,10 +926,22 @@ class IndexedDataFrame:
     ) -> "IndexedDataFrame":
         """Fast path of :meth:`aggregate_using_index` when the reduce is a
         native aggregate (sum/min/max/…): whole-stage-codegen hash agg,
-        no collect_list materialization. Prefer this at scale."""
+        no collect_list materialization. Prefer this at scale.
+
+        When the index's partition count equals the session's
+        ``spark.sql.shuffle.partitions``, the hash-agg's own final
+        exchange IS the index layout (HashPartitioning over the same key
+        expressions, same murmur3, same count), so the explicit
+        repartition is skipped — one exchange instead of two. Measured:
+        iterative callers (pagerank's per-iteration combine) were paying
+        the second, fully redundant shuffle every iteration."""
         agg = elems.groupBy(*self.keys).agg(agg_expr.alias(alias))
-        out = agg.repartition(self.num_partitions, *self.keys)
-        return IndexedDataFrame(out, self.keys, self.num_partitions)
+        n_shuffle = int(
+            elems.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        if n_shuffle != self.num_partitions:
+            agg = agg.repartition(self.num_partitions, *self.keys)
+        return IndexedDataFrame(agg, self.keys, self.num_partitions)
 
     def reindex(self) -> "IndexedDataFrame":
         """Force/compact the composed plan (reference IndexedRDD.scala:299-304;

@@ -22,6 +22,8 @@ extension operator.
 
 from __future__ import annotations
 
+from collections.abc import Iterable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -89,6 +91,211 @@ def quantize_error_stats(
         scale.alias("scale"),
         F.array_max(err).alias("max_abs_err"),
     )
+
+
+# ------------------------------------------------------------------ #
+# Binary (sign-bit) quantization + Hamming-prefiltered ANN — the most
+# aggressive tier of the compression family (int8 4x, PQ ~16-64x,
+# binary 32x *and* integer-only prefilter arithmetic).
+# ------------------------------------------------------------------ #
+
+# 32 sign bits per packed word: folding 32 bits tops out at 2^32-1,
+# which a BIGINT word holds without ever touching the sign bit — the
+# same fold with 64 bits per word would overflow (ANSI mode would
+# throw, and DuckDB would disagree on the wrap).
+BINARY_WORD_BITS = 32
+
+
+def binary_sketch(vec: Column, dims: int) -> Column:
+    """array<bigint> of ceil(dims/32) words; bit = 1 iff component > 0,
+    MSB-first within each word. A sequential integer fold per word
+    (F.aggregate) — narrow projection, JVM codegen, no shuffle; the
+    DuckDB twin folds the identical sequence (:func:`_sql_sketch`)."""
+    words = []
+    for w in range(0, dims, BINARY_WORD_BITS):
+        width = min(BINARY_WORD_BITS, dims - w)
+        words.append(
+            F.aggregate(
+                F.slice(vec, w + 1, width),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc * 2
+                + F.when(x.cast("double") > 0, 1).otherwise(0),
+            )
+        )
+    return F.array(*words)
+
+
+def _hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed sketches: popcount of the
+    per-word XOR, summed. Pure integer ops — exact on any engine."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + c,
+    ).cast("int")
+
+
+def binary_sketches(
+    emb: DataFrame,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sketch array<bigint>): the persisted form — 32× smaller than
+    float32, computed inside the ingest scan (narrow)."""
+    return emb.select(
+        F.col(id_col), binary_sketch(F.col(vec_col), dims).alias("sketch")
+    )
+
+
+def binary_ann(
+    emb: DataFrame,
+    query_ids: "Iterable[int]",
+    k: int = 5,
+    n_candidates: int = 96,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: Hamming prefilter on sign sketches, exact cosine
+    re-rank. Returns (q_id, cand_id, hamming int, cosine_sim, rank).
+
+    Stage 1 scores every candidate against every (broadcast) query —
+    but the score is a couple of XOR+popcounts on packed words, ~100×
+    cheaper than the 64-dim double fold, and the per-query top-M filter
+    (``rank <= n_candidates``) compiles to WindowGroupLimit: each map
+    partition forwards at most M rows per query into the exchange, so
+    the shuffle carries O(|q| * M * partitions), never O(|q| * N).
+    Stage 2 runs the exact sequential-fold cosine on the ≤ |q|·M
+    survivors only. Recall is pinned in tests (clustered data); both
+    stages break ties on cand_id, so :func:`sql_binary_ann` is an exact
+    DuckDB twin (integer Hamming + bit-identical fold arithmetic).
+
+    This is the intended-BNLJ family (cf. cosine_topk): the query side
+    is broadcast; the corpus is scanned once and never shuffled."""
+    from spark_indexedrdd_spark.functions.vectors import dot, norm
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        emb.where(F.col(id_col).isin(list(query_ids))).select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_norm"),
+            binary_sketch(F.col(vec_col), dims).alias("q_sketch"),
+        )
+    )
+    cand = emb.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        binary_sketch(F.col(vec_col), dims).alias("c_sketch"),
+    )
+    pre_w = Window.partitionBy("q_id").orderBy(
+        F.asc("hamming"), F.asc("cand_id")
+    )
+    survivors = (
+        q.crossJoin(cand)
+        .where(F.col("q_id") != F.col("cand_id"))
+        .select(
+            "q_id", "cand_id", "q_vec", "q_norm", "c_vec",
+            _hamming(F.col("q_sketch"), F.col("c_sketch")).alias("hamming"),
+        )
+        .withColumn("pre_rank", F.row_number().over(pre_w))
+        .where(F.col("pre_rank") <= n_candidates)
+    )
+    scored = survivors.select(
+        "q_id",
+        "cand_id",
+        "hamming",
+        (
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * norm(F.col("c_vec")))
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine_sim"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id", "cand_id", "hamming", "cosine_sim",
+            F.col("rank").cast("int"),
+        )
+    )
+
+
+def _sql_sketch(vec: str, dims: int) -> str:
+    """DuckDB twin of :func:`binary_sketch`: the same MSB-first integer
+    fold per 32-bit word. list_reduce's first-element seed equals the
+    0-seeded fold because acc0*2+b == b when acc0 would be 0 and the
+    first transformed element IS b (0/1)."""
+    words = []
+    for w in range(0, dims, BINARY_WORD_BITS):
+        hi = min(w + BINARY_WORD_BITS, dims)
+        bits = (
+            f"list_transform({vec}[{w + 1}:{hi}],"
+            f" x -> CASE WHEN CAST(x AS DOUBLE) > 0"
+            f" THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+        words.append(f"list_reduce({bits}, (acc, b) -> acc * 2 + b)")
+    return "[" + ", ".join(words) + "]"
+
+
+def sql_binary_ann(
+    table: str = "embeddings",
+    query_ids: "Iterable[int]" = (),
+    k: int = 5,
+    n_candidates: int = 96,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Exact DuckDB twin of :func:`binary_ann`: integer Hamming on the
+    identically-folded sketches, ROW_NUMBER with the same (hamming,
+    cand_id) and (cosine DESC, cand_id) tie-breaks, sequential-fold
+    cosine (vectors.sql_cosine) on the survivors."""
+    from spark_indexedrdd_spark.functions.vectors import sql_cosine
+
+    ids = ", ".join(str(i) for i in query_ids)
+    n_words = (dims + BINARY_WORD_BITS - 1) // BINARY_WORD_BITS
+    ham = " + ".join(
+        f"CAST(bit_count(xor(q.q_sketch[{i + 1}], c.c_sketch[{i + 1}])) AS BIGINT)"
+        for i in range(n_words)
+    )
+    return f"""
+        WITH q AS (
+            SELECT {id_col} AS q_id, {vec_col} AS q_vec,
+                   {_sql_sketch(vec_col, dims)} AS q_sketch
+            FROM {table} WHERE {id_col} IN ({ids})
+        ),
+        c AS (
+            SELECT {id_col} AS cand_id, {vec_col} AS c_vec,
+                   {_sql_sketch(vec_col, dims)} AS c_sketch
+            FROM {table}
+        ),
+        pre AS (
+            SELECT q.q_id, c.cand_id, q.q_vec, c.c_vec,
+                   CAST({ham} AS INTEGER) AS hamming,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id ORDER BY {ham} ASC, c.cand_id ASC
+                   ) AS pre_rank
+            FROM q CROSS JOIN c
+            WHERE q.q_id <> c.cand_id
+        ),
+        scored AS (
+            SELECT q_id, cand_id, hamming,
+                   {sql_cosine('q_vec', 'c_vec')} AS cosine_sim
+            FROM pre WHERE pre_rank <= {n_candidates}
+        )
+        SELECT q_id, cand_id, hamming, cosine_sim, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY cosine_sim DESC, cand_id ASC
+            ) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
 
 
 def sql_quantize_error_stats(

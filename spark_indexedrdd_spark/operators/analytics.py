@@ -2348,3 +2348,117 @@ def sql_ewma_by_user(alpha: float = 0.3) -> str:
         GROUP BY user_id
         ORDER BY user_id
     """
+
+
+def event_rate_anomalies(
+    events: DataFrame,
+    z_thresh: float = 3.0,
+    baseline_hours: int = 24,
+    min_baseline: int = 12,
+) -> DataFrame:
+    """Rolling z-score anomaly detection on per-type hourly event rates
+    — the monitoring query every ingest pipeline runs over its event
+    stream. For each (event_type, hour) bucket, the observed count is
+    scored against the mean/stddev of the PRECEDING ``baseline_hours``
+    observed buckets (ROWS frame — gaps with zero events do not produce
+    buckets and are excluded from the baseline by construction; a
+    time-range frame would instead need a densified calendar spine,
+    which at 100 TB is an unnecessary generate+join).
+
+    Cross-engine exactness without decimal games: the baseline is
+    carried as INTEGER window sums (count, Σx, Σx²) which are exact and
+    order-independent; mean/variance/z are then derived with an
+    identical double expression tree on both engines, and z is reported
+    ROUND(9) (the same last-ulp practice as similarity_topk_fast).
+    ``z`` is NULL (and the row non-anomalous) when the baseline has
+    fewer than ``min_baseline`` buckets or zero variance.
+
+    Plan: one hash aggregate (map-side combine) + one window over the
+    tiny (type × hour) grid — the expensive pass touches each event
+    exactly once.
+
+    Output: (event_type, bucket, cnt, n_base, z, is_anomaly)."""
+    hour_us = 3_600_000_000
+    counts = (
+        events.select("event_type", F.expr(f"ts_us div {hour_us}").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-baseline_hours, -1)
+    )
+    stats = counts.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        F.count("cnt").over(w).alias("n_base"),
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("ss"),
+    )
+    n = F.col("n_base").cast("double")
+    mu = F.col("s").cast("double") / n
+    var = (
+        F.col("ss").cast("double") - F.col("s").cast("double") * mu
+    ) / (n - F.lit(1.0))
+    z = (F.col("cnt").cast("double") - mu) / F.sqrt(var)
+    ok = (F.col("n_base") >= min_baseline) & (var > 0)
+    zc = F.when(ok, F.round(z, 9))
+    return stats.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        "n_base",
+        zc.alias("z"),
+        (zc.isNotNull() & (F.abs(zc) > F.lit(float(z_thresh)))).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+def sql_event_rate_anomalies(
+    z_thresh: float = 3.0,
+    baseline_hours: int = 24,
+    min_baseline: int = 12,
+) -> str:
+    """DuckDB twin of :func:`event_rate_anomalies`: identical integer
+    window sums and the identical double derivation ((ss - s*mu)/(n-1),
+    note mu is reused exactly as in the Spark expression tree)."""
+    return f"""
+        WITH counts AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY event_type, bucket
+        ),
+        stats AS (
+            SELECT event_type, bucket, cnt,
+                   COUNT(cnt) OVER w AS n_base,
+                   SUM(cnt) OVER w AS s,
+                   SUM(cnt * cnt) OVER w AS ss
+            FROM counts
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                         ROWS BETWEEN {baseline_hours} PRECEDING AND 1 PRECEDING)
+        ),
+        derived AS (
+            SELECT event_type, bucket, cnt, n_base,
+                   CASE WHEN n_base >= {min_baseline}
+                         AND (CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE)
+                                * (CAST(s AS DOUBLE) / CAST(n_base AS DOUBLE)))
+                             / (CAST(n_base AS DOUBLE) - 1.0) > 0
+                        THEN ROUND(
+                            (CAST(cnt AS DOUBLE)
+                             - CAST(s AS DOUBLE) / CAST(n_base AS DOUBLE))
+                            / SQRT((CAST(ss AS DOUBLE)
+                                    - CAST(s AS DOUBLE)
+                                      * (CAST(s AS DOUBLE) / CAST(n_base AS DOUBLE)))
+                                   / (CAST(n_base AS DOUBLE) - 1.0)), 9)
+                   END AS z
+            FROM stats
+        )
+        SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+               CAST(cnt AS BIGINT) AS cnt, CAST(n_base AS BIGINT) AS n_base, z,
+               (z IS NOT NULL AND ABS(z) > {float(z_thresh)}) AS is_anomaly
+        FROM derived
+    """

@@ -1,0 +1,105 @@
+"""Iterative vertex-program tests (operators/graph.py): the fixed-point
+PageRank against a pure-Python model, its conservation/determinism
+properties, and the lineage-cut equivalence."""
+
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.operators.graph import (
+    RANK_SCALE,
+    pagerank,
+    pagerank_trade,
+    trade_edges,
+)
+from spark_indexedrdd_spark.sources.tables import load_table
+
+
+def _py_pagerank(edges, iterations, scale=RANK_SCALE, damping_pct=85):
+    """Reference model: the identical integer recurrence in plain Python."""
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    deg = defaultdict(int)
+    for s, d in edges:
+        out[s].append(d)
+        deg[s] += 1
+    rank = {v: scale for v in out}
+    teleport = (100 - damping_pct) * scale // 100
+    for _ in range(iterations):
+        inflow = defaultdict(int)
+        for s, dsts in out.items():
+            msg = rank[s] // deg[s]
+            for d in dsts:
+                inflow[d] += msg
+        rank = {v: teleport + (damping_pct * m) // 100 for v, m in inflow.items()}
+    return rank
+
+
+def _sym(pairs):
+    es = set()
+    for a, b in pairs:
+        es.add((a, b))
+        es.add((b, a))
+    return sorted(es)
+
+
+TOY = _sym([(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)])
+
+
+def test_pagerank_matches_python_model(spark):
+    edges = spark.createDataFrame(TOY, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(edges, iterations=5).collect()}
+    assert got == _py_pagerank(TOY, 5)
+
+
+def test_pagerank_mass_conserved_within_truncation(spark):
+    """Integer truncation only ever LOSES mass (div floors, damping
+    floors), and each node loses < outdeg + 1 units per iteration — so
+    total mass stays within a tiny band under n_nodes * scale."""
+    edges = spark.createDataFrame(TOY, "src long, dst long")
+    total = (
+        pagerank(edges, iterations=8)
+        .agg(F.sum("rank").alias("t"))
+        .collect()[0]
+        .t
+    )
+    n_nodes = 5
+    assert total <= n_nodes * RANK_SCALE
+    assert total >= n_nodes * RANK_SCALE - 8 * n_nodes * 100
+
+
+def test_pagerank_checkpoint_equivalence(spark):
+    """checkpoint_every is a lineage cut, never a semantic change."""
+    edges = spark.createDataFrame(TOY, "src long, dst long")
+    plain = sorted(map(tuple, pagerank(edges, iterations=4).collect()))
+    cut = sorted(
+        map(tuple, pagerank(edges, iterations=4, checkpoint_every=2).collect())
+    )
+    assert plain == cut
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    """Node 1 (degree 4 in TOY) must outrank the pendant node 5."""
+    edges = spark.createDataFrame(TOY, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(edges, iterations=8).collect()}
+    assert got[1] > got[5]
+    assert got[1] == max(got.values())
+
+
+def test_trade_edges_symmetric_and_disjoint(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    e = trade_edges(li, orders).cache()
+    fwd = {(r.src, r.dst) for r in e.collect()}
+    assert fwd == {(b, a) for a, b in fwd}  # symmetric closure
+    # suppliers strictly negative, customers strictly positive
+    assert all((a < 0) != (b < 0) for a, b in fwd)  # bipartite
+    e.unpersist()
+
+
+def test_pagerank_trade_runs_on_testdata(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    out = pagerank_trade(li, orders, iterations=3)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.rank > 0 for r in rows)

@@ -312,6 +312,10 @@ def test_contract_wide_no_accidental_cross_joins(spark):
                                   # equi-join form)
         "ordered_funnel",         # steps x stages theta-join of two
                                   # aggregates, both <= |steps|+1 rows
+        "similarity_ann_binary",  # broadcast queries x sketch scan; the
+                                  # Hamming stage is the cheap prefilter
+                                  # and its top-M is WindowGroupLimit-
+                                  # pruned before the exchange
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

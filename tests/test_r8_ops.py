@@ -1,0 +1,126 @@
+"""Round-8 operator tests: binary sign-quantization ANN and event-rate
+anomaly detection (oracle parity itself is covered by
+test_oracle_parity.py; these pin the quality/semantic properties the
+hash-compare cannot see)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.functions.quant import (
+    binary_ann,
+    binary_sketches,
+)
+from spark_indexedrdd_spark.functions.similarity import (
+    DEFAULT_QUERY_IDS,
+    cosine_topk,
+)
+from spark_indexedrdd_spark.operators.analytics import event_rate_anomalies
+from spark_indexedrdd_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_binary_sketch_words_fit_32_bits(emb, spark):
+    mm = binary_sketches(emb).select(
+        F.array_min("sketch").alias("lo"), F.array_max("sketch").alias("hi")
+    ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).collect()[0]
+    assert 0 <= mm.lo and mm.hi < 2**32
+
+
+def test_binary_ann_recall_against_brute_force(emb):
+    truth = {
+        (r.q_id, r.cand_id)
+        for r in cosine_topk(emb, DEFAULT_QUERY_IDS, k=5).collect()
+    }
+    got = {
+        (r.q_id, r.cand_id)
+        for r in binary_ann(emb, DEFAULT_QUERY_IDS, k=5).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.85, recall
+
+
+def test_binary_ann_shapes_and_determinism(emb):
+    a = sorted(map(tuple, binary_ann(emb, [0, 50], k=3).collect()))
+    b = sorted(map(tuple, binary_ann(emb, [0, 50], k=3).collect()))
+    assert a == b
+    assert len(a) == 6  # 2 queries x top-3
+    assert all(r[0] != r[1] for r in a)  # self never returned
+    assert all(0 <= r[2] <= 64 for r in a)  # hamming within dims
+
+
+def test_binary_ann_prefilter_is_window_group_limited(emb):
+    """The Hamming top-M must compile to WindowGroupLimit so each map
+    partition forwards at most M rows per query into the exchange —
+    the property that makes the prefilter scale-safe."""
+    p = (
+        binary_ann(emb, DEFAULT_QUERY_IDS, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in p
+
+
+def _events_with_spike(spark):
+    """23 days of perfectly steady hourly traffic (5/hour), then one
+    200-event hour: exactly one anomalous bucket, zero variance
+    elsewhere handled by the z guard."""
+    rows = []
+    eid = 0
+    for h in range(23 * 24):
+        n = 200 if h == 23 * 24 - 1 else 5
+        for i in range(n):
+            rows.append((eid, h * 3_600_000_000 + i * 1000, 1, "click"))
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long, event_type string"
+    )
+
+
+def test_anomaly_flags_planted_spike_only(spark):
+    out = event_rate_anomalies(_events_with_spike(spark)).collect()
+    anomalous = [r for r in out if r.is_anomaly]
+    # steady-rate buckets have zero variance -> z NULL -> never flagged;
+    # the spike bucket's baseline is the 24 steady hours before it, but
+    # zero variance means z is NULL there too -- so loosen the plant:
+    assert anomalous == [] or all(r.cnt == 200 for r in anomalous)
+
+
+def test_anomaly_flags_spike_over_noisy_baseline(spark):
+    """A baseline with real variance: counts alternate 4/5/6, then a
+    50-event hour — the spike must be flagged, the noise must not."""
+    rows = []
+    eid = 0
+    for h in range(5 * 24):
+        n = 50 if h == 5 * 24 - 1 else 4 + (h % 3)
+        for i in range(n):
+            rows.append((eid, h * 3_600_000_000 + i * 1000, 1, "click"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long, event_type string"
+    )
+    out = event_rate_anomalies(df).collect()
+    flagged = {r.bucket for r in out if r.is_anomaly}
+    assert flagged == {5 * 24 - 1}
+
+
+def test_anomaly_requires_min_baseline(spark):
+    """Buckets earlier than min_baseline observed hours get z NULL."""
+    rows = []
+    eid = 0
+    for h in range(8):
+        for i in range(4 + (h % 3)):
+            rows.append((eid, h * 3_600_000_000 + i * 1000, 1, "click"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long, event_type string"
+    )
+    out = event_rate_anomalies(df).collect()
+    assert all(r.z is None for r in out)
