@@ -746,6 +746,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_trade": lambda s, d: _graph.pagerank_trade(
         load_table(s, d, "lineitem"), load_table(s, d, "orders")
     ),
+    "communities_trade": lambda s, d: _graph.communities_trade(
+        load_table(s, d, "lineitem"), load_table(s, d, "orders")
+    ),
     "similarity_ann_binary": lambda s, d: _quant.binary_ann(
         _emb(s, d), _sim.DEFAULT_QUERY_IDS
     ),
@@ -887,6 +890,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     # integer fixed-point recurrence, unrolled CTE per iteration —
     # bit-exact with no rounding (operators/graph.py)
     "pagerank_trade": _graph.sql_pagerank_trade(),
+    # deterministic LPA: integer counts, (cnt DESC, label ASC) argmax
+    "communities_trade": _graph.sql_communities_trade(),
     # integer Hamming prefilter + sequential-fold cosine re-rank
     "similarity_ann_binary": _quant.sql_binary_ann(
         query_ids=_sim.DEFAULT_QUERY_IDS
@@ -1031,6 +1036,7 @@ _FILL_R7 = (
 # front-queue these three.
 PAST_CUTOFF_NEW = (
     "pagerank_trade",
+    "communities_trade",
     "similarity_ann_binary",
     "event_rate_anomalies",
 )

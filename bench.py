@@ -546,6 +546,12 @@ def run_suite(spark) -> dict[str, float]:
 
         _graph.pagerank_trade(li_full, orders).count()
 
+    @timed("communities_trade")
+    def _lpa():
+        from spark_indexedrdd_spark.operators import graph as _graph
+
+        _graph.communities_trade(li_full, orders).count()
+
     @timed("similarity_ann_binary")
     def _annb():
         from spark_indexedrdd_spark.functions import quant as _quant

@@ -168,6 +168,125 @@ def pagerank_trade(
     return pagerank(trade_edges(lineitem, orders), iterations=iterations)
 
 
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over a directed edge list ``(src, dst)`` — the classic
+    near-linear community algorithm, made DETERMINISTIC (the paper's
+    random tie-break would never hash-match): every node starts with
+    its own id as label; each round it adopts the most frequent label
+    among its in-neighbors, ties broken by the SMALLEST label, for a
+    FIXED number of rounds (no data-dependent stopping — the oracle
+    unrolls the same count). Feed a symmetric edge list so every node
+    has in-neighbors.
+
+    This complements :func:`pagerank` (influence) and
+    `dedup.resolve_duplicate_clusters` (connected components = the
+    degenerate LPA where any shared label wins): LPA splits a connected
+    graph into dense neighborhoods.
+
+    Scale: two exchanges per round — (dst, label) count (map-side
+    combine absorbs hot labels) and the per-node argmax, which is
+    ``max_by`` over the counted pairs (hash agg again, never a sorted
+    window). Label state is 16 B/node; the same checkpoint/cache notes
+    as :func:`pagerank` apply.
+
+    Output: (id, community) where community = the converged label.
+
+    Note: on BIPARTITE graphs (like :func:`trade_edges`) synchronous
+    LPA is known to oscillate between the two sides; a fixed EVEN
+    iteration count lands on a stable, side-consistent labeling —
+    another reason the fixed-rounds contract (rather than
+    run-to-convergence) is the right deterministic form.
+    """
+    spark = edges.sparkSession
+    n = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    e = edges.repartition(n, "src").cache()
+    labels = IndexedDataFrame.from_unique(
+        e.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id")),
+        "id",
+        num_partitions=n,
+        cache=False,
+    )
+    for _ in range(iterations):
+        neigh = (
+            e.join(labels.df, F.col("src") == F.col("id"))
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax by (count desc, label asc): one hash aggregate — the
+        # max_by ordering struct compares cnt first, then -label (so a
+        # larger -label, i.e. the smaller label, wins ties)
+        picked = neigh.groupBy(F.col("dst").alias("id")).agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("cnt"), -F.col("label"))
+            ).alias("label")
+        )
+        labels = IndexedDataFrame(
+            picked.repartition(n, "id"), ["id"], n
+        )
+    out = labels.df.select("id", F.col("label").alias("community"))
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
+def communities_trade(
+    lineitem: DataFrame, orders: DataFrame, iterations: int = 4
+) -> DataFrame:
+    """Label-propagation communities of the supplier↔customer trade
+    graph — purchasing neighborhoods (which customers cluster around
+    which supplier groups)."""
+    return label_propagation(
+        trade_edges(lineitem, orders), iterations=iterations
+    )
+
+
+def sql_communities_trade(iterations: int = 4) -> str:
+    """Exact DuckDB twin of :func:`communities_trade`: same edge CTE as
+    :func:`sql_pagerank_trade`, then one CTE per LPA round — neighbor
+    label counts, ROW_NUMBER argmax with the identical (cnt DESC, label
+    ASC) tie-break. Integer counts, integer labels: bit-exact."""
+    ctes = [
+        """edges AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT -(l_suppkey + 1) AS src, o_custkey AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                UNION ALL
+                SELECT o_custkey AS src, -(l_suppkey + 1) AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            )
+        )""",
+        """l0 AS (
+            SELECT src AS id, src AS label
+            FROM (SELECT DISTINCT src FROM edges)
+        )""",
+    ]
+    for i in range(iterations):
+        ctes.append(f"""l{i + 1} AS (
+            SELECT id, label FROM (
+                SELECT e.dst AS id, l.label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.dst
+                           ORDER BY COUNT(*) DESC, l.label ASC
+                       ) AS rn
+                FROM l{i} l JOIN edges e ON l.id = e.src
+                GROUP BY e.dst, l.label
+            ) WHERE rn = 1
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, label AS community FROM l{iterations}"
+    )
+
+
 def sql_pagerank_trade(
     iterations: int = 6,
     scale: int = RANK_SCALE,

@@ -96,6 +96,46 @@ def test_trade_edges_symmetric_and_disjoint(spark, sf_dir):
     e.unpersist()
 
 
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: LPA must separate them
+    (each clique's min id wins its clique), and the deterministic
+    tie-break must label every member of a clique identically."""
+    from spark_indexedrdd_spark.operators.graph import label_propagation
+
+    cliq1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    cliq2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a != b]
+    bridge = [(4, 10), (10, 4)]
+    edges = spark.createDataFrame(
+        cliq1 + cliq2 + bridge, "src long, dst long"
+    )
+    got = {r.id: r.community for r in label_propagation(edges, 4).collect()}
+    assert len({got[i] for i in range(1, 5)}) == 1
+    assert len({got[i] for i in range(10, 14)}) == 1
+    assert got[1] != got[10]
+
+
+def test_label_propagation_matches_python_model(spark):
+    """The exact sync-LPA recurrence in plain Python over TOY."""
+    from collections import Counter, defaultdict
+
+    from spark_indexedrdd_spark.operators.graph import label_propagation
+
+    inn = defaultdict(list)
+    for s, d in TOY:
+        inn[d].append(s)
+    label = {v: v for v in inn}
+    for _ in range(4):
+        new = {}
+        for v, srcs in inn.items():
+            counts = Counter(label[s] for s in srcs)
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        label = new
+    edges = spark.createDataFrame(TOY, "src long, dst long")
+    got = {r.id: r.community for r in label_propagation(edges, 4).collect()}
+    assert got == label
+
+
 def test_pagerank_trade_runs_on_testdata(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
