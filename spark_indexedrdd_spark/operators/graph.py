@@ -130,8 +130,18 @@ def pagerank(
         cache=False,
     )
     for i in range(iterations):
+        # SHUFFLE_HASH on the rank side: both sides already satisfy the
+        # join's distribution (edges cached by src, ranks by id), so the
+        # hint picks a sort-free hash join with the per-partition rank
+        # map as build side — partition-sized state, never a broadcast
+        # of the full vertex set (the 100 TB-safe choice, same rationale
+        # as multiput_df). Without it, the iteration subtree has no
+        # stats at planning time and compiles to SortMergeJoin with a
+        # Sort over the FULL edge list in every iteration
+        # (plan-verified; sf0.1 interleaved A/B min 12.3 s → 11.1 s,
+        # and the sort cost grows with |E| log |E| at scale).
         msgs = (
-            edeg.join(ranks.df, F.col("src") == F.col("id"))
+            edeg.join(ranks.df.hint("shuffle_hash"), F.col("src") == F.col("id"))
             .select(
                 F.col("dst").alias("id"),
                 F.expr("rank div outdeg").alias("msg"),
@@ -216,8 +226,9 @@ def label_propagation(
         cache=False,
     )
     for _ in range(iterations):
+        # same sort-free hash-join choice as the pagerank loop
         neigh = (
-            e.join(labels.df, F.col("src") == F.col("id"))
+            e.join(labels.df.hint("shuffle_hash"), F.col("src") == F.col("id"))
             .groupBy(F.col("dst"), F.col("label"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )

@@ -136,6 +136,37 @@ def test_label_propagation_matches_python_model(spark):
     assert got == label
 
 
+def test_graph_iterations_never_sort(spark, sf_dir):
+    """Regression tripwire for the shuffle_hash hint: a stats-less
+    iteration subtree defaults to SortMergeJoin, re-sorting the full
+    edge list every round. Neither graph loop may plan a sort."""
+    from pyspark.sql import functions as F
+
+    from spark_indexedrdd_spark.core import IndexedDataFrame
+    from spark_indexedrdd_spark.operators.graph import trade_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    e = trade_edges(li, orders)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edeg = e.join(deg, "src").repartition(8, "src").cache()
+    ranks = IndexedDataFrame.from_unique(
+        edeg.select(F.col("src").alias("id")).distinct()
+        .withColumn("rank", F.lit(10**12).cast("long")),
+        "id", num_partitions=8, cache=False,
+    )
+    msgs = edeg.join(
+        ranks.df.hint("shuffle_hash"), F.col("src") == F.col("id")
+    ).select(F.col("dst").alias("id"), F.expr("rank div outdeg").alias("msg"))
+    inflow = ranks.aggregate_using_index_expr(msgs, F.sum("msg"), alias="v")
+    top = (
+        inflow.df._jdf.queryExecution().executedPlan().toString()
+        .split("InMemoryRelation")[0]
+    )
+    assert "SortMergeJoin" not in top and "ShuffledHashJoin" in top
+    edeg.unpersist()
+
+
 def test_pagerank_trade_runs_on_testdata(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
