@@ -223,6 +223,157 @@ class StreamingSketchStore:
         )
 
 
+# ------------------------------------------------------------------ #
+# Heavy hitters: mergeable per-batch top-m summaries with deterministic
+# undercount bounds — the top-k member of the summary-store family
+# (HLL = distinct, KLL = quantiles, this = frequent items). Spark 4.1
+# ships count_min_sketch but no query function for it, and its point
+# estimates would anyway OVERcount; the top-m summary gives the
+# opposite, auditable guarantee: stored counts are exact partial sums,
+# and an item's true count exceeds its reported count by at most the
+# sum of the thresholds of the batches that dropped it.
+# ------------------------------------------------------------------ #
+
+
+def _batch_topk(
+    df: DataFrame,
+    group_cols: "list[str]",
+    item_col: str,
+    m: int,
+) -> "tuple[DataFrame, DataFrame]":
+    """(items, meta) for ONE batch: per group, the exact counts of its
+    top-m items (ties broken by item value — deterministic), and a
+    per-group meta row carrying the batch's drop threshold.
+
+    threshold = the m-th item's count when the group has more than m
+    distinct items (anything dropped had count <= threshold), else 0
+    (nothing was dropped — the summary is EXACT for that group/batch).
+    The per-group top-m filter compiles to WindowGroupLimit: each map
+    partition forwards at most m rows per group into the exchange."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*group_cols, item_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("cnt"), F.asc(item_col)
+    )
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    meta = (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max(F.when(F.col("rn") == m, F.col("cnt"))).alias("mth_cnt"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+        )
+        .select(
+            *group_cols,
+            F.when(F.col("n_distinct") > m, F.col("mth_cnt"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("threshold"),
+            "n_rows",
+        )
+    )
+    # the batch threshold rides ON each item row so the read-time merge
+    # can compute per-item "thresholds of the batches that kept me"
+    # with a plain aggregate — no batch-id bookkeeping in the store
+    items = (
+        ranked.where(F.col("rn") <= m)
+        .drop("rn")
+        .join(F.broadcast(meta.select(*group_cols, "threshold")), group_cols)
+    )
+    return items, meta
+
+
+def write_topk_store(
+    df: DataFrame,
+    path: str,
+    group_cols: "list[str]",
+    item_col: str,
+    m: int = 100,
+) -> None:
+    """Initialize the heavy-hitters store with the first batch: item
+    rows at ``path/items``, per-batch group meta at ``path/meta``.
+    State per batch: <= m item rows + 1 meta row per group — like the
+    HLL/KLL store, proportional to |groups|, never |rows|."""
+    items, meta = _batch_topk(df, group_cols, item_col, m)
+    items.write.mode("overwrite").parquet(path + "/items")
+    meta.write.mode("overwrite").parquet(path + "/meta")
+
+
+def append_topk_batch(
+    df: DataFrame,
+    path: str,
+    group_cols: "list[str]",
+    item_col: str,
+    m: int = 100,
+) -> None:
+    """Fold an ingest batch in: append the batch's item/meta rows. No
+    read of existing state, no merge until read time — concurrent
+    appends never conflict (same contract as append_sketch_batch)."""
+    items, meta = _batch_topk(df, group_cols, item_col, m)
+    items.write.mode("append").parquet(path + "/items")
+    meta.write.mode("append").parquet(path + "/meta")
+
+
+def read_topk(
+    spark,
+    path: str,
+    group_cols: "list[str]",
+    item_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Merge the store and report each group's top-k items:
+    (group..., item, cnt_lower, cnt_upper, rank).
+
+    - ``cnt_lower`` = the summed stored counts — exact occurrences the
+      summaries witnessed; a strict lower bound on the true count.
+    - ``cnt_upper`` = cnt_lower + Σ thresholds of the batches whose
+      summary DROPPED the item (it can have occurred at most
+      threshold_b times in such a batch). When every batch kept the
+      item (or dropped nothing: threshold 0), lower == upper and the
+      count is EXACT — pytest pins both regimes.
+
+    Ranking uses cnt_lower (deterministic, item tie-break). The scan
+    reads |groups| × m × |batches| item rows — summary-sized, never the
+    corpus."""
+    items = spark.read.parquet(path + "/items")
+    meta = spark.read.parquet(path + "/meta")
+    thr_total = meta.groupBy(*group_cols).agg(
+        F.sum("threshold").cast("long").alias("thr_all"),
+    )
+    per_item = items.groupBy(*group_cols, item_col).agg(
+        F.sum("cnt").cast("long").alias("cnt_lower"),
+        F.sum("threshold").cast("long").alias("kept_thr"),
+        F.count(F.lit(1)).alias("n_batches_seen"),
+    )
+    from pyspark.sql import Window
+
+    # Σ thresholds of batches that DROPPED the item
+    #   = thr_all − Σ thresholds of the batches that kept it
+    # (each stored item row carries its own batch's threshold).
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("cnt_lower"), F.asc(item_col)
+    )
+    return (
+        per_item.join(F.broadcast(thr_total), group_cols, "left")
+        .select(
+            *group_cols,
+            item_col,
+            "cnt_lower",
+            (
+                F.col("cnt_lower")
+                + F.col("thr_all")
+                - F.col("kept_thr")
+            ).alias("cnt_upper"),
+            "n_batches_seen",
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def quantile_drift(
     spark,
     path_a: str,

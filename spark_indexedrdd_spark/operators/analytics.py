@@ -2384,6 +2384,20 @@ def event_rate_anomalies(
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return anomalies_from_counts(counts, z_thresh, baseline_hours, min_baseline)
+
+
+def anomalies_from_counts(
+    counts: DataFrame,
+    z_thresh: float = 3.0,
+    baseline_hours: int = 24,
+    min_baseline: int = 12,
+) -> DataFrame:
+    """The z-score derivation of :func:`event_rate_anomalies` over an
+    already-bucketed (event_type, bucket, cnt) frame — shared by the
+    batch operator and the streaming counts-store monitor
+    (streaming/monitor.py), so both report identical verdicts from
+    identical counts."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("bucket")

@@ -124,3 +124,61 @@ def test_anomaly_requires_min_baseline(spark):
     )
     out = event_rate_anomalies(df).collect()
     assert all(r.z is None for r in out)
+
+
+# ------------------------------------------------------------------ #
+# Streaming event-rate monitor (counts store)
+# ------------------------------------------------------------------ #
+
+
+def test_streaming_monitor_matches_batch(spark, sf_dir, tmp_path):
+    """Events streamed file-by-file into the counts store must yield
+    EXACTLY the batch operator's verdicts (counts are additive across
+    micro-batches; shared z derivation)."""
+    import tempfile
+
+    from spark_indexedrdd_spark.streaming.monitor import (
+        StreamingEventRateMonitor,
+        read_event_anomalies,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "mon_src")
+    # 3 files that SPLIT hours across micro-batches (by event id stripe)
+    for i in range(3):
+        events.where(f"event_id % 3 = {i}").select(
+            "event_id", "ts_us", "user_id", "event_type"
+        ).coalesce(1).write.mode("append").parquet(src)
+    store = str(tmp_path / "mon_store")
+    mon = StreamingEventRateMonitor(store)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = mon.attach(stream, tempfile.mkdtemp(prefix="monckpt_"), availableNow=True)
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, read_event_anomalies(spark, store).collect()))
+    want = sorted(map(tuple, event_rate_anomalies(events).collect()))
+    assert got == want
+
+
+def test_streaming_monitor_replay_idempotent(spark, sf_dir, tmp_path):
+    """Re-delivering the same micro-batch (same batch_id) must not
+    double-count: the batch_id-keyed overwrite absorbs replays."""
+    from spark_indexedrdd_spark.streaming.monitor import (
+        StreamingEventRateMonitor,
+        read_event_anomalies,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_us", "user_id", "event_type"
+    )
+    store = str(tmp_path / "mon_replay")
+    mon = StreamingEventRateMonitor(store)
+    mon.foreach_batch(events, 0)
+    once = sorted(map(tuple, read_event_anomalies(spark, store).collect()))
+    mon.foreach_batch(events, 0)  # replay
+    twice = sorted(map(tuple, read_event_anomalies(spark, store).collect()))
+    assert once == twice

@@ -179,3 +179,85 @@ def test_quantile_drift_detects_shift(spark, docs, tmp_path):
     assert same < 0.1, same
     assert drift > 0.3, drift
     assert drift > same
+
+
+# ------------------------------------------------------------------ #
+# Heavy hitters (mergeable top-m summaries)
+# ------------------------------------------------------------------ #
+
+
+def _tokens(docs):
+    return docs.select(
+        "lang",
+        F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("tok"),
+    ).where(F.length("tok") > 0)
+
+
+def test_topk_single_batch_exact(spark, docs, tmp_path):
+    """One batch with m >= #distinct items: the store IS the exact
+    count table — lower == upper == truth, thresholds all zero."""
+    toks = _tokens(docs)
+    p = str(tmp_path / "tk_exact")
+    SK.write_topk_store(toks, p, ["lang"], "tok", m=100_000)
+    got = {
+        (r.lang, r.tok): (r.cnt_lower, r.cnt_upper)
+        for r in SK.read_topk(spark, p, ["lang"], "tok", k=10).collect()
+    }
+    exact = {
+        (r.lang, r.tok): r.c
+        for r in toks.groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got, "empty top-k"
+    for key, (lo, hi) in got.items():
+        assert lo == hi == exact[key], key
+
+
+def test_topk_split_batches_bounds_hold(spark, docs, tmp_path):
+    """3 batches with a SMALL m: every reported item's true count must
+    sit inside [cnt_lower, cnt_upper], and items kept by every batch
+    whose thresholds were 0 stay exact."""
+    toks = _tokens(docs).cache()
+    p = str(tmp_path / "tk_split")
+    SK.write_topk_store(toks.where("tok rlike '^[a-h]'"), p, ["lang"], "tok", m=20)
+    SK.append_topk_batch(toks.where("tok rlike '^[i-q]'"), p, ["lang"], "tok", m=20)
+    SK.append_topk_batch(
+        toks.where("tok rlike '^[^a-q]'"), p, ["lang"], "tok", m=20
+    )
+    exact = {
+        (r.lang, r.tok): r.c
+        for r in toks.groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    rows = SK.read_topk(spark, p, ["lang"], "tok", k=15).collect()
+    assert rows
+    for r in rows:
+        true = exact[(r.lang, r.tok)]
+        assert r.cnt_lower <= true <= r.cnt_upper, (r, true)
+        # the alphabet split means each item lives in exactly one batch
+        assert r.n_batches_seen == 1
+    toks.unpersist()
+
+
+def test_topk_merge_recovers_planted_heavy_hitter(spark, tmp_path):
+    """All of a heavy item's occurrences land in one batch slice where
+    it is top-1: the merge must surface it first with its exact lower
+    count intact despite m being tiny and the tail noisy."""
+    rows = []
+    for b in range(3):
+        rows += [("g", "heavy")] * 50
+        rows += [("g", f"noise_{b}_{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    p = str(tmp_path / "tk_heavy")
+    SK.write_topk_store(df.where("item like '%_0_%' or item = 'heavy'"),
+                        p, ["grp"], "item", m=5)
+    SK.append_topk_batch(df.where("item like '%_1_%'"), p, ["grp"], "item", m=5)
+    SK.append_topk_batch(df.where("item like '%_2_%'"), p, ["grp"], "item", m=5)
+    top = SK.read_topk(spark, p, ["grp"], "item", k=1).collect()[0]
+    assert top.item == "heavy"
+    assert top.cnt_lower == 150
+    # absent from batches 1 and 2's summaries only because it wasn't in
+    # those batch slices; their thresholds bound the upper estimate
+    assert top.cnt_upper >= top.cnt_lower
