@@ -226,6 +226,172 @@ def binary_ann(
     )
 
 
+# ------------------------------------------------------------------ #
+# Persisted binary index: the serving layout for the sign-sketch tier
+# (the binary analog of the IVF/IVFPQ stores).
+# ------------------------------------------------------------------ #
+
+
+def write_binary_store(
+    emb: DataFrame,
+    path: str,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the two-file serving layout:
+
+    - ``path/sketches`` — (id, sketch array<bigint>): 16 B + id per
+      vector, the column EVERY query scans in full. 32× smaller than
+      float32 vectors, so the stage-1 Hamming pass reads ~3% of the
+      corpus bytes.
+    - ``path/vectors`` — the full vectors, range-partitioned and SORTED
+      by id (write_sorted layout): stage 2 fetches only the ≤ |q|·M
+      surviving ids, and the id predicate prunes to the few files/row
+      groups that hold them — a point read, not a scan.
+
+    One narrow pass over the corpus at build time; no shuffle for the
+    sketches (fused into the scan projection)."""
+    from spark_indexedrdd_spark.core import IndexedDataFrame
+    from spark_indexedrdd_spark.sources.bucketed import write_sorted
+
+    binary_sketches(emb, dims, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(path + "/sketches")
+    idf = IndexedDataFrame.from_unique(
+        emb.select(id_col, vec_col), id_col, cache=False
+    )
+    write_sorted(idf, path + "/vectors")
+
+
+def append_binary_batch(
+    new_emb: DataFrame,
+    path: str,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold an ingest batch in: append its sketches and its (sorted
+    within the new files) vectors. Sketch computation is stateless, so
+    appends need no read of existing store data."""
+    from spark_indexedrdd_spark.core import IndexedDataFrame
+    from spark_indexedrdd_spark.sources.bucketed import write_sorted
+
+    binary_sketches(new_emb, dims, id_col, vec_col).write.mode(
+        "append"
+    ).parquet(path + "/sketches")
+    idf = IndexedDataFrame.from_unique(
+        new_emb.select(id_col, vec_col), id_col, cache=False
+    )
+    write_sorted(idf, path + "/vectors", mode="append")
+
+
+def binary_store_ann(
+    spark,
+    path: str,
+    query_vecs: "list[tuple[int, list[float]]]",
+    k: int = 5,
+    n_candidates: int = 96,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve ANN queries from the persisted store: stage 1 scans ONLY
+    the sketch file (Hamming against driver-computed query sketches,
+    WindowGroupLimit top-M); stage 2 joins the ≤ |q|·M survivors back
+    to the sorted vector file — a broadcast join whose id predicate
+    prunes files/row groups — and re-ranks with the exact fold cosine.
+    Query vectors arrive as driver-side (id, vector) pairs (the serving
+    interface — queries are not usually corpus rows).
+
+    Same output contract as :func:`binary_ann`: (q_id, cand_id,
+    hamming, cosine_sim, rank); equality with the in-plan operator is
+    pytest-pinned (store ≡ in-plan on the same corpus)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from spark_indexedrdd_spark.functions.vectors import dot, norm
+
+    def py_sketch(vec):
+        words = []
+        for w in range(0, len(vec), BINARY_WORD_BITS):
+            acc = 0
+            for x in vec[w : w + BINARY_WORD_BITS]:
+                acc = acc * 2 + (1 if float(x) > 0 else 0)
+            words.append(acc)
+        return words
+
+    def py_norm(vec):
+        acc = 0.0
+        for x in vec:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    q = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in v], py_sketch(v), py_norm(v))
+                for i, v in query_vecs
+            ],
+            f"q_id long, q_vec array<double>, q_sketch array<bigint>, "
+            f"q_norm double",
+        )
+    )
+    sk = spark.read.parquet(path + "/sketches")
+    pre_w = Window.partitionBy("q_id").orderBy(
+        F.asc("hamming"), F.asc("cand_id")
+    )
+    survivors = (
+        q.crossJoin(sk.select(F.col(id_col).alias("cand_id"), "sketch"))
+        .where(F.col("q_id") != F.col("cand_id"))
+        .select(
+            "q_id", "q_vec", "q_norm", "cand_id",
+            _hamming(F.col("q_sketch"), F.col("sketch")).alias("hamming"),
+        )
+        .withColumn("pre_rank", F.row_number().over(pre_w))
+        .where(F.col("pre_rank") <= n_candidates)
+    )
+    # Materialize the (|q|·M)-sized survivor set and turn its ids into
+    # a literal isin predicate: a plain join would NOT push the ids
+    # into the parquet scan, but the literal predicate reaches it as
+    # PushedFilters and prunes to the files/row groups that hold the
+    # survivors (plan-asserted in tests). Driver-sized by construction.
+    survivors = survivors.cache()
+    cand_ids = [
+        r.cand_id for r in survivors.select("cand_id").distinct().collect()
+    ]
+    vecs = (
+        spark.read.parquet(path + "/vectors")
+        .where(F.col(id_col).isin(cand_ids))
+        .select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    )
+    scored = F.broadcast(survivors).join(vecs, "cand_id").select(
+        "q_id",
+        "cand_id",
+        "hamming",
+        (
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * norm(F.col("c_vec")))
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine_sim"), F.asc("cand_id")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id", "cand_id", "hamming", "cosine_sim",
+            F.col("rank").cast("int"),
+        )
+        # serving result is top-k-sized; eager checkpoint lets the
+        # survivor cache be released immediately (no lingering plans)
+        .localCheckpoint(eager=True)
+    )
+    survivors.unpersist()
+    return out
+
+
 def _sql_sketch(vec: str, dims: int) -> str:
     """DuckDB twin of :func:`binary_sketch`: the same MSB-first integer
     fold per 32-bit word. list_reduce's first-element seed equals the

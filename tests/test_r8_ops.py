@@ -182,3 +182,65 @@ def test_streaming_monitor_replay_idempotent(spark, sf_dir, tmp_path):
     mon.foreach_batch(events, 0)  # replay
     twice = sorted(map(tuple, read_event_anomalies(spark, store).collect()))
     assert once == twice
+
+
+# ------------------------------------------------------------------ #
+# Persisted binary store (serving layout)
+# ------------------------------------------------------------------ #
+
+
+def _qvecs(emb, ids):
+    rows = emb.where(F.col("vec_id").isin(ids)).select(
+        "vec_id", "embedding"
+    ).collect()
+    return [(r.vec_id, [float(x) for x in r.embedding]) for r in rows]
+
+
+def test_binary_store_matches_in_plan(emb, spark, tmp_path):
+    from spark_indexedrdd_spark.functions.quant import (
+        binary_store_ann,
+        write_binary_store,
+    )
+
+    p = str(tmp_path / "bstore")
+    write_binary_store(emb, p)
+    qids = [0, 50, 100]
+    got = sorted(map(tuple, binary_store_ann(
+        spark, p, _qvecs(emb, qids), k=5
+    ).collect()))
+    want = sorted(map(tuple, binary_ann(emb, qids, k=5).collect()))
+    assert got == want
+
+
+def test_binary_store_append_equals_rebuild(emb, spark, tmp_path):
+    from spark_indexedrdd_spark.functions.quant import (
+        append_binary_batch,
+        binary_store_ann,
+        write_binary_store,
+    )
+
+    inc = str(tmp_path / "bstore_inc")
+    write_binary_store(emb.where("vec_id % 5 != 0"), inc)
+    append_binary_batch(emb.where("vec_id % 5 = 0"), inc)
+    full = str(tmp_path / "bstore_full")
+    write_binary_store(emb, full)
+    q = _qvecs(emb, [0, 50])
+    a = sorted(map(tuple, binary_store_ann(spark, inc, q, k=5).collect()))
+    b = sorted(map(tuple, binary_store_ann(spark, full, q, k=5).collect()))
+    assert a == b
+
+
+def test_binary_store_rerank_scan_is_pruned(emb, spark, tmp_path):
+    """The stage-2 vector read must carry the survivor ids as
+    PushedFilters (In on vec_id) — the property that makes the rerank a
+    point read instead of a second corpus scan."""
+    from spark_indexedrdd_spark.functions.quant import write_binary_store
+
+    p = str(tmp_path / "bstore_plan")
+    write_binary_store(emb, p)
+    vecs = (
+        spark.read.parquet(p + "/vectors")
+        .where(F.col("vec_id").isin([1, 2, 3]))
+    )
+    plan = vecs._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(vec_id" in plan, plan
