@@ -1,0 +1,199 @@
+"""Persisted multi-version KV store: the reference's copy-on-write
+snapshot semantics (PARTPartition.scala:53-69, README.md:29-45 — old and
+new versions coexist and share structure) carried to STORAGE, where the
+in-session form (DataFrame immutability + StreamingKVStore.history)
+cannot reach: versions survive the session, and "structural sharing"
+becomes file-granularity sharing — a commit writes ONLY its delta, and
+every version's files are immutable once written.
+
+Layout (single writer; manifest swapped atomically):
+
+    path/manifest.json          ordered version log + schema contract
+    path/v0/snapshot/           full table (parquet)
+    path/v1/puts/               upsert delta (key..., value)
+    path/v2/deletes/            delete delta (key...)
+    path/v5/snapshot/           compaction checkpoint
+    ...
+
+``read(v)`` folds the newest snapshot ≤ v plus the deltas after it with
+the SAME operators a live frame uses — ``multiput_df`` (shuffled-hash
+full outer, base never re-sorts) and ``delete_df`` — so on-disk deltas
+and in-memory updates provably mean the same thing (pytest-pinned).
+The unexecuted fold chain is exactly the reference's ``LazyPartition``
+view (LazyPartition.scala:29-46); :meth:`compact` is its ``reindex()``
+(LazyPartition.scala:134-135), persisted: it writes the folded table as
+a snapshot so later reads start from a shorter chain.
+
+Scale: a commit costs one delta-sized write (the base is never
+rewritten); a read costs the snapshot scan plus one shuffled-hash merge
+per delta — compact every ~8 commits (the StreamingKVStore cadence) to
+bound the chain. Retention/GC is a directory delete of versions older
+than the newest snapshot you care to keep.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_indexedrdd_spark.core import (
+    OVERWRITE,
+    SUM_MERGE,
+    IndexedDataFrame,
+)
+
+_MERGES = {"overwrite": OVERWRITE, "sum": SUM_MERGE}
+
+
+class VersionedKVStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -------------------------------------------------------------- #
+    # manifest
+    # -------------------------------------------------------------- #
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def _manifest(self) -> dict:
+        with open(self._manifest_path()) as f:
+            return json.load(f)
+
+    def _swap_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())  # atomic on POSIX
+
+    # -------------------------------------------------------------- #
+    # construction
+    # -------------------------------------------------------------- #
+
+    @classmethod
+    def init(cls, idf: IndexedDataFrame, path: str) -> "VersionedKVStore":
+        """Create the store with version 0 = a full snapshot of ``idf``."""
+        os.makedirs(path, exist_ok=True)
+        idf.df.write.mode("errorifexists").parquet(
+            os.path.join(path, "v0", "snapshot")
+        )
+        store = cls(idf.df.sparkSession, path)
+        store._swap_manifest(
+            {
+                "keys": list(idf.keys),
+                "value": idf._single_value(),
+                "num_partitions": idf.num_partitions,
+                "versions": [{"v": 0, "kind": "snapshot"}],
+            }
+        )
+        return store
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "VersionedKVStore":
+        store = cls(spark, path)
+        store._manifest()  # validate existence/shape
+        return store
+
+    # -------------------------------------------------------------- #
+    # commits (single writer)
+    # -------------------------------------------------------------- #
+
+    def _next(self, m: dict) -> int:
+        return m["versions"][-1]["v"] + 1
+
+    def commit_puts(
+        self, updates: DataFrame, merge: str = "overwrite"
+    ) -> int:
+        """Append an upsert delta: (key..., value) rows. ``merge`` names
+        how the delta folds into existing keys at READ time —
+        "overwrite" (last version wins) or "sum" — recorded in the
+        manifest so every reader reproduces the same table. Returns the
+        new version id. Cost: one delta-sized write, zero base I/O."""
+        if merge not in _MERGES:
+            raise ValueError(f"unknown merge {merge!r}; use {sorted(_MERGES)}")
+        m = self._manifest()
+        v = self._next(m)
+        cols = m["keys"] + [m["value"]]
+        updates.select(*cols).write.mode("errorifexists").parquet(
+            os.path.join(self.path, f"v{v}", "puts")
+        )
+        m["versions"].append({"v": v, "kind": "puts", "merge": merge})
+        self._swap_manifest(m)
+        return v
+
+    def commit_deletes(self, dels: DataFrame) -> int:
+        """Append a delete delta: (key...) rows. Deleting an absent key
+        is a no-op at read time (reference IndexedRDDSuite.scala:216)."""
+        m = self._manifest()
+        v = self._next(m)
+        dels.select(*m["keys"]).write.mode("errorifexists").parquet(
+            os.path.join(self.path, f"v{v}", "deletes")
+        )
+        m["versions"].append({"v": v, "kind": "deletes"})
+        self._swap_manifest(m)
+        return v
+
+    # -------------------------------------------------------------- #
+    # reads (any version, any time)
+    # -------------------------------------------------------------- #
+
+    def versions(self) -> "list[int]":
+        return [e["v"] for e in self._manifest()["versions"]]
+
+    def read(self, version: "int | None" = None) -> IndexedDataFrame:
+        """The table AS OF ``version`` (default: latest). Old versions
+        stay readable after later commits — the reference's coexisting
+        multi-version semantics (README.md:29-45), across sessions."""
+        m = self._manifest()
+        entries = m["versions"]
+        if version is None:
+            version = entries[-1]["v"]
+        if version not in {e["v"] for e in entries}:
+            raise ValueError(f"unknown version {version}")
+        upto = [e for e in entries if e["v"] <= version]
+        snap_idx = max(
+            i for i, e in enumerate(upto) if e["kind"] == "snapshot"
+        )
+        base_v = upto[snap_idx]["v"]
+        idf = IndexedDataFrame.from_unique(
+            self.spark.read.parquet(
+                os.path.join(self.path, f"v{base_v}", "snapshot")
+            ),
+            m["keys"],
+            num_partitions=m["num_partitions"],
+            cache=False,
+        )
+        for e in upto[snap_idx + 1 :]:
+            d = os.path.join(self.path, f"v{e['v']}")
+            if e["kind"] == "puts":
+                idf = idf.multiput_df(
+                    self.spark.read.parquet(os.path.join(d, "puts")),
+                    f=_MERGES[e["merge"]],
+                )
+            elif e["kind"] == "deletes":
+                idf = idf.delete_df(
+                    self.spark.read.parquet(os.path.join(d, "deletes"))
+                )
+        return idf
+
+    # -------------------------------------------------------------- #
+    # compaction (LazyPartition.reindex, persisted)
+    # -------------------------------------------------------------- #
+
+    def compact(self) -> int:
+        """Materialize the LATEST version as a snapshot so later reads
+        fold a shorter chain. Appends a snapshot entry (a new version id
+        with identical contents); never rewrites or invalidates earlier
+        versions — time travel to them still works."""
+        m = self._manifest()
+        latest = self.read()
+        v = self._next(m)
+        latest.df.write.mode("errorifexists").parquet(
+            os.path.join(self.path, f"v{v}", "snapshot")
+        )
+        m["versions"].append({"v": v, "kind": "snapshot"})
+        self._swap_manifest(m)
+        return v
