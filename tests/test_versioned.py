@@ -85,6 +85,66 @@ def test_reopen_reads_same_table(store, spark):
     assert reopened.versions() == store.versions()
 
 
+def test_random_commit_sequences_match_python_model(spark, tmp_path):
+    """Hypothesis: any sequence of overwrite-put / sum-put / delete
+    batches must make EVERY version's read agree with a plain Python
+    dict-history model."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys = st.integers(min_value=0, max_value=12)
+    vals = st.integers(min_value=-5, max_value=5).map(float)
+    batch = st.one_of(
+        st.tuples(st.just("over"), st.dictionaries(keys, vals, min_size=1, max_size=4)),
+        st.tuples(st.just("sum"), st.dictionaries(keys, vals, min_size=1, max_size=4)),
+        st.tuples(st.just("del"), st.sets(keys, min_size=1, max_size=3)),
+    )
+
+    counter = [0]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(st.lists(batch, min_size=1, max_size=4))
+    def run(batches):
+        counter[0] += 1
+        base = {i: float(i) for i in range(5)}
+        idf = IndexedDataFrame.from_unique(
+            spark.createDataFrame(list(base.items()), "k long, v double"),
+            "k", num_partitions=4, cache=False,
+        )
+        path = str(tmp_path / f"h{counter[0]}")
+        store = VersionedKVStore.init(idf, path)
+        model_history = [dict(base)]
+        for kind, payload in batches:
+            model = dict(model_history[-1])
+            if kind == "del":
+                store.commit_deletes(
+                    spark.createDataFrame([(k,) for k in payload], "k long")
+                )
+                for k in payload:
+                    model.pop(k, None)
+            else:
+                store.commit_puts(
+                    spark.createDataFrame(
+                        list(payload.items()), "k long, v double"
+                    ),
+                    merge="sum" if kind == "sum" else "overwrite",
+                )
+                for k, v in payload.items():
+                    model[k] = (
+                        model.get(k, 0.0) + v if kind == "sum" and k in model
+                        else v
+                    )
+            model_history.append(model)
+        for v, expected in zip(store.versions(), model_history):
+            assert _as_dict(store.read(v)) == expected, (v, batches)
+
+    run()
+
+
 def test_unknown_version_and_merge_rejected(store, spark):
     with pytest.raises(ValueError):
         store.read(99)
