@@ -564,6 +564,36 @@ def run_suite(spark) -> dict[str, float]:
 
         _an.event_rate_anomalies(events).count()
 
+    # versioned KV store: write-once base, then per-commit cost is
+    # delta-sized; the read folds snapshot + deltas (LazyPartition at rest)
+    @timed("versioned_store_init_once")
+    def _vkv_init():
+        import shutil
+
+        from spark_indexedrdd_spark.core import IndexedDataFrame
+        from spark_indexedrdd_spark.sources.versioned import VersionedKVStore
+
+        shutil.rmtree("spark-warehouse/bench_vkv", ignore_errors=True)
+        idf = IndexedDataFrame.from_unique(
+            orders.select("o_orderkey", "o_totalprice"),
+            "o_orderkey", num_partitions=CPUS, cache=False,
+        )
+        state["vkv"] = VersionedKVStore.init(idf, "spark-warehouse/bench_vkv")
+
+    @timed("versioned_store_commit_and_read")
+    def _vkv_rw():
+        st = state["vkv"]
+        st.commit_puts(
+            orders.where("o_orderkey % 10 = 0").select(
+                "o_orderkey", (F.col("o_totalprice") * 0 + 1.0).alias("o_totalprice")
+            ),
+            merge="sum",
+        )
+        st.commit_deletes(
+            orders.where("o_orderkey % 13 = 0").select("o_orderkey")
+        )
+        st.read().count()
+
     # --- bucketed persistence: the 100 TB join path ---------------------- #
     # (write once, then every cross-job join is exchange-free; the write
     # is the amortized one-time cost, reported separately)

@@ -104,35 +104,67 @@ class VersionedKVStore:
     def _next(self, m: dict) -> int:
         return m["versions"][-1]["v"] + 1
 
+    def _tagged(self, m: dict, tag: "str | None") -> "int | None":
+        if tag is None:
+            return None
+        for e in m["versions"]:
+            if e.get("tag") == tag:
+                return e["v"]
+        return None
+
     def commit_puts(
-        self, updates: DataFrame, merge: str = "overwrite"
+        self,
+        updates: DataFrame,
+        merge: str = "overwrite",
+        tag: "str | None" = None,
     ) -> int:
         """Append an upsert delta: (key..., value) rows. ``merge`` names
         how the delta folds into existing keys at READ time —
         "overwrite" (last version wins) or "sum" — recorded in the
         manifest so every reader reproduces the same table. Returns the
-        new version id. Cost: one delta-sized write, zero base I/O."""
+        new version id. Cost: one delta-sized write, zero base I/O.
+
+        ``tag`` makes the commit IDEMPOTENT: a tag already in the
+        manifest returns its version without writing (at-least-once
+        replay safety for streaming ingest — the data files of an
+        interrupted first attempt are simply overwritten, and only the
+        manifest swap publishes a version)."""
         if merge not in _MERGES:
             raise ValueError(f"unknown merge {merge!r}; use {sorted(_MERGES)}")
         m = self._manifest()
+        seen = self._tagged(m, tag)
+        if seen is not None:
+            return seen
         v = self._next(m)
         cols = m["keys"] + [m["value"]]
-        updates.select(*cols).write.mode("errorifexists").parquet(
-            os.path.join(self.path, f"v{v}", "puts")
-        )
-        m["versions"].append({"v": v, "kind": "puts", "merge": merge})
+        updates.select(*cols).write.mode(
+            "overwrite" if tag is not None else "errorifexists"
+        ).parquet(os.path.join(self.path, f"v{v}", "puts"))
+        entry = {"v": v, "kind": "puts", "merge": merge}
+        if tag is not None:
+            entry["tag"] = tag
+        m["versions"].append(entry)
         self._swap_manifest(m)
         return v
 
-    def commit_deletes(self, dels: DataFrame) -> int:
+    def commit_deletes(
+        self, dels: DataFrame, tag: "str | None" = None
+    ) -> int:
         """Append a delete delta: (key...) rows. Deleting an absent key
-        is a no-op at read time (reference IndexedRDDSuite.scala:216)."""
+        is a no-op at read time (reference IndexedRDDSuite.scala:216).
+        ``tag`` gives the same replay idempotency as commit_puts."""
         m = self._manifest()
+        seen = self._tagged(m, tag)
+        if seen is not None:
+            return seen
         v = self._next(m)
-        dels.select(*m["keys"]).write.mode("errorifexists").parquet(
-            os.path.join(self.path, f"v{v}", "deletes")
-        )
-        m["versions"].append({"v": v, "kind": "deletes"})
+        dels.select(*m["keys"]).write.mode(
+            "overwrite" if tag is not None else "errorifexists"
+        ).parquet(os.path.join(self.path, f"v{v}", "deletes"))
+        entry = {"v": v, "kind": "deletes"}
+        if tag is not None:
+            entry["tag"] = tag
+        m["versions"].append(entry)
         self._swap_manifest(m)
         return v
 
@@ -182,6 +214,38 @@ class VersionedKVStore:
     # -------------------------------------------------------------- #
     # compaction (LazyPartition.reindex, persisted)
     # -------------------------------------------------------------- #
+
+    def stream_ingest(
+        self,
+        stream_df,
+        checkpoint_dir: str,
+        merge: str = "overwrite",
+        compact_every: int = 8,
+        **trigger_kwargs,
+    ):
+        """Attach a Structured Streaming query whose every micro-batch
+        becomes one COMMITTED version (tag = batch id, so at-least-once
+        replays are no-ops), compacting every ``compact_every`` commits
+        to bound the read-time fold chain — the persisted twin of
+        streaming.kv_sink.StreamingKVStore."""
+
+        def _fb(batch_df, batch_id: int) -> None:
+            if not batch_df.take(1):
+                return
+            self.commit_puts(batch_df, merge=merge, tag=f"batch-{batch_id}")
+            n_deltas = sum(
+                1 for e in self._manifest()["versions"] if e["kind"] != "snapshot"
+            )
+            if n_deltas and n_deltas % compact_every == 0:
+                self.compact()
+
+        return (
+            stream_df.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(_fb)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
 
     def compact(self) -> int:
         """Materialize the LATEST version as a snapshot so later reads

@@ -145,6 +145,45 @@ def test_random_commit_sequences_match_python_model(spark, tmp_path):
     run()
 
 
+def test_tagged_commits_are_idempotent(store, spark):
+    ups = spark.createDataFrame([(1, 5.0)], "k long, v double")
+    v_a = store.commit_puts(ups, merge="sum", tag="batch-7")
+    v_b = store.commit_puts(ups, merge="sum", tag="batch-7")  # replay
+    assert v_a == v_b
+    assert store.versions() == [0, v_a]
+    assert _as_dict(store.read())[1] == 1.0 + 5.0  # applied exactly once
+
+
+def test_stream_ingest_matches_batch_fold(spark, tmp_path):
+    """File-per-trigger stream of sum-deltas: the store's latest version
+    must equal folding the full delta set into the base in one batch."""
+    import tempfile
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, v double"
+    )
+    idf = IndexedDataFrame.from_unique(base, "k", num_partitions=4, cache=False)
+    store = VersionedKVStore.init(idf, str(tmp_path / "vstream"))
+    src = str(tmp_path / "vstream_src")
+    deltas = spark.createDataFrame(
+        [(i % 50, 1.0) for i in range(150)], "k long, v double"
+    )
+    for i in range(3):
+        deltas.where(f"k % 3 = {i}").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(deltas.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = store.stream_ingest(
+        stream, tempfile.mkdtemp(prefix="vkvckpt_"), merge="sum",
+        compact_every=2, availableNow=True,
+    )
+    q.awaitTermination(120)
+    want = _as_dict(idf.multiput_df(deltas, f=SUM_MERGE))
+    assert _as_dict(store.read()) == want
+
+
 def test_unknown_version_and_merge_rejected(store, spark):
     with pytest.raises(ValueError):
         store.read(99)
