@@ -749,6 +749,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "communities_trade": lambda s, d: _graph.communities_trade(
         load_table(s, d, "lineitem"), load_table(s, d, "orders")
     ),
+    "trade_hops": lambda s, d: _graph.trade_hops(
+        load_table(s, d, "lineitem"), load_table(s, d, "orders")
+    ),
     "similarity_ann_binary": lambda s, d: _quant.binary_ann(
         _emb(s, d), _sim.DEFAULT_QUERY_IDS
     ),
@@ -892,6 +895,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "pagerank_trade": _graph.sql_pagerank_trade(),
     # deterministic LPA: integer counts, (cnt DESC, label ASC) argmax
     "communities_trade": _graph.sql_communities_trade(),
+    # bounded-depth BFS: unrolled integer min-plus relaxation
+    "trade_hops": _graph.sql_trade_hops(),
     # integer Hamming prefilter + sequential-fold cosine re-rank
     "similarity_ann_binary": _quant.sql_binary_ann(
         query_ids=_sim.DEFAULT_QUERY_IDS
@@ -1037,6 +1042,7 @@ _FILL_R7 = (
 PAST_CUTOFF_NEW = (
     "pagerank_trade",
     "communities_trade",
+    "trade_hops",
     "similarity_ann_binary",
     "event_rate_anomalies",
 )

@@ -260,6 +260,110 @@ def communities_trade(
     )
 
 
+def shortest_hops(
+    edges: DataFrame,
+    sources: "list[int]",
+    iterations: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Single-source(-set) BFS hop distances: (id, hops) for every node
+    reachable from ``sources`` within ``iterations`` hops — the
+    reachability/distance member of the graph family (pagerank =
+    influence, label propagation = communities,
+    dedup.resolve_duplicate_clusters = components).
+
+    Synchronous min-plus relaxation, unrolled a fixed number of rounds
+    (bounded-depth BFS — the deterministic, oracle-unrollable form; a
+    node first reached at hop h > iterations is absent). Integer hops:
+    bit-exact on any engine.
+
+    Scale: per round, one shuffle — the relax candidates (edges joined
+    to the current distance table, sort-free via the same shuffle_hash
+    hint as the other loops) merge with the table in a single min
+    aggregate with map-side combine. Distance state is 12 B/node.
+    Unlike pagerank/LPA the working set here can START tiny (the
+    frontier); this formulation re-relaxes settled nodes each round —
+    the frontier-delta optimization matters when diameter is large, and
+    is noted rather than implemented because iterations is small."""
+    spark = edges.sparkSession
+    n = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    e = edges.repartition(n, "src").cache()
+    dist = IndexedDataFrame.from_unique(
+        spark.createDataFrame(
+            [(int(s), 0) for s in sources], "id long, hops int"
+        ).repartition(n, "id"),
+        "id",
+        num_partitions=n,
+        cache=False,
+    )
+    for _ in range(iterations):
+        relax = (
+            e.join(dist.df.hint("shuffle_hash"), F.col("src") == F.col("id"))
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("hops") + F.lit(1)).alias("hops"),
+            )
+        )
+        merged = dist.df.unionByName(relax)
+        dist = IndexedDataFrame(
+            merged.groupBy("id").agg(F.min("hops").alias("hops")),
+            ["id"],
+            n,
+        )
+    out = dist.df.select("id", F.col("hops").cast("int")).localCheckpoint(
+        eager=True
+    )
+    e.unpersist()
+    return out
+
+
+def trade_hops(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    source_customer: int = 0,
+    iterations: int = 4,
+) -> DataFrame:
+    """BFS hop distances over the trade graph from one customer: hop 1 =
+    their suppliers, hop 2 = those suppliers' other customers, ... —
+    the supply-chain blast radius of a single account."""
+    return shortest_hops(
+        trade_edges(lineitem, orders), [source_customer], iterations
+    )
+
+
+def sql_trade_hops(source_customer: int = 0, iterations: int = 4) -> str:
+    """Exact DuckDB twin of :func:`trade_hops`: the identical min-plus
+    relaxation unrolled (integer hops — bit-exact)."""
+    ctes = [
+        """edges AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT -(l_suppkey + 1) AS src, o_custkey AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                UNION ALL
+                SELECT o_custkey AS src, -(l_suppkey + 1) AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            )
+        )""",
+        f"d0 AS (SELECT CAST({int(source_customer)} AS BIGINT) AS id, 0 AS hops)",
+    ]
+    for i in range(iterations):
+        ctes.append(f"""d{i + 1} AS (
+            SELECT id, MIN(hops) AS hops FROM (
+                SELECT id, hops FROM d{i}
+                UNION ALL
+                SELECT e.dst AS id, d.hops + 1 AS hops
+                FROM d{i} d JOIN edges e ON d.id = e.src
+            ) GROUP BY id
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(hops AS INTEGER) AS hops FROM d{iterations}"
+    )
+
+
 def sql_communities_trade(iterations: int = 4) -> str:
     """Exact DuckDB twin of :func:`communities_trade`: same edge CTE as
     :func:`sql_pagerank_trade`, then one CTE per LPA round — neighbor

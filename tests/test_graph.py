@@ -136,6 +136,40 @@ def test_label_propagation_matches_python_model(spark):
     assert got == label
 
 
+def test_shortest_hops_matches_python_bfs(spark):
+    """Bounded-depth BFS over TOY vs a plain Python BFS."""
+    from collections import deque
+
+    from spark_indexedrdd_spark.operators.graph import shortest_hops
+
+    adj = {}
+    for s, d in TOY:
+        adj.setdefault(s, []).append(d)
+    want, dq = {5: 0}, deque([5])
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, []):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    edges = spark.createDataFrame(TOY, "src long, dst long")
+    got = {r.id: r.hops for r in shortest_hops(edges, [5], 6).collect()}
+    assert got == want
+    # bounded depth: 1 iteration reaches only the sources + neighbors
+    got1 = {r.id: r.hops for r in shortest_hops(edges, [5], 1).collect()}
+    assert got1 == {5: 0, 1: 1}
+
+
+def test_shortest_hops_multi_source_min_wins(spark):
+    from spark_indexedrdd_spark.operators.graph import shortest_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 3)], "src long, dst long"
+    )
+    got = {r.id: r.hops for r in shortest_hops(edges, [1, 9], 3).collect()}
+    assert got[3] == 1  # via 9, not 2 via 1->2->3
+
+
 def test_graph_iterations_never_sort(spark, sf_dir):
     """Regression tripwire for the shuffle_hash hint: a stats-less
     iteration subtree defaults to SortMergeJoin, re-sorting the full
