@@ -918,7 +918,15 @@ def dedup_pipeline(
     (:func:`sql_dedup_pipeline`) recomputes the same fixpoint with a
     recursive CTE."""
     norm = F.concat_ws(" ", tokens(F.col(text_col)))
-    fp = df.select(F.col(id_col), F.md5(norm).alias("fp_md5"))
+    # materialize the fingerprint once: it feeds BOTH the group table
+    # and the doc->rep map, and without the checkpoint each branch
+    # re-tokenizes the full corpus — tokenization is stage 1's dominant
+    # cost at scale, and the pipeline already runs internal actions
+    # (the CC loop), so the eager cut adds no new materialization
+    # regime. State is (id, md5) — ~50 B/doc.
+    fp = df.select(F.col(id_col), F.md5(norm).alias("fp_md5")).localCheckpoint(
+        eager=True
+    )
     g = fp.groupBy("fp_md5").agg(F.min(id_col).alias("rep"))
     m = fp.join(g, "fp_md5").select(id_col, "rep")
     reps = df.join(

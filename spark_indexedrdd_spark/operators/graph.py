@@ -75,9 +75,15 @@ def trade_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
             F.col("o_custkey").alias("c"),
         )
     )
+    # dedupe the DIRECTED pairs once (half the rows of the symmetric
+    # closure), then mirror: forward rows have src < 0 and reversed
+    # rows src >= 0, so the union of the two (individually distinct)
+    # sets is distinct by construction — no second exchange over the
+    # doubled edge list.
+    pairs = pairs.distinct()
     fwd = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     rev = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    return fwd.unionByName(rev).distinct()
+    return fwd.unionByName(rev)
 
 
 def pagerank(
