@@ -215,6 +215,36 @@ class VersionedKVStore:
     # compaction (LazyPartition.reindex, persisted)
     # -------------------------------------------------------------- #
 
+    def changes(self, v_from: int, v_to: int) -> DataFrame:
+        """CDC extract between two versions: (key..., change, old, new)
+        with change ∈ {'added', 'deleted', 'updated'} — the reference's
+        ``diff`` changed-rows detector (IndexedRDD.scala:218-227)
+        generalized across time travel (diff reports only value changes
+        on shared keys; a version delta also creates and removes keys).
+        One full outer join of the two folded versions; unchanged keys
+        are dropped with a null-safe equality (NULL values compare
+        equal to NULL, like core.diff)."""
+        m = self._manifest()
+        keys, v = m["keys"], m["value"]
+        from pyspark.sql import functions as F
+
+        a = self.read(v_from).df.withColumnRenamed(v, "old").withColumn(
+            "__has_a", F.lit(True)
+        )
+        b = self.read(v_to).df.withColumnRenamed(v, "new").withColumn(
+            "__has_b", F.lit(True)
+        )
+        j = a.join(b, on=keys, how="full")
+        change = (
+            F.when(F.col("__has_a").isNull(), F.lit("added"))
+            .when(F.col("__has_b").isNull(), F.lit("deleted"))
+            .when(~F.col("old").eqNullSafe(F.col("new")), F.lit("updated"))
+        )
+        return (
+            j.select(*keys, change.alias("change"), "old", "new")
+            .where(F.col("change").isNotNull())
+        )
+
     def stream_ingest(
         self,
         stream_df,

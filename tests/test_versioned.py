@@ -145,6 +145,25 @@ def test_random_commit_sequences_match_python_model(spark, tmp_path):
     run()
 
 
+def test_changes_between_versions(store, spark):
+    """CDC extract: adds, deletes, and value updates — nothing else."""
+    v1 = store.commit_puts(
+        spark.createDataFrame([(1, 100.0), (500, 5.0)], "k long, v double")
+    )
+    v2 = store.commit_deletes(spark.createDataFrame([(2,)], "k long"))
+    ch = {
+        r.k: (r.change, r.old, r.new)
+        for r in store.changes(0, v2).collect()
+    }
+    assert ch == {
+        1: ("updated", 1.0, 100.0),
+        500: ("added", None, 5.0),
+        2: ("deleted", 2.0, None),
+    }
+    # reflexive diff is empty
+    assert store.changes(v1, v1).count() == 0
+
+
 def test_tagged_commits_are_idempotent(store, spark):
     ups = spark.createDataFrame([(1, 5.0)], "k long, v double")
     v_a = store.commit_puts(ups, merge="sum", tag="batch-7")
