@@ -758,6 +758,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_rate_anomalies": lambda s, d: _an.event_rate_anomalies(
         load_table(s, d, "events")
     ),
+    "dsir_select": lambda s, d: _text.dsir_select(
+        _docs(s, d), F.col("lang") == "en"
+    ),
 }
 
 EXTENSION_ORACLE: dict[str, str] = {
@@ -903,6 +906,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     ),
     # integer window sums, identical double derivation, ROUND(9) z
     "event_rate_anomalies": _an.sql_event_rate_anomalies(),
+    # hashed-ngram importance scores: integer counts, ROUND(9) ln
+    # ratios, per-doc sequential fold
+    "dsir_select": _text.sql_dsir_select(),
 }
 
 # Queries with no SQL oracle: the driver records a rows-only check.
@@ -1045,6 +1051,7 @@ PAST_CUTOFF_NEW = (
     "trade_hops",
     "similarity_ann_binary",
     "event_rate_anomalies",
+    "dsir_select",
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}

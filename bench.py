@@ -558,6 +558,12 @@ def run_suite(spark) -> dict[str, float]:
 
         _quant.binary_ann(emb, [0, 50, 100, 150, 200], k=5).collect()
 
+    @timed("dsir_select")
+    def _dsir():
+        from spark_indexedrdd_spark.functions import text as _text
+
+        _text.dsir_select(docs, F.col("lang") == "en").collect()
+
     @timed("event_rate_anomalies")
     def _anom():
         from spark_indexedrdd_spark.operators import analytics as _an

@@ -862,6 +862,187 @@ def sql_temperature_sample(
     """
 
 
+def dsir_select(
+    df: DataFrame,
+    target: Column,
+    k: int = 200,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by the log-likelihood ratio of its hashed
+    n-gram features under a TARGET distribution vs the raw corpus, and
+    keep the top-k — the standard way to skew a web-scale corpus toward
+    a target domain without a learned classifier. ``target`` is a
+    boolean Column over ``df``'s rows defining the in-domain slice
+    (e.g. ``F.col('lang') == 'en'``); the paper's held-out target
+    corpus is the same computation with the slice unioned in.
+
+    Features: word unigrams + bigrams hashed into ``n_buckets`` buckets
+    (paper §3.1's hashed n-grams; md5-derived bucket ids so both
+    engines agree). Bucket distributions are add-``alpha`` smoothed;
+    score(doc) = Σ_gram [ln p_target(bucket) − ln p_raw(bucket)].
+
+    Determinism / oracle: counts are exact integers; the per-bucket
+    log-ratio is ROUND(…, 9) (engines' ln may differ in the last ulp —
+    same practice as similarity_topk_fast), and each document folds its
+    OWN gram sequence over those rounded values (F.aggregate — order-
+    deterministic, never a grouped float sum). Deterministic top-k
+    (score desc, id) stands in for the paper's Gumbel resampling so the
+    selection is reproducible and hash-checkable.
+
+    Scale: one materialized pass tokenizes+hashes each doc (three
+    consumers — raw counts, target counts, scoring — would otherwise
+    re-tokenize the corpus thrice); the two count aggregates shuffle
+    ``n_buckets``-cardinality keys with map-side combine; the log-ratio
+    table is ONE broadcast row of ``n_buckets`` doubles; scoring is a
+    narrow fold; selection is orderBy+limit = TakeOrderedAndProject
+    (per-partition k-heaps, no global sort or single-task window).
+
+    Output: (doc_id, n_grams, dsir_score, rank), the k selected docs."""
+    toks = tokens(F.col(text_col))
+    tk = df.select(
+        F.col(id_col), target.alias("__is_target"), toks.alias("__t")
+    )
+    t = F.col("__t")
+    n = F.size(t)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(t, 1, pair_len),
+        F.slice(t, 2, pair_len),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = F.concat(t, bigrams)
+    bucket_of = lambda g: (  # noqa: E731 - tiny local expr builder
+        F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).cast("int")
+    docs_b = tk.select(
+        F.col(id_col),
+        "__is_target",
+        F.transform(grams, bucket_of).alias("__b"),
+    ).localCheckpoint(eager=True)
+
+    def counts(src: DataFrame, name: str) -> DataFrame:
+        return (
+            src.select(F.explode("__b").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    spark = df.sparkSession
+    grid = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    d = (
+        grid.join(counts(docs_b, "cs"), "bucket", "left")
+        .join(counts(docs_b.where("__is_target"), "ct"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("cs", F.lit(0)).alias("cs"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    wall = Window.partitionBy()
+    a, ab = float(alpha), float(alpha) * n_buckets
+    lr = F.round(
+        F.log((F.col("ct") + a) / (F.sum("ct").over(wall) + ab))
+        - F.log((F.col("cs") + a) / (F.sum("cs").over(wall) + ab)),
+        9,
+    )
+    lr_row = d.select("bucket", lr.alias("v")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "v"))),
+            lambda s: s["v"],
+        ).alias("__lr")
+    )
+    scored = docs_b.crossJoin(F.broadcast(lr_row)).select(
+        F.col(id_col),
+        F.size("__b").alias("n_grams"),
+        F.aggregate(
+            F.col("__b"),
+            F.lit(0.0),
+            lambda acc, b: acc + F.element_at(F.col("__lr"), b + 1),
+        ).alias("dsir_score"),
+    )
+    top = scored.orderBy(F.desc("dsir_score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("dsir_score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def sql_dsir_select(
+    table: str = "documents",
+    target_sql: str = "lang = 'en'",
+    k: int = 200,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Exact DuckDB twin of :func:`dsir_select` (same hashed buckets,
+    same smoothing formula shape, ROUND(9) log-ratios, same per-doc
+    fold order, same (score desc, id) top-k)."""
+    t = sql_tokens(text_col)
+    a, ab = float(alpha), float(alpha) * n_buckets
+    return f"""
+        WITH tk AS (
+            SELECT {id_col}, ({target_sql}) AS is_target, {t} AS t
+            FROM {table}
+        ),
+        b AS (
+            SELECT {id_col}, is_target,
+                   list_transform(
+                       list_concat(
+                           t,
+                           list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i + 1])
+                       ),
+                       g -> CAST(('0x' || substr(md5(g), 1, 8))::BIGINT
+                                 % {n_buckets} AS INTEGER)
+                   ) AS bks
+            FROM tk
+        ),
+        src AS (
+            SELECT u.bucket, COUNT(*) AS cs
+            FROM (SELECT unnest(bks) AS bucket FROM b) u GROUP BY 1
+        ),
+        tgt AS (
+            SELECT u.bucket, COUNT(*) AS ct
+            FROM (SELECT unnest(bks) AS bucket FROM b WHERE is_target) u
+            GROUP BY 1
+        ),
+        d AS (
+            SELECT CAST(g.range AS INTEGER) AS bucket,
+                   COALESCE(src.cs, 0) AS cs, COALESCE(tgt.ct, 0) AS ct
+            FROM range({n_buckets}) g
+            LEFT JOIN src ON src.bucket = g.range
+            LEFT JOIN tgt ON tgt.bucket = g.range
+        ),
+        lr AS (
+            SELECT bucket,
+                   ROUND(ln((ct + {a}) / (SUM(ct) OVER () + {ab}))
+                         - ln((cs + {a}) / (SUM(cs) OVER () + {ab})), 9) AS v
+            FROM d
+        ),
+        lrarr AS (SELECT list(v ORDER BY bucket) AS arr FROM lr),
+        scored AS (
+            SELECT {id_col}, CAST(len(bks) AS INTEGER) AS n_grams,
+                   CASE WHEN len(bks) = 0 THEN 0.0
+                        ELSE list_reduce(
+                            list_transform(bks, x -> arr[x + 1]),
+                            (acc, v) -> acc + v)
+                   END AS dsir_score
+            FROM b CROSS JOIN lrarr
+        )
+        SELECT {id_col}, n_grams, dsir_score, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                ORDER BY dsir_score DESC, {id_col} ASC) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 def weighted_sample(
     df: DataFrame,
     k: int = 100,

@@ -316,6 +316,9 @@ def test_contract_wide_no_accidental_cross_joins(spark):
                                   # Hamming stage is the cheap prefilter
                                   # and its top-M is WindowGroupLimit-
                                   # pruned before the exchange
+        "dsir_select",            # broadcast ONE-ROW log-ratio array x
+                                  # corpus scoring fold (scalar-frame
+                                  # pattern, same class as Q22)
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

@@ -244,3 +244,51 @@ def test_binary_store_rerank_scan_is_pruned(emb, spark, tmp_path):
     )
     plan = vecs._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "In(vec_id" in plan, plan
+
+
+# ------------------------------------------------------------------ #
+# DSIR importance selection
+# ------------------------------------------------------------------ #
+
+
+def test_dsir_enriches_target_domain(spark, sf_dir):
+    """The selected set must be enriched in the target slice relative
+    to the corpus base rate — the property the importance ratio buys."""
+    from spark_indexedrdd_spark.functions.text import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    base_rate = docs.where("lang = 'en'").count() / n
+    sel = dsir_select(docs, F.col("lang") == "en", k=100)
+    picked = {r.doc_id for r in sel.collect()}
+    sel_rate = (
+        docs.where(F.col("doc_id").isin(list(picked)))
+        .where("lang = 'en'")
+        .count()
+        / len(picked)
+    )
+    assert sel_rate > base_rate, (sel_rate, base_rate)
+
+
+def test_dsir_deterministic_and_ranked(spark, sf_dir):
+    from spark_indexedrdd_spark.functions.text import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, dsir_select(docs, F.col("lang") == "en", k=20).collect()))
+    b = sorted(map(tuple, dsir_select(docs, F.col("lang") == "en", k=20).collect()))
+    assert a == b and len(a) == 20
+    ranks = sorted(r[3] for r in a)
+    assert ranks == list(range(1, 21))
+
+
+def test_dsir_empty_target_still_defined(spark, sf_dir):
+    """Smoothing keeps the score finite when the target slice is empty
+    (every ct = 0): selection degrades to anti-frequency, no NaNs."""
+    import math
+
+    from spark_indexedrdd_spark.functions.text import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = dsir_select(docs, F.lit(False), k=10).collect()
+    assert len(rows) == 10
+    assert all(math.isfinite(r.dsir_score) for r in rows)
