@@ -761,6 +761,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": lambda s, d: _text.dsir_select(
         _docs(s, d), F.col("lang") == "en"
     ),
+    "lm_cross_entropy": lambda s, d: _text.lm_cross_entropy(_docs(s, d)),
 }
 
 EXTENSION_ORACLE: dict[str, str] = {
@@ -909,6 +910,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     # hashed-ngram importance scores: integer counts, ROUND(9) ln
     # ratios, per-doc sequential fold
     "dsir_select": _text.sql_dsir_select(),
+    # in-corpus hashed bigram LM: same determinism playbook
+    "lm_cross_entropy": _text.sql_lm_cross_entropy(),
 }
 
 # Queries with no SQL oracle: the driver records a rows-only check.
@@ -1052,6 +1055,7 @@ PAST_CUTOFF_NEW = (
     "similarity_ann_binary",
     "event_rate_anomalies",
     "dsir_select",
+    "lm_cross_entropy",
 )
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}

@@ -564,6 +564,12 @@ def run_suite(spark) -> dict[str, float]:
 
         _text.dsir_select(docs, F.col("lang") == "en").collect()
 
+    @timed("lm_cross_entropy")
+    def _lmce():
+        from spark_indexedrdd_spark.functions import text as _text
+
+        _text.lm_cross_entropy(docs).count()
+
     @timed("event_rate_anomalies")
     def _anom():
         from spark_indexedrdd_spark.operators import analytics as _an

@@ -12,6 +12,8 @@ projection into the parquet scan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1040,6 +1042,171 @@ def sql_dsir_select(
                 ORDER BY dsir_score DESC, {id_col} ASC) AS INTEGER) AS rank
             FROM scored
         ) WHERE rank <= {k}
+    """
+
+
+def lm_cross_entropy(
+    df: DataFrame,
+    n_buckets: int = 65536,
+    alpha: float = 1.0,
+    flag_factor: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality filtering (Wenzek et al.
+    2020, arXiv:1911.00359 §3.3 — docs whose LM perplexity is far above
+    the corpus norm are noise), with the KenLM model replaced by an
+    IN-CORPUS hashed add-``alpha`` bigram model so the operator is
+    self-contained and cross-engine exact: p(w2|w1) = (c(w1 w2) + α) /
+    (c(w1) + αB) over md5-hashed buckets.
+
+    Per doc: cross_entropy = −mean over its bigrams of ln p — the log
+    of perplexity (exp is omitted: monotone, and engines' exp would
+    reintroduce last-ulp drift). ``lm_flag`` marks documents whose
+    cross-entropy exceeds ``flag_factor · ln(n_buckets)`` — near the
+    uniform-model entropy, i.e. the corpus model finds the text
+    unpredictable. Documents with no bigrams get NULL / unflagged.
+    ``n_buckets`` must keep the bigram table SPARSE (buckets >> distinct
+    corpus bigrams is ideal; saturated buckets make everything look
+    predictable — measured: at B=256 on the test corpus a gibberish doc
+    scored BELOW the norm); 65536 buckets is 512 KB of broadcast model
+    and holds to ~10k-vocab corpora. DSIR's relative ratios don't need
+    sparsity, hence its smaller default.
+
+    Determinism (same playbook as :func:`dsir_select`): integer bucket
+    counts; per-bucket ln terms ROUND(9); each document folds its own
+    bigram sequence — never a grouped float sum. Plan shape: one
+    tokenize+hash pass, two bucket-cardinality count aggregates, one
+    broadcast row with the two ln-term arrays, then a narrow fold.
+
+    Output: (doc_id, n_bigrams, cross_entropy, lm_flag)."""
+    toks = tokens(F.col(text_col))
+    tk = df.select(F.col(id_col), toks.alias("__t"))
+    t = F.col("__t")
+    n = F.size(t)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    hist = F.slice(t, 1, pair_len)
+    bigrams = F.zip_with(
+        hist, F.slice(t, 2, pair_len),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bucket_of = lambda g: (  # noqa: E731
+        F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).cast("int")
+    docs_b = tk.select(
+        F.col(id_col),
+        F.transform(hist, bucket_of).alias("__u"),
+        F.transform(bigrams, bucket_of).alias("__g"),
+    ).localCheckpoint(eager=True)
+
+    def counts(col: str, name: str) -> DataFrame:
+        return (
+            docs_b.select(F.explode(col).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    spark = df.sparkSession
+    a, ab = float(alpha), float(alpha) * n_buckets
+    grid = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    d = (
+        grid.join(counts("__g", "cg"), "bucket", "left")
+        .join(counts("__u", "cu"), "bucket", "left")
+        .select(
+            "bucket",
+            F.round(F.log(F.coalesce("cg", F.lit(0)) + a), 9).alias("lng"),
+            F.round(F.log(F.coalesce("cu", F.lit(0)) + ab), 9).alias("lnu"),
+        )
+    )
+    arrs = d.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "lng"))),
+            lambda s: s["lng"],
+        ).alias("__lng"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "lnu"))),
+            lambda s: s["lnu"],
+        ).alias("__lnu"),
+    )
+    terms = F.zip_with(
+        F.col("__g"), F.col("__u"),
+        lambda g, u: F.element_at(F.col("__lng"), g + 1)
+        - F.element_at(F.col("__lnu"), u + 1),
+    )
+    nb = F.size("__g")
+    ce = F.when(
+        nb > 0,
+        -F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+        / nb.cast("double"),
+    )
+    thr = float(flag_factor) * math.log(n_buckets)
+    return docs_b.crossJoin(F.broadcast(arrs)).select(
+        F.col(id_col),
+        nb.alias("n_bigrams"),
+        ce.alias("cross_entropy"),
+        (ce.isNotNull() & (ce > F.lit(thr))).alias("lm_flag"),
+    )
+
+
+def sql_lm_cross_entropy(
+    table: str = "documents",
+    n_buckets: int = 65536,
+    alpha: float = 1.0,
+    flag_factor: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Exact DuckDB twin of :func:`lm_cross_entropy` (same buckets,
+    ROUND-9 ln terms, identical per-doc fold sequence; the flag
+    threshold is a Python-computed literal on both sides)."""
+    t = sql_tokens(text_col)
+    a, ab = float(alpha), float(alpha) * n_buckets
+    thr = float(flag_factor) * math.log(n_buckets)
+    bucket = (
+        lambda g: f"CAST(('0x' || substr(md5({g}), 1, 8))::BIGINT"
+        f" % {n_buckets} AS INTEGER)"
+    )
+    return f"""
+        WITH tk AS (SELECT {id_col}, {t} AS t FROM {table}),
+        b AS (
+            SELECT {id_col},
+                   list_transform(t[1:len(t) - 1], w -> {bucket('w')}) AS bu,
+                   list_transform(range(1, len(t)),
+                                  i -> {bucket("t[i] || ' ' || t[i + 1]")}) AS bg
+            FROM tk
+        ),
+        cg AS (SELECT u.bucket, COUNT(*) AS c
+               FROM (SELECT unnest(bg) AS bucket FROM b) u GROUP BY 1),
+        cu AS (SELECT u.bucket, COUNT(*) AS c
+               FROM (SELECT unnest(bu) AS bucket FROM b) u GROUP BY 1),
+        d AS (
+            SELECT CAST(g.range AS INTEGER) AS bucket,
+                   ROUND(ln(COALESCE(cg.c, 0) + {a}), 9) AS lng,
+                   ROUND(ln(COALESCE(cu.c, 0) + {ab}), 9) AS lnu
+            FROM range({n_buckets}) g
+            LEFT JOIN cg ON cg.bucket = g.range
+            LEFT JOIN cu ON cu.bucket = g.range
+        ),
+        arrs AS (
+            SELECT list(lng ORDER BY bucket) AS ag,
+                   list(lnu ORDER BY bucket) AS au
+            FROM d
+        ),
+        scored AS (
+            SELECT {id_col}, CAST(len(bg) AS INTEGER) AS n_bigrams,
+                   CASE WHEN len(bg) > 0 THEN
+                       -list_reduce(
+                           list_transform(range(1, len(bg) + 1),
+                                          i -> ag[bg[i] + 1] - au[bu[i] + 1]),
+                           (acc, x) -> acc + x
+                       ) / CAST(len(bg) AS DOUBLE)
+                   END AS cross_entropy
+            FROM b CROSS JOIN arrs
+        )
+        SELECT {id_col}, n_bigrams, cross_entropy,
+               (cross_entropy IS NOT NULL AND cross_entropy > {thr}) AS lm_flag
+        FROM scored
     """
 
 

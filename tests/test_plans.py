@@ -319,6 +319,7 @@ def test_contract_wide_no_accidental_cross_joins(spark):
         "dsir_select",            # broadcast ONE-ROW log-ratio array x
                                   # corpus scoring fold (scalar-frame
                                   # pattern, same class as Q22)
+        "lm_cross_entropy",       # same one-row broadcast model arrays
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

@@ -292,3 +292,40 @@ def test_dsir_empty_target_still_defined(spark, sf_dir):
     rows = dsir_select(docs, F.lit(False), k=10).collect()
     assert len(rows) == 10
     assert all(math.isfinite(r.dsir_score) for r in rows)
+
+
+# ------------------------------------------------------------------ #
+# In-corpus bigram LM filtering (CCNet-style)
+# ------------------------------------------------------------------ #
+
+
+def test_lm_flags_planted_gibberish(spark, sf_dir):
+    """A doc of tokens the corpus model has never paired must score far
+    above the corpus norm and trip the flag at a tightened factor; real
+    corpus docs must not."""
+    from spark_indexedrdd_spark.functions.text import lm_cross_entropy
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    gib = " ".join(f"zq{i}xv{i * 7 % 97}" for i in range(60))
+    planted = docs.unionByName(
+        spark.createDataFrame([(999_999, gib)], "doc_id long, text string")
+    )
+    out = {r.doc_id: r for r in lm_cross_entropy(planted, flag_factor=0.8).collect()}
+    assert out[999_999].lm_flag
+    normal = [r for i, r in out.items() if i != 999_999 and r.cross_entropy is not None]
+    assert all(not r.lm_flag for r in normal)
+    assert out[999_999].cross_entropy > max(r.cross_entropy for r in normal)
+
+
+def test_lm_handles_tiny_docs(spark):
+    from spark_indexedrdd_spark.functions.text import lm_cross_entropy
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "two words")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in lm_cross_entropy(df).collect()}
+    assert out[1].cross_entropy is None and not out[1].lm_flag
+    assert out[2].cross_entropy is None
+    assert out[3].n_bigrams == 1 and out[3].cross_entropy is not None
