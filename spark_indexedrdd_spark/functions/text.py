@@ -1080,6 +1080,17 @@ def lm_cross_entropy(
     broadcast row with the two ln-term arrays, then a narrow fold.
 
     Output: (doc_id, n_bigrams, cross_entropy, lm_flag)."""
+    docs_b = _lm_buckets(df, n_buckets, text_col, id_col)
+    cg = _bucket_counts(docs_b, "__g", "cg")
+    cu = _bucket_counts(docs_b, "__u", "cu")
+    return _lm_score(docs_b, cg, cu, n_buckets, alpha, flag_factor, id_col)
+
+
+def _lm_buckets(
+    df: DataFrame, n_buckets: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, __u unigram buckets, __g bigram buckets) — materialized once
+    (multiple consumers would each re-tokenize the corpus)."""
     toks = tokens(F.col(text_col))
     tk = df.select(F.col(id_col), toks.alias("__t"))
     t = F.col("__t")
@@ -1094,25 +1105,40 @@ def lm_cross_entropy(
         F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
         % F.lit(n_buckets)
     ).cast("int")
-    docs_b = tk.select(
+    return tk.select(
         F.col(id_col),
         F.transform(hist, bucket_of).alias("__u"),
         F.transform(bigrams, bucket_of).alias("__g"),
     ).localCheckpoint(eager=True)
 
-    def counts(col: str, name: str) -> DataFrame:
-        return (
-            docs_b.select(F.explode(col).alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias(name))
-        )
 
-    spark = df.sparkSession
+def _bucket_counts(docs_b: DataFrame, col: str, name: str) -> DataFrame:
+    return (
+        docs_b.select(F.explode(col).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias(name))
+    )
+
+
+def _lm_score(
+    docs_b: DataFrame,
+    cg: DataFrame,
+    cu: DataFrame,
+    n_buckets: int,
+    alpha: float,
+    flag_factor: float,
+    id_col: str,
+) -> DataFrame:
+    """Score (id, __u, __g) docs against bigram/unigram bucket counts
+    ``cg``/``cu`` (columns (bucket, cg|cu)) — shared by the in-plan
+    operator and the persisted-count-store path so both provably apply
+    the same model arithmetic."""
+    spark = docs_b.sparkSession
     a, ab = float(alpha), float(alpha) * n_buckets
     grid = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
     d = (
-        grid.join(counts("__g", "cg"), "bucket", "left")
-        .join(counts("__u", "cu"), "bucket", "left")
+        grid.join(cg, "bucket", "left")
+        .join(cu, "bucket", "left")
         .select(
             "bucket",
             F.round(F.log(F.coalesce("cg", F.lit(0)) + a), 9).alias("lng"),
@@ -1147,6 +1173,161 @@ def lm_cross_entropy(
         ce.alias("cross_entropy"),
         (ce.isNotNull() & (ce > F.lit(thr))).alias("lm_flag"),
     )
+
+
+# ------------------------------------------------------------------ #
+# Persisted n-gram count store: the additive-state form of the hashed
+# LM/DSIR models — counts are plain integers, so per-batch rows merge
+# by SUM at read time (the counts analog of the HLL/KLL sketch store).
+# ------------------------------------------------------------------ #
+
+
+def write_ngram_count_store(
+    df: DataFrame,
+    path: str,
+    n_buckets: int = 65536,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Initialize the store with this batch's unigram+bigram bucket
+    counts: rows (space 'u'|'g', bucket, c) at ``path/counts`` —
+    ≤ 2·n_buckets rows per batch regardless of batch size — plus
+    ``path/meta.json`` pinning n_buckets (mixing bucketizations would
+    silently corrupt the model)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"n_buckets": int(n_buckets)}, f)
+    _store_counts(df, n_buckets, text_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(path + "/counts")
+
+
+def append_ngram_count_batch(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold an ingest batch in (append-only; counts merge by SUM at
+    read). n_buckets comes from the store's meta — never the caller."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        n_buckets = int(json.load(f)["n_buckets"])
+    _store_counts(df, n_buckets, text_col, id_col).write.mode(
+        "append"
+    ).parquet(path + "/counts")
+
+
+def _store_counts(
+    df: DataFrame, n_buckets: int, text_col: str, id_col: str
+) -> DataFrame:
+    docs_b = _lm_buckets(df, n_buckets, text_col, id_col)
+    u = _bucket_counts(docs_b, "__u", "c").withColumn("space", F.lit("u"))
+    g = _bucket_counts(docs_b, "__g", "c").withColumn("space", F.lit("g"))
+    return u.unionByName(g).select("space", "bucket", "c")
+
+
+def _read_counts(spark, path: str) -> "tuple[DataFrame, int]":
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        n_buckets = int(json.load(f)["n_buckets"])
+    merged = (
+        spark.read.parquet(path + "/counts")
+        .groupBy("space", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    return merged, n_buckets
+
+
+def lm_cross_entropy_from_store(
+    df: DataFrame,
+    path: str,
+    alpha: float = 1.0,
+    flag_factor: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score NEW documents under the PERSISTED corpus model — the
+    incremental-ingest form of :func:`lm_cross_entropy` (quality-gate a
+    batch against the accumulated corpus without re-reading it). Same
+    scoring core, so store-built-from-X scores exactly like in-plan
+    over X (pytest-pinned)."""
+    spark = df.sparkSession
+    merged, n_buckets = _read_counts(spark, path)
+    docs_b = _lm_buckets(df, n_buckets, text_col, id_col)
+    cg = merged.where("space = 'g'").select("bucket", F.col("c").alias("cg"))
+    cu = merged.where("space = 'u'").select("bucket", F.col("c").alias("cu"))
+    return _lm_score(docs_b, cg, cu, n_buckets, alpha, flag_factor, id_col)
+
+
+def corpus_kl_divergence(
+    spark,
+    path_a: str,
+    path_b: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Distribution drift between two n-gram count stores: KL(A‖B) and
+    KL(B‖A) over the smoothed UNIGRAM bucket distributions — the
+    vocabulary-level complement of the KLL quantile drift monitor
+    (sketches.quantile_drift). Inputs are two count stores (≤ 2·B rows
+    each), never the corpora. Deterministic: integer counts, per-bucket
+    double terms folded in bucket order (one array fold — never a
+    grouped float sum). Returns one row (kl_ab, kl_ba)."""
+    ca, na = _read_counts(spark, path_a)
+    cb, nb = _read_counts(spark, path_b)
+    if na != nb:
+        raise ValueError(f"bucketization mismatch: {na} vs {nb}")
+    a = float(alpha)
+    grid = spark.range(na).select(F.col("id").cast("int").alias("bucket"))
+    d = (
+        grid.join(
+            ca.where("space = 'u'").select("bucket", F.col("c").alias("c_a")),
+            "bucket", "left",
+        )
+        .join(
+            cb.where("space = 'u'").select("bucket", F.col("c").alias("c_b")),
+            "bucket", "left",
+        )
+        .select(
+            "bucket",
+            (F.coalesce("c_a", F.lit(0)) + a).alias("sa"),
+            (F.coalesce("c_b", F.lit(0)) + a).alias("sb"),
+        )
+    )
+    wall = Window.partitionBy()
+    pa = F.col("sa") / F.sum("sa").over(wall)
+    pb = F.col("sb") / F.sum("sb").over(wall)
+    terms = d.select(
+        "bucket",
+        (pa * F.round(F.log(pa) - F.log(pb), 9)).alias("t_ab"),
+        (pb * F.round(F.log(pb) - F.log(pa), 9)).alias("t_ba"),
+    )
+    folded = terms.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "t_ab"))),
+                lambda s: s["t_ab"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("kl_ab"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "t_ba"))),
+                lambda s: s["t_ba"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("kl_ba"),
+    )
+    return folded
 
 
 def sql_lm_cross_entropy(

@@ -329,3 +329,63 @@ def test_lm_handles_tiny_docs(spark):
     assert out[1].cross_entropy is None and not out[1].lm_flag
     assert out[2].cross_entropy is None
     assert out[3].n_bigrams == 1 and out[3].cross_entropy is not None
+
+
+# ------------------------------------------------------------------ #
+# Persisted n-gram count store (incremental LM) + KL drift
+# ------------------------------------------------------------------ #
+
+
+def test_lm_store_matches_in_plan(spark, sf_dir, tmp_path):
+    from spark_indexedrdd_spark.functions.text import (
+        lm_cross_entropy,
+        lm_cross_entropy_from_store,
+        write_ngram_count_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = str(tmp_path / "ngstore")
+    write_ngram_count_store(docs, p)
+    got = sorted(map(tuple, lm_cross_entropy_from_store(docs, p).collect()))
+    want = sorted(map(tuple, lm_cross_entropy(docs).collect()))
+    assert got == want
+
+
+def test_lm_store_append_equals_rebuild(spark, sf_dir, tmp_path):
+    from spark_indexedrdd_spark.functions.text import (
+        append_ngram_count_batch,
+        lm_cross_entropy_from_store,
+        write_ngram_count_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    inc = str(tmp_path / "ng_inc")
+    write_ngram_count_store(docs.where("doc_id % 2 = 0"), inc)
+    append_ngram_count_batch(docs.where("doc_id % 2 = 1"), inc)
+    full = str(tmp_path / "ng_full")
+    from spark_indexedrdd_spark.functions.text import write_ngram_count_store as w
+
+    w(docs, full)
+    probe = docs.where("doc_id < 50")
+    a = sorted(map(tuple, lm_cross_entropy_from_store(probe, inc).collect()))
+    b = sorted(map(tuple, lm_cross_entropy_from_store(probe, full).collect()))
+    assert a == b
+
+
+def test_kl_divergence_zero_on_self_positive_on_shift(spark, sf_dir, tmp_path):
+    from spark_indexedrdd_spark.functions.text import (
+        corpus_kl_divergence,
+        write_ngram_count_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pa = str(tmp_path / "kl_a")
+    pb = str(tmp_path / "kl_b")
+    pc = str(tmp_path / "kl_c")
+    write_ngram_count_store(docs.where("lang = 'en'"), pa, n_buckets=4096)
+    write_ngram_count_store(docs.where("lang = 'en'"), pb, n_buckets=4096)
+    write_ngram_count_store(docs.where("lang != 'en'"), pc, n_buckets=4096)
+    same = corpus_kl_divergence(spark, pa, pb).collect()[0]
+    assert abs(same.kl_ab) < 1e-9 and abs(same.kl_ba) < 1e-9
+    diff = corpus_kl_divergence(spark, pa, pc).collect()[0]
+    assert diff.kl_ab > same.kl_ab and diff.kl_ba > 0
