@@ -374,6 +374,41 @@ def read_topk(
     )
 
 
+class StreamingTopkStore:
+    """foreachBatch ingest for the heavy-hitters store: each micro-batch
+    appends its top-m item/meta rows (same no-read/no-merge append
+    contract as StreamingSketchStore; replays tolerated statistically —
+    for strict idempotency mirror the monitor's batch_id-keyed
+    overwrite)."""
+
+    def __init__(self, path: str, group_cols: "list[str]", item_col: str, m: int = 100):
+        import os
+
+        self.path = path
+        self.group_cols = group_cols
+        self.item_col = item_col
+        self.m = m
+        # a RESUMED stream must append to the existing store, never
+        # re-initialize over it
+        self._initialized = os.path.exists(os.path.join(path, "items"))
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        fn = write_topk_store if not self._initialized else append_topk_batch
+        fn(batch_df, self.path, self.group_cols, self.item_col, self.m)
+        self._initialized = True
+
+    def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
+        return (
+            stream_df.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.foreach_batch)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+
 def quantile_drift(
     spark,
     path_a: str,

@@ -1267,6 +1267,84 @@ def lm_cross_entropy_from_store(
     return _lm_score(docs_b, cg, cu, n_buckets, alpha, flag_factor, id_col)
 
 
+def dsir_scores_from_stores(
+    df: DataFrame,
+    raw_store: str,
+    target_store: str,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance scores for NEW documents from two PERSISTED
+    count stores — the paper's actual deployment shape (Xie et al.
+    2023 §3): the target model comes from a held-out in-domain corpus
+    (its own store), the raw model from the accumulated crawl, and
+    neither corpus is re-read to score an ingest batch. Uses both
+    hashed spaces (unigrams + bigrams) of the stores.
+
+    score(doc) = Σ over its uni- and bigram buckets of
+    [ln p_target(bucket) − ln p_raw(bucket)], each space's
+    distribution add-``alpha`` smoothed over its own totals; per-bucket
+    terms ROUND(9); per-doc sequential folds (the shared determinism
+    playbook). The two stores must share a bucketization.
+
+    Returns every scored doc (no top-k — the caller composes selection
+    with the batch's own budget): (doc_id, n_grams, dsir_score)."""
+    spark = df.sparkSession
+    raw, n_raw = _read_counts(spark, raw_store)
+    tgt, n_tgt = _read_counts(spark, target_store)
+    if n_raw != n_tgt:
+        raise ValueError(f"bucketization mismatch: {n_raw} vs {n_tgt}")
+    n_buckets = n_raw
+    a, ab = float(alpha), float(alpha) * n_buckets
+    docs_b = _lm_buckets(df, n_buckets, text_col, id_col)
+    grid = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    wall = Window.partitionBy()
+
+    def lr_array(space: str, name: str):
+        r = raw.where(F.col("space") == space).select(
+            "bucket", F.col("c").alias("cr")
+        )
+        t = tgt.where(F.col("space") == space).select(
+            "bucket", F.col("c").alias("ct")
+        )
+        d = (
+            grid.join(r, "bucket", "left")
+            .join(t, "bucket", "left")
+            .select(
+                "bucket",
+                F.coalesce("cr", F.lit(0)).alias("cr"),
+                F.coalesce("ct", F.lit(0)).alias("ct"),
+            )
+        )
+        lr = F.round(
+            F.log((F.col("ct") + a) / (F.sum("ct").over(wall) + ab))
+            - F.log((F.col("cr") + a) / (F.sum("cr").over(wall) + ab)),
+            9,
+        )
+        return d.select("bucket", lr.alias("v")).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "v"))),
+                lambda s: s["v"],
+            ).alias(name)
+        )
+
+    arrs = lr_array("u", "__lru").crossJoin(lr_array("g", "__lrg"))
+
+    def fold(col: str, arr: str):
+        return F.aggregate(
+            F.col(col),
+            F.lit(0.0),
+            lambda acc, b: acc + F.element_at(F.col(arr), b + 1),
+        )
+
+    return docs_b.crossJoin(F.broadcast(arrs)).select(
+        F.col(id_col),
+        (F.size("__u") + F.size("__g")).alias("n_grams"),
+        (fold("__u", "__lru") + fold("__g", "__lrg")).alias("dsir_score"),
+    )
+
+
 def corpus_kl_divergence(
     spark,
     path_a: str,

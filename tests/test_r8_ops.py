@@ -389,3 +389,73 @@ def test_kl_divergence_zero_on_self_positive_on_shift(spark, sf_dir, tmp_path):
     assert abs(same.kl_ab) < 1e-9 and abs(same.kl_ba) < 1e-9
     diff = corpus_kl_divergence(spark, pa, pc).collect()[0]
     assert diff.kl_ab > same.kl_ab and diff.kl_ba > 0
+
+
+def test_dsir_from_stores_enriches_target(spark, sf_dir, tmp_path):
+    """Store-based DSIR (raw store = corpus, target store = en slice)
+    must rank en documents above the rest on average — the same
+    enrichment property as the in-plan operator, now from persisted
+    additive state only."""
+    from spark_indexedrdd_spark.functions.text import (
+        dsir_scores_from_stores,
+        write_ngram_count_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = str(tmp_path / "dsir_raw")
+    tgt = str(tmp_path / "dsir_tgt")
+    write_ngram_count_store(docs, raw, n_buckets=4096)
+    write_ngram_count_store(docs.where("lang = 'en'"), tgt, n_buckets=4096)
+    scored = dsir_scores_from_stores(docs, raw, tgt).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    rows = scored.collect()
+    en = [r.dsir_score for r in rows if r.lang == "en"]
+    rest = [r.dsir_score for r in rows if r.lang != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+    # determinism
+    again = sorted(
+        (r.doc_id, r.dsir_score)
+        for r in dsir_scores_from_stores(docs, raw, tgt).collect()
+    )
+    assert again == sorted((r.doc_id, r.dsir_score) for r in rows)
+
+
+def test_streaming_topk_store_ingest(spark, sf_dir, tmp_path):
+    """A 3-file stream of tokens ingested via foreachBatch reports the
+    same bounded counts as manual write+append (and a fresh handle on
+    the same path appends instead of clobbering)."""
+    import tempfile
+
+    from spark_indexedrdd_spark.functions import sketches as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    src = str(tmp_path / "tk_stream_src")
+    for i in range(3):
+        toks.where(f"length(tok) % 3 = {i}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    store = str(tmp_path / "tk_stream_store")
+    st = SK.StreamingTopkStore(store, ["lang"], "tok", m=50)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = st.attach(stream, tempfile.mkdtemp(prefix="tkckpt_"), availableNow=True)
+    q.awaitTermination(120)
+    rows = SK.read_topk(spark, store, ["lang"], "tok", k=10).collect()
+    assert rows
+    exact = {
+        (r.lang, r.tok): r.c
+        for r in toks.groupBy("lang", "tok").agg(F.count("*").alias("c")).collect()
+    }
+    for r in rows:
+        assert r.cnt_lower <= exact[(r.lang, r.tok)] <= r.cnt_upper
+    # fresh handle on existing path must APPEND, not re-initialize
+    st2 = SK.StreamingTopkStore(store, ["lang"], "tok", m=50)
+    assert st2._initialized
