@@ -552,6 +552,12 @@ def run_suite(spark) -> dict[str, float]:
 
         _graph.communities_trade(li_full, orders).count()
 
+    @timed("trade_hops")
+    def _hops():
+        from spark_indexedrdd_spark.operators import graph as _graph
+
+        _graph.trade_hops(li_full, orders).count()
+
     @timed("similarity_ann_binary")
     def _annb():
         from spark_indexedrdd_spark.functions import quant as _quant
