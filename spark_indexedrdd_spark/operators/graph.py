@@ -271,6 +271,7 @@ def shortest_hops(
     sources: "list[int]",
     iterations: int = 6,
     num_partitions: int | None = None,
+    frontier: bool = False,
 ) -> DataFrame:
     """Single-source(-set) BFS hop distances: (id, hops) for every node
     reachable from ``sources`` within ``iterations`` hops — the
@@ -287,10 +288,16 @@ def shortest_hops(
     to the current distance table, sort-free via the same shuffle_hash
     hint as the other loops) merge with the table in a single min
     aggregate with map-side combine. Distance state is 12 B/node.
-    Unlike pagerank/LPA the working set here can START tiny (the
-    frontier); this formulation re-relaxes settled nodes each round —
-    the frontier-delta optimization matters when diameter is large, and
-    is noted rather than implemented because iterations is small."""
+
+    ``frontier=True`` switches to the frontier-delta form: each round
+    joins the edges against only LAST round's newly-discovered nodes
+    (in unweighted BFS the first discovery is already minimal, so a
+    settled node never improves — new = candidates anti-joined against
+    settled). The default re-relaxes the whole table each round —
+    simplest and fine for small fixed depth; the delta form is the
+    large-diameter / large-graph choice (its per-round cost tracks the
+    frontier, not the reach), at the price of one eager checkpoint per
+    round. Both produce identical tables (pytest-pinned)."""
     spark = edges.sparkSession
     n = int(
         num_partitions
@@ -305,20 +312,42 @@ def shortest_hops(
         num_partitions=n,
         cache=False,
     )
-    for _ in range(iterations):
-        relax = (
-            e.join(dist.df.hint("shuffle_hash"), F.col("src") == F.col("id"))
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("hops") + F.lit(1)).alias("hops"),
+    if frontier:
+        front = dist.df
+        for _ in range(iterations):
+            cand = (
+                e.join(front.hint("shuffle_hash"), F.col("src") == F.col("id"))
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("hops") + F.lit(1)).alias("hops"),
+                )
+                .groupBy("id")
+                .agg(F.min("hops").alias("hops"))
             )
-        )
-        merged = dist.df.unionByName(relax)
-        dist = IndexedDataFrame(
-            merged.groupBy("id").agg(F.min("hops").alias("hops")),
-            ["id"],
-            n,
-        )
+            new = cand.join(dist.df, "id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if not new.take(1):  # frontier drained: BFS complete
+                break
+            dist = IndexedDataFrame(
+                dist.df.unionByName(new), ["id"], n
+            )
+            front = new
+    else:
+        for _ in range(iterations):
+            relax = (
+                e.join(dist.df.hint("shuffle_hash"), F.col("src") == F.col("id"))
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("hops") + F.lit(1)).alias("hops"),
+                )
+            )
+            merged = dist.df.unionByName(relax)
+            dist = IndexedDataFrame(
+                merged.groupBy("id").agg(F.min("hops").alias("hops")),
+                ["id"],
+                n,
+            )
     out = dist.df.select("id", F.col("hops").cast("int")).localCheckpoint(
         eager=True
     )

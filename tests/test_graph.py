@@ -160,6 +160,28 @@ def test_shortest_hops_matches_python_bfs(spark):
     assert got1 == {5: 0, 1: 1}
 
 
+def test_shortest_hops_frontier_equals_plain(spark, sf_dir):
+    """The frontier-delta form must produce the identical table (and
+    its early exit must not truncate reach) — on TOY and on the real
+    trade graph."""
+    from spark_indexedrdd_spark.operators.graph import (
+        shortest_hops,
+        trade_edges,
+    )
+
+    edges = spark.createDataFrame(TOY, "src long, dst long")
+    a = sorted(map(tuple, shortest_hops(edges, [5], 6).collect()))
+    b = sorted(map(tuple, shortest_hops(edges, [5], 6, frontier=True).collect()))
+    assert a == b
+    te = trade_edges(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+    c = sorted(map(tuple, shortest_hops(te, [0], 4).collect()))
+    d = sorted(map(tuple, shortest_hops(te, [0], 4, frontier=True).collect()))
+    assert c == d
+
+
 def test_shortest_hops_multi_source_min_wins(spark):
     from spark_indexedrdd_spark.operators.graph import shortest_hops
 
