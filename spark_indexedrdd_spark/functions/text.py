@@ -1267,6 +1267,51 @@ def lm_cross_entropy_from_store(
     return _lm_score(docs_b, cg, cu, n_buckets, alpha, flag_factor, id_col)
 
 
+class StreamingNgramCountStore:
+    """foreachBatch ingest for the n-gram count store: every store
+    family ships a streaming twin (signatures, IVF, sketches, top-m,
+    SCD2, counts). Counts are additive and the read merges by SUM, so
+    per-batch appends need no read of existing state; a resumed stream
+    appends to an existing store instead of re-initializing it."""
+
+    def __init__(
+        self,
+        path: str,
+        n_buckets: int = 65536,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        import os
+
+        self.path = path
+        self.n_buckets = n_buckets
+        self.text_col = text_col
+        self.id_col = id_col
+        self._initialized = os.path.exists(os.path.join(path, "meta.json"))
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if not self._initialized:
+            write_ngram_count_store(
+                batch_df, self.path, self.n_buckets, self.text_col, self.id_col
+            )
+            self._initialized = True
+        else:
+            append_ngram_count_batch(
+                batch_df, self.path, self.text_col, self.id_col
+            )
+
+    def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
+        return (
+            stream_df.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.foreach_batch)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+
 def dsir_scores_from_stores(
     df: DataFrame,
     raw_store: str,

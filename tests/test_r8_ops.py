@@ -459,3 +459,37 @@ def test_streaming_topk_store_ingest(spark, sf_dir, tmp_path):
     # fresh handle on existing path must APPEND, not re-initialize
     st2 = SK.StreamingTopkStore(store, ["lang"], "tok", m=50)
     assert st2._initialized
+
+
+def test_streaming_ngram_store_matches_single_shot(spark, sf_dir, tmp_path):
+    """Docs streamed file-by-file into the counts store must score a
+    probe batch exactly like a store built in one shot."""
+    import tempfile
+
+    from spark_indexedrdd_spark.functions.text import (
+        StreamingNgramCountStore,
+        lm_cross_entropy_from_store,
+        write_ngram_count_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "ngs_src")
+    for i in range(3):
+        docs.where(f"doc_id % 3 = {i}").coalesce(1).write.mode("append").parquet(src)
+    store = str(tmp_path / "ngs_store")
+    st = StreamingNgramCountStore(store, n_buckets=4096)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = st.attach(stream, tempfile.mkdtemp(prefix="ngsckpt_"), availableNow=True)
+    q.awaitTermination(120)
+    single = str(tmp_path / "ngs_single")
+    write_ngram_count_store(docs, single, n_buckets=4096)
+    probe = docs.where("doc_id < 40")
+    a = sorted(map(tuple, lm_cross_entropy_from_store(probe, store).collect()))
+    b = sorted(map(tuple, lm_cross_entropy_from_store(probe, single).collect()))
+    assert a == b
+    # a fresh handle must append, never clobber
+    assert StreamingNgramCountStore(store)._initialized
