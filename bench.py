@@ -590,6 +590,13 @@ def run_suite(spark) -> dict[str, float]:
 
         _text.dsir_select(docs, F.col("lang") == "en").collect()
 
+    @timed("bpe_train_8")
+    def _bpe():
+        from spark_indexedrdd_spark.functions import bpe as _bpe_mod
+
+        m = _bpe_mod.train_bpe(docs, n_merges=8)
+        assert len(m) == 8
+
     @timed("lm_cross_entropy")
     def _lmce():
         from spark_indexedrdd_spark.functions import text as _text

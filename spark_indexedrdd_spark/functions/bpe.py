@@ -1,0 +1,158 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016,
+arXiv:1508.07909) — the tokenizer-training member of the pipeline: the
+one corpus-scale artifact an LLM data pipeline produces besides the
+data itself.
+
+The classic algorithm is corpus-scale only in its FIRST step: BPE
+statistics depend solely on the word VOCABULARY with counts, so one
+corpus pass (tokenize → explode → count distinct words — a hash
+aggregate with map-side combine) reduces 100 TB of text to a
+dim-sized (word, count) table, and every merge iteration after that
+runs on the vocab alone: explode adjacent symbol pairs weighted by
+word count (one small shuffle), pick the most frequent pair
+(deterministic (count DESC, pair ASC) tie-break — the paper leaves
+ties unspecified, which would never reproduce), collect that ONE pair
+to the driver, and apply it with a narrow left-to-right greedy fold
+over each vocab entry's symbol array. ``localCheckpoint`` every few
+merges bounds the growing plan exactly like the other iterative loops
+(pagerank, connected components).
+
+No SQL oracle: the merge loop is data-dependent control flow (each
+iteration's argmax feeds the next rewrite — 20 chained re-tokenizations
+of a recursive CTE is not a DuckDB formulation, and the driver contract
+documents stores/trainers as pytest-verified instead). Correctness is
+pinned against a plain-Python reference implementation of the paper's
+algorithm on the same inputs, plus greedy-encoding properties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.functions.text import tokens
+
+# marks end-of-word so merges never cross word boundaries and a final
+# symbol "st</w>" is distinguishable from a word-internal "st"
+EOW = "</w>"
+
+
+def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt) — the ONE corpus-scale pass."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _char_symbols(word: Column) -> Column:
+    """['h','e','y</w>'] — character symbols with the EOW marker fused
+    onto the last character (the paper's formulation)."""
+    chars = F.split(word, "")
+    n = F.size(chars)
+    return F.concat(
+        F.slice(chars, 1, n - 1),
+        F.array(F.concat(F.element_at(chars, -1), F.lit(EOW))),
+    )
+
+
+def _merge_fold(a: str, b: str) -> Column:
+    """Left-to-right greedy application of one merge (a, b) -> 'ab' to
+    the __sym array: a sequential fold that appends each symbol unless
+    it completes the pair with the accumulator's last element."""
+    merged = a + b
+    return F.aggregate(
+        F.col("__sym"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    checkpoint_every: int = 5,
+) -> "list[tuple[str, str]]":
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the
+    ordered merge list [(left, right), ...] — the tokenizer artifact
+    (apply with :func:`encode_bpe`). Stops early if no pair occurs
+    twice. Deterministic: (count DESC, left ASC, right ASC) argmax."""
+    vocab = (
+        _word_vocab(df, text_col)
+        .select(_char_symbols(F.col("w")).alias("__sym"), "cnt")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        pairs = vocab.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__sym"), 1, F.size("__sym") - 1),
+                    F.slice(F.col("__sym"), 2, F.size("__sym") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("p.a"), F.asc("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < 2:
+            break
+        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+        merges.append((a, b))
+        vocab = vocab.select(_merge_fold(a, b).alias("__sym"), "cnt")
+        if (i + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges
+
+
+def encode_bpe(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a learned merge list: per word, start
+    from character symbols and apply every merge in training order
+    (the standard greedy encoder). Narrow per-row transforms — no
+    shuffle; at scale this runs inside the ingest scan like the other
+    featurizers. Output: (id, bpe_tokens array<string>, n_bpe)."""
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "w"),
+    ).select(
+        F.col(id_col), "__pos", _char_symbols(F.col("w")).alias("__sym")
+    )
+    for a, b in merges:
+        out = out.select(
+            F.col(id_col), "__pos", _merge_fold(a, b).alias("__sym")
+        )
+    # collect_list order is shuffle-dependent — re-establish document
+    # order from the carried word position before flattening
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("__pos", "__sym"))),
+        lambda s: s["__sym"],
+    )
+    return (
+        out.groupBy(id_col)
+        .agg(F.flatten(ordered).alias("bpe_tokens"))
+        .select(
+            id_col,
+            "bpe_tokens",
+            F.size("bpe_tokens").cast("int").alias("n_bpe"),
+        )
+    )

@@ -1,0 +1,128 @@
+"""Distributed BPE training/encoding vs a plain-Python reference
+implementation of the same (deterministically tie-broken) algorithm."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.functions.bpe import EOW, encode_bpe, train_bpe
+from spark_indexedrdd_spark.sources.tables import load_table
+
+
+def _py_vocab(texts):
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        for w in t.lower().strip().split():
+            if w:
+                c[w] += 1
+    return c
+
+
+def _py_symbols(word):
+    return list(word[:-1]) + [word[-1] + EOW]
+
+
+def _py_merge(sym, a, b):
+    out = []
+    for x in sym:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def _py_train(texts, n_merges):
+    from collections import Counter
+
+    vocab = {tuple(_py_symbols(w)): c for w, c in _py_vocab(texts).items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        vocab = {
+            tuple(_py_merge(list(s), a, b)): c for s, c in vocab.items()
+        }
+    return merges
+
+
+def _py_encode(text, merges):
+    toks = []
+    for w in text.lower().strip().split():
+        if not w:
+            continue
+        sym = _py_symbols(w)
+        for a, b in merges:
+            sym = _py_merge(sym, a, b)
+        toks.extend(sym)
+    return toks
+
+
+TEXTS = [
+    "low lower lowest",
+    "new newer newest newest",
+    "low low new wide widest",
+    "the newest widest lowest the the",
+]
+
+
+def test_train_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    got = train_bpe(df, n_merges=12)
+    want = _py_train(TEXTS, 12)
+    assert got == want
+    assert len(got) >= 5  # the corpus genuinely supports merges
+
+
+def test_encode_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    merges = train_bpe(df, n_merges=8)
+    enc = {r.doc_id: list(r.bpe_tokens) for r in encode_bpe(df, merges).collect()}
+    for i, t in enumerate(TEXTS):
+        assert enc[i] == _py_encode(t, merges), i
+
+
+def test_encode_compresses_and_roundtrips(spark, sf_dir):
+    """On the real documents table: merges shrink token counts, and
+    stripping EOW markers reconstructs the normalized text."""
+    docs = load_table(spark, sf_dir, "documents").limit(50).cache()
+    merges = train_bpe(docs, n_merges=10)
+    assert merges
+    enc = encode_bpe(docs, merges)
+    base = encode_bpe(docs, [])
+    joined = (
+        enc.select("doc_id", F.col("n_bpe").alias("n_merged"))
+        .join(base.select("doc_id", F.col("n_bpe").alias("n_chars")), "doc_id")
+        .agg(F.sum("n_merged").alias("m"), F.sum("n_chars").alias("c"))
+        .collect()[0]
+    )
+    assert joined.m < joined.c  # merges actually compress
+    # round-trip: concat symbols, split words back on EOW
+    row = enc.join(docs.select("doc_id", "text"), "doc_id").first()
+    rebuilt = (
+        "".join(row.bpe_tokens).replace(EOW, " ").strip()
+    )
+    normalized = " ".join(row.text.lower().strip().split())
+    assert rebuilt == normalized
+    docs.unpersist()
+
+
+def test_train_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    assert train_bpe(df, n_merges=6) == train_bpe(df, n_merges=6)
