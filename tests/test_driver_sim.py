@@ -38,8 +38,9 @@ for name in ["multiput_merge", "asof_join", "tumbling_window",
              "corpus_top_terms", "similarity_ann_ivf_det",
              "duplicate_spans", "remove_duplicate_spans", "semantic_dedup",
              "market_share_q8", "top_supplier_q15",
-             "pagerank_trade", "communities_trade",
-             "similarity_ann_binary", "event_rate_anomalies"]:
+             "pagerank_trade", "communities_trade", "trade_hops",
+             "similarity_ann_binary", "event_rate_anomalies",
+             "dsir_select", "lm_cross_entropy"]:
     s = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     o = con.sql(osql[name]).df()
     s = s.reindex(sorted(s.columns), axis=1).sort_values(
