@@ -932,21 +932,18 @@ ROWS_ONLY = (
 # (enforced by tests/test_driver_sim.py::
 # test_window_covers_every_query_within_coverage_horizon): every
 # contract query must be hash-checked at least once per
-# ceil(n_queries/50) recorded rounds. Window composition, priority
-# order:
-#   1. NEVER_CHECKED — the 40 entries with no driver row in ANY
-#      recorded round (r01-r05 are the records on disk; a planned
-#      mid-build window was never recorded, so its debut entries stay
-#      in this backlog until a CORRECTNESS file shows them green),
-#   2. CHANGED_SINCE_R05 — recorded-green entries whose implementation
-#      changed after their last driver row (their green rows describe
-#      code that no longer exists),
-#   3. fill to 50 with event-time sentinels (round 4 proved event-time
-#      queries are where environment drift bites first).
-# Past the cutoff: entries hash-green in r04|r05 and unchanged since,
-# plus PAST_CUTOFF_NEW — queries added AFTER this window was already
-# exactly full; the declaration obliges the NEXT rotation to
-# front-queue them (see the tuple below).
+# ceil(n_queries/50) recorded rounds. Round-7 window composition,
+# priority order (r6 VERDICT items 1 and 4):
+#   1. NEVER_CHECKED — the 7 round-6 past-cutoff queries with no
+#      driver row in ANY recorded round,
+#   2. HORIZON_STALE_R07 — the 28 queries whose last hash-green row is
+#      r01-r04, now outside the 3-round coverage horizon,
+#   3. _FILL_R7 — r5-green entries r06 did not re-check (next round's
+#      staleness batch), event-time-leaning first; new round-7 queries
+#      displace the tail so they debut WITH driver evidence.
+# Deliberately NOT in the window: ROWS_ONLY entries — the driver
+# records `no_oracle` for them (not a rows-only pass), so a slot spent
+# there produces no evidence; their det twins hash-pin the pipelines.
 # --------------------------------------------------------------------- #
 
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -973,78 +970,11 @@ _NEW_R3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decimal_key_ops": q_decimal_key_ops,
 }
 
-# No driver row in ANY round yet — always at the very front.
+# No driver row in ANY round yet — always at the very front. These are
+# the 7 round-6 late additions the r6 VERDICT flagged as zero-evidence
+# (the graph family is the reference's motivating GraphX workload,
+# README.md:5 / IndexedRDD.scala:293-297).
 NEVER_CHECKED = (
-    # round-5 past-cutoff newcomers
-    "dedup_pipeline",
-    "embedding_quantize_stats",
-    "profile_documents",
-    "forecast_revenue_q6",
-    # round-6 additions (window never recorded)
-    "similarity_ann_ivf_det",
-    "ann_recall",
-    "repetition_stats",
-    "domain_cap_sample",
-    "corpus_top_terms",
-    "temperature_sample",
-    "weighted_sample",
-    "order_priority_q4",
-    "customer_order_dist_q13",
-    "large_orders_q18",
-    "disjunctive_revenue_q19",
-    "waiting_customers_q22",
-    "small_qty_revenue_q17",
-    "waiting_suppliers_q21",
-    "duplicate_spans",
-    "semantic_dedup",
-    "remove_duplicate_spans",
-    "corpus_span_stats",
-    "training_order",
-    "market_share_q8",
-    "top_supplier_q15",
-    "min_cost_supplier_q2",
-    "important_parts_q11",
-    "excess_suppliers_q20",
-    # round-7 additions
-    "product_profit_q9",
-    "shipmode_priority_q12",
-    "parts_supplier_q16",
-    "chunk_documents",
-    "epoch_upsample",
-    "similarity_ann_pq",
-    "similarity_ann_ivfpq",
-    "similarity_ann_ivfpq_res",
-    "scd2_merge",
-    "cohort_retention",
-    "ordered_funnel",
-    "ewma_by_user",
-)
-
-# Recorded green, but the implementation changed in round 6 after the
-# row was written — the row describes code that no longer exists.
-CHANGED_SINCE_R05 = (
-    "similarity_ann_ivf",     # assignment/probe rewritten (literal-fold)
-    "similarity_topk_fast",   # per-batch tie selection fix (ADVICE r5)
-    "dedup_incremental_lsh",  # replay self-pair guard
-    "text_stats",             # tokenize moved behind the projection fence
-    "quality_filter",         # inherits the fenced text_stats
-)
-
-# Event-time sentinels: r5-green, unchanged, but event-time queries are
-# where environment drift bites first (round-4 lesson) — they take the
-# remaining slots every round they fit.
-_FILL_R7 = (
-    "funnel_purchase_after_signup",
-    "funnel_signup_conversion",
-    "tumbling_window",
-    "session_window",
-    "asof_join",
-)
-
-# Added after this round's 50 slots were consumed (the window was
-# already exactly full) — the declaration obliges the next rotation to
-# front-queue these three.
-PAST_CUTOFF_NEW = (
     "pagerank_trade",
     "communities_trade",
     "trade_hops",
@@ -1054,8 +984,70 @@ PAST_CUTOFF_NEW = (
     "lm_cross_entropy",
 )
 
+# Hash-green in r01-r04 only: the contract's growth to 126 queries put
+# these outside the 3-round coverage horizon (the exact list the
+# staleness tripwire emitted after CORRECTNESS_r06 landed).
+HORIZON_STALE_R07 = (
+    "winnow_fingerprints",
+    "redact_pii",
+    "contamination_check",
+    "dedup_lsh_candidates",
+    "simhash",
+    "dedup_ngram_jaccard",
+    "simhash_near_pairs",
+    "pricing_summary",
+    "top_orders_per_customer",
+    "global_topk_orders",
+    "rollup_doc_counts",
+    "customers_without_orders",
+    "orders_above_cust_avg",
+    "running_revenue_by_month",
+    "doc_sample",
+    "late_shipment_orders",
+    "supplier_diversity",
+    "grouping_sets_doc_stats",
+    "revenue_month_over_month",
+    "segment_except_all",
+    "segment_set_ops",
+    "segment_intersect",
+    "percentiles_by_segment",
+    "distinct_counts",
+    "revenue_percentiles",
+    "uuid_key_ops",
+    "decimal_key_ops",
+    "count",
+)
+
+# Remaining slots: r5-green entries that r06 did NOT re-check (they
+# would be the next staleness batch in round 8), event-time-leaning
+# first (round-4 lesson: event-time queries are where environment
+# drift bites first). New round-7 queries take slots from the END of
+# this tuple so they debut with driver evidence instead of joining a
+# past-cutoff backlog.
+_FILL_R7 = (
+    "sessionize",
+    "sliding_window",
+    "range_join_sessions",
+    "windowed_event_dedup",
+    "orders_by_month",
+    "embedding_neardup",
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_clusters",
+    "hash_split",
+    "lang_id",
+    "doc_fingerprint",
+    "pack_documents",
+    "bloom_pruned_join",
+    "skew_salted_revenue",
+)
+
+# Empty this round: every previously-declared past-cutoff query is
+# front-queued in NEVER_CHECKED above (r6 VERDICT item 1).
+PAST_CUTOFF_NEW: tuple = ()
+
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}
-_WINDOW = NEVER_CHECKED + CHANGED_SINCE_R05 + _FILL_R7
+_WINDOW = NEVER_CHECKED + HORIZON_STALE_R07 + _FILL_R7
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{k: _ALL.get(k, CORE_QUERIES.get(k)) for k in _WINDOW},

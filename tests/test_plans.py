@@ -114,6 +114,34 @@ def test_filter_preserves_partitioning(spark, orders, no_broadcast):
         X.executed_plan(joined.df)
     )
 
+def test_aggregate_using_index_expr_elides_redundant_exchange(spark, orders):
+    """When the index's partition count equals
+    spark.sql.shuffle.partitions, the hash-agg's own final exchange IS
+    the index layout, so ``aggregate_using_index_expr`` must NOT add a
+    second repartition — pagerank's per-iteration message combine rides
+    this fast path (core.py aggregate_using_index_expr docstring); a
+    silent regression here doubles every iteration's shuffle cost."""
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    kv = IndexedDataFrame.from_unique(
+        orders.select("o_orderkey", "o_totalprice"),
+        "o_orderkey", num_partitions=n_shuffle,
+    )
+    msgs = orders.select(
+        F.col("o_orderkey"), F.col("o_totalprice").alias("m")
+    )
+    out = kv.aggregate_using_index_expr(msgs, F.sum("m"), alias="m")
+    plan = X.final_plan_section(X.executed_plan(out.df))
+    assert X.count_exchanges(plan) == 1, plan
+    # the mismatched-count path must still add its explicit repartition
+    kv2 = IndexedDataFrame.from_unique(
+        orders.select("o_orderkey", "o_totalprice"),
+        "o_orderkey", num_partitions=max(2, n_shuffle // 2),
+    )
+    out2 = kv2.aggregate_using_index_expr(msgs, F.sum("m"), alias="m")
+    plan2 = X.final_plan_section(X.executed_plan(out2.df))
+    assert X.count_exchanges(plan2) == 2, plan2
+
+
 def test_runtime_bloom_filter_injected_for_selective_dim_join(spark):
     """The bloom-prunable join shape must actually get Catalyst's
     runtime bloom filter (might_contain on the fact side) when the join
