@@ -24,6 +24,7 @@ from spark_indexedrdd_spark.functions import ivf as _ivf  # noqa: E402
 from spark_indexedrdd_spark.functions import multimodal as _mm  # noqa: E402
 from spark_indexedrdd_spark.functions import pq as _pq  # noqa: E402
 from spark_indexedrdd_spark.functions import quant as _quant  # noqa: E402
+from spark_indexedrdd_spark.functions import retrieval as _ret  # noqa: E402
 from spark_indexedrdd_spark.functions import shards as _shards  # noqa: E402
 from spark_indexedrdd_spark.functions import similarity as _sim  # noqa: E402
 from spark_indexedrdd_spark.functions import text as _text  # noqa: E402
@@ -431,6 +432,11 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _docs(s, d), cap=100
     ),
     "corpus_top_terms": lambda s, d: _text.corpus_top_terms(_docs(s, d)),
+    # r7 retrieval family: BM25 ranking, TF-IDF keywords, exact
+    # stratified split (the postings-store serve path is pytest+bench)
+    "bm25_topk": lambda s, d: _ret.bm25_topk(_docs(s, d)),
+    "tfidf_keywords": lambda s, d: _ret.tfidf_keywords(_docs(s, d)),
+    "stratified_split": lambda s, d: _ret.stratified_split(_docs(s, d)),
     "temperature_sample": lambda s, d: _text.temperature_sample(_docs(s, d)),
     "weighted_sample": lambda s, d: _text.weighted_sample(_docs(s, d)),
     "redact_pii": lambda s, d: _text.redact_pii(_docs(s, d)),
@@ -773,6 +779,10 @@ EXTENSION_ORACLE: dict[str, str] = {
     "repetition_stats": _text.sql_repetition_stats(),
     "domain_cap_sample": _text.sql_domain_cap_sample(cap=100),
     "corpus_top_terms": _text.sql_corpus_top_terms(),
+    # retrieval: ROUND(9)-pinned ln, fixed-point BIGINT score sums
+    "bm25_topk": _ret.sql_bm25_topk(),
+    "tfidf_keywords": _ret.sql_tfidf_keywords(),
+    "stratified_split": _ret.sql_stratified_split(),
     "temperature_sample": _text.sql_temperature_sample(),
     "weighted_sample": _text.sql_weighted_sample(),
     "order_priority_q4": _an.sql_order_priority_semijoin(),
@@ -1037,9 +1047,11 @@ _FILL_R7 = (
     "hash_split",
     "lang_id",
     "doc_fingerprint",
-    "pack_documents",
-    "bloom_pruned_join",
-    "skew_salted_revenue",
+    # round-7 debut queries (retrieval family) — windowed so they get
+    # driver evidence in the round that adds them
+    "bm25_topk",
+    "tfidf_keywords",
+    "stratified_split",
 )
 
 # Empty this round: every previously-declared past-cutoff query is

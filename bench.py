@@ -707,6 +707,42 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
             docs.where("doc_id % 2 = 1"), "spark-warehouse/bench_ngram"
         ).count()
 
+    # retrieval: in-plan BM25/TF-IDF, then the postings store's
+    # write-once/serve split (serve reads only the query terms' bucket
+    # partitions — cost ∝ matched postings, not corpus size)
+    @timed("bm25_topk")
+    def _bm25():
+        from spark_indexedrdd_spark.functions import retrieval as _ret
+
+        force(_ret.bm25_topk(docs))
+
+    @timed("tfidf_keywords")
+    def _tfidf():
+        from spark_indexedrdd_spark.functions import retrieval as _ret
+
+        force(_ret.tfidf_keywords(docs))
+
+    @timed("stratified_split")
+    def _strat():
+        from spark_indexedrdd_spark.functions import retrieval as _ret
+
+        force(_ret.stratified_split(docs))
+
+    @timed("postings_store_write_once")
+    def _post_w():
+        import shutil
+
+        from spark_indexedrdd_spark.functions import retrieval as _ret
+
+        shutil.rmtree("spark-warehouse/bench_postings", ignore_errors=True)
+        _ret.write_postings_store(docs, "spark-warehouse/bench_postings")
+
+    @timed("bm25_from_store")
+    def _post_r():
+        from spark_indexedrdd_spark.functions import retrieval as _ret
+
+        force(_ret.bm25_from_store(spark, "spark-warehouse/bench_postings"))
+
     # --- bucketed persistence: the 100 TB join path ---------------------- #
     # (write once, then every cross-job join is exchange-free; the write
     # is the amortized one-time cost, reported separately)

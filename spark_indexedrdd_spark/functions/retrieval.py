@@ -1,0 +1,542 @@
+"""Text retrieval over the document corpus: BM25 ranking, TF-IDF
+keyword extraction, a partition-pruned inverted-index (postings) store,
+and an exactly-stratified train/val/test split.
+
+These extend the reference's indexed-lookup surface (point reads over a
+keyed index, amplab/spark-indexedrdd IndexedRDD.scala:76-94) to the
+retrieval shape an LLM-data pipeline needs: the postings store IS a
+persisted index keyed by term — `bm25_from_store` is `multiget` over
+terms followed by a rank, reading only the matching partitions the way
+the reference's multiget routes to partitionsRDD blocks
+(IndexedRDD.scala:79-94).
+
+Determinism contract (the repo-wide oracle playbook): every
+transcendental (ln) is ROUND(9)-pinned per term; per-document scores
+are fixed-point BIGINTs (score * 1e9) summed with integer arithmetic —
+order-free on both engines — and divided back to double only for
+display. No grouped float sums anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.functions.text import sql_tokens, tokens
+
+# Default query workload: three fixed queries over the synthetic corpus
+# vocabulary (TESTDATA.md documents.text) — literal so every run and
+# both engines score the identical workload.
+DEFAULT_BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "spark hash join"),
+    (2, "fast vector scan"),
+    (3, "window query order"),
+)
+
+_SCALE = 1_000_000_000.0  # fixed-point: 9 decimal digits
+
+
+def _query_terms(
+    queries: "tuple[tuple[int, str], ...]",
+) -> "list[tuple[int, str]]":
+    """(qid, term) pairs, lowercased, de-duplicated, sorted."""
+    return sorted({(q, t) for q, s in queries for t in s.lower().split()})
+
+
+def _doc_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One narrow pass: (id, dl, term) — document length rides along
+    with the exploded term so downstream scoring never joins a separate
+    lengths table (at 100 TB that join is a full-corpus shuffle on id;
+    this is free)."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    return toked.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+
+
+def _sql_doc_terms(table: str, text_col: str, id_col: str) -> str:
+    toks = sql_tokens(text_col)
+    return f"""
+        SELECT {id_col}, CAST(len(__toks) AS BIGINT) AS dl,
+               unnest(__toks) AS term
+        FROM (SELECT {id_col}, {toks} AS __toks FROM {table})
+    """
+
+
+def _bm25_score9(k1: float, b: float) -> Column:
+    """Per-(doc, term) BM25 contribution as a fixed-point BIGINT.
+
+    idf and the tf-saturation factor are each ROUND(9)-pinned before
+    the product so the two engines' ln/div agree bit-for-bit; the
+    product is then snapped to an integer that sums associatively."""
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+            + 1.0
+        ),
+        9,
+    )
+    tfpart = F.round(
+        (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * ((1.0 - b) + b * (F.col("dl") / F.col("avgdl")))
+        ),
+        9,
+    )
+    return F.round(idf * tfpart * F.lit(_SCALE), 0).cast("long")
+
+
+def _sql_bm25_score9(k1: float, b: float) -> str:
+    k1p1 = repr(k1 + 1.0)
+    omb = repr(1.0 - b)
+    return (
+        f"CAST(ROUND("
+        f"ROUND(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0), 9)"
+        f" * ROUND((tf * {k1p1}) / (tf + {repr(k1)} *"
+        f" ({omb} + {repr(b)} * (dl / avgdl))), 9)"
+        f" * 1000000000.0, 0) AS BIGINT)"
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: "tuple[tuple[int, str], ...]" = DEFAULT_BM25_QUERIES,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a literal query workload:
+    (qid, doc_id, score, rank), rank 1..k per query, ties broken by id.
+
+    Scale: the corpus is scanned once (explode + an ``isin`` filter on
+    the tiny literal term set, pushed below the aggregation); tf rows
+    exist only for (matching doc × query term). Corpus stats, per-term
+    document frequencies, and the (qid, term) map are all
+    driver/broadcast sized. The only wide ops are the map-side-combined
+    tf aggregation and the per-qid top-k window, whose rank<=k cutoff
+    pushes below the exchange (WindowGroupLimit) — so the final shuffle
+    carries at most k rows per query per map task."""
+    spark = df.sparkSession
+    qt = _query_terms(queries)
+    terms = sorted({t for _, t in qt})
+    q = spark.createDataFrame(qt, "qid int, term string")
+
+    stats = df.select(
+        F.size(tokens(F.col(text_col))).cast("long").alias("dl")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    ).select(
+        "n_docs",
+        F.round(F.col("total_dl") / F.col("n_docs"), 9).alias("avgdl"),
+    )
+
+    tok = _doc_terms(df, text_col, id_col).where(F.col("term").isin(terms))
+    tf = tok.groupBy(id_col, "dl", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
+
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(F.broadcast(stats))
+        .join(F.broadcast(q), "term")
+        .select("qid", id_col, _bm25_score9(k1, b).alias("s9"))
+    )
+    agg = scored.groupBy("qid", id_col).agg(
+        F.sum("s9").cast("long").alias("score9")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score9"), F.asc(id_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").cast("int"),
+            F.col(id_col),
+            F.round(F.col("score9") / F.lit(_SCALE), 9).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def sql_bm25_topk(
+    table: str = "documents",
+    queries: "tuple[tuple[int, str], ...]" = DEFAULT_BM25_QUERIES,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    qt = _query_terms(queries)
+    vals = ", ".join(f"({q}, '{t}')" for q, t in qt)
+    in_list = ", ".join(f"'{t}'" for t in sorted({t for _, t in qt}))
+    return f"""
+        WITH q(qid, term) AS (VALUES {vals}),
+        dt AS ({_sql_doc_terms(table, text_col, id_col)}),
+        stats AS (
+            -- from the table, not dt: a token-less document has no dt
+            -- row but still counts toward n_docs/avgdl on the Spark side
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND(CAST(SUM(len(__toks)) AS BIGINT) / CAST(COUNT(*) AS BIGINT), 9) AS avgdl
+            FROM (SELECT {sql_tokens(text_col)} AS __toks FROM {table})
+        ),
+        tf AS (
+            SELECT {id_col}, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM dt WHERE term IN ({in_list})
+            GROUP BY {id_col}, dl, term
+        ),
+        dft AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+        ),
+        per AS (
+            SELECT q.qid, tf.{id_col},
+                   {_sql_bm25_score9(k1, b)} AS s9
+            FROM tf
+            JOIN dft USING (term)
+            CROSS JOIN stats
+            JOIN q USING (term)
+        ),
+        agg AS (
+            SELECT qid, {id_col}, CAST(SUM(s9) AS BIGINT) AS score9
+            FROM per GROUP BY qid, {id_col}
+        ),
+        ranked AS (
+            SELECT CAST(qid AS INTEGER) AS qid, {id_col},
+                   ROUND(score9 / 1000000000.0, 9) AS score,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY score9 DESC, {id_col}
+                   ) AS INTEGER) AS rank
+            FROM agg
+        )
+        SELECT qid, {id_col}, score, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction: the k terms with the highest
+    tf·idf, idf = ln(n_docs / df(term)). Output (doc_id, term, tfidf,
+    rank), ties broken by term — the standard "what is this document
+    about" summarizer run per ingest batch.
+
+    Determinism: idf is a ROUND(9)-pinned ln snapped to fixed-point
+    BIGINT once per term; the per-(doc, term) score is then the pure
+    integer product tf × idf9 — no float accumulation at all.
+
+    Scale: explode → map-side-combined (doc, term) count; the idf join
+    keys on term (vocabulary-sized — Catalyst broadcasts when small,
+    shuffle-hash beyond); the per-doc top-k window's rank<=k cutoff
+    pushes below the exchange (WindowGroupLimit)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
+    n_docs = df.agg(F.count("*").cast("long").alias("n_docs"))
+    idf9 = F.round(
+        F.log(F.col("n_docs") / F.col("df_t")) * F.lit(_SCALE), 0
+    ).cast("long")
+    scored = (
+        tf.join(dft, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            id_col, "term", (F.col("tf") * idf9).cast("long").alias("score9")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score9"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.round(F.col("score9") / F.lit(_SCALE), 9).alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def sql_tfidf_keywords(
+    table: str = "documents",
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    toks = sql_tokens(text_col)
+    return f"""
+        WITH t AS (
+            SELECT {id_col}, unnest({toks}) AS term FROM {table}
+        ),
+        tf AS (
+            SELECT {id_col}, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM t GROUP BY {id_col}, term
+        ),
+        dft AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}),
+        scored AS (
+            SELECT tf.{id_col}, tf.term,
+                   CAST(tf.tf * CAST(ROUND(ln(n.n_docs / dft.df_t)
+                        * 1000000000.0, 0) AS BIGINT) AS BIGINT) AS score9
+            FROM tf JOIN dft USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT {id_col}, term,
+                   ROUND(score9 / 1000000000.0, 9) AS tfidf,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY {id_col} ORDER BY score9 DESC, term
+                   ) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT {id_col}, term, tfidf, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+# --------------------------------------------------------------------- #
+# Exactly-stratified split
+# --------------------------------------------------------------------- #
+
+
+def stratified_split(
+    df: DataFrame,
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact stratified train/val/test assignment: within every stratum,
+    documents are ranked by a deterministic seeded hash and the first
+    floor(n·train_frac) become 'train', the next slice 'val', the rest
+    'test' — exact per-stratum proportions (unlike the expectation-only
+    hash-threshold split of ``hash_split``), still fully deterministic
+    under re-runs and repartitioning. Output (doc_id, stratum, split).
+
+    Scale: a naive PARTITION BY stratum ranking puts a whole stratum in
+    one task — a 40 TB 'en' stratum is one partition. Instead the hash
+    is pre-bucketed: rank = prefix-offset(stratum, bucket) +
+    row_number within (stratum, bucket), where the offsets come from a
+    (|strata| × n_buckets)-row count table — KB-sized, broadcast — and
+    the heavy window partitions by (stratum, bucket), giving n_buckets-way
+    parallelism per stratum. The resulting rank equals a single-window
+    ranking ordered by (bucket, hash, id), which is exactly what the
+    oracle SQL computes."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}:"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = df.select(
+        F.col(id_col),
+        F.col(strat_col).alias("stratum"),
+        h.alias("__h"),
+        (h % n_buckets).alias("__b"),
+    )
+    cnts = base.groupBy("stratum", "__b").agg(F.count("*").alias("__c"))
+    w_off = (
+        Window.partitionBy("stratum")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("stratum")
+    offs = cnts.select(
+        "stratum",
+        "__b",
+        (F.sum("__c").over(w_off) - F.col("__c")).alias("__off"),
+        F.sum("__c").over(w_tot).cast("long").alias("__n"),
+    )
+    w_in = Window.partitionBy("stratum", "__b").orderBy(
+        F.asc("__h"), F.asc(id_col)
+    )
+    t1 = F.floor(F.col("__n") * F.lit(float(train_frac)))
+    t2 = F.floor(F.col("__n") * F.lit(float(train_frac + val_frac)))
+    ranked = base.join(F.broadcast(offs), ["stratum", "__b"]).select(
+        id_col,
+        "stratum",
+        (F.col("__off") + F.row_number().over(w_in)).alias("__rn"),
+        t1.alias("__t1"),
+        t2.alias("__t2"),
+    )
+    return ranked.select(
+        id_col,
+        "stratum",
+        F.when(F.col("__rn") <= F.col("__t1"), F.lit("train"))
+        .when(F.col("__rn") <= F.col("__t2"), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def sql_stratified_split(
+    table: str = "documents",
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    seed: int = 42,
+) -> str:
+    f1 = repr(float(train_frac))
+    f2 = repr(float(train_frac + val_frac))
+    return f"""
+        WITH h AS (
+            SELECT {id_col}, {strat_col} AS stratum,
+                   ('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT AS h
+            FROM {table}
+        ),
+        r AS (
+            SELECT {id_col}, stratum,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY stratum
+                       ORDER BY h % {n_buckets}, h, {id_col}
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY stratum) AS n_s
+            FROM h
+        )
+        SELECT {id_col}, stratum,
+               CASE WHEN rn <= FLOOR(n_s * CAST({f1} AS DOUBLE)) THEN 'train'
+                    WHEN rn <= FLOOR(n_s * CAST({f2} AS DOUBLE)) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM r
+    """
+
+
+# --------------------------------------------------------------------- #
+# Inverted-index (postings) store: write once, serve queries by reading
+# only the term-bucket partitions the query touches.
+# --------------------------------------------------------------------- #
+
+
+def write_postings_store(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> None:
+    """Build the persisted inverted index: one parquet row per
+    (term, doc, tf) with the doc length inlined, hive-partitioned by
+    term-hash bucket so a query's scan prunes to |query terms| buckets
+    (the multiget-routes-to-partitions pattern, reference
+    IndexedRDD.scala:79-94, with directories standing in for the
+    partitionsRDD). ``meta.json`` pins corpus stats and the bucket
+    count (mixing bucketizations would silently mis-prune)."""
+    dt = _doc_terms(df, text_col, id_col)
+    tf = dt.groupBy(id_col, "dl", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    postings = tf.withColumn("bucket", F.pmod(F.xxhash64("term"), n_buckets))
+    stats = df.select(
+        F.size(tokens(F.col(text_col))).cast("long").alias("dl")
+    ).agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "n_docs": int(stats["n"]),
+                "total_dl": int(stats["s"]),
+                "n_buckets": int(n_buckets),
+                "id_col": id_col,
+            },
+            fh,
+        )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        path + "/postings"
+    )
+
+
+def bm25_from_store(
+    spark: SparkSession,
+    path: str,
+    queries: "tuple[tuple[int, str], ...]" = DEFAULT_BM25_QUERIES,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Serve BM25 from the persisted postings store: identical scores to
+    in-plan :func:`bm25_topk` over the same corpus (pytest-pinned), but
+    the scan reads only the query terms' bucket directories — serve
+    cost ∝ matched postings, independent of corpus size. df(term) is
+    recovered exactly as the pruned postings' per-term row count (the
+    store holds every (term, doc) pair)."""
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    id_col = meta["id_col"]
+    qt = _query_terms(queries)
+    terms = sorted({t for _, t in qt})
+    q = spark.createDataFrame(qt, "qid int, term string")
+    # bucket ids for the literal terms — computed through the same
+    # xxhash64 expression the writer used, collected (≤ |terms| rows)
+    # so the scan filter is literal and partition-pruning applies
+    bkts = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(F.pmod(F.xxhash64("term"), meta["n_buckets"]).alias("b"))
+            .collect()
+        }
+    )
+    postings = (
+        spark.read.parquet(path + "/postings")
+        .where(F.col("bucket").isin(bkts) & F.col("term").isin(terms))
+    )
+    tf = postings.select(id_col, "dl", "term", "tf")
+    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
+    # rounded through Spark's ROUND (HALF_UP), not Python's round()
+    # (HALF_EVEN) — in-plan bm25_topk pins avgdl with F.round, and a
+    # .5-boundary 9th digit would silently shift every score otherwise
+    avgdl = (
+        spark.range(1)
+        .select(
+            F.round(
+                F.lit(int(meta["total_dl"])) / F.lit(int(meta["n_docs"])), 9
+            ).alias("a")
+        )
+        .collect()[0]["a"]
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(F.broadcast(q), "term")
+        .withColumn("n_docs", F.lit(int(meta["n_docs"])))
+        .withColumn("avgdl", F.lit(float(avgdl)))
+        .select("qid", id_col, _bm25_score9(k1, b).alias("s9"))
+    )
+    agg = scored.groupBy("qid", id_col).agg(
+        F.sum("s9").cast("long").alias("score9")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score9"), F.asc(id_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").cast("int"),
+            F.col(id_col),
+            F.round(F.col("score9") / F.lit(_SCALE), 9).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

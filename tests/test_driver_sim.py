@@ -40,7 +40,8 @@ for name in ["multiput_merge", "asof_join", "tumbling_window",
              "market_share_q8", "top_supplier_q15",
              "pagerank_trade", "communities_trade", "trade_hops",
              "similarity_ann_binary", "event_rate_anomalies",
-             "dsir_select", "lm_cross_entropy"]:
+             "dsir_select", "lm_cross_entropy",
+             "bm25_topk", "tfidf_keywords", "stratified_split"]:
     s = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     o = con.sql(osql[name]).df()
     s = s.reindex(sorted(s.columns), axis=1).sort_values(

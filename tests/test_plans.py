@@ -348,6 +348,9 @@ def test_contract_wide_no_accidental_cross_joins(spark):
                                   # corpus scoring fold (scalar-frame
                                   # pattern, same class as Q22)
         "lm_cross_entropy",       # same one-row broadcast model arrays
+        "bm25_topk",              # broadcast 1-row corpus stats (n_docs,
+                                  # avgdl) x matched-postings scorer
+        "tfidf_keywords",         # broadcast 1-row n_docs scalar
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

@@ -1,0 +1,115 @@
+"""Retrieval family: BM25 store/serve parity, postings partition
+pruning, and exact-stratification properties. (Oracle parity for
+bm25_topk / tfidf_keywords / stratified_split runs via
+test_oracle_parity's contract-wide sweep.)"""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.functions import retrieval as R
+from spark_indexedrdd_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def store(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("postings") / "store")
+    R.write_postings_store(docs, path)
+    return path
+
+
+def test_bm25_store_serve_matches_in_plan(spark, docs, store):
+    """The persisted-index serve path must score EXACTLY like the
+    in-plan operator over the same corpus — same fixed-point sums,
+    same ranks."""
+    a = sorted(map(tuple, R.bm25_topk(docs).collect()))
+    b = sorted(map(tuple, R.bm25_from_store(spark, store).collect()))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_bm25_store_serve_prunes_partitions(spark, store):
+    """The serve scan must read only the query terms' bucket
+    directories — the multiget-routes-to-partitions contract. With 256
+    buckets and <=9 distinct query terms, the pruned scan touches <=9
+    of the existing bucket dirs."""
+    import json
+
+    with open(os.path.join(store, "meta.json")) as fh:
+        n_buckets = json.load(fh)["n_buckets"]
+    terms = sorted({t for _, s in R.DEFAULT_BM25_QUERIES for t in s.split()})
+    bkts = {
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), n_buckets).alias("b"))
+        .collect()
+    }
+    postings = spark.read.parquet(store + "/postings").where(
+        F.col("bucket").isin(sorted(bkts)) & F.col("term").isin(terms)
+    )
+    plan = postings._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    # the executed scan's selected partition count is the ground truth
+    files = postings.select(
+        F.input_file_name().alias("f")
+    ).distinct().collect()
+    touched = {f["f"].split("bucket=")[1].split("/")[0] for f in files}
+    assert len(touched) <= len(bkts), (touched, bkts)
+
+
+def test_bm25_scores_monotone_and_ranked(docs):
+    out = R.bm25_topk(docs, k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s >= 0 for s in scores)
+
+
+def test_stratified_split_exact_proportions(docs):
+    """Per stratum: exactly floor(n*0.8) train and floor(n*0.9)-floor(
+    n*0.8) val rows — the property hash-threshold splits only hold in
+    expectation."""
+    out = R.stratified_split(docs).groupBy("stratum", "split").count()
+    got = {(r["stratum"], r["split"]): r["count"] for r in out.collect()}
+    totals = {}
+    for (s, _), c in got.items():
+        totals[s] = totals.get(s, 0) + c
+    for s, n in totals.items():
+        t1 = math.floor(n * 0.8)
+        t2 = math.floor(n * 0.9)
+        assert got.get((s, "train"), 0) == t1, (s, n, got)
+        assert got.get((s, "val"), 0) == t2 - t1, (s, n, got)
+        assert got.get((s, "test"), 0) == n - t2, (s, n, got)
+
+
+def test_stratified_split_deterministic_under_repartition(docs):
+    a = sorted(map(tuple, R.stratified_split(docs).collect()))
+    b = sorted(
+        map(tuple, R.stratified_split(docs.repartition(13)).collect())
+    )
+    assert a == b
+
+
+def test_tfidf_keywords_rank_contract(docs):
+    out = R.tfidf_keywords(docs, k=3).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert per_doc
+    for _, rows in per_doc.items():
+        assert len(rows) <= 3
+        rows.sort(key=lambda r: r["rank"])
+        scores = [r["tfidf"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
