@@ -565,8 +565,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "waiting_suppliers_q21": lambda s, d: _an.waiting_suppliers(
         load_table(s, d, "lineitem"), load_table(s, d, "orders")
     ),
-    # TPC-H Q8/Q15 (added late in r6, past this round's check window —
-    # front-queue both in the round-7 rotation): widest snowflake with a
+    # TPC-H Q8/Q15 (driver-checked green in r6): widest snowflake with a
     # conditional-share aggregate; view + scalar-subquery-max
     "market_share_q8": lambda s, d: _an.market_share(
         load_table(s, d, "part"),
@@ -744,8 +743,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_documents": lambda s, d: _an.profile_table(
         _docs(s, d), ["doc_id", "lang", "source", "n_chars"]
     ),
-    # round-8 additions (past this round's 50-slot cutoff — front-queue
-    # in the next rotation): iterative vertex program over the
+    # round-8 additions (front-queued in this round's window, NEVER_CHECKED
+    # above): iterative vertex program over the
     # IndexedDataFrame store (the reference's motivating GraphX
     # workload), the binary tier of the quantization family, and the
     # event-rate monitoring query

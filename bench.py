@@ -707,6 +707,40 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
             docs.where("doc_id % 2 = 1"), "spark-warehouse/bench_ngram"
         ).count()
 
+    @timed("ngram_store_b_write_once")
+    def _ng_w2():
+        import shutil
+
+        from spark_indexedrdd_spark.functions import text as _text
+
+        shutil.rmtree("spark-warehouse/bench_ngram_b", ignore_errors=True)
+        _text.write_ngram_count_store(
+            docs.where("doc_id % 2 = 1"), "spark-warehouse/bench_ngram_b"
+        )
+
+    @timed("corpus_kl_drift_serve")
+    def _ng_kl():
+        from spark_indexedrdd_spark.functions import text as _text
+
+        assert (
+            _text.corpus_kl_divergence(
+                spark,
+                "spark-warehouse/bench_ngram",
+                "spark-warehouse/bench_ngram_b",
+            ).count()
+            == 1
+        )
+
+    @timed("dsir_from_stores")
+    def _ng_dsir():
+        from spark_indexedrdd_spark.functions import text as _text
+
+        _text.dsir_scores_from_stores(
+            docs.where("doc_id % 5 = 0"),
+            "spark-warehouse/bench_ngram",
+            "spark-warehouse/bench_ngram_b",
+        ).count()
+
     # retrieval: in-plan BM25/TF-IDF, then the postings store's
     # write-once/serve split (serve reads only the query terms' bucket
     # partitions — cost ∝ matched postings, not corpus size)

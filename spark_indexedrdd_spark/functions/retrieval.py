@@ -470,6 +470,104 @@ def write_postings_store(
     )
 
 
+def append_postings_batch(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_tag: "str | None" = None,
+) -> bool:
+    """Fold an ingest batch into the postings store: append the batch's
+    (term, doc, tf, dl) rows under the store's pinned bucketization and
+    fold the batch's doc count / token total into ``meta.json``.
+    Returns False (no-op) when ``batch_tag`` was already applied — the
+    replay guard the streaming twin rides (postings rows are NOT
+    additive like the n-gram count store's: a replayed batch would
+    double every df(term) the serve path derives). Single-writer, like
+    the versioned store's manifest; the meta rewrite is atomic
+    (tmp + rename). Batches must be doc-disjoint — the store keys
+    postings by (term, doc) uniqueness, same contract as the signature
+    store."""
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    applied = meta.setdefault("applied", [])
+    if batch_tag is not None and batch_tag in applied:
+        return False
+    dt = _doc_terms(df, text_col, id_col)
+    tf = dt.groupBy(id_col, "dl", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    tf.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), meta["n_buckets"])
+    ).write.mode("append").partitionBy("bucket").parquet(path + "/postings")
+    stats = df.select(
+        F.size(tokens(F.col(text_col))).cast("long").alias("dl")
+    ).agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
+    meta["n_docs"] = int(meta["n_docs"]) + int(stats["n"])
+    meta["total_dl"] = int(meta["total_dl"]) + int(stats["s"] or 0)
+    if batch_tag is not None:
+        applied.append(batch_tag)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+    return True
+
+
+class StreamingPostingsStore:
+    """foreachBatch ingest for the inverted index — the store-family
+    streaming twin (signatures, IVF, sketches, top-m, counts, SCD2,
+    postings). First non-empty batch initializes; later batches append
+    with the batch_id as the replay tag, so at-least-once re-delivery
+    of a committed batch is a true no-op (exactness pinned in
+    tests/test_retrieval.py)."""
+
+    def __init__(
+        self,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n_buckets: int = 256,
+    ):
+        self.path = path
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n_buckets = n_buckets
+        self._initialized = os.path.exists(os.path.join(path, "meta.json"))
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if not self._initialized:
+            write_postings_store(
+                batch_df, self.path, self.text_col, self.id_col,
+                self.n_buckets,
+            )
+            with open(os.path.join(self.path, "meta.json")) as fh:
+                meta = json.load(fh)
+            meta["applied"] = [str(batch_id)]
+            tmp = os.path.join(self.path, "meta.json.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(meta, fh)
+            os.replace(tmp, os.path.join(self.path, "meta.json"))
+            self._initialized = True
+        else:
+            append_postings_batch(
+                batch_df, self.path, self.text_col, self.id_col,
+                batch_tag=str(batch_id),
+            )
+
+    def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
+        return (
+            stream_df.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.foreach_batch)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+
 def bm25_from_store(
     spark: SparkSession,
     path: str,

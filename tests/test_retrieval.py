@@ -113,3 +113,88 @@ def test_tfidf_keywords_rank_contract(docs):
         rows.sort(key=lambda r: r["rank"])
         scores = [r["tfidf"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_postings_append_equals_rebuild(spark, docs, tmp_path):
+    inc = str(tmp_path / "post_inc")
+    R.write_postings_store(docs.where("doc_id % 2 = 0"), inc)
+    R.append_postings_batch(docs.where("doc_id % 2 = 1"), inc)
+    full = str(tmp_path / "post_full")
+    R.write_postings_store(docs, full)
+    a = sorted(map(tuple, R.bm25_from_store(spark, inc).collect()))
+    b = sorted(map(tuple, R.bm25_from_store(spark, full).collect()))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_postings_append_replay_is_noop(spark, docs, tmp_path):
+    p = str(tmp_path / "post_replay")
+    R.write_postings_store(docs.where("doc_id % 2 = 0"), p)
+    batch = docs.where("doc_id % 2 = 1")
+    assert R.append_postings_batch(batch, p, batch_tag="b1") is True
+    before = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
+    # at-least-once redelivery of a committed batch must change nothing
+    assert R.append_postings_batch(batch, p, batch_tag="b1") is False
+    after = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
+    assert before == after
+
+
+def test_streaming_postings_store_matches_single_shot(spark, docs, tmp_path):
+    """Docs streamed file-by-file into the postings store must serve
+    BM25 exactly like a store built in one shot."""
+    import tempfile
+
+    d = docs.select("doc_id", "text")
+    src = str(tmp_path / "pss_src")
+    for i in range(3):
+        d.where(f"doc_id % 3 = {i}").coalesce(1).write.mode("append").parquet(src)
+    store = str(tmp_path / "pss_store")
+    st = R.StreamingPostingsStore(store)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = st.attach(stream, tempfile.mkdtemp(prefix="pssckpt_"), availableNow=True)
+    q.awaitTermination(120)
+    single = str(tmp_path / "pss_single")
+    R.write_postings_store(d, single)
+    a = sorted(map(tuple, R.bm25_from_store(spark, store).collect()))
+    b = sorted(map(tuple, R.bm25_from_store(spark, single).collect()))
+    assert a == b
+    assert R.StreamingPostingsStore(store)._initialized
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    fracs=st.sampled_from(
+        [(0.5, 0.25), (0.6, 0.2), (0.7, 0.15), (0.8, 0.1), (0.9, 0.05)]
+    ),
+    seed=st.integers(min_value=0, max_value=3),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_stratified_split_property(docs, fracs, seed):
+    """For any (train_frac, val_frac) and seed: exact floor proportions
+    per stratum, and every doc assigned exactly once."""
+    tf, vf = fracs
+    out = R.stratified_split(
+        docs, train_frac=tf, val_frac=vf, seed=seed
+    ).groupBy("stratum", "split").count()
+    got = {(r["stratum"], r["split"]): r["count"] for r in out.collect()}
+    totals = {}
+    for (s, _), c in got.items():
+        totals[s] = totals.get(s, 0) + c
+    assert sum(totals.values()) == docs.count()
+    for s, n in totals.items():
+        t1 = math.floor(n * tf)
+        t2 = math.floor(n * (tf + vf))
+        assert got.get((s, "train"), 0) == t1
+        assert got.get((s, "val"), 0) == t2 - t1
+        assert got.get((s, "test"), 0) == n - t2
