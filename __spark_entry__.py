@@ -1057,6 +1057,14 @@ _FILL_R7 = (
 # front-queued in NEVER_CHECKED above (r6 VERDICT item 1).
 PAST_CUTOFF_NEW: tuple = ()
 
+# Round-8 rotation note: once CORRECTNESS_r07 lands, the staleness
+# tripwire (tests/test_driver_sim.py) will name the next batch —
+# expect the ~29 r5-green entries this window did NOT re-check (the
+# TPC-H r5 wave, similarity_topk, binary_meta, pack_documents,
+# bloom_pruned_join, skew_salted_revenue, ...). They fit a 50-slot
+# window with room for new debuts; keep debuts IN the window (r7
+# convention) rather than behind the past-cutoff hatch.
+
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3}
 _WINDOW = NEVER_CHECKED + HORIZON_STALE_R07 + _FILL_R7
 
