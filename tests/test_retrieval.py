@@ -198,3 +198,67 @@ def test_stratified_split_property(docs, fracs, seed):
         assert got.get((s, "train"), 0) == t1
         assert got.get((s, "val"), 0) == t2 - t1
         assert got.get((s, "test"), 0) == n - t2
+
+
+def test_bm25_unseen_and_partial_terms(spark, docs):
+    """A query whose terms never occur yields no rows for that qid; a
+    query mixing seen and unseen terms scores on the seen ones only."""
+    out = R.bm25_topk(
+        docs,
+        queries=((7, "zzzunseen qqqmissing"), (8, "spark zzzunseen")),
+        k=5,
+    ).collect()
+    qids = {r["qid"] for r in out}
+    assert 7 not in qids
+    assert 8 in qids
+
+
+def test_bm25_empty_text_docs_counted_in_stats(spark):
+    """Token-less documents contribute to n_docs/avgdl but never match —
+    pinned against a hand model (the oracle-side regression this guards
+    is documented in sql_bm25_topk's stats CTE)."""
+    df = spark.createDataFrame(
+        [(1, "spark spark join"), (2, ""), (3, "   "), (4, "spark")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["score"]
+        for r in R.bm25_topk(df, queries=((1, "spark"),), k=10).collect()
+    }
+    assert set(out) == {1, 4}
+    # doc 4 (dl=1, tf=1) must outscore doc 1 (dl=3, tf=2)? No: tf
+    # saturation vs length norm — just pin the hand computation.
+    import math
+
+    n_docs, df_t = 4, 2
+    avgdl = round((3 + 0 + 0 + 1) / 4, 9)
+    idf = round(math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0), 9)
+    for doc, tf, dl in ((1, 2, 3), (4, 1, 1)):
+        tfpart = round((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))), 9)
+        s9 = round(idf * tfpart * 1e9)
+        assert out[doc] == round(s9 / 1e9, 9), (doc, out[doc])
+
+
+def test_bm25_scan_prunes_columns(docs):
+    """The corpus scan must read only (doc_id, text) — a scan shipping
+    all five document columns for a 2-column operator is wrong."""
+    from spark_indexedrdd_spark.plans import explain as X
+
+    schema = X.read_schema(R.bm25_topk(docs))
+    assert "text" in schema and "doc_id" in schema
+    for col in ("source", "n_chars"):
+        assert col not in schema, schema
+
+
+def test_stratified_split_single_doc_stratum(spark):
+    """floor-threshold edge: a 1-doc stratum has floor(0.8)=0 train,
+    floor(0.9)=0 val — the doc lands in test, never lost."""
+    df = spark.createDataFrame(
+        [(1, "xx"), (2, "yy"), (3, "yy")], "doc_id long, lang string"
+    )
+    got = {
+        (r["stratum"], r["doc_id"]): r["split"]
+        for r in R.stratified_split(df, strat_col="lang").collect()
+    }
+    assert len(got) == 3
+    assert got[("xx", 1)] == "test"
