@@ -27,21 +27,16 @@ for t in ["orders","lineitem","customer","events","documents",
     con.sql(f"CREATE VIEW {{t}} AS SELECT * FROM '/root/testdata/sf0.001/{{t}}.parquet'")
 assert E.entry(spark).count() > 0
 qs, osql = E.queries(), E.oracle_sql()
-for name in ["multiput_merge", "asof_join", "tumbling_window",
-             "shipping_priority", "quality_filter",
-             "funnel_purchase_after_signup", "revenue_month_over_month",
-             "volume_shipping_q7", "hash_split", "grouping_sets_doc_stats",
-             "uuid_key_ops", "decimal_key_ops", "simhash_near_pairs",
-             "dedup_ngram_jaccard", "funnel_signup_conversion",
-             "doc_sample", "dedup_clusters", "similarity_topk_fast",
-             "similarity_ann_lsh", "order_priority_q4", "repetition_stats",
-             "corpus_top_terms", "similarity_ann_ivf_det",
-             "duplicate_spans", "remove_duplicate_spans", "semantic_dedup",
-             "market_share_q8", "top_supplier_q15",
-             "pagerank_trade", "communities_trade", "trade_hops",
-             "similarity_ann_binary", "event_rate_anomalies",
-             "dsir_select", "lm_cross_entropy",
-             "bm25_topk", "tfidf_keywords", "stratified_split"]:
+# exactly the queries the driver will hash-check this round: the
+# 50-slot window, read from the rotation itself so this rehearsal can
+# never drift out of sync with it, plus a few rotated-out sentinels
+# whose timezone sensitivity round 4 proved the hard way
+for name in list(qs)[:50] + [
+        "multiput_merge", "asof_join", "tumbling_window",
+        "funnel_purchase_after_signup", "funnel_signup_conversion",
+        "shipping_priority", "quality_filter", "similarity_topk_fast",
+        "similarity_ann_lsh", "similarity_ann_ivf_det",
+        "duplicate_spans", "remove_duplicate_spans", "semantic_dedup"]:
     s = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     o = con.sql(osql[name]).df()
     s = s.reindex(sorted(s.columns), axis=1).sort_values(
