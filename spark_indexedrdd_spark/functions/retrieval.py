@@ -177,8 +177,13 @@ def sql_bm25_topk(
     id_col: str = "doc_id",
 ) -> str:
     qt = _query_terms(queries)
-    vals = ", ".join(f"({q}, '{t}')" for q, t in qt)
-    in_list = ", ".join(f"'{t}'" for t in sorted({t for _, t in qt}))
+    # terms are caller-supplied: escape single quotes so a term can
+    # never break (or inject into) the generated oracle SQL
+    esc = {t: t.replace("'", "''") for _, t in qt}
+    vals = ", ".join(f"({q}, '{esc[t]}')" for q, t in qt)
+    in_list = ", ".join(
+        f"'{esc[t]}'" for t in sorted({t for _, t in qt})
+    )
     return f"""
         WITH q(qid, term) AS (VALUES {vals}),
         dt AS ({_sql_doc_terms(table, text_col, id_col)}),
@@ -337,7 +342,12 @@ def stratified_split(
     the heavy window partitions by (stratum, bucket), giving n_buckets-way
     parallelism per stratum. The resulting rank equals a single-window
     ranking ordered by (bucket, hash, id), which is exactly what the
-    oracle SQL computes."""
+    oracle SQL computes.
+
+    NULL strata form their own stratum (matching SQL PARTITION BY
+    semantics): grouping and the offsets join run on a null-safe
+    two-column key (is-null flag + coalesced value), so no document is
+    ever dropped and no sentinel value can collide with real data."""
     h = F.conv(
         F.substring(
             F.md5(
@@ -354,28 +364,31 @@ def stratified_split(
     base = df.select(
         F.col(id_col),
         F.col(strat_col).alias("stratum"),
+        F.col(strat_col).isNull().alias("__snull"),
+        F.coalesce(F.col(strat_col).cast("string"), F.lit("")).alias("__sk"),
         h.alias("__h"),
         (h % n_buckets).alias("__b"),
     )
-    cnts = base.groupBy("stratum", "__b").agg(F.count("*").alias("__c"))
+    skey = ["__snull", "__sk"]
+    cnts = base.groupBy(*skey, "__b").agg(F.count("*").alias("__c"))
     w_off = (
-        Window.partitionBy("stratum")
+        Window.partitionBy(*skey)
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_tot = Window.partitionBy("stratum")
+    w_tot = Window.partitionBy(*skey)
     offs = cnts.select(
-        "stratum",
+        *skey,
         "__b",
         (F.sum("__c").over(w_off) - F.col("__c")).alias("__off"),
         F.sum("__c").over(w_tot).cast("long").alias("__n"),
     )
-    w_in = Window.partitionBy("stratum", "__b").orderBy(
+    w_in = Window.partitionBy(*skey, "__b").orderBy(
         F.asc("__h"), F.asc(id_col)
     )
     t1 = F.floor(F.col("__n") * F.lit(float(train_frac)))
     t2 = F.floor(F.col("__n") * F.lit(float(train_frac + val_frac)))
-    ranked = base.join(F.broadcast(offs), ["stratum", "__b"]).select(
+    ranked = base.join(F.broadcast(offs), [*skey, "__b"]).select(
         id_col,
         "stratum",
         (F.col("__off") + F.row_number().over(w_in)).alias("__rn"),
@@ -438,6 +451,7 @@ def write_postings_store(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 256,
+    applied_tags: "tuple[str, ...]" = (),
 ) -> None:
     """Build the persisted inverted index: one parquet row per
     (term, doc, tf) with the doc length inlined, hive-partitioned by
@@ -445,7 +459,11 @@ def write_postings_store(
     (the multiget-routes-to-partitions pattern, reference
     IndexedRDD.scala:79-94, with directories standing in for the
     partitionsRDD). ``meta.json`` pins corpus stats and the bucket
-    count (mixing bucketizations would silently mis-prune)."""
+    count (mixing bucketizations would silently mis-prune); it is
+    written LAST, atomically, so its existence is the store's commit
+    marker. ``applied_tags`` seeds the replay ledger in that same
+    atomic write — the streaming twin passes its first batch_id here
+    so a crash between data and ledger can never double-apply."""
     dt = _doc_terms(df, text_col, id_col)
     tf = dt.groupBy(id_col, "dl", "term").agg(
         F.count("*").cast("long").alias("tf")
@@ -454,20 +472,25 @@ def write_postings_store(
     stats = df.select(
         F.size(tokens(F.col(text_col))).cast("long").alias("dl")
     ).agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "meta.json"), "w") as fh:
-        json.dump(
-            {
-                "n_docs": int(stats["n"]),
-                "total_dl": int(stats["s"]),
-                "n_buckets": int(n_buckets),
-                "id_col": id_col,
-            },
-            fh,
-        )
+    # data first, meta last: the atomic meta rewrite is the commit
+    # point, so a crash mid-write leaves no meta.json and the whole
+    # build simply re-runs (the overwrite mode makes that idempotent)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         path + "/postings"
     )
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "n_docs": int(stats["n"] or 0),
+        "total_dl": int(stats["s"] or 0),
+        "n_buckets": int(n_buckets),
+        "id_col": id_col,
+        "applied": [str(t) for t in applied_tags],
+    }
+    meta_path = os.path.join(path, "meta.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
 
 
 def append_postings_batch(
@@ -484,44 +507,115 @@ def append_postings_batch(
     replay guard the streaming twin rides (postings rows are NOT
     additive like the n-gram count store's: a replayed batch would
     double every df(term) the serve path derives). Single-writer, like
-    the versioned store's manifest; the meta rewrite is atomic
-    (tmp + rename). Batches must be doc-disjoint — the store keys
-    postings by (term, doc) uniqueness, same contract as the signature
-    store."""
+    the versioned store's manifest. Batches must be doc-disjoint — the
+    store keys postings by (term, doc) uniqueness, same contract as
+    the signature store.
+
+    Crash safety (with a ``batch_tag``): the batch is staged into
+    ``_staging/<tag>`` first, its files are then moved into the bucket
+    directories under deterministic ``batch-<tag>-*`` names, and ONLY
+    then does the atomic meta rewrite record the tag — the meta
+    rewrite is the commit point. A crash anywhere before it leaves the
+    tag unrecorded, and the replay first deletes any half-moved
+    ``batch-<tag>-*`` files before re-applying, so re-delivery of an
+    uncommitted batch is exact, not just at-least-once. Without a tag
+    the append is direct (non-replayable; callers own dedup)."""
     meta_path = os.path.join(path, "meta.json")
     with open(meta_path) as fh:
         meta = json.load(fh)
     applied = meta.setdefault("applied", [])
     if batch_tag is not None and batch_tag in applied:
+        # committed already; clear any staging left by a crash after
+        # the commit point but before cleanup
+        _cleanup_staging(path, batch_tag)
         return False
     dt = _doc_terms(df, text_col, id_col)
     tf = dt.groupBy(id_col, "dl", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
-    tf.withColumn(
+    batch = tf.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), meta["n_buckets"])
-    ).write.mode("append").partitionBy("bucket").parquet(path + "/postings")
+    )
     stats = df.select(
         F.size(tokens(F.col(text_col))).cast("long").alias("dl")
     ).agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
-    meta["n_docs"] = int(meta["n_docs"]) + int(stats["n"])
+    if batch_tag is None:
+        batch.write.mode("append").partitionBy("bucket").parquet(
+            path + "/postings"
+        )
+    else:
+        stage = os.path.join(path, "_staging", batch_tag)
+        batch.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+        _sweep_batch_files(path, batch_tag)  # undo any half-moved replay
+        _publish_staged(path, stage, batch_tag)
+    meta["n_docs"] = int(meta["n_docs"]) + int(stats["n"] or 0)
     meta["total_dl"] = int(meta["total_dl"]) + int(stats["s"] or 0)
     if batch_tag is not None:
         applied.append(batch_tag)
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
-    os.replace(tmp, meta_path)
+    os.replace(tmp, meta_path)  # <-- commit point
+    if batch_tag is not None:
+        _cleanup_staging(path, batch_tag)
     return True
+
+
+def _sweep_batch_files(path: str, batch_tag: str) -> None:
+    """Delete any ``batch-<tag>-*`` files under postings/ — the undo
+    step that makes re-publishing a crashed (uncommitted) batch exact."""
+    root = os.path.join(path, "postings")
+    if not os.path.isdir(root):
+        return
+    prefix = f"batch-{batch_tag}-"
+    for d in os.listdir(root):
+        bdir = os.path.join(root, d)
+        if not (d.startswith("bucket=") and os.path.isdir(bdir)):
+            continue
+        for f in os.listdir(bdir):
+            if f.startswith(prefix):
+                os.remove(os.path.join(bdir, f))
+
+
+def _publish_staged(path: str, stage: str, batch_tag: str) -> None:
+    """Move staged parquet files into the live bucket directories under
+    deterministic names (same-filesystem renames; an object-store
+    deployment would swap this for a manifest-pointer commit)."""
+    seq = 0
+    for d in sorted(os.listdir(stage)):
+        sdir = os.path.join(stage, d)
+        if not (d.startswith("bucket=") and os.path.isdir(sdir)):
+            continue
+        dest = os.path.join(path, "postings", d)
+        os.makedirs(dest, exist_ok=True)
+        for f in sorted(os.listdir(sdir)):
+            if not f.endswith(".parquet"):
+                continue
+            os.replace(
+                os.path.join(sdir, f),
+                os.path.join(dest, f"batch-{batch_tag}-{seq:05d}.parquet"),
+            )
+            seq += 1
+
+
+def _cleanup_staging(path: str, batch_tag: str) -> None:
+    import shutil
+
+    stage = os.path.join(path, "_staging", batch_tag)
+    if os.path.isdir(stage):
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 class StreamingPostingsStore:
     """foreachBatch ingest for the inverted index — the store-family
     streaming twin (signatures, IVF, sketches, top-m, counts, SCD2,
-    postings). First non-empty batch initializes; later batches append
-    with the batch_id as the replay tag, so at-least-once re-delivery
-    of a committed batch is a true no-op (exactness pinned in
-    tests/test_retrieval.py)."""
+    postings). First non-empty batch initializes — its batch_id goes
+    into meta.json's replay ledger in the SAME atomic write that
+    commits the store, so a crash mid-init re-runs the (idempotent,
+    overwrite-mode) build rather than double-applying batch 0; later
+    batches append with the batch_id as the replay tag via the staged
+    commit protocol, so at-least-once re-delivery of a committed batch
+    is a true no-op (exactness pinned in tests/test_retrieval.py)."""
 
     def __init__(
         self,
@@ -542,15 +636,8 @@ class StreamingPostingsStore:
         if not self._initialized:
             write_postings_store(
                 batch_df, self.path, self.text_col, self.id_col,
-                self.n_buckets,
+                self.n_buckets, applied_tags=(str(batch_id),),
             )
-            with open(os.path.join(self.path, "meta.json")) as fh:
-                meta = json.load(fh)
-            meta["applied"] = [str(batch_id)]
-            tmp = os.path.join(self.path, "meta.json.tmp")
-            with open(tmp, "w") as fh:
-                json.dump(meta, fh)
-            os.replace(tmp, os.path.join(self.path, "meta.json"))
             self._initialized = True
         else:
             append_postings_batch(

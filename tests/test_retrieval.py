@@ -262,3 +262,97 @@ def test_stratified_split_single_doc_stratum(spark):
     }
     assert len(got) == 3
     assert got[("xx", 1)] == "test"
+
+
+def test_stratified_split_null_stratum_kept(spark):
+    """ADVICE r7: NULL strat_col rows must not vanish — they form their
+    own stratum (SQL PARTITION BY semantics), with exact proportions,
+    via the null-safe grouping/join key."""
+    rows = [(i, None if i % 3 == 0 else ("aa" if i % 2 == 0 else "bb"))
+            for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = R.stratified_split(df, strat_col="lang").collect()
+    assert len(out) == 30  # nothing dropped
+    null_rows = [r for r in out if r["stratum"] is None]
+    assert len(null_rows) == 10
+    splits = {}
+    for r in null_rows:
+        splits[r["split"]] = splits.get(r["split"], 0) + 1
+    # floor(10*0.8)=8 train, floor(10*0.9)-8=1 val, rest test
+    assert splits == {"train": 8, "val": 1, "test": 1}
+
+
+def test_stratified_split_null_stratum_matches_oracle(spark):
+    """Engine parity on a nullable strat column: Spark output equals
+    the DuckDB oracle (which keeps NULL as its own window partition)."""
+    import duckdb
+
+    rows = [(i, None if i % 4 == 0 else f"l{i % 3}") for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = sorted(
+        (r["doc_id"], r["stratum"], r["split"])
+        for r in R.stratified_split(df, strat_col="lang").collect()
+    )
+    con = duckdb.connect()
+    pdf = df.toPandas()
+    con.register("documents", pdf)
+    exp = sorted(
+        map(tuple, con.sql(R.sql_stratified_split()).fetchall())
+    )
+    assert got == exp
+
+
+def test_postings_append_crash_replay_exact(spark, docs, tmp_path):
+    """Crash window between publishing batch files and the meta commit:
+    restore the pre-commit meta (files already moved — exactly the
+    state a crash leaves), replay the batch, and the serve path must
+    equal a one-shot store — the sweep of batch-<tag>-* files makes
+    re-publication exact, not double."""
+    p = str(tmp_path / "post_crash")
+    R.write_postings_store(docs.where("doc_id % 2 = 0"), p)
+    with open(os.path.join(p, "meta.json")) as fh:
+        pre_commit_meta = fh.read()
+    batch = docs.where("doc_id % 2 = 1")
+    assert R.append_postings_batch(batch, p, batch_tag="c1") is True
+    # simulate the crash: meta rewind to pre-commit, published files stay
+    with open(os.path.join(p, "meta.json"), "w") as fh:
+        fh.write(pre_commit_meta)
+    assert R.append_postings_batch(batch, p, batch_tag="c1") is True
+    full = str(tmp_path / "post_crash_full")
+    R.write_postings_store(docs, full)
+    a = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
+    b = sorted(map(tuple, R.bm25_from_store(spark, full).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_sql_bm25_topk_escapes_quotes(spark):
+    """Caller-supplied query terms containing single quotes must not
+    break (or inject into) the generated oracle SQL."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, "o'reilly spark book"), (2, "spark join")],
+        "doc_id long, text string",
+    )
+    qs = ((1, "o'reilly spark"),)
+    got = sorted(
+        map(tuple, R.bm25_topk(df, queries=qs, k=5).collect())
+    )
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    exp = sorted(map(tuple, con.sql(R.sql_bm25_topk(queries=qs, k=5)).fetchall()))
+    assert [g[:2] for g in got] == [e[:2] for e in exp]
+    assert len(got) > 0
+
+
+def test_write_postings_store_tokenless_corpus(spark, tmp_path):
+    """SUM(dl) is NULL on an all-token-less corpus; the writer must
+    record total_dl=0 instead of raising (ADVICE r7)."""
+    import json
+
+    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    p = str(tmp_path / "post_empty")
+    R.write_postings_store(df, p)
+    with open(os.path.join(p, "meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["n_docs"] == 2 and meta["total_dl"] == 0
