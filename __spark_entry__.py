@@ -312,6 +312,73 @@ def q_decimal_key_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_short_key_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short keys (reference KeySerializer.scala:82-89, registered
+    IndexedRDD.scala:488-492): build keyed by SMALLINT, multiput one
+    insert (-5) + one overwrite (3), scan. The 16-bit keyspace bounds
+    the domain to |keys| <= 32767, exactly the reference Short key's
+    contract (customer keys fit through sf0.1; the cast is the user's
+    assertion, as with the reference's codec). Output key cast to INT
+    purely for the cross-engine comparator — engine-side it is
+    smallint end-to-end, including the broadcast update batch, whose
+    schema is copied from the base frame."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").cast("smallint").alias("ck_s"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    kv = IndexedDataFrame.from_unique(base, "ck_s")
+    v2 = kv.multiput({-5: 111.5, 3: 999.25})
+    return v2.to_df().select(F.col("ck_s").cast("int").alias("ck"), "bal")
+
+
+def q_char_key_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char keys (reference KeySerializer.scala:91-98, registered
+    IndexedRDD.scala:493-498) as 1-char STRING: build a per-segment
+    aggregate keyed by the segment's first character, multiput one
+    insert ('Z') + one overwrite ('A'), delete 'B', scan — the full
+    build → put → delete → scan cycle on the narrowest key the
+    reference serializes."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.groupBy(
+        F.substring("c_mktsegment", 1, 1).alias("ck_c")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    kv = IndexedDataFrame.from_unique(base, "ck_c")
+    v2 = kv.multiput({"Z": 7, "A": 42}).delete(["B"])
+    return v2.to_df()
+
+
+SQL_SHORT_KEY_OPS = """
+    WITH base AS (
+        SELECT CAST(c_custkey AS SMALLINT) AS ck_s, c_acctbal AS bal
+        FROM customer
+    ), u AS (
+        SELECT CAST(-5 AS SMALLINT) AS ck_s, CAST(111.5 AS DOUBLE) AS bal
+        UNION ALL
+        SELECT CAST(3 AS SMALLINT), CAST(999.25 AS DOUBLE)
+    )
+    SELECT CAST(COALESCE(b.ck_s, u.ck_s) AS INTEGER) AS ck,
+           COALESCE(u.bal, b.bal) AS bal
+    FROM base b FULL OUTER JOIN u ON b.ck_s = u.ck_s
+"""
+
+SQL_CHAR_KEY_OPS = """
+    WITH base AS (
+        SELECT substr(c_mktsegment, 1, 1) AS ck_c,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM customer GROUP BY 1
+    ), u AS (
+        SELECT 'Z' AS ck_c, CAST(7 AS BIGINT) AS cnt
+        UNION ALL SELECT 'A', CAST(42 AS BIGINT)
+    ), m AS (
+        SELECT COALESCE(b.ck_c, u.ck_c) AS ck_c,
+               COALESCE(u.cnt, b.cnt) AS cnt
+        FROM base b FULL OUTER JOIN u ON b.ck_c = u.ck_c
+    )
+    SELECT ck_c, cnt FROM m WHERE ck_c <> 'B'
+"""
+
+
 SQL_UUID_KEY_OPS = f"""
     SELECT substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) || '-' ||
            substr(md5(CAST(c_custkey AS VARCHAR)), 9, 4) || '-' ||
@@ -941,15 +1008,18 @@ ROWS_ONLY = (
 # (enforced by tests/test_driver_sim.py::
 # test_window_covers_every_query_within_coverage_horizon): every
 # contract query must be hash-checked at least once per
-# ceil(n_queries/50) recorded rounds. Round-7 window composition,
-# priority order (r6 VERDICT items 1 and 4):
-#   1. NEVER_CHECKED — the 7 round-6 past-cutoff queries with no
-#      driver row in ANY recorded round,
-#   2. HORIZON_STALE_R07 — the 28 queries whose last hash-green row is
-#      r01-r04, now outside the 3-round coverage horizon,
-#   3. _FILL_R7 — r5-green entries r06 did not re-check (next round's
-#      staleness batch), event-time-leaning first; new round-7 queries
-#      displace the tail so they debut WITH driver evidence.
+# ceil(n_queries/50) recorded rounds. Round-8 window composition,
+# priority order (r7 VERDICT items 1, 3):
+#   1. HORIZON_STALE_R08 — the 29 queries the tripwire named verbatim
+#      after CORRECTNESS_r07 landed (last hash-green r05: the core-op
+#      set, the r5 TPC-H wave, similarity_topk, binary_meta, ...),
+#   2. DEBUTS_R8 — short/char key parity queries, windowed so they
+#      debut WITH driver evidence (r7 convention),
+#   3. _FILL_R8 — entries whose implementation changed this round
+#      (stratified_split null-safe key, corpus_top_terms checkpointed
+#      total, text_stats) plus the oldest r06-green batch,
+#      event-time-leaning first (round-4 lesson: event-time queries
+#      are where environment drift bites first).
 # Deliberately NOT in the window: ROWS_ONLY entries — the driver
 # records `no_oracle` for them (not a rows-only pass), so a slot spent
 # there produces no evidence; their det twins hash-pin the pipelines.
@@ -979,94 +1049,91 @@ _NEW_R3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decimal_key_ops": q_decimal_key_ops,
 }
 
-# No driver row in ANY round yet — always at the very front. These are
-# the 7 round-6 late additions the r6 VERDICT flagged as zero-evidence
-# (the graph family is the reference's motivating GraphX workload,
-# README.md:5 / IndexedRDD.scala:293-297).
-NEVER_CHECKED = (
-    "pagerank_trade",
-    "communities_trade",
-    "trade_hops",
-    "similarity_ann_binary",
-    "event_rate_anomalies",
-    "dsir_select",
-    "lm_cross_entropy",
+_NEW_R8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "short_key_ops": q_short_key_ops,
+    "char_key_ops": q_char_key_ops,
+}
+
+# The 29 queries the staleness tripwire named verbatim after
+# CORRECTNESS_r07 landed (last hash-green r05; the tuple is asserted
+# verbatim-complete by tests/test_driver_sim.py so a partial rotation
+# cannot pass locally). Core-op set first — it is the reference's §2
+# surface — then the r5 TPC-H wave, then the analytics/ANN stragglers.
+HORIZON_STALE_R08 = (
+    "build_scan",
+    "multiget",
+    "multiput_merge",
+    "delete",
+    "filter_mapvalues",
+    "diff",
+    "inner_join",
+    "left_join",
+    "full_outer_join",
+    "join_update",
+    "aggregate_using_index",
+    "aggregate_fold",
+    "create_using_index",
+    "composite_key_scan",
+    "composite_key_join",
+    "shipping_priority",
+    "local_supplier_volume",
+    "volume_shipping_q7",
+    "returned_items_q10",
+    "promo_revenue_q14",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "bloom_pruned_join",
+    "pack_documents",
+    "skew_salted_revenue",
+    "cube_doc_counts",
+    "json_prop_stats",
+    "pivot_lang_source",
+    "binary_meta",
 )
 
-# Hash-green in r01-r04 only: the contract's growth to 126 queries put
-# these outside the 3-round coverage horizon (the exact list the
-# staleness tripwire emitted after CORRECTNESS_r06 landed).
-HORIZON_STALE_R07 = (
-    "winnow_fingerprints",
-    "redact_pii",
-    "contamination_check",
-    "dedup_lsh_candidates",
-    "simhash",
-    "dedup_ngram_jaccard",
-    "simhash_near_pairs",
-    "pricing_summary",
-    "top_orders_per_customer",
-    "global_topk_orders",
-    "rollup_doc_counts",
-    "customers_without_orders",
-    "orders_above_cust_avg",
-    "running_revenue_by_month",
-    "doc_sample",
-    "late_shipment_orders",
-    "supplier_diversity",
-    "grouping_sets_doc_stats",
-    "revenue_month_over_month",
-    "segment_except_all",
-    "segment_set_ops",
-    "segment_intersect",
-    "percentiles_by_segment",
-    "distinct_counts",
-    "revenue_percentiles",
-    "uuid_key_ops",
-    "decimal_key_ops",
-    "count",
+# Round-8 debuts: the last KeySerializer parity holes (Short/Char,
+# reference KeySerializer.scala:82-98) — windowed so they debut WITH
+# driver evidence (r7 convention, never behind the past-cutoff hatch).
+DEBUTS_R8 = (
+    "short_key_ops",
+    "char_key_ops",
 )
 
-# Remaining slots: r5-green entries that r06 did NOT re-check (they
-# would be the next staleness batch in round 8), event-time-leaning
-# first (round-4 lesson: event-time queries are where environment
-# drift bites first). New round-7 queries take slots from the END of
-# this tuple so they debut with driver evidence instead of joining a
-# past-cutoff backlog.
-_FILL_R7 = (
-    "sessionize",
-    "sliding_window",
-    "range_join_sessions",
-    "windowed_event_dedup",
-    "orders_by_month",
-    "embedding_neardup",
-    "dedup_exact",
-    "minhash_signatures",
-    "dedup_clusters",
-    "hash_split",
-    "lang_id",
-    "doc_fingerprint",
-    # round-7 debut queries (retrieval family) — windowed so they get
-    # driver evidence in the round that adds them
-    "bm25_topk",
-    "tfidf_keywords",
+# Remaining 19 slots: implementation-touched entries first (their code
+# or oracle changed this round — driver evidence should cover the NEW
+# shape), then the oldest r06-green batch, event-time-leaning first
+# (round-4 lesson). The r06-green entries not re-checked here are the
+# round-9 staleness batch (~32 names — fits the next 50-slot window).
+_FILL_R8 = (
+    # touched this round
     "stratified_split",
+    "corpus_top_terms",
+    "text_stats",
+    # event-time family (r06-green)
+    "asof_join",
+    "tumbling_window",
+    "session_window",
+    "funnel_purchase_after_signup",
+    "funnel_signup_conversion",
+    "scd2_merge",
+    "cohort_retention",
+    "ordered_funnel",
+    "ewma_by_user",
+    # ANN det twins + span dedup (r06-green)
+    "similarity_topk_fast",
+    "similarity_ann_ivf_det",
+    "duplicate_spans",
+    "remove_duplicate_spans",
+    "corpus_span_stats",
+    "semantic_dedup",
+    "dedup_pipeline",
 )
 
-# Empty this round: every previously-declared past-cutoff query is
-# front-queued in NEVER_CHECKED above (r6 VERDICT item 1).
+# Empty: round-8 debuts are IN the window above.
 PAST_CUTOFF_NEW: tuple = ()
 
-# Round-8 rotation note: once CORRECTNESS_r07 lands, the staleness
-# tripwire (tests/test_driver_sim.py) will name the next batch —
-# expect the ~29 r5-green entries this window did NOT re-check (the
-# TPC-H r5 wave, similarity_topk, binary_meta, pack_documents,
-# bloom_pruned_join, skew_salted_revenue, ...). They fit a 50-slot
-# window with room for new debuts; keep debuts IN the window (r7
-# convention) rather than behind the past-cutoff hatch.
-
-_ALL = {**EXTENSION_QUERIES, **_NEW_R3}
-_WINDOW = NEVER_CHECKED + HORIZON_STALE_R07 + _FILL_R7
+_ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}
+_WINDOW = HORIZON_STALE_R08 + DEBUTS_R8 + _FILL_R8
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{k: _ALL.get(k, CORE_QUERIES.get(k)) for k in _WINDOW},
@@ -1093,6 +1160,8 @@ ORACLE: dict[str, str] = {
     "similarity_ann_lsh": _sim.sql_hyperplane_lsh_ann(),
     "uuid_key_ops": SQL_UUID_KEY_OPS,
     "decimal_key_ops": SQL_DECIMAL_KEY_OPS,
+    "short_key_ops": SQL_SHORT_KEY_OPS,
+    "char_key_ops": SQL_CHAR_KEY_OPS,
     "build_scan": "SELECT o_orderkey, o_totalprice FROM orders",
     "count": "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM orders",
     "multiget": f"""

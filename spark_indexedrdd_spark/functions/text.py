@@ -717,26 +717,36 @@ def corpus_top_terms(
 
     Scale: explode is a narrow per-row flatMap; the groupBy(term) agg
     does map-side partial aggregation, so its shuffle carries at most
-    |vocab| rows per map task, not |corpus tokens|. The grand total and
-    the rank ride ONE unpartitioned window over the aggregated vocab —
-    a deliberate single-partition pass of |vocab| × ~16-byte rows
-    (natural-language vocabularies are millions of types ≈ 100 MB —
-    fine through one task even for a 100 TB corpus). The alternative
-    (total as a separate aggregate) recomputes the whole explode+count
-    subtree — Spark does not reuse the exchange across the two
-    consumers (measured) — i.e. a second full corpus scan, which is
-    strictly worse. Degenerate vocabularies (billions of types from
-    URLs/hashes) should be cleaned upstream (quality_filter /
-    repetition_stats) before corpus statistics; that is pipeline order,
-    not an operator knob."""
+    |vocab| rows per map task, not |corpus tokens|. The aggregated
+    vocab is then localCheckpoint'ed (millions of types ≈ 100 MB —
+    block-manager sized, NOT corpus sized), so its two consumers — the
+    tiny grand-total aggregate and the top-k rank — read the
+    materialized counts instead of re-running the corpus scan (Spark
+    does not reuse the exchange across consumers — measured). The
+    grand total (two-phase aggregate: partial per partition, then a
+    |partitions|-row final) broadcasts back onto the k result rows,
+    and the rank-filter collapses to TakeOrderedAndProject(limit=k) —
+    map-side top-k per partition, so the final ordering task and the
+    k-row rank window see at most |partitions|·k rows. No
+    unpartitioned window ever sees the full vocabulary (the r7-flagged
+    single-partition WindowExec for the total sum is gone;
+    plan-asserted in tests/test_plans.py).
+    Degenerate vocabularies (billions of types from URLs/hashes)
+    should be cleaned upstream (quality_filter / repetition_stats)
+    before corpus statistics; that is pipeline order, not an operator
+    knob."""
     terms = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
-    counts = terms.groupBy("term").agg(F.count("*").alias("n"))
-    w_all = Window.partitionBy()
+    counts = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
     w = Window.orderBy(F.desc("n"), F.asc("term"))
     return (
-        counts.withColumn("total", F.sum("n").over(w_all))
-        .withColumn("rank", F.row_number().over(w))
+        counts.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+        .join(F.broadcast(total))
         .select(
             "term",
             F.col("n").cast("long").alias("n"),

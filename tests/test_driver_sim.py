@@ -157,3 +157,35 @@ def test_plain_session_non_utc_runs_contract():
         env=env,
     )
     assert "DRIVER_SIM_PASS" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+# The exact stale list the staleness tripwire emitted after
+# CORRECTNESS_r07 landed (r7 VERDICT item 1). Pinned verbatim so a
+# PARTIAL round-8 rotation cannot pass locally: every name must be in
+# the declared window — or, once the round-8 record exists, covered by
+# it (after which the dynamic tripwire above owns staleness again).
+TRIPWIRE_R08 = (
+    "similarity_topk", "similarity_ann_lsh", "volume_shipping_q7",
+    "returned_items_q10", "promo_revenue_q14", "bloom_pruned_join",
+    "pack_documents", "skew_salted_revenue", "shipping_priority",
+    "local_supplier_volume", "cube_doc_counts", "json_prop_stats",
+    "pivot_lang_source", "binary_meta", "build_scan", "multiget",
+    "multiput_merge", "delete", "filter_mapvalues", "diff",
+    "inner_join", "left_join", "full_outer_join", "join_update",
+    "aggregate_using_index", "aggregate_fold", "create_using_index",
+    "composite_key_scan", "composite_key_join",
+)
+
+
+def test_r8_window_front_queues_every_tripwire_name():
+    import json
+
+    import __spark_entry__ as E
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    covered = set(list(E.queries().keys())[:50])
+    rec = os.path.join(repo, "CORRECTNESS_r08.json")
+    if os.path.exists(rec):
+        covered |= set(json.load(open(rec)))
+    missing = [q for q in TRIPWIRE_R08 if q not in covered]
+    assert not missing, f"r8 rotation is partial — not windowed: {missing}"

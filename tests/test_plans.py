@@ -351,6 +351,10 @@ def test_contract_wide_no_accidental_cross_joins(spark):
         "bm25_topk",              # broadcast 1-row corpus stats (n_docs,
                                   # avgdl) x matched-postings scorer
         "tfidf_keywords",         # broadcast 1-row n_docs scalar
+        "corpus_top_terms",       # broadcast 1-row grand total onto the
+                                  # k result rows (checkpointed-counts
+                                  # variant; replaces the r7-flagged
+                                  # single-partition total-sum window)
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
@@ -398,3 +402,21 @@ def test_span_ops_keep_token_fence(spark):
         l for l in p.splitlines() if "dup_bigram_frac" in l
     )
     assert "split(" not in out_proj, out_proj
+
+
+def test_corpus_top_terms_no_full_vocab_single_partition_window(spark):
+    """r7 VERDICT item 6: the grand-total sum must NOT ride an
+    unpartitioned window over the whole vocabulary. The checkpointed
+    variant's plan: rank-filter collapses to TakeOrderedAndProject
+    (map-side top-k), the total is a two-phase aggregate, and the only
+    Window node ranks the already-limited k rows."""
+    from spark_indexedrdd_spark.functions import text as T
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = X.executed_plan(T.corpus_top_terms(docs))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the old shape: Window [sum(n) ... windowspecdefinition()] with an
+    # empty partition spec feeding every vocab row through one task
+    for line in plan.splitlines():
+        if "Window [sum(" in line:
+            raise AssertionError(f"full-vocab total-sum window still present: {line}")
