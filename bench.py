@@ -777,6 +777,29 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
 
         force(_ret.bm25_from_store(spark, "spark-warehouse/bench_postings"))
 
+    # incremental path at a SECOND bucketization (64 vs the write-once
+    # entry's 256): half-corpus build, staged-commit append of the other
+    # half (the replay-guarded batch protocol), then a pruned serve —
+    # the ingest-then-query cycle a live index actually runs
+    @timed("postings_store_append_serve")
+    def _post_a():
+        import shutil
+
+        from spark_indexedrdd_spark.functions import retrieval as _ret
+
+        shutil.rmtree("spark-warehouse/bench_postings_inc", ignore_errors=True)
+        _ret.write_postings_store(
+            docs.where("doc_id % 2 = 0"),
+            "spark-warehouse/bench_postings_inc",
+            n_buckets=64,
+        )
+        _ret.append_postings_batch(
+            docs.where("doc_id % 2 = 1"),
+            "spark-warehouse/bench_postings_inc",
+            batch_tag="bench-b1",
+        )
+        force(_ret.bm25_from_store(spark, "spark-warehouse/bench_postings_inc"))
+
     # --- bucketed persistence: the 100 TB join path ---------------------- #
     # (write once, then every cross-job join is exchange-free; the write
     # is the amortized one-time cost, reported separately)

@@ -67,7 +67,12 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     n_tok = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
     n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
-    n_bpe = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_REGEX), 0))
+    # regexp_count, not size(regexp_extract_all): counting matches
+    # without materializing the match array — the array allocation was
+    # the r7 bench's only >2x-vs-r1 regression (0.21 s -> 0.47 s when
+    # BPE counting was added); both run JVM-side, this one just doesn't
+    # build |matches| strings per document to throw them away
+    n_bpe = F.regexp_count(F.lower(F.col(text_col)), F.lit(BPE_REGEX))
     total_tok_chars = F.aggregate(
         toks, F.lit(0), lambda acc, t: acc + F.length(t)
     )

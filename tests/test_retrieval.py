@@ -115,12 +115,13 @@ def test_tfidf_keywords_rank_contract(docs):
         assert scores == sorted(scores, reverse=True)
 
 
-def test_postings_append_equals_rebuild(spark, docs, tmp_path):
+@pytest.mark.parametrize("n_buckets", [256, 64])
+def test_postings_append_equals_rebuild(spark, docs, tmp_path, n_buckets):
     inc = str(tmp_path / "post_inc")
-    R.write_postings_store(docs.where("doc_id % 2 = 0"), inc)
+    R.write_postings_store(docs.where("doc_id % 2 = 0"), inc, n_buckets=n_buckets)
     R.append_postings_batch(docs.where("doc_id % 2 = 1"), inc)
     full = str(tmp_path / "post_full")
-    R.write_postings_store(docs, full)
+    R.write_postings_store(docs, full, n_buckets=n_buckets)
     a = sorted(map(tuple, R.bm25_from_store(spark, inc).collect()))
     b = sorted(map(tuple, R.bm25_from_store(spark, full).collect()))
     assert a == b
