@@ -76,23 +76,72 @@ def _merge_fold(a: str, b: str) -> Column:
     )
 
 
+def _safe_merge_prefix(
+    top: "list[tuple[str, str, int]]", full_list: bool, budget: int
+) -> "list[tuple[str, str]]":
+    """Longest prefix of the sorted (a, b, count) candidate list that
+    provably equals what merge-at-a-time argmax would pick.
+
+    Applying merge (a, b) -> ab only perturbs pair counts that involve
+    a or b (consumed) or ab (created), and every CREATED pair's count
+    is bounded by an OLD pair's count that shares a symbol with the
+    merge ((prev,ab) <= (prev,a); (ab,next) <= (b,next); (ab,ab) <=
+    (b,a)). So a later candidate is still the true next argmax as long
+    as (1) it is symbol-disjoint from everything applied earlier in
+    the batch — the walk STOPS at the first violation, which also
+    guarantees no higher-ranked pair shared a symbol — and (2) no
+    equal-count pair sharing a symbol with the applied set sits below
+    it, where an equal-count CREATED pair could win the (count DESC,
+    a ASC, b ASC) tie-break. Pairs outside the collected top-M have
+    count <= the list's tail count, so candidates at or below the tail
+    count are only safe when the list is the complete pair table."""
+    merges: "list[tuple[str, str]]" = []
+    used: "set[str]" = set()
+    tail = top[-1][2] if top else 0
+    for i, (a, b, c) in enumerate(top):
+        if len(merges) >= budget or c < 2:
+            break
+        if {a, b} & used:
+            break
+        if merges:
+            if not full_list and c <= tail:
+                break
+            if any(
+                cc == c and ({p, q} & (used | {a, b, a + b}))
+                for p, q, cc in top[i + 1:]
+            ):
+                break
+        merges.append((a, b))
+        used |= {a, b, a + b}
+    return merges
+
+
 def train_bpe(
     df: DataFrame,
     n_merges: int = 20,
     text_col: str = "text",
     checkpoint_every: int = 5,
+    batch_top_m: int = 64,
 ) -> "list[tuple[str, str]]":
     """Learn ``n_merges`` BPE merges from the corpus. Returns the
     ordered merge list [(left, right), ...] — the tokenizer artifact
     (apply with :func:`encode_bpe`). Stops early if no pair occurs
-    twice. Deterministic: (count DESC, left ASC, right ASC) argmax."""
+    twice. Deterministic: (count DESC, left ASC, right ASC) argmax.
+
+    Driver round-trips are amortized: each job collects the top
+    ``batch_top_m`` pairs (KB-sized) and applies the longest
+    provably-argmax-equivalent prefix (:func:`_safe_merge_prefix` —
+    symbol-disjoint, tie-safe), so 1k merges need far fewer than 1k
+    jobs while remaining bit-identical to merge-at-a-time selection
+    (pinned against the plain-Python Sennrich model in tests)."""
     vocab = (
         _word_vocab(df, text_col)
         .select(_char_symbols(F.col("w")).alias("__sym"), "cnt")
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str]] = []
-    for i in range(n_merges):
+    since_ckpt = 0
+    while len(merges) < n_merges:
         pairs = vocab.select(
             F.explode(
                 F.zip_with(
@@ -103,20 +152,30 @@ def train_bpe(
             ).alias("p"),
             "cnt",
         )
-        top = (
-            pairs.groupBy("p")
-            .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.desc("c"), F.asc("p.a"), F.asc("p.b"))
-            .limit(1)
-            .collect()
+        top = [
+            (r["p"]["a"], r["p"]["b"], r["c"])
+            for r in (
+                pairs.groupBy("p")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.desc("c"), F.asc("p.a"), F.asc("p.b"))
+                .limit(batch_top_m)
+                .collect()
+            )
+        ]
+        batch = _safe_merge_prefix(
+            top,
+            full_list=len(top) < batch_top_m,
+            budget=n_merges - len(merges),
         )
-        if not top or top[0]["c"] < 2:
+        if not batch:
             break
-        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
-        merges.append((a, b))
-        vocab = vocab.select(_merge_fold(a, b).alias("__sym"), "cnt")
-        if (i + 1) % checkpoint_every == 0:
+        merges.extend(batch)
+        for a, b in batch:  # disjoint: chained folds == sequential
+            vocab = vocab.select(_merge_fold(a, b).alias("__sym"), "cnt")
+        since_ckpt += len(batch)
+        if since_ckpt >= checkpoint_every:
             vocab = vocab.localCheckpoint(eager=True)
+            since_ckpt = 0
     return merges
 
 

@@ -126,3 +126,19 @@ def test_train_is_deterministic(spark):
         [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
     )
     assert train_bpe(df, n_merges=6) == train_bpe(df, n_merges=6)
+
+
+def test_batched_selection_equals_merge_at_a_time(spark):
+    """The top-M batched driver loop must pick the EXACT sequence the
+    one-merge-per-job argmax picks — including on a tie-heavy corpus
+    where an unsafe batch would reorder merges. batch_top_m=1 is
+    literally the old per-merge loop."""
+    rows = [
+        (1, "aa ab aa ab ba bb"),
+        (2, "cd cd ce de cd"),
+        (3, "aa cd aa cd xyz xyz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seq = train_bpe(df, n_merges=10, batch_top_m=1)
+    bat = train_bpe(df, n_merges=10, batch_top_m=64)
+    assert seq == bat and len(seq) > 0
