@@ -1132,6 +1132,12 @@ _FILL_R8 = (
 # Empty: round-8 debuts are IN the window above.
 PAST_CUTOFF_NEW: tuple = ()
 
+# Round-9 rotation note: once CORRECTNESS_r08 lands, the tripwire will
+# name the r06-green entries this window did NOT re-check (~31: the
+# TPC-H r6 wave q2/q8/q9/q11/q12/q15/q16/q17/q20/q21, the sampling
+# family, span stats, IVF/PQ store tiers, ...). They fit one 50-slot
+# window with ~19 slots to spare for debuts + the oldest r07 entries.
+
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}
 _WINDOW = HORIZON_STALE_R08 + DEBUTS_R8 + _FILL_R8
 
