@@ -357,3 +357,30 @@ def test_write_postings_store_tokenless_corpus(spark, tmp_path):
     with open(os.path.join(p, "meta.json")) as fh:
         meta = json.load(fh)
     assert meta["n_docs"] == 2 and meta["total_dl"] == 0
+
+
+def test_streaming_store_crash_mid_init_reruns_clean(spark, docs, tmp_path):
+    """A crash during first-batch init leaves postings data but no
+    meta.json (meta is the commit marker, written last). A restarted
+    store must see _initialized=False and re-run the overwrite-mode
+    build — serving exactly like a store built once, not doubled."""
+    p = str(tmp_path / "pss_crash")
+    batch = docs.select("doc_id", "text")
+    # simulate the crash: data written, meta never committed
+    st0 = R.StreamingPostingsStore(p)
+    R.write_postings_store(batch, p)
+    os.remove(os.path.join(p, "meta.json"))
+    assert not R.StreamingPostingsStore(p)._initialized
+    # replayed batch 0 re-initializes
+    st1 = R.StreamingPostingsStore(p)
+    st1.foreach_batch(batch, 0)
+    single = str(tmp_path / "pss_crash_single")
+    R.write_postings_store(batch, single)
+    a = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
+    b = sorted(map(tuple, R.bm25_from_store(spark, single).collect()))
+    assert a == b and len(a) > 0
+    # and the replay tag was committed atomically with the init
+    import json as _json
+
+    with open(os.path.join(p, "meta.json")) as fh:
+        assert _json.load(fh)["applied"] == ["0"]
