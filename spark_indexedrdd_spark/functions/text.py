@@ -1208,16 +1208,26 @@ def write_ngram_count_store(
     counts: rows (space 'u'|'g', bucket, c) at ``path/counts`` —
     ≤ 2·n_buckets rows per batch regardless of batch size — plus
     ``path/meta.json`` pinning n_buckets (mixing bucketizations would
-    silently corrupt the model)."""
+    silently corrupt the model). Data first, meta last (atomic tmp +
+    rename): meta's existence is the store's commit marker, so a crash
+    mid-build leaves no half-initialized store — the re-run's
+    overwrite-mode write is idempotent. (Appends stay ledger-free by
+    design: counts are additive and the read merges by SUM, so a
+    replayed batch perturbs the MODEL's counts statistically rather
+    than corrupting serve-path exactness the way non-additive postings
+    replay would — the documented at-least-once trade-off.)"""
     import json
     import os
 
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"n_buckets": int(n_buckets)}, f)
     _store_counts(df, n_buckets, text_col, id_col).write.mode(
         "overwrite"
     ).parquet(path + "/counts")
+    os.makedirs(path, exist_ok=True)
+    meta_path = os.path.join(path, "meta.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_buckets": int(n_buckets)}, f)
+    os.replace(tmp, meta_path)
 
 
 def append_ngram_count_batch(
