@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spark_indexedrdd_spark.core import SUM_MERGE, IndexedDataFrame  # noqa: E402
+from spark_indexedrdd_spark.functions import classifier as _clf  # noqa: E402
 from spark_indexedrdd_spark.functions import dedup as _dedup  # noqa: E402
 from spark_indexedrdd_spark.functions import ivf as _ivf  # noqa: E402
 from spark_indexedrdd_spark.functions import multimodal as _mm  # noqa: E402
@@ -834,6 +835,14 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _docs(s, d), F.col("lang") == "en"
     ),
     "lm_cross_entropy": lambda s, d: _text.lm_cross_entropy(_docs(s, d)),
+    # trained quality filter (r8): distributed fixed-point logistic
+    # regression on hashed n-gram presence features; the weak-supervision
+    # label (docs mentioning 'spark') is recoverable from text, so the
+    # oracle checks that TRAINING ITSELF converged identically (unrolled
+    # GD iterations as chained CTEs) — sf0.001 accuracy 0.96
+    "quality_classifier": lambda s, d: _clf.quality_classifier(
+        _docs(s, d), F.col("text").contains("spark")
+    ),
 }
 
 EXTENSION_ORACLE: dict[str, str] = {
@@ -988,6 +997,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "dsir_select": _text.sql_dsir_select(),
     # in-corpus hashed bigram LM: same determinism playbook
     "lm_cross_entropy": _text.sql_lm_cross_entropy(),
+    "quality_classifier": _clf.sql_quality_classifier(
+        label_sql="contains(text, 'spark')"
+    ),
 }
 
 # Queries with no SQL oracle: the driver records a rows-only check.
@@ -1092,14 +1104,16 @@ HORIZON_STALE_R08 = (
 )
 
 # Round-8 debuts: the last KeySerializer parity holes (Short/Char,
-# reference KeySerializer.scala:82-98) — windowed so they debut WITH
-# driver evidence (r7 convention, never behind the past-cutoff hatch).
+# reference KeySerializer.scala:82-98) plus the trained-quality-filter
+# query — windowed so they debut WITH driver evidence (r7 convention,
+# never behind the past-cutoff hatch).
 DEBUTS_R8 = (
     "short_key_ops",
     "char_key_ops",
+    "quality_classifier",
 )
 
-# Remaining 19 slots: implementation-touched entries first (their code
+# Remaining 18 slots: implementation-touched entries first (their code
 # or oracle changed this round — driver evidence should cover the NEW
 # shape), then the oldest r06-green batch, event-time-leaning first
 # (round-4 lesson). The r06-green entries not re-checked here are the
@@ -1126,17 +1140,19 @@ _FILL_R8 = (
     "remove_duplicate_spans",
     "corpus_span_stats",
     "semantic_dedup",
-    "dedup_pipeline",
+    # dedup_pipeline (r06-green) ceded its slot to the quality_classifier
+    # debut; it rotates with the r9 staleness batch (note below).
 )
 
 # Empty: round-8 debuts are IN the window above.
 PAST_CUTOFF_NEW: tuple = ()
 
 # Round-9 rotation note: once CORRECTNESS_r08 lands, the tripwire will
-# name the r06-green entries this window did NOT re-check (~31: the
+# name the r06-green entries this window did NOT re-check (~32: the
 # TPC-H r6 wave q2/q8/q9/q11/q12/q15/q16/q17/q20/q21, the sampling
-# family, span stats, IVF/PQ store tiers, ...). They fit one 50-slot
-# window with ~19 slots to spare for debuts + the oldest r07 entries.
+# family, span stats, IVF/PQ store tiers, and dedup_pipeline which ceded
+# its r8 slot). They fit one 50-slot window with ~18 slots to spare for
+# debuts + the oldest r07 entries.
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}
 _WINDOW = HORIZON_STALE_R08 + DEBUTS_R8 + _FILL_R8

@@ -609,6 +609,12 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
 
         _text.lm_cross_entropy(docs).count()
 
+    @timed("quality_classifier")
+    def _qclf():
+        from spark_indexedrdd_spark.functions import classifier as _clf
+
+        _clf.quality_classifier(docs, F.col("text").contains("spark")).count()
+
     @timed("event_rate_anomalies")
     def _anom():
         from spark_indexedrdd_spark.operators import analytics as _an

@@ -1,0 +1,347 @@
+"""Learned quality classifier over hashed n-gram features — the
+"trained filter" stage of a web-scale LLM data pipeline (the GPT-3 /
+LLaMA recipe: train a linear classifier that separates a high-quality
+reference slice from raw web text, score every document, keep a
+Pareto-lottery-weighted sample biased toward high scores; Brown et al.
+2020, arXiv:2005.14165 Appendix A). Complements the repo's other
+quality gates: `text.quality_filter` (heuristics), `text.lm_cross_entropy`
+(perplexity), `text.dsir_select` (importance resampling) — this is the
+*discriminatively trained* member of that family.
+
+Reference parity note: the reference KV engine (amplab/spark-indexedrdd)
+has no learned-filter surface; this module is part of the repo's
+training-data-pipeline extension (SURVEY.md §2 extensions), built in the
+same aggregate-shapes as `aggregateUsingIndex` (IndexedRDD.scala:170-186):
+per-key combine then a tiny global state update.
+
+Model: logistic regression on hashed word unigram+bigram features
+(md5-derived bucket ids — the engine-portable hash used by
+`text.dsir_select`), trained with full-batch gradient descent where every
+cross-row reduction is an EXACT integer sum of floor-quantized per-row
+contributions. That makes the learned weights bit-identical across
+engines and run orders, so training itself is hash-checkable against an
+unrolled-CTE DuckDB oracle (the `operators/graph.py` fixed-point
+playbook applied to model training).
+
+Features are BINARY PRESENCE of each bucket (sorted distinct bucket
+list): presence features keep per-feature gradients O(class gap) so
+full-batch GD separates in a handful of iterations, where mean-count
+normalization (x=count/n) shrinks every gradient by 1/doc-length and
+needs hundreds of steps — and the sort fixes one cross-engine fold
+order for the margin sum.
+
+Determinism contract (why every step is engine-exact):
+- bucket ids: first-8-hex-of-md5 mod n_buckets — integer, portable;
+- per-doc margin: LEFT fold over the SORTED distinct bucket list of
+  w[bucket] double adds (F.aggregate / list_reduce — never a grouped
+  float sum, and list_distinct order differences can't leak in);
+- gradient: per-instance contribution floor(g * scale) quantized to
+  BIGINT, summed exactly; floor (not round) because round-half ties
+  break differently across engines, floor is unambiguous;
+- weight update: w  - lr * (grad_sum / (N * scale)) — identical IEEE
+  double ops from identical integer inputs in Python, Spark and DuckDB;
+- last-ulp exp()/pow() divergence only enters through the quantizer,
+  which would need a value within ~1e-11 of an integer to flip — the
+  same accepted risk class as dsir_select's ROUND(9) ln.
+
+Scale (100 TB): training is `iters` passes over a localCheckpoint-ed
+narrow (id, y, buckets) frame — one tokenize+hash scan total; each pass
+is one map-side-combined shuffle of n_buckets-cardinality keys plus an
+n_buckets-row driver collect (same bounded-driver-state pattern as
+`pq.py`'s Lloyd's: n_buckets ≤ 64k ⇒ KBs); the model ships back as a
+broadcast literal array. Scoring is a narrow per-row fold inside the
+scan stage — no shuffle. Gradient-sum overflow budget: |contrib| ≤
+scale, so 2^63 / scale ≈ 9.2e12 gram instances per bucket at the
+default scale=1e6 — above a 100 TB corpus's per-bucket load; lower
+`scale` if buckets are very few and docs very many.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from spark_indexedrdd_spark.functions.text import sql_tokens, tokens
+
+SCALE = 1_000_000  # gradient fixed-point quantum (1e-6 per instance)
+PARETO_ALPHA = 9.0  # GPT-3 Appendix A's np.random.pareto(9) lottery
+
+
+def _bucketize(
+    df: DataFrame,
+    label: Column,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, y, __b) — __b is the SORTED DISTINCT list of md5 buckets of
+    the doc's word unigrams+bigrams (dsir_select's portable feature map,
+    presence-encoded). One pass; callers localCheckpoint so `iters`
+    consumers don't re-hash."""
+    # NULL text = no features (not a NULL score): coalesce before
+    # tokenizing, mirrored in the SQL twin
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    tk = df.select(
+        F.col(id_col),
+        F.coalesce(label, F.lit(False)).cast("int").cast("double").alias("y"),
+        toks.alias("__t"),
+    )
+    t = F.col("__t")
+    pair_len = F.greatest(F.size(t) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(t, 1, pair_len),
+        F.slice(t, 2, pair_len),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = F.concat(t, bigrams)
+    bucket_of = lambda g: (  # noqa: E731 - tiny local expr builder
+        F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).cast("int")
+    return tk.select(
+        F.col(id_col),
+        "y",
+        F.array_sort(F.array_distinct(F.transform(grams, bucket_of))).alias(
+            "__b"
+        ),
+    )
+
+
+def _margin(w: list[float], bias: float) -> Column:
+    """bias + left-fold of w[bucket] over the doc's sorted distinct
+    buckets — the model as a pure JVM expression (w as a literal array;
+    n_buckets doubles, same footprint class as dsir_select's broadcast
+    row)."""
+    warr = F.array(*[F.lit(float(x)) for x in w])
+    return F.lit(float(bias)) + F.aggregate(
+        F.col("__b"),
+        F.lit(0.0),
+        lambda acc, bk: acc + F.element_at(warr, bk + 1),
+    )
+
+
+def train_logreg_hashed(
+    df: DataFrame,
+    label: Column,
+    n_buckets: int = 1024,
+    iters: int = 8,
+    lr: float = 4.0,
+    scale: int = SCALE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "tuple[list[float], float, DataFrame]":
+    """Full-batch gradient descent for logistic regression on hashed
+    n-gram features, every cross-row sum exact-integer (module
+    docstring). Returns ``(weights, bias, features)`` where features is
+    the checkpointed (id, y, __b) frame — reuse it for scoring so the
+    corpus is tokenized exactly once."""
+    feats = _bucketize(df, label, n_buckets, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    n_docs = feats.count()  # exact; also materializes the checkpoint
+    w = [0.0] * n_buckets
+    bias = 0.0
+    for _ in range(int(iters)):
+        g = (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w, bias))) - F.col("y")
+        ).alias("g")
+        per_doc = feats.select(g, "__b")
+        grad = (
+            per_doc.select(
+                F.explode("__b").alias("bucket"),
+                F.floor(F.col("g") * scale).alias("q"),
+            )
+            .groupBy("bucket")
+            .agg(F.sum("q").alias("s"))
+            .collect()
+        )
+        bias_s = per_doc.agg(
+            F.sum(F.floor(F.col("g") * scale)).alias("s")
+        ).collect()[0].s
+        sums = {r.bucket: r.s for r in grad}
+        # identical op order to the SQL twin: w - lr*(s/(N*scale))
+        w = [
+            w[b] - lr * (sums.get(b, 0) / (n_docs * scale))
+            for b in range(n_buckets)
+        ]
+        bias = bias - lr * ((bias_s or 0) / (n_docs * scale))
+    return w, bias, feats
+
+
+def classifier_score(
+    feats: DataFrame, w: list[float], bias: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, clf_score ROUND 9) for a (id, y, __b) features frame — a
+    narrow per-row fold, no shuffle."""
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w, bias)))
+    return feats.select(
+        F.col(id_col), F.round(p, 9).alias("clf_score")
+    )
+
+
+def pareto_keep(
+    score_rounded: Column, id_col: Column, alpha: float = PARETO_ALPHA,
+    seed: int = 42,
+) -> Column:
+    """GPT-3's lottery: keep iff score > 1 - pareto(alpha) draw, with
+    the draw derived deterministically from md5(seed:id) (hash_sample's
+    uniform) so replays/repartitions agree. Inverse-CDF:
+    pareto = (1-u)^(-1/alpha) - 1. Both sides ROUND(9) so engines
+    compare identical doubles."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(seed) + ":"), id_col.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = h / F.lit(float(1 << 32))
+    pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return score_rounded > F.round(F.lit(1.0) - pareto, 9)
+
+
+def quality_classifier(
+    df: DataFrame,
+    label: Column,
+    n_buckets: int = 1024,
+    iters: int = 8,
+    lr: float = 4.0,
+    scale: int = SCALE,
+    alpha: float = PARETO_ALPHA,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end learned filter: train on the in-corpus ``label`` slice
+    (the reference-quality proxy, e.g. lang=='en' — same slice-as-target
+    convention as dsir_select), score every document, attach the Pareto
+    lottery verdict. Output (id, y, clf_score, keep)."""
+    w, bias, feats = train_logreg_hashed(
+        df, label, n_buckets, iters, lr, scale, text_col, id_col
+    )
+    scored = feats.select(
+        F.col(id_col),
+        F.col("y").cast("int").alias("y"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w, bias))), 9
+        ).alias("clf_score"),
+    )
+    return scored.select(
+        id_col,
+        "y",
+        "clf_score",
+        pareto_keep(F.col("clf_score"), F.col(id_col), alpha, seed).alias(
+            "keep"
+        ),
+    )
+
+
+# --------------------------------------------------------------------- #
+# DuckDB oracle: the SAME training unrolled as chained CTEs (one
+# m{i}/grad{i}/w{i} block per GD iteration — the pagerank unrolled-CTE
+# playbook applied to model training).
+# --------------------------------------------------------------------- #
+
+
+def sql_quality_classifier(
+    table: str = "documents",
+    label_sql: str = "lang = 'en'",
+    n_buckets: int = 1024,
+    iters: int = 8,
+    lr: float = 4.0,
+    scale: int = SCALE,
+    alpha: float = PARETO_ALPHA,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Exact DuckDB twin of :func:`quality_classifier`: identical md5
+    buckets, left-fold margins, floor-quantized integer gradient sums,
+    identical IEEE weight updates, ROUND(9) score and lottery."""
+    t = sql_tokens(f"COALESCE({text_col}, '')")
+    lr_f, sc = float(lr), int(scale)
+    blocks = [
+        f"""
+        tk AS (
+            SELECT {id_col},
+                   CAST(CAST(COALESCE({label_sql}, FALSE) AS INT) AS DOUBLE) AS y,
+                   {t} AS t
+            FROM {table}
+        ),
+        base AS MATERIALIZED (
+            SELECT {id_col}, y,
+                   list_sort(list_distinct(list_transform(
+                       list_concat(
+                           t,
+                           list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i + 1])
+                       ),
+                       g -> CAST(('0x' || substr(md5(g), 1, 8))::BIGINT
+                                 % {n_buckets} AS INTEGER)
+                   ))) AS bks
+            FROM tk
+        ),
+        nn AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM base),
+        w0 AS (SELECT (SELECT list(0.0) FROM range({n_buckets})) AS arr,
+                      0.0 AS bias)"""
+    ]
+    for i in range(1, int(iters) + 1):
+        blocks.append(
+            f"""
+        m{i} AS MATERIALIZED (
+            SELECT b.{id_col}, b.y, b.bks,
+                   1.0 / (1.0 + exp(-(
+                       w{i-1}.bias + CASE WHEN len(b.bks) = 0 THEN 0.0
+                           ELSE list_reduce(
+                               list_prepend(0.0,
+                                   list_transform(b.bks,
+                                       bk -> w{i-1}.arr[bk + 1])),
+                               (a, x) -> a + x) END
+                   ))) - b.y AS g
+            FROM base b, w{i-1}
+        ),
+        grad{i} AS MATERIALIZED (
+            SELECT u.bk AS bucket,
+                   SUM(CAST(floor(u.g * {sc}) AS BIGINT)) AS s
+            FROM (SELECT g, unnest(bks) AS bk FROM m{i}) u
+            GROUP BY 1
+        ),
+        w{i} AS MATERIALIZED (
+            SELECT (SELECT list(
+                        w{i-1}.arr[CAST(gr.range AS INTEGER) + 1]
+                        - {lr_f} * (CAST(COALESCE(g2.s, 0) AS DOUBLE)
+                                    / (nn.cnt * {sc}))
+                        ORDER BY gr.range)
+                    FROM range({n_buckets}) gr
+                    LEFT JOIN grad{i} g2 ON g2.bucket = gr.range
+                    CROSS JOIN nn) AS arr,
+                   w{i-1}.bias - {lr_f} * (
+                       CAST(COALESCE((SELECT SUM(CAST(floor(g * {sc}) AS BIGINT))
+                                      FROM m{i}), 0) AS DOUBLE)
+                       / ((SELECT cnt FROM nn) * {sc})) AS bias
+            FROM w{i-1}
+        )"""
+        )
+    T = int(iters)
+    return (
+        "WITH "
+        + ",".join(blocks)
+        + f"""
+        , scored AS (
+            SELECT b.{id_col}, CAST(b.y AS INTEGER) AS y,
+                   ROUND(1.0 / (1.0 + exp(-(
+                       w{T}.bias + CASE WHEN len(b.bks) = 0 THEN 0.0
+                           ELSE list_reduce(
+                               list_prepend(0.0,
+                                   list_transform(b.bks,
+                                       bk -> w{T}.arr[bk + 1])),
+                               (a, x) -> a + x) END
+                   ))), 9) AS clf_score
+            FROM base b, w{T}
+        )
+        SELECT {id_col}, y, clf_score,
+               clf_score > ROUND(1.0 - (POW(1.0 -
+                   CAST(('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) / 4294967296.0,
+                   {-1.0 / float(alpha)!r}) - 1.0), 9) AS keep
+        FROM scored
+        """
+    )

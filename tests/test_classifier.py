@@ -1,0 +1,142 @@
+"""Trained quality classifier (functions/classifier.py): the GD loop's
+fixed-point determinism (exact match vs a pure-Python reference model),
+actual learning (recovers a text-derived label), the DuckDB unrolled-CTE
+oracle, and edge cases (empty text, single-class corpus)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.functions import classifier as C
+from tests.oracle_utils import compare, duck_con
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ #
+# Pure-Python reference: the same model, same fixed-point arithmetic,
+# no Spark — the training loop's ground truth.
+# ------------------------------------------------------------------ #
+
+
+def _py_buckets(text: str, n_buckets: int) -> list[int]:
+    toks = [t for t in text.lower().strip().split() if t]
+    grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    bks = {
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+        for g in grams
+    }
+    return sorted(bks)
+
+
+def _py_train(rows, n_buckets, iters, lr, scale):
+    """rows: [(id, text, y)] -> (w, bias, scores dict)"""
+    feats = [(i, _py_buckets(t, n_buckets), float(y)) for i, t, y in rows]
+    n = len(feats)
+    w, bias = [0.0] * n_buckets, 0.0
+    for _ in range(iters):
+        sums = [0] * n_buckets
+        bias_s = 0
+        for _i, bks, y in feats:
+            m = bias
+            for b in bks:
+                m = m + w[b]
+            g = 1.0 / (1.0 + math.exp(-m)) - y
+            q = math.floor(g * scale)
+            bias_s += q
+            for b in bks:
+                sums[b] += q
+        w = [w[b] - lr * (sums[b] / (n * scale)) for b in range(n_buckets)]
+        bias = bias - lr * (bias_s / (n * scale))
+    scores = {}
+    for i, bks, _y in feats:
+        m = bias
+        for b in bks:
+            m = m + w[b]
+        scores[i] = round(1.0 / (1.0 + math.exp(-m)), 9)
+    return w, bias, scores
+
+
+def test_training_matches_python_reference_exactly(spark):
+    """The distributed GD loop's weights/bias/scores are bit-identical
+    to the sequential Python model — proof the integer-quantized
+    gradient makes training order-free."""
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet").limit(200)
+    rows = [
+        (r.doc_id, r.text, 1 if "spark" in r.text else 0)
+        for r in docs.select("doc_id", "text").collect()
+    ]
+    nb, it, lr = 256, 4, 4.0
+    w_py, b_py, scores_py = _py_train(rows, nb, it, lr, C.SCALE)
+    w_sp, b_sp, feats = C.train_logreg_hashed(
+        docs, F.col("text").contains("spark"), n_buckets=nb, iters=it, lr=lr
+    )
+    assert b_sp == b_py
+    assert w_sp == w_py
+    got = {
+        r.doc_id: r.clf_score
+        for r in C.classifier_score(feats, w_sp, b_sp).collect()
+    }
+    assert got == scores_py
+
+
+def test_learns_text_derived_label(spark):
+    """With a label recoverable from text, defaults reach >0.9 accuracy
+    and the two classes' mean scores separate widely — the filter
+    actually filters."""
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    pdf = C.quality_classifier(
+        docs, F.col("text").contains("spark")
+    ).toPandas()
+    acc = ((pdf.clf_score > 0.5).astype(int) == pdf.y).mean()
+    assert acc > 0.9
+    means = pdf.groupby("y")["clf_score"].mean()
+    assert means[1] - means[0] > 0.5
+    # the Pareto lottery keeps a score-biased, non-trivial subset
+    assert 0.0 < pdf.keep.mean() < 1.0
+    assert pdf.loc[pdf.keep, "clf_score"].mean() > pdf.clf_score.mean()
+
+
+def test_oracle_parity(spark):
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    df = C.quality_classifier(docs, F.col("text").contains("spark"))
+    rep = compare(
+        df,
+        C.sql_quality_classifier(label_sql="contains(text, 'spark')"),
+        duck_con(SF_DIR),
+    )
+    assert rep["ok"], rep["issues"]
+
+
+def test_empty_and_null_text_score_at_bias(spark):
+    """Token-less docs have no features: their score is sigmoid(bias),
+    identical for all of them, and training doesn't crash on them."""
+    docs = spark.createDataFrame(
+        [(1, "spark spark good", 1), (2, "", 0), (3, None, 0), (4, "bad doc", 0)],
+        "doc_id long, text string, y int",
+    )
+    w, bias, feats = C.train_logreg_hashed(
+        docs, F.col("y") == 1, n_buckets=32, iters=2, lr=1.0
+    )
+    scores = {
+        r.doc_id: r.clf_score for r in C.classifier_score(feats, w, bias).collect()
+    }
+    assert scores[2] == scores[3] == round(1.0 / (1.0 + math.exp(-bias)), 9)
+
+
+def test_single_class_corpus_converges_to_base_rate(spark):
+    """All-positive labels: no gradient signal beyond the bias, which
+    walks toward +inf logit; scores stay in (0, 1] and uniform buckets
+    never crash the grid join."""
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} text", 1) for i in range(10)],
+        "doc_id long, text string, y int",
+    )
+    pdf = C.quality_classifier(
+        docs, F.col("y") == 1, n_buckets=32, iters=3, lr=1.0
+    ).toPandas()
+    assert (pdf.clf_score > 0.5).all()
+    assert (pdf.y == 1).all()
