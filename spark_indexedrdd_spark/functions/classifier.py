@@ -140,24 +140,30 @@ def train_logreg_hashed(
     n_docs = feats.count()  # exact; also materializes the checkpoint
     w = [0.0] * n_buckets
     bias = 0.0
+    if n_docs == 0:  # empty corpus: zero model, no 0-division in updates
+        return w, bias, feats
     for _ in range(int(iters)):
         g = (
             F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w, bias))) - F.col("y")
         ).alias("g")
-        per_doc = feats.select(g, "__b")
+        # ONE job per iteration: with presence features every bucket's
+        # per-doc contribution IS the bias contribution floor(g*scale),
+        # so the bias gradient rides the same explode+sum as sentinel
+        # bucket -1 instead of paying a second corpus scan
         grad = (
-            per_doc.select(
-                F.explode("__b").alias("bucket"),
+            feats.select(g, "__b")
+            .select(
+                F.explode(
+                    F.concat(F.col("__b"), F.array(F.lit(-1)))
+                ).alias("bucket"),
                 F.floor(F.col("g") * scale).alias("q"),
             )
             .groupBy("bucket")
             .agg(F.sum("q").alias("s"))
             .collect()
         )
-        bias_s = per_doc.agg(
-            F.sum(F.floor(F.col("g") * scale)).alias("s")
-        ).collect()[0].s
         sums = {r.bucket: r.s for r in grad}
+        bias_s = sums.pop(-1, 0)
         # identical op order to the SQL twin: w - lr*(s/(N*scale))
         w = [
             w[b] - lr * (sums.get(b, 0) / (n_docs * scale))

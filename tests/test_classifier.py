@@ -127,6 +127,17 @@ def test_empty_and_null_text_score_at_bias(spark):
     assert scores[2] == scores[3] == round(1.0 / (1.0 + math.exp(-bias)), 9)
 
 
+def test_empty_corpus_returns_zero_model(spark):
+    """Training on zero documents returns the zero model instead of a
+    division-by-zero; scoring an empty features frame is empty."""
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    w, bias, feats = C.train_logreg_hashed(
+        docs, F.lit(True), n_buckets=16, iters=2, lr=1.0
+    )
+    assert w == [0.0] * 16 and bias == 0.0
+    assert C.classifier_score(feats, w, bias).count() == 0
+
+
 def test_single_class_corpus_converges_to_base_rate(spark):
     """All-positive labels: no gradient signal beyond the bias, which
     walks toward +inf logit; scores stay in (0, 1] and uniform buckets
