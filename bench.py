@@ -615,6 +615,30 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
 
         _clf.quality_classifier(docs, F.col("text").contains("spark")).count()
 
+    # train-once cost vs the per-ingest-batch serve cost (the 100 TB
+    # deployment shape: the model trains on a reference slice, every
+    # crawl batch pays only the narrow scoring scan)
+    @timed("classifier_model_write_once")
+    def _qclf_store_w():
+        import shutil
+
+        from spark_indexedrdd_spark.functions import classifier as _clf
+
+        shutil.rmtree("spark-warehouse/bench_clf_model", ignore_errors=True)
+        _clf.train_and_write_classifier(
+            docs.where("doc_id % 2 = 0"),
+            F.col("text").contains("spark"),
+            "spark-warehouse/bench_clf_model",
+        )
+
+    @timed("classifier_score_from_store")
+    def _qclf_store_r():
+        from spark_indexedrdd_spark.functions import classifier as _clf
+
+        _clf.classifier_score_from_store(
+            docs.where("doc_id % 2 = 1"), "spark-warehouse/bench_clf_model"
+        ).count()
+
     @timed("event_rate_anomalies")
     def _anom():
         from spark_indexedrdd_spark.operators import analytics as _an

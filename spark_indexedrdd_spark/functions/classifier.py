@@ -242,6 +242,100 @@ def quality_classifier(
 
 
 # --------------------------------------------------------------------- #
+# Persisted model store: train once on the reference corpus, score every
+# later ingest batch without retraining (the store twin every operator
+# family ships). The model is n_buckets+1 doubles — KBs — so the store
+# is a tiny parquet plus the repo's data-first/meta-last commit marker.
+# --------------------------------------------------------------------- #
+
+
+def write_classifier_model(
+    spark,
+    w: list[float],
+    bias: float,
+    path: str,
+) -> None:
+    """Persist (weights, bias): weights at ``path/weights`` (bucket, w
+    rows), then ``path/meta.json`` (bias + n_buckets) atomically LAST —
+    meta's existence is the commit marker, so a crash mid-write leaves
+    no half-published model and the re-run's overwrite is idempotent
+    (same discipline as the n-gram count store)."""
+    import json
+    import os
+
+    spark.createDataFrame(
+        [(b, float(x)) for b, x in enumerate(w)], "bucket int, w double"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/weights")
+    os.makedirs(path, exist_ok=True)
+    meta_path = os.path.join(path, "meta.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"bias": float(bias), "n_buckets": len(w)}, f)
+    os.replace(tmp, meta_path)
+
+
+def read_classifier_model(spark, path: str) -> "tuple[list[float], float]":
+    """(weights, bias) back as driver-side values — the model is
+    n_buckets doubles, the same bounded state it was at training."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    rows = spark.read.parquet(path + "/weights").collect()
+    w = [0.0] * int(meta["n_buckets"])
+    for r in rows:
+        w[r.bucket] = float(r.w)
+    return w, float(meta["bias"])
+
+
+def train_and_write_classifier(
+    df: DataFrame,
+    label: Column,
+    path: str,
+    n_buckets: int = 1024,
+    iters: int = 8,
+    lr: float = 4.0,
+    scale: int = SCALE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "tuple[list[float], float]":
+    """Convenience: train on the reference corpus and publish the model."""
+    w, bias, _feats = train_logreg_hashed(
+        df, label, n_buckets, iters, lr, scale, text_col, id_col
+    )
+    write_classifier_model(df.sparkSession, w, bias, path)
+    return w, bias
+
+
+def classifier_score_from_store(
+    df: DataFrame,
+    path: str,
+    alpha: float = PARETO_ALPHA,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score an INCREMENTAL ingest batch under the PERSISTED model —
+    the quality gate a 100 TB pipeline applies per crawl batch without
+    retraining. n_buckets comes from the store's meta (never the
+    caller: mixing bucketizations would silently mis-route features).
+    One narrow scan, no shuffle; scores equal the in-plan
+    :func:`classifier_score` on the same docs exactly (pytest-pinned).
+    Output (id, clf_score, keep)."""
+    spark = df.sparkSession
+    w, bias = read_classifier_model(spark, path)
+    feats = _bucketize(df, F.lit(False), len(w), text_col, id_col)
+    return classifier_score(feats, w, bias, id_col).select(
+        id_col,
+        "clf_score",
+        pareto_keep(F.col("clf_score"), F.col(id_col), alpha, seed).alias(
+            "keep"
+        ),
+    )
+
+
+# --------------------------------------------------------------------- #
 # DuckDB oracle: the SAME training unrolled as chained CTEs (one
 # m{i}/grad{i}/w{i} block per GD iteration — the pagerank unrolled-CTE
 # playbook applied to model training).

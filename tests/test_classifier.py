@@ -138,6 +138,39 @@ def test_empty_corpus_returns_zero_model(spark):
     assert C.classifier_score(feats, w, bias).count() == 0
 
 
+def test_model_store_roundtrip_scores_exactly(spark, tmp_path):
+    """Persisted model scores an ingest batch exactly like the in-plan
+    model (train once, gate every later batch); crash-before-meta
+    leaves no readable store."""
+    import os
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    train = docs.where("doc_id % 2 = 0")
+    batch = docs.where("doc_id % 2 = 1")
+    path = str(tmp_path / "clf_model")
+    w, bias = C.train_and_write_classifier(
+        train, F.col("text").contains("spark"), path, n_buckets=256, iters=4
+    )
+    w2, b2 = C.read_classifier_model(spark, path)
+    assert w2 == w and b2 == bias
+    feats = C._bucketize(batch, F.lit(False), 256, "text", "doc_id")
+    inplan = {
+        r.doc_id: r.clf_score
+        for r in C.classifier_score(feats, w, bias).collect()
+    }
+    stored = {
+        r.doc_id: (r.clf_score, r.keep)
+        for r in C.classifier_score_from_store(batch, path).collect()
+    }
+    assert {k: v[0] for k, v in stored.items()} == inplan
+    # weights written but meta missing = uncommitted store
+    os.remove(os.path.join(path, "meta.json"))
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        C.read_classifier_model(spark, path)
+
+
 def test_single_class_corpus_converges_to_base_rate(spark):
     """All-positive labels: no gradient signal beyond the bias, which
     walks toward +inf logit; scores stay in (0, 1] and uniform buckets
