@@ -308,6 +308,73 @@ def train_and_write_classifier(
     return w, bias
 
 
+class StreamingClassifierGate:
+    """foreachBatch quality gate — the streaming twin every store
+    family ships: each micro-batch of documents is scored under the
+    PERSISTED model (no retraining, no read of other batches) and its
+    verdicts land at ``out_path/batch_id=N`` with mode=overwrite, so an
+    at-least-once REPLAY of batch N overwrites its own directory
+    instead of duplicating verdicts (streaming/monitor.py's idempotent
+    foreachBatch discipline). Model weights load once per gate
+    instance — n_buckets+1 doubles, not per-batch I/O."""
+
+    def __init__(
+        self,
+        model_path: str,
+        out_path: str,
+        alpha: float = PARETO_ALPHA,
+        seed: int = 42,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        self.model_path = model_path
+        self.out_path = out_path
+        self.alpha = alpha
+        self.seed = seed
+        self.text_col = text_col
+        self.id_col = id_col
+        self._model: "tuple[list[float], float] | None" = None
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if self._model is None:
+            self._model = read_classifier_model(
+                batch_df.sparkSession, self.model_path
+            )
+        w, bias = self._model
+        feats = _bucketize(
+            batch_df, F.lit(False), len(w), self.text_col, self.id_col
+        )
+        verdicts = classifier_score(feats, w, bias, self.id_col).select(
+            self.id_col,
+            "clf_score",
+            pareto_keep(
+                F.col("clf_score"),
+                F.col(self.id_col),
+                self.alpha,
+                self.seed,
+            ).alias("keep"),
+        )
+        verdicts.write.mode("overwrite").parquet(
+            f"{self.out_path}/batch_id={batch_id}"
+        )
+
+    def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
+        return (
+            stream_df.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.foreach_batch)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+
+def read_gate_verdicts(spark, path: str) -> DataFrame:
+    """All gate verdicts with their batch_id partition column."""
+    return spark.read.option("basePath", path).parquet(path)
+
+
 def classifier_score_from_store(
     df: DataFrame,
     path: str,

@@ -171,6 +171,65 @@ def test_model_store_roundtrip_scores_exactly(spark, tmp_path):
         C.read_classifier_model(spark, path)
 
 
+def test_streaming_gate_matches_store_scoring_and_replays_idempotent(
+    spark, tmp_path
+):
+    """The foreachBatch gate's verdicts equal classifier_score_from_store
+    over the same docs, a REPLAYED batch changes nothing (batch_id-keyed
+    overwrite), and empty batches are no-ops."""
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    model = str(tmp_path / "gate_model")
+    out = str(tmp_path / "gate_out")
+    C.train_and_write_classifier(
+        docs.where("doc_id < 250"),
+        F.col("text").contains("spark"),
+        model,
+        n_buckets=256,
+        iters=4,
+    )
+    b1 = docs.where("doc_id >= 250 AND doc_id < 350")
+    b2 = docs.where("doc_id >= 350")
+    gate = C.StreamingClassifierGate(model, out)
+    gate.foreach_batch(b1, 0)
+    gate.foreach_batch(b2, 1)
+    gate.foreach_batch(docs.limit(0), 2)  # empty: no-op, no directory
+
+    got = {
+        r.doc_id: (r.clf_score, r.keep)
+        for r in C.read_gate_verdicts(spark, out).collect()
+    }
+    want = {
+        r.doc_id: (r.clf_score, r.keep)
+        for r in C.classifier_score_from_store(
+            docs.where("doc_id >= 250"), model
+        ).collect()
+    }
+    assert got == want
+
+    gate.foreach_batch(b1, 0)  # at-least-once replay of batch 0
+    again = {
+        r.doc_id: (r.clf_score, r.keep)
+        for r in C.read_gate_verdicts(spark, out).collect()
+    }
+    assert again == want
+    assert C.read_gate_verdicts(spark, out).count() == len(want)
+
+
+def test_score_from_store_is_shuffle_free(spark, tmp_path):
+    """Serving is a narrow per-row fold: zero exchanges in the plan."""
+    from spark_indexedrdd_spark.plans import explain as X
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    model = str(tmp_path / "plan_model")
+    C.train_and_write_classifier(
+        docs.limit(100), F.col("text").contains("spark"), model,
+        n_buckets=64, iters=2,
+    )
+    served = C.classifier_score_from_store(docs, model)
+    plan = X.physical_plan(served)
+    assert X.count_exchanges(plan) == 0, plan
+
+
 def test_single_class_corpus_converges_to_base_rate(spark):
     """All-positive labels: no gradient signal beyond the bias, which
     walks toward +inf logit; scores stay in (0, 1] and uniform buckets
