@@ -83,6 +83,38 @@ def test_training_matches_python_reference_exactly(spark):
     assert got == scores_py
 
 
+def test_unicode_and_quote_tokens_match_python_reference(spark):
+    """Non-ASCII tokens and quote characters flow through md5 hashing
+    identically in Spark (UTF-8 binary md5) and the Python reference —
+    the byte-level contract the DuckDB twin also relies on."""
+    rows = [
+        (1, "héllo wörld héllo", 1),
+        (2, "日本語 テキスト 日本語", 0),
+        (3, "it's a \"quoted\" token — em—dash", 1),
+        (4, "emoji 🙂 token 🙂 twice", 0),
+        (5, "MiXeD CaSe TOKENS mixed case tokens", 1),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    labels = {i: y for i, t, y in rows}
+    lab = F.col("doc_id").isin([i for i, _, y in rows if y == 1])
+    nb, it, lr = 64, 3, 2.0
+    w_py, b_py, scores_py = _py_train(
+        [(i, t, y) for i, t, y in rows], nb, it, lr, C.SCALE
+    )
+    w_sp, b_sp, feats = C.train_logreg_hashed(
+        docs, lab, n_buckets=nb, iters=it, lr=lr
+    )
+    assert (w_sp, b_sp) == (w_py, b_py)
+    got = {
+        r.doc_id: r.clf_score
+        for r in C.classifier_score(feats, w_sp, b_sp).collect()
+    }
+    assert got == scores_py
+    assert set(got) == set(labels)
+
+
 def test_learns_text_derived_label(spark):
     """With a label recoverable from text, defaults reach >0.9 accuracy
     and the two classes' mean scores separate widely — the filter
