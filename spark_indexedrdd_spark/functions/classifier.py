@@ -77,6 +77,8 @@ def _bucketize(
     the doc's word unigrams+bigrams (dsir_select's portable feature map,
     presence-encoded). One pass; callers localCheckpoint so `iters`
     consumers don't re-hash."""
+    if n_buckets < 1:  # % 0 would yield NULL buckets, not an error
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     # NULL text = no features (not a NULL score): coalesce before
     # tokenizing, mirrored in the SQL twin
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))

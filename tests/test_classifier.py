@@ -83,6 +83,55 @@ def test_training_matches_python_reference_exactly(spark):
     assert got == scores_py
 
 
+def test_training_matches_python_reference_on_random_corpora(spark):
+    """Property: for arbitrary small corpora (arbitrary token soups,
+    arbitrary label assignments, varying hyperparameters) the
+    distributed trainer equals the sequential Python model EXACTLY —
+    weights, bias, and scores. This is the fixed-point determinism
+    claim quantified over inputs, not one corpus."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    token = st.text(
+        alphabet="abcxyz0é日'\"", min_size=1, max_size=4
+    ).map(lambda s: s.strip()).filter(bool)
+    doc = st.lists(token, min_size=0, max_size=12).map(" ".join)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        texts=st.lists(doc, min_size=1, max_size=8),
+        labels=st.lists(st.booleans(), min_size=8, max_size=8),
+        nb=st.sampled_from([16, 64]),
+        it=st.integers(min_value=1, max_value=3),
+        lr=st.sampled_from([1.0, 4.0]),
+    )
+    def check(texts, labels, nb, it, lr):
+        rows = [
+            (i, t, int(labels[i])) for i, t in enumerate(texts)
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t, _ in rows], "doc_id long, text string"
+        )
+        pos = [i for i, _, y in rows if y]
+        lab = F.col("doc_id").isin(pos) if pos else F.lit(False)
+        w_py, b_py, scores_py = _py_train(rows, nb, it, lr, C.SCALE)
+        w_sp, b_sp, feats = C.train_logreg_hashed(
+            docs, lab, n_buckets=nb, iters=it, lr=lr
+        )
+        assert (w_sp, b_sp) == (w_py, b_py)
+        got = {
+            r.doc_id: r.clf_score
+            for r in C.classifier_score(feats, w_sp, b_sp).collect()
+        }
+        assert got == scores_py
+
+    check()
+
+
 def test_unicode_and_quote_tokens_match_python_reference(spark):
     """Non-ASCII tokens and quote characters flow through md5 hashing
     identically in Spark (UTF-8 binary md5) and the Python reference —
