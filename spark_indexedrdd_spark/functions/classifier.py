@@ -38,8 +38,10 @@ Determinism contract (why every step is engine-exact):
 - gradient: per-instance contribution floor(g * scale) quantized to
   BIGINT, summed exactly; floor (not round) because round-half ties
   break differently across engines, floor is unambiguous;
-- weight update: w  - lr * (grad_sum / (N * scale)) — identical IEEE
-  double ops from identical integer inputs in Python, Spark and DuckDB;
+- weight update: w - lr * (grad_sum / (N * scale)) with each division
+  operand cast to double FIRST (DuckDB's semantics) — identical IEEE
+  ops from identical integer inputs even past 2^53, where Python's
+  native int/int (correctly-rounded rational) would diverge;
 - last-ulp exp()/pow() divergence only enters through the quantizer,
   which would need a value within ~1e-11 of an integer to flip — the
   same accepted risk class as dsir_select's ROUND(9) ln.
@@ -166,13 +168,36 @@ def train_logreg_hashed(
         )
         sums = {r.bucket: r.s for r in grad}
         bias_s = sums.pop(-1, 0)
-        # identical op order to the SQL twin: w - lr*(s/(N*scale))
+        # identical op order to the SQL twin: w - lr*(s/(N*scale)),
+        # with BOTH operands cast to double BEFORE dividing — DuckDB's
+        # CAST(s AS DOUBLE)/(cnt*sc) rounds each side to double first,
+        # while Python's int/int is correctly-rounded rational
+        # division; they agree only below 2^53, and N*scale exceeds
+        # that within this module's own 100 TB ambitions
+        denom = float(n_docs * scale)
         w = [
-            w[b] - lr * (sums.get(b, 0) / (n_docs * scale))
+            w[b] - lr * (float(sums.get(b, 0)) / denom)
             for b in range(n_buckets)
         ]
-        bias = bias - lr * ((bias_s or 0) / (n_docs * scale))
+        bias = bias - lr * (float(bias_s or 0) / denom)
     return w, bias, feats
+
+
+def _score_col(w: list[float], bias: float) -> Column:
+    """ROUND(9) sigmoid of the margin — THE scoring expression; the
+    single source of truth the SQL twin mirrors."""
+    return F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w, bias))), 9
+    )
+
+
+def _attach_keep(
+    scored: DataFrame, id_col: str, alpha: float, seed: int
+) -> DataFrame:
+    """Append the Pareto-lottery ``keep`` verdict to a scored frame."""
+    return scored.withColumn(
+        "keep", pareto_keep(F.col("clf_score"), F.col(id_col), alpha, seed)
+    )
 
 
 def classifier_score(
@@ -180,9 +205,8 @@ def classifier_score(
 ) -> DataFrame:
     """(id, clf_score ROUND 9) for a (id, y, __b) features frame — a
     narrow per-row fold, no shuffle."""
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w, bias)))
     return feats.select(
-        F.col(id_col), F.round(p, 9).alias("clf_score")
+        F.col(id_col), _score_col(w, bias).alias("clf_score")
     )
 
 
@@ -229,18 +253,9 @@ def quality_classifier(
     scored = feats.select(
         F.col(id_col),
         F.col("y").cast("int").alias("y"),
-        F.round(
-            F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w, bias))), 9
-        ).alias("clf_score"),
+        _score_col(w, bias).alias("clf_score"),
     )
-    return scored.select(
-        id_col,
-        "y",
-        "clf_score",
-        pareto_keep(F.col("clf_score"), F.col(id_col), alpha, seed).alias(
-            "keep"
-        ),
-    )
+    return _attach_keep(scored, id_col, alpha, seed)
 
 
 # --------------------------------------------------------------------- #
@@ -259,31 +274,26 @@ def write_classifier_model(
 ) -> None:
     """Persist (weights, bias): weights at ``path/weights`` (bucket, w
     rows), then ``path/meta.json`` (bias + n_buckets) atomically LAST —
-    meta's existence is the commit marker, so a crash mid-write leaves
-    no half-published model and the re-run's overwrite is idempotent
-    (same discipline as the n-gram count store)."""
-    import json
-    import os
+    meta's existence is the commit marker. A rebuild over an existing
+    store retracts the old meta FIRST, so a crash at any point leaves
+    either no marker (clearly uncommitted; re-run rebuilds) or a fully
+    committed model — never the old meta over half-overwritten weights
+    (store_commit module docstring)."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
 
+    SC.retract_meta(path)
     spark.createDataFrame(
         [(b, float(x)) for b, x in enumerate(w)], "bucket int, w double"
     ).coalesce(1).write.mode("overwrite").parquet(path + "/weights")
-    os.makedirs(path, exist_ok=True)
-    meta_path = os.path.join(path, "meta.json")
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"bias": float(bias), "n_buckets": len(w)}, f)
-    os.replace(tmp, meta_path)
+    SC.commit_meta(path, {"bias": float(bias), "n_buckets": len(w)})
 
 
 def read_classifier_model(spark, path: str) -> "tuple[list[float], float]":
     """(weights, bias) back as driver-side values — the model is
     n_buckets doubles, the same bounded state it was at training."""
-    import json
-    import os
+    from spark_indexedrdd_spark.functions import store_commit as SC
 
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
+    meta = SC.read_meta(path)
     rows = spark.read.parquet(path + "/weights").collect()
     w = [0.0] * int(meta["n_buckets"])
     for r in rows:
@@ -348,15 +358,11 @@ class StreamingClassifierGate:
         feats = _bucketize(
             batch_df, F.lit(False), len(w), self.text_col, self.id_col
         )
-        verdicts = classifier_score(feats, w, bias, self.id_col).select(
+        verdicts = _attach_keep(
+            classifier_score(feats, w, bias, self.id_col),
             self.id_col,
-            "clf_score",
-            pareto_keep(
-                F.col("clf_score"),
-                F.col(self.id_col),
-                self.alpha,
-                self.seed,
-            ).alias("keep"),
+            self.alpha,
+            self.seed,
         )
         verdicts.write.mode("overwrite").parquet(
             f"{self.out_path}/batch_id={batch_id}"
@@ -395,12 +401,8 @@ def classifier_score_from_store(
     spark = df.sparkSession
     w, bias = read_classifier_model(spark, path)
     feats = _bucketize(df, F.lit(False), len(w), text_col, id_col)
-    return classifier_score(feats, w, bias, id_col).select(
-        id_col,
-        "clf_score",
-        pareto_keep(F.col("clf_score"), F.col(id_col), alpha, seed).alias(
-            "keep"
-        ),
+    return _attach_keep(
+        classifier_score(feats, w, bias, id_col), id_col, alpha, seed
     )
 
 

@@ -472,25 +472,26 @@ def write_postings_store(
     stats = df.select(
         F.size(tokens(F.col(text_col))).cast("long").alias("dl")
     ).agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
-    # data first, meta last: the atomic meta rewrite is the commit
-    # point, so a crash mid-write leaves no meta.json and the whole
-    # build simply re-runs (the overwrite mode makes that idempotent)
+    # retract (rebuild case) -> data -> atomic meta commit: a crash at
+    # any point leaves the store clearly uncommitted, never the OLD
+    # meta standing over half-overwritten postings; the re-run's
+    # overwrite-mode build is idempotent (store_commit docstring)
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    SC.retract_meta(path)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         path + "/postings"
     )
-    os.makedirs(path, exist_ok=True)
-    meta = {
-        "n_docs": int(stats["n"] or 0),
-        "total_dl": int(stats["s"] or 0),
-        "n_buckets": int(n_buckets),
-        "id_col": id_col,
-        "applied": [str(t) for t in applied_tags],
-    }
-    meta_path = os.path.join(path, "meta.json")
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, meta_path)
+    SC.commit_meta(
+        path,
+        {
+            "n_docs": int(stats["n"] or 0),
+            "total_dl": int(stats["s"] or 0),
+            "n_buckets": int(n_buckets),
+            "id_col": id_col,
+            "applied": [str(t) for t in applied_tags],
+        },
+    )
 
 
 def append_postings_batch(
@@ -519,7 +520,16 @@ def append_postings_batch(
     tag unrecorded, and the replay first deletes any half-moved
     ``batch-<tag>-*`` files before re-applying, so re-delivery of an
     uncommitted batch is exact, not just at-least-once. Without a tag
-    the append is direct (non-replayable; callers own dedup)."""
+    the append is direct (non-replayable; callers own dedup).
+
+    The commit point fences the WRITE path only: a concurrent
+    ``bm25_from_store`` reader in the window between the file publish
+    and the meta rewrite scans the new rows with the pre-batch
+    n_docs/total_dl (slightly stale scores, single-writer assumed) —
+    the same read-uncommitted window any in-place file layout has. The
+    100 TB deployment noted in :func:`_publish_staged` closes it too:
+    a manifest-pointer commit makes readers resolve the file LIST and
+    the stats from one atomic pointer."""
     meta_path = os.path.join(path, "meta.json")
     with open(meta_path) as fh:
         meta = json.load(fh)
@@ -552,28 +562,32 @@ def append_postings_batch(
     meta["total_dl"] = int(meta["total_dl"]) + int(stats["s"] or 0)
     if batch_tag is not None:
         applied.append(batch_tag)
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, meta_path)  # <-- commit point
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    SC.commit_meta(path, meta)  # <-- commit point
     if batch_tag is not None:
         _cleanup_staging(path, batch_tag)
     return True
 
 
 def _sweep_batch_files(path: str, batch_tag: str) -> None:
-    """Delete any ``batch-<tag>-*`` files under postings/ — the undo
-    step that makes re-publishing a crashed (uncommitted) batch exact."""
+    """Delete exactly this tag's ``batch-<tag>-NNNNN.parquet`` files
+    under postings/ — the undo step that makes re-publishing a crashed
+    (uncommitted) batch exact. Exact-name match, NOT a string prefix:
+    tags are caller-supplied, and a prefix sweep for tag ``b1`` would
+    also delete another COMMITTED tag ``b1-2``'s files."""
+    import re
+
     root = os.path.join(path, "postings")
     if not os.path.isdir(root):
         return
-    prefix = f"batch-{batch_tag}-"
+    pat = re.compile(rf"^batch-{re.escape(batch_tag)}-\d+\.parquet$")
     for d in os.listdir(root):
         bdir = os.path.join(root, d)
         if not (d.startswith("bucket=") and os.path.isdir(bdir)):
             continue
         for f in os.listdir(bdir):
-            if f.startswith(prefix):
+            if pat.fullmatch(f):
                 os.remove(os.path.join(bdir, f))
 
 

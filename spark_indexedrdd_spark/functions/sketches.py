@@ -445,12 +445,12 @@ def quantile_drift(
         )
 
     # a store built from zero rows holds a zero-item KLL buffer, which
-    # get_quantile rejects deep in the JVM — surface a clear error
-    # instead (n_rows is the store's own exact count column)
-    if (
-        spark.read.parquet(path_a).agg(F.sum("n_rows")).first()[0] or 0
-    ) == 0:
-        raise ValueError(f"sketch store at {path_a} holds no sketches")
+    # get_quantile/get_rank reject deep in the JVM — surface a clear
+    # error for EITHER side instead (n_rows is the store's own exact
+    # count column)
+    for p in (path_a, path_b):
+        if (spark.read.parquet(p).agg(F.sum("n_rows")).first()[0] or 0) == 0:
+            raise ValueError(f"sketch store at {p} holds no sketches")
     grid_row = (
         kll_of(path_a, "g", [])
         .select(

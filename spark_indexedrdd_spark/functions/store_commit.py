@@ -1,0 +1,46 @@
+"""Shared data-first / meta-last commit protocol for the persisted
+stores (postings, n-gram counts, classifier model): ``meta.json``'s
+existence is the store's commit marker, published atomically AFTER the
+data lands.
+
+The subtlety this module exists to centralize: on a REBUILD over an
+existing store the old committed meta must be retracted BEFORE the
+overwrite-mode data write starts — otherwise a crash mid-rebuild leaves
+the old meta.json standing over half-overwritten data, i.e. a store
+that *looks* committed but is corrupt. retract → write data → commit
+restores the invariant "a crash anywhere leaves either the old
+committed store gone (clearly uncommitted) or the new one fully
+committed"; the re-run is idempotent either way.
+
+(sources/versioned.py keeps its own manifest format — a version LEDGER,
+not a single commit marker — and is not a client of this module.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def read_meta(path: str) -> dict:
+    """Load the committed meta; FileNotFoundError = uncommitted store."""
+    with open(os.path.join(path, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def commit_meta(path: str, meta: dict) -> None:
+    """Atomically publish ``meta.json`` — the commit point."""
+    os.makedirs(path, exist_ok=True)
+    meta_path = os.path.join(path, "meta.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+
+
+def retract_meta(path: str) -> None:
+    """Unlink the commit marker before rebuilding over an existing
+    store (module docstring). No-op on a fresh path."""
+    p = os.path.join(path, "meta.json")
+    if os.path.exists(p):
+        os.remove(p)

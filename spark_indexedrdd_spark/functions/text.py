@@ -1208,26 +1208,24 @@ def write_ngram_count_store(
     counts: rows (space 'u'|'g', bucket, c) at ``path/counts`` —
     ≤ 2·n_buckets rows per batch regardless of batch size — plus
     ``path/meta.json`` pinning n_buckets (mixing bucketizations would
-    silently corrupt the model). Data first, meta last (atomic tmp +
-    rename): meta's existence is the store's commit marker, so a crash
-    mid-build leaves no half-initialized store — the re-run's
-    overwrite-mode write is idempotent. (Appends stay ledger-free by
-    design: counts are additive and the read merges by SUM, so a
-    replayed batch perturbs the MODEL's counts statistically rather
-    than corrupting serve-path exactness the way non-additive postings
-    replay would — the documented at-least-once trade-off.)"""
-    import json
-    import os
+    silently corrupt the model). Retract (rebuild case) → data → atomic
+    meta commit: meta's existence is the store's commit marker, and
+    retracting the OLD marker before an overwrite-mode rebuild means a
+    crash at any point leaves the store clearly uncommitted rather
+    than the old meta over half-overwritten counts
+    (store_commit module docstring); the re-run is idempotent.
+    (Appends stay ledger-free by design: counts are additive and the
+    read merges by SUM, so a replayed batch perturbs the MODEL's
+    counts statistically rather than corrupting serve-path exactness
+    the way non-additive postings replay would — the documented
+    at-least-once trade-off.)"""
+    from spark_indexedrdd_spark.functions import store_commit as SC
 
+    SC.retract_meta(path)
     _store_counts(df, n_buckets, text_col, id_col).write.mode(
         "overwrite"
     ).parquet(path + "/counts")
-    os.makedirs(path, exist_ok=True)
-    meta_path = os.path.join(path, "meta.json")
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"n_buckets": int(n_buckets)}, f)
-    os.replace(tmp, meta_path)
+    SC.commit_meta(path, {"n_buckets": int(n_buckets)})
 
 
 def append_ngram_count_batch(

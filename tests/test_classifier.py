@@ -49,8 +49,12 @@ def _py_train(rows, n_buckets, iters, lr, scale):
             bias_s += q
             for b in bks:
                 sums[b] += q
-        w = [w[b] - lr * (sums[b] / (n * scale)) for b in range(n_buckets)]
-        bias = bias - lr * (bias_s / (n * scale))
+        # double/double division, matching the engines (classifier.py)
+        denom = float(n * scale)
+        w = [
+            w[b] - lr * (float(sums[b]) / denom) for b in range(n_buckets)
+        ]
+        bias = bias - lr * (float(bias_s) / denom)
     scores = {}
     for i, bks, _y in feats:
         m = bias

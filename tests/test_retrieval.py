@@ -326,6 +326,72 @@ def test_postings_append_crash_replay_exact(spark, docs, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_sweep_batch_files_does_not_touch_dash_extending_tags(
+    spark, docs, tmp_path
+):
+    """The crash-replay sweep for tag 'b1' must delete ONLY
+    batch-b1-NNNNN files, never another COMMITTED tag whose name
+    extends it with a dash (batch-b1-2-NNNNN) — tags are
+    caller-supplied, so prefix matching would silently destroy
+    committed data."""
+    p = str(tmp_path / "post_tags")
+    R.write_postings_store(docs.where("doc_id < 200"), p)
+    assert R.append_postings_batch(
+        docs.where("doc_id >= 200 AND doc_id < 300"), p, batch_tag="b1-2"
+    )
+    committed = {
+        (d, f)
+        for d in os.listdir(os.path.join(p, "postings"))
+        if d.startswith("bucket=")
+        for f in os.listdir(os.path.join(p, "postings", d))
+        if f.startswith("batch-b1-2-")
+    }
+    assert committed
+    # plant a half-moved file from an uncommitted 'b1' publish crash
+    some_bucket = next(iter(committed))[0]
+    orphan = os.path.join(
+        p, "postings", some_bucket, "batch-b1-00000.parquet"
+    )
+    open(orphan, "w").close()
+    R._sweep_batch_files(p, "b1")
+    assert not os.path.exists(orphan)
+    survivors = {
+        (d, f)
+        for d in os.listdir(os.path.join(p, "postings"))
+        if d.startswith("bucket=")
+        for f in os.listdir(os.path.join(p, "postings", d))
+        if f.startswith("batch-b1-2-")
+    }
+    assert survivors == committed
+
+
+def test_rebuild_crash_leaves_store_uncommitted(spark, docs, tmp_path, monkeypatch):
+    """Rebuilding over an EXISTING committed store retracts the old
+    meta before the data overwrite: a crash mid-rebuild must leave the
+    store clearly uncommitted (reader raises FileNotFoundError), never
+    the stale meta standing over half-overwritten postings."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    p = str(tmp_path / "post_rebuild")
+    R.write_postings_store(docs.where("doc_id < 100"), p, n_buckets=64)
+    assert R.bm25_from_store(spark, p).count() >= 0  # committed, readable
+
+    def boom(path, meta):
+        raise RuntimeError("crash before commit")
+
+    monkeypatch.setattr(SC, "commit_meta", boom)
+    with pytest.raises(RuntimeError):
+        R.write_postings_store(docs, p, n_buckets=256)
+    monkeypatch.undo()
+    # old meta must be GONE (retracted), not standing over new data
+    with pytest.raises(FileNotFoundError):
+        with open(os.path.join(p, "meta.json")) as fh:
+            fh.read()
+    # the re-run (idempotent overwrite) recommits cleanly
+    R.write_postings_store(docs, p, n_buckets=256)
+    assert R.bm25_from_store(spark, p).count() > 0
+
+
 def test_sql_bm25_topk_escapes_quotes(spark):
     """Caller-supplied query terms containing single quotes must not
     break (or inject into) the generated oracle SQL."""

@@ -180,11 +180,13 @@ def test_quantile_drift_detects_shift(spark, docs, tmp_path):
     assert drift > 0.3, drift
     assert drift > same
 
-    # an empty reference store is a clear error, not a NoneType crash
+    # an empty store on EITHER side is a clear error, not a JVM crash
     pe = str(tmp_path / "dr_empty")
     SK.write_sketch_store(docs.limit(0), pe, [], "doc_id", "n_chars")
     with pytest.raises(ValueError, match="no sketches"):
         SK.quantile_drift(spark, pe, pb)
+    with pytest.raises(ValueError, match="no sketches"):
+        SK.quantile_drift(spark, pa, pe)
 
 
 # ------------------------------------------------------------------ #
