@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -530,6 +531,14 @@ def append_postings_batch(
     100 TB deployment noted in :func:`_publish_staged` closes it too:
     a manifest-pointer commit makes readers resolve the file LIST and
     the stats from one atomic pointer."""
+    if batch_tag is not None and not re.fullmatch(
+        r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_tag
+    ):
+        # the tag becomes a path component (_staging/<tag>) and a file
+        # name segment (batch-<tag>-NNNNN): a separator or a leading
+        # dot ('..' would make the staging cleanup rmtree OUTSIDE the
+        # store) must be a loud error, not a filesystem accident
+        raise ValueError(f"invalid batch_tag {batch_tag!r}")
     meta_path = os.path.join(path, "meta.json")
     with open(meta_path) as fh:
         meta = json.load(fh)
@@ -576,8 +585,6 @@ def _sweep_batch_files(path: str, batch_tag: str) -> None:
     (uncommitted) batch exact. Exact-name match, NOT a string prefix:
     tags are caller-supplied, and a prefix sweep for tag ``b1`` would
     also delete another COMMITTED tag ``b1-2``'s files."""
-    import re
-
     root = os.path.join(path, "postings")
     if not os.path.isdir(root):
         return

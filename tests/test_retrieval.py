@@ -365,6 +365,20 @@ def test_sweep_batch_files_does_not_touch_dash_extending_tags(
     assert survivors == committed
 
 
+def test_append_rejects_path_breaking_batch_tags(spark, docs, tmp_path):
+    """batch_tag is used as a path component (_staging/<tag>) and file
+    name segment: separators and leading dots ('..' would aim the
+    staging cleanup OUTSIDE the store) must raise, not hit the
+    filesystem."""
+    p = str(tmp_path / "post_tagval")
+    R.write_postings_store(docs.where("doc_id < 100"), p)
+    batch = docs.where("doc_id >= 100 AND doc_id < 150")
+    for bad in ("..", ".hidden", "a/b", "a\\b", "", "x y"):
+        with pytest.raises(ValueError, match="invalid batch_tag"):
+            R.append_postings_batch(batch, p, batch_tag=bad)
+    assert R.append_postings_batch(batch, p, batch_tag="ok-1.2_A")
+
+
 def test_rebuild_crash_leaves_store_uncommitted(spark, docs, tmp_path, monkeypatch):
     """Rebuilding over an EXISTING committed store retracts the old
     meta before the data overwrite: a crash mid-rebuild must leave the
