@@ -1598,11 +1598,12 @@ def top_supplier(
     self-referencing formulation (aggregate once for the per-supplier
     view, again for the max, join them) plans TWO full lineitem scans —
     exchange reuse does not fire across the two aggregation branches —
-    so the max here rides a single-partition window OVER the
-    already-aggregated |suppliers|-row output instead: lineitem is
-    scanned and shuffled exactly once (plan-asserted in
-    tests/test_plans.py), and the window input is dim-sized (same
-    documented bound as corpus_top_terms' vocab window).
+    so the per-supplier view is localCheckpoint-ed (lineitem scanned
+    and shuffled exactly once, at the checkpoint), the max is a tiny
+    two-phase aggregate over it, and the 1-row max broadcasts back —
+    no single-partition WindowExec anywhere (the corpus_top_terms
+    discipline; plan-asserted in tests/test_plans.py). The checkpoint
+    is |active suppliers| rows in the block manager, executor-spread.
 
     Cross-engine exactness: revenue accumulates in DECIMAL(18,6) per
     supplier; MAX over the resulting doubles is order-independent, and
@@ -1620,10 +1621,11 @@ def top_supplier(
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("total_revenue")
         )
+        .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy()
+    mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
     return (
-        rev.withColumn("__max_rev", F.max("total_revenue").over(w))
+        rev.crossJoin(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("__max_rev"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
@@ -1723,30 +1725,36 @@ def important_parts(
     scalar threshold derived from the same aggregate, the Q11 HAVING
     shape. (The official query's fraction-of-total threshold is
     SF-dependent by spec; the mean-relative form keeps the result
-    non-degenerate at every scale with one constant.) Like Q15, the naive two-branch
-    formulation would scan lineitem twice; the global total here rides
-    a single-partition window over the |parts|-row aggregate, so the
-    fact table is scanned and shuffled once (plan-asserted).
+    non-degenerate at every scale with one constant.) Like Q15, the
+    naive two-branch formulation would scan lineitem twice; instead the
+    |parts|-row aggregate is localCheckpoint-ed (fact table scanned and
+    shuffled once, at the checkpoint), the global total/count is a tiny
+    two-phase aggregate over it, broadcast back as one row — no
+    single-partition WindowExec. That matters here more than in Q15:
+    |parts| grows WITH the scale factor (~200M at the 100 TB target),
+    so a global window over it would be a real single-task bottleneck,
+    not a dim-sized one (plan-asserted window-free).
 
     Cross-engine exactness: per-part revenue AND the global total both
-    accumulate in decimal (the window sum stays decimal — associative,
+    accumulate in decimal (two-phase decimal sum — associative,
     order-free); the threshold is one double multiply, the compare is
     on identical doubles.
 
-    Scale: one hash-agg on l_partkey; the window input is |parts| rows
-    (dim-sized, the corpus_top_terms bound). Output: (l_partkey,
-    part_rev), ordered by value desc with key tie-break."""
+    Scale: one hash-agg on l_partkey; the checkpoint is |parts| rows in
+    the block manager, executor-spread. Output: (l_partkey, part_rev),
+    ordered by value desc with key tie-break."""
     pr = lineitem.groupBy("l_partkey").agg(
         F.sum(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                 "decimal(18,6)"
             )
         ).alias("__rev_dec")
+    ).localCheckpoint(eager=True)
+    tot = pr.agg(
+        F.sum("__rev_dec").alias("__total"), F.count("*").alias("__n")
     )
-    w = Window.partitionBy()
     return (
-        pr.withColumn("__total", F.sum("__rev_dec").over(w))
-        .withColumn("__n", F.count("*").over(w))
+        pr.crossJoin(F.broadcast(tot))
         .where(
             F.col("__rev_dec").cast("double")
             > F.col("__total").cast("double")

@@ -258,13 +258,16 @@ def test_tpch_shape_plans(spark):
     pushed = [l for l in p.splitlines() if "PushedFilters" in l]
     assert any("p_type" in l for l in pushed), pushed
 
-    # Q11: ONE lineitem scan — the global threshold rides the window
-    # over the aggregated view, same discipline as Q15
+    # Q11: the |parts|-row aggregate is checkpointed (ONE lineitem
+    # scan, at the checkpoint), the global threshold is a broadcast
+    # 1-row aggregate — NEVER a single-partition window (|parts| grows
+    # with SF, so a global window here is a real bottleneck)
     p = plan(AN.important_parts(li))
+    assert "Window" not in p, p
     li_scans = [
         l for l in p.splitlines() if "Scan parquet" in l and "l_partkey" in l
     ]
-    assert len(li_scans) == 1, li_scans
+    assert len(li_scans) == 0, li_scans  # only the checkpoint is read
 
     # Q20: the nested-IN chain is semi joins over aggregated views,
     # never a cartesian or join+distinct reconstruction
@@ -288,17 +291,16 @@ def test_tpch_shape_plans(spark):
     pushed = [l for l in p.splitlines() if "PushedFilters" in l]
     assert any("p_size" in l for l in pushed), pushed
 
-    # Q15: ONE lineitem scan (the scalar-subquery form planned two —
-    # the max must ride the window over the aggregated view), and the
-    # quarter filter reaches that scan
+    # Q15: the per-supplier view is checkpointed (ONE lineitem scan,
+    # at the checkpoint — the scalar-subquery form planned two), the
+    # max is a broadcast 1-row aggregate — no single-partition window
     p = plan(AN.top_supplier(li, load_table(spark, sf, "supplier")))
     assert "BroadcastHashJoin" in p
+    assert "Window" not in p, p
     li_scans = [
         l for l in p.splitlines() if "Scan parquet" in l and "l_suppkey" in l
     ]
-    assert len(li_scans) == 1, li_scans
-    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
-    assert any("l_shipdate" in l for l in pushed), pushed
+    assert len(li_scans) == 0, li_scans  # only the checkpoint is read
 
 
 def test_q21_compiles_to_semi_plus_anti(spark):
@@ -355,6 +357,14 @@ def test_contract_wide_no_accidental_cross_joins(spark):
                                   # k result rows (checkpointed-counts
                                   # variant; replaces the r7-flagged
                                   # single-partition total-sum window)
+        "top_supplier_q15",       # broadcast 1-row max onto the
+                                  # checkpointed per-supplier view
+                                  # (same discipline)
+        "important_parts_q11",    # broadcast 1-row total/count onto the
+                                  # checkpointed per-part view — the
+                                  # |parts| input grows with SF, so the
+                                  # window this replaces was a real
+                                  # single-task bottleneck
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
