@@ -380,9 +380,18 @@ def write_ivf_store(
     This is the one-time (per corpus) cost that makes per-batch
     incremental semantic dedup touch only the clusters the batch lands
     in: a batch hitting c of k clusters reads ~c/k of the stored
-    vectors, and the centroids (k rows) are the only global state."""
+    vectors, and the centroids (k rows) are the only global state.
+
+    Commit protocol (store_commit docstring): the old meta marker is
+    retracted FIRST, the parts (vectors, centroids) land, then meta
+    commits atomically — a crash mid-rebuild over an existing store
+    leaves it clearly uncommitted instead of silently MIXING the old
+    centroids with half-overwritten vectors (the lists would re-shape
+    under every stored id)."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.functions.vectors import norm
 
+    SC.retract_meta(path)
     cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
     assigned = emb.select(
         F.col(id_col),
@@ -398,6 +407,9 @@ def write_ivf_store(
         [(i, c, n) for i, (c, n) in enumerate(cents)],
         "cluster_id int, centroid array<double>, c_norm double",
     ).write.mode("overwrite").parquet(path + "/centroids")
+    SC.commit_meta(
+        path, {"n_clusters": int(n_clusters), "method": str(method)}
+    )
 
 
 def read_ivf_store(
@@ -405,7 +417,11 @@ def read_ivf_store(
 ) -> "tuple[DataFrame, list[tuple[list[float], float]]]":
     """Returns (vectors, centroids) — vectors lazily from the
     partitioned parquet (cluster_id filters prune directories),
-    centroids as the driver-side list ``build_ivf`` produces."""
+    centroids as the driver-side list ``build_ivf`` produces.
+    FileNotFoundError on an uncommitted (crashed-rebuild) store."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    SC.read_meta(path)  # commit-marker check only
     rows = (
         spark.read.parquet(path + "/centroids")
         .orderBy("cluster_id")

@@ -966,9 +966,16 @@ def write_ivfpq_store(
 
     One pass over the corpus (the mapInPandas assign+encode), one
     cluster-partitioned write. Defaults (n_probe) are stored alongside
-    so serving and build agree."""
+    so serving and build agree.
+
+    Commit protocol (store_commit docstring): retract the old meta
+    marker, land the three parts, commit meta atomically LAST — a
+    crashed rebuild cannot leave old codebooks silently decoding new
+    codes."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.functions.ivf import _centroids
 
+    SC.retract_meta(path)
     cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
     cbs = _res_codebooks(emb, cents, m, ksub, seed, id_col, vec_col, method)
     codes = _assign_res_encode(emb, cents, cbs, id_col, vec_col)
@@ -988,13 +995,25 @@ def write_ivfpq_store(
         ],
         "sub_id int, code int, cw array<double>",
     ).write.mode("overwrite").parquet(path + "/codebooks")
+    SC.commit_meta(
+        path,
+        {
+            "n_clusters": int(n_clusters),
+            "n_probe": int(n_probe),
+            "m": int(m),
+            "ksub": int(ksub),
+        },
+    )
 
 
 def read_ivfpq_store(spark, path: str):
     """(codes_df, centroids, codebooks) — codes lazily from the
     partitioned parquet (cluster_id filters prune to probed
     directories); centroids/codebooks as the driver-side structures the
-    build produced."""
+    build produced. FileNotFoundError on an uncommitted store."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    SC.read_meta(path)  # commit-marker check only
     cent_rows = (
         spark.read.parquet(path + "/centroids").orderBy("cluster_id").collect()
     )

@@ -251,10 +251,18 @@ def write_binary_store(
       groups that hold them — a point read, not a scan.
 
     One narrow pass over the corpus at build time; no shuffle for the
-    sketches (fused into the scan projection)."""
+    sketches (fused into the scan projection).
+
+    Commit protocol (store_commit docstring): retract the old meta
+    marker, land both files, commit meta atomically LAST — a crashed
+    rebuild cannot leave new sketches pointing stage 2 at the OLD
+    vector file (ids that no longer exist, or stale vectors re-ranked
+    as current)."""
     from spark_indexedrdd_spark.core import IndexedDataFrame
+    from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.sources.bucketed import write_sorted
 
+    SC.retract_meta(path)
     binary_sketches(emb, dims, id_col, vec_col).write.mode(
         "overwrite"
     ).parquet(path + "/sketches")
@@ -262,6 +270,7 @@ def write_binary_store(
         emb.select(id_col, vec_col), id_col, cache=False
     )
     write_sorted(idf, path + "/vectors")
+    SC.commit_meta(path, {"dims": int(dims)})
 
 
 def append_binary_batch(
@@ -305,12 +314,16 @@ def binary_store_ann(
 
     Same output contract as :func:`binary_ann`: (q_id, cand_id,
     hamming, cosine_sim, rank); equality with the in-plan operator is
-    pytest-pinned (store ≡ in-plan on the same corpus)."""
+    pytest-pinned (store ≡ in-plan on the same corpus).
+    FileNotFoundError on an uncommitted (crashed-rebuild) store."""
     import math
 
     from pyspark.sql import Window
 
+    from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.functions.vectors import dot, norm
+
+    SC.read_meta(path)  # commit-marker check only
 
     def py_sketch(vec):
         words = []
