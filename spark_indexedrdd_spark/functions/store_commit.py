@@ -14,6 +14,22 @@ committed"; the re-run is idempotent either way.
 
 (sources/versioned.py keeps its own manifest format — a version LEDGER,
 not a single commit marker — and is not a client of this module.)
+
+Which stores carry a marker, and which deliberately don't:
+
+- marker clients — stores whose read path derives GLOBAL state from
+  multiple parts that must come from ONE build (postings: stats+files;
+  IVF: centroids+vectors; IVFPQ: codes+centroids+codebooks; binary:
+  sketches+vectors; n-gram counts: meta-pinned bucketization;
+  classifier model: meta-pinned n_buckets+bias). Mixing builds there is
+  silent corruption, so the marker is mandatory.
+- NOT clients — the append-ledger stores (minhash signatures,
+  HLL/KLL sketches, top-m heavy hitters): single directory, rows merge
+  at read time, "concurrent batches never conflict" is part of their
+  contract, and a marker implies a single writer. Their crash exposure
+  is a partial FIRST batch (statistically wrong counts, same class as
+  their documented at-least-once replay tolerance) — not a cross-part
+  mix — and their docstrings own that trade-off.
 """
 
 from __future__ import annotations
