@@ -348,25 +348,31 @@ class StreamingClassifierGate:
         self._model: "tuple[list[float], float] | None" = None
 
     def foreach_batch(self, batch_df, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        if self._model is None:
-            self._model = read_classifier_model(
-                batch_df.sparkSession, self.model_path
+        # persist around the two actions (emptiness probe + verdict
+        # write) so the source batch is scanned once, not twice
+        batch_df.persist()
+        try:
+            if not batch_df.take(1):
+                return
+            if self._model is None:
+                self._model = read_classifier_model(
+                    batch_df.sparkSession, self.model_path
+                )
+            w, bias = self._model
+            feats = _bucketize(
+                batch_df, F.lit(False), len(w), self.text_col, self.id_col
             )
-        w, bias = self._model
-        feats = _bucketize(
-            batch_df, F.lit(False), len(w), self.text_col, self.id_col
-        )
-        verdicts = _attach_keep(
-            classifier_score(feats, w, bias, self.id_col),
-            self.id_col,
-            self.alpha,
-            self.seed,
-        )
-        verdicts.write.mode("overwrite").parquet(
-            f"{self.out_path}/batch_id={batch_id}"
-        )
+            verdicts = _attach_keep(
+                classifier_score(feats, w, bias, self.id_col),
+                self.id_col,
+                self.alpha,
+                self.seed,
+            )
+            verdicts.write.mode("overwrite").parquet(
+                f"{self.out_path}/batch_id={batch_id}"
+            )
+        finally:
+            batch_df.unpersist()
 
     def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
         return (

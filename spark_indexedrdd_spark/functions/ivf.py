@@ -391,7 +391,6 @@ def write_ivf_store(
     from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.functions.vectors import norm
 
-    SC.retract_meta(path)
     cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
     assigned = emb.select(
         F.col(id_col),
@@ -399,6 +398,9 @@ def write_ivf_store(
         norm(F.col(vec_col)).alias("nrm"),
         _assign_udf(cents)(F.col(vec_col)).alias("cluster_id"),
     )
+    # retract only once the non-destructive work (centroid fit) is done:
+    # a failed FIT must not brick an intact committed store
+    SC.retract_meta(path)
     assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
         path + "/vectors"
     )

@@ -975,10 +975,12 @@ def write_ivfpq_store(
     from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.functions.ivf import _centroids
 
-    SC.retract_meta(path)
     cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
     cbs = _res_codebooks(emb, cents, m, ksub, seed, id_col, vec_col, method)
     codes = _assign_res_encode(emb, cents, cbs, id_col, vec_col)
+    # retract only once the non-destructive work (centroid/codebook
+    # fits) is done: a failed FIT must not brick an intact store
+    SC.retract_meta(path)
     codes.write.mode("overwrite").partitionBy("cluster_id").parquet(
         path + "/codes"
     )
@@ -1054,7 +1056,7 @@ def ivfpq_store_ann(
     path: str,
     queries: "list[tuple[int, list[float]]]",
     k: int = 5,
-    n_probe: int = 4,
+    n_probe: "int | None" = None,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Serve ANN from a persisted IVFPQ store: (q_id, cand_id,
@@ -1062,7 +1064,13 @@ def ivfpq_store_ann(
     filters cluster_id to the union of all probe lists — a
     PARTITION-PRUNED scan of n_probe directories per query (asserted
     in tests), reading m ints per candidate. Probe tables are the same
-    driver-side residual tables as :func:`ivfpq_residual_ann`."""
+    driver-side residual tables as :func:`ivfpq_residual_ann`.
+    ``n_probe`` defaults to the value the BUILD recorded in the store
+    meta (that is why it is stored), an explicit argument overrides."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    if n_probe is None:
+        n_probe = int(SC.read_meta(path).get("n_probe", 4))
     codes, cents, cbs = read_ivfpq_store(spark, path)
     m = len(cbs)
     d = sum(len(cb[0]) for cb in cbs)

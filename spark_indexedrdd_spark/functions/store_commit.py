@@ -45,13 +45,30 @@ def read_meta(path: str) -> dict:
 
 
 def commit_meta(path: str, meta: dict) -> None:
-    """Atomically publish ``meta.json`` — the commit point."""
+    """Atomically publish ``meta.json`` — the commit point.
+
+    fsync before the rename, and of the directory after: without them a
+    power loss can journal the rename ahead of the data blocks (ext4
+    semantics) and publish an EMPTY meta.json — a store that is neither
+    readable nor clearly uncommitted.
+
+    This is also the backfill for a store written before its family
+    gained a marker: validate the store once, then ``commit_meta`` the
+    appropriate meta by hand — readers only check the marker's
+    presence."""
     os.makedirs(path, exist_ok=True)
     meta_path = os.path.join(path, "meta.json")
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, meta_path)
+    dfd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def retract_meta(path: str) -> None:

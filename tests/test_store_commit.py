@@ -86,6 +86,34 @@ def test_binary_store_rebuild_crash(spark, emb, tmp_path, monkeypatch):
     )
 
 
+def test_failed_fit_does_not_brick_committed_store(spark, emb, tmp_path):
+    """retract happens only after the non-destructive fit: a rebuild
+    whose centroid fit raises leaves the committed store readable."""
+    from spark_indexedrdd_spark.functions import ivf as IV
+
+    p = str(tmp_path / "ivf_fit")
+    IV.write_ivf_store(emb, p, n_clusters=4, method="det")
+    with pytest.raises(ValueError):
+        IV.write_ivf_store(emb, p, n_clusters=4, method="no-such-method")
+    vecs, cents = IV.read_ivf_store(spark, p)  # still committed
+    assert vecs.count() == 200 and len(cents) == 4
+
+
+def test_ivfpq_serve_defaults_n_probe_from_meta(spark, emb, tmp_path):
+    """The build's n_probe is recorded so serving agrees with it: with
+    no explicit argument the serve path reads it from the meta."""
+    from spark_indexedrdd_spark.functions import pq as PQ
+
+    p = str(tmp_path / "ivfpq_np")
+    PQ.write_ivfpq_store(
+        emb, p, n_clusters=4, n_probe=1, m=4, ksub=8, method="det"
+    )
+    qv = [(0, [1.0] * 64)]
+    from_meta = PQ.ivfpq_store_ann(spark, p, qv, k=3).collect()
+    explicit = PQ.ivfpq_store_ann(spark, p, qv, k=3, n_probe=1).collect()
+    assert sorted(map(tuple, from_meta)) == sorted(map(tuple, explicit))
+
+
 def test_classifier_model_rebuild_crash(spark, tmp_path, monkeypatch):
     from spark_indexedrdd_spark.functions import classifier as C
 
