@@ -326,6 +326,62 @@ def test_postings_append_crash_replay_exact(spark, docs, tmp_path):
     assert a == b and len(a) > 0
 
 
+@given(
+    ops=st.lists(
+        st.sampled_from(["clean", "crash_replay", "dup_replay"]),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_postings_commit_protocol_model(spark, docs, ops):
+    """Property over delivery histories: for ANY sequence of batch
+    deliveries — clean commit, crash-after-publish-then-replay, or
+    committed-then-duplicate-redelivery — the served store equals a
+    one-shot build over exactly the applied batches. The staged-commit
+    protocol's whole claim, quantified over sequences instead of the
+    single scenario test."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="postmodel_")
+    try:
+        p = os.path.join(root, "store")
+        R.write_postings_store(docs.where("doc_id < 200"), p)
+        slices = [
+            docs.where(f"doc_id >= {200 + 100 * i} AND doc_id < {300 + 100 * i}")
+            for i in range(len(ops))
+        ]
+        for i, (op, batch) in enumerate(zip(ops, slices)):
+            tag = f"t{i}"
+            if op == "clean":
+                assert R.append_postings_batch(batch, p, batch_tag=tag)
+            elif op == "crash_replay":
+                with open(os.path.join(p, "meta.json")) as fh:
+                    pre = fh.read()
+                assert R.append_postings_batch(batch, p, batch_tag=tag)
+                # crash after publish, before commit: meta rewinds
+                with open(os.path.join(p, "meta.json"), "w") as fh:
+                    fh.write(pre)
+                assert R.append_postings_batch(batch, p, batch_tag=tag)
+            else:  # dup_replay: committed, then redelivered
+                assert R.append_postings_batch(batch, p, batch_tag=tag)
+                assert R.append_postings_batch(batch, p, batch_tag=tag) is False
+        single = os.path.join(root, "single")
+        R.write_postings_store(
+            docs.where(f"doc_id < {200 + 100 * len(ops)}"), single
+        )
+        a = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
+        b = sorted(map(tuple, R.bm25_from_store(spark, single).collect()))
+        assert a == b and len(a) > 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_sweep_batch_files_does_not_touch_dash_extending_tags(
     spark, docs, tmp_path
 ):
