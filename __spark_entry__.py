@@ -422,6 +422,27 @@ def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+def q_bm25_postings_store(spark, sf_dir):
+    """Persisted-postings serve path under driver evidence: build the
+    store from half the corpus, fold the other half in through the
+    staged manifest-pointer append (retrieval.append_postings_batch),
+    then serve — scores must hash-match the in-plan BM25 oracle over
+    the FULL corpus, proving store build + append + pruned serve
+    compose exactly."""
+    import shutil
+
+    from spark_indexedrdd_spark.functions import retrieval as _r
+
+    docs = _docs(spark, sf_dir)
+    path = os.path.join("spark-warehouse", "contract_bm25_store")
+    shutil.rmtree(path, ignore_errors=True)
+    _r.write_postings_store(docs.where("doc_id % 2 = 0"), path, n_buckets=64)
+    _r.append_postings_batch(
+        docs.where("doc_id % 2 = 1"), path, batch_tag="contract-b1"
+    )
+    return _r.bm25_from_store(spark, path)
+
+
 # SCD2 driver fixture: deterministic update batch over the customer
 # dimension — every-5th key updated (half of those a no-op, exercising
 # the unchanged branch), every-13th key spawning a NEW key. The SQL
@@ -503,6 +524,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r7 retrieval family: BM25 ranking, TF-IDF keywords, exact
     # stratified split (the postings-store serve path is pytest+bench)
     "bm25_topk": lambda s, d: _ret.bm25_topk(_docs(s, d)),
+    # r9: the store-serve path itself (build + staged append + pruned
+    # serve) under the same full-corpus oracle as bm25_topk
+    "bm25_postings_store": q_bm25_postings_store,
     "tfidf_keywords": lambda s, d: _ret.tfidf_keywords(_docs(s, d)),
     "stratified_split": lambda s, d: _ret.stratified_split(_docs(s, d)),
     "temperature_sample": lambda s, d: _text.temperature_sample(_docs(s, d)),
@@ -856,6 +880,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "corpus_top_terms": _text.sql_corpus_top_terms(),
     # retrieval: ROUND(9)-pinned ln, fixed-point BIGINT score sums
     "bm25_topk": _ret.sql_bm25_topk(),
+    # store-serve must equal the in-plan ranking over the full corpus —
+    # the oracle IS the bm25 oracle (store≡in-plan, now driver-checked)
+    "bm25_postings_store": _ret.sql_bm25_topk(),
     "tfidf_keywords": _ret.sql_tfidf_keywords(),
     "stratified_split": _ret.sql_stratified_split(),
     "temperature_sample": _text.sql_temperature_sample(),
@@ -1147,15 +1174,93 @@ _FILL_R8 = (
 # Empty: round-8 debuts are IN the window above.
 PAST_CUTOFF_NEW: tuple = ()
 
-# Round-9 rotation note: once CORRECTNESS_r08 lands, the tripwire will
-# name the r06-green entries this window did NOT re-check (~32: the
-# TPC-H r6 wave q2/q8/q9/q11/q12/q15/q16/q17/q20/q21, the sampling
-# family, span stats, IVF/PQ store tiers, and dedup_pipeline which ceded
-# its r8 slot). They fit one 50-slot window with ~18 slots to spare for
-# debuts + the oldest r07 entries.
+# The 32 queries the staleness tripwire named verbatim after
+# CORRECTNESS_r08 landed (last hash-green r06; asserted
+# verbatim-complete by tests/test_driver_sim.py::TRIPWIRE_R09 so a
+# partial rotation cannot pass locally). Sampling/quality family first,
+# then ANN store tiers + dedup pipeline, then the r6 TPC-H wave, then
+# the document-prep stragglers — tripwire emission order.
+HORIZON_STALE_R09 = (
+    "quality_filter",
+    "repetition_stats",
+    "domain_cap_sample",
+    "temperature_sample",
+    "weighted_sample",
+    "dedup_incremental_lsh",
+    "training_order",
+    "similarity_ann_pq",
+    "similarity_ann_ivfpq",
+    "similarity_ann_ivfpq_res",
+    "ann_recall",
+    "dedup_pipeline",
+    "forecast_revenue_q6",
+    "order_priority_q4",
+    "customer_order_dist_q13",
+    "large_orders_q18",
+    "disjunctive_revenue_q19",
+    "waiting_customers_q22",
+    "small_qty_revenue_q17",
+    "waiting_suppliers_q21",
+    "market_share_q8",
+    "top_supplier_q15",
+    "min_cost_supplier_q2",
+    "important_parts_q11",
+    "excess_suppliers_q20",
+    "product_profit_q9",
+    "shipmode_priority_q12",
+    "parts_supplier_q16",
+    "chunk_documents",
+    "epoch_upsample",
+    "embedding_quantize_stats",
+    "profile_documents",
+)
+
+# Round-9 debut: the persisted-postings serve path (build + staged
+# manifest-pointer append + pruned serve) under the full-corpus BM25
+# oracle — windowed so it debuts WITH driver evidence (r7 convention).
+DEBUTS_R9 = ("bm25_postings_store",)
+
+# Remaining 17 slots: oldest r07-green entries (they fall stale at r10
+# otherwise), event-time-leaning first (round-4 lesson), then the core
+# `count` + key-parity pins, the TPC-H headline, and the iterative
+# graph family. The 32 r07-green entries NOT re-checked here are the
+# round-10 staleness batch (fits one 50-slot window with 18 to spare).
+_FILL_R9 = (
+    "sessionize",
+    "sliding_window",
+    "range_join_sessions",
+    "windowed_event_dedup",
+    "orders_by_month",
+    "running_revenue_by_month",
+    "revenue_month_over_month",
+    "late_shipment_orders",
+    "event_rate_anomalies",
+    "count",
+    "uuid_key_ops",
+    "decimal_key_ops",
+    "pricing_summary",
+    "pagerank_trade",
+    "communities_trade",
+    "trade_hops",
+    "dsir_select",
+)
+
+# ------------------------- rotation budget --------------------------- #
+# Steady-state math (r8 VERDICT item 6), with n = contract size and a
+# 50-slot window: the tripwire's horizon is ceil(n/50) rounds, so each
+# round must re-check the queries last seen horizon-1 rounds ago. At
+# n in (100, 150] the horizon is 3 and the per-round staleness batch
+# settles at n - 2*50 + (slots spared last round) ≈ 32 today — leaving
+# ~18 slots/round for debuts + early re-checks. BUDGET: keep n <= 150
+# (at n=151 the horizon hits 4 but the ROUND-over-round staleness batch
+# would exceed 50 the first time two debut-heavy rounds stack, making
+# the schedule unsatisfiable); cap debuts at ~5/round and prefer
+# folding near-duplicate entries (e.g. a future aggregate_fold ->
+# aggregate_using_index merge) over growing past it. n = 133 today.
+# --------------------------------------------------------------------- #
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}
-_WINDOW = HORIZON_STALE_R08 + DEBUTS_R8 + _FILL_R8
+_WINDOW = HORIZON_STALE_R09 + DEBUTS_R9 + _FILL_R9
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{k: _ALL.get(k, CORE_QUERIES.get(k)) for k in _WINDOW},

@@ -483,6 +483,9 @@ def write_postings_store(
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         path + "/postings"
     )
+    SC.write_manifest(
+        path, "base", SC.list_parquet_files(path + "/postings")
+    )
     SC.commit_meta(
         path,
         {
@@ -491,6 +494,7 @@ def write_postings_store(
             "n_buckets": int(n_buckets),
             "id_col": id_col,
             "applied": [str(t) for t in applied_tags],
+            "manifests": ["base"],
         },
     )
 
@@ -523,14 +527,14 @@ def append_postings_batch(
     uncommitted batch is exact, not just at-least-once. Without a tag
     the append is direct (non-replayable; callers own dedup).
 
-    The commit point fences the WRITE path only: a concurrent
-    ``bm25_from_store`` reader in the window between the file publish
-    and the meta rewrite scans the new rows with the pre-batch
-    n_docs/total_dl (slightly stale scores, single-writer assumed) —
-    the same read-uncommitted window any in-place file layout has. The
-    100 TB deployment noted in :func:`_publish_staged` closes it too:
-    a manifest-pointer commit makes readers resolve the file LIST and
-    the stats from one atomic pointer."""
+    The commit point fences readers too (manifest-pointer commit):
+    each batch's file list is recorded in ``_manifests/<tag>.json``
+    and the atomic meta rewrite is what makes that manifest visible —
+    ``bm25_from_store`` resolves the file list AND the corpus stats
+    from one meta read, so a concurrent reader in the
+    publish-to-commit window still serves exactly the pre-batch store
+    (files no committed manifest names are invisible; snapshot
+    isolation pinned in tests/test_retrieval.py)."""
     if batch_tag is not None and not re.fullmatch(
         r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_tag
     ):
@@ -558,25 +562,65 @@ def append_postings_batch(
     stats = df.select(
         F.size(tokens(F.col(text_col))).cast("long").alias("dl")
     ).agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    manifests = meta.get("manifests")
+    if manifests is None:
+        # store written before the manifest-pointer commit existed:
+        # backfill 'base' from the pre-append listing (single-writer,
+        # so everything on disk right now IS the committed store)
+        SC.write_manifest(
+            path, "base", SC.list_parquet_files(path + "/postings")
+        )
+        manifests = meta["manifests"] = ["base"]
     if batch_tag is None:
+        pre = set(SC.list_parquet_files(path + "/postings"))
         batch.write.mode("append").partitionBy("bucket").parquet(
             path + "/postings"
         )
+        new_files = sorted(
+            set(SC.list_parquet_files(path + "/postings")) - pre
+        )
+        mname = f"anon-{len(manifests):05d}"
+        while mname in manifests:
+            mname += "x"
     else:
         stage = os.path.join(path, "_staging", batch_tag)
         batch.write.mode("overwrite").partitionBy("bucket").parquet(stage)
         _sweep_batch_files(path, batch_tag)  # undo any half-moved replay
-        _publish_staged(path, stage, batch_tag)
+        new_files = _publish_staged(path, stage, batch_tag)
+        mname = batch_tag
+    if mname in manifests:
+        # a tag colliding with a committed manifest name ('base', or a
+        # prior anon-NNNNN) would silently overwrite that manifest's
+        # file list — loud error instead (duplicate APPLIED tags were
+        # already handled above as replay no-ops)
+        raise ValueError(f"batch_tag {mname!r} collides with a manifest")
+    SC.write_manifest(path, mname, new_files)
     meta["n_docs"] = int(meta["n_docs"]) + int(stats["n"] or 0)
     meta["total_dl"] = int(meta["total_dl"]) + int(stats["s"] or 0)
+    manifests.append(mname)
     if batch_tag is not None:
         applied.append(batch_tag)
-    from spark_indexedrdd_spark.functions import store_commit as SC
-
     SC.commit_meta(path, meta)  # <-- commit point
     if batch_tag is not None:
         _cleanup_staging(path, batch_tag)
     return True
+
+
+def _resolve_committed_files(path: str, meta: dict) -> "list[str] | None":
+    """Committed postings files (relative), or None for a legacy store
+    with no manifest pointer (reader then lists the directory and
+    accepts the legacy publish-to-commit window)."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    return SC.resolve_manifest_files(path, meta) or None
+
+
+def _bucket_of(rel_path: str) -> int:
+    """bucket id from a manifest-relative path 'bucket=N/file.parquet'."""
+    head = rel_path.split("/", 1)[0]
+    return int(head.split("=", 1)[1])
 
 
 def _sweep_batch_files(path: str, batch_tag: str) -> None:
@@ -598,11 +642,15 @@ def _sweep_batch_files(path: str, batch_tag: str) -> None:
                 os.remove(os.path.join(bdir, f))
 
 
-def _publish_staged(path: str, stage: str, batch_tag: str) -> None:
+def _publish_staged(path: str, stage: str, batch_tag: str) -> "list[str]":
     """Move staged parquet files into the live bucket directories under
-    deterministic names (same-filesystem renames; an object-store
-    deployment would swap this for a manifest-pointer commit)."""
+    deterministic names; returns the published paths (relative to
+    postings/) for the batch's manifest. The moves alone publish
+    NOTHING to readers — only the subsequent meta commit naming the
+    manifest does (an object-store deployment replaces the renames
+    with a copy + the same manifest swap)."""
     seq = 0
+    published: "list[str]" = []
     for d in sorted(os.listdir(stage)):
         sdir = os.path.join(stage, d)
         if not (d.startswith("bucket=") and os.path.isdir(sdir)):
@@ -612,11 +660,11 @@ def _publish_staged(path: str, stage: str, batch_tag: str) -> None:
         for f in sorted(os.listdir(sdir)):
             if not f.endswith(".parquet"):
                 continue
-            os.replace(
-                os.path.join(sdir, f),
-                os.path.join(dest, f"batch-{batch_tag}-{seq:05d}.parquet"),
-            )
+            name = f"batch-{batch_tag}-{seq:05d}.parquet"
+            os.replace(os.path.join(sdir, f), os.path.join(dest, name))
+            published.append(f"{d}/{name}")
             seq += 1
+    return published
 
 
 def _cleanup_staging(path: str, batch_tag: str) -> None:
@@ -707,9 +755,26 @@ def bm25_from_store(
             .collect()
         }
     )
-    postings = (
-        spark.read.parquet(path + "/postings")
-        .where(F.col("bucket").isin(bkts) & F.col("term").isin(terms))
+    # manifest-pointer snapshot: the file list comes from the SAME meta
+    # read as n_docs/total_dl, so a concurrent append's published-but-
+    # uncommitted files are invisible and scores are never computed
+    # from mixed-commit state. Driver-side bucket pruning on the
+    # manifest paths replaces (and subsumes) directory PartitionFilters
+    # pruning; the bucket/term filters below stay for row-group skip.
+    rel = _resolve_committed_files(path, meta)
+    if rel is None:
+        src = spark.read.parquet(path + "/postings")  # pre-manifest store
+    else:
+        bktset = set(int(b) for b in bkts)
+        sel = [f for f in rel if _bucket_of(f) in bktset]
+        # no selected bucket: read one committed file for its schema —
+        # the bucket filter below still excludes every row of it
+        files = sel or rel[:1]
+        src = spark.read.option("basePath", path + "/postings").parquet(
+            *[os.path.join(path, "postings", f) for f in files]
+        )
+    postings = src.where(
+        F.col("bucket").isin(bkts) & F.col("term").isin(terms)
     )
     tf = postings.select(id_col, "dl", "term", "tf")
     dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))

@@ -77,3 +77,68 @@ def retract_meta(path: str) -> None:
     p = os.path.join(path, "meta.json")
     if os.path.exists(p):
         os.remove(p)
+
+
+# --------------------------------------------------------------------- #
+# Manifest-pointer commit: closes the read-uncommitted window an
+# in-place file layout has (files published, meta not yet rewritten →
+# a concurrent reader sees new rows with pre-batch global stats).
+# Readers resolve the file LIST from the same atomic meta read that
+# gives them the stats: meta["manifests"] names the committed batch
+# manifests (one JSON file list each under _manifests/), and files on
+# disk that no committed manifest names are simply invisible. On an
+# object store the manifest write + meta swap is the whole commit —
+# no rename fan-out — which is why Delta/Iceberg use the same shape.
+# --------------------------------------------------------------------- #
+
+
+def list_parquet_files(root: str) -> "list[str]":
+    """Relative paths of every ``*.parquet`` under ``root`` (sorted,
+    '/'-separated), recursing through hive partition directories but
+    never into staging/manifest bookkeeping."""
+    out: list[str] = []
+    if not os.path.isdir(root):
+        return out
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith("_")]
+        for f in filenames:
+            if f.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(dirpath, f), root)
+                out.append(rel.replace(os.sep, "/"))
+    return sorted(out)
+
+
+def write_manifest(path: str, name: str, files: "list[str]") -> None:
+    """Durably publish ``_manifests/<name>.json`` (same tmp → fsync →
+    rename discipline as the meta commit). NOT the commit point: the
+    manifest only becomes visible once a committed meta lists its name,
+    so overwriting a crashed replay's manifest is always safe."""
+    mdir = os.path.join(path, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    mpath = os.path.join(mdir, name + ".json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"files": sorted(files)}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, mpath)
+    dfd = os.open(mdir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def resolve_manifest_files(path: str, meta: dict) -> "list[str] | None":
+    """The committed file list: union of the manifests the given meta
+    names, in manifest order (relative to the store's data root).
+    ``None`` for a pre-manifest store — the caller falls back to
+    directory listing, accepting the legacy window."""
+    names = meta.get("manifests")
+    if names is None:
+        return None
+    files: list[str] = []
+    for name in names:
+        with open(os.path.join(path, "_manifests", name + ".json")) as fh:
+            files.extend(json.load(fh)["files"])
+    return files

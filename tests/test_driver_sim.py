@@ -189,3 +189,37 @@ def test_r8_window_front_queues_every_tripwire_name():
         covered |= set(json.load(open(rec)))
     missing = [q for q in TRIPWIRE_R08 if q not in covered]
     assert not missing, f"r8 rotation is partial — not windowed: {missing}"
+
+
+# The exact stale list the staleness tripwire emitted after
+# CORRECTNESS_r08 landed (r8 VERDICT item 1). Pinned verbatim so a
+# PARTIAL round-9 rotation cannot pass locally: every name must be in
+# the declared window — or, once the round-9 record exists, covered by
+# it (after which the dynamic tripwire above owns staleness again).
+TRIPWIRE_R09 = (
+    "quality_filter", "repetition_stats", "domain_cap_sample",
+    "temperature_sample", "weighted_sample", "dedup_incremental_lsh",
+    "training_order", "similarity_ann_pq", "similarity_ann_ivfpq",
+    "similarity_ann_ivfpq_res", "ann_recall", "dedup_pipeline",
+    "forecast_revenue_q6", "order_priority_q4", "customer_order_dist_q13",
+    "large_orders_q18", "disjunctive_revenue_q19", "waiting_customers_q22",
+    "small_qty_revenue_q17", "waiting_suppliers_q21", "market_share_q8",
+    "top_supplier_q15", "min_cost_supplier_q2", "important_parts_q11",
+    "excess_suppliers_q20", "product_profit_q9", "shipmode_priority_q12",
+    "parts_supplier_q16", "chunk_documents", "epoch_upsample",
+    "embedding_quantize_stats", "profile_documents",
+)
+
+
+def test_r9_window_front_queues_every_tripwire_name():
+    import json
+
+    import __spark_entry__ as E
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    covered = set(list(E.queries().keys())[:50])
+    rec = os.path.join(repo, "CORRECTNESS_r09.json")
+    if os.path.exists(rec):
+        covered |= set(json.load(open(rec)))
+    missing = [q for q in TRIPWIRE_R09 if q not in covered]
+    assert not missing, f"r9 rotation is partial — not windowed: {missing}"

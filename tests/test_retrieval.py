@@ -520,3 +520,61 @@ def test_streaming_store_crash_mid_init_reruns_clean(spark, docs, tmp_path):
 
     with open(os.path.join(p, "meta.json")) as fh:
         assert _json.load(fh)["applied"] == ["0"]
+
+
+def test_postings_serve_is_snapshot_isolated_during_append(
+    spark, docs, tmp_path
+):
+    """The manifest-pointer commit's reader guarantee: between a
+    batch's file publish and its meta commit, a concurrent
+    bm25_from_store sees EXACTLY the pre-batch store — same rows, same
+    scores — never new postings scored with old n_docs/total_dl. The
+    crash-shaped meta rewind reproduces precisely that window (files
+    and batch manifest on disk, committed meta pre-batch)."""
+    p = str(tmp_path / "post_snap")
+    R.write_postings_store(docs.where("doc_id % 2 = 0"), p)
+    before = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
+    with open(os.path.join(p, "meta.json")) as fh:
+        pre_commit_meta = fh.read()
+    batch = docs.where("doc_id % 2 = 1")
+    assert R.append_postings_batch(batch, p, batch_tag="w1") is True
+    committed = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
+    # rewind meta: the in-window state a concurrent reader would see
+    with open(os.path.join(p, "meta.json"), "w") as fh:
+        fh.write(pre_commit_meta)
+    in_window = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
+    assert in_window == before, "reader saw published-but-uncommitted files"
+    # replay to completion: readers flip atomically to the full store
+    assert R.append_postings_batch(batch, p, batch_tag="w1") is True
+    after = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
+    full = str(tmp_path / "post_snap_full")
+    R.write_postings_store(docs, full)
+    expect = sorted(map(tuple, R.bm25_from_store(spark, full).collect()))
+    assert after == expect == committed and len(after) > 0
+    assert after != before, "full-corpus serve should rescore"
+
+
+def test_postings_serve_ignores_unmanifested_files(spark, docs, tmp_path):
+    """Files no committed manifest names are invisible — the general
+    isolation property behind the append window: drop a stray parquet
+    copy into a bucket directory (what any crashed/foreign writer
+    leaves) and the serve output must not move."""
+    import shutil as _sh
+
+    p = str(tmp_path / "post_stray")
+    R.write_postings_store(docs, p)
+    before = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
+    root = os.path.join(p, "postings")
+    bdir, fname = next(
+        (d, f)
+        for d in sorted(os.listdir(root))
+        if d.startswith("bucket=")
+        for f in sorted(os.listdir(os.path.join(root, d)))
+        if f.endswith(".parquet")
+    )
+    _sh.copy(
+        os.path.join(root, bdir, fname),
+        os.path.join(root, bdir, "stray-copy.parquet"),
+    )
+    after = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
+    assert after == before, "serve read a file outside the manifest"
