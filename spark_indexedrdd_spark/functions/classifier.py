@@ -320,6 +320,16 @@ def train_and_write_classifier(
     return w, bias
 
 
+def _model_id(w: "list[float]", bias: float) -> str:
+    """Deterministic fingerprint of a loaded model (weights + bias as
+    repr'd doubles) — stamped onto every gate verdict row so verdicts
+    produced under DIFFERENT persisted models are detectable."""
+    import hashlib
+
+    payload = ",".join(repr(float(x)) for x in list(w) + [float(bias)])
+    return hashlib.md5(payload.encode()).hexdigest()[:16]
+
+
 class StreamingClassifierGate:
     """foreachBatch quality gate — the streaming twin every store
     family ships: each micro-batch of documents is scored under the
@@ -328,7 +338,16 @@ class StreamingClassifierGate:
     at-least-once REPLAY of batch N overwrites its own directory
     instead of duplicating verdicts (streaming/monitor.py's idempotent
     foreachBatch discipline). Model weights load once per gate
-    instance — n_buckets+1 doubles, not per-batch I/O."""
+    instance — n_buckets+1 doubles, not per-batch I/O.
+
+    Model-version caveat: per-batch idempotence holds only while the
+    persisted model is unchanged — if the store is RETRAINED and a
+    restarted gate replays an old batch, batch N's directory is
+    overwritten with verdicts from the NEW model. Every verdict row
+    therefore carries ``model_id`` (md5 of the loaded weights+bias),
+    so a mixed-model verdict set is detectable at read time —
+    ``SELECT DISTINCT model_id`` > 1 row — rather than silent; gates
+    that must never mix should drain before retraining."""
 
     def __init__(
         self,
@@ -355,10 +374,11 @@ class StreamingClassifierGate:
             if not batch_df.take(1):
                 return
             if self._model is None:
-                self._model = read_classifier_model(
+                w, bias = read_classifier_model(
                     batch_df.sparkSession, self.model_path
                 )
-            w, bias = self._model
+                self._model = (w, bias, _model_id(w, bias))
+            w, bias, model_id = self._model
             feats = _bucketize(
                 batch_df, F.lit(False), len(w), self.text_col, self.id_col
             )
@@ -367,7 +387,7 @@ class StreamingClassifierGate:
                 self.id_col,
                 self.alpha,
                 self.seed,
-            )
+            ).withColumn("model_id", F.lit(model_id))
             verdicts.write.mode("overwrite").parquet(
                 f"{self.out_path}/batch_id={batch_id}"
             )

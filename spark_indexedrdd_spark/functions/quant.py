@@ -280,19 +280,33 @@ def append_binary_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """Fold an ingest batch in: append its sketches and its (sorted
-    within the new files) vectors. Sketch computation is stateless, so
-    appends need no read of existing store data."""
+    """Fold an ingest batch in: append its vectors, THEN its sketches.
+    Sketch computation is stateless, so appends need no read of
+    existing store data.
+
+    Crash-ordering invariant (the two appends are not fenced by the
+    meta marker, which guards REBUILDS): vectors land first because a
+    sketch row is what makes an id visible to stage 1 — a crash
+    between the writes leaves extra vectors no sketch references
+    (invisible, harmless) rather than sketch rows whose stage-2
+    vectors are missing (stage 2's join would silently DROP those
+    candidates — recall loss with no error). A crash mid-sketch-append
+    exposes a statistically partial batch whose surfaced ids all
+    re-rank exactly — the same partial-first-batch tolerance the
+    append-ledger stores document, never a cross-part mix. Redelivering
+    the SAME batch after a crash is serve-exact: the duplicate vector
+    copies are bit-identical and binary_store_ann keeps one per id
+    (pytest-pinned)."""
     from spark_indexedrdd_spark.core import IndexedDataFrame
     from spark_indexedrdd_spark.sources.bucketed import write_sorted
 
-    binary_sketches(new_emb, dims, id_col, vec_col).write.mode(
-        "append"
-    ).parquet(path + "/sketches")
     idf = IndexedDataFrame.from_unique(
         new_emb.select(id_col, vec_col), id_col, cache=False
     )
     write_sorted(idf, path + "/vectors", mode="append")
+    binary_sketches(new_emb, dims, id_col, vec_col).write.mode(
+        "append"
+    ).parquet(path + "/sketches")
 
 
 def binary_store_ann(
@@ -373,10 +387,17 @@ def binary_store_ann(
     cand_ids = [
         r.cand_id for r in survivors.select("cand_id").distinct().collect()
     ]
+    # dropDuplicates: a crashed-then-redelivered append leaves the
+    # batch's vectors in the file twice (vectors land before sketches —
+    # append_binary_batch docstring); the copies are bit-identical, so
+    # keeping one per id restores exact serve output instead of the
+    # duplicate join rows perturbing row_number ranks. Survivor-sized
+    # input (≤ |q|·M rows), so the dedup shuffle is trivial.
     vecs = (
         spark.read.parquet(path + "/vectors")
         .where(F.col(id_col).isin(cand_ids))
         .select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+        .dropDuplicates(["cand_id"])
     )
     scored = F.broadcast(survivors).join(vecs, "cand_id").select(
         "q_id",

@@ -22,7 +22,15 @@ Which stores carry a marker, and which deliberately don't:
   IVF: centroids+vectors; IVFPQ: codes+centroids+codebooks; binary:
   sketches+vectors; n-gram counts: meta-pinned bucketization;
   classifier model: meta-pinned n_buckets+bias). Mixing builds there is
-  silent corruption, so the marker is mandatory.
+  silent corruption, so the marker is mandatory. Scope: the marker
+  fences REBUILDS. Append paths are fenced per family: postings
+  appends commit through the manifest pointer below (exact, snapshot-
+  isolated); IVF/IVFPQ appends are a single write (no cross-part
+  window); the binary store's two-part append relies on write ORDER —
+  vectors before sketches — so a crash leaves invisible vectors, never
+  sketch rows whose stage-2 vectors are missing (quant.py
+  append_binary_batch docstring); n-gram count appends are additive
+  and ledger-free by documented trade-off.
 - NOT clients — the append-ledger stores (minhash signatures,
   HLL/KLL sketches, top-m heavy hitters): single directory, rows merge
   at read time, "concurrent batches never conflict" is part of their

@@ -1586,6 +1586,26 @@ def sql_market_share(
     """
 
 
+def _q15_supplier_revenue(
+    lineitem: DataFrame, start: str, end: str
+) -> DataFrame:
+    """Q15's per-supplier quarter-revenue view BEFORE the checkpoint —
+    factored out so the plan test can assert the l_shipdate pushdown
+    reaches the lineitem scan (the checkpoint hides the scan from
+    top_supplier's own plan)."""
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end)
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+
+
 def top_supplier(
     lineitem: DataFrame,
     supplier: DataFrame,
@@ -1611,17 +1631,8 @@ def top_supplier(
 
     Output: (s_suppkey, s_name, total_revenue) — ties all kept, per the
     official query's semantics."""
-    rev = (
-        lineitem.where(
-            (F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end)
-        )
-        .groupBy("l_suppkey")
-        .agg(
-            _dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("total_revenue")
-        )
-        .localCheckpoint(eager=True)
+    rev = _q15_supplier_revenue(lineitem, start, end).localCheckpoint(
+        eager=True
     )
     mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
     return (

@@ -300,6 +300,50 @@ def test_streaming_gate_matches_store_scoring_and_replays_idempotent(
     assert C.read_gate_verdicts(spark, out).count() == len(want)
 
 
+def test_gate_verdicts_stamp_model_id_making_retrains_detectable(
+    spark, tmp_path
+):
+    """Per-batch replay idempotence only holds while the persisted
+    model is unchanged (class docstring) — so every verdict row carries
+    the loaded model's fingerprint, and a verdict set spanning a
+    retrain shows >1 DISTINCT model_id instead of silently mixing."""
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    model = str(tmp_path / "mid_model")
+    out = str(tmp_path / "mid_out")
+    C.train_and_write_classifier(
+        docs.where("doc_id < 200"),
+        F.col("text").contains("spark"),
+        model,
+        n_buckets=256,
+        iters=2,
+    )
+    C.StreamingClassifierGate(model, out).foreach_batch(
+        docs.where("doc_id >= 200 AND doc_id < 300"), 0
+    )
+    ids_a = {
+        r.model_id
+        for r in C.read_gate_verdicts(spark, out).select("model_id").collect()
+    }
+    assert len(ids_a) == 1
+    # retrain on a different slice -> different weights -> new id; a
+    # FRESH gate (restart) gating the next batch produces a mixed set
+    C.train_and_write_classifier(
+        docs.where("doc_id < 100"),
+        F.col("text").contains("the"),
+        model,
+        n_buckets=256,
+        iters=2,
+    )
+    C.StreamingClassifierGate(model, out).foreach_batch(
+        docs.where("doc_id >= 300 AND doc_id < 400"), 1
+    )
+    mixed = {
+        r.model_id
+        for r in C.read_gate_verdicts(spark, out).select("model_id").collect()
+    }
+    assert len(mixed) == 2 and ids_a < mixed
+
+
 def test_score_from_store_is_shuffle_free(spark, tmp_path):
     """Serving is a narrow per-row fold: zero exchanges in the plan."""
     from spark_indexedrdd_spark.plans import explain as X

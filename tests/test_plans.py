@@ -301,6 +301,12 @@ def test_tpch_shape_plans(spark):
         l for l in p.splitlines() if "Scan parquet" in l and "l_suppkey" in l
     ]
     assert len(li_scans) == 0, li_scans  # only the checkpoint is read
+    # ...and the quarter filter still reaches the PRE-checkpoint scan
+    # (the checkpoint hides it from the plan above, so assert on the
+    # factored revenue view the checkpoint wraps)
+    pre = plan(AN._q15_supplier_revenue(li, "1996-01-01", "1996-04-01"))
+    pushed = [l for l in pre.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed), pushed
 
 
 def test_q21_compiles_to_semi_plus_anti(spark):

@@ -493,3 +493,41 @@ def test_streaming_ngram_store_matches_single_shot(spark, sf_dir, tmp_path):
     assert a == b
     # a fresh handle must append, never clobber
     assert StreamingNgramCountStore(store)._initialized
+
+
+def test_binary_store_append_crash_leaves_no_phantom_candidates(
+    emb, spark, tmp_path, monkeypatch
+):
+    """append_binary_batch's crash-ordering invariant: vectors land
+    BEFORE sketches, so a crash between the two writes leaves extra
+    vectors no sketch references — serve output identical to the
+    pre-append store — never sketch rows whose stage-2 vectors are
+    missing (which the rerank join would silently drop)."""
+    from spark_indexedrdd_spark.functions import quant as Q
+
+    p = str(tmp_path / "bstore_crash_append")
+    Q.write_binary_store(emb.where("vec_id % 5 != 0"), p)
+    q = _qvecs(emb, [0, 50])
+    before = sorted(map(tuple, Q.binary_store_ann(spark, p, q, k=5).collect()))
+
+    real = Q.binary_sketches
+
+    def crash_before_sketches(*a, **k):
+        raise RuntimeError("simulated crash between vector and sketch write")
+
+    monkeypatch.setattr(Q, "binary_sketches", crash_before_sketches)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        Q.append_binary_batch(emb.where("vec_id % 5 = 0"), p)
+    monkeypatch.setattr(Q, "binary_sketches", real)
+    # in-window serve: the appended vectors are invisible, not phantom
+    mid = sorted(map(tuple, Q.binary_store_ann(spark, p, q, k=5).collect()))
+    assert mid == before
+    # the redelivered batch completes; serve now includes it — the
+    # batch's vectors sit in the file twice (crash + redo) but stage 2
+    # keeps one copy per id, so output equals a clean store exactly
+    Q.append_binary_batch(emb.where("vec_id % 5 = 0"), p)
+    full = str(tmp_path / "bstore_crash_full")
+    Q.write_binary_store(emb, full)
+    a = sorted(map(tuple, Q.binary_store_ann(spark, p, q, k=5).collect()))
+    b = sorted(map(tuple, Q.binary_store_ann(spark, full, q, k=5).collect()))
+    assert a == b
