@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spark_indexedrdd_spark.core import SUM_MERGE, IndexedDataFrame  # noqa: E402
+from spark_indexedrdd_spark.functions import bpe as _bpe  # noqa: E402
 from spark_indexedrdd_spark.functions import classifier as _clf  # noqa: E402
 from spark_indexedrdd_spark.functions import dedup as _dedup  # noqa: E402
 from spark_indexedrdd_spark.functions import ivf as _ivf  # noqa: E402
@@ -443,6 +444,28 @@ def q_bm25_postings_store(spark, sf_dir):
     return _r.bm25_from_store(spark, path)
 
 
+def _q_bpe_encode_store(spark, sf_dir):
+    """Persisted-tokenizer serve path under driver evidence: train BPE
+    merges on the even half of the corpus, publish them through the
+    meta-last store commit, then encode the odd half FROM the store
+    (bpe.encode_from_store). Deterministic end-to-end — the trainer's
+    argmax tie-break is total — but rows-only: the merge loop is
+    data-dependent control flow with no DuckDB formulation (bpe.py
+    module docstring). Store==in-memory parity, crash/refusal, and the
+    streaming twin are pytest-pinned in tests/test_bpe.py."""
+    import shutil
+
+    docs = _docs(spark, sf_dir)
+    path = os.path.join("spark-warehouse", "contract_bpe_store")
+    shutil.rmtree(path, ignore_errors=True)
+    _bpe.train_and_write_bpe(
+        docs.where("doc_id % 2 = 0"), path, n_merges=16
+    )
+    return _bpe.encode_from_store(
+        spark, docs.where("doc_id % 2 = 1"), path
+    ).select("doc_id", "n_bpe", "merges_id")
+
+
 # SCD2 driver fixture: deterministic update batch over the customer
 # dimension — every-5th key updated (half of those a no-op, exercising
 # the unchanged branch), every-13th key spawning a NEW key. The SQL
@@ -825,6 +848,21 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     # multimodal
     "binary_meta": lambda s, d: _mm.binary_meta(_mm.attach_binary(_docs(s, d))),
+    # perceptual fingerprints (dHash, r9): integer-only grid arithmetic
+    # makes the 64-bit hash bit-identical across engines — the oracle
+    # recomputes it from the text column (ASCII payload: byte == ord).
+    # image_near_dup (the pair operator on top) is pytest-pinned exact
+    # vs all-pairs at a threshold where the corpus yields candidates
+    # (tests/test_r9_ops.py) — byte-payload stand-ins sit farther apart
+    # than resized pixel grids would, so the sf0.01 pair set at the
+    # production threshold is empty and would be no driver evidence.
+    "image_dhash": lambda s, d: _mm.dhash64(_mm.attach_binary(_docs(s, d))),
+    # BPE tokenizer store (r9): train on even docs, persist the merge
+    # list (meta-last commit), encode the odd docs FROM the store —
+    # rows-only by nature (the merge loop is data-dependent control
+    # flow, bpe.py module docstring); store==in-memory encode parity is
+    # pytest-pinned (tests/test_bpe.py).
+    "bpe_encode_store": _q_bpe_encode_store,
     # int8 embedding quantization: ingest-time acceptance stats
     "embedding_quantize_stats": lambda s, d: _quant.quantize_error_stats(
         _emb(s, d)
@@ -1002,6 +1040,7 @@ EXTENSION_ORACLE: dict[str, str] = {
     """,
     "sliding_window": _win.sql_sliding_counts(),
     "binary_meta": _mm.sql_binary_meta(),
+    "image_dhash": _mm.sql_dhash64(),
     "embedding_quantize_stats": _quant.sql_quantize_error_stats(),
     "profile_documents": _an.sql_profile_table(
         "documents", ["doc_id", "lang", "source", "n_chars"]
@@ -1038,6 +1077,10 @@ ROWS_ONLY = (
                             # reductions are not SQL-reproducible — see
                             # ivf.ivf_ann docstring; recall + determinism
                             # pinned in tests
+    "bpe_encode_store",     # data-dependent merge loop has no DuckDB
+                            # formulation (bpe.py module docstring);
+                            # store==in-memory parity, crash refusal and
+                            # the streaming twin pinned in tests/test_bpe.py
 )
 
 # --------------------------------------------------------------------- #
@@ -1215,16 +1258,24 @@ HORIZON_STALE_R09 = (
     "profile_documents",
 )
 
-# Round-9 debut: the persisted-postings serve path (build + staged
-# manifest-pointer append + pruned serve) under the full-corpus BM25
-# oracle — windowed so it debuts WITH driver evidence (r7 convention).
-DEBUTS_R9 = ("bm25_postings_store",)
+# Round-9 debuts (2 of the ~5/round budget): the persisted-postings
+# serve path (build + staged manifest-pointer append + pruned serve)
+# under the full-corpus BM25 oracle, and the dHash perceptual
+# fingerprint (hash-green — integer-only grid arithmetic, the oracle
+# recomputes it from the text column). Windowed so they debut WITH
+# driver evidence (r7 convention); dsir_select ceded its fill slot and
+# rotates with the r10 staleness batch. bpe_encode_store also ships
+# this round but is ROWS_ONLY (no DuckDB formulation), so it stays out
+# of the window per the no-evidence-slot rule above.
+DEBUTS_R9 = ("bm25_postings_store", "image_dhash")
 
-# Remaining 17 slots: oldest r07-green entries (they fall stale at r10
+# Remaining 16 slots: oldest r07-green entries (they fall stale at r10
 # otherwise), event-time-leaning first (round-4 lesson), then the core
 # `count` + key-parity pins, the TPC-H headline, and the iterative
-# graph family. The 32 r07-green entries NOT re-checked here are the
-# round-10 staleness batch (fits one 50-slot window with 18 to spare).
+# graph family. The 33 r07-green entries NOT re-checked here
+# (including dsir_select, which ceded its fill slot to the r9 debuts)
+# are the round-10 staleness batch (fits one 50-slot window with 17 to
+# spare).
 _FILL_R9 = (
     "sessionize",
     "sliding_window",
@@ -1242,7 +1293,6 @@ _FILL_R9 = (
     "pagerank_trade",
     "communities_trade",
     "trade_hops",
-    "dsir_select",
 )
 
 # ------------------------- rotation budget --------------------------- #
@@ -1256,7 +1306,7 @@ _FILL_R9 = (
 # would exceed 50 the first time two debut-heavy rounds stack, making
 # the schedule unsatisfiable); cap debuts at ~5/round and prefer
 # folding near-duplicate entries (e.g. a future aggregate_fold ->
-# aggregate_using_index merge) over growing past it. n = 133 today.
+# aggregate_using_index merge) over growing past it. n = 135 today.
 # --------------------------------------------------------------------- #
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}

@@ -215,3 +215,133 @@ def encode_bpe(
             F.size("bpe_tokens").cast("int").alias("n_bpe"),
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Persisted merge store — train once, encode every ingest batch.
+# The one text-family trainer that lacked a store twin (r8 VERDICT
+# item 8): without it, gating a new corpus batch through the tokenizer
+# meant re-training or hand-carrying the merge list. Same commit
+# protocol as the classifier model store (classifier.py
+# write_classifier_model): data first, meta.json LAST as the atomic
+# commit marker; a rebuild retracts the old meta FIRST so a crash
+# leaves either no marker (clearly uncommitted) or a fully committed
+# merge list — never the old meta over half-overwritten merges.
+# --------------------------------------------------------------------- #
+
+
+def merges_id(merges: "list[tuple[str, str]]") -> str:
+    """Deterministic fingerprint of a merge list (order-sensitive —
+    BPE merges are ordered). Stamped into the store meta and onto
+    every streaming-encoder output row so token streams produced under
+    DIFFERENT tokenizers are detectable at read time, mirroring the
+    classifier gate's model_id."""
+    import hashlib
+
+    payload = "\x1f".join(f"{a}\x1e{b}" for a, b in merges)
+    return hashlib.md5(payload.encode()).hexdigest()[:16]
+
+
+def write_bpe_store(spark, merges: "list[tuple[str, str]]", path: str) -> None:
+    """Persist an ordered merge list: rows at ``path/merges`` (rank,
+    left, right), then the meta marker (n_merges + merges_id) LAST."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    SC.retract_meta(path)
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/merges")
+    SC.commit_meta(
+        path, {"n_merges": len(merges), "merges_id": merges_id(merges)}
+    )
+
+
+def read_bpe_store(spark, path: str) -> "list[tuple[str, str]]":
+    """The ordered merge list back as driver-side values — a tokenizer
+    is n_merges string pairs, the same KB-scale state it was at
+    training. Raises FileNotFoundError on an uncommitted store and
+    ValueError if the committed rows do not match their meta (a
+    mixed-build store must never silently tokenize)."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    meta = SC.read_meta(path)
+    rows = spark.read.parquet(path + "/merges").orderBy("rank").collect()
+    merges = [(r.left, r.right) for r in rows]
+    if len(merges) != int(meta["n_merges"]) or merges_id(merges) != meta[
+        "merges_id"
+    ]:
+        raise ValueError(
+            f"BPE store at {path} does not match its committed meta "
+            "(partial or mixed build) — rebuild with write_bpe_store"
+        )
+    return merges
+
+
+def train_and_write_bpe(
+    df: DataFrame,
+    path: str,
+    n_merges: int = 20,
+    text_col: str = "text",
+) -> "list[tuple[str, str]]":
+    """Convenience: train on the reference corpus and publish the
+    tokenizer."""
+    merges = train_bpe(df, n_merges, text_col)
+    write_bpe_store(df.sparkSession, merges, path)
+    return merges
+
+
+def encode_from_store(
+    spark,
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode under the persisted tokenizer — identical output to
+    :func:`encode_bpe` with the in-memory merge list (pytest-pinned),
+    plus a ``merges_id`` column naming the tokenizer version."""
+    merges = read_bpe_store(spark, path)
+    return encode_bpe(df, merges, text_col, id_col).withColumn(
+        "merges_id", F.lit(merges_id(merges))
+    )
+
+
+class StreamingBpeEncoder:
+    """foreachBatch tokenizer — the streaming twin of
+    :func:`encode_from_store`: each micro-batch of documents is encoded
+    under the PERSISTED merge list and written to
+    ``out_path/batch_id=N``, so an at-least-once replay of batch N
+    overwrites its own directory instead of duplicating token rows
+    (the same idempotent-foreachBatch discipline as
+    classifier.StreamingClassifierGate, and the same model-version
+    caveat: replay after a store rebuild re-encodes under the NEW
+    tokenizer — detectable because every row carries merges_id)."""
+
+    def __init__(self, store_path: str, out_path: str,
+                 text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.store_path = store_path
+        self.out_path = out_path
+        self.text_col = text_col
+        self.id_col = id_col
+        self._merges: "list[tuple[str, str]] | None" = None
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if self._merges is None:
+            self._merges = read_bpe_store(
+                batch_df.sparkSession, self.store_path
+            )
+        out = encode_bpe(
+            batch_df, self._merges, self.text_col, self.id_col
+        ).withColumn("merges_id", F.lit(merges_id(self._merges)))
+        out.write.mode("overwrite").parquet(
+            f"{self.out_path}/batch_id={batch_id}"
+        )
+
+
+def read_encoded_batches(spark, path: str) -> DataFrame:
+    """All committed encoder output with batch_id recovered from the
+    directory layout."""
+    return spark.read.option("basePath", path).parquet(path + "/batch_id=*")

@@ -279,3 +279,236 @@ def extract_features(
             )
 
     return df.select(id_col, bin_col).mapInPandas(batches, schema=out_schema)
+
+
+# --------------------------------------------------------------------- #
+# Perceptual hashing (dHash) + image near-duplicate pairs — makes image
+# near-dup a real operator instead of featurize-plumbing (r8 VERDICT
+# item 7). The dHash recipe (Krawetz, "Kind of Like That", 2013-01,
+# hackerfactor.com): reduce the image to a (h x w+1) luma grid, compare
+# horizontally adjacent cells, pack the h*w booleans into an integer;
+# near-duplicates are pairs within a small Hamming distance.
+#
+# Scoped contract, same as decode_image: the GRID step normally comes
+# from resized pixel luma; without an image runtime in this container
+# the grid is average-pooled directly from the payload BYTES (segment
+# s of byte i is i*72//n — pure integer arithmetic, deterministic, and
+# expressible in ANSI SQL, so unlike the pixel version this stand-in is
+# ORACLE-CHECKABLE end-to-end). Everything downstream of the grid — the
+# adjacent-cell comparison, the 64-bit packing, the pigeonhole Hamming
+# blocking — is the real operator and survives swapping in a pixel
+# decoder unchanged (one row-level function, like decode_image).
+# --------------------------------------------------------------------- #
+
+DHASH_ROWS, DHASH_COLS = 8, 9  # 8x9 grid -> 8x8 adjacent comparisons
+
+
+def dhash64(
+    df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, dhash bigint) — 64-bit difference hash per payload.
+
+    Arrow-batched narrow map (mapInPandas), zero shuffles: at 100 TB
+    this runs inside the media-table scan exactly like decode_image.
+    Integer-only arithmetic (byte sums, floor-div means, comparisons),
+    so the fingerprint is bit-identical across engines — the DuckDB
+    twin :func:`sql_dhash64` reproduces it exactly on ASCII payloads,
+    which is what makes the near-dup operator hash-green instead of
+    rows-only."""
+    n_cells = DHASH_ROWS * DHASH_COLS
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            hashes = []
+            for payload in pdf[bin_col]:
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(b)
+                g = np.zeros(n_cells, dtype=np.int64)
+                if n:
+                    seg = (np.arange(n, dtype=np.int64) * n_cells) // n
+                    np.add.at(g, seg, b.astype(np.int64))
+                    cnt = np.bincount(seg, minlength=n_cells)
+                    nz = cnt > 0
+                    g[nz] = g[nz] // cnt[nz]
+                h = 0
+                for r in range(DHASH_ROWS):
+                    for c in range(DHASH_COLS - 1):
+                        if g[r * DHASH_COLS + c] > g[r * DHASH_COLS + c + 1]:
+                            h |= 1 << (r * (DHASH_COLS - 1) + c)
+                if h >= 1 << 63:  # two's-complement wrap to signed
+                    h -= 1 << 64
+                hashes.append(h)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "dhash": hashes}
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        batches, schema=f"{id_col} long, dhash long"
+    )
+
+
+def _dhash_chunks(k: int) -> "list[tuple[int, int]]":
+    """(start, width) for k disjoint chunks covering the 64 bits."""
+    base, extra = divmod(64, k)
+    out, start = [], 0
+    for i in range(k):
+        w = base + (1 if i < extra else 0)
+        out.append((start, w))
+        start += w
+    return out
+
+
+def image_near_dup(
+    df: DataFrame,
+    max_hamming: int = 8,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image near-duplicate pairs: (doc_a, doc_b, hamming) with dHash
+    Hamming distance <= max_hamming, doc_a < doc_b. EXACT — identical
+    to the all-pairs result (oracle :func:`sql_image_near_dup`):
+    fingerprints within Hamming d agree on at least one of d+1 disjoint
+    bit-chunks (pigeonhole), so the chunk-bucket self-join loses
+    nothing. Same candidate-generation shape as SimHash/LSH — no
+    all-pairs pass anywhere, which is the 100 TB requirement; the
+    popcount re-check runs only on bucket collisions."""
+    sh = dhash64(df, bin_col, id_col)
+    chunks = [
+        (
+            cid,
+            F.shiftrightunsigned(F.col("dhash"), start).bitwiseAND(
+                F.lit((1 << width) - 1)
+            ),
+        )
+        for cid, (start, width) in enumerate(_dhash_chunks(max_hamming + 1))
+    ]
+    blocked = sh.select(
+        F.col(id_col),
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(cid).alias("chunk_id"), c.alias("chunk_val"))
+                    for cid, c in chunks
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "dhash", "c.chunk_id", "c.chunk_val")
+    a = blocked.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("dhash").alias("h_a"),
+        "chunk_id",
+        "chunk_val",
+    )
+    b = blocked.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("dhash").alias("h_b"),
+        "chunk_id",
+        "chunk_val",
+    )
+    cand = (
+        a.join(b, on=["chunk_id", "chunk_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def sql_dhash_cte(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB CTE chain computing the identical dhash per row (ASCII
+    payloads: byte i == ord(char i), pytest-pinned). Integer-only:
+    per-char segment i*72//n, floor-div segment means with empty
+    segments = 0, adjacent-compare bits, HUGEINT sum wrapped to signed
+    BIGINT — each step mirrors :func:`dhash64` exactly."""
+    n_cells = DHASH_ROWS * DHASH_COLS
+    return f"""
+        chars AS (
+            SELECT {id_col} AS did, i.i AS i,
+                   ord(substr({text_col}, CAST(i.i + 1 AS INT), 1)) AS byte,
+                   length({text_col}) AS n
+            FROM {table},
+                 LATERAL (SELECT unnest(range(length({text_col}))) AS i) i
+        ),
+        seg AS (
+            SELECT did, (i * {n_cells}) // n AS g,
+                   CAST(SUM(byte) AS BIGINT) // COUNT(*) AS v
+            FROM chars GROUP BY did, (i * {n_cells}) // n
+        ),
+        cells AS (
+            SELECT d.did, c.g, COALESCE(s.v, 0) AS v
+            FROM (SELECT DISTINCT did FROM seg) d
+            CROSS JOIN (SELECT unnest(range({n_cells})) AS g) c
+            LEFT JOIN seg s ON s.did = d.did AND s.g = c.g
+        ),
+        bits AS (
+            SELECT a.did,
+                   (a.g // {DHASH_COLS}) * {DHASH_COLS - 1}
+                       + (a.g % {DHASH_COLS}) AS bit_idx
+            FROM cells a JOIN cells b
+              ON a.did = b.did AND b.g = a.g + 1
+            WHERE a.g % {DHASH_COLS} < {DHASH_COLS - 1} AND a.v > b.v
+        ),
+        rawhash AS (
+            -- two 32-bit halves, integer shifts only: DuckDB's ** is
+            -- DOUBLE-valued and would round away the low ~10 bits at
+            -- 2^63 scale
+            SELECT c.did,
+                   COALESCE(SUM(CASE WHEN b.bit_idx < 32
+                       THEN CAST(1 AS BIGINT) << CAST(b.bit_idx AS INT)
+                       ELSE 0 END), 0) AS lo,
+                   COALESCE(SUM(CASE WHEN b.bit_idx >= 32
+                       THEN CAST(1 AS BIGINT) << CAST(b.bit_idx - 32 AS INT)
+                       ELSE 0 END), 0) AS hi
+            FROM (SELECT DISTINCT did FROM cells) c
+            LEFT JOIN bits b ON b.did = c.did
+            GROUP BY c.did
+        ),
+        dhashes AS (
+            SELECT did,
+                   CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+                             THEN h - CAST(18446744073709551616 AS HUGEINT)
+                             ELSE h END AS BIGINT) AS dhash
+            FROM (
+                SELECT did,
+                       CAST(hi AS HUGEINT) * 4294967296 + CAST(lo AS HUGEINT)
+                           AS h
+                FROM rawhash
+            )
+        )
+    """
+
+
+def sql_dhash64(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    return f"""
+        WITH {sql_dhash_cte(table, text_col, id_col)}
+        SELECT did AS {id_col}, dhash FROM dhashes
+    """
+
+
+def sql_image_near_dup(
+    max_hamming: int = 8,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """All-pairs xor-popcount oracle — exact because the Spark side's
+    (d+1)-chunk pigeonhole blocking is lossless."""
+    return f"""
+        WITH {sql_dhash_cte(table, text_col, id_col)}
+        SELECT a.did AS doc_a, b.did AS doc_b,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+        FROM dhashes a JOIN dhashes b ON a.did < b.did
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+    """

@@ -142,3 +142,89 @@ def test_batched_selection_equals_merge_at_a_time(spark):
     seq = train_bpe(df, n_merges=10, batch_top_m=1)
     bat = train_bpe(df, n_merges=10, batch_top_m=64)
     assert seq == bat and len(seq) > 0
+
+
+# ------------------------- persisted merge store ---------------------- #
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+
+
+def test_store_roundtrip_and_encode_parity(spark, tmp_path):
+    """write -> read returns the identical ordered merge list, and
+    encode_from_store output equals encode_bpe with the in-memory
+    merges (plus the merges_id version column)."""
+    from spark_indexedrdd_spark.functions import bpe as B
+
+    df = _docs(spark)
+    p = str(tmp_path / "bpe_store")
+    merges = B.train_and_write_bpe(df, p, n_merges=8)
+    assert B.read_bpe_store(spark, p) == merges
+    got = B.encode_from_store(spark, df, p)
+    assert set(got.columns) == {"doc_id", "bpe_tokens", "n_bpe", "merges_id"}
+    want = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in B.encode_bpe(df, merges).collect()
+    }
+    rows = got.collect()
+    assert {r.doc_id: list(r.bpe_tokens) for r in rows} == want
+    assert {r.merges_id for r in rows} == {B.merges_id(merges)}
+
+
+def test_store_uncommitted_and_mixed_builds_refused(spark, tmp_path):
+    """meta.json is the commit marker: a store whose rebuild crashed
+    pre-commit is FileNotFoundError; committed rows that do not match
+    their meta (mixed build) are a loud ValueError, never a silent
+    tokenize under the wrong merges."""
+    import pytest as _pytest
+
+    from spark_indexedrdd_spark.functions import bpe as B
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    df = _docs(spark)
+    p = str(tmp_path / "bpe_crash")
+    B.train_and_write_bpe(df, p, n_merges=6)
+    good = B.read_bpe_store(spark, p)
+
+    # crash during rebuild = old meta retracted, new rows half-written:
+    # simulate the retract step, reader refuses cleanly
+    SC.retract_meta(p)
+    with _pytest.raises(FileNotFoundError):
+        B.read_bpe_store(spark, p)
+
+    # recommit a meta that does NOT match the rows -> loud error
+    SC.commit_meta(p, {"n_merges": len(good), "merges_id": "bogus"})
+    with _pytest.raises(ValueError, match="does not match"):
+        B.read_bpe_store(spark, p)
+
+    # a full rebuild recovers
+    B.write_bpe_store(spark, good, p)
+    assert B.read_bpe_store(spark, p) == good
+
+
+def test_streaming_encoder_matches_store_encode_and_replays(spark, tmp_path):
+    """The foreachBatch twin: batch outputs equal encode_from_store on
+    the same rows, replay of a batch overwrites instead of duplicating,
+    and every row carries the tokenizer fingerprint."""
+    from spark_indexedrdd_spark.functions import bpe as B
+
+    df = _docs(spark)
+    store = str(tmp_path / "bpe_m")
+    out = str(tmp_path / "bpe_enc")
+    B.train_and_write_bpe(df, store, n_merges=8)
+
+    enc = B.StreamingBpeEncoder(store, out)
+    b0, b1 = df.where("doc_id < 2"), df.where("doc_id >= 2")
+    enc.foreach_batch(b0, 0)
+    enc.foreach_batch(b1, 1)
+    enc.foreach_batch(b0, 0)  # at-least-once replay
+
+    got = B.read_encoded_batches(spark, out)
+    want = B.encode_from_store(spark, df, store)
+    g = {r.doc_id: (list(r.bpe_tokens), r.merges_id) for r in got.collect()}
+    w = {r.doc_id: (list(r.bpe_tokens), r.merges_id) for r in want.collect()}
+    assert g == w  # replay did not duplicate; content identical
+    assert got.count() == df.count()
