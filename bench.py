@@ -792,6 +792,31 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
 
         force(_ret.stratified_split(docs))
 
+    @timed("image_dhash_near_dup")
+    def _dhash():
+        from spark_indexedrdd_spark.functions import multimodal as _mm
+
+        force(
+            _mm.image_near_dup(_mm.attach_binary(docs), max_hamming=8)
+        )
+
+    # train on a 500-doc sample (the sampled-trainer pattern: merge
+    # statistics converge long before the corpus does), publish through
+    # the meta-last store commit, encode the FULL corpus from the store
+    @timed("bpe_store_train_encode")
+    def _bpe_store():
+        import shutil
+
+        from spark_indexedrdd_spark.functions import bpe as _b
+
+        shutil.rmtree("spark-warehouse/bench_bpe", ignore_errors=True)
+        _b.train_and_write_bpe(
+            docs.limit(500), "spark-warehouse/bench_bpe", n_merges=16
+        )
+        force(
+            _b.encode_from_store(spark, docs, "spark-warehouse/bench_bpe")
+        )
+
     @timed("postings_store_write_once")
     def _post_w():
         import shutil
