@@ -444,6 +444,76 @@ def q_bm25_postings_store(spark, sf_dir):
     return _r.bm25_from_store(spark, path)
 
 
+# Survivors of the delete predicate below among the standard ANN query
+# ids (0 and 350 are % 7 == 0 and get tombstoned).
+IVF_DELETE_QIDS = [50, 100, 150, 200, 250, 300, 400, 450]
+
+
+def q_ivf_store_delete_serve(spark, sf_dir):
+    """Tombstone-delete path under driver evidence (IndexedRDD
+    delete(ks), IndexedRDD.scala:120-123, carried onto the persisted
+    vector index): build the det IVF store over the full corpus,
+    tombstone every vec_id % 7 == 0 through the manifest-pointer
+    delete commit, then serve ANN top-k FROM the store. Scores must
+    hash-match the DuckDB twin that fits centroids on the FULL corpus
+    (the store pins them at build time) but ranks only survivors —
+    proving build + delete + pruned serve compose exactly."""
+    import shutil
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    path = os.path.join("spark-warehouse", "contract_ivf_delete")
+    shutil.rmtree(path, ignore_errors=True)
+    _ivf.write_ivf_store(emb, path, n_clusters=16, method="det")
+    _ivf.delete_ivf_ids(
+        spark,
+        path,
+        emb.where("vec_id % 7 = 0").select("vec_id"),
+        batch_tag="contract-takedown",
+    )
+    return _ivf.ivf_ann_from_store(
+        spark, path, IVF_DELETE_QIDS, k=5, n_probe=4
+    )
+
+
+def q_zonemap_pruned_scan(spark, sf_dir):
+    """Zone-map file skipping under driver evidence: cluster lineitem
+    by l_shipdate with a per-file min/max sidecar
+    (sources/zonemap.py), then answer a one-quarter revenue rollup
+    reading ONLY the files whose zone overlaps the range. The oracle
+    is the plain full-scan filter — the zone map must change which
+    tasks run, never the answer."""
+    import shutil
+
+    from spark_indexedrdd_spark.sources import zonemap as _zm
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = os.path.join("spark-warehouse", "contract_zonemap")
+    shutil.rmtree(path, ignore_errors=True)
+    _zm.write_zonemap_table(li, path, "l_shipdate", n_files=32)
+    q = _zm.zonemap_read(spark, path, "1996-01-01", "1996-03-31")
+    return q.groupBy("l_returnflag").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+SQL_ZONEMAP_PRUNED_SCAN = """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <= TIMESTAMP '1996-03-31'
+    GROUP BY l_returnflag
+"""
+
+
 def _q_bpe_encode_store(spark, sf_dir):
     """Persisted-tokenizer serve path under driver evidence: train BPE
     merges on the even half of the corpus, publish them through the
@@ -550,6 +620,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9: the store-serve path itself (build + staged append + pruned
     # serve) under the same full-corpus oracle as bm25_topk
     "bm25_postings_store": q_bm25_postings_store,
+    # r9 (post-window, PAST_CUTOFF_NEW): tombstone delete on the IVF
+    # store + zone-map file skipping — front-queued into the r10 window
+    "ivf_store_delete_serve": q_ivf_store_delete_serve,
+    "zonemap_pruned_scan": q_zonemap_pruned_scan,
     "tfidf_keywords": lambda s, d: _ret.tfidf_keywords(_docs(s, d)),
     "stratified_split": lambda s, d: _ret.stratified_split(_docs(s, d)),
     "temperature_sample": lambda s, d: _text.temperature_sample(_docs(s, d)),
@@ -921,6 +995,12 @@ EXTENSION_ORACLE: dict[str, str] = {
     # store-serve must equal the in-plan ranking over the full corpus —
     # the oracle IS the bm25 oracle (store≡in-plan, now driver-checked)
     "bm25_postings_store": _ret.sql_bm25_topk(),
+    # centroids from the FULL corpus (store pins them at build time),
+    # candidates + queries from survivors only — the tombstone model
+    "ivf_store_delete_serve": _ivf.sql_ivf_ann(
+        query_ids=IVF_DELETE_QIDS, exclude_pred="vec_id % 7 = 0"
+    ),
+    "zonemap_pruned_scan": SQL_ZONEMAP_PRUNED_SCAN,
     "tfidf_keywords": _ret.sql_tfidf_keywords(),
     "stratified_split": _ret.sql_stratified_split(),
     "temperature_sample": _text.sql_temperature_sample(),
@@ -1214,8 +1294,12 @@ _FILL_R8 = (
     # debut; it rotates with the r9 staleness batch (note below).
 )
 
-# Empty: round-8 debuts are IN the window above.
-PAST_CUTOFF_NEW: tuple = ()
+# Added after the r9 window's 50 slots were consumed (no driver
+# history yet): the IVF-store tombstone-delete serve path and the
+# zone-map pruned scan. The escape-hatch contract
+# (test_driver_sim.py) obliges the r10 rotation to front-queue both
+# as debuts.
+PAST_CUTOFF_NEW: tuple = ("ivf_store_delete_serve", "zonemap_pruned_scan")
 
 # The 32 queries the staleness tripwire named verbatim after
 # CORRECTNESS_r08 landed (last hash-green r06; asserted

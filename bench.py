@@ -566,6 +566,56 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
             threshold=0.3,
         ).count()
 
+    # tombstone delete + serve on the IVF store (r9): manifest-pointer
+    # delete commit, then ANN top-k reading only probed clusters minus
+    # the broadcast tombstone set
+    @timed("ivf_store_delete_serve")
+    def _ivfdel():
+        from spark_indexedrdd_spark.functions import ivf as _ivf
+
+        _ivf.delete_ivf_ids(
+            spark,
+            "spark-warehouse/bench_ivf_store",
+            emb.where("vec_id % 20 != 0 AND vec_id % 7 = 0").select("vec_id"),
+            batch_tag="bench-del",
+        )
+        _ivf.ivf_ann_from_store(
+            spark,
+            "spark-warehouse/bench_ivf_store",
+            [50, 100, 150, 200, 250, 300, 400, 450],
+            k=5,
+            n_probe=4,
+        ).count()
+
+    # zone-map file skipping (r9): clustered write + per-file min/max
+    # sidecar; the quarter scan schedules only overlapping files
+    @timed("zonemap_write_once")
+    def _zmw():
+        from spark_indexedrdd_spark.sources import zonemap as _zm
+
+        _zm.write_zonemap_table(
+            li_full, "spark-warehouse/bench_zonemap", "l_shipdate", n_files=32
+        )
+
+    @timed("zonemap_pruned_scan")
+    def _zmr():
+        from pyspark.sql import functions as _F
+
+        from spark_indexedrdd_spark.sources import zonemap as _zm
+
+        _zm.zonemap_read(
+            spark,
+            "spark-warehouse/bench_zonemap",
+            "1996-01-01",
+            "1996-03-31",
+        ).groupBy("l_returnflag").agg(
+            _F.sum(
+                (_F.col("l_extendedprice") * (1 - _F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("revenue")
+        ).count()
+
     @timed("pagerank_trade")
     def _pr_trade():
         from spark_indexedrdd_spark.operators import graph as _graph

@@ -371,6 +371,7 @@ def write_ivf_store(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "kmeans",
+    files_per_cluster: int = 1,
 ) -> None:
     """Materialize the corpus as a partitioned IVF index: vectors (with
     precomputed norms and centroid assignment) at ``path/vectors``
@@ -387,7 +388,16 @@ def write_ivf_store(
     commits atomically — a crash mid-rebuild over an existing store
     leaves it clearly uncommitted instead of silently MIXING the old
     centroids with half-overwritten vectors (the lists would re-shape
-    under every stored id)."""
+    under every stored id).
+
+    ``files_per_cluster`` sizes the layout: without the pre-write
+    repartition below, every upstream task writes into every cluster
+    directory — task_count × n_clusters small files, the classic
+    partitionBy explosion (at 1,000 executors × 1,024 clusters that is
+    a million files per build). Keying the shuffle by (cluster, a
+    bounded id-hash salt) caps the store at exactly n_clusters ×
+    files_per_cluster files; raise files_per_cluster until each file
+    is ~maxPartitionBytes at your corpus size."""
     from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.functions.vectors import norm
 
@@ -397,6 +407,11 @@ def write_ivf_store(
         F.col(vec_col),
         norm(F.col(vec_col)).alias("nrm"),
         _assign_udf(cents)(F.col(vec_col)).alias("cluster_id"),
+    )
+    assigned = assigned.repartition(
+        n_clusters * files_per_cluster,
+        "cluster_id",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cluster)),
     )
     # retract only once the non-destructive work (centroid fit) is done:
     # a failed FIT must not brick an intact committed store
@@ -438,11 +453,13 @@ def append_ivf_batch(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    files_per_cluster: int = 1,
 ) -> None:
     """Fold an accepted ingest batch into the store: assign with the
     STORED centroids (the index's clustering is fixed at build time —
     re-fitting would silently re-shape every list) and append into the
-    per-cluster directories."""
+    per-cluster directories, with the same bounded-file-count shuffle
+    as the build (write_ivf_store docstring)."""
     from spark_indexedrdd_spark.functions.vectors import norm
 
     _vecs, cents = read_ivf_store(new_emb.sparkSession, path)
@@ -451,6 +468,11 @@ def append_ivf_batch(
         F.col(vec_col),
         norm(F.col(vec_col)).alias("nrm"),
         _assign_udf(cents)(F.col(vec_col)).alias("cluster_id"),
+    )
+    assigned = assigned.repartition(
+        len(cents) * files_per_cluster,
+        "cluster_id",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cluster)),
     )
     assigned.write.mode("append").partitionBy("cluster_id").parquet(
         path + "/vectors"
@@ -481,10 +503,16 @@ def incremental_semantic_dedup_from_store(
     from emitting self-pairs, mirroring the LSH store's note.
 
     Returns (vec_id, cluster_id, keep, dup_of) for the NEW ids only."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.functions.vectors import dot, norm
 
     spark = new_emb.sparkSession
     _store_all, cents = read_ivf_store(spark, path)
+    # committed tombstones (delete_ivf_ids) are dead for dedup too: a
+    # removed vector must not claim new arrivals as its duplicates
+    tomb = _tombstone_ids(spark, path, SC.read_meta(path), id_col)
+    if tomb is not None:
+        _store_all = _store_all.join(F.broadcast(tomb), id_col, "left_anti")
     new_n = new_emb.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
@@ -537,6 +565,200 @@ def incremental_semantic_dedup_from_store(
             "dup_of",
         )
     )
+
+
+# --------------------------------------------------------------------- #
+# Tombstone deletes on the IVF store — IndexedRDD `delete(ks)` semantics
+# (IndexedRDD.scala:120-123) carried onto the persisted vector index:
+# the cheap incremental operation is a tombstone append + atomic meta
+# commit; the expensive rewrite is an explicit, rebuild-class
+# compaction. (Lucene/FAISS IDSelector and Delta deletion vectors use
+# the same split for the same reason: rewriting a 100 TB index per
+# takedown batch is not an option.)
+# --------------------------------------------------------------------- #
+
+
+def delete_ivf_ids(
+    spark,
+    path: str,
+    ids,
+    batch_tag: str,
+    id_col: str = "vec_id",
+) -> bool:
+    """Tombstone-delete stored vectors by id. Returns False (replay
+    no-op) when ``batch_tag`` was already applied.
+
+    Commit protocol (store_commit module docstring, manifest-pointer
+    shape): the tombstone parquet lands under ``tombstones/<tag>``
+    first — INVISIBLE, because readers resolve the tombstone set from
+    the tags a committed meta names — then one atomic meta rewrite
+    records the tag. A crash before the commit leaves the delete
+    unapplied and the replay's overwrite-mode rewrite of the same dir
+    is exact, so re-delivery is idempotent, not just at-least-once.
+    Snapshot isolation falls out of the single meta read on the serve
+    path: a concurrent reader sees entirely-pre-delete or
+    entirely-post-delete results, never a torn mix. Single-writer,
+    like every meta-rewriting store path.
+
+    ``ids`` is a Python iterable or a single-column DataFrame — a
+    takedown batch at 100 TB can be millions of ids, so the DataFrame
+    form never collects; the iterable form is the targeted-delete
+    convenience. Deleting an id absent from the store is a no-op by
+    construction (tombstones are anti-joined, not asserted)."""
+    import json as _json
+    import os
+    import re as _re
+
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_tag):
+        # the tag becomes a path component — same loud-error rule as
+        # append_postings_batch (a '..' tag would write outside the
+        # store)
+        raise ValueError(f"invalid batch_tag {batch_tag!r}")
+    meta = SC.read_meta(path)
+    if batch_tag in meta.get("deletes", []):
+        return False
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(F.col(ids.columns[0]).cast("long").alias(id_col))
+    else:
+        tomb = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    tomb.write.mode("overwrite").parquet(
+        os.path.join(path, "tombstones", batch_tag)
+    )
+    meta.setdefault("deletes", []).append(batch_tag)
+    SC.commit_meta(path, meta)
+    return True
+
+
+def _tombstone_ids(spark, path: str, meta: dict, id_col: str) -> "DataFrame | None":
+    """The committed tombstone set under ONE meta snapshot (None when
+    the store has no applied deletes). Tiny relative to the corpus —
+    callers broadcast it into an anti-join."""
+    import os
+
+    tags = meta.get("deletes", [])
+    if not tags:
+        return None
+    paths = [os.path.join(path, "tombstones", t) for t in tags]
+    return (
+        spark.read.parquet(*paths)
+        .select(F.col(id_col).cast("long").alias(id_col))
+        .distinct()
+    )
+
+
+def ivf_ann_from_store(
+    spark,
+    path: str,
+    query_ids: Iterable[int],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k served FROM the persisted store: (q_id, cand_id,
+    cosine_sim, rank), with committed tombstones excluded from both the
+    query set and the candidates.
+
+    Plan shape at scale: meta + centroids are one driver-side read;
+    probe selection collects q × n_probe rows (bounded by the query
+    batch); the candidate scan then carries ``cluster_id IN (probed)``
+    — a partition-directory filter on the store layout, so a serve
+    touching c of k clusters reads ~c/k of the index — and the
+    tombstone set broadcasts into a left-anti join (never a shuffle of
+    the candidates). The only exchange is the terminal top-k window,
+    same as :func:`ivf_ann`.
+
+    Parity: on a det-method store, serve-after-delete is bit-identical
+    to the full-corpus-centroid / surviving-candidate DuckDB twin
+    ``sql_ivf_ann(exclude_pred=...)`` (centroids were fit BEFORE the
+    delete and are pinned by the store — deletion never re-shapes the
+    lists)."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    meta = SC.read_meta(path)
+    vecs, cents = read_ivf_store(spark, path)
+    tomb = _tombstone_ids(spark, path, meta, id_col)
+    if tomb is not None:
+        vecs = vecs.join(F.broadcast(tomb), id_col, "left_anti")
+    probes = (
+        vecs.where(F.col(id_col).isin(list(query_ids)))
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(
+                _probe_udf(cents, n_probe)(F.col(vec_col))
+            ).alias("cluster_id"),
+        )
+    )
+    probe_rows = probes.collect()
+    hit = sorted({r.cluster_id for r in probe_rows})
+    probe_df = spark.createDataFrame(
+        [(r.q_id, r.q_vec, r.cluster_id) for r in probe_rows],
+        "q_id long, q_vec array<double>, cluster_id int",
+    )
+    cand = (
+        F.broadcast(probe_df)
+        .join(vecs.where(F.col("cluster_id").isin(hit)), "cluster_id")
+        .where(F.col("q_id") != F.col(id_col))
+    )
+    scored = cand.select(
+        "q_id",
+        F.col(id_col).alias("cand_id"),
+        cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "cand_id", "cosine_sim", F.col("rank").cast("int"))
+    )
+
+
+def compact_ivf_store(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+) -> int:
+    """Physically drop tombstoned vectors and clear the tombstone list.
+    Returns the number of live vectors after compaction.
+
+    Rebuild-class by design (docstring at delete_ivf_ids): survivors
+    are re-written under the SAME stored centroid assignment (the
+    cluster_id column is carried, never re-fit — compaction must not
+    re-shape the lists), via the standard retract → write → commit
+    fence, so a crash mid-compaction leaves the store clearly
+    uncommitted rather than mixing old and new cluster directories.
+    Run it when the tombstone fraction justifies a rewrite of the
+    affected partitions — exactly Delta's VACUUM/OPTIMIZE economics."""
+    import os
+    import shutil
+
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    meta = SC.read_meta(path)
+    vecs, _cents = read_ivf_store(spark, path)
+    tomb = _tombstone_ids(spark, path, meta, id_col)
+    if tomb is None:
+        return vecs.count()
+    survivors = vecs.join(F.broadcast(tomb), id_col, "left_anti")
+    # survivors must be fully materialized before the overwrite below
+    # rewrites the directory they are lazily reading from
+    survivors = survivors.localCheckpoint(eager=True)
+    SC.retract_meta(path)
+    # same bounded-file-count shuffle as the build (one file per
+    # cluster here; compaction is where small appended files re-merge)
+    survivors.repartition("cluster_id").write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(path + "/vectors")
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    meta["deletes"] = []
+    meta["compactions"] = int(meta.get("compactions", 0)) + 1
+    SC.commit_meta(path, meta)
+    return survivors.count()
 
 
 def sql_semantic_dedup(
@@ -593,8 +815,16 @@ def sql_ivf_ann(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_pred: "str | None" = None,
 ) -> str:
     """Exact DuckDB twin of ``ivf_ann(..., method="det")``.
+
+    ``exclude_pred`` (e.g. ``"vec_id % 7 = 0"``) models a tombstone
+    delete applied AFTER the index build: the centroid fit still reads
+    the full table (the store pins centroids at build time — deletion
+    never re-fits), while query selection and the candidate lists see
+    only survivors. This is the oracle for
+    :func:`ivf_ann_from_store` after :func:`delete_ivf_ids`.
 
     Bit-exactness argument (same as sql_hyperplane_lsh_ann): both sides
     use sequential double folds for every dot product; the centroid set
@@ -608,6 +838,7 @@ def sql_ivf_ann(
     from spark_indexedrdd_spark.functions.vectors import sql_cosine, sql_dot, sql_norm
 
     ids = ", ".join(str(i) for i in query_ids)
+    live = f" WHERE NOT ({exclude_pred})" if exclude_pred else ""
     c_sim = f"({sql_dot(f'e.{vec_col}', 'c.centroid')} / c.c_norm)"
     q_sim = f"({sql_dot(f'q.{vec_col}', 'c.centroid')} / c.c_norm)"
     return f"""
@@ -625,7 +856,7 @@ def sql_ivf_ann(
                            PARTITION BY e.{id_col}
                            ORDER BY {c_sim} DESC, c.cluster_id
                        ) AS rn
-                FROM {table} e CROSS JOIN cents c
+                FROM (SELECT * FROM {table}{live}) e CROSS JOIN cents c
             ) WHERE rn = 1
         ),
         probes AS (
@@ -635,7 +866,7 @@ def sql_ivf_ann(
                            PARTITION BY q.{id_col}
                            ORDER BY {q_sim} DESC, c.cluster_id
                        ) AS rn
-                FROM (SELECT * FROM {table} WHERE {id_col} IN ({ids})) q
+                FROM (SELECT * FROM {table} WHERE {id_col} IN ({ids}){live.replace(' WHERE ', ' AND ')}) q
                 CROSS JOIN cents c
             ) WHERE rn <= {n_probe}
         ),

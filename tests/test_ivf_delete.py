@@ -1,0 +1,129 @@
+"""Tombstone deletes on the persisted IVF store: serve parity against
+the DuckDB twin, replay idempotence, crash invisibility, compaction
+equivalence, and the dedup path's tombstone awareness.
+
+IndexedRDD `delete(ks)` semantics (IndexedRDD.scala:120-123) carried
+onto the vector index — the delete is a manifest-pointer-committed
+tombstone, never a rewrite; compaction is the explicit rewrite."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.functions.ivf import (
+    compact_ivf_store,
+    delete_ivf_ids,
+    incremental_semantic_dedup_from_store,
+    ivf_ann,
+    ivf_ann_from_store,
+    read_ivf_store,
+    sql_ivf_ann,
+    write_ivf_store,
+)
+from spark_indexedrdd_spark.sources.tables import load_table
+from tests.oracle_utils import compare, duck_con
+
+QIDS = [50, 100, 150, 200, 250, 300, 400, 450]  # survivors of % 7 = 0
+
+
+@pytest.fixture()
+def store(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivf")
+    write_ivf_store(emb, path, n_clusters=16, method="det")
+    return emb, path
+
+
+def test_serve_without_delete_matches_inplan(spark, store):
+    emb, path = store
+    served = ivf_ann_from_store(spark, path, QIDS, k=5, n_probe=4)
+    inplan = ivf_ann(emb, QIDS, k=5, n_clusters=16, n_probe=4, method="det")
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inplan.collect())
+    )
+
+
+def test_delete_then_serve_matches_exclusion_oracle(spark, sf_dir, store):
+    _emb, path = store
+    doomed = [i for i in range(0, 600, 7)]
+    assert delete_ivf_ids(spark, path, doomed, batch_tag="takedown-1")
+    served = ivf_ann_from_store(spark, path, QIDS, k=5, n_probe=4)
+    rep = compare(
+        served,
+        sql_ivf_ann(query_ids=QIDS, exclude_pred="vec_id % 7 = 0"),
+        duck_con(sf_dir),
+    )
+    assert rep["ok"], rep
+    # deleted ids are gone from BOTH roles
+    rows = served.collect()
+    assert rows and all(r.cand_id % 7 != 0 and r.q_id % 7 != 0 for r in rows)
+
+
+def test_deleted_query_id_yields_no_rows(spark, store):
+    _emb, path = store
+    delete_ivf_ids(spark, path, [0], batch_tag="t0")
+    out = ivf_ann_from_store(spark, path, [0], k=5).collect()
+    assert out == []
+
+
+def test_replay_is_noop_and_crash_is_invisible(spark, store):
+    emb, path = store
+    assert delete_ivf_ids(spark, path, [0, 7], batch_tag="b1") is True
+    before = sorted(map(tuple, ivf_ann_from_store(spark, path, QIDS).collect()))
+    # replay of a committed tag: no-op, same results
+    assert delete_ivf_ids(spark, path, [0, 7], batch_tag="b1") is False
+    assert sorted(map(tuple, ivf_ann_from_store(spark, path, QIDS).collect())) == before
+    # crash shape: tombstone directory on disk but tag never committed
+    # to meta → readers must not see it (manifest-pointer visibility)
+    emb.where("vec_id = 50").select("vec_id").write.mode("overwrite").parquet(
+        os.path.join(path, "tombstones", "crashed")
+    )
+    assert sorted(map(tuple, ivf_ann_from_store(spark, path, QIDS).collect())) == before
+
+
+def test_compaction_preserves_serve_and_drops_rows(spark, store):
+    _emb, path = store
+    doomed = [i for i in range(0, 600, 7)]
+    delete_ivf_ids(spark, path, doomed, batch_tag="d1")
+    before = sorted(map(tuple, ivf_ann_from_store(spark, path, QIDS).collect()))
+    n_live = compact_ivf_store(spark, path)
+    vecs, _ = read_ivf_store(spark, path)
+    assert vecs.where(F.col("vec_id") % 7 == 0).count() == 0
+    assert vecs.count() == n_live
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    after = sorted(map(tuple, ivf_ann_from_store(spark, path, QIDS).collect()))
+    assert after == before
+    # compaction with no tombstones is a no-op shortcut
+    assert compact_ivf_store(spark, path) == n_live
+
+
+def test_delete_accepts_dataframe_and_rejects_bad_tag(spark, store):
+    emb, path = store
+    ids_df = emb.where("vec_id % 7 = 0").select("vec_id")
+    assert delete_ivf_ids(spark, path, ids_df, batch_tag="df-batch")
+    served = ivf_ann_from_store(spark, path, QIDS, k=5)
+    assert all(r.cand_id % 7 != 0 for r in served.collect())
+    with pytest.raises(ValueError):
+        delete_ivf_ids(spark, path, [1], batch_tag="../evil")
+
+
+def test_incremental_dedup_ignores_tombstoned_neighbors(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vs = [[float(x) for x in rng.normal(size=8)] for _ in range(8)]
+    corpus = spark.createDataFrame(
+        [(i, vs[i]) for i in range(8)], "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_store(corpus, path, n_clusters=2, method="det")
+    batch = spark.createDataFrame(
+        [(100, vs[3])], "vec_id long, embedding array<float>"
+    )
+    r = incremental_semantic_dedup_from_store(batch, path, threshold=0.999).collect()
+    assert len(r) == 1 and not r[0].keep and r[0].dup_of == 3
+    # delete the only near-neighbor → the replayed batch now KEEPs
+    delete_ivf_ids(spark, path, [3], batch_tag="rm3")
+    r2 = incremental_semantic_dedup_from_store(batch, path, threshold=0.999).collect()
+    assert len(r2) == 1 and r2[0].keep and r2[0].dup_of is None
