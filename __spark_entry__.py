@@ -444,6 +444,57 @@ def q_bm25_postings_store(spark, sf_dir):
     return _r.bm25_from_store(spark, path)
 
 
+def q_bm25_takedown_serve(spark, sf_dir):
+    """Takedown path under driver evidence (reference delete(ks),
+    IndexedRDD.scala:120-123, on the inverted index): build the store
+    over the full corpus, tombstone every doc_id % 5 == 0
+    (retrieval.delete_postings_docs — stat deltas from the doclen
+    sidecar, meta-committed), then serve. Scores must hash-match the
+    DuckDB BM25 over the SURVIVOR corpus — n_docs, avgdl and df(term)
+    all exactly re-derived, proving the tombstone model is
+    indistinguishable from a rebuild."""
+    import shutil
+
+    from spark_indexedrdd_spark.functions import retrieval as _r
+
+    docs = _docs(spark, sf_dir)
+    path = os.path.join("spark-warehouse", "contract_bm25_takedown")
+    shutil.rmtree(path, ignore_errors=True)
+    _r.write_postings_store(docs, path, n_buckets=64)
+    _r.delete_postings_docs(
+        spark, path, docs.where("doc_id % 5 = 0").select("doc_id"),
+        batch_tag="contract-takedown",
+    )
+    return _r.bm25_from_store(spark, path)
+
+
+def q_dedup_takedown_lsh(spark, sf_dir):
+    """Signature-store takedown under driver evidence: tombstoned
+    corpus docs must stop claiming new arrivals as near-dups. Store
+    holds the %20!=0 corpus, %7 corpus docs are taken down, the %20==0
+    batch arrives — result must hash-match the oracle whose corpus
+    simply never contained the dead docs."""
+    import shutil
+
+    docs = _docs(spark, sf_dir)
+    path = os.path.join("spark-warehouse", "contract_sig_takedown")
+    shutil.rmtree(path, ignore_errors=True)
+    _dedup.write_signature_store(docs.where("doc_id % 20 != 0"), path)
+    _dedup.delete_signature_docs(
+        spark, path,
+        docs.where("doc_id % 20 != 0 AND doc_id % 7 = 0").select("doc_id"),
+        batch_tag="contract-takedown",
+    )
+    out = _dedup.incremental_lsh_candidates_from_store(
+        docs.where("doc_id % 20 = 0"), path
+    )
+    # the helper caches the new-batch signatures (documented one-shot
+    # leak); localCheckpoint the result then release for the driver
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.clearCache()
+    return out
+
+
 # Survivors of the delete predicate below among the standard ANN query
 # ids (0 and 350 are % 7 == 0 and get tombstoned).
 IVF_DELETE_QIDS = [50, 100, 150, 200, 250, 300, 400, 450]
@@ -624,6 +675,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # store + zone-map file skipping — front-queued into the r10 window
     "ivf_store_delete_serve": q_ivf_store_delete_serve,
     "zonemap_pruned_scan": q_zonemap_pruned_scan,
+    # r9 (post-window, PAST_CUTOFF_NEW): the takedown family — exact
+    # BM25 over survivors + signature-store tombstones
+    "bm25_takedown_serve": q_bm25_takedown_serve,
+    "dedup_takedown_lsh": q_dedup_takedown_lsh,
     "tfidf_keywords": lambda s, d: _ret.tfidf_keywords(_docs(s, d)),
     "stratified_split": lambda s, d: _ret.stratified_split(_docs(s, d)),
     "temperature_sample": lambda s, d: _text.temperature_sample(_docs(s, d)),
@@ -1001,6 +1056,12 @@ EXTENSION_ORACLE: dict[str, str] = {
         query_ids=IVF_DELETE_QIDS, exclude_pred="vec_id % 7 = 0"
     ),
     "zonemap_pruned_scan": SQL_ZONEMAP_PRUNED_SCAN,
+    # survivor-corpus BM25: every stat re-derived over NOT (%5 = 0)
+    "bm25_takedown_serve": _ret.sql_bm25_topk(exclude_pred="doc_id % 5 = 0"),
+    # corpus never contained the dead docs; new batch unchanged
+    "dedup_takedown_lsh": _dedup.sql_incremental_lsh_candidates(
+        "doc_id % 20 = 0", exclude_pred="doc_id % 20 != 0 AND doc_id % 7 = 0"
+    ),
     "tfidf_keywords": _ret.sql_tfidf_keywords(),
     "stratified_split": _ret.sql_stratified_split(),
     "temperature_sample": _text.sql_temperature_sample(),
@@ -1295,11 +1356,17 @@ _FILL_R8 = (
 )
 
 # Added after the r9 window's 50 slots were consumed (no driver
-# history yet): the IVF-store tombstone-delete serve path and the
-# zone-map pruned scan. The escape-hatch contract
-# (test_driver_sim.py) obliges the r10 rotation to front-queue both
-# as debuts.
-PAST_CUTOFF_NEW: tuple = ("ivf_store_delete_serve", "zonemap_pruned_scan")
+# history yet): the IVF-store tombstone-delete serve path, the
+# zone-map pruned scan, and the takedown family (postings +
+# signature-store tombstones). The escape-hatch contract
+# (test_driver_sim.py) obliges the r10 rotation to front-queue all
+# four as debuts.
+PAST_CUTOFF_NEW: tuple = (
+    "ivf_store_delete_serve",
+    "zonemap_pruned_scan",
+    "bm25_takedown_serve",
+    "dedup_takedown_lsh",
+)
 
 # The 32 queries the staleness tripwire named verbatim after
 # CORRECTNESS_r08 landed (last hash-green r06; asserted

@@ -905,6 +905,21 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
         )
         force(_ret.bm25_from_store(spark, "spark-warehouse/bench_postings_inc"))
 
+    # takedown on the live index (r9): tombstone-delete a doc batch
+    # (stat deltas off the doclen sidecar — no index rescan), then a
+    # serve that is exact over the survivors
+    @timed("postings_takedown_serve")
+    def _post_d():
+        from spark_indexedrdd_spark.functions import retrieval as _ret
+
+        _ret.delete_postings_docs(
+            spark,
+            "spark-warehouse/bench_postings",
+            docs.where("doc_id % 5 = 0").select("doc_id"),
+            batch_tag="bench-takedown",
+        )
+        force(_ret.bm25_from_store(spark, "spark-warehouse/bench_postings"))
+
     # --- bucketed persistence: the 100 TB join path ---------------------- #
     # (write once, then every cross-job join is exchange-free; the write
     # is the amortized one-time cost, reported separately)

@@ -414,8 +414,97 @@ def write_signature_store(
     sig.write.mode("overwrite").parquet(path)
 
 
-def read_signature_store(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_signature_store(spark, path: str, live: bool = True) -> DataFrame:
+    """The stored signatures; with ``live`` (default), rows tombstoned
+    by :func:`delete_signature_docs` are excluded — a removed document
+    must not claim new arrivals as its near-duplicates. ``live=False``
+    is the raw view (maintenance/debug)."""
+    sig = spark.read.parquet(path)
+    if live:
+        tomb = signature_tombstones(spark, path)
+        if tomb is not None:
+            id_col = tomb.columns[0]
+            sig = sig.join(F.broadcast(tomb), id_col, "left_anti")
+    return sig
+
+
+def delete_signature_docs(
+    spark,
+    path: str,
+    ids,
+    batch_tag: str,
+    id_col: str = "doc_id",
+) -> None:
+    """Tombstone-delete stored signatures by doc id — the takedown path
+    for the near-dup store (reference delete(ks),
+    IndexedRDD.scala:120-123, on the at-rest signature table).
+
+    This store is an append LEDGER by contract (store_commit module
+    docstring: no marker, concurrent batches never conflict), so its
+    tombstones are too: each batch is a parquet dir under
+    ``_tombstones/<tag>`` — the underscore prefix hides it from the
+    store's own parquet scans — written coalesce(1) so the publish is
+    a single task commit, and overwrite-mode so a replayed tag is
+    exact. Distinct concurrent tags never conflict; readers union
+    whatever tombstone batches exist at scan time, the same
+    read-merges-the-ledger semantics as the signatures themselves.
+    Unknown ids are harmless (tombstones anti-join, never assert)."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_tag):
+        # the tag becomes a path component — same loud-error rule as
+        # the postings/IVF delete paths
+        raise ValueError(f"invalid batch_tag {batch_tag!r}")
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
+    else:
+        tomb = spark.createDataFrame([(i,) for i in ids], [id_col])
+    id_type = spark.read.parquet(path).schema[id_col].dataType
+    tomb.select(F.col(id_col).cast(id_type)).distinct().coalesce(
+        1
+    ).write.mode("overwrite").parquet(path + "/_tombstones/" + batch_tag)
+
+
+def signature_tombstones(spark, path: str) -> "DataFrame | None":
+    """Union of the store's tombstone batches (distinct ids), or None
+    when none exist. Tiny relative to the corpus — callers broadcast
+    it into an anti-join."""
+    import os
+
+    tdir = os.path.join(path, "_tombstones")
+    if not os.path.isdir(tdir):
+        return None
+    tags = sorted(
+        d for d in os.listdir(tdir) if os.path.isdir(os.path.join(tdir, d))
+    )
+    if not tags:
+        return None
+    return (
+        spark.read.parquet(*[os.path.join(tdir, t) for t in tags]).distinct()
+    )
+
+
+def compact_signature_store(
+    spark,
+    path: str,
+    num_partitions: int = 8,
+) -> None:
+    """Rewrite the signature store without its tombstoned rows and drop
+    the tombstone ledger — :func:`compact_store` is WRONG for a store
+    with deletes (it would rewrite every row including the dead ones,
+    then lose the ``_tombstones`` dir in the swap, resurrecting them).
+    Same write-to-temp + rename swap otherwise."""
+    import os
+    import shutil
+    import uuid
+
+    live = read_signature_store(spark, path, live=True)
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    live.repartition(num_partitions).write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
 
 
 def incremental_lsh_candidates_from_store(
@@ -490,9 +579,15 @@ def sql_incremental_lsh_candidates(
     table: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
+    exclude_pred: "str | None" = None,
 ) -> str:
     """Oracle twin where new/corpus is a predicate split of ``table``
-    (``new_pred`` must reference only ``id_col``)."""
+    (``new_pred`` must reference only ``id_col``). ``exclude_pred``
+    models corpus-side tombstones (delete_signature_docs): matching
+    docs vanish from the table entirely — keep it disjoint from
+    ``new_pred`` (a tombstoned doc cannot also be a new arrival)."""
+    if exclude_pred:
+        table = f"(SELECT * FROM {table} WHERE NOT ({exclude_pred}))"
     sep = " || '|' || "
     band_rows = " UNION ALL ".join(
         f"SELECT {id_col}, {b} AS band_id, "

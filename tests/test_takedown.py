@@ -1,0 +1,285 @@
+"""Takedown deletes across the persisted stores: postings
+(exact-BM25-over-survivors tombstones + stat deltas from the doclen
+sidecar), signature store (ledger tombstones), and the cross-store
+orchestrator. The IVF store's delete mechanics are pinned in
+tests/test_ivf_delete.py; oracle parity for the postings takedown runs
+via the `bm25_takedown_serve` contract entry."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.functions import dedup as D
+from spark_indexedrdd_spark.functions import retrieval as R
+from spark_indexedrdd_spark.functions.takedown import takedown_docs
+from spark_indexedrdd_spark.sources.tables import load_table
+
+DEL_PRED = "doc_id % 5 = 0"
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture()
+def store(spark, docs, tmp_path):
+    path = str(tmp_path / "postings")
+    R.write_postings_store(docs, path)
+    return path
+
+
+def _survivor_scores(docs):
+    return sorted(
+        map(tuple, R.bm25_topk(docs.where(f"NOT ({DEL_PRED})")).collect())
+    )
+
+
+def test_delete_then_serve_equals_rebuilt_over_survivors(spark, docs, store):
+    """The exactness claim itself: serve-after-delete must be
+    bit-identical to the in-plan operator over the surviving corpus —
+    df, n_docs and avgdl all re-derived, not approximated."""
+    assert R.delete_postings_docs(
+        spark, store, docs.where(DEL_PRED).select("doc_id"), "take-1"
+    )
+    got = sorted(map(tuple, R.bm25_from_store(spark, store).collect()))
+    assert got == _survivor_scores(docs)
+    assert got  # non-vacuous
+
+
+def test_delete_replay_and_crash_are_exact(spark, docs, store):
+    doomed = docs.where(DEL_PRED).select("doc_id")
+    assert R.delete_postings_docs(spark, store, doomed, "t1") is True
+    before = sorted(map(tuple, R.bm25_from_store(spark, store).collect()))
+    # replay of a committed tag: no-op, stats not double-subtracted
+    assert R.delete_postings_docs(spark, store, doomed, "t1") is False
+    meta = json.load(open(os.path.join(store, "meta.json")))
+    n_del = meta["n_docs_deleted"]
+    assert sorted(map(tuple, R.bm25_from_store(spark, store).collect())) == before
+    # crash model: a tombstone dir written with NO meta commit is
+    # invisible to serves
+    shutil.copytree(
+        os.path.join(store, "tombstones", "t1"),
+        os.path.join(store, "tombstones", "crashed"),
+    )
+    assert sorted(map(tuple, R.bm25_from_store(spark, store).collect())) == before
+    assert json.load(open(os.path.join(store, "meta.json")))["n_docs_deleted"] == n_del
+
+
+def test_double_delete_across_tags_never_double_subtracts(spark, docs, store):
+    """Overlapping id sets in two batches: the second batch's deltas
+    count only the NEWLY-dead docs, so stats still equal the survivor
+    corpus exactly."""
+    R.delete_postings_docs(spark, store, docs.where(DEL_PRED).select("doc_id"), "a")
+    # second batch: every %5 doc again, plus the %7 docs
+    R.delete_postings_docs(
+        spark, store, docs.where("doc_id % 5 = 0 OR doc_id % 7 = 0").select("doc_id"), "b"
+    )
+    want = sorted(
+        map(
+            tuple,
+            R.bm25_topk(
+                docs.where("NOT (doc_id % 5 = 0 OR doc_id % 7 = 0)")
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, R.bm25_from_store(spark, store).collect())) == want
+    meta = json.load(open(os.path.join(store, "meta.json")))
+    n_live = docs.where("NOT (doc_id % 5 = 0 OR doc_id % 7 = 0)").count()
+    assert meta["n_docs"] - meta["n_docs_deleted"] == n_live
+
+
+def test_unknown_ids_are_noop_and_legacy_store_raises(spark, docs, store, tmp_path):
+    before = sorted(map(tuple, R.bm25_from_store(spark, store).collect()))
+    assert R.delete_postings_docs(spark, store, [10**9, 10**9 + 1], "ghost")
+    meta = json.load(open(os.path.join(store, "meta.json")))
+    assert meta["n_docs_deleted"] == 0 and meta["total_dl_deleted"] == 0
+    assert sorted(map(tuple, R.bm25_from_store(spark, store).collect())) == before
+    # a store built before the doclen sidecar: delete must refuse
+    # loudly, not guess stats
+    legacy = str(tmp_path / "legacy")
+    R.write_postings_store(docs, legacy)
+    meta_p = os.path.join(legacy, "meta.json")
+    m = json.load(open(meta_p))
+    del m["dl_manifests"]
+    json.dump(m, open(meta_p, "w"))
+    with pytest.raises(ValueError, match="doclen"):
+        R.delete_postings_docs(spark, legacy, [1], "t")
+    with pytest.raises(ValueError):
+        R.delete_postings_docs(spark, store, [1], "../evil")
+
+
+def test_append_then_delete_composes(spark, docs, store):
+    """Delete ids spanning the base build AND an appended batch: the
+    appended batch's doclen manifest must feed the delta math."""
+    half = docs.where("doc_id % 2 = 0")
+    fresh = str(store) + "_half"
+    R.write_postings_store(half, fresh)
+    assert R.append_postings_batch(
+        docs.where("doc_id % 2 = 1"), fresh, batch_tag="odds"
+    )
+    R.delete_postings_docs(
+        spark, fresh, docs.where(DEL_PRED).select("doc_id"), "take"
+    )
+    got = sorted(map(tuple, R.bm25_from_store(spark, fresh).collect()))
+    assert got == _survivor_scores(docs)
+
+
+def test_dl_manifest_tag_collision_is_loud(spark, docs, store):
+    with pytest.raises(ValueError, match="collides"):
+        R.append_postings_batch(
+            docs.where("doc_id % 97 = 0"), store, batch_tag="dl-base"
+        )
+
+
+def test_compaction_preserves_serve_and_drops_rows(spark, docs, store):
+    R.delete_postings_docs(spark, store, docs.where(DEL_PRED).select("doc_id"), "t")
+    before = sorted(map(tuple, R.bm25_from_store(spark, store).collect()))
+    n_live = docs.where(f"NOT ({DEL_PRED})").count()
+    assert R.compact_postings_store(spark, store) == n_live
+    assert sorted(map(tuple, R.bm25_from_store(spark, store).collect())) == before
+    assert not os.path.exists(os.path.join(store, "tombstones"))
+    post = spark.read.parquet(store + "/postings")
+    assert post.where(F.col("doc_id") % 5 == 0).count() == 0
+    dl = spark.read.parquet(store + "/doclen")
+    assert dl.count() == n_live
+    meta = json.load(open(os.path.join(store, "meta.json")))
+    assert meta["n_docs"] == n_live and "n_docs_deleted" not in meta
+    # idempotent: second compaction is a no-op
+    assert R.compact_postings_store(spark, store) == n_live
+    # and the store keeps accepting appends afterwards
+    assert R.append_postings_batch(
+        docs.where(DEL_PRED), store, batch_tag="readd"
+    )
+    assert sorted(map(tuple, R.bm25_from_store(spark, store).collect())) == sorted(
+        map(tuple, R.bm25_topk(docs).collect())
+    )
+
+
+def test_signature_tombstones_shield_new_arrivals(spark, docs, tmp_path):
+    """A tombstoned corpus doc must stop claiming new docs as dups;
+    the store-based incremental result must equal the in-plan result
+    over the survivor corpus."""
+    path = str(tmp_path / "sigs")
+    corpus = docs.where("doc_id % 20 != 0")
+    new = docs.where("doc_id % 20 = 0")
+    D.write_signature_store(corpus, path)
+    base = sorted(
+        map(tuple, D.incremental_lsh_candidates_from_store(new, path).collect())
+    )
+    spark.catalog.clearCache()
+    dead = corpus.where("doc_id % 7 = 0").select("doc_id")
+    D.delete_signature_docs(spark, path, dead, "take-1")
+    got = sorted(
+        map(tuple, D.incremental_lsh_candidates_from_store(new, path).collect())
+    )
+    spark.catalog.clearCache()
+    want = sorted(
+        map(
+            tuple,
+            D.incremental_lsh_candidates(
+                new, corpus.where("doc_id % 7 != 0")
+            ).collect(),
+        )
+    )
+    spark.catalog.clearCache()
+    assert got == want
+    # either the delete visibly removed corpus-side pairs, or no dead
+    # doc participated in any candidate pair (then the result must be
+    # unchanged) — both directions pin that tombstones do exactly the
+    # survivor-corpus thing, nothing more
+    dead_ids = {r.doc_id for r in dead.collect()}
+    if any(b in dead_ids for _, b, _ in base):
+        assert got != base
+    else:
+        assert got == base
+    # raw view still has the rows; live view does not
+    assert D.read_signature_store(spark, path, live=False).where(
+        "doc_id % 20 != 0 AND doc_id % 7 = 0"
+    ).count() > 0
+    assert (
+        D.read_signature_store(spark, path).where(
+            "doc_id % 20 != 0 AND doc_id % 7 = 0"
+        ).count()
+        == 0
+    )
+
+
+def test_tombstoned_near_dup_stops_claiming_new_docs(spark, tmp_path):
+    """Direct shield check on a constructed corpus: doc 1 is a
+    near-copy of incoming doc 100; after doc 1 is taken down, the
+    (100, 1) candidate pair must vanish."""
+    path = str(tmp_path / "sigs")
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, text), (2, "completely unrelated words about spark shuffles")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame([(100, text + " today")], "doc_id long, text string")
+    D.write_signature_store(corpus, path)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in D.incremental_lsh_candidates_from_store(new, path).collect()
+    }
+    spark.catalog.clearCache()
+    assert (100, 1) in pairs  # the fixture really is a near-dup
+    D.delete_signature_docs(spark, path, [1], "take")
+    pairs2 = {
+        (r.doc_a, r.doc_b)
+        for r in D.incremental_lsh_candidates_from_store(new, path).collect()
+    }
+    spark.catalog.clearCache()
+    assert (100, 1) not in pairs2
+
+
+def test_compact_signature_store_drops_dead_rows(spark, docs, tmp_path):
+    path = str(tmp_path / "sigs")
+    D.write_signature_store(docs, path)
+    D.delete_signature_docs(spark, path, [0, 5, 10], "t1")
+    live_before = sorted(
+        map(tuple, D.read_signature_store(spark, path).collect())
+    )
+    D.compact_signature_store(spark, path)
+    assert not os.path.exists(os.path.join(path, "_tombstones"))
+    assert sorted(map(tuple, D.read_signature_store(spark, path).collect())) == live_before
+    assert (
+        D.read_signature_store(spark, path, live=False)
+        .where("doc_id in (0, 5, 10)")
+        .count()
+        == 0
+    )
+
+
+def test_takedown_orchestrator(spark, docs, sf_dir, tmp_path):
+    from spark_indexedrdd_spark.functions import ivf as IVF
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    p_post = str(tmp_path / "postings")
+    p_sig = str(tmp_path / "sigs")
+    p_ivf = str(tmp_path / "ivf")
+    R.write_postings_store(docs, p_post)
+    D.write_signature_store(docs, p_sig)
+    IVF.write_ivf_store(emb, p_ivf, n_clusters=8, method="det")
+    ids = [0, 5, 10, 15, 20]
+    out = takedown_docs(
+        spark, ids, "legal-42",
+        postings_path=p_post, signature_path=p_sig, ivf_path=p_ivf,
+    )
+    assert out == {"postings": True, "signatures": True, "ivf": True}
+    # every store individually reflects the batch
+    assert json.load(open(os.path.join(p_post, "meta.json")))["deletes"] == ["legal-42"]
+    assert D.read_signature_store(spark, p_sig).where(
+        F.col("doc_id").isin(ids)
+    ).count() == 0
+    served = IVF.ivf_ann_from_store(spark, p_ivf, [50, 100], k=5).collect()
+    assert all(r.cand_id not in ids for r in served)
+    # re-run (partial-failure recovery): committed stores report False,
+    # the ledger store re-applies exactly
+    out2 = takedown_docs(
+        spark, ids, "legal-42",
+        postings_path=p_post, signature_path=p_sig, ivf_path=p_ivf,
+    )
+    assert out2 == {"postings": False, "signatures": True, "ivf": False}
