@@ -1457,7 +1457,9 @@ _FILL_R9 = (
 # would exceed 50 the first time two debut-heavy rounds stack, making
 # the schedule unsatisfiable); cap debuts at ~5/round and prefer
 # folding near-duplicate entries (e.g. a future aggregate_fold ->
-# aggregate_using_index merge) over growing past it. n = 135 today.
+# aggregate_using_index merge) over growing past it. n = 139 today
+# (135 at window-freeze + the 4 PAST_CUTOFF_NEW takedown/zone-map
+# entries, which consume 4 of r10's debut slots).
 # --------------------------------------------------------------------- #
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}
