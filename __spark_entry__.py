@@ -554,6 +554,38 @@ def q_zonemap_pruned_scan(spark, sf_dir):
     )
 
 
+BLOOM_CUSTKEYS = [7, 19, 42, 101, 133, -5]
+
+
+def q_bloom_pruned_multiget(spark, sf_dir):
+    """Bloom-sidecar point lookup under driver evidence: persist orders
+    with a per-file bloom on o_custkey — a SECONDARY column the layout
+    is NOT clustered by (sources/bloomindex.py, the at-rest analog of
+    the reference's targeted-partition multiget,
+    IndexedRDD.scala:50-62) — then multiget a key batch scheduling only
+    bloom-surviving files. The oracle is the plain full-scan IN-filter:
+    the sidecar must change which tasks run, never the answer (bloom
+    false positives are absorbed by the residual IN predicate)."""
+    import shutil
+
+    from spark_indexedrdd_spark.sources import bloomindex as _bl
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join("spark-warehouse", "contract_bloom")
+    shutil.rmtree(path, ignore_errors=True)
+    _bl.write_bloom_table(orders, path, "o_custkey", n_files=16)
+    return _bl.bloom_multiget(spark, path, BLOOM_CUSTKEYS).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+SQL_BLOOM_PRUNED_MULTIGET = f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_custkey IN ({", ".join(str(k) for k in BLOOM_CUSTKEYS)})
+"""
+
+
 SQL_ZONEMAP_PRUNED_SCAN = """
     SELECT l_returnflag,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -679,6 +711,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # BM25 over survivors + signature-store tombstones
     "bm25_takedown_serve": q_bm25_takedown_serve,
     "dedup_takedown_lsh": q_dedup_takedown_lsh,
+    # r9 (post-window, PAST_CUTOFF_NEW): per-file bloom sidecar —
+    # point-lookup file skipping on a non-clustered column
+    "bloom_pruned_multiget": q_bloom_pruned_multiget,
     "tfidf_keywords": lambda s, d: _ret.tfidf_keywords(_docs(s, d)),
     "stratified_split": lambda s, d: _ret.stratified_split(_docs(s, d)),
     "temperature_sample": lambda s, d: _text.temperature_sample(_docs(s, d)),
@@ -1056,6 +1091,8 @@ EXTENSION_ORACLE: dict[str, str] = {
         query_ids=IVF_DELETE_QIDS, exclude_pred="vec_id % 7 = 0"
     ),
     "zonemap_pruned_scan": SQL_ZONEMAP_PRUNED_SCAN,
+    # plain IN-filter: bloom pruning must be value-invisible
+    "bloom_pruned_multiget": SQL_BLOOM_PRUNED_MULTIGET,
     # survivor-corpus BM25: every stat re-derived over NOT (%5 = 0)
     "bm25_takedown_serve": _ret.sql_bm25_topk(exclude_pred="doc_id % 5 = 0"),
     # corpus never contained the dead docs; new batch unchanged
@@ -1357,15 +1394,17 @@ _FILL_R8 = (
 
 # Added after the r9 window's 50 slots were consumed (no driver
 # history yet): the IVF-store tombstone-delete serve path, the
-# zone-map pruned scan, and the takedown family (postings +
-# signature-store tombstones). The escape-hatch contract
-# (test_driver_sim.py) obliges the r10 rotation to front-queue all
-# four as debuts.
+# zone-map pruned scan, the takedown family (postings +
+# signature-store tombstones), and the bloom-sidecar point-lookup
+# pruning. The escape-hatch contract (test_driver_sim.py) obliges the
+# r10 rotation to front-queue all five as debuts — exactly the
+# ~5/round debut budget, so r10 adds none of its own.
 PAST_CUTOFF_NEW: tuple = (
     "ivf_store_delete_serve",
     "zonemap_pruned_scan",
     "bm25_takedown_serve",
     "dedup_takedown_lsh",
+    "bloom_pruned_multiget",
 )
 
 # The 32 queries the staleness tripwire named verbatim after
@@ -1457,9 +1496,9 @@ _FILL_R9 = (
 # would exceed 50 the first time two debut-heavy rounds stack, making
 # the schedule unsatisfiable); cap debuts at ~5/round and prefer
 # folding near-duplicate entries (e.g. a future aggregate_fold ->
-# aggregate_using_index merge) over growing past it. n = 139 today
-# (135 at window-freeze + the 4 PAST_CUTOFF_NEW takedown/zone-map
-# entries, which consume 4 of r10's debut slots).
+# aggregate_using_index merge) over growing past it. n = 140 today
+# (135 at window-freeze + the 5 PAST_CUTOFF_NEW takedown/zone-map/
+# bloom entries, which consume r10's entire debut budget).
 # --------------------------------------------------------------------- #
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}

@@ -616,6 +616,34 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
             ).alias("revenue")
         ).count()
 
+    # bloom sidecar (r9): point-lookup file skipping on a column the
+    # layout is NOT clustered by (write amortized once, then every
+    # multiget schedules only bloom-surviving files)
+    @timed("bloom_index_write_once")
+    def _blw():
+        from spark_indexedrdd_spark.sources import bloomindex as _bl
+
+        # m sized ~10x the per-file distinct keys (150k orders / 32
+        # files ≈ 4.5k custkeys/file) — the fp-rate knob the module
+        # docstring prescribes; the default 8192 would saturate here
+        _bl.write_bloom_table(
+            orders,
+            "spark-warehouse/bench_bloom",
+            "o_custkey",
+            n_files=32,
+            m=65536,
+        )
+
+    @timed("bloom_pruned_multiget")
+    def _blr():
+        from spark_indexedrdd_spark.sources import bloomindex as _bl
+
+        force(
+            _bl.bloom_multiget(
+                spark, "spark-warehouse/bench_bloom", [7, 19, 42, 101, 133]
+            )
+        )
+
     @timed("pagerank_trade")
     def _pr_trade():
         from spark_indexedrdd_spark.operators import graph as _graph

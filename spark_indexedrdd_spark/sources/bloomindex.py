@@ -1,0 +1,177 @@
+"""Per-file bloom sidecar: point-lookup file skipping on a column the
+table is NOT clustered by.
+
+The companion to sources/zonemap.py, completing the at-rest index
+family: a zone map prunes RANGE scans but only pays off on the one
+column the files are clustered by; a multiget on any other column
+still lists and schedules every file. This sidecar is the
+Parquet-bloom-filter / Delta bloom-index design, self-contained on
+plain parquet: per file, a bloom filter over the lookup column,
+consulted BEFORE the scan is scheduled — the at-rest analog of the
+reference's targeted-partition multiget (IndexedRDD.scala:50-62, the
+motivating operation of the whole library), where the "partition to
+probe" becomes "file to schedule".
+
+Mechanics:
+
+- the writer persists the data UNCHANGED in layout (no reclustering —
+  the table keeps whatever order serves its range workload) and makes
+  one column-pruned pass recording, per file, the bloom BIT POSITIONS
+  of the keys it contains: ``pmod(xxhash64(key, seed_i), m)`` for k
+  seeds, deduplicated and sorted — at most min(k·|distinct keys|, m)
+  ints per file, KBs at the default m=8192;
+- a lookup hashes its keys with the same k seeds (a tiny frame — point
+  batches are bounded by contract, like every multiget path here),
+  joins them against the exploded sidecar positions, and keeps a file
+  iff some key finds ALL its positions set — the standard bloom
+  "no false negatives" guarantee, so pruning can only skip files that
+  definitely contain none of the keys;
+- the real scan reads only surviving files and re-applies
+  ``key IN (...)`` as the residual predicate, so a bloom false
+  positive costs one extra task, never a wrong row — value-identical
+  to the full-scan filter, which is what the DuckDB oracle checks.
+
+At 100 TB / 1M files a 1k-key multiget on a non-clustered column
+schedules ~|files actually holding the keys| tasks instead of 1M; the
+serve-side join runs ON the cluster (exploded sidecar ≤ m rows/file),
+and only surviving file NAMES reach the driver. False-positive math is
+the usual bloom bound ((1-e^{-k·n_f/m})^k per file, n_f = distinct
+keys per file) — m is the store-build knob, recorded in meta.
+
+Commit protocol (functions/store_commit): retract → data + sidecar →
+meta-last; readers refuse an uncommitted store. Single-writer, like
+every meta-rewriting store. The sidecar stores file BASENAMES so the
+store stays relocatable (copy/rsync between clusters).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _positions(col, m: int, k: int):
+    """Array of the k bloom bit positions for ``col`` — pure JVM
+    expressions, identical at build and lookup time by construction."""
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)).cast("int") for i in range(k)]
+    )
+
+
+def write_bloom_table(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_files: int | None = None,
+    m: int = 8192,
+    k: int = 4,
+) -> None:
+    """Persist ``df`` with a per-file bloom sidecar on ``key_col``.
+
+    ``n_files`` round-robins the data into that many files (a layout
+    knob for tests/benchmarks); default keeps the incoming layout —
+    the point of a bloom index is that it works on whatever layout the
+    range workload already chose. Null keys never match a multiget, so
+    they contribute no positions.
+
+    Sizing rule: ``m`` should be ~10x the DISTINCT keys per file
+    (k·n_f/m ≈ 0.4 → ~2% fp at k=4); a saturated bloom prunes nothing
+    while still costing the sidecar join. Sidecar size is
+    min(k·n_f, m) ints per file either way."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    spark = df.sparkSession
+    key_ddl = df.schema[key_col].dataType.simpleString()
+    SC.retract_meta(path)
+    out = df.repartition(n_files) if n_files else df
+    out.write.mode("overwrite").parquet(path + "/data")
+    sidecar = (
+        spark.read.parquet(path + "/data")
+        # hidden _metadata column: the stats pass reads exactly one
+        # data column of the files it indexes
+        .select(
+            F.col("_metadata.file_path").alias("file"),
+            F.col(key_col).alias("key"),
+        )
+        .where(F.col("key").isNotNull())
+        .select("file", F.explode(_positions(F.col("key"), m, k)).alias("pos"))
+        .groupBy("file")
+        .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
+        # basenames: the data dir is flat and the store relocatable
+        .select(
+            F.element_at(F.split(F.col("file"), "/"), -1).alias("file"),
+            "positions",
+        )
+    )
+    sidecar.coalesce(1).write.mode("overwrite").parquet(path + "/bloom")
+    SC.commit_meta(path, {"key_col": key_col, "key_ddl": key_ddl, "m": m, "k": k})
+
+
+def bloom_prune_files(
+    spark: SparkSession,
+    path: str,
+    keys,
+) -> "tuple[list[str], int]":
+    """(surviving absolute file paths, total file count) for a point
+    lookup of ``keys``. A file survives iff SOME key finds all of its
+    k positions in the file's bloom — no false negatives, so a skipped
+    file provably contains none of the keys."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    meta = SC.read_meta(path)
+    m, k = int(meta["m"]), int(meta["k"])
+    keys = [kk for kk in keys if kk is not None]
+    side = spark.read.parquet(path + "/bloom")
+    total = side.count()
+    if not keys:
+        return [], total
+    kf = (
+        spark.createDataFrame([(kk,) for kk in keys], ["key"])
+        .select(F.col("key").cast(meta["key_ddl"]).alias("key"))
+        .dropna()
+        .distinct()
+        # distinct positions per key: two seeds may collide on one
+        # position, and the match test below counts distinct hits
+        .select(
+            "key",
+            F.array_distinct(_positions(F.col("key"), m, k)).alias("kpos"),
+        )
+        .select("key", F.size("kpos").alias("need"), F.explode("kpos").alias("pos"))
+    )
+    hits = (
+        side.select("file", F.explode("positions").alias("pos"))
+        .join(F.broadcast(kf), "pos")
+        .groupBy("file", "key", "need")
+        .agg(F.count("*").alias("got"))
+        .where(F.col("got") == F.col("need"))
+        .select("file")
+        .distinct()
+    )
+    files = [os.path.join(path, "data", r.file) for r in hits.collect()]
+    return sorted(files), total
+
+
+def bloom_multiget(
+    spark: SparkSession,
+    path: str,
+    keys,
+) -> DataFrame:
+    """The store's rows with ``key_col`` in ``keys``, scanning only
+    bloom-surviving files. Value-identical to
+    ``read.parquet(data).where(key IN keys)`` — the sidecar changes
+    which tasks run, never the answer (the residual IN-filter and the
+    parquet row-group stats still apply inside each file)."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    meta = SC.read_meta(path)
+    key_col = meta["key_col"]
+    keys = [kk for kk in keys if kk is not None]
+    files, _total = bloom_prune_files(spark, path, keys)
+    if not files:
+        return spark.read.parquet(path + "/data").where(F.lit(False))
+    return (
+        spark.read.parquet(*files)
+        .where(F.col(key_col).cast(meta["key_ddl"]).isin(keys))
+    )

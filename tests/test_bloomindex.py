@@ -1,0 +1,122 @@
+"""Bloom-sidecar point-lookup pruning: lookups skip files the keys
+cannot be in, results are value-identical to a full-scan IN-filter
+(false positives cost a task, never a row), commit marker fences
+crashed rebuilds, the store is relocatable. (sources/bloomindex.py —
+the at-rest analog of the reference's targeted-partition multiget,
+IndexedRDD.scala:50-62, on a column the table is NOT clustered by.)"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_indexedrdd_spark.sources.bloomindex import (
+    bloom_multiget,
+    bloom_prune_files,
+    write_bloom_table,
+)
+from spark_indexedrdd_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def orders_store(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bl") / "orders_bloom")
+    orders = load_table(spark, sf_dir, "orders")
+    # keyed on o_custkey: a SECONDARY column — many rows per key,
+    # layout not clustered by it (round-robined into 16 files)
+    write_bloom_table(orders, path, "o_custkey", n_files=16)
+    return orders, path
+
+
+def _sorted_rows(df):
+    cols = sorted(df.columns)
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_lookup_matches_full_scan(spark, orders_store):
+    orders, path = orders_store
+    keys = [7, 19, 42, -5]
+    got = bloom_multiget(spark, path, keys)
+    want = orders.where(F.col("o_custkey").isin(keys))
+    assert _sorted_rows(got) == _sorted_rows(want)
+    assert got.count() > 0
+
+
+def test_pruning_skips_files(spark, orders_store):
+    _, path = orders_store
+    # ground truth: the files that actually contain the key (a
+    # customer's ~10 orders spread over ~10 of the 16 round-robined
+    # files — pruning must schedule those, and at the default m=8192
+    # the false-positive allowance is near zero)
+    truth = {
+        os.path.basename(r.f)
+        for r in spark.read.parquet(path + "/data")
+        .where(F.col("o_custkey") == 7)
+        .select(F.col("_metadata.file_path").alias("f"))
+        .distinct()
+        .collect()
+    }
+    files, total = bloom_prune_files(spark, path, [7])
+    got = {os.path.basename(f) for f in files}
+    assert total == 16
+    assert truth <= got, "bloom must never skip a containing file"
+    assert len(got) <= len(truth) + 2, "pruning barely beats ground truth"
+    assert len(got) < total, "some non-containing files are skipped"
+
+
+def test_false_positives_never_change_values(spark, sf_dir, tmp_path):
+    # m=16 forces heavy bloom saturation → many false-positive files;
+    # the residual IN-filter must keep the answer exact anyway
+    path = str(tmp_path / "bloom_tiny_m")
+    orders = load_table(spark, sf_dir, "orders")
+    write_bloom_table(orders, path, "o_custkey", n_files=8, m=16, k=2)
+    keys = [7, 19]
+    got = bloom_multiget(spark, path, keys)
+    want = orders.where(F.col("o_custkey").isin(keys))
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_miss_only_lookup_is_empty(spark, orders_store):
+    orders, path = orders_store
+    got = bloom_multiget(spark, path, [-1, -2])
+    assert got.count() == 0
+    assert got.columns == orders.columns
+
+
+def test_empty_and_null_keys(spark, orders_store):
+    _, path = orders_store
+    assert bloom_multiget(spark, path, []).count() == 0
+    files, _ = bloom_prune_files(spark, path, [None])
+    assert files == []
+
+
+def test_uncommitted_store_refused(spark, orders_store, tmp_path):
+    _, path = orders_store
+    broken = str(tmp_path / "broken")
+    shutil.copytree(path, broken)
+    os.remove(os.path.join(broken, "meta.json"))
+    with pytest.raises(Exception, match="meta|commit|uncommitted"):
+        bloom_multiget(spark, broken, [7])
+
+
+def test_store_is_relocatable(spark, orders_store, tmp_path):
+    orders, path = orders_store
+    moved = str(tmp_path / "moved_bloom")
+    shutil.copytree(path, moved)
+    got = bloom_multiget(spark, moved, [42])
+    want = orders.where(F.col("o_custkey") == 42)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_string_key_column(spark, sf_dir, tmp_path):
+    # xxhash64 positions must agree between build and lookup for
+    # non-numeric key types too (key_ddl cast on the lookup frame)
+    path = str(tmp_path / "bloom_str")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    write_bloom_table(docs, path, "lang", n_files=8)
+    got = bloom_multiget(spark, path, ["en", "fr"])
+    want = docs.where(F.col("lang").isin(["en", "fr"]))
+    assert _sorted_rows(got) == _sorted_rows(want)
