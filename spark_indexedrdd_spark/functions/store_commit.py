@@ -150,3 +150,40 @@ def resolve_manifest_files(path: str, meta: dict) -> "list[str] | None":
         with open(os.path.join(path, "_manifests", name + ".json")) as fh:
             files.extend(json.load(fh)["files"])
     return files
+
+
+def sweep_tagged_files(dirpath: str, batch_tag: str) -> None:
+    """Delete exactly ``batch-<tag>-NNNNN.parquet`` files in the FLAT
+    directory ``dirpath`` — the undo step that makes re-publishing a
+    crashed (uncommitted) batch exact. Exact-name match, not a string
+    prefix, for the same reason as the postings sweep (a prefix sweep
+    for tag ``b1`` would also delete committed tag ``b1-2``'s files)."""
+    import re as _re
+
+    if not os.path.isdir(dirpath):
+        return
+    pat = _re.compile(rf"^batch-{_re.escape(batch_tag)}-\d+\.parquet$")
+    for f in os.listdir(dirpath):
+        if pat.fullmatch(f):
+            os.remove(os.path.join(dirpath, f))
+
+
+def publish_staged_flat(stage: str, dirpath: str, batch_tag: str) -> "list[str]":
+    """Move staged parquet files into the FLAT live directory
+    ``dirpath`` under deterministic ``batch-<tag>-NNNNN`` names;
+    returns the published basenames for the batch's manifest. The
+    moves publish NOTHING to readers — only the later meta commit
+    naming the manifest does (postings `_publish_staged`, flat-layout
+    form; an object-store deployment replaces renames with copy +
+    the same manifest swap)."""
+    os.makedirs(dirpath, exist_ok=True)
+    seq = 0
+    published: "list[str]" = []
+    for f in sorted(os.listdir(stage)):
+        if not f.endswith(".parquet"):
+            continue
+        name = f"batch-{batch_tag}-{seq:05d}.parquet"
+        os.replace(os.path.join(stage, f), os.path.join(dirpath, name))
+        published.append(name)
+        seq += 1
+    return published

@@ -60,6 +60,28 @@ def _positions(col, m: int, k: int):
     )
 
 
+def _file_positions(spark: SparkSession, files: "list[str]", key_col: str,
+                    m: int, k: int):
+    """Per-file sorted distinct bloom positions over exactly ``files``
+    (one data column read via the hidden ``_metadata`` file path;
+    basenames keep the store relocatable)."""
+    return (
+        spark.read.parquet(*files)
+        .select(
+            F.col("_metadata.file_path").alias("file"),
+            F.col(key_col).alias("key"),
+        )
+        .where(F.col("key").isNotNull())
+        .select("file", F.explode(_positions(F.col("key"), m, k)).alias("pos"))
+        .groupBy("file")
+        .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
+        .select(
+            F.element_at(F.split(F.col("file"), "/"), -1).alias("file"),
+            "positions",
+        )
+    )
+
+
 def write_bloom_table(
     df: DataFrame,
     path: str,
@@ -67,6 +89,7 @@ def write_bloom_table(
     n_files: int | None = None,
     m: int = 8192,
     k: int = 4,
+    applied_tags=(),
 ) -> None:
     """Persist ``df`` with a per-file bloom sidecar on ``key_col``.
 
@@ -87,26 +110,157 @@ def write_bloom_table(
     SC.retract_meta(path)
     out = df.repartition(n_files) if n_files else df
     out.write.mode("overwrite").parquet(path + "/data")
-    sidecar = (
-        spark.read.parquet(path + "/data")
-        # hidden _metadata column: the stats pass reads exactly one
-        # data column of the files it indexes
-        .select(
-            F.col("_metadata.file_path").alias("file"),
-            F.col(key_col).alias("key"),
-        )
-        .where(F.col("key").isNotNull())
-        .select("file", F.explode(_positions(F.col("key"), m, k)).alias("pos"))
-        .groupBy("file")
-        .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
-        # basenames: the data dir is flat and the store relocatable
-        .select(
-            F.element_at(F.split(F.col("file"), "/"), -1).alias("file"),
-            "positions",
-        )
+    data_files = [
+        os.path.join(path, "data", f)
+        for f in SC.list_parquet_files(path + "/data")
+    ]
+    _file_positions(spark, data_files, key_col, m, k).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/bloom")
+    SC.write_manifest(path, "base", SC.list_parquet_files(path + "/bloom"))
+    SC.commit_meta(
+        path,
+        {
+            "key_col": key_col,
+            "key_ddl": key_ddl,
+            "m": m,
+            "k": k,
+            "manifests": ["base"],
+            "applied": [str(t) for t in applied_tags],
+        },
     )
-    sidecar.coalesce(1).write.mode("overwrite").parquet(path + "/bloom")
-    SC.commit_meta(path, {"key_col": key_col, "key_ddl": key_ddl, "m": m, "k": k})
+
+
+def _resolve_bloom(spark: SparkSession, path: str, meta: dict):
+    """The committed sidecar rows under ONE meta snapshot (manifest
+    union; directory fallback for a pre-manifest store)."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    rel = SC.resolve_manifest_files(path, meta)
+    if rel is None:
+        return spark.read.parquet(path + "/bloom")
+    return spark.read.parquet(*[os.path.join(path, "bloom", f) for f in rel])
+
+
+def append_bloom_batch(
+    df: DataFrame,
+    path: str,
+    batch_tag: "str | None" = None,
+    n_files: int | None = None,
+) -> bool:
+    """Fold an ingest batch into the bloom-indexed table: publish the
+    batch's files and commit their bloom rows behind the manifest
+    pointer, under the store's pinned (m, k). Returns False (replay
+    no-op) when ``batch_tag`` was already applied.
+
+    Crash/replay and visibility semantics are identical to
+    ``append_zonemap_batch`` (sources/zonemap.py): stage → sweep →
+    deterministic moves → sidecar rows → atomic meta commit; stray
+    files from a crash are named by no committed manifest and data is
+    only reached through committed sidecar rows, so readers are
+    snapshot-isolated and re-delivery is exact. Single-writer."""
+    import re
+
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    if batch_tag is not None and not re.fullmatch(
+        r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_tag
+    ):
+        raise ValueError(f"invalid batch_tag {batch_tag!r}")
+    spark = df.sparkSession
+    meta = SC.read_meta(path)
+    applied = meta.setdefault("applied", [])
+    if batch_tag is not None and batch_tag in applied:
+        _cleanup_staging(path, batch_tag)
+        return False
+    m, k = int(meta["m"]), int(meta["k"])
+    out = df.repartition(n_files) if n_files else df
+    manifests = meta.setdefault("manifests", ["base"])
+    if batch_tag is None:
+        pre = set(SC.list_parquet_files(path + "/data"))
+        out.write.mode("append").parquet(path + "/data")
+        new_files = sorted(set(SC.list_parquet_files(path + "/data")) - pre)
+        mname = f"anon-{len(manifests):05d}"
+        while mname in manifests:
+            mname += "x"
+    else:
+        stage = os.path.join(path, "_staging", batch_tag)
+        out.write.mode("overwrite").parquet(stage)
+        SC.sweep_tagged_files(path + "/data", batch_tag)
+        new_files = SC.publish_staged_flat(stage, path + "/data", batch_tag)
+        mname = batch_tag
+    if mname in manifests:
+        raise ValueError(f"batch_tag {mname!r} collides with a manifest")
+    if new_files:
+        pre_b = set(SC.list_parquet_files(path + "/bloom"))
+        _file_positions(
+            spark,
+            [os.path.join(path, "data", f) for f in new_files],
+            meta["key_col"],
+            m,
+            k,
+        ).coalesce(1).write.mode("append").parquet(path + "/bloom")
+        new_bloom = sorted(set(SC.list_parquet_files(path + "/bloom")) - pre_b)
+    else:
+        new_bloom = []
+    SC.write_manifest(path, mname, new_bloom)
+    manifests.append(mname)
+    if batch_tag is not None:
+        applied.append(batch_tag)
+    SC.commit_meta(path, meta)  # <-- commit point
+    if batch_tag is not None:
+        _cleanup_staging(path, batch_tag)
+    return True
+
+
+def _cleanup_staging(path: str, batch_tag: str) -> None:
+    import shutil
+
+    stage = os.path.join(path, "_staging", batch_tag)
+    if os.path.isdir(stage):
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+class StreamingBloomIngest:
+    """foreachBatch ingest for the bloom-indexed table — the
+    store-family streaming twin (postings convention): first non-empty
+    batch initializes with its batch_id committed in the replay
+    ledger; later batches append with the batch_id as the replay tag,
+    so at-least-once re-delivery of a committed batch is a no-op."""
+
+    def __init__(
+        self,
+        path: str,
+        key_col: str,
+        n_files: int | None = None,
+        m: int = 8192,
+        k: int = 4,
+    ):
+        self.path = path
+        self.key_col = key_col
+        self.n_files = n_files
+        self.m = m
+        self.k = k
+        self._initialized = os.path.exists(os.path.join(path, "meta.json"))
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if not self._initialized:
+            write_bloom_table(
+                batch_df,
+                self.path,
+                self.key_col,
+                n_files=self.n_files,
+                m=self.m,
+                k=self.k,
+                applied_tags=(str(batch_id),),
+            )
+            self._initialized = True
+            return
+        append_bloom_batch(
+            batch_df, self.path, batch_tag=str(batch_id), n_files=self.n_files
+        )
 
 
 def bloom_prune_files(
@@ -123,7 +277,7 @@ def bloom_prune_files(
     meta = SC.read_meta(path)
     m, k = int(meta["m"]), int(meta["k"])
     keys = [kk for kk in keys if kk is not None]
-    side = spark.read.parquet(path + "/bloom")
+    side = _resolve_bloom(spark, path, meta)
     total = side.count()
     if not keys:
         return [], total

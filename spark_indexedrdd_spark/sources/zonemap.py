@@ -41,11 +41,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _file_stats(spark: SparkSession, files: "list[str]", zone_col: str):
+    """Per-file (basename, z_min, z_max, n_rows) over exactly
+    ``files`` — hidden ``_metadata`` column, so the stats pass scans
+    exactly one data column of the files it indexes. Basenames keep
+    the store relocatable (copy/rsync between clusters)."""
+    return (
+        spark.read.parquet(*files)
+        .select(
+            F.col("_metadata.file_path").alias("file"),
+            F.col(zone_col).alias("z"),
+        )
+        .groupBy("file")
+        .agg(
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+        .select(
+            F.element_at(F.split(F.col("file"), "/"), -1).alias("file"),
+            "z_min",
+            "z_max",
+            "n_rows",
+        )
+    )
+
+
 def write_zonemap_table(
     df: DataFrame,
     path: str,
     zone_col: str,
     n_files: int | None = None,
+    applied_tags=(),
 ) -> None:
     """Cluster ``df`` by ``zone_col`` and persist it with a per-file
     min/max zone map.
@@ -53,7 +80,13 @@ def write_zonemap_table(
     ``n_files`` sets the range-partition count (→ output file count);
     default lets AQE pick. Sizing rule at scale: target
     ``spark.sql.files.maxPartitionBytes``-sized files so one pruned
-    file is one task."""
+    file is one task. ``applied_tags`` seeds the append replay ledger
+    (streaming init: the first batch's id commits WITH the build).
+
+    Manifest-pointer commit: readers resolve the SIDECAR file list
+    from the manifests a committed meta names, and data files are only
+    ever reached through committed sidecar rows — so appends are
+    snapshot-isolated without readers ever listing a directory."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
     spark = df.sparkSession
@@ -66,31 +99,168 @@ def write_zonemap_table(
     out.sortWithinPartitions(zone_col).write.mode("overwrite").parquet(
         path + "/data"
     )
-    stats = (
-        spark.read.parquet(path + "/data")
-        # hidden _metadata column: no extra data columns are read — the
-        # stats pass scans exactly one column of the files it indexes
-        .select(
-            F.col("_metadata.file_path").alias("file"),
-            F.col(zone_col).alias("z"),
-        )
-        .groupBy("file")
-        .agg(
-            F.min("z").alias("z_min"),
-            F.max("z").alias("z_max"),
-            F.count("*").cast("long").alias("n_rows"),
-        )
-        # store file BASENAMES (the data dir is flat) — the store must
-        # stay relocatable (copy/rsync between clusters)
-        .select(
-            F.element_at(F.split(F.col("file"), "/"), -1).alias("file"),
-            "z_min",
-            "z_max",
-            "n_rows",
-        )
+    data_files = [
+        os.path.join(path, "data", f)
+        for f in SC.list_parquet_files(path + "/data")
+    ]
+    _file_stats(spark, data_files, zone_col).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/zones")
+    SC.write_manifest(path, "base", SC.list_parquet_files(path + "/zones"))
+    SC.commit_meta(
+        path,
+        {
+            "zone_col": zone_col,
+            "manifests": ["base"],
+            "applied": [str(t) for t in applied_tags],
+        },
     )
-    stats.coalesce(1).write.mode("overwrite").parquet(path + "/zones")
-    SC.commit_meta(path, {"zone_col": zone_col})
+
+
+def _resolve_zones(spark: SparkSession, path: str, meta: dict):
+    """The committed sidecar rows under ONE meta snapshot (manifest
+    union; directory fallback for a pre-manifest store)."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    rel = SC.resolve_manifest_files(path, meta)
+    if rel is None:
+        return spark.read.parquet(path + "/zones")
+    return spark.read.parquet(*[os.path.join(path, "zones", f) for f in rel])
+
+
+def append_zonemap_batch(
+    df: DataFrame,
+    path: str,
+    batch_tag: "str | None" = None,
+    n_files: int | None = None,
+) -> bool:
+    """Fold an ingest batch into the zone-mapped table: cluster the
+    BATCH by the store's zone column, publish its files, and commit
+    their zone rows behind the manifest pointer. Returns False (replay
+    no-op) when ``batch_tag`` was already applied.
+
+    Append keeps pruning EXACT but widens overlap: batch files cluster
+    within the batch only, so a range may now touch one file per batch
+    plus the base overlap — the LSM-tree trade. Periodic
+    ``compact_zonemap_store`` re-clusters globally when the batch-file
+    count makes serves schedule too many tasks.
+
+    Crash/replay (with a tag): stage → sweep half-moved replays →
+    deterministic ``batch-<tag>-*`` moves → zone rows → atomic meta
+    commit naming both the manifest and the tag. A crash before the
+    commit leaves stray files NO committed sidecar row or manifest
+    names — invisible to every reader (dead bytes until compaction),
+    so re-delivery is exact. Single-writer, like every meta-rewriting
+    store."""
+    import re
+
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    if batch_tag is not None and not re.fullmatch(
+        r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_tag
+    ):
+        # path-component + file-name-segment rule (postings append)
+        raise ValueError(f"invalid batch_tag {batch_tag!r}")
+    spark = df.sparkSession
+    meta = SC.read_meta(path)
+    applied = meta.setdefault("applied", [])
+    if batch_tag is not None and batch_tag in applied:
+        _cleanup_staging(path, batch_tag)
+        return False
+    zone_col = meta["zone_col"]
+    out = (
+        df.repartitionByRange(n_files, zone_col)
+        if n_files
+        else df.repartitionByRange(zone_col)
+    ).sortWithinPartitions(zone_col)
+    manifests = meta.setdefault("manifests", ["base"])
+    if batch_tag is None:
+        pre = set(SC.list_parquet_files(path + "/data"))
+        out.write.mode("append").parquet(path + "/data")
+        new_files = sorted(set(SC.list_parquet_files(path + "/data")) - pre)
+        mname = f"anon-{len(manifests):05d}"
+        while mname in manifests:
+            mname += "x"
+    else:
+        stage = os.path.join(path, "_staging", batch_tag)
+        out.write.mode("overwrite").parquet(stage)
+        SC.sweep_tagged_files(path + "/data", batch_tag)
+        new_files = SC.publish_staged_flat(stage, path + "/data", batch_tag)
+        mname = batch_tag
+    if mname in manifests:
+        raise ValueError(f"batch_tag {mname!r} collides with a manifest")
+    if new_files:
+        pre_z = set(SC.list_parquet_files(path + "/zones"))
+        _file_stats(
+            spark, [os.path.join(path, "data", f) for f in new_files], zone_col
+        ).coalesce(1).write.mode("append").parquet(path + "/zones")
+        new_zones = sorted(set(SC.list_parquet_files(path + "/zones")) - pre_z)
+    else:
+        new_zones = []  # empty batch: manifest records nothing
+    SC.write_manifest(path, mname, new_zones)
+    manifests.append(mname)
+    if batch_tag is not None:
+        applied.append(batch_tag)
+    SC.commit_meta(path, meta)  # <-- commit point
+    if batch_tag is not None:
+        _cleanup_staging(path, batch_tag)
+    return True
+
+
+def compact_zonemap_store(spark: SparkSession, path: str) -> int:
+    """Globally re-cluster the store (append-accumulated batch files
+    re-merge, zone overlap re-tightens); returns the file count after.
+    Rebuild-class: retract → rewrite → meta-last, same economics as
+    every store compaction here. The replay ledger survives so
+    already-committed append tags stay no-ops after a compact."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    meta = SC.read_meta(path)
+    full = zonemap_read(spark, path).localCheckpoint(eager=True)
+    write_zonemap_table(
+        full, path, meta["zone_col"], applied_tags=meta.get("applied", [])
+    )
+    return len(SC.list_parquet_files(path + "/data"))
+
+
+def _cleanup_staging(path: str, batch_tag: str) -> None:
+    import shutil
+
+    stage = os.path.join(path, "_staging", batch_tag)
+    if os.path.isdir(stage):
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+class StreamingZonemapIngest:
+    """foreachBatch ingest for the zone-mapped table — the store-family
+    streaming twin (postings convention): the first non-empty batch
+    initializes with its batch_id in the replay ledger of the SAME
+    atomic commit; later batches append with the batch_id as the
+    replay tag, so at-least-once re-delivery of a committed batch is a
+    true no-op."""
+
+    def __init__(self, path: str, zone_col: str, n_files: int | None = None):
+        self.path = path
+        self.zone_col = zone_col
+        self.n_files = n_files
+        self._initialized = os.path.exists(os.path.join(path, "meta.json"))
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if not self._initialized:
+            write_zonemap_table(
+                batch_df,
+                self.path,
+                self.zone_col,
+                n_files=self.n_files,
+                applied_tags=(str(batch_id),),
+            )
+            self._initialized = True
+            return
+        append_zonemap_batch(
+            batch_df, self.path, batch_tag=str(batch_id), n_files=self.n_files
+        )
 
 
 def zonemap_prune_files(
@@ -105,8 +275,8 @@ def zonemap_prune_files(
     names ever reach the driver. Bounds may be None (open side)."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    SC.read_meta(path)  # commit-marker check
-    stats = spark.read.parquet(path + "/zones")
+    meta = SC.read_meta(path)  # commit-marker check
+    stats = _resolve_zones(spark, path, meta)
     total = stats.count()
     keep = stats
     if lo is not None:

@@ -120,3 +120,70 @@ def test_string_key_column(spark, sf_dir, tmp_path):
     got = bloom_multiget(spark, path, ["en", "fr"])
     want = docs.where(F.col("lang").isin(["en", "fr"]))
     assert _sorted_rows(got) == _sorted_rows(want)
+
+
+# --------------------- appends + streaming ingest --------------------- #
+
+
+def test_append_batch_exact_and_replay(spark, sf_dir, tmp_path):
+    from spark_indexedrdd_spark.sources.bloomindex import append_bloom_batch
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where("o_orderkey % 3 != 0")
+    batch = orders.where("o_orderkey % 3 = 0")
+    path = str(tmp_path / "bl_append")
+    write_bloom_table(base, path, "o_custkey", n_files=8)
+    assert append_bloom_batch(batch, path, batch_tag="b1", n_files=4)
+    keys = [7, 19, 42]
+    got = bloom_multiget(spark, path, keys)
+    want = orders.where(F.col("o_custkey").isin(keys))
+    assert _sorted_rows(got) == _sorted_rows(want)
+    files, total = bloom_prune_files(spark, path, [7])
+    assert total == 12 and 0 < len(files) < total
+    # replay of a committed tag is a no-op
+    assert not append_bloom_batch(batch, path, batch_tag="b1")
+    assert _sorted_rows(bloom_multiget(spark, path, keys)) == _sorted_rows(want)
+
+
+def test_crashed_append_invisible_then_replay_exact(spark, sf_dir, tmp_path):
+    import glob
+    import shutil as sh
+
+    from spark_indexedrdd_spark.sources.bloomindex import append_bloom_batch
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where("o_orderkey % 3 != 0")
+    batch = orders.where("o_orderkey % 3 = 0")
+    path = str(tmp_path / "bl_crash")
+    write_bloom_table(base, path, "o_custkey", n_files=8)
+    want_pre = _sorted_rows(
+        base.where(F.col("o_custkey") == 7).select("o_orderkey")
+    )
+    # crash between file publish and meta commit: stray data + sidecar
+    a_data = glob.glob(os.path.join(path, "data", "*.parquet"))[0]
+    sh.copy(a_data, os.path.join(path, "data", "batch-b1-00099.parquet"))
+    a_side = glob.glob(os.path.join(path, "bloom", "*.parquet"))[0]
+    sh.copy(a_side, os.path.join(path, "bloom", "part-stray.parquet"))
+    got_pre = bloom_multiget(spark, path, [7]).select("o_orderkey")
+    assert _sorted_rows(got_pre) == want_pre, "stray files must be invisible"
+    assert append_bloom_batch(batch, path, batch_tag="b1")
+    got = bloom_multiget(spark, path, [7]).select("o_orderkey")
+    want = orders.where(F.col("o_custkey") == 7).select("o_orderkey")
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_streaming_bloom_ingest_replay_noop(spark, sf_dir, tmp_path):
+    from spark_indexedrdd_spark.sources.bloomindex import StreamingBloomIngest
+
+    orders = load_table(spark, sf_dir, "orders")
+    b0 = orders.where("o_orderkey % 2 = 0")
+    b1 = orders.where("o_orderkey % 2 = 1")
+    path = str(tmp_path / "bl_stream")
+    st = StreamingBloomIngest(path, "o_custkey", n_files=4)
+    st.foreach_batch(b0, 0)
+    st.foreach_batch(b1, 1)
+    want = orders.where(F.col("o_custkey") == 42)
+    assert _sorted_rows(bloom_multiget(spark, path, [42])) == _sorted_rows(want)
+    st2 = StreamingBloomIngest(path, "o_custkey", n_files=4)
+    st2.foreach_batch(b1, 1)  # re-delivery after restart
+    assert _sorted_rows(bloom_multiget(spark, path, [42])) == _sorted_rows(want)

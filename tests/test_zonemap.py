@@ -86,3 +86,82 @@ def test_rebuild_replaces_stale_sidecar(spark, sf_dir, tmp_path):
     stats = spark.read.parquet(path + "/zones")
     assert stats.agg(F.sum("n_rows")).collect()[0][0] == o.count()
     assert zonemap_read(spark, path).count() == o.count()
+
+
+# --------------------- appends + streaming ingest --------------------- #
+
+
+def test_append_batch_exact_and_pruned(spark, sf_dir, tmp_path):
+    from spark_indexedrdd_spark.sources.zonemap import (
+        append_zonemap_batch,
+        compact_zonemap_store,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where("l_orderkey % 3 != 0")
+    batch = li.where("l_orderkey % 3 = 0")
+    path = str(tmp_path / "zm_append")
+    write_zonemap_table(base, path, "l_shipdate", n_files=8)
+    assert append_zonemap_batch(batch, path, batch_tag="b1", n_files=4)
+    lo, hi = "1996-01-01", "1996-03-31"
+    got = zonemap_read(spark, path, lo, hi)
+    want = li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") <= hi))
+    assert got.count() == want.count() > 0
+    # pruning still skips files (batch adds at most its own overlap)
+    files, total = zonemap_prune_files(spark, path, lo, hi)
+    assert total == 12 and len(files) < total
+    # replay of a committed tag is a no-op
+    assert not append_zonemap_batch(batch, path, batch_tag="b1")
+    assert zonemap_read(spark, path, lo, hi).count() == want.count()
+    # compaction re-clusters without changing values; replay still no-op
+    compact_zonemap_store(spark, path)
+    assert zonemap_read(spark, path, lo, hi).count() == want.count()
+    assert not append_zonemap_batch(batch, path, batch_tag="b1")
+
+
+def test_crashed_append_invisible_then_replay_exact(spark, sf_dir, tmp_path):
+    import glob
+    import shutil as sh
+
+    from spark_indexedrdd_spark.sources.zonemap import append_zonemap_batch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where("l_orderkey % 3 != 0")
+    batch = li.where("l_orderkey % 3 = 0")
+    path = str(tmp_path / "zm_crash")
+    write_zonemap_table(base, path, "l_shipdate", n_files=8)
+    n_before = zonemap_read(spark, path).count()
+    # simulate a crash AFTER the batch's file publish + sidecar write
+    # but BEFORE the meta commit: stray data + unmanifested zones files
+    a_data = glob.glob(os.path.join(path, "data", "*.parquet"))[0]
+    sh.copy(a_data, os.path.join(path, "data", "batch-b1-00099.parquet"))
+    a_zone = glob.glob(os.path.join(path, "zones", "*.parquet"))[0]
+    sh.copy(a_zone, os.path.join(path, "zones", "part-stray.parquet"))
+    # readers resolve the sidecar via committed manifests only — the
+    # stray files are invisible (reads see exactly the pre-append store)
+    assert zonemap_read(spark, path).count() == n_before
+    # the replay sweeps the half-published tag files and lands exactly
+    assert append_zonemap_batch(batch, path, batch_tag="b1")
+    assert (
+        zonemap_read(spark, path).count() == base.count() + batch.count()
+    )
+
+
+def test_streaming_zonemap_ingest_replay_noop(spark, sf_dir, tmp_path):
+    from spark_indexedrdd_spark.sources.zonemap import (
+        StreamingZonemapIngest,
+        zonemap_read,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b0 = li.where("l_orderkey % 2 = 0")
+    b1 = li.where("l_orderkey % 2 = 1")
+    path = str(tmp_path / "zm_stream")
+    st = StreamingZonemapIngest(path, "l_shipdate", n_files=4)
+    st.foreach_batch(b0, 0)
+    st.foreach_batch(b1, 1)
+    assert zonemap_read(spark, path).count() == li.count()
+    # a restarted query re-delivers batch 1: committed tag → no-op
+    st2 = StreamingZonemapIngest(path, "l_shipdate", n_files=4)
+    st2.foreach_batch(b1, 1)
+    assert zonemap_read(spark, path).count() == li.count()
