@@ -21,11 +21,15 @@ Which stores carry a marker, and which deliberately don't:
   multiple parts that must come from ONE build (postings: stats+files;
   IVF: centroids+vectors; IVFPQ: codes+centroids+codebooks; binary:
   sketches+vectors; n-gram counts: meta-pinned bucketization;
-  classifier model: meta-pinned n_buckets+bias). Mixing builds there is
-  silent corruption, so the marker is mandatory. Scope: the marker
-  fences REBUILDS. Append paths are fenced per family: postings
+  classifier model: meta-pinned n_buckets+bias; zone-map and bloom
+  sidecar stores: meta-pinned zone/key column + m/k). Mixing builds
+  there is silent corruption, so the marker is mandatory. Scope: the
+  marker fences REBUILDS. Append paths are fenced per family: postings
   appends commit through the manifest pointer below (exact, snapshot-
-  isolated); IVF/IVFPQ appends are a single write (no cross-part
+  isolated), and the zone-map/bloom appends reuse exactly that shape
+  via the flat-dir helpers at the bottom of this module (readers reach
+  data only through committed sidecar rows, so stray crash files are
+  dead bytes); IVF/IVFPQ appends are a single write (no cross-part
   window); the binary store's two-part append relies on write ORDER —
   vectors before sketches — so a crash leaves invisible vectors, never
   sketch rows whose stage-2 vectors are missing (quant.py
