@@ -187,3 +187,60 @@ def test_streaming_bloom_ingest_replay_noop(spark, sf_dir, tmp_path):
     st2 = StreamingBloomIngest(path, "o_custkey", n_files=4)
     st2.foreach_batch(b1, 1)  # re-delivery after restart
     assert _sorted_rows(bloom_multiget(spark, path, [42])) == _sorted_rows(want)
+
+
+# ---------------- commit-protocol model (property) --------------------- #
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    ops=st.lists(
+        st.sampled_from(["clean", "crash_replay", "dup_replay"]),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bloom_commit_protocol_model(spark, sf_dir, ops):
+    """Property over delivery histories (postings model, bloom form):
+    any mix of clean commits, crash-after-publish replays, and
+    duplicate redeliveries serves exactly the one-shot union."""
+    import shutil
+    import tempfile
+
+    from spark_indexedrdd_spark.sources.bloomindex import append_bloom_batch
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="blmodel_")
+    try:
+        p = os.path.join(root, "store")
+        write_bloom_table(orders.where("o_orderkey % 7 = 0"), p,
+                          "o_custkey", n_files=4)
+        for i, op in enumerate(ops):
+            batch = orders.where(f"o_orderkey % 7 = {i + 1}")
+            tag = f"t{i}"
+            if op == "clean":
+                assert append_bloom_batch(batch, p, batch_tag=tag)
+            elif op == "crash_replay":
+                with open(os.path.join(p, "meta.json")) as fh:
+                    pre = fh.read()
+                assert append_bloom_batch(batch, p, batch_tag=tag)
+                with open(os.path.join(p, "meta.json"), "w") as fh:
+                    fh.write(pre)
+                assert append_bloom_batch(batch, p, batch_tag=tag)
+            else:
+                assert append_bloom_batch(batch, p, batch_tag=tag)
+                assert append_bloom_batch(batch, p, batch_tag=tag) is False
+        want = orders.where(f"o_orderkey % 7 <= {len(ops)}")
+        keys = [7, 19, 42]
+        got = _sorted_rows(bloom_multiget(spark, p, keys))
+        exp = _sorted_rows(want.where(F.col("o_custkey").isin(keys)))
+        assert got == exp and len(got) > 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

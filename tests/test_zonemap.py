@@ -165,3 +165,64 @@ def test_streaming_zonemap_ingest_replay_noop(spark, sf_dir, tmp_path):
     st2 = StreamingZonemapIngest(path, "l_shipdate", n_files=4)
     st2.foreach_batch(b1, 1)
     assert zonemap_read(spark, path).count() == li.count()
+
+
+# ---------------- commit-protocol model (property) --------------------- #
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    ops=st.lists(
+        st.sampled_from(["clean", "crash_replay", "dup_replay"]),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_zonemap_commit_protocol_model(spark, sf_dir, ops):
+    """Property over delivery histories (postings model, zonemap form):
+    for ANY sequence of clean commits, crash-after-publish replays, and
+    duplicate redeliveries, the served table equals a one-shot build
+    over exactly the applied batches."""
+    import shutil
+    import tempfile
+
+    from spark_indexedrdd_spark.sources.zonemap import append_zonemap_batch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    root = tempfile.mkdtemp(prefix="zmmodel_")
+    try:
+        p = os.path.join(root, "store")
+        write_zonemap_table(li.where("l_orderkey % 7 = 0"), p,
+                            "l_shipdate", n_files=4)
+        for i, op in enumerate(ops):
+            batch = li.where(f"l_orderkey % 7 = {i + 1}")
+            tag = f"t{i}"
+            if op == "clean":
+                assert append_zonemap_batch(batch, p, batch_tag=tag)
+            elif op == "crash_replay":
+                with open(os.path.join(p, "meta.json")) as fh:
+                    pre = fh.read()
+                assert append_zonemap_batch(batch, p, batch_tag=tag)
+                with open(os.path.join(p, "meta.json"), "w") as fh:
+                    fh.write(pre)  # crash: publish done, commit rewound
+                assert append_zonemap_batch(batch, p, batch_tag=tag)
+            else:
+                assert append_zonemap_batch(batch, p, batch_tag=tag)
+                assert append_zonemap_batch(batch, p, batch_tag=tag) is False
+        want = li.where(f"l_orderkey % 7 <= {len(ops)}")
+        lo, hi = "1995-01-01", "1996-12-31"
+        got_n = zonemap_read(spark, p, lo, hi).count()
+        want_n = want.where(
+            (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") <= hi)
+        ).count()
+        assert got_n == want_n > 0
+        assert zonemap_read(spark, p).count() == want.count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
