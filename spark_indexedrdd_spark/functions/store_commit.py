@@ -191,3 +191,88 @@ def publish_staged_flat(stage: str, dirpath: str, batch_tag: str) -> "list[str]"
         published.append(name)
         seq += 1
     return published
+
+
+def cleanup_flat_staging(path: str, batch_tag: str) -> None:
+    """Remove a tag's staging dir (post-commit, or before a replay)."""
+    import shutil
+
+    stage = os.path.join(path, "_staging", batch_tag)
+    if os.path.isdir(stage):
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def append_flat_store_batch(
+    path: str,
+    batch_tag: "str | None",
+    write_batch,
+    build_sidecar,
+    sidecar_sub: str,
+) -> bool:
+    """The staged manifest-pointer append for flat-layout sidecar
+    stores (zone-map, bloom) — ONE copy of the commit/replay state
+    machine so a protocol fix lands everywhere at once.
+
+    ``write_batch(dest_dir, mode)`` writes the batch's parquet;
+    ``build_sidecar(abs_data_files) -> DataFrame`` derives the sidecar
+    rows for exactly the published files. Flow: replay check → legacy
+    'base' manifest backfill (a pre-manifest store's sidecar listing
+    IS the committed base — single-writer, so backfilling it before
+    the append is exact; without this, committing a meta that names a
+    never-written manifest would brick every later read) → stage/sweep/
+    deterministic publish (or direct append for untagged batches) →
+    sidecar rows → ``_manifests/<tag>.json`` → atomic meta commit
+    naming manifest + tag. Crash anywhere before the commit leaves
+    stray files no manifest names — invisible; replay is exact."""
+    import re as _re
+
+    if batch_tag is not None and not _re.fullmatch(
+        r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_tag
+    ):
+        # the tag becomes a path component (_staging/<tag>) and a file
+        # name segment (batch-<tag>-NNNNN) — loud error, not an escape
+        raise ValueError(f"invalid batch_tag {batch_tag!r}")
+    meta = read_meta(path)
+    applied = meta.setdefault("applied", [])
+    if batch_tag is not None and batch_tag in applied:
+        cleanup_flat_staging(path, batch_tag)
+        return False
+    manifests = meta.get("manifests")
+    if manifests is None:
+        write_manifest(
+            path, "base", list_parquet_files(os.path.join(path, sidecar_sub))
+        )
+        manifests = meta["manifests"] = ["base"]
+    data_dir = os.path.join(path, "data")
+    if batch_tag is None:
+        pre = set(list_parquet_files(data_dir))
+        write_batch(data_dir, "append")
+        new_files = sorted(set(list_parquet_files(data_dir)) - pre)
+        mname = f"anon-{len(manifests):05d}"
+        while mname in manifests:
+            mname += "x"
+    else:
+        stage = os.path.join(path, "_staging", batch_tag)
+        write_batch(stage, "overwrite")
+        sweep_tagged_files(data_dir, batch_tag)
+        new_files = publish_staged_flat(stage, data_dir, batch_tag)
+        mname = batch_tag
+    if mname in manifests:
+        raise ValueError(f"batch_tag {mname!r} collides with a manifest")
+    side_dir = os.path.join(path, sidecar_sub)
+    if new_files:
+        pre_s = set(list_parquet_files(side_dir))
+        build_sidecar(
+            [os.path.join(data_dir, f) for f in new_files]
+        ).coalesce(1).write.mode("append").parquet(side_dir)
+        new_side = sorted(set(list_parquet_files(side_dir)) - pre_s)
+    else:
+        new_side = []  # empty batch: the manifest records nothing
+    write_manifest(path, mname, new_side)
+    manifests.append(mname)
+    if batch_tag is not None:
+        applied.append(batch_tag)
+    commit_meta(path, meta)  # <-- commit point
+    if batch_tag is not None:
+        cleanup_flat_staging(path, batch_tag)
+    return True

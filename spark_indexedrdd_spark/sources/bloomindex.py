@@ -153,72 +153,31 @@ def append_bloom_batch(
     pointer, under the store's pinned (m, k). Returns False (replay
     no-op) when ``batch_tag`` was already applied.
 
-    Crash/replay and visibility semantics are identical to
-    ``append_zonemap_batch`` (sources/zonemap.py): stage → sweep →
-    deterministic moves → sidecar rows → atomic meta commit; stray
-    files from a crash are named by no committed manifest and data is
-    only reached through committed sidecar rows, so readers are
-    snapshot-isolated and re-delivery is exact. Single-writer."""
-    import re
-
+    Crash/replay, legacy backfill, and visibility semantics live in
+    ONE place — ``store_commit.append_flat_store_batch`` (same state
+    machine as the zonemap append). The batch's key column is cast to
+    the store's pinned ``key_ddl`` BEFORE hashing and writing: Spark's
+    xxhash64 hashes int and bigint differently, so a type-skewed batch
+    would otherwise write sidecar positions that never match a lookup
+    — silent bloom false negatives, the one thing the store must never
+    produce. Single-writer."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    if batch_tag is not None and not re.fullmatch(
-        r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_tag
-    ):
-        raise ValueError(f"invalid batch_tag {batch_tag!r}")
     spark = df.sparkSession
-    meta = SC.read_meta(path)
-    applied = meta.setdefault("applied", [])
-    if batch_tag is not None and batch_tag in applied:
-        _cleanup_staging(path, batch_tag)
-        return False
-    m, k = int(meta["m"]), int(meta["k"])
+    meta0 = SC.read_meta(path)
+    key_col = meta0["key_col"]
+    m, k = int(meta0["m"]), int(meta0["k"])
+    df = df.withColumn(key_col, F.col(key_col).cast(meta0["key_ddl"]))
     out = df.repartition(n_files) if n_files else df
-    manifests = meta.setdefault("manifests", ["base"])
-    if batch_tag is None:
-        pre = set(SC.list_parquet_files(path + "/data"))
-        out.write.mode("append").parquet(path + "/data")
-        new_files = sorted(set(SC.list_parquet_files(path + "/data")) - pre)
-        mname = f"anon-{len(manifests):05d}"
-        while mname in manifests:
-            mname += "x"
-    else:
-        stage = os.path.join(path, "_staging", batch_tag)
-        out.write.mode("overwrite").parquet(stage)
-        SC.sweep_tagged_files(path + "/data", batch_tag)
-        new_files = SC.publish_staged_flat(stage, path + "/data", batch_tag)
-        mname = batch_tag
-    if mname in manifests:
-        raise ValueError(f"batch_tag {mname!r} collides with a manifest")
-    if new_files:
-        pre_b = set(SC.list_parquet_files(path + "/bloom"))
-        _file_positions(
-            spark,
-            [os.path.join(path, "data", f) for f in new_files],
-            meta["key_col"],
-            m,
-            k,
-        ).coalesce(1).write.mode("append").parquet(path + "/bloom")
-        new_bloom = sorted(set(SC.list_parquet_files(path + "/bloom")) - pre_b)
-    else:
-        new_bloom = []
-    SC.write_manifest(path, mname, new_bloom)
-    manifests.append(mname)
-    if batch_tag is not None:
-        applied.append(batch_tag)
-    SC.commit_meta(path, meta)  # <-- commit point
-    if batch_tag is not None:
-        _cleanup_staging(path, batch_tag)
-    return True
-
-
-def _cleanup_staging(path: str, batch_tag: str) -> None:
-    import shutil
-
-    stage = os.path.join(path, "_staging", batch_tag)
-    if os.path.isdir(stage):
-        shutil.rmtree(stage, ignore_errors=True)
+    return SC.append_flat_store_batch(
+        path,
+        batch_tag,
+        write_batch=lambda dest, mode: out.write.mode(mode).parquet(dest),
+        build_sidecar=lambda files: _file_positions(
+            spark, files, key_col, m, k
+        ),
+        sidecar_sub="bloom",
+    )
 
 
 class StreamingBloomIngest:
@@ -275,12 +234,16 @@ def bloom_prune_files(
     from spark_indexedrdd_spark.functions import store_commit as SC
 
     meta = SC.read_meta(path)
+    side = _resolve_bloom(spark, path, meta)
+    # the total is diagnostic; only this tuple form pays for the count
+    return _surviving_files(spark, path, meta, side, keys), side.count()
+
+
+def _surviving_files(spark, path: str, meta: dict, side, keys) -> "list[str]":
     m, k = int(meta["m"]), int(meta["k"])
     keys = [kk for kk in keys if kk is not None]
-    side = _resolve_bloom(spark, path, meta)
-    total = side.count()
     if not keys:
-        return [], total
+        return []
     kf = (
         spark.createDataFrame([(kk,) for kk in keys], ["key"])
         .select(F.col("key").cast(meta["key_ddl"]).alias("key"))
@@ -304,7 +267,7 @@ def bloom_prune_files(
         .distinct()
     )
     files = [os.path.join(path, "data", r.file) for r in hits.collect()]
-    return sorted(files), total
+    return sorted(files)
 
 
 def bloom_multiget(
@@ -322,7 +285,8 @@ def bloom_multiget(
     meta = SC.read_meta(path)
     key_col = meta["key_col"]
     keys = [kk for kk in keys if kk is not None]
-    files, _total = bloom_prune_files(spark, path, keys)
+    side = _resolve_bloom(spark, path, meta)
+    files = _surviving_files(spark, path, meta, side, keys)
     if not files:
         return spark.read.parquet(path + "/data").where(F.lit(False))
     return (

@@ -111,6 +111,9 @@ def write_zonemap_table(
         path,
         {
             "zone_col": zone_col,
+            # pinned so appends cast their batch to the store's type —
+            # mixed-type zone stats would make pruning silently wrong
+            "zone_ddl": df.schema[zone_col].dataType.simpleString(),
             "manifests": ["base"],
             "applied": [str(t) for t in applied_tags],
         },
@@ -145,90 +148,69 @@ def append_zonemap_batch(
     ``compact_zonemap_store`` re-clusters globally when the batch-file
     count makes serves schedule too many tasks.
 
-    Crash/replay (with a tag): stage → sweep half-moved replays →
+    Crash/replay, legacy backfill, and visibility semantics live in ONE
+    place — ``store_commit.append_flat_store_batch`` (stage → sweep →
     deterministic ``batch-<tag>-*`` moves → zone rows → atomic meta
-    commit naming both the manifest and the tag. A crash before the
-    commit leaves stray files NO committed sidecar row or manifest
-    names — invisible to every reader (dead bytes until compaction),
-    so re-delivery is exact. Single-writer, like every meta-rewriting
-    store."""
-    import re
-
+    commit; stray crash files are named by no committed manifest and
+    are invisible, so re-delivery is exact). Single-writer. The batch's
+    zone column is cast to the store's pinned ``zone_ddl`` so a
+    type-skewed source can never write mixed-type zone stats (which
+    would prune wrongly without erroring)."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    if batch_tag is not None and not re.fullmatch(
-        r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_tag
-    ):
-        # path-component + file-name-segment rule (postings append)
-        raise ValueError(f"invalid batch_tag {batch_tag!r}")
     spark = df.sparkSession
-    meta = SC.read_meta(path)
-    applied = meta.setdefault("applied", [])
-    if batch_tag is not None and batch_tag in applied:
-        _cleanup_staging(path, batch_tag)
-        return False
-    zone_col = meta["zone_col"]
+    meta0 = SC.read_meta(path)
+    zone_col = meta0["zone_col"]
+    if meta0.get("zone_ddl"):
+        df = df.withColumn(zone_col, F.col(zone_col).cast(meta0["zone_ddl"]))
     out = (
         df.repartitionByRange(n_files, zone_col)
         if n_files
         else df.repartitionByRange(zone_col)
     ).sortWithinPartitions(zone_col)
-    manifests = meta.setdefault("manifests", ["base"])
-    if batch_tag is None:
-        pre = set(SC.list_parquet_files(path + "/data"))
-        out.write.mode("append").parquet(path + "/data")
-        new_files = sorted(set(SC.list_parquet_files(path + "/data")) - pre)
-        mname = f"anon-{len(manifests):05d}"
-        while mname in manifests:
-            mname += "x"
-    else:
-        stage = os.path.join(path, "_staging", batch_tag)
-        out.write.mode("overwrite").parquet(stage)
-        SC.sweep_tagged_files(path + "/data", batch_tag)
-        new_files = SC.publish_staged_flat(stage, path + "/data", batch_tag)
-        mname = batch_tag
-    if mname in manifests:
-        raise ValueError(f"batch_tag {mname!r} collides with a manifest")
-    if new_files:
-        pre_z = set(SC.list_parquet_files(path + "/zones"))
-        _file_stats(
-            spark, [os.path.join(path, "data", f) for f in new_files], zone_col
-        ).coalesce(1).write.mode("append").parquet(path + "/zones")
-        new_zones = sorted(set(SC.list_parquet_files(path + "/zones")) - pre_z)
-    else:
-        new_zones = []  # empty batch: manifest records nothing
-    SC.write_manifest(path, mname, new_zones)
-    manifests.append(mname)
-    if batch_tag is not None:
-        applied.append(batch_tag)
-    SC.commit_meta(path, meta)  # <-- commit point
-    if batch_tag is not None:
-        _cleanup_staging(path, batch_tag)
-    return True
+    return SC.append_flat_store_batch(
+        path,
+        batch_tag,
+        write_batch=lambda dest, mode: out.write.mode(mode).parquet(dest),
+        build_sidecar=lambda files: _file_stats(spark, files, zone_col),
+        sidecar_sub="zones",
+    )
 
 
 def compact_zonemap_store(spark: SparkSession, path: str) -> int:
     """Globally re-cluster the store (append-accumulated batch files
     re-merge, zone overlap re-tightens); returns the file count after.
-    Rebuild-class: retract → rewrite → meta-last, same economics as
-    every store compaction here. The replay ledger survives so
-    already-committed append tags stay no-ops after a compact."""
+
+    The rewrite is built in a SIBLING directory read from the old
+    committed files — never a checkpoint of data whose directory is
+    about to be overwritten — so the old store stays fully intact and
+    durable until the swap. The swap itself is retract → dir renames →
+    commit: a crash before it leaves the old store committed and
+    untouched; a crash inside it leaves the store loudly uncommitted
+    with the compacted copy recoverable on disk — never a silent mix.
+    The replay ledger is carried over, so already-committed append
+    tags stay no-ops after a compact."""
+    import shutil
+
     from spark_indexedrdd_spark.functions import store_commit as SC
 
     meta = SC.read_meta(path)
-    full = zonemap_read(spark, path).localCheckpoint(eager=True)
+    tmp = path + "__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
     write_zonemap_table(
-        full, path, meta["zone_col"], applied_tags=meta.get("applied", [])
+        zonemap_read(spark, path),
+        tmp,
+        meta["zone_col"],
+        applied_tags=meta.get("applied", []),
     )
+    new_meta = SC.read_meta(tmp)
+    SC.retract_meta(path)  # <-- old store now loudly uncommitted
+    for sub in ("data", "zones", "_manifests"):
+        shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+        os.replace(os.path.join(tmp, sub), os.path.join(path, sub))
+    SC.commit_meta(path, new_meta)
+    shutil.rmtree(tmp, ignore_errors=True)
     return len(SC.list_parquet_files(path + "/data"))
-
-
-def _cleanup_staging(path: str, batch_tag: str) -> None:
-    import shutil
-
-    stage = os.path.join(path, "_staging", batch_tag)
-    if os.path.isdir(stage):
-        shutil.rmtree(stage, ignore_errors=True)
 
 
 class StreamingZonemapIngest:
@@ -277,7 +259,13 @@ def zonemap_prune_files(
 
     meta = SC.read_meta(path)  # commit-marker check
     stats = _resolve_zones(spark, path, meta)
-    total = stats.count()
+    return _surviving_files(path, stats, lo, hi), stats.count()
+
+
+def _surviving_files(path: str, stats, lo, hi) -> "list[str]":
+    """Zone-surviving absolute file paths — no total count, so the
+    serve path pays exactly one sidecar job (the count is diagnostic
+    and only the public tuple form computes it)."""
     keep = stats
     if lo is not None:
         keep = keep.where(F.col("z_max") >= F.lit(lo))
@@ -286,7 +274,7 @@ def zonemap_prune_files(
     files = [
         os.path.join(path, "data", r.file) for r in keep.select("file").collect()
     ]
-    return sorted(files), total
+    return sorted(files)
 
 
 def zonemap_read(
@@ -302,8 +290,9 @@ def zonemap_read(
     row-group stats still apply inside each file)."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    zone_col = SC.read_meta(path)["zone_col"]
-    files, _total = zonemap_prune_files(spark, path, lo, hi)
+    meta = SC.read_meta(path)
+    zone_col = meta["zone_col"]
+    files = _surviving_files(path, _resolve_zones(spark, path, meta), lo, hi)
     if not files:
         return spark.read.parquet(path + "/data").where(F.lit(False))
     df = spark.read.parquet(*files)

@@ -244,3 +244,49 @@ def test_bloom_commit_protocol_model(spark, sf_dir, ops):
         assert got == exp and len(got) > 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_legacy_store_append_backfills_base_manifest(spark, sf_dir, tmp_path):
+    """A store committed before the manifest pointer existed (meta has
+    no 'manifests') must gain a backfilled 'base' manifest on its
+    first append — committing a meta that names a never-written
+    manifest would make every later read raise."""
+    import json
+
+    from spark_indexedrdd_spark.sources.bloomindex import append_bloom_batch
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where("o_orderkey % 3 != 0")
+    batch = orders.where("o_orderkey % 3 = 0")
+    path = str(tmp_path / "bl_legacy")
+    write_bloom_table(base, path, "o_custkey", n_files=8)
+    mp = os.path.join(path, "meta.json")
+    meta = json.load(open(mp))
+    del meta["manifests"]
+    del meta["applied"]
+    json.dump(meta, open(mp, "w"))
+    shutil.rmtree(os.path.join(path, "_manifests"))
+    assert append_bloom_batch(batch, path, batch_tag="b1")
+    got = bloom_multiget(spark, path, [7])
+    want = orders.where(F.col("o_custkey") == 7)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_type_skewed_batch_is_cast_to_store_key_type(spark, sf_dir, tmp_path):
+    """xxhash64 hashes int and bigint differently: an append whose key
+    column arrives as a narrower type must be cast to the store's
+    pinned key_ddl, or its files' bloom positions would never match a
+    lookup (silent false negatives)."""
+    from spark_indexedrdd_spark.sources.bloomindex import append_bloom_batch
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where("o_orderkey % 3 != 0")
+    batch = orders.where("o_orderkey % 3 = 0").withColumn(
+        "o_custkey", F.col("o_custkey").cast("int")
+    )
+    path = str(tmp_path / "bl_typeskew")
+    write_bloom_table(base, path, "o_custkey", n_files=8)
+    assert append_bloom_batch(batch, path, batch_tag="b1", n_files=4)
+    got = bloom_multiget(spark, path, [7])
+    want = orders.where(F.col("o_custkey") == 7)
+    assert got.count() == want.count() > 0
