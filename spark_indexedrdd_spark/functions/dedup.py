@@ -449,12 +449,9 @@ def delete_signature_docs(
     whatever tombstone batches exist at scan time, the same
     read-merges-the-ledger semantics as the signatures themselves.
     Unknown ids are harmless (tombstones anti-join, never assert)."""
-    import re as _re
+    from spark_indexedrdd_spark.functions import store_commit as _SC
 
-    if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_tag):
-        # the tag becomes a path component — same loud-error rule as
-        # the postings/IVF delete paths
-        raise ValueError(f"invalid batch_tag {batch_tag!r}")
+    _SC.validate_batch_tag(batch_tag)
     if isinstance(ids, DataFrame):
         tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
     else:
@@ -484,23 +481,62 @@ def signature_tombstones(spark, path: str) -> "DataFrame | None":
     )
 
 
+def _tombstone_tags(path: str) -> "list[str]":
+    import os
+
+    tdir = os.path.join(path, "_tombstones")
+    if not os.path.isdir(tdir):
+        return []
+    return sorted(
+        d for d in os.listdir(tdir) if os.path.isdir(os.path.join(tdir, d))
+    )
+
+
 def compact_signature_store(
     spark,
     path: str,
     num_partitions: int = 8,
 ) -> None:
     """Rewrite the signature store without its tombstoned rows and drop
-    the tombstone ledger — :func:`compact_store` is WRONG for a store
-    with deletes (it would rewrite every row including the dead ones,
-    then lose the ``_tombstones`` dir in the swap, resurrecting them).
-    Same write-to-temp + rename swap otherwise."""
+    the folded tombstone batches — :func:`compact_store` is WRONG for a
+    store with deletes (it would rewrite every row including the dead
+    ones, then lose the ``_tombstones`` dir in the swap, resurrecting
+    them).
+
+    This store's contract allows CONCURRENT deletes (ledger semantics),
+    so the fold is pinned to the tombstone tags present when the
+    rewrite starts, and any tombstone batch committed DURING the
+    rewrite is carried forward into the compacted store's ledger
+    instead of being dropped with the swap — readers keep anti-joining
+    it, so a takedown racing the compaction is preserved, not undone.
+    (Carrying a tag whose rows were also folded would be a harmless
+    no-op anti-join; only genuinely-new tags are carried.) A tombstone
+    committed in the instant between the carry-forward listing and the
+    rename can still be lost — quiesce deletes around the swap or
+    re-issue them; the swap itself is two renames, and a crash between
+    them leaves the full store recoverable at ``<path>__old_*``."""
     import os
     import shutil
     import uuid
 
-    live = read_signature_store(spark, path, live=True)
+    t0 = _tombstone_tags(path)
+    sig = spark.read.parquet(path)
+    if t0:
+        tomb0 = (
+            spark.read.parquet(
+                *[os.path.join(path, "_tombstones", t) for t in t0]
+            ).distinct()
+        )
+        sig = sig.join(F.broadcast(tomb0), tomb0.columns[0], "left_anti")
     tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
-    live.repartition(num_partitions).write.mode("overwrite").parquet(tmp)
+    sig.repartition(num_partitions).write.mode("overwrite").parquet(tmp)
+    # carry forward tombstone batches committed during the rewrite
+    for tag in _tombstone_tags(path):
+        if tag not in t0:
+            shutil.copytree(
+                os.path.join(path, "_tombstones", tag),
+                os.path.join(tmp, "_tombstones", tag),
+            )
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)
@@ -536,7 +572,13 @@ def append_signature_batch(
     """Fold an ACCEPTED ingest batch into the signature store (append —
     parquet is immutable-file, so this adds files rather than rewriting
     the corpus). Call after the batch's near-dups were resolved; the
-    next batch's candidates then see this batch as corpus."""
+    next batch's candidates then see this batch as corpus.
+
+    Delete-wins until compaction: a re-ingested id that is currently
+    tombstoned stays excluded by every live read's anti-join (its new
+    signature rows are shadowed, and compaction physically drops them
+    with the tombstone). To genuinely re-add a deleted id, compact
+    first, then append."""
     minhash_signatures(new_df, text_col, id_col).write.mode("append").parquet(path)
 
 

@@ -459,9 +459,21 @@ def append_ivf_batch(
     STORED centroids (the index's clustering is fixed at build time —
     re-fitting would silently re-shape every list) and append into the
     per-cluster directories, with the same bounded-file-count shuffle
-    as the build (write_ivf_store docstring)."""
+    as the build (write_ivf_store docstring).
+
+    Delete-wins until compaction: ids currently tombstoned are
+    EXCLUDED from the batch (broadcast anti-join). Without this, a
+    re-ingested deleted id would be written but permanently shadowed
+    by the serve path's tombstone anti-join — invisible rows on disk.
+    To genuinely re-add a deleted id, compact first (which clears the
+    tombstone list), then append."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.functions.vectors import norm
 
+    spark = new_emb.sparkSession
+    tomb = _tombstone_ids(spark, path, SC.read_meta(path), id_col)
+    if tomb is not None:
+        new_emb = new_emb.join(F.broadcast(tomb), id_col, "left_anti")
     _vecs, cents = read_ivf_store(new_emb.sparkSession, path)
     assigned = new_emb.select(
         F.col(id_col),
@@ -605,25 +617,30 @@ def delete_ivf_ids(
     form never collects; the iterable form is the targeted-delete
     convenience. Deleting an id absent from the store is a no-op by
     construction (tombstones are anti-joined, not asserted)."""
-    import json as _json
     import os
-    import re as _re
 
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_tag):
-        # the tag becomes a path component — same loud-error rule as
-        # append_postings_batch (a '..' tag would write outside the
-        # store)
-        raise ValueError(f"invalid batch_tag {batch_tag!r}")
+    SC.validate_batch_tag(batch_tag)
     meta = SC.read_meta(path)
     if batch_tag in meta.get("deletes", []):
         return False
+    # pin the tombstone ids to the STORE's id type — xxhash-free here,
+    # but an anti-join between mismatched types can silently never
+    # match (e.g. string ids cast('long') -> NULLs), which would make
+    # a takedown report success and delete nothing
+    id_type = (
+        spark.read.parquet(path + "/vectors").select(id_col).schema[0].dataType
+    )
     if isinstance(ids, DataFrame):
-        tomb = ids.select(F.col(ids.columns[0]).cast("long").alias(id_col))
+        tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
     else:
-        tomb = spark.createDataFrame(
-            [(int(i),) for i in ids], f"{id_col} long"
+        tomb = spark.createDataFrame([(i,) for i in ids], [id_col])
+    tomb = tomb.dropna().select(F.col(id_col).cast(id_type).alias(id_col))
+    if tomb.where(F.col(id_col).isNull()).take(1):
+        raise ValueError(
+            f"delete ids do not cast to the store's {id_type.simpleString()}"
+            f" {id_col} — refusing a delete that could silently miss"
         )
     tomb.write.mode("overwrite").parquet(
         os.path.join(path, "tombstones", batch_tag)
@@ -643,9 +660,15 @@ def _tombstone_ids(spark, path: str, meta: dict, id_col: str) -> "DataFrame | No
     if not tags:
         return None
     paths = [os.path.join(path, "tombstones", t) for t in tags]
+    # cast the union to the STORE's id type (legacy pre-fix batches
+    # were written as long; values are preserved by the upcast they
+    # took, so casting back is exact for every type a long can hold)
+    id_type = (
+        spark.read.parquet(path + "/vectors").select(id_col).schema[0].dataType
+    )
     return (
         spark.read.parquet(*paths)
-        .select(F.col(id_col).cast("long").alias(id_col))
+        .select(F.col(id_col).cast(id_type).alias(id_col))
         .distinct()
     )
 
@@ -729,11 +752,17 @@ def compact_ivf_store(
     Rebuild-class by design (docstring at delete_ivf_ids): survivors
     are re-written under the SAME stored centroid assignment (the
     cluster_id column is carried, never re-fit — compaction must not
-    re-shape the lists), via the standard retract → write → commit
-    fence, so a crash mid-compaction leaves the store clearly
-    uncommitted rather than mixing old and new cluster directories.
-    Run it when the tombstone fraction justifies a rewrite of the
-    affected partitions — exactly Delta's VACUUM/OPTIMIZE economics."""
+    re-shape the lists). The rewrite lands in a SIBLING directory read
+    from the old committed files — never a checkpoint of data whose
+    directory is about to be overwritten, so the old store stays fully
+    durable until the swap, and a session-level
+    partitionOverwriteMode=dynamic can never leave an all-tombstoned
+    cluster's stale files behind (the sibling starts empty). The swap
+    is retract → dir rename → commit: a crash before it leaves the old
+    store committed and untouched; inside it, loudly uncommitted with
+    the compacted copy recoverable on disk. Run when the tombstone
+    fraction justifies the rewrite — Delta's VACUUM/OPTIMIZE
+    economics."""
     import os
     import shutil
 
@@ -745,20 +774,23 @@ def compact_ivf_store(
     if tomb is None:
         return vecs.count()
     survivors = vecs.join(F.broadcast(tomb), id_col, "left_anti")
-    # survivors must be fully materialized before the overwrite below
-    # rewrites the directory they are lazily reading from
-    survivors = survivors.localCheckpoint(eager=True)
-    SC.retract_meta(path)
+    tmp = path + "__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
     # same bounded-file-count shuffle as the build (one file per
     # cluster here; compaction is where small appended files re-merge)
     survivors.repartition("cluster_id").write.mode("overwrite").partitionBy(
         "cluster_id"
-    ).parquet(path + "/vectors")
+    ).parquet(tmp + "/vectors")
+    n_live = spark.read.parquet(tmp + "/vectors").count()
+    SC.retract_meta(path)  # <-- old store now loudly uncommitted
+    shutil.rmtree(os.path.join(path, "vectors"), ignore_errors=True)
+    os.replace(tmp + "/vectors", os.path.join(path, "vectors"))
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     meta["deletes"] = []
     meta["compactions"] = int(meta.get("compactions", 0)) + 1
     SC.commit_meta(path, meta)
-    return survivors.count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n_live
 
 
 def sql_semantic_dedup(

@@ -575,14 +575,10 @@ def append_postings_batch(
     publish-to-commit window still serves exactly the pre-batch store
     (files no committed manifest names are invisible; snapshot
     isolation pinned in tests/test_retrieval.py)."""
-    if batch_tag is not None and not re.fullmatch(
-        r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_tag
-    ):
-        # the tag becomes a path component (_staging/<tag>) and a file
-        # name segment (batch-<tag>-NNNNN): a separator or a leading
-        # dot ('..' would make the staging cleanup rmtree OUTSIDE the
-        # store) must be a loud error, not a filesystem accident
-        raise ValueError(f"invalid batch_tag {batch_tag!r}")
+    from spark_indexedrdd_spark.functions import store_commit as _SC
+
+    if batch_tag is not None:
+        _SC.validate_batch_tag(batch_tag)
     meta_path = os.path.join(path, "meta.json")
     with open(meta_path) as fh:
         meta = json.load(fh)
@@ -592,6 +588,15 @@ def append_postings_batch(
         # the commit point but before cleanup
         _cleanup_staging(path, batch_tag)
         return False
+    # Delete-wins until compaction: ids currently tombstoned are
+    # EXCLUDED from the batch before stats are computed. Without this
+    # a re-ingested deleted doc would add to n_docs/total_dl while the
+    # serve path's tombstone anti-join hides its postings — every BM25
+    # score would drift from a survivor rebuild (the exactness
+    # contract). To genuinely re-add a deleted id, compact first.
+    prior_tomb = _postings_tombstones(df.sparkSession, path, meta)
+    if prior_tomb is not None:
+        df = df.join(F.broadcast(prior_tomb), id_col, "left_anti")
     dt = _doc_terms(df, text_col, id_col)
     tf = dt.groupBy(id_col, "dl", "term").agg(
         F.count("*").cast("long").alias("tf")
@@ -821,9 +826,7 @@ def delete_postings_docs(
     meta-rewriting path on this store."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_tag):
-        # path-component rule, same as append_postings_batch
-        raise ValueError(f"invalid batch_tag {batch_tag!r}")
+    SC.validate_batch_tag(batch_tag)
     meta = SC.read_meta(path)
     if batch_tag in meta.get("deletes", []):
         return False
@@ -872,10 +875,17 @@ def compact_postings_store(spark: SparkSession, path: str) -> int:
 
     Rebuild-class by design (delete_postings_docs docstring — the
     Delta VACUUM/OPTIMIZE economics): survivors keep their pinned
-    bucketization (never re-hashed), the append-accumulated small
-    files re-merge, and the standard retract → write → manifest →
-    meta-last fence makes a crash mid-compaction leave the store
-    clearly uncommitted rather than mixing old and new files."""
+    bucketization (never re-hashed) and the append-accumulated small
+    files re-merge. The rewrite lands in a SIBLING directory read from
+    the old committed files — never a checkpoint of data whose
+    directory is about to be overwritten, so the old store stays fully
+    durable until the swap, and partitionOverwriteMode=dynamic can
+    never leave an all-dead bucket's stale files behind (the sibling
+    starts empty; with in-place overwrite those files would even be
+    re-listed into the new base manifest while n_docs excluded them).
+    The swap is retract → dir renames → commit: a crash before it
+    leaves the old store committed and untouched; inside it, loudly
+    uncommitted with the compacted copy recoverable on disk."""
     import shutil
 
     from spark_indexedrdd_spark.functions import store_commit as SC
@@ -891,24 +901,22 @@ def compact_postings_store(spark: SparkSession, path: str) -> int:
         *[os.path.join(path, "postings", f) for f in rel]
     )
     dl = _resolve_doclen(spark, path, meta)
-    # survivors must be fully materialized before the overwrites below
-    # rewrite the directories they lazily read from
-    post_live = post.join(tomb, id_col, "left_anti").localCheckpoint(
-        eager=True
-    )
-    dl_live = dl.join(tomb, id_col, "left_anti").localCheckpoint(eager=True)
-    SC.retract_meta(path)
-    post_live.repartition("bucket").write.mode("overwrite").partitionBy(
+    tmp = path + "__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    post.join(F.broadcast(tomb), id_col, "left_anti").repartition(
         "bucket"
-    ).parquet(path + "/postings")
-    dl_live.repartition("dbucket").sortWithinPartitions("dbucket").write.mode(
-        "overwrite"
-    ).parquet(path + "/doclen")
+    ).write.mode("overwrite").partitionBy("bucket").parquet(tmp + "/postings")
+    dl.join(F.broadcast(tomb), id_col, "left_anti").repartition(
+        "dbucket"
+    ).sortWithinPartitions("dbucket").write.mode("overwrite").parquet(
+        tmp + "/doclen"
+    )
+    SC.retract_meta(path)  # <-- old store now loudly uncommitted
+    for sub in ("postings", "doclen", "_manifests"):
+        shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+    for sub in ("postings", "doclen"):
+        os.replace(os.path.join(tmp, sub), os.path.join(path, sub))
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
-    # old per-batch manifests are superseded by the rewritten base pair
-    mdir = os.path.join(path, "_manifests")
-    if os.path.isdir(mdir):
-        shutil.rmtree(mdir, ignore_errors=True)
     SC.write_manifest(path, "base", SC.list_parquet_files(path + "/postings"))
     SC.write_manifest(path, "dl-base", SC.list_parquet_files(path + "/doclen"))
     meta["n_docs"] = n_live
@@ -922,6 +930,7 @@ def compact_postings_store(spark: SparkSession, path: str) -> int:
     meta["dl_manifests"] = ["dl-base"]
     meta["compactions"] = int(meta.get("compactions", 0)) + 1
     SC.commit_meta(path, meta)
+    shutil.rmtree(tmp, ignore_errors=True)
     return n_live
 
 
@@ -1033,7 +1042,9 @@ def bm25_from_store(
     # rebuilt over the survivors
     tomb = _postings_tombstones(spark, path, meta)
     if tomb is not None:
-        tf = tf.join(tomb, id_col, "left_anti")
+        # tombstone set is takedown-batch sized — broadcast, never a
+        # shuffle of the matched postings (serve-latency path)
+        tf = tf.join(F.broadcast(tomb), id_col, "left_anti")
     n_docs = int(meta["n_docs"]) - int(meta.get("n_docs_deleted", 0))
     total_dl = int(meta["total_dl"]) - int(meta.get("total_dl_deleted", 0))
     dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))

@@ -224,14 +224,8 @@ def append_flat_store_batch(
     sidecar rows → ``_manifests/<tag>.json`` → atomic meta commit
     naming manifest + tag. Crash anywhere before the commit leaves
     stray files no manifest names — invisible; replay is exact."""
-    import re as _re
-
-    if batch_tag is not None and not _re.fullmatch(
-        r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_tag
-    ):
-        # the tag becomes a path component (_staging/<tag>) and a file
-        # name segment (batch-<tag>-NNNNN) — loud error, not an escape
-        raise ValueError(f"invalid batch_tag {batch_tag!r}")
+    if batch_tag is not None:
+        validate_batch_tag(batch_tag)
     meta = read_meta(path)
     applied = meta.setdefault("applied", [])
     if batch_tag is not None and batch_tag in applied:
@@ -276,3 +270,13 @@ def append_flat_store_batch(
     if batch_tag is not None:
         cleanup_flat_staging(path, batch_tag)
     return True
+
+
+def validate_batch_tag(batch_tag: str) -> None:
+    """Loud error for a tag unusable as a path component / file-name
+    segment — ONE copy of the rule every tagged store path shares (a
+    '..' or separator tag would write or sweep outside the store)."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_tag):
+        raise ValueError(f"invalid batch_tag {batch_tag!r}")

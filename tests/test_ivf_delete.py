@@ -127,3 +127,39 @@ def test_incremental_dedup_ignores_tombstoned_neighbors(spark, tmp_path):
     delete_ivf_ids(spark, path, [3], batch_tag="rm3")
     r2 = incremental_semantic_dedup_from_store(batch, path, threshold=0.999).collect()
     assert len(r2) == 1 and r2[0].keep and r2[0].dup_of is None
+
+
+def test_reingest_tombstoned_id_excluded_until_compact(spark, store):
+    """Delete-wins until compaction: append_ivf_batch drops currently
+    tombstoned ids (they would be written but permanently shadowed by
+    the serve anti-join); after compaction the id is re-addable."""
+    from spark_indexedrdd_spark.functions.ivf import append_ivf_batch
+
+    emb, path = store
+    assert delete_ivf_ids(spark, path, [50], batch_tag="td")
+    append_ivf_batch(emb.where("vec_id = 50"), path)
+    # the original (tombstoned) row is still physically present —
+    # deletes are logical — but the re-ingest must NOT add a shadow
+    # copy that compaction-someday would silently resurrect
+    vecs, _ = read_ivf_store(spark, path)
+    assert vecs.where("vec_id = 50").count() == 1, "shadow copy written"
+    compact_ivf_store(spark, path)
+    vecs1, _ = read_ivf_store(spark, path)
+    assert vecs1.where("vec_id = 50").count() == 0, "compaction kept dead row"
+    append_ivf_batch(emb.where("vec_id = 50"), path)
+    vecs2, _ = read_ivf_store(spark, path)
+    assert vecs2.where("vec_id = 50").count() == 1
+
+
+def test_delete_refuses_uncastable_ids(spark, store):
+    """Ids that cast to NULL against the store's id type would anti-join
+    nothing — a takedown that reports success and deletes nothing. The
+    delete must refuse loudly instead."""
+    import pytest as _pytest
+
+    _emb, path = store
+    # ANSI sessions throw CAST_INVALID_INPUT from the cast itself;
+    # non-ANSI sessions null the value and hit the explicit guard —
+    # either way the delete fails loudly instead of no-op'ing
+    with _pytest.raises(Exception, match="cast|CAST"):
+        delete_ivf_ids(spark, path, ["not-a-number"], batch_tag="bad")

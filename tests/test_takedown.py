@@ -283,3 +283,69 @@ def test_takedown_orchestrator(spark, docs, sf_dir, tmp_path):
         postings_path=p_post, signature_path=p_sig, ivf_path=p_ivf,
     )
     assert out2 == {"postings": False, "signatures": True, "ivf": False}
+
+
+def test_reappend_tombstoned_doc_keeps_bm25_exact(spark, docs, store):
+    """Delete-wins until compaction: re-ingesting a tombstoned doc must
+    NOT drift n_docs/avgdl away from the visible corpus — the batch's
+    tombstoned ids are excluded before stats are computed, so serves
+    stay bit-identical to a survivor rebuild."""
+    dead = docs.where("doc_id % 10 = 3").select("doc_id")
+    assert R.delete_postings_docs(spark, store, dead, batch_tag="td-re")
+    # the doc comes back in a later ingest batch (plus genuinely-new
+    # content is absent here — the batch is ONLY shadowed ids)
+    assert R.append_postings_batch(
+        docs.where("doc_id % 10 = 3"), store, batch_tag="re-ingest"
+    )
+    got = sorted(map(tuple, R.bm25_from_store(spark, store).collect()))
+    want = sorted(
+        map(tuple, R.bm25_topk(docs.where("doc_id % 10 != 3")).collect())
+    )
+    assert got == want
+    # after compaction the id is genuinely re-addable
+    R.compact_postings_store(spark, store)
+    assert R.append_postings_batch(
+        docs.where("doc_id % 10 = 3"), store, batch_tag="re-ingest-2"
+    )
+    got2 = sorted(map(tuple, R.bm25_from_store(spark, store).collect()))
+    full = sorted(map(tuple, R.bm25_topk(docs).collect()))
+    assert got2 == full
+
+
+def test_signature_compact_carries_racing_tombstones(
+    spark, docs, tmp_path, monkeypatch
+):
+    """A tombstone batch committed DURING the compaction rewrite must
+    survive the swap (carried into the compacted ledger), not be
+    silently dropped — the store's contract allows concurrent
+    deletes."""
+    path = str(tmp_path / "sig_race")
+    D.write_signature_store(docs, path)
+    D.delete_signature_docs(
+        spark, path, docs.where("doc_id % 10 = 3").select("doc_id"), "early"
+    )
+    # plant a "racing" delete: present on disk, but invisible to the
+    # compaction's FIRST tag listing (as if committed mid-rewrite)
+    D.delete_signature_docs(
+        spark, path, docs.where("doc_id % 10 = 7").select("doc_id"), "racing"
+    )
+    real = D._tombstone_tags
+    calls = {"n": 0}
+
+    def fake(p):
+        calls["n"] += 1
+        tags = real(p)
+        if calls["n"] == 1:
+            return [t for t in tags if t != "racing"]
+        return tags
+
+    monkeypatch.setattr(D, "_tombstone_tags", fake)
+    D.compact_signature_store(spark, path)
+    live = D.read_signature_store(spark, path, live=True)
+    ids = {r.doc_id for r in live.select("doc_id").distinct().collect()}
+    assert not any(i % 10 == 3 for i in ids), "folded delete dropped rows"
+    assert not any(i % 10 == 7 for i in ids), "racing delete must survive"
+    raw = D.read_signature_store(spark, path, live=False)
+    raw_ids = {r.doc_id for r in raw.select("doc_id").distinct().collect()}
+    assert any(i % 10 == 7 for i in raw_ids), "racing rows still on disk"
+    assert not any(i % 10 == 3 for i in raw_ids), "folded rows dropped"
