@@ -244,6 +244,18 @@ class StreamingZonemapIngest:
             batch_df, self.path, batch_tag=str(batch_id), n_files=self.n_files
         )
 
+    def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
+        """Start a streaming query feeding this ingest (postings-twin
+        convention): checkpointed batch_ids + the replay-tag ledger
+        give exactly-once store effects over at-least-once delivery."""
+        return (
+            stream_df.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.foreach_batch)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
 
 def zonemap_prune_files(
     spark: SparkSession,

@@ -290,3 +290,27 @@ def test_type_skewed_batch_is_cast_to_store_key_type(spark, sf_dir, tmp_path):
     got = bloom_multiget(spark, path, [7])
     want = orders.where(F.col("o_custkey") == 7)
     assert got.count() == want.count() > 0
+
+
+def test_real_stream_ingest_equals_one_shot(spark, sf_dir, tmp_path):
+    """True readStream→attach ingest (checkpointed, availableNow)
+    serves lookups value-identical to a one-shot build."""
+    import tempfile
+
+    from spark_indexedrdd_spark.sources.bloomindex import StreamingBloomIngest
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = str(tmp_path / "bl_src")
+    orders.repartition(3).write.parquet(src)
+    store = str(tmp_path / "bl_stream_store")
+    st = StreamingBloomIngest(store, "o_custkey", n_files=4)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = st.attach(stream, tempfile.mkdtemp(prefix="blckpt_"), availableNow=True)
+    q.awaitTermination(120)
+    got = bloom_multiget(spark, store, [42])
+    want = orders.where(F.col("o_custkey") == 42)
+    assert _sorted_rows(got) == _sorted_rows(want) and got.count() > 0

@@ -226,3 +226,27 @@ def test_zonemap_commit_protocol_model(spark, sf_dir, ops):
         assert zonemap_read(spark, p).count() == want.count()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_real_stream_ingest_equals_one_shot(spark, sf_dir, tmp_path):
+    """True readStream→attach ingest (checkpointed, availableNow)
+    produces a store value-identical to a one-shot build."""
+    import tempfile
+
+    from spark_indexedrdd_spark.sources.zonemap import StreamingZonemapIngest
+
+    li = load_table(spark, sf_dir, "lineitem").limit(2000)
+    src = str(tmp_path / "zm_src")
+    # several source files → several micro-batches at maxFilesPerTrigger=1
+    li.repartition(3).write.parquet(src)
+    store = str(tmp_path / "zm_stream_store")
+    st = StreamingZonemapIngest(store, "l_shipdate", n_files=4)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = st.attach(stream, tempfile.mkdtemp(prefix="zmckpt_"), availableNow=True)
+    q.awaitTermination(120)
+    got = zonemap_read(spark, store).count()
+    assert got == spark.read.parquet(src).count() > 0
