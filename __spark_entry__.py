@@ -1392,20 +1392,12 @@ _FILL_R8 = (
     # debut; it rotates with the r9 staleness batch (note below).
 )
 
-# Added after the r9 window's 50 slots were consumed (no driver
-# history yet): the IVF-store tombstone-delete serve path, the
-# zone-map pruned scan, the takedown family (postings +
-# signature-store tombstones), and the bloom-sidecar point-lookup
-# pruning. The escape-hatch contract (test_driver_sim.py) obliges the
-# r10 rotation to front-queue all five as debuts — exactly the
-# ~5/round debut budget, so r10 adds none of its own.
-PAST_CUTOFF_NEW: tuple = (
-    "ivf_store_delete_serve",
-    "zonemap_pruned_scan",
-    "bm25_takedown_serve",
-    "dedup_takedown_lsh",
-    "bloom_pruned_multiget",
-)
+# The five r9 past-cutoff entries (IVF tombstone-delete serve,
+# zone-map pruned scan, postings/signature takedowns, bloom-pruned
+# multiget) rotated INTO the r10 window as its debuts, so the hatch is
+# empty again. Queries added mid-round-10 after the window freezes go
+# here and become r11 debut obligations.
+PAST_CUTOFF_NEW: tuple = ()
 
 # The 32 queries the staleness tripwire named verbatim after
 # CORRECTNESS_r08 landed (last hash-green r06; asserted
@@ -1459,6 +1451,86 @@ HORIZON_STALE_R09 = (
 # of the window per the no-evidence-slot rule above.
 DEBUTS_R9 = ("bm25_postings_store", "image_dhash")
 
+# The 33 queries the staleness tripwire named verbatim after
+# CORRECTNESS_r09 landed (last hash-green r07; asserted
+# verbatim-complete by tests/test_driver_sim.py::TRIPWIRE_R10 so a
+# partial rotation cannot pass locally). Text-analysis family first,
+# then the dedup family, then analytics/set-ops, then the ANN/DSIR
+# stragglers — tripwire emission order.
+HORIZON_STALE_R10 = (
+    "lang_id",
+    "doc_fingerprint",
+    "winnow_fingerprints",
+    "bm25_topk",
+    "tfidf_keywords",
+    "redact_pii",
+    "contamination_check",
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_lsh_candidates",
+    "simhash",
+    "dedup_ngram_jaccard",
+    "simhash_near_pairs",
+    "embedding_neardup",
+    "dedup_clusters",
+    "top_orders_per_customer",
+    "global_topk_orders",
+    "rollup_doc_counts",
+    "customers_without_orders",
+    "orders_above_cust_avg",
+    "hash_split",
+    "doc_sample",
+    "supplier_diversity",
+    "grouping_sets_doc_stats",
+    "segment_except_all",
+    "segment_set_ops",
+    "segment_intersect",
+    "percentiles_by_segment",
+    "distinct_counts",
+    "revenue_percentiles",
+    "similarity_ann_binary",
+    "dsir_select",
+    "lm_cross_entropy",
+)
+
+# Round-10 debuts: the five r9 past-cutoff entries the escape-hatch
+# contract obliges this rotation to front-queue (IVF tombstone-delete
+# serve, zone-map pruned scan, BM25 + LSH-signature takedown serves,
+# bloom-sidecar pruned multiget). They consume the whole ~5/round
+# debut budget, so r10 adds none of its own.
+DEBUTS_R10 = (
+    "ivf_store_delete_serve",
+    "zonemap_pruned_scan",
+    "bm25_takedown_serve",
+    "dedup_takedown_lsh",
+    "bloom_pruned_multiget",
+)
+
+# Remaining 12 slots: implementation-touched entries first (the r10
+# ADVICE fixes change the postings-store manifest/append path and the
+# IVF-store serve path — driver evidence should cover the NEW shape),
+# then the oldest r08-green batch, event-time-leaning first (round-4
+# lesson). The 38 r08-green entries not re-checked here are the
+# round-11 staleness batch (fits one 50-slot window with ~12 to
+# spare for r11 debuts).
+_FILL_R10 = (
+    # touched this round (ADVICE fixes: retrieval.py manifest backfill,
+    # ivf.py store probe schema)
+    "bm25_postings_store",
+    "similarity_ann_ivf_det",
+    "semantic_dedup",
+    # event-time family (r08-green)
+    "asof_join",
+    "tumbling_window",
+    "session_window",
+    "scd2_merge",
+    "cohort_retention",
+    "ordered_funnel",
+    "ewma_by_user",
+    "funnel_purchase_after_signup",
+    "funnel_signup_conversion",
+)
+
 # Remaining 16 slots: oldest r07-green entries (they fall stale at r10
 # otherwise), event-time-leaning first (round-4 lesson), then the core
 # `count` + key-parity pins, the TPC-H headline, and the iterative
@@ -1496,13 +1568,14 @@ _FILL_R9 = (
 # would exceed 50 the first time two debut-heavy rounds stack, making
 # the schedule unsatisfiable); cap debuts at ~5/round and prefer
 # folding near-duplicate entries (e.g. a future aggregate_fold ->
-# aggregate_using_index merge) over growing past it. n = 140 today
-# (135 at window-freeze + the 5 PAST_CUTOFF_NEW takedown/zone-map/
-# bloom entries, which consume r10's entire debut budget).
+# aggregate_using_index merge) over growing past it. n = 140 today;
+# the 5 former past-cutoff takedown/zone-map/bloom entries hold r10's
+# entire debut budget, and the r11 staleness batch is ~38 (the
+# r08-green names _FILL_R10 does not re-check), leaving ~12 r11 slots.
 # --------------------------------------------------------------------- #
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}
-_WINDOW = HORIZON_STALE_R09 + DEBUTS_R9 + _FILL_R9
+_WINDOW = HORIZON_STALE_R10 + DEBUTS_R10 + _FILL_R10
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{k: _ALL.get(k, CORE_QUERIES.get(k)) for k in _WINDOW},

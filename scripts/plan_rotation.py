@@ -49,14 +49,16 @@ def main() -> int:
         tag = os.path.basename(rec)
         for q in json.load(open(rec)):
             last_seen[q] = tag
-    # staleness for the NEXT window: when the next record lands, the
-    # tripwire's "recent" set is the last horizon-1 records — i.e. the
-    # CURRENT declared window (presumptively the next record, since
-    # the driver hash-checks exactly the first 50 queries()) plus the
-    # most recent horizon-2 on-disk records. Front-queue everything
-    # outside that union.
-    keep = horizon - 2
-    recent = set(names[:50])
+    # Replay the tripwire's math exactly (test_driver_sim.py): a query
+    # is stale unless it appears in the NEXT window (being planned —
+    # not yet known) or in the last horizon-1 on-disk records. The
+    # must-front-queue list is therefore everything outside the union
+    # of the last horizon-1 records. (The previous version of this
+    # script kept only horizon-2 records and substituted the STALE
+    # pre-rotation window for the missing one, double-counting the
+    # latest record and reporting a phantom overfull window.)
+    keep = horizon - 1
+    recent: set = set()
     for rec in records[-keep:] if keep > 0 else []:
         for q in json.load(open(rec)):
             recent.add(q)

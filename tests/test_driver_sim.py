@@ -223,3 +223,37 @@ def test_r9_window_front_queues_every_tripwire_name():
         covered |= set(json.load(open(rec)))
     missing = [q for q in TRIPWIRE_R09 if q not in covered]
     assert not missing, f"r9 rotation is partial — not windowed: {missing}"
+
+
+# The exact stale list the staleness tripwire emitted after
+# CORRECTNESS_r09 landed (last hash-green r07). Pinned verbatim so a
+# PARTIAL round-10 rotation cannot pass locally: every name must be in
+# the declared window — or, once the round-10 record exists, covered
+# by it (after which the dynamic tripwire above owns staleness again).
+TRIPWIRE_R10 = (
+    "lang_id", "doc_fingerprint", "winnow_fingerprints", "bm25_topk",
+    "tfidf_keywords", "redact_pii", "contamination_check", "dedup_exact",
+    "minhash_signatures", "dedup_lsh_candidates", "simhash",
+    "dedup_ngram_jaccard", "simhash_near_pairs", "embedding_neardup",
+    "dedup_clusters", "top_orders_per_customer", "global_topk_orders",
+    "rollup_doc_counts", "customers_without_orders",
+    "orders_above_cust_avg", "hash_split", "doc_sample",
+    "supplier_diversity", "grouping_sets_doc_stats", "segment_except_all",
+    "segment_set_ops", "segment_intersect", "percentiles_by_segment",
+    "distinct_counts", "revenue_percentiles", "similarity_ann_binary",
+    "dsir_select", "lm_cross_entropy",
+)
+
+
+def test_r10_window_front_queues_every_tripwire_name():
+    import json
+
+    import __spark_entry__ as E
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    covered = set(list(E.queries().keys())[:50])
+    rec = os.path.join(repo, "CORRECTNESS_r10.json")
+    if os.path.exists(rec):
+        covered |= set(json.load(open(rec)))
+    missing = [q for q in TRIPWIRE_R10 if q not in covered]
+    assert not missing, f"r10 rotation is partial — not windowed: {missing}"
