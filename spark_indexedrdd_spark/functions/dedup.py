@@ -457,9 +457,19 @@ def delete_signature_docs(
     else:
         tomb = spark.createDataFrame([(i,) for i in ids], [id_col])
     id_type = spark.read.parquet(path).schema[id_col].dataType
-    tomb.select(F.col(id_col).cast(id_type)).distinct().coalesce(
-        1
-    ).write.mode("overwrite").parquet(path + "/_tombstones/" + batch_tag)
+    tomb = tomb.dropna().select(F.col(id_col).try_cast(id_type).alias(id_col))
+    if tomb.where(F.col(id_col).isNull()).take(1):
+        # an uncastable id becomes NULL and silently anti-joins nothing
+        # — the takedown would report success while deleting nothing
+        # for it; loud refusal instead (delete_ivf_ids rule)
+        raise ValueError(
+            f"delete ids do not cast to the store's "
+            f"{id_type.simpleString()} {id_col} — refusing a delete "
+            "that could silently miss"
+        )
+    tomb.distinct().coalesce(1).write.mode("overwrite").parquet(
+        path + "/_tombstones/" + batch_tag
+    )
 
 
 def signature_tombstones(spark, path: str) -> "DataFrame | None":

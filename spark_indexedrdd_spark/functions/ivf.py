@@ -636,7 +636,9 @@ def delete_ivf_ids(
         tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
     else:
         tomb = spark.createDataFrame([(i,) for i in ids], [id_col])
-    tomb = tomb.dropna().select(F.col(id_col).cast(id_type).alias(id_col))
+    # try_cast, not cast: under ANSI mode a malformed id would throw a
+    # raw execution error before the loud check below ever ran
+    tomb = tomb.dropna().select(F.col(id_col).try_cast(id_type).alias(id_col))
     if tomb.where(F.col(id_col).isNull()).take(1):
         raise ValueError(
             f"delete ids do not cast to the store's {id_type.simpleString()}"
@@ -719,9 +721,20 @@ def ivf_ann_from_store(
     )
     probe_rows = probes.collect()
     hit = sorted({r.cluster_id for r in probe_rows})
+    # probe frame typed from the STORE's own schema, not a literal —
+    # a store with string ids or float vectors would otherwise fail
+    # (or silently mis-cast) at createDataFrame
+    from pyspark.sql import types as T
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("q_id", vecs.schema[id_col].dataType),
+            T.StructField("q_vec", vecs.schema[vec_col].dataType),
+            T.StructField("cluster_id", T.IntegerType()),
+        ]
+    )
     probe_df = spark.createDataFrame(
-        [(r.q_id, r.q_vec, r.cluster_id) for r in probe_rows],
-        "q_id long, q_vec array<double>, cluster_id int",
+        [(r.q_id, r.q_vec, r.cluster_id) for r in probe_rows], probe_schema
     )
     cand = (
         F.broadcast(probe_df)

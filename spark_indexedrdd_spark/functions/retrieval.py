@@ -621,7 +621,17 @@ def append_postings_batch(
     if manifests is None:
         # store written before the manifest-pointer commit existed:
         # backfill 'base' from the pre-append listing (single-writer,
-        # so everything on disk right now IS the committed store)
+        # so everything on disk right now IS the committed store).
+        # Sweep THIS tag's published files first: a tagged append that
+        # crashed between publish and commit left batch-<tag>-* files
+        # on disk, and listing them into 'base' would count them twice
+        # once the deterministic republish puts the same names into
+        # the tag's own manifest — doubled tf rows and df(term), wrong
+        # scores (committed files never match the swept names: other
+        # tags' files carry their own tag, base-build files carry
+        # Spark part-* names).
+        if batch_tag is not None:
+            _sweep_batch_files(path, batch_tag)
         SC.write_manifest(
             path, "base", SC.list_parquet_files(path + "/postings")
         )
@@ -688,12 +698,46 @@ def append_postings_batch(
 
 
 def _resolve_committed_files(path: str, meta: dict) -> "list[str] | None":
-    """Committed postings files (relative), or None for a legacy store
-    with no manifest pointer (reader then lists the directory and
-    accepts the legacy publish-to-commit window)."""
+    """Committed postings files (relative), or None ONLY for a legacy
+    store with no manifest pointer (reader then lists the directory and
+    accepts the legacy publish-to-commit window). A committed EMPTY
+    list stays ``[]`` — coercing it to None would silently hand an
+    empty store's readers the directory listing, where a concurrent
+    append's published-but-uncommitted files are visible (snapshot
+    isolation lost exactly when the store is empty)."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    return SC.resolve_manifest_files(path, meta) or None
+    return SC.resolve_manifest_files(path, meta)
+
+
+def _empty_bm25_result(spark, path: str, meta: dict, id_col: str) -> DataFrame:
+    """The typed zero-row frame ``bm25_from_store`` serves when the
+    store has no live documents (committed-empty, or every doc
+    tombstoned). The id type comes from the store's own files where
+    any are readable; a store with no data files at all defaults to
+    long (the build default)."""
+    from pyspark.sql import types as T
+
+    id_type: "T.DataType" = T.LongType()
+    for sub in ("doclen", "postings"):
+        try:
+            id_type = (
+                spark.read.parquet(os.path.join(path, sub))
+                .schema[id_col]
+                .dataType
+            )
+            break
+        except Exception:
+            continue
+    schema = T.StructType(
+        [
+            T.StructField("qid", T.IntegerType()),
+            T.StructField(id_col, id_type),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame([], schema)
 
 
 def _bucket_of(rel_path: str) -> int:
@@ -841,9 +885,18 @@ def delete_postings_docs(
         doomed = ids.select(F.col(ids.columns[0]).alias(id_col))
     else:
         doomed = spark.createDataFrame([(i,) for i in ids], [id_col])
-    doomed = doomed.select(
-        F.col(id_col).cast(dl.schema[id_col].dataType).alias(id_col)
+    doomed = doomed.dropna().select(
+        F.col(id_col).try_cast(dl.schema[id_col].dataType).alias(id_col)
     ).distinct()
+    if doomed.where(F.col(id_col).isNull()).take(1):
+        # an uncastable id would become NULL, drop out of the semi-join
+        # below, and the takedown would report success while deleting
+        # nothing for it — loud refusal instead (delete_ivf_ids rule)
+        raise ValueError(
+            "delete ids do not cast to the store's "
+            f"{dl.schema[id_col].dataType.simpleString()} {id_col} — "
+            "refusing a delete that could silently miss"
+        )
     # deltas over docs that are (a) actually in the store and (b) not
     # already dead — the doclen semi-join supplies both dl and (a);
     # the anti-join against committed tombstones supplies (b)
@@ -897,9 +950,14 @@ def compact_postings_store(spark: SparkSession, path: str) -> int:
     if tomb is None:
         return n_live
     rel = _resolve_committed_files(path, meta)
-    post = spark.read.option("basePath", path + "/postings").parquet(
-        *[os.path.join(path, "postings", f) for f in rel]
-    )
+    if rel is None:
+        # pre-manifest store: deletes require the doclen sidecar, which
+        # every manifested build writes, so this arm is belt-and-braces
+        post = spark.read.parquet(path + "/postings")
+    else:
+        post = spark.read.option("basePath", path + "/postings").parquet(
+            *[os.path.join(path, "postings", f) for f in rel]
+        )
     dl = _resolve_doclen(spark, path, meta)
     tmp = path + "__compact"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -1023,6 +1081,12 @@ def bm25_from_store(
     rel = _resolve_committed_files(path, meta)
     if rel is None:
         src = spark.read.parquet(path + "/postings")  # pre-manifest store
+    elif not rel:
+        # committed-empty store (zero documents ever written): nothing
+        # can score — serve the typed empty result rather than falling
+        # back to a directory listing (snapshot isolation) or handing
+        # the reader an empty path list (scan error)
+        return _empty_bm25_result(spark, path, meta, id_col)
     else:
         bktset = set(int(b) for b in bkts)
         sel = [f for f in rel if _bucket_of(f) in bktset]
@@ -1047,6 +1111,11 @@ def bm25_from_store(
         tf = tf.join(F.broadcast(tomb), id_col, "left_anti")
     n_docs = int(meta["n_docs"]) - int(meta.get("n_docs_deleted", 0))
     total_dl = int(meta["total_dl"]) - int(meta.get("total_dl_deleted", 0))
+    if n_docs <= 0:
+        # a takedown deleted every document: avgdl is 0/0 (NULL — the
+        # float() below would raise) and the tombstone anti-join hides
+        # every candidate anyway — serve the typed empty result
+        return _empty_bm25_result(spark, path, meta, id_col)
     dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
     # rounded through Spark's ROUND (HALF_UP), not Python's round()
     # (HALF_EVEN) — in-plan bm25_topk pins avgdl with F.round, and a

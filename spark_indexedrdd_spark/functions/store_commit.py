@@ -231,11 +231,20 @@ def append_flat_store_batch(
     if batch_tag is not None and batch_tag in applied:
         cleanup_flat_staging(path, batch_tag)
         return False
+    side_dir = os.path.join(path, sidecar_sub)
     manifests = meta.get("manifests")
     if manifests is None:
-        write_manifest(
-            path, "base", list_parquet_files(os.path.join(path, sidecar_sub))
-        )
+        # Sweep THIS tag's published sidecar files before the listing
+        # becomes 'base': a tagged append that crashed between publish
+        # and commit left batch-<tag>-* sidecar files on disk, and
+        # backfilling them into 'base' would count them twice once the
+        # deterministic republish puts the same names into the tag's
+        # own manifest (committed files never match the swept names —
+        # other tags carry their own tag, base-build files carry Spark
+        # part-* names).
+        if batch_tag is not None:
+            sweep_tagged_files(side_dir, batch_tag)
+        write_manifest(path, "base", list_parquet_files(side_dir))
         manifests = meta["manifests"] = ["base"]
     data_dir = os.path.join(path, "data")
     if batch_tag is None:
@@ -253,13 +262,28 @@ def append_flat_store_batch(
         mname = batch_tag
     if mname in manifests:
         raise ValueError(f"batch_tag {mname!r} collides with a manifest")
-    side_dir = os.path.join(path, sidecar_sub)
     if new_files:
-        pre_s = set(list_parquet_files(side_dir))
-        build_sidecar(
+        side_rows = build_sidecar(
             [os.path.join(data_dir, f) for f in new_files]
-        ).coalesce(1).write.mode("append").parquet(side_dir)
-        new_side = sorted(set(list_parquet_files(side_dir)) - pre_s)
+        ).coalesce(1)
+        if batch_tag is None:
+            pre_s = set(list_parquet_files(side_dir))
+            side_rows.write.mode("append").parquet(side_dir)
+            new_side = sorted(set(list_parquet_files(side_dir)) - pre_s)
+        else:
+            # tagged sidecar files publish under deterministic
+            # batch-<tag>-* names (same discipline as the data files)
+            # so a crashed replay's strays are sweepable by name — the
+            # append-mode random part-* names they used to get made
+            # them indistinguishable from committed files in the
+            # legacy 'base' backfill above. Staged inside the tag's
+            # own staging dir (already emptied of data parquet by
+            # publish_staged_flat) so no second tag can collide with
+            # the stage path, and cleanup removes both in one rmtree.
+            sstage = os.path.join(stage, "sidecar")
+            side_rows.write.mode("overwrite").parquet(sstage)
+            sweep_tagged_files(side_dir, batch_tag)
+            new_side = publish_staged_flat(sstage, side_dir, batch_tag)
     else:
         new_side = []  # empty batch: the manifest records nothing
     write_manifest(path, mname, new_side)

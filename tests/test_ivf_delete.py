@@ -163,3 +163,19 @@ def test_delete_refuses_uncastable_ids(spark, store):
     # either way the delete fails loudly instead of no-op'ing
     with _pytest.raises(Exception, match="cast|CAST"):
         delete_ivf_ids(spark, path, ["not-a-number"], batch_tag="bad")
+
+
+def test_store_serve_handles_float_vectors_and_int_ids(spark, sf_dir, tmp_path):
+    """The probe frame's schema derives from the STORE's own types — a
+    store with float32 embeddings or non-long ids must serve, not fail
+    (or silently mis-cast) against a hardcoded long/array<double>
+    literal."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("int").alias("vec_id"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+    path = str(tmp_path / "ivf_f32")
+    write_ivf_store(emb, path, n_clusters=8, method="det")
+    rows = ivf_ann_from_store(spark, path, [50, 100], k=3, n_probe=4).collect()
+    assert len(rows) > 0
+    assert {r.q_id for r in rows} <= {50, 100}

@@ -303,6 +303,68 @@ def test_stratified_split_null_stratum_matches_oracle(spark):
     assert got == exp
 
 
+def test_legacy_store_tagged_replay_backfill_not_doubled(spark, docs, tmp_path):
+    """Crash replay against a PRE-MANIFEST store: the legacy 'base'
+    backfill must not list the crashed attempt's published
+    batch-<tag>-* files — the deterministic republish puts the same
+    names into the tag's own manifest, so a backfill that saw them
+    would make the committed union name each file twice (doubled tf
+    rows and df(term), wrong scores)."""
+    import json as _json
+    import shutil as _sh
+
+    p = str(tmp_path / "legacy_crash")
+    R.write_postings_store(docs.where("doc_id % 2 = 0"), p)
+    meta_p = os.path.join(p, "meta.json")
+    m = _json.load(open(meta_p))
+    for k in ("manifests", "dl_manifests"):
+        m.pop(k)
+    legacy_meta = _json.dumps(m)
+    with open(meta_p, "w") as fh:
+        fh.write(legacy_meta)
+    _sh.rmtree(os.path.join(p, "_manifests"))
+    batch = docs.where("doc_id % 2 = 1")
+    assert R.append_postings_batch(batch, p, batch_tag="c1") is True
+    # crash: rewind to the pre-manifest meta; published files stay
+    with open(meta_p, "w") as fh:
+        fh.write(legacy_meta)
+    assert R.append_postings_batch(batch, p, batch_tag="c1") is True
+    full = str(tmp_path / "legacy_crash_full")
+    R.write_postings_store(docs, full)
+    a = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
+    b = sorted(map(tuple, R.bm25_from_store(spark, full).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_committed_empty_store_serves_empty_and_isolated(spark, docs, tmp_path):
+    """A store whose committed file list is EMPTY is not a legacy
+    store: the serve must return the typed zero-row result, never fall
+    back to directory listing (where a concurrent append's published-
+    but-uncommitted files would be visible)."""
+    import shutil as _sh
+
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    p = str(tmp_path / "empty_store")
+    empty = docs.where("1 = 0")
+    R.write_postings_store(empty, p)
+    out = R.bm25_from_store(spark, p)
+    assert out.count() == 0
+    assert out.columns == ["qid", "doc_id", "score", "rank"]
+    # plant a published-but-uncommitted postings file (what a crashed
+    # concurrent append leaves): it must stay invisible
+    donor = str(tmp_path / "donor")
+    R.write_postings_store(docs.limit(50), donor)
+    rel = SC.list_parquet_files(donor + "/postings")[0]
+    dst = os.path.join(p, "postings", os.path.dirname(rel))
+    os.makedirs(dst, exist_ok=True)
+    _sh.copy(
+        os.path.join(donor, "postings", rel),
+        os.path.join(p, "postings", rel),
+    )
+    assert R.bm25_from_store(spark, p).count() == 0
+
+
 def test_postings_append_crash_replay_exact(spark, docs, tmp_path):
     """Crash window between publishing batch files and the meta commit:
     restore the pre-commit meta (files already moved — exactly the

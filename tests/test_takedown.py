@@ -349,3 +349,31 @@ def test_signature_compact_carries_racing_tombstones(
     raw_ids = {r.doc_id for r in raw.select("doc_id").distinct().collect()}
     assert any(i % 10 == 7 for i in raw_ids), "racing rows still on disk"
     assert not any(i % 10 == 3 for i in raw_ids), "folded rows dropped"
+
+
+def test_uncastable_delete_ids_refuse_loudly(spark, docs, store, tmp_path):
+    """An id that cannot cast to the store's id type becomes NULL,
+    drops out of the tombstone join, and the takedown would report
+    success while deleting nothing — both stores must refuse loudly
+    instead (the delete_ivf_ids rule). Castable strings still work."""
+    with pytest.raises(ValueError, match="refusing"):
+        R.delete_postings_docs(spark, store, ["not-a-number"], "bad-1")
+    meta = json.load(open(os.path.join(store, "meta.json")))
+    assert "bad-1" not in meta.get("deletes", [])
+    # a numeric string casts fine and must still be accepted
+    assert R.delete_postings_docs(spark, store, ["5"], "str-ok")
+    sig = str(tmp_path / "sig")
+    D.write_signature_store(docs.limit(50), sig)
+    with pytest.raises(ValueError, match="refusing"):
+        D.delete_signature_docs(spark, sig, ["nope"], "bad-2")
+    assert D.signature_tombstones(spark, sig) is None
+
+
+def test_delete_every_doc_then_serve_is_empty(spark, docs, store):
+    """A takedown that deletes EVERY document leaves n_docs = 0: the
+    serve must return the typed empty result, not raise on the NULL
+    0/0 avgdl."""
+    assert R.delete_postings_docs(spark, store, docs.select("doc_id"), "all")
+    out = R.bm25_from_store(spark, store)
+    assert out.count() == 0
+    assert out.columns == ["qid", "doc_id", "score", "rank"]

@@ -250,3 +250,35 @@ def test_real_stream_ingest_equals_one_shot(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = zonemap_read(spark, store).count()
     assert got == spark.read.parquet(src).count() > 0
+
+
+def test_legacy_flat_store_tagged_replay_backfill_not_doubled(
+    spark, sf_dir, tmp_path
+):
+    """Crash replay against a PRE-MANIFEST flat store: the legacy
+    'base' sidecar backfill must not list the crashed attempt's
+    published batch-<tag>-* zone files — the deterministic republish
+    puts the same names into the tag's own manifest, and a double
+    listing makes every batch data file read twice (doubled rows)."""
+    import json
+    import shutil as sh
+
+    from spark_indexedrdd_spark.sources.zonemap import append_zonemap_batch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.where("l_orderkey % 3 != 0")
+    batch = li.where("l_orderkey % 3 = 0")
+    path = str(tmp_path / "zm_legacy")
+    write_zonemap_table(base, path, "l_shipdate", n_files=8)
+    meta_p = os.path.join(path, "meta.json")
+    m = json.load(open(meta_p))
+    m.pop("manifests")
+    legacy = json.dumps(m)
+    with open(meta_p, "w") as fh:
+        fh.write(legacy)
+    sh.rmtree(os.path.join(path, "_manifests"))
+    assert append_zonemap_batch(batch, path, batch_tag="b1", n_files=4)
+    with open(meta_p, "w") as fh:  # crash rewind; published files stay
+        fh.write(legacy)
+    assert append_zonemap_batch(batch, path, batch_tag="b1", n_files=4)
+    assert zonemap_read(spark, path).count() == base.count() + batch.count()
