@@ -468,6 +468,32 @@ def q_bm25_takedown_serve(spark, sf_dir):
     return _r.bm25_from_store(spark, path)
 
 
+def q_bm25_store_time_travel(spark, sf_dir):
+    """Snapshot (time-travel) serve under driver evidence: build the
+    store from half the corpus, fold the other half in through the
+    staged append, then serve AS OF the pre-append version
+    (store_commit's monotonic version ledger — the at-rest analog of
+    the reference's immutable-version semantics, IndexedRDD.scala:83-88
+    multiput returning a NEW IndexedRDD while the parent stays
+    readable). Scores must hash-match the in-plan BM25 oracle over the
+    PRE-APPEND half only — the later committed batch is invisible to
+    the snapshot."""
+    import shutil
+
+    from spark_indexedrdd_spark.functions import retrieval as _r
+    from spark_indexedrdd_spark.functions import store_commit as _sc
+
+    docs = _docs(spark, sf_dir)
+    path = os.path.join("spark-warehouse", "contract_bm25_tt")
+    shutil.rmtree(path, ignore_errors=True)
+    _r.write_postings_store(docs.where("doc_id % 2 = 0"), path, n_buckets=64)
+    v_pre = _sc.read_meta(path)["version"]
+    _r.append_postings_batch(
+        docs.where("doc_id % 2 = 1"), path, batch_tag="contract-tt-b1"
+    )
+    return _r.bm25_from_store(spark, path, version=v_pre)
+
+
 def q_dedup_takedown_lsh(spark, sf_dir):
     """Signature-store takedown under driver evidence: tombstoned
     corpus docs must stop claiming new arrivals as near-dups. Store
@@ -711,6 +737,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # BM25 over survivors + signature-store tombstones
     "bm25_takedown_serve": q_bm25_takedown_serve,
     "dedup_takedown_lsh": q_dedup_takedown_lsh,
+    # r10 (post-window, PAST_CUTOFF_NEW): snapshot serve from the
+    # version ledger — build half, append half, read AS OF pre-append
+    "bm25_store_time_travel": q_bm25_store_time_travel,
     # r9 (post-window, PAST_CUTOFF_NEW): per-file bloom sidecar —
     # point-lookup file skipping on a non-clustered column
     "bloom_pruned_multiget": q_bloom_pruned_multiget,
@@ -1095,6 +1124,11 @@ EXTENSION_ORACLE: dict[str, str] = {
     "bloom_pruned_multiget": SQL_BLOOM_PRUNED_MULTIGET,
     # survivor-corpus BM25: every stat re-derived over NOT (%5 = 0)
     "bm25_takedown_serve": _ret.sql_bm25_topk(exclude_pred="doc_id % 5 = 0"),
+    # the pre-append snapshot IS the even-doc corpus: the later
+    # committed odd-doc batch must be invisible to version v_pre
+    "bm25_store_time_travel": _ret.sql_bm25_topk(
+        exclude_pred="doc_id % 2 = 1"
+    ),
     # corpus never contained the dead docs; new batch unchanged
     "dedup_takedown_lsh": _dedup.sql_incremental_lsh_candidates(
         "doc_id % 20 = 0", exclude_pred="doc_id % 20 != 0 AND doc_id % 7 = 0"
@@ -1394,10 +1428,12 @@ _FILL_R8 = (
 
 # The five r9 past-cutoff entries (IVF tombstone-delete serve,
 # zone-map pruned scan, postings/signature takedowns, bloom-pruned
-# multiget) rotated INTO the r10 window as its debuts, so the hatch is
-# empty again. Queries added mid-round-10 after the window freezes go
-# here and become r11 debut obligations.
-PAST_CUTOFF_NEW: tuple = ()
+# multiget) rotated INTO the r10 window as its debuts. Added after the
+# r10 window froze: the version-ledger snapshot serve
+# (bm25_store_time_travel — store_commit OCC versioning, new this
+# round). The escape-hatch contract obliges the r11 rotation to
+# front-queue it as a debut.
+PAST_CUTOFF_NEW: tuple = ("bm25_store_time_travel",)
 
 # The 32 queries the staleness tripwire named verbatim after
 # CORRECTNESS_r08 landed (last hash-green r06; asserted
@@ -1568,10 +1604,12 @@ _FILL_R9 = (
 # would exceed 50 the first time two debut-heavy rounds stack, making
 # the schedule unsatisfiable); cap debuts at ~5/round and prefer
 # folding near-duplicate entries (e.g. a future aggregate_fold ->
-# aggregate_using_index merge) over growing past it. n = 140 today;
+# aggregate_using_index merge) over growing past it. n = 141 today
+# (140 at window-freeze + bm25_store_time_travel behind the hatch);
 # the 5 former past-cutoff takedown/zone-map/bloom entries hold r10's
 # entire debut budget, and the r11 staleness batch is ~38 (the
-# r08-green names _FILL_R10 does not re-check), leaving ~12 r11 slots.
+# r08-green names _FILL_R10 does not re-check) + 1 obliged debut,
+# leaving ~11 free r11 slots.
 # --------------------------------------------------------------------- #
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}

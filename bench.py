@@ -948,6 +948,22 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
         )
         force(_ret.bm25_from_store(spark, "spark-warehouse/bench_postings"))
 
+    # snapshot (time-travel) serve from the version ledger (r10): read
+    # the SAME store as of the pre-takedown commit — cost must equal a
+    # live serve (one frozen meta read; same pruned scan), proving
+    # as-of reads are not a slow path
+    @timed("postings_snapshot_serve")
+    def _post_tt():
+        from spark_indexedrdd_spark.functions import retrieval as _ret
+        from spark_indexedrdd_spark.functions import store_commit as _sc
+
+        v = _sc.read_meta("spark-warehouse/bench_postings")["version"] - 1
+        force(
+            _ret.bm25_from_store(
+                spark, "spark-warehouse/bench_postings", version=v
+            )
+        )
+
     # --- bucketed persistence: the 100 TB join path ---------------------- #
     # (write once, then every cross-job join is exchange-free; the write
     # is the amortized one-time cost, reported separately)

@@ -1048,15 +1048,30 @@ def bm25_from_store(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    version: "int | None" = None,
 ) -> DataFrame:
     """Serve BM25 from the persisted postings store: identical scores to
     in-plan :func:`bm25_topk` over the same corpus (pytest-pinned), but
     the scan reads only the query terms' bucket directories — serve
     cost ∝ matched postings, independent of corpus size. df(term) is
     recovered exactly as the pruned postings' per-term row count (the
-    store holds every (term, doc) pair)."""
-    with open(os.path.join(path, "meta.json")) as fh:
-        meta = json.load(fh)
+    store holds every (term, doc) pair).
+
+    ``version`` serves the store AS OF an earlier committed meta
+    (store_commit's monotonic version ledger): the snapshot's
+    manifests, corpus stats AND tombstone set all come from that one
+    frozen meta, so the scores equal what the latest-version serve
+    returned the moment that version was the frontier — appends and
+    takedowns committed later are invisible. Snapshots stay readable
+    until compaction/rebuild rewrites the data directories
+    (read_meta_version docstring)."""
+    from spark_indexedrdd_spark.functions import store_commit as _SC
+
+    if version is not None:
+        meta = _SC.read_meta_version(path, version)
+    else:
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
     id_col = meta["id_col"]
     qt = _query_terms(queries)
     terms = sorted({t for _, t in qt})

@@ -50,29 +50,108 @@ import json
 import os
 
 
+class ConcurrentWriteConflict(RuntimeError):
+    """Another writer committed this store since the losing writer read
+    its meta. The store is NOT corrupted — the winner's commit stands
+    untouched. Recovery is the read-recompute-retry loop every
+    meta-rewriting path already supports: re-invoke the same operation
+    (tagged appends/deletes are replay-exact, so the same ``batch_tag``
+    is safe) and it recomputes against the winner's committed state."""
+
+
 def read_meta(path: str) -> dict:
     """Load the committed meta; FileNotFoundError = uncommitted store."""
     with open(os.path.join(path, "meta.json")) as fh:
         return json.load(fh)
 
 
-def commit_meta(path: str, meta: dict) -> None:
-    """Atomically publish ``meta.json`` — the commit point.
+def _max_version(path: str) -> int:
+    """Highest version number reserved under ``_versions/`` (0 when the
+    ledger does not exist — pre-versioning store or fresh path)."""
+    vdir = os.path.join(path, "_versions")
+    if not os.path.isdir(vdir):
+        return 0
+    vs = [
+        int(f[:-5])
+        for f in os.listdir(vdir)
+        if f.endswith(".json") and f[:-5].isdigit()
+    ]
+    return max(vs, default=0)
 
-    fsync before the rename, and of the directory after: without them a
-    power loss can journal the rename ahead of the data blocks (ext4
-    semantics) and publish an EMPTY meta.json — a store that is neither
-    readable nor clearly uncommitted.
+
+def commit_meta(path: str, meta: dict) -> None:
+    """Atomically publish ``meta.json`` — the commit point — and stamp
+    the commit into the monotonically-versioned ledger
+    ``_versions/<n>.json`` (optimistic concurrency + snapshot reads).
+
+    Versioning: the writer's expected base is the ``version`` its meta
+    carries (stamped by the ``read_meta`` → mutate → ``commit_meta``
+    cycle; absent for a fresh build or a pre-versioning store, where
+    the on-disk ledger max is the base). The commit first RESERVES
+    ``_versions/<base+1>.json`` with an exclusive create: if the file
+    already exists and the committed frontier (meta.json's version) has
+    reached it, another writer won the race and this commit raises
+    :class:`ConcurrentWriteConflict` — the accidental-concurrent-writer
+    case every store family documents as unsupported now fails loudly
+    instead of silently losing one writer's meta deltas. A reservation
+    BELOW the committed frontier-to-be is a crashed writer's leftover
+    and is reclaimed atomically. This is best-effort detection on a
+    filesystem (two live writers racing the same dead reservation can
+    still interleave); an object-store deployment makes the reservation
+    a put-if-absent and gets true CAS semantics from the same shape.
+
+    meta.json's atomic replace remains THE commit point — a crash
+    after the reservation but before the replace leaves the store on
+    its old committed version, exactly as before. fsync before the
+    rename, and of the directory after: without them a power loss can
+    journal the rename ahead of the data blocks (ext4 semantics) and
+    publish an EMPTY meta.json — a store that is neither readable nor
+    clearly uncommitted.
 
     This is also the backfill for a store written before its family
     gained a marker: validate the store once, then ``commit_meta`` the
     appropriate meta by hand — readers only check the marker's
     presence."""
     os.makedirs(path, exist_ok=True)
+    expected = meta.get("version")
+    if expected is None:
+        expected = _max_version(path)
+    new = int(expected) + 1
+    meta["version"] = new  # in place: a re-commit by the same holder advances
+    blob = json.dumps(meta)
+    vdir = os.path.join(path, "_versions")
+    os.makedirs(vdir, exist_ok=True)
+    vpath = os.path.join(vdir, f"{new:020d}.json")
+    try:
+        fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        committed = 0
+        try:
+            committed = int(read_meta(path).get("version", 0))
+        except FileNotFoundError:
+            pass
+        if committed >= new:
+            raise ConcurrentWriteConflict(
+                f"store at {path!r}: version {new} was committed by "
+                "another writer since this meta was read — re-run the "
+                "operation against the current store"
+            )
+        # dead reservation from a crashed writer: reclaim atomically
+        tmp = vpath + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(blob)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, vpath)
+    else:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(blob)
+            fh.flush()
+            os.fsync(fh.fileno())
     meta_path = os.path.join(path, "meta.json")
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump(meta, fh)
+        fh.write(blob)
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, meta_path)
@@ -81,6 +160,38 @@ def commit_meta(path: str, meta: dict) -> None:
         os.fsync(dfd)
     finally:
         os.close(dfd)
+
+
+def read_meta_version(path: str, version: int) -> dict:
+    """The meta snapshot committed as ``version`` — the time-travel
+    read. Only versions up to the committed frontier (meta.json's own
+    version) are served: a higher number on disk is a crashed writer's
+    dead reservation, not a commit. Snapshot reads stay exact while the
+    snapshot's files survive — compaction and rebuilds rewrite data
+    directories and therefore invalidate OLDER snapshots (the Delta
+    VACUUM trade; the ledger keeps the metas readable either way)."""
+    frontier = int(read_meta(path).get("version", 0))
+    v = int(version)
+    if not (1 <= v <= frontier):
+        raise ValueError(
+            f"version {v} not in this store's committed range 1..{frontier}"
+        )
+    with open(os.path.join(path, "_versions", f"{v:020d}.json")) as fh:
+        return json.load(fh)
+
+
+def list_versions(path: str) -> "list[int]":
+    """Committed version numbers, ascending (the readable time-travel
+    range — dead reservations above the frontier are excluded)."""
+    frontier = int(read_meta(path).get("version", 0))
+    vdir = os.path.join(path, "_versions")
+    if not os.path.isdir(vdir):
+        return []
+    return sorted(
+        int(f[:-5])
+        for f in os.listdir(vdir)
+        if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) <= frontier
+    )
 
 
 def retract_meta(path: str) -> None:

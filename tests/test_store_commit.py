@@ -24,7 +24,7 @@ def test_helper_roundtrip_and_retract(tmp_path):
     with pytest.raises(FileNotFoundError):
         SC.read_meta(p)
     SC.commit_meta(p, {"a": 1})
-    assert SC.read_meta(p) == {"a": 1}
+    assert SC.read_meta(p) == {"a": 1, "version": 1}
     SC.retract_meta(p)
     with pytest.raises(FileNotFoundError):
         SC.read_meta(p)
@@ -126,3 +126,142 @@ def test_classifier_model_rebuild_crash(spark, tmp_path, monkeypatch):
         ),
         lambda: C.read_classifier_model(spark, p),
     )
+
+
+# ----------------- versioned OCC commit + time travel ----------------- #
+
+
+def test_versioned_commit_detects_concurrent_writer(tmp_path):
+    """Two writers read the same meta; the second commit must raise
+    ConcurrentWriteConflict and leave the winner's commit standing —
+    the accidental-concurrent-writer case fails loudly instead of
+    silently losing one writer's meta deltas."""
+    p = str(tmp_path / "occ")
+    SC.commit_meta(p, {"a": 1})
+    assert SC.read_meta(p)["version"] == 1
+    m1 = SC.read_meta(p)
+    m2 = SC.read_meta(p)
+    m1["a"] = 2
+    SC.commit_meta(p, m1)
+    m2["a"] = 3
+    with pytest.raises(SC.ConcurrentWriteConflict):
+        SC.commit_meta(p, m2)
+    assert SC.read_meta(p)["a"] == 2
+    assert SC.read_meta(p)["version"] == 2
+    assert SC.list_versions(p) == [1, 2]
+
+
+def test_crashed_reservation_is_reclaimed(tmp_path):
+    """A version file above the committed frontier is a crashed
+    writer's dead reservation — the next commit reclaims the number
+    instead of treating it as a concurrent commit."""
+    import json
+    import os
+
+    p = str(tmp_path / "dead")
+    SC.commit_meta(p, {"a": 1})  # frontier = 1
+    vdir = os.path.join(p, "_versions")
+    with open(os.path.join(vdir, f"{2:020d}.json"), "w") as fh:
+        json.dump({"a": "crashed-writer"}, fh)
+    m = SC.read_meta(p)
+    m["a"] = 2
+    SC.commit_meta(p, m)  # reclaims v2
+    assert SC.read_meta(p) == {"a": 2, "version": 2}
+    assert SC.read_meta_version(p, 2)["a"] == 2
+
+
+def test_same_holder_recommit_advances(tmp_path):
+    """commit_meta stamps the version into the caller's dict, so a
+    sequential re-commit by the same holder advances instead of
+    conflicting with itself."""
+    p = str(tmp_path / "seq")
+    m = {"a": 1}
+    SC.commit_meta(p, m)
+    m["a"] = 2
+    SC.commit_meta(p, m)
+    assert SC.read_meta(p) == {"a": 2, "version": 2}
+
+
+def test_rebuild_over_versioned_history_advances(tmp_path):
+    """retract + fresh-dict commit (the rebuild flow) must advance past
+    the ledger, never collide with its own history."""
+    p = str(tmp_path / "rb")
+    SC.commit_meta(p, {"a": 1})
+    SC.commit_meta(p, SC.read_meta(p))
+    SC.retract_meta(p)
+    SC.commit_meta(p, {"b": 9})  # fresh dict, no version key
+    assert SC.read_meta(p)["version"] == 3
+    assert SC.read_meta_version(p, 3)["b"] == 9
+
+
+def test_read_meta_version_rejects_out_of_range(tmp_path):
+    p = str(tmp_path / "rng")
+    SC.commit_meta(p, {"a": 1})
+    with pytest.raises(ValueError, match="committed range"):
+        SC.read_meta_version(p, 0)
+    with pytest.raises(ValueError, match="committed range"):
+        SC.read_meta_version(p, 2)
+
+
+def test_postings_time_travel_serves_snapshot(spark, tmp_path):
+    """bm25_from_store(version=v) serves the store AS OF an earlier
+    commit: the pre-append snapshot scores equal the in-plan BM25 over
+    the pre-append corpus, and the pre-takedown snapshot still sees
+    the docs a later takedown tombstoned."""
+    from spark_indexedrdd_spark.functions import retrieval as R
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = str(tmp_path / "tt")
+    R.write_postings_store(docs.where("doc_id % 2 = 0"), p)
+    v_half = SC.read_meta(p)["version"]
+    assert R.append_postings_batch(
+        docs.where("doc_id % 2 = 1"), p, batch_tag="tt-b1"
+    )
+    v_full = SC.read_meta(p)["version"]
+    assert R.delete_postings_docs(
+        spark, p, docs.where("doc_id % 5 = 0").select("doc_id"), "tt-d1"
+    )
+    half = sorted(
+        map(tuple, R.bm25_from_store(spark, p, version=v_half).collect())
+    )
+    want_half = sorted(
+        map(tuple, R.bm25_topk(docs.where("doc_id % 2 = 0")).collect())
+    )
+    assert half == want_half and len(half) > 0
+    full = sorted(
+        map(tuple, R.bm25_from_store(spark, p, version=v_full).collect())
+    )
+    assert full == sorted(map(tuple, R.bm25_topk(docs).collect()))
+    latest = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
+    assert latest == sorted(
+        map(tuple, R.bm25_topk(docs.where("doc_id % 5 != 0")).collect())
+    )
+    assert SC.list_versions(p) == [v_half, v_full, v_full + 1]
+
+
+def test_append_conflict_then_retry_is_exact(spark, tmp_path):
+    """A writer whose meta snapshot went stale (another commit landed
+    in between) must fail loudly, and the documented recovery — re-run
+    the same tagged operation — must land exactly."""
+    from spark_indexedrdd_spark.functions import retrieval as R
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = str(tmp_path / "race")
+    R.write_postings_store(docs.where("doc_id % 2 = 0"), p)
+    stale = SC.read_meta(p)
+    # another writer lands a takedown first
+    assert R.delete_postings_docs(
+        spark, p, docs.where("doc_id % 10 = 0").select("doc_id"), "race-d"
+    )
+    stale["n_docs"] = 0  # the stale writer's doomed edit
+    with pytest.raises(SC.ConcurrentWriteConflict):
+        SC.commit_meta(p, stale)
+    # retrying the REAL operation against current state lands exactly
+    assert R.append_postings_batch(
+        docs.where("doc_id % 2 = 1"), p, batch_tag="race-b1"
+    )
+    got = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
+    want = sorted(
+        map(tuple, R.bm25_topk(docs.where("doc_id % 10 != 0")).collect())
+    )
+    assert got == want and len(got) > 0
