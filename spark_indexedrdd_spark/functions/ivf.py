@@ -683,6 +683,7 @@ def ivf_ann_from_store(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    version: "int | None" = None,
 ) -> DataFrame:
     """ANN top-k served FROM the persisted store: (q_id, cand_id,
     cosine_sim, rank), with committed tombstones excluded from both the
@@ -701,10 +702,21 @@ def ivf_ann_from_store(
     to the full-corpus-centroid / surviving-candidate DuckDB twin
     ``sql_ivf_ann(exclude_pred=...)`` (centroids were fit BEFORE the
     delete and are pinned by the store — deletion never re-shapes the
-    lists)."""
+    lists).
+
+    ``version`` serves AS OF an earlier committed meta: the snapshot
+    freezes the TOMBSTONE set (a pre-takedown read still sees deleted
+    vectors while compaction hasn't dropped them). Unlike the
+    manifest-pointer stores, IVF vector appends are a direct
+    cluster-dir write with no per-batch manifest, so appends are NOT
+    versioned away — the as-of surface here is delete history only."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    meta = SC.read_meta(path)
+    meta = (
+        SC.read_meta_version(path, version)
+        if version is not None
+        else SC.read_meta(path)
+    )
     vecs, cents = read_ivf_store(spark, path)
     tomb = _tombstone_ids(spark, path, meta, id_col)
     if tomb is not None:

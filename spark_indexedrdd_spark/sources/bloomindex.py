@@ -286,15 +286,26 @@ def bloom_multiget(
     spark: SparkSession,
     path: str,
     keys,
+    version: "int | None" = None,
 ) -> DataFrame:
     """The store's rows with ``key_col`` in ``keys``, scanning only
     bloom-surviving files. Value-identical to
     ``read.parquet(data).where(key IN keys)`` — the sidecar changes
     which tasks run, never the answer (the residual IN-filter and the
-    parquet row-group stats still apply inside each file)."""
+    parquet row-group stats still apply inside each file).
+
+    ``version`` reads the store AS OF an earlier committed meta
+    (store_commit's version ledger): the snapshot's sidecar manifests
+    name only the batches committed by then, and data files are
+    reached solely through those sidecar rows — so later appends are
+    invisible (zonemap_read docstring, same shape)."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    meta = SC.read_meta(path)
+    meta = (
+        SC.read_meta_version(path, version)
+        if version is not None
+        else SC.read_meta(path)
+    )
     key_col = meta["key_col"]
     keys = [kk for kk in keys if kk is not None]
     side = _resolve_bloom(spark, path, meta)

@@ -294,15 +294,27 @@ def zonemap_read(
     path: str,
     lo=None,
     hi=None,
+    version: "int | None" = None,
 ) -> DataFrame:
     """The store's rows with ``zone_col`` in the inclusive [lo, hi]
     range, scanning only zone-surviving files. Value-identical to
     ``read.parquet(data).where(...)`` — the zone map changes which
     tasks run, never the answer (the residual filter and the parquet
-    row-group stats still apply inside each file)."""
+    row-group stats still apply inside each file).
+
+    ``version`` reads the store AS OF an earlier committed meta
+    (store_commit's version ledger): the snapshot's sidecar manifests
+    name only the batches committed by then, and data files are
+    reached solely through those sidecar rows — so later appends are
+    invisible. Snapshots survive until compaction rewrites the data
+    dirs (read_meta_version docstring)."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    meta = SC.read_meta(path)
+    meta = (
+        SC.read_meta_version(path, version)
+        if version is not None
+        else SC.read_meta(path)
+    )
     zone_col = meta["zone_col"]
     files = _surviving_files(path, _resolve_zones(spark, path, meta), lo, hi)
     if not files:

@@ -265,3 +265,61 @@ def test_append_conflict_then_retry_is_exact(spark, tmp_path):
         map(tuple, R.bm25_topk(docs.where("doc_id % 10 != 0")).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_zonemap_and_bloom_as_of_reads(spark, tmp_path):
+    """zonemap_read/bloom_multiget(version=v) serve the store AS OF an
+    earlier commit: the later appended batch is invisible to the
+    snapshot, visible to the latest read."""
+    from spark_indexedrdd_spark.sources.bloomindex import (
+        append_bloom_batch,
+        bloom_multiget,
+        write_bloom_table,
+    )
+    from spark_indexedrdd_spark.sources.zonemap import (
+        append_zonemap_batch,
+        write_zonemap_table,
+        zonemap_read,
+    )
+
+    li = spark.read.parquet(SF_DIR + "/lineitem.parquet")
+    base = li.where("l_orderkey % 3 != 0")
+    batch = li.where("l_orderkey % 3 = 0")
+    zp = str(tmp_path / "zm")
+    write_zonemap_table(base, zp, "l_shipdate", n_files=4)
+    v = SC.read_meta(zp)["version"]
+    assert append_zonemap_batch(batch, zp, batch_tag="b1", n_files=2)
+    assert zonemap_read(spark, zp, version=v).count() == base.count()
+    assert zonemap_read(spark, zp).count() == li.count()
+    bp = str(tmp_path / "bl")
+    write_bloom_table(base, bp, "l_partkey", n_files=4)
+    vb = SC.read_meta(bp)["version"]
+    assert append_bloom_batch(batch, bp, batch_tag="b1", n_files=2)
+    keys = [r.l_partkey for r in li.select("l_partkey").distinct().limit(8).collect()]
+    snap = bloom_multiget(spark, bp, keys, version=vb).count()
+    live = bloom_multiget(spark, bp, keys).count()
+    assert snap == base.where(F.col("l_partkey").isin(keys)).count()
+    assert live == li.where(F.col("l_partkey").isin(keys)).count()
+
+
+def test_ivf_as_of_read_freezes_tombstones(spark, emb, tmp_path):
+    """ivf_ann_from_store(version=v) with v = the pre-takedown commit
+    still sees the vectors a later delete tombstoned."""
+    from spark_indexedrdd_spark.functions.ivf import (
+        delete_ivf_ids,
+        ivf_ann_from_store,
+        write_ivf_store,
+    )
+
+    p = str(tmp_path / "ivf_tt")
+    write_ivf_store(emb, p, n_clusters=4, method="det")
+    v = SC.read_meta(p)["version"]
+    pre = sorted(map(tuple, ivf_ann_from_store(spark, p, [50], k=5).collect()))
+    dead = [r[1] for r in pre[:2]]  # tombstone two of the neighbors
+    assert delete_ivf_ids(spark, p, dead, "tt-d1")
+    snap = sorted(
+        map(tuple, ivf_ann_from_store(spark, p, [50], k=5, version=v).collect())
+    )
+    assert snap == pre
+    live = {r[1] for r in ivf_ann_from_store(spark, p, [50], k=5).collect()}
+    assert not (live & set(dead))
