@@ -494,6 +494,45 @@ def q_bm25_store_time_travel(spark, sf_dir):
     return _r.bm25_from_store(spark, path, version=v_pre)
 
 
+def q_postings_store_changes(spark, sf_dir):
+    """Version-to-version CDC on the at-rest index under driver
+    evidence: build the store from even docs (v1), append the odd docs
+    (v2), tombstone every doc_id % 5 == 0 (v3), then diff v1 → v3
+    (retrieval.postings_changes — the reference diff,
+    IndexedRDD.scala:218-227, generalized across the version ledger).
+    Added = odd docs not deleted in the window; deleted = even %5 docs
+    (odd %5 docs were added AND deleted inside the interval, so they
+    net out — live at neither endpoint)."""
+    import shutil
+
+    from spark_indexedrdd_spark.functions import retrieval as _r
+    from spark_indexedrdd_spark.functions import store_commit as _sc
+
+    docs = _docs(spark, sf_dir)
+    path = os.path.join("spark-warehouse", "contract_postings_cdc")
+    shutil.rmtree(path, ignore_errors=True)
+    _r.write_postings_store(docs.where("doc_id % 2 = 0"), path, n_buckets=64)
+    v1 = _sc.read_meta(path)["version"]
+    _r.append_postings_batch(
+        docs.where("doc_id % 2 = 1"), path, batch_tag="contract-cdc-b1"
+    )
+    _r.delete_postings_docs(
+        spark, path, docs.where("doc_id % 5 = 0").select("doc_id"),
+        batch_tag="contract-cdc-d1",
+    )
+    v3 = _sc.read_meta(path)["version"]
+    return _r.postings_changes(spark, path, v1, v3)
+
+
+SQL_POSTINGS_STORE_CHANGES = """
+SELECT doc_id, 'added' AS change
+FROM documents WHERE doc_id % 2 = 1 AND doc_id % 5 <> 0
+UNION ALL
+SELECT doc_id, 'deleted' AS change
+FROM documents WHERE doc_id % 2 = 0 AND doc_id % 5 = 0
+"""
+
+
 def q_dedup_takedown_lsh(spark, sf_dir):
     """Signature-store takedown under driver evidence: tombstoned
     corpus docs must stop claiming new arrivals as near-dups. Store
@@ -740,6 +779,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10 (post-window, PAST_CUTOFF_NEW): snapshot serve from the
     # version ledger — build half, append half, read AS OF pre-append
     "bm25_store_time_travel": q_bm25_store_time_travel,
+    # r10 (post-window, PAST_CUTOFF_NEW): version-to-version CDC on the
+    # at-rest index (reference diff across the ledger)
+    "postings_store_changes": q_postings_store_changes,
     # r9 (post-window, PAST_CUTOFF_NEW): per-file bloom sidecar —
     # point-lookup file skipping on a non-clustered column
     "bloom_pruned_multiget": q_bloom_pruned_multiget,
@@ -1129,6 +1171,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "bm25_store_time_travel": _ret.sql_bm25_topk(
         exclude_pred="doc_id % 2 = 1"
     ),
+    # net live-set diff v1 -> v3: odd docs added (minus the %5 wave
+    # deleted in-window), even %5 docs deleted
+    "postings_store_changes": SQL_POSTINGS_STORE_CHANGES,
     # corpus never contained the dead docs; new batch unchanged
     "dedup_takedown_lsh": _dedup.sql_incremental_lsh_candidates(
         "doc_id % 20 = 0", exclude_pred="doc_id % 20 != 0 AND doc_id % 7 = 0"
@@ -1431,9 +1476,11 @@ _FILL_R8 = (
 # multiget) rotated INTO the r10 window as its debuts. Added after the
 # r10 window froze: the version-ledger snapshot serve
 # (bm25_store_time_travel — store_commit OCC versioning, new this
-# round). The escape-hatch contract obliges the r11 rotation to
-# front-queue it as a debut.
-PAST_CUTOFF_NEW: tuple = ("bm25_store_time_travel",)
+# round) and the version-to-version CDC extract
+# (postings_store_changes — reference diff across the ledger). The
+# escape-hatch contract obliges the r11 rotation to front-queue both
+# as debuts.
+PAST_CUTOFF_NEW: tuple = ("bm25_store_time_travel", "postings_store_changes")
 
 # The 32 queries the staleness tripwire named verbatim after
 # CORRECTNESS_r08 landed (last hash-green r06; asserted
@@ -1604,12 +1651,12 @@ _FILL_R9 = (
 # would exceed 50 the first time two debut-heavy rounds stack, making
 # the schedule unsatisfiable); cap debuts at ~5/round and prefer
 # folding near-duplicate entries (e.g. a future aggregate_fold ->
-# aggregate_using_index merge) over growing past it. n = 141 today
-# (140 at window-freeze + bm25_store_time_travel behind the hatch);
-# the 5 former past-cutoff takedown/zone-map/bloom entries hold r10's
-# entire debut budget, and the r11 staleness batch is ~38 (the
-# r08-green names _FILL_R10 does not re-check) + 1 obliged debut,
-# leaving ~11 free r11 slots.
+# aggregate_using_index merge) over growing past it. n = 142 today
+# (140 at window-freeze + bm25_store_time_travel and
+# postings_store_changes behind the hatch); the 5 former past-cutoff
+# takedown/zone-map/bloom entries hold r10's entire debut budget, and
+# the r11 staleness batch is ~38 (the r08-green names _FILL_R10 does
+# not re-check) + 2 obliged debuts, leaving ~10 free r11 slots.
 # --------------------------------------------------------------------- #
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}

@@ -535,6 +535,9 @@ def write_postings_store(
             "applied": [str(t) for t in applied_tags],
             "manifests": ["base"],
             "dl_manifests": ["dl-base"],
+            # identity of THIS build: postings_changes refuses an
+            # interval that crosses a rebuild (ledgers reset)
+            "build_token": os.urandom(8).hex(),
         },
     )
 
@@ -920,6 +923,102 @@ def delete_postings_docs(
     )
     SC.commit_meta(path, meta)  # <-- commit point
     return True
+
+
+def postings_changes(
+    spark: SparkSession, path: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Doc-level CDC between two committed versions of the postings
+    store: (id_col, change) with change ∈ {'added', 'deleted'} — the
+    reference's ``diff`` changed-rows detector (IndexedRDD.scala:
+    218-227) generalized across the at-rest version ledger, the same
+    contract as ``VersionedKVStore.changes``.
+
+    O(delta), never O(store): the added set comes from the doclen
+    sidecar batches committed in the interval (narrow id+dl rows), the
+    deleted set from the tombstone tags committed in the interval —
+    the postings themselves are never read. A doc added AND deleted
+    inside the interval nets out (it was live at neither endpoint);
+    delete-wins appends + prior-tombstone anti-joins guarantee the
+    delta sets are otherwise disjoint from both endpoints' live sets.
+    Raises when a compaction/rebuild crossed the interval (it resets
+    both ledgers, so deltas are no longer comparable)."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    if v_from > v_to:
+        raise ValueError(f"v_from {v_from} > v_to {v_to}")
+    m_from = SC.read_meta_version(path, v_from)
+    m_to = SC.read_meta_version(path, v_to)
+    dl_from = m_from.get("dl_manifests")
+    dl_to = m_to.get("dl_manifests")
+    if dl_from is None or dl_to is None:
+        raise ValueError("store version predates the doclen sidecar")
+    del_from = m_from.get("deletes", [])
+    del_to = m_to.get("deletes", [])
+    if (
+        dl_to[: len(dl_from)] != dl_from
+        or del_to[: len(del_from)] != del_from
+        # compaction reuses the 'dl-base' manifest NAME, so the prefix
+        # checks alone can't see it — the compaction counter and the
+        # per-build token close that hole (and rebuilds generally)
+        or m_from.get("compactions", 0) != m_to.get("compactions", 0)
+        or m_from.get("build_token") != m_to.get("build_token")
+    ):
+        raise ValueError(
+            "a compaction/rebuild crossed the interval — version deltas "
+            "are not comparable (ledgers were reset)"
+        )
+    id_col = m_to["id_col"]
+    new_dl = dl_to[len(dl_from):]
+    new_tags = del_to[len(del_from):]
+    added = None
+    if new_dl:
+        rel = SC.resolve_manifest_files(path, {"manifests": new_dl})
+        if rel:
+            added = (
+                spark.read.option("basePath", path + "/doclen")
+                .parquet(*[os.path.join(path, "doclen", f) for f in rel])
+                .select(id_col)
+                .distinct()
+            )
+    tomb = None
+    if new_tags:
+        tomb = (
+            spark.read.parquet(
+                *[os.path.join(path, "tombstones", t) for t in new_tags]
+            )
+            .select(id_col)
+            .distinct()
+        )
+    parts = []
+    if added is not None:
+        a = added
+        if tomb is not None:
+            a = a.join(tomb, id_col, "left_anti")
+        parts.append(a.withColumn("change", F.lit("added")))
+    if tomb is not None:
+        d = tomb
+        if added is not None:
+            d = d.join(added, id_col, "left_anti")
+        parts.append(d.withColumn("change", F.lit("deleted")))
+    if not parts:
+        dl = _resolve_doclen(spark, path, m_to)
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField(
+                    id_col,
+                    dl.schema[id_col].dataType if dl is not None else T.LongType(),
+                ),
+                T.StructField("change", T.StringType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def compact_postings_store(spark: SparkSession, path: str) -> int:

@@ -323,3 +323,44 @@ def test_ivf_as_of_read_freezes_tombstones(spark, emb, tmp_path):
     assert snap == pre
     live = {r[1] for r in ivf_ann_from_store(spark, p, [50], k=5).collect()}
     assert not (live & set(dead))
+
+
+def test_postings_changes_cdc(spark, tmp_path):
+    """postings_changes is the O(delta) net live-set diff between two
+    ledger versions: same-version is empty, delete-only intervals
+    report only deletes, add-then-delete nets out, and an interval
+    crossed by a compaction raises (ledgers reset)."""
+    from spark_indexedrdd_spark.functions import retrieval as R
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = str(tmp_path / "cdc")
+    R.write_postings_store(docs.where("doc_id % 2 = 0"), p)
+    v1 = SC.read_meta(p)["version"]
+    assert R.postings_changes(spark, p, v1, v1).count() == 0
+    R.append_postings_batch(docs.where("doc_id % 2 = 1"), p, batch_tag="b1")
+    v2 = SC.read_meta(p)["version"]
+    R.delete_postings_docs(
+        spark, p, docs.where("doc_id % 5 = 0").select("doc_id"), "d1"
+    )
+    v3 = SC.read_meta(p)["version"]
+    got = sorted(
+        (r.doc_id, r.change)
+        for r in R.postings_changes(spark, p, v1, v3).collect()
+    )
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    want = sorted(
+        [(i, "added") for i in ids if i % 2 == 1 and i % 5 != 0]
+        + [(i, "deleted") for i in ids if i % 2 == 0 and i % 5 == 0]
+    )
+    assert got == want and len(got) > 0
+    # delete-only interval
+    d_only = R.postings_changes(spark, p, v2, v3)
+    assert {r.change for r in d_only.collect()} == {"deleted"}
+    assert d_only.count() == sum(1 for i in ids if i % 5 == 0)
+    with pytest.raises(ValueError, match="v_from"):
+        R.postings_changes(spark, p, v3, v1)
+    # compaction resets the ledgers: the crossed interval must refuse
+    R.compact_postings_store(spark, p)
+    v4 = SC.read_meta(p)["version"]
+    with pytest.raises(ValueError, match="not comparable"):
+        R.postings_changes(spark, p, v1, v4)
