@@ -364,3 +364,62 @@ def test_postings_changes_cdc(spark, tmp_path):
     v4 = SC.read_meta(p)["version"]
     with pytest.raises(ValueError, match="not comparable"):
         R.postings_changes(spark, p, v1, v4)
+
+
+def test_occ_interleaved_writers_property(tmp_path):
+    """Property over interleaved read/commit schedules of 3 simulated
+    writers: a commit succeeds iff the writer's snapshot is the current
+    frontier; every success advances the frontier by exactly 1; the
+    ledger ends complete and monotone (1..frontier, one file per
+    version); and the final meta is the last successful commit's."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        schedule=st.lists(
+            st.tuples(st.integers(0, 2), st.sampled_from(["read", "commit"])),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    def run(schedule):
+        import json
+        import os
+        import shutil
+        import uuid
+
+        p = str(tmp_path / f"occ-{uuid.uuid4().hex}")
+        SC.commit_meta(p, {"writer": "init"})
+        snaps: dict = {}
+        frontier = 1
+        last_winner = "init"
+        for wid, op in schedule:
+            if op == "read":
+                snaps[wid] = SC.read_meta(p)
+            elif wid in snaps:
+                m = snaps.pop(wid)
+                m["writer"] = f"w{wid}"
+                stale = m["version"] != frontier
+                if stale:
+                    with pytest.raises(SC.ConcurrentWriteConflict):
+                        SC.commit_meta(p, m)
+                else:
+                    SC.commit_meta(p, m)
+                    frontier += 1
+                    last_winner = f"w{wid}"
+        final = SC.read_meta(p)
+        assert final["version"] == frontier
+        assert final["writer"] == last_winner
+        assert SC.list_versions(p) == list(range(1, frontier + 1))
+        vdir = os.path.join(p, "_versions")
+        for v in range(1, frontier + 1):
+            with open(os.path.join(vdir, f"{v:020d}.json")) as fh:
+                assert json.load(fh)["version"] == v
+        shutil.rmtree(p, ignore_errors=True)
+
+    run()
