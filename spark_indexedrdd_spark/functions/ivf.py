@@ -807,6 +807,7 @@ def compact_ivf_store(
         "cluster_id"
     ).parquet(tmp + "/vectors")
     n_live = spark.read.parquet(tmp + "/vectors").count()
+    SC.recheck_version(path, meta)  # abort BEFORE the destructive swap
     SC.retract_meta(path)  # <-- old store now loudly uncommitted
     shutil.rmtree(os.path.join(path, "vectors"), ignore_errors=True)
     os.replace(tmp + "/vectors", os.path.join(path, "vectors"))

@@ -1068,6 +1068,7 @@ def compact_postings_store(spark: SparkSession, path: str) -> int:
     ).sortWithinPartitions("dbucket").write.mode("overwrite").parquet(
         tmp + "/doclen"
     )
+    SC.recheck_version(path, meta)  # abort BEFORE the destructive swap
     SC.retract_meta(path)  # <-- old store now loudly uncommitted
     for sub in ("postings", "doclen", "_manifests"):
         shutil.rmtree(os.path.join(path, sub), ignore_errors=True)

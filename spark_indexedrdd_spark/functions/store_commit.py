@@ -162,6 +162,24 @@ def commit_meta(path: str, meta: dict) -> None:
         os.close(dfd)
 
 
+def recheck_version(path: str, meta: dict) -> None:
+    """Raise :class:`ConcurrentWriteConflict` if the committed frontier
+    moved past the given meta snapshot. Compactors call this right
+    before their DESTRUCTIVE step (retract + directory swap): the final
+    ``commit_meta`` would catch the same staleness, but only after the
+    old directories were destroyed — loudly uncommitted, recoverable,
+    yet needing manual repair. Rechecking here makes an abort cost
+    nothing but the sibling rewrite. The recheck-to-commit window
+    remains covered by ``commit_meta`` itself."""
+    cur = int(read_meta(path).get("version", 0))
+    if cur != int(meta.get("version", 0)):
+        raise ConcurrentWriteConflict(
+            f"store at {path!r}: version advanced {meta.get('version')} → "
+            f"{cur} while the rewrite ran — aborting before the swap; "
+            "re-run against the current store"
+        )
+
+
 def read_meta_version(path: str, version: int) -> dict:
     """The meta snapshot committed as ``version`` — the time-travel
     read. Only versions up to the committed frontier (meta.json's own

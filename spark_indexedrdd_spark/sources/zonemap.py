@@ -204,6 +204,11 @@ def compact_zonemap_store(spark: SparkSession, path: str) -> int:
         applied_tags=meta.get("applied", []),
     )
     new_meta = SC.read_meta(tmp)
+    # the sibling's meta carries the SIBLING's ledger version (1) —
+    # strip it so the commit below advances path's own ledger instead
+    # of reclaiming/overwriting a historical version file
+    new_meta.pop("version", None)
+    SC.recheck_version(path, meta)  # abort BEFORE the destructive swap
     SC.retract_meta(path)  # <-- old store now loudly uncommitted
     for sub in ("data", "zones", "_manifests"):
         shutil.rmtree(os.path.join(path, sub), ignore_errors=True)

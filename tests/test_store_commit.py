@@ -423,3 +423,63 @@ def test_occ_interleaved_writers_property(tmp_path):
         shutil.rmtree(p, ignore_errors=True)
 
     run()
+
+
+def test_compaction_aborts_before_swap_on_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """A writer that commits between compaction's meta snapshot and its
+    destructive swap must abort the compaction BEFORE the swap: the
+    store stays committed and serving, and the retry (no racer)
+    compacts cleanly."""
+    from spark_indexedrdd_spark.functions import retrieval as R
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = str(tmp_path / "race_compact")
+    R.write_postings_store(docs, p)
+    R.delete_postings_docs(
+        spark, p, docs.where("doc_id % 5 = 0").select("doc_id"), "d1"
+    )
+    real = R._resolve_doclen
+
+    def hijack(spark_, path_, meta_):
+        out = real(spark_, path_, meta_)
+        racer = SC.read_meta(p)
+        racer["note"] = "racer"
+        SC.commit_meta(p, racer)  # lands after compaction's snapshot
+        return out
+
+    monkeypatch.setattr(R, "_resolve_doclen", hijack)
+    with pytest.raises(SC.ConcurrentWriteConflict):
+        R.compact_postings_store(spark, p)
+    monkeypatch.undo()
+    want = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
+    assert len(want) > 0  # still committed and serving
+    R.compact_postings_store(spark, p)  # retry lands
+    assert sorted(map(tuple, R.bm25_from_store(spark, p).collect())) == want
+
+
+def test_zonemap_compaction_advances_ledger_preserving_history(spark, tmp_path):
+    """Compaction commits on the STORE's ledger (never the sibling
+    build's version 1): the frontier advances past the pre-compaction
+    history and earlier version metas stay readable."""
+    from spark_indexedrdd_spark.sources.zonemap import (
+        append_zonemap_batch,
+        compact_zonemap_store,
+        write_zonemap_table,
+        zonemap_read,
+    )
+
+    li = spark.read.parquet(SF_DIR + "/lineitem.parquet")
+    p = str(tmp_path / "zm_ledger")
+    write_zonemap_table(li.where("l_orderkey % 3 != 0"), p, "l_shipdate", n_files=4)
+    append_zonemap_batch(
+        li.where("l_orderkey % 3 = 0"), p, batch_tag="b1", n_files=2
+    )
+    pre = SC.read_meta(p)
+    assert pre["version"] == 2
+    compact_zonemap_store(spark, p)
+    post = SC.read_meta(p)
+    assert post["version"] == 3
+    assert SC.read_meta_version(p, 2)["manifests"] == pre["manifests"]
+    assert zonemap_read(spark, p).count() == li.count()
