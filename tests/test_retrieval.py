@@ -640,3 +640,92 @@ def test_postings_serve_ignores_unmanifested_files(spark, docs, tmp_path):
     )
     after = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
     assert after == before, "serve read a file outside the manifest"
+
+
+@given(
+    ops=st.lists(
+        st.sampled_from(
+            ["append", "append_crash", "delete", "delete_crash",
+             "compact", "snapshot"]
+        ),
+        min_size=2,
+        max_size=4,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_postings_full_lifecycle_model(spark, docs, ops):
+    """Property over FULL store lifecycles — appends (clean or
+    crash-replayed), takedowns (clean or crash-replayed), compaction,
+    and as-of snapshot reads interleaved in any order: the live serve
+    always equals a one-shot build over exactly the surviving docs, and
+    every snapshot taken before the last compaction boundary still
+    serves its frozen live set exactly."""
+    import shutil
+    import tempfile
+
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    root = tempfile.mkdtemp(prefix="postlife_")
+    try:
+        p = os.path.join(root, "store")
+        all_ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+        base = [i for i in all_ids if i < 200]
+        R.write_postings_store(docs.where("doc_id < 200"), p)
+        live = set(base)
+        next_slice = 200
+        snapshots = []  # (version, frozenset(live))
+        compact_floor = 0  # versions <= floor are invalidated
+        k = 3
+        for i, op in enumerate(ops):
+            tag = f"t{i}"
+            if op in ("append", "append_crash"):
+                lo, hi = next_slice, next_slice + 100
+                next_slice = hi
+                batch = docs.where(f"doc_id >= {lo} AND doc_id < {hi}")
+                if op == "append_crash":
+                    pre = open(os.path.join(p, "meta.json")).read()
+                    assert R.append_postings_batch(batch, p, batch_tag=tag)
+                    with open(os.path.join(p, "meta.json"), "w") as fh:
+                        fh.write(pre)
+                assert R.append_postings_batch(batch, p, batch_tag=tag)
+                live |= {x for x in all_ids if lo <= x < hi}
+            elif op in ("delete", "delete_crash"):
+                doomed = sorted(x for x in live if x % k == 0)
+                k += 2
+                if op == "delete_crash":
+                    pre = open(os.path.join(p, "meta.json")).read()
+                    assert R.delete_postings_docs(spark, p, doomed, tag)
+                    with open(os.path.join(p, "meta.json"), "w") as fh:
+                        fh.write(pre)
+                assert R.delete_postings_docs(spark, p, doomed, tag)
+                live -= set(doomed)
+            elif op == "compact":
+                R.compact_postings_store(spark, p)
+                compact_floor = SC.read_meta(p)["version"]
+            else:  # snapshot: record the committed frontier + live set
+                snapshots.append(
+                    (SC.read_meta(p)["version"], frozenset(live))
+                )
+
+        def rebuild_serve(ids):
+            ref = os.path.join(root, "ref")
+            shutil.rmtree(ref, ignore_errors=True)
+            idlist = ",".join(str(x) for x in sorted(ids)) or "-1"
+            R.write_postings_store(docs.where(f"doc_id IN ({idlist})"), ref)
+            return sorted(map(tuple, R.bm25_from_store(spark, ref).collect()))
+
+        got = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
+        assert got == rebuild_serve(live)
+        for v, frozen in snapshots:
+            if v <= compact_floor:
+                continue  # compaction rewrote the files this snapshot names
+            snap = sorted(
+                map(tuple, R.bm25_from_store(spark, p, version=v).collect())
+            )
+            assert snap == rebuild_serve(frozen), f"snapshot v{v} drifted"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
