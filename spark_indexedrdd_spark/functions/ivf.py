@@ -712,11 +712,11 @@ def ivf_ann_from_store(
     versioned away — the as-of surface here is delete history only."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    meta = (
-        SC.read_meta_version(path, version)
-        if version is not None
-        else SC.read_meta(path)
-    )
+    if version is not None:
+        meta = SC.read_meta_version(path, version)
+        SC.assert_snapshot_servable(path, meta)
+    else:
+        meta = SC.read_meta(path)
     vecs, cents = read_ivf_store(spark, path)
     tomb = _tombstone_ids(spark, path, meta, id_col)
     if tomb is not None:
@@ -814,7 +814,7 @@ def compact_ivf_store(
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     meta["deletes"] = []
     meta["compactions"] = int(meta.get("compactions", 0)) + 1
-    SC.commit_meta(path, meta)
+    SC.commit_meta(path, meta, rewrite=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return n_live
 

@@ -949,6 +949,10 @@ def postings_changes(
         raise ValueError(f"v_from {v_from} > v_to {v_to}")
     m_from = SC.read_meta_version(path, v_from)
     m_to = SC.read_meta_version(path, v_to)
+    # an interval ENTIRELY below the rewrite floor has equal ledgers
+    # and counters (nothing moved between its endpoints) but its delta
+    # FILES were rewritten away — the servability guard catches it
+    SC.assert_snapshot_servable(path, m_to)
     dl_from = m_from.get("dl_manifests")
     dl_to = m_to.get("dl_manifests")
     if dl_from is None or dl_to is None:
@@ -1087,7 +1091,7 @@ def compact_postings_store(spark: SparkSession, path: str) -> int:
     meta["manifests"] = ["base"]
     meta["dl_manifests"] = ["dl-base"]
     meta["compactions"] = int(meta.get("compactions", 0)) + 1
-    SC.commit_meta(path, meta)
+    SC.commit_meta(path, meta, rewrite=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return n_live
 
@@ -1169,6 +1173,7 @@ def bm25_from_store(
 
     if version is not None:
         meta = _SC.read_meta_version(path, version)
+        _SC.assert_snapshot_servable(path, meta)
     else:
         with open(os.path.join(path, "meta.json")) as fh:
             meta = json.load(fh)

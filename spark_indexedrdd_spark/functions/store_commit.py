@@ -79,7 +79,7 @@ def _max_version(path: str) -> int:
     return max(vs, default=0)
 
 
-def commit_meta(path: str, meta: dict) -> None:
+def commit_meta(path: str, meta: dict, rewrite: bool = False) -> None:
     """Atomically publish ``meta.json`` — the commit point — and stamp
     the commit into the monotonically-versioned ledger
     ``_versions/<n>.json`` (optimistic concurrency + snapshot reads).
@@ -114,10 +114,20 @@ def commit_meta(path: str, meta: dict) -> None:
     presence."""
     os.makedirs(path, exist_ok=True)
     expected = meta.get("version")
-    if expected is None:
+    fresh = expected is None
+    if fresh:
         expected = _max_version(path)
     new = int(expected) + 1
     meta["version"] = new  # in place: a re-commit by the same holder advances
+    # rewrite floor: the earliest version whose snapshot files still
+    # exist. A fresh-dict commit IS a build/rebuild (the writers'
+    # convention), and compactors pass rewrite=True explicitly — either
+    # way, data directories were rewritten, so every earlier snapshot's
+    # file lists now dangle (or worse, an old 'base' name would resolve
+    # to the NEW base manifest — silently wrong rows under old stats).
+    # assert_snapshot_servable refuses serves below the floor.
+    if rewrite or fresh:
+        meta["rewrite_floor"] = new
     blob = json.dumps(meta)
     vdir = os.path.join(path, "_versions")
     os.makedirs(vdir, exist_ok=True)
@@ -196,6 +206,24 @@ def read_meta_version(path: str, version: int) -> dict:
         )
     with open(os.path.join(path, "_versions", f"{v:020d}.json")) as fh:
         return json.load(fh)
+
+
+def assert_snapshot_servable(path: str, snap_meta: dict) -> None:
+    """Refuse to SERVE a snapshot whose data files were rewritten by a
+    later compaction/rebuild (the commit's ``rewrite_floor``). Without
+    this, a pre-compaction snapshot naming only 'base' would resolve
+    the NEW base manifest — rewritten rows under the old stats,
+    silently wrong — and one naming batch manifests would die on a
+    missing-manifest open. Meta HISTORY stays readable either way
+    (``read_meta_version`` is not guarded — audit use)."""
+    floor = int(read_meta(path).get("rewrite_floor", 0))
+    v = int(snap_meta.get("version", 0))
+    if v < floor:
+        raise ValueError(
+            f"snapshot version {v} predates the last rewrite "
+            f"(compaction/rebuild) at version {floor} — its files were "
+            "rewritten; only versions >= the floor are servable"
+        )
 
 
 def list_versions(path: str) -> "list[int]":

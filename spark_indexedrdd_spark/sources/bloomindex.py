@@ -301,11 +301,11 @@ def bloom_multiget(
     invisible (zonemap_read docstring, same shape)."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    meta = (
-        SC.read_meta_version(path, version)
-        if version is not None
-        else SC.read_meta(path)
-    )
+    if version is not None:
+        meta = SC.read_meta_version(path, version)
+        SC.assert_snapshot_servable(path, meta)
+    else:
+        meta = SC.read_meta(path)
     key_col = meta["key_col"]
     keys = [kk for kk in keys if kk is not None]
     side = _resolve_bloom(spark, path, meta)

@@ -315,11 +315,11 @@ def zonemap_read(
     dirs (read_meta_version docstring)."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    meta = (
-        SC.read_meta_version(path, version)
-        if version is not None
-        else SC.read_meta(path)
-    )
+    if version is not None:
+        meta = SC.read_meta_version(path, version)
+        SC.assert_snapshot_servable(path, meta)
+    else:
+        meta = SC.read_meta(path)
     zone_col = meta["zone_col"]
     files = _surviving_files(path, _resolve_zones(spark, path, meta), lo, hi)
     if not files:

@@ -24,7 +24,7 @@ def test_helper_roundtrip_and_retract(tmp_path):
     with pytest.raises(FileNotFoundError):
         SC.read_meta(p)
     SC.commit_meta(p, {"a": 1})
-    assert SC.read_meta(p) == {"a": 1, "version": 1}
+    assert SC.read_meta(p) == {"a": 1, "version": 1, "rewrite_floor": 1}
     SC.retract_meta(p)
     with pytest.raises(FileNotFoundError):
         SC.read_meta(p)
@@ -166,7 +166,7 @@ def test_crashed_reservation_is_reclaimed(tmp_path):
     m = SC.read_meta(p)
     m["a"] = 2
     SC.commit_meta(p, m)  # reclaims v2
-    assert SC.read_meta(p) == {"a": 2, "version": 2}
+    assert SC.read_meta(p) == {"a": 2, "version": 2, "rewrite_floor": 1}
     assert SC.read_meta_version(p, 2)["a"] == 2
 
 
@@ -179,7 +179,7 @@ def test_same_holder_recommit_advances(tmp_path):
     SC.commit_meta(p, m)
     m["a"] = 2
     SC.commit_meta(p, m)
-    assert SC.read_meta(p) == {"a": 2, "version": 2}
+    assert SC.read_meta(p) == {"a": 2, "version": 2, "rewrite_floor": 1}
 
 
 def test_rebuild_over_versioned_history_advances(tmp_path):
@@ -483,3 +483,48 @@ def test_zonemap_compaction_advances_ledger_preserving_history(spark, tmp_path):
     assert post["version"] == 3
     assert SC.read_meta_version(p, 2)["manifests"] == pre["manifests"]
     assert zonemap_read(spark, p).count() == li.count()
+
+
+def test_snapshot_serve_refused_after_compaction(spark, tmp_path):
+    """A compaction rewrites the data dirs, so pre-compaction snapshots
+    must REFUSE to serve (a snapshot naming only 'base' would resolve
+    the NEW base manifest — rewritten rows under old stats, silently
+    wrong). Meta history stays readable; post-compaction snapshots
+    serve."""
+    from spark_indexedrdd_spark.functions import retrieval as R
+    from spark_indexedrdd_spark.sources.zonemap import (
+        append_zonemap_batch,
+        compact_zonemap_store,
+        write_zonemap_table,
+        zonemap_read,
+    )
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = str(tmp_path / "floor")
+    R.write_postings_store(docs.where("doc_id % 2 = 0"), p)
+    v1 = SC.read_meta(p)["version"]
+    R.append_postings_batch(docs.where("doc_id % 2 = 1"), p, batch_tag="b1")
+    v2 = SC.read_meta(p)["version"]
+    R.delete_postings_docs(
+        spark, p, docs.where("doc_id % 5 = 0").select("doc_id"), "d1"
+    )
+    R.compact_postings_store(spark, p)
+    v4 = SC.read_meta(p)["version"]
+    assert SC.read_meta(p)["rewrite_floor"] == v4
+    for v in (v1, v2):
+        with pytest.raises(ValueError, match="predates the last rewrite"):
+            R.bm25_from_store(spark, p, version=v)
+        with pytest.raises(ValueError, match="predates the last rewrite"):
+            R.postings_changes(spark, p, v1, v)
+    assert SC.read_meta_version(p, v1)["n_docs"] > 0  # history readable
+    # the post-compaction frontier serves
+    assert R.bm25_from_store(spark, p, version=v4).count() > 0
+    # same refusal on the zonemap store
+    li = spark.read.parquet(SF_DIR + "/lineitem.parquet")
+    z = str(tmp_path / "zfloor")
+    write_zonemap_table(li.where("l_orderkey % 3 != 0"), z, "l_shipdate", n_files=4)
+    zv1 = SC.read_meta(z)["version"]
+    append_zonemap_batch(li.where("l_orderkey % 3 = 0"), z, batch_tag="b1", n_files=2)
+    compact_zonemap_store(spark, z)
+    with pytest.raises(ValueError, match="predates the last rewrite"):
+        zonemap_read(spark, z, version=zv1)
