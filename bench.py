@@ -957,10 +957,14 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
         from spark_indexedrdd_spark.functions import retrieval as _ret
         from spark_indexedrdd_spark.functions import store_commit as _sc
 
-        v = _sc.read_meta("spark-warehouse/bench_postings")["version"] - 1
+        v = int(_sc.read_meta("spark-warehouse/bench_postings").get("version", 0)) - 1
         force(
             _ret.bm25_from_store(
-                spark, "spark-warehouse/bench_postings", version=v
+                spark,
+                "spark-warehouse/bench_postings",
+                # pre-versioning leftover store or no prior commit:
+                # serve live rather than KeyError/out-of-range
+                version=v if v >= 1 else None,
             )
         )
 

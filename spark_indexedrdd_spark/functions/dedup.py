@@ -452,11 +452,21 @@ def delete_signature_docs(
     from spark_indexedrdd_spark.functions import store_commit as _SC
 
     _SC.validate_batch_tag(batch_tag)
+    id_type = spark.read.parquet(path).schema[id_col].dataType
     if isinstance(ids, DataFrame):
         tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
     else:
-        tomb = spark.createDataFrame([(i,) for i in ids], [id_col])
-    id_type = spark.read.parquet(path).schema[id_col].dataType
+        rows = [(i,) for i in ids]
+        if not rows:
+            # empty takedown batch: typed empty frame, the overwrite
+            # below still lands an (empty) replay-exact tombstone dir
+            from pyspark.sql import types as T
+
+            tomb = spark.createDataFrame(
+                [], T.StructType([T.StructField(id_col, id_type)])
+            )
+        else:
+            tomb = spark.createDataFrame(rows, [id_col])
     tomb = tomb.dropna().select(F.col(id_col).try_cast(id_type).alias(id_col))
     if tomb.where(F.col(id_col).isNull()).take(1):
         # an uncastable id becomes NULL and silently anti-joins nothing

@@ -635,7 +635,17 @@ def delete_ivf_ids(
     if isinstance(ids, DataFrame):
         tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
     else:
-        tomb = spark.createDataFrame([(i,) for i in ids], [id_col])
+        rows = [(i,) for i in ids]
+        if not rows:
+            # empty takedown batch: typed empty frame — the tag still
+            # commits below so re-delivery stays a no-op
+            from pyspark.sql import types as T
+
+            tomb = spark.createDataFrame(
+                [], T.StructType([T.StructField(id_col, id_type)])
+            )
+        else:
+            tomb = spark.createDataFrame(rows, [id_col])
     # try_cast, not cast: under ANSI mode a malformed id would throw a
     # raw execution error before the loud check below ever ran
     tomb = tomb.dropna().select(F.col(id_col).try_cast(id_type).alias(id_col))
@@ -712,11 +722,7 @@ def ivf_ann_from_store(
     versioned away — the as-of surface here is delete history only."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    if version is not None:
-        meta = SC.read_meta_version(path, version)
-        SC.assert_snapshot_servable(path, meta)
-    else:
-        meta = SC.read_meta(path)
+    meta = SC.resolve_serve_meta(path, version)
     vecs, cents = read_ivf_store(spark, path)
     tomb = _tombstone_ids(spark, path, meta, id_col)
     if tomb is not None:

@@ -887,7 +887,21 @@ def delete_postings_docs(
     if isinstance(ids, DataFrame):
         doomed = ids.select(F.col(ids.columns[0]).alias(id_col))
     else:
-        doomed = spark.createDataFrame([(i,) for i in ids], [id_col])
+        rows = [(i,) for i in ids]
+        if not rows:
+            # empty takedown batch (an automated request matching
+            # nothing): typed empty frame — still commits the tag below
+            # so replay stays a no-op, deltas are zero by construction
+            from pyspark.sql import types as T
+
+            doomed = spark.createDataFrame(
+                [],
+                T.StructType(
+                    [T.StructField(id_col, dl.schema[id_col].dataType)]
+                ),
+            )
+        else:
+            doomed = spark.createDataFrame(rows, [id_col])
     doomed = doomed.dropna().select(
         F.col(id_col).try_cast(dl.schema[id_col].dataType).alias(id_col)
     ).distinct()
@@ -1171,12 +1185,7 @@ def bm25_from_store(
     (read_meta_version docstring)."""
     from spark_indexedrdd_spark.functions import store_commit as _SC
 
-    if version is not None:
-        meta = _SC.read_meta_version(path, version)
-        _SC.assert_snapshot_servable(path, meta)
-    else:
-        with open(os.path.join(path, "meta.json")) as fh:
-            meta = json.load(fh)
+    meta = _SC.resolve_serve_meta(path, version)
     id_col = meta["id_col"]
     qt = _query_terms(queries)
     terms = sorted({t for _, t in qt})

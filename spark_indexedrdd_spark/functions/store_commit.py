@@ -79,6 +79,23 @@ def _max_version(path: str) -> int:
     return max(vs, default=0)
 
 
+def _committed_frontier(path: str) -> int:
+    """The committed version frontier: meta.json's version, or — when a
+    rebuild/compaction has retracted meta.json — the frontier marker
+    ``retract_meta`` wrote. 0 for a fresh path, a pre-versioning store,
+    or a store retracted before the marker existed."""
+    try:
+        return int(read_meta(path).get("version", 0))
+    except FileNotFoundError:
+        pass
+    marker = os.path.join(path, "_versions", "_frontier.json")
+    try:
+        with open(marker) as fh:
+            return int(json.load(fh).get("frontier", 0))
+    except FileNotFoundError:
+        return 0
+
+
 def commit_meta(path: str, meta: dict, rewrite: bool = False) -> None:
     """Atomically publish ``meta.json`` — the commit point — and stamp
     the commit into the monotonically-versioned ledger
@@ -116,9 +133,24 @@ def commit_meta(path: str, meta: dict, rewrite: bool = False) -> None:
     expected = meta.get("version")
     fresh = expected is None
     if fresh:
-        expected = _max_version(path)
+        # fresh dict = first build, rebuild, or legacy backfill. Base
+        # on the COMMITTED frontier (meta.json, or the marker
+        # retract_meta left) so a crashed writer's dead reservation
+        # above it is RECLAIMED — skipping past it via the ledger max
+        # would leave a never-committed blob below the new frontier,
+        # which read_meta_version would then misreport as a commit.
+        # _max_version is the fallback for stores retracted before the
+        # frontier marker existed.
+        expected = _committed_frontier(path)
+        if expected == 0:
+            expected = _max_version(path)
     new = int(expected) + 1
-    meta["version"] = new  # in place: a re-commit by the same holder advances
+    # stamp a COPY: the caller's dict must stay at its snapshot version
+    # until the reservation succeeds — mutating first would let a
+    # caught-and-retried ConcurrentWriteConflict commit the stale
+    # deltas on top of the winner (the retry would base on new).
+    stamped = dict(meta)
+    stamped["version"] = new
     # rewrite floor: the earliest version whose snapshot files still
     # exist. A fresh-dict commit IS a build/rebuild (the writers'
     # convention), and compactors pass rewrite=True explicitly — either
@@ -127,26 +159,30 @@ def commit_meta(path: str, meta: dict, rewrite: bool = False) -> None:
     # to the NEW base manifest — silently wrong rows under old stats).
     # assert_snapshot_servable refuses serves below the floor.
     if rewrite or fresh:
-        meta["rewrite_floor"] = new
-    blob = json.dumps(meta)
+        stamped["rewrite_floor"] = new
+    blob = json.dumps(stamped)
     vdir = os.path.join(path, "_versions")
     os.makedirs(vdir, exist_ok=True)
     vpath = os.path.join(vdir, f"{new:020d}.json")
     try:
         fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
-        committed = 0
-        try:
-            committed = int(read_meta(path).get("version", 0))
-        except FileNotFoundError:
-            pass
-        if committed >= new:
+        # committed frontier: meta.json, or — when a compactor has
+        # retracted it — the marker retract_meta wrote. Defaulting a
+        # missing meta to 0 here would let a compactor reclaim a LIVE
+        # winner's reservation (the winner committed between the
+        # compactor's recheck and its retract, and the retract deleted
+        # the winner's meta.json).
+        committed = _committed_frontier(path)
+        if committed >= new and not fresh:
             raise ConcurrentWriteConflict(
                 f"store at {path!r}: version {new} was committed by "
                 "another writer since this meta was read — re-run the "
                 "operation against the current store"
             )
-        # dead reservation from a crashed writer: reclaim atomically
+        # dead reservation from a crashed writer (or a rebuild
+        # reclaiming committed history it is destroying anyway):
+        # overwrite atomically
         tmp = vpath + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(blob)
@@ -158,6 +194,20 @@ def commit_meta(path: str, meta: dict, rewrite: bool = False) -> None:
             fh.write(blob)
             fh.flush()
             os.fsync(fh.fileno())
+    # the ledger file must be durable like everything else: fsync the
+    # _versions directory entry, or a power loss can persist a
+    # meta.json naming version N whose ledger file was lost (breaking
+    # every later as-of read AND the next commit's base arithmetic)
+    vfd = os.open(vdir, os.O_RDONLY)
+    try:
+        os.fsync(vfd)
+    finally:
+        os.close(vfd)
+    # reservation holds: now advance the caller's dict in place (a
+    # sequential re-commit by the same holder must base on `new`)
+    meta["version"] = new
+    if rewrite or fresh:
+        meta["rewrite_floor"] = new
     meta_path = os.path.join(path, "meta.json")
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as fh:
@@ -226,6 +276,19 @@ def assert_snapshot_servable(path: str, snap_meta: dict) -> None:
         )
 
 
+def resolve_serve_meta(path: str, version: "int | None") -> dict:
+    """The ONE way a serve path resolves its meta snapshot: the live
+    committed meta when ``version`` is None, else the requested ledger
+    version gated by :func:`assert_snapshot_servable`. Centralized so
+    as-of semantics (range check, servability floor) cannot drift
+    between the store families."""
+    if version is None:
+        return read_meta(path)
+    meta = read_meta_version(path, version)
+    assert_snapshot_servable(path, meta)
+    return meta
+
+
 def list_versions(path: str) -> "list[int]":
     """Committed version numbers, ascending (the readable time-travel
     range — dead reservations above the frontier are excluded)."""
@@ -242,10 +305,32 @@ def list_versions(path: str) -> "list[int]":
 
 def retract_meta(path: str) -> None:
     """Unlink the commit marker before rebuilding over an existing
-    store (module docstring). No-op on a fresh path."""
+    store (module docstring). No-op on a fresh path.
+
+    Before unlinking, the committed frontier is preserved in
+    ``_versions/_frontier.json`` so the ledger arithmetic survives the
+    retracted window: the rebuild's fresh commit bases on it (reclaiming
+    any dead reservation above it instead of skipping past), and a
+    carried-version commit racing the retract still sees the true
+    frontier for its conflict check."""
     p = os.path.join(path, "meta.json")
-    if os.path.exists(p):
-        os.remove(p)
+    if not os.path.exists(p):
+        return
+    try:
+        frontier = int(read_meta(path).get("version", 0))
+    except Exception:
+        frontier = 0
+    if frontier:
+        vdir = os.path.join(path, "_versions")
+        os.makedirs(vdir, exist_ok=True)
+        marker = os.path.join(vdir, "_frontier.json")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"frontier": frontier}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, marker)
+    os.remove(p)
 
 
 # --------------------------------------------------------------------- #

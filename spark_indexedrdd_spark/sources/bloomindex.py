@@ -301,11 +301,7 @@ def bloom_multiget(
     invisible (zonemap_read docstring, same shape)."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    if version is not None:
-        meta = SC.read_meta_version(path, version)
-        SC.assert_snapshot_servable(path, meta)
-    else:
-        meta = SC.read_meta(path)
+    meta = SC.resolve_serve_meta(path, version)
     key_col = meta["key_col"]
     keys = [kk for kk in keys if kk is not None]
     side = _resolve_bloom(spark, path, meta)

@@ -205,15 +205,19 @@ def compact_zonemap_store(spark: SparkSession, path: str) -> int:
     )
     new_meta = SC.read_meta(tmp)
     # the sibling's meta carries the SIBLING's ledger version (1) —
-    # strip it so the commit below advances path's own ledger instead
-    # of reclaiming/overwriting a historical version file
-    new_meta.pop("version", None)
+    # replace it with the snapshot version this compaction is based on,
+    # so the commit below keeps OCC teeth: a writer that committed on
+    # path after the recheck makes the commit CONFLICT (loudly
+    # uncommitted, recoverable) instead of silently advancing past the
+    # winner. rewrite=True records the servability floor.
+    new_meta["version"] = meta.get("version")
+    new_meta.pop("rewrite_floor", None)
     SC.recheck_version(path, meta)  # abort BEFORE the destructive swap
     SC.retract_meta(path)  # <-- old store now loudly uncommitted
     for sub in ("data", "zones", "_manifests"):
         shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
         os.replace(os.path.join(tmp, sub), os.path.join(path, sub))
-    SC.commit_meta(path, new_meta)
+    SC.commit_meta(path, new_meta, rewrite=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return len(SC.list_parquet_files(path + "/data"))
 
@@ -315,11 +319,7 @@ def zonemap_read(
     dirs (read_meta_version docstring)."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    if version is not None:
-        meta = SC.read_meta_version(path, version)
-        SC.assert_snapshot_servable(path, meta)
-    else:
-        meta = SC.read_meta(path)
+    meta = SC.resolve_serve_meta(path, version)
     zone_col = meta["zone_col"]
     files = _surviving_files(path, _resolve_zones(spark, path, meta), lo, hi)
     if not files:

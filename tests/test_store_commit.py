@@ -528,3 +528,87 @@ def test_snapshot_serve_refused_after_compaction(spark, tmp_path):
     compact_zonemap_store(spark, z)
     with pytest.raises(ValueError, match="predates the last rewrite"):
         zonemap_read(spark, z, version=zv1)
+
+
+def test_conflict_leaves_loser_dict_unstamped(tmp_path):
+    """The loser's meta dict must stay at its snapshot version after a
+    ConcurrentWriteConflict — stamping before the reservation would let
+    a caught-and-retried commit_meta land the stale deltas on top of
+    the winner with no error."""
+    p = str(tmp_path / "unstamped")
+    SC.commit_meta(p, {"a": 1})
+    m1 = SC.read_meta(p)
+    m2 = SC.read_meta(p)
+    m1["a"] = 2
+    SC.commit_meta(p, m1)
+    m2["a"] = 3
+    for _ in range(2):  # naive retry must ALSO conflict
+        with pytest.raises(SC.ConcurrentWriteConflict):
+            SC.commit_meta(p, m2)
+        assert m2["version"] == 1
+    assert SC.read_meta(p)["a"] == 2
+
+
+def test_rebuild_reclaims_dead_reservation(tmp_path):
+    """A crashed writer's reservation above the frontier must be
+    RECLAIMED by a rebuild, not skipped — skipping would leave a
+    never-committed blob below the new frontier, which
+    read_meta_version would misreport as a commit."""
+    import json
+    import os
+
+    p = str(tmp_path / "reclaim")
+    SC.commit_meta(p, {"a": 1})  # frontier 1
+    with open(os.path.join(p, "_versions", f"{2:020d}.json"), "w") as fh:
+        json.dump({"ghost": True}, fh)
+    SC.retract_meta(p)  # rebuild begins; frontier marker = 1
+    SC.commit_meta(p, {"b": 2})  # fresh dict
+    assert SC.read_meta(p)["version"] == 2  # reclaimed, not skipped to 3
+    assert SC.read_meta_version(p, 2)["b"] == 2
+
+
+@pytest.mark.parametrize("family", ["postings", "zonemap"])
+def test_compactor_loses_race_in_retract_window(
+    spark, tmp_path, monkeypatch, family
+):
+    """A writer committing in the window between the compactor's
+    recheck and its retract must make the compactor's FINAL commit
+    conflict — not silently reclaim the winner's reservation (the
+    retract deletes the winner's meta.json, so the conflict check must
+    consult the frontier marker, and the zonemap compactor must carry
+    its snapshot version rather than committing 'fresh')."""
+    from spark_indexedrdd_spark.functions import retrieval as R
+    from spark_indexedrdd_spark.sources import zonemap as Z
+
+    if family == "postings":
+        docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+        p = str(tmp_path / "pr")
+        R.write_postings_store(docs, p)
+        R.delete_postings_docs(
+            spark, p, docs.where("doc_id % 5 = 0").select("doc_id"), "d1"
+        )
+        run = lambda: R.compact_postings_store(spark, p)
+    else:
+        li = spark.read.parquet(SF_DIR + "/lineitem.parquet")
+        p = str(tmp_path / "zr")
+        Z.write_zonemap_table(li.where("l_orderkey % 3 != 0"), p,
+                              "l_shipdate", n_files=4)
+        Z.append_zonemap_batch(li.where("l_orderkey % 3 = 0"), p,
+                               batch_tag="b1", n_files=2)
+        run = lambda: Z.compact_zonemap_store(spark, p)
+
+    real = SC.recheck_version
+
+    def racer_after_recheck(path_, meta_):
+        real(path_, meta_)
+        racer = SC.read_meta(p)
+        racer["note"] = "racer"
+        SC.commit_meta(p, racer)  # wins inside the recheck->retract window
+
+    monkeypatch.setattr(SC, "recheck_version", racer_after_recheck)
+    with pytest.raises(SC.ConcurrentWriteConflict):
+        run()
+    # the store is loudly uncommitted (documented manual recovery) —
+    # never a silent overwrite of the winner's commit
+    with pytest.raises(FileNotFoundError):
+        SC.read_meta(p)
