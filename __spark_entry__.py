@@ -619,6 +619,55 @@ def q_zonemap_pruned_scan(spark, sf_dir):
     )
 
 
+def q_zonemap_snapshot_scan(spark, sf_dir):
+    """As-of read on the zone-mapped table under driver evidence: build
+    the store from two thirds of lineitem (v1), append the rest through
+    the staged manifest commit, then run the quarter rollup AS OF v1
+    (store_commit's version ledger — zonemap_read resolves the sidecar
+    manifests from the frozen meta, so the later committed batch is
+    invisible). Oracle = the plain filtered scan over the PRE-APPEND
+    subset only."""
+    import shutil
+
+    from spark_indexedrdd_spark.functions import store_commit as _sc
+    from spark_indexedrdd_spark.sources import zonemap as _zm
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = os.path.join("spark-warehouse", "contract_zonemap_tt")
+    shutil.rmtree(path, ignore_errors=True)
+    _zm.write_zonemap_table(
+        li.where("l_orderkey % 3 != 0"), path, "l_shipdate", n_files=16
+    )
+    v1 = _sc.read_meta(path)["version"]
+    _zm.append_zonemap_batch(
+        li.where("l_orderkey % 3 = 0"), path, batch_tag="contract-zm-b1",
+        n_files=8,
+    )
+    q = _zm.zonemap_read(spark, path, "1996-01-01", "1996-03-31", version=v1)
+    return q.groupBy("l_returnflag").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+SQL_ZONEMAP_SNAPSHOT_SCAN = """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <= TIMESTAMP '1996-03-31'
+      AND l_orderkey % 3 <> 0
+    GROUP BY l_returnflag
+"""
+
+
 BLOOM_CUSTKEYS = [7, 19, 42, 101, 133, -5]
 
 
@@ -782,6 +831,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10 (post-window, PAST_CUTOFF_NEW): version-to-version CDC on the
     # at-rest index (reference diff across the ledger)
     "postings_store_changes": q_postings_store_changes,
+    # r10 (post-window, PAST_CUTOFF_NEW): as-of read on the zone-mapped
+    # table — the later committed batch invisible to the snapshot
+    "zonemap_snapshot_scan": q_zonemap_snapshot_scan,
     # r9 (post-window, PAST_CUTOFF_NEW): per-file bloom sidecar —
     # point-lookup file skipping on a non-clustered column
     "bloom_pruned_multiget": q_bloom_pruned_multiget,
@@ -1174,6 +1226,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     # net live-set diff v1 -> v3: odd docs added (minus the %5 wave
     # deleted in-window), even %5 docs deleted
     "postings_store_changes": SQL_POSTINGS_STORE_CHANGES,
+    # pre-append subset only: the appended %3=0 wave must be invisible
+    "zonemap_snapshot_scan": SQL_ZONEMAP_SNAPSHOT_SCAN,
     # corpus never contained the dead docs; new batch unchanged
     "dedup_takedown_lsh": _dedup.sql_incremental_lsh_candidates(
         "doc_id % 20 = 0", exclude_pred="doc_id % 20 != 0 AND doc_id % 7 = 0"
@@ -1480,7 +1534,11 @@ _FILL_R8 = (
 # (postings_store_changes — reference diff across the ledger). The
 # escape-hatch contract obliges the r11 rotation to front-queue both
 # as debuts.
-PAST_CUTOFF_NEW: tuple = ("bm25_store_time_travel", "postings_store_changes")
+PAST_CUTOFF_NEW: tuple = (
+    "bm25_store_time_travel",
+    "postings_store_changes",
+    "zonemap_snapshot_scan",
+)
 
 # The 32 queries the staleness tripwire named verbatim after
 # CORRECTNESS_r08 landed (last hash-green r06; asserted
@@ -1651,12 +1709,12 @@ _FILL_R9 = (
 # would exceed 50 the first time two debut-heavy rounds stack, making
 # the schedule unsatisfiable); cap debuts at ~5/round and prefer
 # folding near-duplicate entries (e.g. a future aggregate_fold ->
-# aggregate_using_index merge) over growing past it. n = 142 today
-# (140 at window-freeze + bm25_store_time_travel and
-# postings_store_changes behind the hatch); the 5 former past-cutoff
+# aggregate_using_index merge) over growing past it. n = 143 today
+# (140 at window-freeze + the ledger family — bm25_store_time_travel,
+# postings_store_changes, zonemap_snapshot_scan — behind the hatch); the 5 former past-cutoff
 # takedown/zone-map/bloom entries hold r10's entire debut budget, and
 # the r11 staleness batch is ~38 (the r08-green names _FILL_R10 does
-# not re-check) + 2 obliged debuts, leaving ~10 free r11 slots.
+# not re-check) + 3 obliged debuts, leaving ~9 free r11 slots.
 # --------------------------------------------------------------------- #
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}
