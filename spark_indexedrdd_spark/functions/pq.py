@@ -1058,6 +1058,7 @@ def ivfpq_store_ann(
     k: int = 5,
     n_probe: "int | None" = None,
     id_col: str = "vec_id",
+    version: "int | None" = None,
 ) -> DataFrame:
     """Serve ANN from a persisted IVFPQ store: (q_id, cand_id,
     adc_dist, rank) for driver-side query vectors. The codes read
@@ -1066,12 +1067,23 @@ def ivfpq_store_ann(
     in tests), reading m ints per candidate. Probe tables are the same
     driver-side residual tables as :func:`ivfpq_residual_ann`.
     ``n_probe`` defaults to the value the BUILD recorded in the store
-    meta (that is why it is stored), an explicit argument overrides."""
+    meta (that is why it is stored), an explicit argument overrides.
+
+    Committed tombstones (delete_ivfpq_ids) are excluded from the
+    candidates broadcast-side; ``version`` serves AS OF an earlier
+    committed meta, freezing the tombstone set (the delete-history
+    as-of surface, like ivf_ann_from_store — code appends are direct
+    cluster-dir writes and are not versioned away)."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
+    meta = SC.resolve_serve_meta(path, version)
     if n_probe is None:
-        n_probe = int(SC.read_meta(path).get("n_probe", 4))
+        n_probe = int(meta.get("n_probe", 4))
     codes, cents, cbs = read_ivfpq_store(spark, path)
+    tomb = _ivfpq_tombstones(spark, path, meta, id_col)
+    if tomb is not None:
+        # takedown-batch sized — broadcast, never a candidate shuffle
+        codes = codes.join(F.broadcast(tomb), id_col, "left_anti")
     m = len(cbs)
     d = sum(len(cb[0]) for cb in cbs)
     bounds = _sub_bounds(d, m)
@@ -1116,3 +1128,114 @@ def ivfpq_store_ann(
         .where(F.col("rank") <= k)
         .select("q_id", "cand_id", "adc_dist", F.col("rank").cast("int"))
     )
+
+
+def _ivfpq_tombstones(spark, path: str, meta: dict, id_col: str):
+    """The committed tombstone set under ONE meta snapshot (None when
+    the store has no applied deletes). Takedown-batch sized — callers
+    broadcast it into an anti-join."""
+    import os
+
+    tags = meta.get("deletes", [])
+    if not tags:
+        return None
+    id_type = (
+        spark.read.parquet(path + "/codes").select(id_col).schema[0].dataType
+    )
+    return (
+        spark.read.parquet(*[os.path.join(path, "tombstones", t) for t in tags])
+        .select(F.col(id_col).cast(id_type).alias(id_col))
+        .distinct()
+    )
+
+
+def delete_ivfpq_ids(
+    spark,
+    path: str,
+    ids,
+    batch_tag: str,
+    id_col: str = "vec_id",
+) -> bool:
+    """Tombstone-delete stored codes by id — the takedown path for the
+    servable IVFPQ index (reference delete(ks), IndexedRDD.scala:
+    120-123, on the at-rest code table; same protocol as
+    ivf.delete_ivf_ids). Returns False (replay no-op) when
+    ``batch_tag`` was already applied.
+
+    Codebooks and centroids are PINNED by the store (deletion never
+    re-codes the lists), so a post-delete serve equals the pre-delete
+    serve with the deleted candidates excluded and ranks recut —
+    pytest-pinned. The tombstone parquet lands first (invisible until
+    the atomic meta commit lists its tag); uncastable ids refuse
+    loudly (try_cast + null check — a NULL id would anti-join nothing
+    and report success while deleting nothing)."""
+    import os
+
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    SC.validate_batch_tag(batch_tag)
+    meta = SC.read_meta(path)
+    if batch_tag in meta.get("deletes", []):
+        return False
+    id_type = (
+        spark.read.parquet(path + "/codes").select(id_col).schema[0].dataType
+    )
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
+    else:
+        rows = [(i,) for i in ids]
+        if not rows:
+            from pyspark.sql import types as T
+
+            tomb = spark.createDataFrame(
+                [], T.StructType([T.StructField(id_col, id_type)])
+            )
+        else:
+            tomb = spark.createDataFrame(rows, [id_col])
+    tomb = tomb.dropna().select(F.col(id_col).try_cast(id_type).alias(id_col))
+    if tomb.where(F.col(id_col).isNull()).take(1):
+        raise ValueError(
+            f"delete ids do not cast to the store's {id_type.simpleString()}"
+            f" {id_col} — refusing a delete that could silently miss"
+        )
+    tomb.write.mode("overwrite").parquet(
+        os.path.join(path, "tombstones", batch_tag)
+    )
+    meta.setdefault("deletes", []).append(batch_tag)
+    SC.commit_meta(path, meta)
+    return True
+
+
+def compact_ivfpq_store(spark, path: str, id_col: str = "vec_id") -> int:
+    """Physically drop tombstoned codes and clear the tombstone list;
+    returns the live code count. Survivors keep their pinned cluster
+    assignment and codes (never re-fit). Sibling-dir rewrite swapped in
+    under recheck → retract → rename → commit(rewrite=True) — same
+    durability/OCC shape as compact_ivf_store."""
+    import os
+    import shutil
+
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    meta = SC.read_meta(path)
+    tomb = _ivfpq_tombstones(spark, path, meta, id_col)
+    codes = spark.read.parquet(path + "/codes")
+    if tomb is None:
+        return codes.count()
+    survivors = codes.join(F.broadcast(tomb), id_col, "left_anti")
+    tmp = path + "__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    survivors.repartition("cluster_id").write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(tmp + "/codes")
+    n_live = spark.read.parquet(tmp + "/codes").count()
+    SC.recheck_version(path, meta)  # abort BEFORE the destructive swap
+    SC.retract_meta(path)  # <-- old store now loudly uncommitted
+    shutil.rmtree(os.path.join(path, "codes"), ignore_errors=True)
+    os.replace(tmp + "/codes", os.path.join(path, "codes"))
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    meta["deletes"] = []
+    meta["compactions"] = int(meta.get("compactions", 0)) + 1
+    SC.commit_meta(path, meta, rewrite=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n_live

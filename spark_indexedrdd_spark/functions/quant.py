@@ -317,6 +317,7 @@ def binary_store_ann(
     n_candidates: int = 96,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    version: "int | None" = None,
 ) -> DataFrame:
     """Serve ANN queries from the persisted store: stage 1 scans ONLY
     the sketch file (Hamming against driver-computed query sketches,
@@ -337,7 +338,12 @@ def binary_store_ann(
     from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.functions.vectors import dot, norm
 
-    SC.read_meta(path)  # commit-marker check only
+    # commit-marker check + the tombstone/as-of snapshot: committed
+    # deletes (delete_binary_ids) are excluded in STAGE 1 below;
+    # ``version`` freezes the tombstone set (delete-history as-of,
+    # like ivfpq_store_ann — direct appends are not versioned away)
+    meta = SC.resolve_serve_meta(path, version)
+    tomb = _binary_tombstones(spark, path, meta, id_col)
 
     def py_sketch(vec):
         words = []
@@ -365,6 +371,10 @@ def binary_store_ann(
         )
     )
     sk = spark.read.parquet(path + "/sketches")
+    if tomb is not None:
+        # takedown-batch sized — broadcast anti-join ON the sketch
+        # scan, so a deleted id can't displace live Hamming candidates
+        sk = sk.join(F.broadcast(tomb), id_col, "left_anti")
     pre_w = Window.partitionBy("q_id").orderBy(
         F.asc("hamming"), F.asc("cand_id")
     )
@@ -521,3 +531,80 @@ def sql_quantize_error_stats(
                )) AS max_abs_err
         FROM s
     """
+
+
+def _binary_tombstones(spark, path: str, meta: dict, id_col: str):
+    """The committed tombstone set under ONE meta snapshot (None when
+    the store has no applied deletes). Takedown-batch sized — callers
+    broadcast it into an anti-join."""
+    import os
+
+    tags = meta.get("deletes", [])
+    if not tags:
+        return None
+    id_type = (
+        spark.read.parquet(path + "/sketches")
+        .select(id_col)
+        .schema[0]
+        .dataType
+    )
+    return (
+        spark.read.parquet(*[os.path.join(path, "tombstones", t) for t in tags])
+        .select(F.col(id_col).cast(id_type).alias(id_col))
+        .distinct()
+    )
+
+
+def delete_binary_ids(
+    spark,
+    path: str,
+    ids,
+    batch_tag: str,
+    id_col: str = "vec_id",
+) -> bool:
+    """Tombstone-delete stored vectors by id — the takedown path for
+    the binary sketch store (reference delete(ks), IndexedRDD.scala:
+    120-123, at rest; same protocol as ivf.delete_ivf_ids /
+    pq.delete_ivfpq_ids). Returns False (replay no-op) when
+    ``batch_tag`` was already applied. Serves anti-join the committed
+    set in STAGE 1 (the sketch scan), so a deleted id can neither
+    surface nor displace a live candidate from the Hamming top-M.
+    Uncastable ids refuse loudly (try_cast + null check)."""
+    import os
+
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    SC.validate_batch_tag(batch_tag)
+    meta = SC.read_meta(path)
+    if batch_tag in meta.get("deletes", []):
+        return False
+    id_type = (
+        spark.read.parquet(path + "/sketches")
+        .select(id_col)
+        .schema[0]
+        .dataType
+    )
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
+    else:
+        rows = [(i,) for i in ids]
+        if not rows:
+            from pyspark.sql import types as T
+
+            tomb = spark.createDataFrame(
+                [], T.StructType([T.StructField(id_col, id_type)])
+            )
+        else:
+            tomb = spark.createDataFrame(rows, [id_col])
+    tomb = tomb.dropna().select(F.col(id_col).try_cast(id_type).alias(id_col))
+    if tomb.where(F.col(id_col).isNull()).take(1):
+        raise ValueError(
+            f"delete ids do not cast to the store's {id_type.simpleString()}"
+            f" {id_col} — refusing a delete that could silently miss"
+        )
+    tomb.write.mode("overwrite").parquet(
+        os.path.join(path, "tombstones", batch_tag)
+    )
+    meta.setdefault("deletes", []).append(batch_tag)
+    SC.commit_meta(path, meta)
+    return True

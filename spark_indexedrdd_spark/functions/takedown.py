@@ -8,10 +8,13 @@ Each store keeps its own family-appropriate delete mechanics — the
 postings store's meta-committed tombstones with exact stat deltas
 (retrieval.delete_postings_docs), the IVF vector store's
 meta-committed tombstones (ivf.delete_ivf_ids), the signature store's
-ledger tombstones (dedup.delete_signature_docs) — and this module just
-sequences them under ONE batch tag so an operator can re-run a
-partially-failed takedown and every already-committed store replays as
-a no-op while the rest catch up.
+ledger tombstones (dedup.delete_signature_docs), and the compressed
+ANN serving tiers' meta-committed tombstones (pq.delete_ivfpq_ids,
+quant.delete_binary_ids — WITHOUT these, a takedown that removed the
+raw vector would leave the deleted id servable from its codes or
+sketch) — and this module just sequences them under ONE batch tag so
+an operator can re-run a partially-failed takedown and every
+already-committed store replays as a no-op while the rest catch up.
 
 There is deliberately NO cross-store transaction: the stores are
 independent single-writer artifacts (often owned by different jobs),
@@ -32,6 +35,8 @@ def takedown_docs(
     postings_path: "str | None" = None,
     signature_path: "str | None" = None,
     ivf_path: "str | None" = None,
+    ivfpq_path: "str | None" = None,
+    binary_path: "str | None" = None,
     signature_id_col: str = "doc_id",
     ivf_id_col: str = "vec_id",
 ) -> "dict[str, bool]":
@@ -49,6 +54,8 @@ def takedown_docs(
     frame for very large batches."""
     from spark_indexedrdd_spark.functions import dedup as _dedup
     from spark_indexedrdd_spark.functions import ivf as _ivf
+    from spark_indexedrdd_spark.functions import pq as _pq
+    from spark_indexedrdd_spark.functions import quant as _quant
     from spark_indexedrdd_spark.functions import retrieval as _ret
 
     if not isinstance(ids, DataFrame):
@@ -66,5 +73,13 @@ def takedown_docs(
     if ivf_path is not None:
         out["ivf"] = _ivf.delete_ivf_ids(
             spark, ivf_path, ids, batch_tag, id_col=ivf_id_col
+        )
+    if ivfpq_path is not None:
+        out["ivfpq"] = _pq.delete_ivfpq_ids(
+            spark, ivfpq_path, ids, batch_tag, id_col=ivf_id_col
+        )
+    if binary_path is not None:
+        out["binary"] = _quant.delete_binary_ids(
+            spark, binary_path, ids, batch_tag, id_col=ivf_id_col
         )
     return out

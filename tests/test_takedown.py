@@ -377,3 +377,153 @@ def test_delete_every_doc_then_serve_is_empty(spark, docs, store):
     out = R.bm25_from_store(spark, store)
     assert out.count() == 0
     assert out.columns == ["qid", "doc_id", "score", "rank"]
+
+
+def _recut(rows, dead, k):
+    """Expected post-delete serve: the pre-delete serve with deleted
+    candidates dropped and ranks recut per query (codebooks/sketches
+    are pinned by the store, so deletion only hides candidates)."""
+    out, n_by_q = [], {}
+    for r in sorted(rows, key=lambda r: (r[0], r[-1])):
+        if r[1] in dead:
+            continue
+        n = n_by_q.get(r[0], 0) + 1
+        n_by_q[r[0]] = n
+        if n <= k:
+            out.append(tuple(list(r[:-1]) + [n]))
+    return sorted(out)
+
+
+def test_ivfpq_delete_serve_equals_recut(spark, sf_dir, tmp_path):
+    """Tombstone-delete on the servable IVFPQ store: the post-delete
+    serve equals the pre-delete serve with the deleted candidates
+    excluded and ranks recut; replay is a no-op; a crash before the
+    meta commit is invisible; compaction is serve-transparent."""
+    import spark_indexedrdd_spark.functions.pq as PQ
+    from spark_indexedrdd_spark.functions import store_commit as SC
+    from spark_indexedrdd_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    p = str(tmp_path / "ivfpq_del")
+    PQ.write_ivfpq_store(emb, p, n_clusters=4, m=4, ksub=8, method="det")
+    qv = [(0, [1.0] * 64), (1, [0.5] * 64)]
+    k, dead = 5, None
+    pre_big = [tuple(r) for r in PQ.ivfpq_store_ann(spark, p, qv, k=k + 3).collect()]
+    dead = {pre_big[0][1], pre_big[1][1], pre_big[k][1]}
+    assert PQ.delete_ivfpq_ids(spark, p, sorted(dead), "take-1")
+    got = sorted(map(tuple, PQ.ivfpq_store_ann(spark, p, qv, k=k).collect()))
+    assert got == _recut(pre_big, dead, k) and len(got) > 0
+    assert not any(r[1] in dead for r in got)
+    # replay no-op; uncastable refuses; empty is a no-op commit
+    assert PQ.delete_ivfpq_ids(spark, p, sorted(dead), "take-1") is False
+    with pytest.raises(ValueError, match="refusing"):
+        PQ.delete_ivfpq_ids(spark, p, ["nope"], "bad")
+    assert PQ.delete_ivfpq_ids(spark, p, [], "empty")
+    # crash before the meta commit: tombstone parquet invisible
+    pre_meta = open(os.path.join(p, "meta.json")).read()
+    assert PQ.delete_ivfpq_ids(spark, p, [pre_big[2][1]], "crash-1")
+    with open(os.path.join(p, "meta.json"), "w") as fh:
+        fh.write(pre_meta)
+    after_rewind = sorted(
+        map(tuple, PQ.ivfpq_store_ann(spark, p, qv, k=k).collect())
+    )
+    assert after_rewind == got  # uncommitted delete invisible
+    assert PQ.delete_ivfpq_ids(spark, p, [pre_big[2][1]], "crash-1")  # replay
+    served = sorted(map(tuple, PQ.ivfpq_store_ann(spark, p, qv, k=k).collect()))
+    # compaction drops dead rows, serve-transparent
+    n_live = PQ.compact_ivfpq_store(spark, p)
+    codes = spark.read.parquet(p + "/codes")
+    assert codes.count() == n_live
+    assert not SC.read_meta(p)["deletes"]
+    assert sorted(map(tuple, PQ.ivfpq_store_ann(spark, p, qv, k=k).collect())) == served
+
+
+def test_binary_delete_serve_equals_recut(spark, sf_dir, tmp_path):
+    """Tombstone-delete on the binary sketch store: with an exhaustive
+    stage-1 (n_candidates >= corpus) the post-delete serve equals the
+    pre-delete serve recut over survivors; the deleted id can never
+    surface."""
+    import spark_indexedrdd_spark.functions.quant as Q
+    from spark_indexedrdd_spark.sources.tables import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(150)
+    )
+    p = str(tmp_path / "bin_del")
+    Q.write_binary_store(emb, p)
+    qv = [(0, [1.0] * 64)]
+    k = 5
+    pre_big = [
+        tuple(r)
+        for r in Q.binary_store_ann(
+            spark, p, qv, k=k + 3, n_candidates=300
+        ).collect()
+    ]
+    dead = {pre_big[0][1], pre_big[2][1]}
+    assert Q.delete_binary_ids(spark, p, sorted(dead), "take-1")
+    got = sorted(
+        map(
+            tuple,
+            Q.binary_store_ann(spark, p, qv, k=k, n_candidates=300).collect(),
+        )
+    )
+    assert got == _recut(pre_big, dead, k) and len(got) > 0
+    assert Q.delete_binary_ids(spark, p, sorted(dead), "take-1") is False
+    with pytest.raises(ValueError, match="refusing"):
+        Q.delete_binary_ids(spark, p, ["nope"], "bad")
+
+
+def test_takedown_orchestrator_covers_compressed_tiers(
+    spark, docs, sf_dir, tmp_path
+):
+    """One takedown batch applied across all five store kinds under one
+    tag: every ANN tier stops serving the dead ids, and the re-run
+    replays as a per-store no-op."""
+    import spark_indexedrdd_spark.functions.ivf as IVF
+    import spark_indexedrdd_spark.functions.pq as PQ
+    import spark_indexedrdd_spark.functions.quant as Q
+    from spark_indexedrdd_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    p_post = str(tmp_path / "post")
+    p_sig = str(tmp_path / "sig")
+    p_ivf = str(tmp_path / "ivf")
+    p_pq = str(tmp_path / "ivfpq")
+    p_bin = str(tmp_path / "bin")
+    R.write_postings_store(docs, p_post)
+    D.write_signature_store(docs, p_sig)
+    IVF.write_ivf_store(emb, p_ivf, n_clusters=4, method="det")
+    PQ.write_ivfpq_store(emb, p_pq, n_clusters=4, m=4, ksub=8, method="det")
+    Q.write_binary_store(emb.limit(150), p_bin)
+    dead = [50, 100]
+    res = takedown_docs(
+        spark, dead, "legal-7",
+        postings_path=p_post, signature_path=p_sig, ivf_path=p_ivf,
+        ivfpq_path=p_pq, binary_path=p_bin,
+    )
+    assert res == {
+        "postings": True, "signatures": True, "ivf": True,
+        "ivfpq": True, "binary": True,
+    }
+    qv = [(0, [1.0] * 64)]
+    assert not any(
+        r.cand_id in dead
+        for r in PQ.ivfpq_store_ann(spark, p_pq, qv, k=20).collect()
+    )
+    assert not any(
+        r.cand_id in dead
+        for r in Q.binary_store_ann(
+            spark, p_bin, qv, k=20, n_candidates=300
+        ).collect()
+    )
+    res2 = takedown_docs(
+        spark, dead, "legal-7",
+        postings_path=p_post, signature_path=p_sig, ivf_path=p_ivf,
+        ivfpq_path=p_pq, binary_path=p_bin,
+    )
+    assert res2 == {
+        "postings": False, "signatures": True, "ivf": False,
+        "ivfpq": False, "binary": False,
+    }
