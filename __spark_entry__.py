@@ -591,6 +591,38 @@ def q_ivf_store_delete_serve(spark, sf_dir):
     )
 
 
+def q_ivfpq_takedown_serve(spark, sf_dir):
+    """Tombstone-delete on the COMPRESSED serving tier under driver
+    evidence: build the det IVFPQ store (residual codes, pinned
+    centroids + codebooks), tombstone every vec_id % 7 == 0
+    (pq.delete_ivfpq_ids — without it a takedown that removed the raw
+    vector leaves the id servable from its codes), then serve ADC
+    top-k FROM the store. Must hash-match the DuckDB twin that fits
+    centroids AND codebooks on the FULL corpus but ranks only survivor
+    codes — proving the compressed tier's delete composes exactly."""
+    import shutil
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    path = os.path.join("spark-warehouse", "contract_ivfpq_takedown")
+    shutil.rmtree(path, ignore_errors=True)
+    _pq.write_ivfpq_store(
+        emb, path, n_clusters=16, n_probe=4, m=8, ksub=16, method="det"
+    )
+    _pq.delete_ivfpq_ids(
+        spark,
+        path,
+        emb.where("vec_id % 7 = 0").select("vec_id"),
+        batch_tag="contract-takedown",
+    )
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(
+            F.col("vec_id").isin(IVF_DELETE_QIDS)
+        ).collect()
+    ]
+    return _pq.ivfpq_store_ann(spark, path, queries, k=5, n_probe=4)
+
+
 def q_zonemap_pruned_scan(spark, sf_dir):
     """Zone-map file skipping under driver evidence: cluster lineitem
     by l_shipdate with a per-file min/max sidecar
@@ -834,6 +866,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10 (post-window, PAST_CUTOFF_NEW): as-of read on the zone-mapped
     # table — the later committed batch invisible to the snapshot
     "zonemap_snapshot_scan": q_zonemap_snapshot_scan,
+    # r10 (post-window, PAST_CUTOFF_NEW): takedown on the compressed
+    # serving tier — survivors-only ADC vs full-fit codebooks oracle
+    "ivfpq_takedown_serve": q_ivfpq_takedown_serve,
     # r9 (post-window, PAST_CUTOFF_NEW): per-file bloom sidecar —
     # point-lookup file skipping on a non-clustered column
     "bloom_pruned_multiget": q_bloom_pruned_multiget,
@@ -1228,6 +1263,11 @@ EXTENSION_ORACLE: dict[str, str] = {
     "postings_store_changes": SQL_POSTINGS_STORE_CHANGES,
     # pre-append subset only: the appended %3=0 wave must be invisible
     "zonemap_snapshot_scan": SQL_ZONEMAP_SNAPSHOT_SCAN,
+    # centroids+codebooks fit on the FULL corpus (store pins both);
+    # candidate codes are survivors of the %7 takedown only
+    "ivfpq_takedown_serve": _pq.sql_ivfpq_residual_ann(
+        query_ids=IVF_DELETE_QIDS, exclude_pred="vec_id % 7 = 0"
+    ),
     # corpus never contained the dead docs; new batch unchanged
     "dedup_takedown_lsh": _dedup.sql_incremental_lsh_candidates(
         "doc_id % 20 = 0", exclude_pred="doc_id % 20 != 0 AND doc_id % 7 = 0"
@@ -1538,6 +1578,7 @@ PAST_CUTOFF_NEW: tuple = (
     "bm25_store_time_travel",
     "postings_store_changes",
     "zonemap_snapshot_scan",
+    "ivfpq_takedown_serve",
 )
 
 # The 32 queries the staleness tripwire named verbatim after
@@ -1709,12 +1750,13 @@ _FILL_R9 = (
 # would exceed 50 the first time two debut-heavy rounds stack, making
 # the schedule unsatisfiable); cap debuts at ~5/round and prefer
 # folding near-duplicate entries (e.g. a future aggregate_fold ->
-# aggregate_using_index merge) over growing past it. n = 143 today
-# (140 at window-freeze + the ledger family — bm25_store_time_travel,
-# postings_store_changes, zonemap_snapshot_scan — behind the hatch); the 5 former past-cutoff
+# aggregate_using_index merge) over growing past it. n = 144 today
+# (140 at window-freeze + the ledger/takedown wave —
+# bm25_store_time_travel, postings_store_changes,
+# zonemap_snapshot_scan, ivfpq_takedown_serve — behind the hatch); the 5 former past-cutoff
 # takedown/zone-map/bloom entries hold r10's entire debut budget, and
 # the r11 staleness batch is ~38 (the r08-green names _FILL_R10 does
-# not re-check) + 3 obliged debuts, leaving ~9 free r11 slots.
+# not re-check) + 4 obliged debuts, leaving ~8 free r11 slots.
 # --------------------------------------------------------------------- #
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}

@@ -834,11 +834,19 @@ def sql_ivfpq_residual_ann(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_pred: "str | None" = None,
 ) -> str:
     """Exact DuckDB twin of ``ivfpq_residual_ann(..., method="det")``:
     residuals computed relationally (assigned ⋈ cents), codebooks from
     the first-ksub residuals, per-(query, probed-list) residual tables
-    via the probes ⋈ cents join."""
+    via the probes ⋈ cents join.
+
+    ``exclude_pred`` (e.g. ``"vec_id % 7 = 0"``) models a tombstone
+    delete applied AFTER the store build (sql_ivf_ann's convention):
+    centroids AND codebooks still fit on the full table (the store pins
+    both — deletion never re-codes), while the candidate codes see only
+    survivors. This is the oracle for :func:`ivfpq_store_ann` after
+    :func:`delete_ivfpq_ids`."""
     from spark_indexedrdd_spark.functions.vectors import sql_dot, sql_norm
 
     ids = ", ".join(str(i) for i in query_ids)
@@ -846,6 +854,7 @@ def sql_ivfpq_residual_ann(
     res_slice = (
         f"list_slice(residual, sub_id * {dsub} + 1, sub_id * {dsub} + {dsub})"
     )
+    live = f" WHERE NOT ({exclude_pred})" if exclude_pred else ""
     enc_dist = _sql_sub_dist("s.sub", "cb.cw", dsub)
     adc_dist = _sql_sub_dist("q.sub", "cb.cw", dsub)
     c_sim = f"({sql_dot(f'e.{vec_col}', 'c.centroid')} / c.c_norm)"
@@ -892,7 +901,8 @@ def sql_ivfpq_residual_ann(
         ),
         corpus_sub AS (
             SELECT {id_col}, cluster_id, sub_id, {res_slice} AS sub
-            FROM res, (SELECT unnest(range({m})) AS sub_id)
+            FROM (SELECT * FROM res{live}) res_live,
+                 (SELECT unnest(range({m})) AS sub_id)
         ),
         codes AS (
             SELECT {id_col}, cluster_id, sub_id, code FROM (
