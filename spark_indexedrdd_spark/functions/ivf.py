@@ -617,72 +617,37 @@ def delete_ivf_ids(
     form never collects; the iterable form is the targeted-delete
     convenience. Deleting an id absent from the store is a no-op by
     construction (tombstones are anti-joined, not asserted)."""
-    import os
-
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    SC.validate_batch_tag(batch_tag)
-    meta = SC.read_meta(path)
-    if batch_tag in meta.get("deletes", []):
-        return False
-    # pin the tombstone ids to the STORE's id type — xxhash-free here,
-    # but an anti-join between mismatched types can silently never
-    # match (e.g. string ids cast('long') -> NULLs), which would make
-    # a takedown report success and delete nothing
+    # pin the tombstone ids to the STORE's id type (the shared protocol
+    # try_casts and refuses loudly — an anti-join between mismatched
+    # types silently never matches)
     id_type = (
         spark.read.parquet(path + "/vectors").select(id_col).schema[0].dataType
     )
-    if isinstance(ids, DataFrame):
-        tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
-    else:
-        rows = [(i,) for i in ids]
-        if not rows:
-            # empty takedown batch: typed empty frame — the tag still
-            # commits below so re-delivery stays a no-op
-            from pyspark.sql import types as T
-
-            tomb = spark.createDataFrame(
-                [], T.StructType([T.StructField(id_col, id_type)])
-            )
-        else:
-            tomb = spark.createDataFrame(rows, [id_col])
-    # try_cast, not cast: under ANSI mode a malformed id would throw a
-    # raw execution error before the loud check below ever ran
-    tomb = tomb.dropna().select(F.col(id_col).try_cast(id_type).alias(id_col))
-    if tomb.where(F.col(id_col).isNull()).take(1):
-        raise ValueError(
-            f"delete ids do not cast to the store's {id_type.simpleString()}"
-            f" {id_col} — refusing a delete that could silently miss"
-        )
-    tomb.write.mode("overwrite").parquet(
-        os.path.join(path, "tombstones", batch_tag)
-    )
-    meta.setdefault("deletes", []).append(batch_tag)
-    SC.commit_meta(path, meta)
-    return True
+    return SC.tombstone_delete(spark, path, ids, batch_tag, id_col, id_type)
 
 
-def _tombstone_ids(spark, path: str, meta: dict, id_col: str) -> "DataFrame | None":
+def _tombstone_ids(
+    spark, path: str, meta: dict, id_col: str, id_type=None
+) -> "DataFrame | None":
     """The committed tombstone set under ONE meta snapshot (None when
-    the store has no applied deletes). Tiny relative to the corpus —
-    callers broadcast it into an anti-join."""
-    import os
+    the store has no applied deletes) — shared protocol
+    (store_commit.committed_tombstones). ``id_type`` should come from a
+    frame the caller already holds; the vectors-schema fallback exists
+    for callers without one (legacy pre-fix batches were written as
+    long; values are preserved by the upcast they took, so casting back
+    is exact for every type a long can hold)."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
 
-    tags = meta.get("deletes", [])
-    if not tags:
-        return None
-    paths = [os.path.join(path, "tombstones", t) for t in tags]
-    # cast the union to the STORE's id type (legacy pre-fix batches
-    # were written as long; values are preserved by the upcast they
-    # took, so casting back is exact for every type a long can hold)
-    id_type = (
-        spark.read.parquet(path + "/vectors").select(id_col).schema[0].dataType
-    )
-    return (
-        spark.read.parquet(*paths)
-        .select(F.col(id_col).cast(id_type).alias(id_col))
-        .distinct()
-    )
+    if id_type is None:
+        id_type = (
+            spark.read.parquet(path + "/vectors")
+            .select(id_col)
+            .schema[0]
+            .dataType
+        )
+    return SC.committed_tombstones(spark, path, meta, id_col, id_type)
 
 
 def ivf_ann_from_store(
@@ -724,7 +689,9 @@ def ivf_ann_from_store(
 
     meta = SC.resolve_serve_meta(path, version)
     vecs, cents = read_ivf_store(spark, path)
-    tomb = _tombstone_ids(spark, path, meta, id_col)
+    tomb = _tombstone_ids(
+        spark, path, meta, id_col, vecs.schema[id_col].dataType
+    )
     if tomb is not None:
         vecs = vecs.join(F.broadcast(tomb), id_col, "left_anti")
     probes = (
@@ -801,7 +768,9 @@ def compact_ivf_store(
 
     meta = SC.read_meta(path)
     vecs, _cents = read_ivf_store(spark, path)
-    tomb = _tombstone_ids(spark, path, meta, id_col)
+    tomb = _tombstone_ids(
+        spark, path, meta, id_col, vecs.schema[id_col].dataType
+    )
     if tomb is None:
         return vecs.count()
     survivors = vecs.join(F.broadcast(tomb), id_col, "left_anti")

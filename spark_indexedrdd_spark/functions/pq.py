@@ -1090,7 +1090,9 @@ def ivfpq_store_ann(
     if n_probe is None:
         n_probe = int(meta.get("n_probe", 4))
     codes, cents, cbs = read_ivfpq_store(spark, path)
-    tomb = _ivfpq_tombstones(spark, path, meta, id_col)
+    tomb = SC.committed_tombstones(
+        spark, path, meta, id_col, codes.schema[id_col].dataType
+    )
     if tomb is not None:
         # takedown-batch sized — broadcast, never a candidate shuffle
         codes = codes.join(F.broadcast(tomb), id_col, "left_anti")
@@ -1140,25 +1142,6 @@ def ivfpq_store_ann(
     )
 
 
-def _ivfpq_tombstones(spark, path: str, meta: dict, id_col: str):
-    """The committed tombstone set under ONE meta snapshot (None when
-    the store has no applied deletes). Takedown-batch sized — callers
-    broadcast it into an anti-join."""
-    import os
-
-    tags = meta.get("deletes", [])
-    if not tags:
-        return None
-    id_type = (
-        spark.read.parquet(path + "/codes").select(id_col).schema[0].dataType
-    )
-    return (
-        spark.read.parquet(*[os.path.join(path, "tombstones", t) for t in tags])
-        .select(F.col(id_col).cast(id_type).alias(id_col))
-        .distinct()
-    )
-
-
 def delete_ivfpq_ids(
     spark,
     path: str,
@@ -1179,41 +1162,12 @@ def delete_ivfpq_ids(
     the atomic meta commit lists its tag); uncastable ids refuse
     loudly (try_cast + null check — a NULL id would anti-join nothing
     and report success while deleting nothing)."""
-    import os
-
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    SC.validate_batch_tag(batch_tag)
-    meta = SC.read_meta(path)
-    if batch_tag in meta.get("deletes", []):
-        return False
     id_type = (
         spark.read.parquet(path + "/codes").select(id_col).schema[0].dataType
     )
-    if isinstance(ids, DataFrame):
-        tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
-    else:
-        rows = [(i,) for i in ids]
-        if not rows:
-            from pyspark.sql import types as T
-
-            tomb = spark.createDataFrame(
-                [], T.StructType([T.StructField(id_col, id_type)])
-            )
-        else:
-            tomb = spark.createDataFrame(rows, [id_col])
-    tomb = tomb.dropna().select(F.col(id_col).try_cast(id_type).alias(id_col))
-    if tomb.where(F.col(id_col).isNull()).take(1):
-        raise ValueError(
-            f"delete ids do not cast to the store's {id_type.simpleString()}"
-            f" {id_col} — refusing a delete that could silently miss"
-        )
-    tomb.write.mode("overwrite").parquet(
-        os.path.join(path, "tombstones", batch_tag)
-    )
-    meta.setdefault("deletes", []).append(batch_tag)
-    SC.commit_meta(path, meta)
-    return True
+    return SC.tombstone_delete(spark, path, ids, batch_tag, id_col, id_type)
 
 
 def compact_ivfpq_store(spark, path: str, id_col: str = "vec_id") -> int:
@@ -1228,8 +1182,10 @@ def compact_ivfpq_store(spark, path: str, id_col: str = "vec_id") -> int:
     from spark_indexedrdd_spark.functions import store_commit as SC
 
     meta = SC.read_meta(path)
-    tomb = _ivfpq_tombstones(spark, path, meta, id_col)
     codes = spark.read.parquet(path + "/codes")
+    tomb = SC.committed_tombstones(
+        spark, path, meta, id_col, codes.schema[id_col].dataType
+    )
     if tomb is None:
         return codes.count()
     survivors = codes.join(F.broadcast(tomb), id_col, "left_anti")

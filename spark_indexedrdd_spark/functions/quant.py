@@ -343,7 +343,6 @@ def binary_store_ann(
     # ``version`` freezes the tombstone set (delete-history as-of,
     # like ivfpq_store_ann — direct appends are not versioned away)
     meta = SC.resolve_serve_meta(path, version)
-    tomb = _binary_tombstones(spark, path, meta, id_col)
 
     def py_sketch(vec):
         words = []
@@ -371,6 +370,9 @@ def binary_store_ann(
         )
     )
     sk = spark.read.parquet(path + "/sketches")
+    tomb = SC.committed_tombstones(
+        spark, path, meta, id_col, sk.schema[id_col].dataType
+    )
     if tomb is not None:
         # takedown-batch sized — broadcast anti-join ON the sketch
         # scan, so a deleted id can't displace live Hamming candidates
@@ -533,28 +535,6 @@ def sql_quantize_error_stats(
     """
 
 
-def _binary_tombstones(spark, path: str, meta: dict, id_col: str):
-    """The committed tombstone set under ONE meta snapshot (None when
-    the store has no applied deletes). Takedown-batch sized — callers
-    broadcast it into an anti-join."""
-    import os
-
-    tags = meta.get("deletes", [])
-    if not tags:
-        return None
-    id_type = (
-        spark.read.parquet(path + "/sketches")
-        .select(id_col)
-        .schema[0]
-        .dataType
-    )
-    return (
-        spark.read.parquet(*[os.path.join(path, "tombstones", t) for t in tags])
-        .select(F.col(id_col).cast(id_type).alias(id_col))
-        .distinct()
-    )
-
-
 def delete_binary_ids(
     spark,
     path: str,
@@ -570,41 +550,12 @@ def delete_binary_ids(
     set in STAGE 1 (the sketch scan), so a deleted id can neither
     surface nor displace a live candidate from the Hamming top-M.
     Uncastable ids refuse loudly (try_cast + null check)."""
-    import os
-
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    SC.validate_batch_tag(batch_tag)
-    meta = SC.read_meta(path)
-    if batch_tag in meta.get("deletes", []):
-        return False
     id_type = (
         spark.read.parquet(path + "/sketches")
         .select(id_col)
         .schema[0]
         .dataType
     )
-    if isinstance(ids, DataFrame):
-        tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
-    else:
-        rows = [(i,) for i in ids]
-        if not rows:
-            from pyspark.sql import types as T
-
-            tomb = spark.createDataFrame(
-                [], T.StructType([T.StructField(id_col, id_type)])
-            )
-        else:
-            tomb = spark.createDataFrame(rows, [id_col])
-    tomb = tomb.dropna().select(F.col(id_col).try_cast(id_type).alias(id_col))
-    if tomb.where(F.col(id_col).isNull()).take(1):
-        raise ValueError(
-            f"delete ids do not cast to the store's {id_type.simpleString()}"
-            f" {id_col} — refusing a delete that could silently miss"
-        )
-    tomb.write.mode("overwrite").parquet(
-        os.path.join(path, "tombstones", batch_tag)
-    )
-    meta.setdefault("deletes", []).append(batch_tag)
-    SC.commit_meta(path, meta)
-    return True
+    return SC.tombstone_delete(spark, path, ids, batch_tag, id_col, id_type)

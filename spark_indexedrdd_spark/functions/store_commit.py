@@ -174,15 +174,18 @@ def commit_meta(path: str, meta: dict, rewrite: bool = False) -> None:
         # compactor's recheck and its retract, and the retract deleted
         # the winner's meta.json).
         committed = _committed_frontier(path)
-        if committed >= new and not fresh:
+        if committed >= new:
+            # fresh commits included: a rebuild racing a writer that
+            # committed past our base must NOT overwrite the winner's
+            # committed ledger file and roll the frontier backward —
+            # it re-reads the frontier and re-commits above it
             raise ConcurrentWriteConflict(
                 f"store at {path!r}: version {new} was committed by "
                 "another writer since this meta was read — re-run the "
                 "operation against the current store"
             )
-        # dead reservation from a crashed writer (or a rebuild
-        # reclaiming committed history it is destroying anyway):
-        # overwrite atomically
+        # dead reservation from a crashed writer (committed < new by
+        # the check above): overwrite atomically
         tmp = vpath + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(blob)
@@ -330,7 +333,22 @@ def retract_meta(path: str) -> None:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, marker)
+        # the marker must be durable BEFORE the unlink below can be:
+        # without the directory fsync a power loss can journal the
+        # meta.json removal (and the rebuild's later writes) while
+        # dropping the marker's directory entry — exactly the
+        # dead-reservation misreport the marker exists to prevent
+        vfd = os.open(vdir, os.O_RDONLY)
+        try:
+            os.fsync(vfd)
+        finally:
+            os.close(vfd)
     os.remove(p)
+    dfd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 # --------------------------------------------------------------------- #
@@ -535,6 +553,80 @@ def append_flat_store_batch(
     commit_meta(path, meta)  # <-- commit point
     if batch_tag is not None:
         cleanup_flat_staging(path, batch_tag)
+    return True
+
+
+def committed_tombstones(spark, path: str, meta: dict, id_col: str, id_type):
+    """Union of the committed tombstone batches under ONE meta snapshot
+    (None when the store has no applied deletes), cast to the STORE's
+    id type. Takedown-batch sized — callers broadcast it into an
+    anti-join. ``id_type`` comes from a frame the caller already has in
+    hand (never a fresh schema-inference scan of the store)."""
+    from pyspark.sql import functions as F
+
+    tags = meta.get("deletes", [])
+    if not tags:
+        return None
+    return (
+        spark.read.parquet(
+            *[os.path.join(path, "tombstones", t) for t in tags]
+        )
+        .select(F.col(id_col).cast(id_type).alias(id_col))
+        .distinct()
+    )
+
+
+def tombstone_delete(
+    spark, path: str, ids, batch_tag: str, id_col: str, id_type
+) -> bool:
+    """ONE copy of the meta-committed tombstone-delete protocol the
+    vector-store families share (IVF vectors, IVFPQ codes, binary
+    sketches — reference delete(ks), IndexedRDD.scala:120-123, at
+    rest). Returns False (replay no-op) when ``batch_tag`` was already
+    applied.
+
+    The tombstone parquet lands under ``tombstones/<tag>`` first —
+    INVISIBLE, because readers resolve the tombstone set from the tags
+    a committed meta names — then one atomic (OCC-versioned) meta
+    rewrite records the tag; a crash before it leaves the delete
+    unapplied and the replay's overwrite is exact. ``ids`` is an
+    iterable or one-column DataFrame; an EMPTY batch still commits the
+    tag (typed no-op — replay stays a no-op); an id that does not cast
+    to ``id_type`` refuses loudly (try_cast + null check — a NULL id
+    would anti-join nothing and report success while deleting
+    nothing)."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    validate_batch_tag(batch_tag)
+    meta = read_meta(path)
+    if batch_tag in meta.get("deletes", []):
+        return False
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
+    else:
+        rows = [(i,) for i in ids]
+        if not rows:
+            tomb = spark.createDataFrame(
+                [], T.StructType([T.StructField(id_col, id_type)])
+            )
+        else:
+            tomb = spark.createDataFrame(rows, [id_col])
+    tomb = tomb.dropna().select(
+        F.col(id_col).try_cast(id_type).alias(id_col)
+    )
+    if tomb.where(F.col(id_col).isNull()).take(1):
+        raise ValueError(
+            f"delete ids do not cast to the store's "
+            f"{id_type.simpleString()} {id_col} — refusing a delete "
+            "that could silently miss"
+        )
+    tomb.write.mode("overwrite").parquet(
+        os.path.join(path, "tombstones", batch_tag)
+    )
+    meta.setdefault("deletes", []).append(batch_tag)
+    commit_meta(path, meta)
     return True
 
 
