@@ -729,3 +729,32 @@ def test_postings_full_lifecycle_model(spark, docs, ops):
             assert snap == rebuild_serve(frozen), f"snapshot v{v} drifted"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_snapshot_serve_keeps_manifest_pruning(spark, docs, tmp_path):
+    """The as-of serve must prune exactly like the live serve: the
+    frozen meta's manifests drive the driver-side bucket pruning, so
+    the scan lists only the query terms' bucket files — time travel is
+    not a full-scan path (plan-asserted)."""
+    import re
+
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    p = str(tmp_path / "snap_prune")
+    R.write_postings_store(docs.where("doc_id % 2 = 0"), p)
+    v1 = SC.read_meta(p)["version"]
+    R.append_postings_batch(docs.where("doc_id % 2 = 1"), p, batch_tag="b1")
+    terms = sorted({t for _, s in R.DEFAULT_BM25_QUERIES for t in s.split()})
+    for frame in (
+        R.bm25_from_store(spark, p, version=v1),
+        R.bm25_from_store(spark, p),
+    ):
+        # inputFiles() is the ground truth for which files the scan
+        # lists (the executed-plan string elides locations under AQE)
+        touched = {
+            m.group(0)
+            for f in frame.inputFiles()
+            for m in [re.search(r"bucket=\d+", f)]
+            if m
+        }
+        assert 0 < len(touched) <= len(terms), touched
