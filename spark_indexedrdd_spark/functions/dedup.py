@@ -453,30 +453,9 @@ def delete_signature_docs(
 
     _SC.validate_batch_tag(batch_tag)
     id_type = spark.read.parquet(path).schema[id_col].dataType
-    if isinstance(ids, DataFrame):
-        tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
-    else:
-        rows = [(i,) for i in ids]
-        if not rows:
-            # empty takedown batch: typed empty frame, the overwrite
-            # below still lands an (empty) replay-exact tombstone dir
-            from pyspark.sql import types as T
-
-            tomb = spark.createDataFrame(
-                [], T.StructType([T.StructField(id_col, id_type)])
-            )
-        else:
-            tomb = spark.createDataFrame(rows, [id_col])
-    tomb = tomb.dropna().select(F.col(id_col).try_cast(id_type).alias(id_col))
-    if tomb.where(F.col(id_col).isNull()).take(1):
-        # an uncastable id becomes NULL and silently anti-joins nothing
-        # — the takedown would report success while deleting nothing
-        # for it; loud refusal instead (delete_ivf_ids rule)
-        raise ValueError(
-            f"delete ids do not cast to the store's "
-            f"{id_type.simpleString()} {id_col} — refusing a delete "
-            "that could silently miss"
-        )
+    # shared typed-id normalization (store_commit): empty batches land
+    # an empty replay-exact tombstone dir, uncastable ids refuse loudly
+    tomb = _SC.normalize_tombstone_ids(spark, ids, id_col, id_type)
     tomb.distinct().coalesce(1).write.mode("overwrite").parquet(
         path + "/_tombstones/" + batch_tag
     )

@@ -471,10 +471,13 @@ def append_ivf_batch(
     from spark_indexedrdd_spark.functions.vectors import norm
 
     spark = new_emb.sparkSession
-    tomb = _tombstone_ids(spark, path, SC.read_meta(path), id_col)
+    _vecs, cents = read_ivf_store(new_emb.sparkSession, path)
+    tomb = _tombstone_ids(
+        spark, path, SC.read_meta(path), id_col,
+        _vecs.schema[id_col].dataType,
+    )
     if tomb is not None:
         new_emb = new_emb.join(F.broadcast(tomb), id_col, "left_anti")
-    _vecs, cents = read_ivf_store(new_emb.sparkSession, path)
     assigned = new_emb.select(
         F.col(id_col),
         F.col(vec_col),
@@ -522,7 +525,10 @@ def incremental_semantic_dedup_from_store(
     _store_all, cents = read_ivf_store(spark, path)
     # committed tombstones (delete_ivf_ids) are dead for dedup too: a
     # removed vector must not claim new arrivals as its duplicates
-    tomb = _tombstone_ids(spark, path, SC.read_meta(path), id_col)
+    tomb = _tombstone_ids(
+        spark, path, SC.read_meta(path), id_col,
+        _store_all.schema[id_col].dataType,
+    )
     if tomb is not None:
         _store_all = _store_all.join(F.broadcast(tomb), id_col, "left_anti")
     new_n = new_emb.select(
@@ -621,11 +627,13 @@ def delete_ivf_ids(
 
     # pin the tombstone ids to the STORE's id type (the shared protocol
     # try_casts and refuses loudly — an anti-join between mismatched
-    # types silently never matches)
-    id_type = (
-        spark.read.parquet(path + "/vectors").select(id_col).schema[0].dataType
+    # types silently never matches); LAZY so a replayed tag returns
+    # before the schema scan
+    return SC.tombstone_delete(
+        spark, path, ids, batch_tag, id_col,
+        lambda: spark.read.parquet(path + "/vectors")
+        .select(id_col).schema[0].dataType,
     )
-    return SC.tombstone_delete(spark, path, ids, batch_tag, id_col, id_type)
 
 
 def _tombstone_ids(

@@ -1164,10 +1164,12 @@ def delete_ivfpq_ids(
     and report success while deleting nothing)."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    id_type = (
-        spark.read.parquet(path + "/codes").select(id_col).schema[0].dataType
+    # LAZY id_type: a replayed tag returns before the schema scan
+    return SC.tombstone_delete(
+        spark, path, ids, batch_tag, id_col,
+        lambda: spark.read.parquet(path + "/codes")
+        .select(id_col).schema[0].dataType,
     )
-    return SC.tombstone_delete(spark, path, ids, batch_tag, id_col, id_type)
 
 
 def compact_ivfpq_store(spark, path: str, id_col: str = "vec_id") -> int:

@@ -552,10 +552,9 @@ def delete_binary_ids(
     Uncastable ids refuse loudly (try_cast + null check)."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    id_type = (
-        spark.read.parquet(path + "/sketches")
-        .select(id_col)
-        .schema[0]
-        .dataType
+    # LAZY id_type: a replayed tag returns before the schema scan
+    return SC.tombstone_delete(
+        spark, path, ids, batch_tag, id_col,
+        lambda: spark.read.parquet(path + "/sketches")
+        .select(id_col).schema[0].dataType,
     )
-    return SC.tombstone_delete(spark, path, ids, batch_tag, id_col, id_type)

@@ -884,36 +884,12 @@ def delete_postings_docs(
             f"store at {path!r} predates the doclen sidecar; rebuild "
             "with write_postings_store to enable deletes"
         )
-    if isinstance(ids, DataFrame):
-        doomed = ids.select(F.col(ids.columns[0]).alias(id_col))
-    else:
-        rows = [(i,) for i in ids]
-        if not rows:
-            # empty takedown batch (an automated request matching
-            # nothing): typed empty frame — still commits the tag below
-            # so replay stays a no-op, deltas are zero by construction
-            from pyspark.sql import types as T
-
-            doomed = spark.createDataFrame(
-                [],
-                T.StructType(
-                    [T.StructField(id_col, dl.schema[id_col].dataType)]
-                ),
-            )
-        else:
-            doomed = spark.createDataFrame(rows, [id_col])
-    doomed = doomed.dropna().select(
-        F.col(id_col).try_cast(dl.schema[id_col].dataType).alias(id_col)
+    # shared typed-id normalization (store_commit): empty batches are
+    # typed no-ops (the tag still commits — deltas zero), uncastable
+    # ids refuse loudly before the semi-join could silently miss
+    doomed = SC.normalize_tombstone_ids(
+        spark, ids, id_col, dl.schema[id_col].dataType
     ).distinct()
-    if doomed.where(F.col(id_col).isNull()).take(1):
-        # an uncastable id would become NULL, drop out of the semi-join
-        # below, and the takedown would report success while deleting
-        # nothing for it — loud refusal instead (delete_ivf_ids rule)
-        raise ValueError(
-            "delete ids do not cast to the store's "
-            f"{dl.schema[id_col].dataType.simpleString()} {id_col} — "
-            "refusing a delete that could silently miss"
-        )
     # deltas over docs that are (a) actually in the store and (b) not
     # already dead — the doclen semi-join supplies both dl and (a);
     # the anti-join against committed tombstones supplies (b)

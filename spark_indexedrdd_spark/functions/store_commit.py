@@ -576,33 +576,19 @@ def committed_tombstones(spark, path: str, meta: dict, id_col: str, id_type):
     )
 
 
-def tombstone_delete(
-    spark, path: str, ids, batch_tag: str, id_col: str, id_type
-) -> bool:
-    """ONE copy of the meta-committed tombstone-delete protocol the
-    vector-store families share (IVF vectors, IVFPQ codes, binary
-    sketches — reference delete(ks), IndexedRDD.scala:120-123, at
-    rest). Returns False (replay no-op) when ``batch_tag`` was already
-    applied.
-
-    The tombstone parquet lands under ``tombstones/<tag>`` first —
-    INVISIBLE, because readers resolve the tombstone set from the tags
-    a committed meta names — then one atomic (OCC-versioned) meta
-    rewrite records the tag; a crash before it leaves the delete
-    unapplied and the replay's overwrite is exact. ``ids`` is an
-    iterable or one-column DataFrame; an EMPTY batch still commits the
-    tag (typed no-op — replay stays a no-op); an id that does not cast
-    to ``id_type`` refuses loudly (try_cast + null check — a NULL id
-    would anti-join nothing and report success while deleting
-    nothing)."""
+def normalize_tombstone_ids(spark, ids, id_col: str, id_type):
+    """ONE copy of the typed-tombstone id normalization every delete
+    path shares: iterable-or-DataFrame in, a distinct-ready frame of
+    the STORE's id type out. An EMPTY batch becomes a typed empty frame
+    (the caller still commits its tag — replay stays a no-op); an id
+    that does not cast refuses loudly (try_cast + null check — a NULL
+    id would anti-join nothing and report success while deleting
+    nothing, and under ANSI mode a plain cast would throw a raw
+    execution error before any loud check ran)."""
     from pyspark.sql import DataFrame
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    validate_batch_tag(batch_tag)
-    meta = read_meta(path)
-    if batch_tag in meta.get("deletes", []):
-        return False
     if isinstance(ids, DataFrame):
         tomb = ids.select(F.col(ids.columns[0]).alias(id_col))
     else:
@@ -622,6 +608,36 @@ def tombstone_delete(
             f"{id_type.simpleString()} {id_col} — refusing a delete "
             "that could silently miss"
         )
+    return tomb
+
+
+def tombstone_delete(
+    spark, path: str, ids, batch_tag: str, id_col: str, id_type
+) -> bool:
+    """ONE copy of the meta-committed tombstone-delete protocol the
+    vector-store families share (IVF vectors, IVFPQ codes, binary
+    sketches — reference delete(ks), IndexedRDD.scala:120-123, at
+    rest). Returns False (replay no-op) when ``batch_tag`` was already
+    applied.
+
+    The tombstone parquet lands under ``tombstones/<tag>`` first —
+    INVISIBLE, because readers resolve the tombstone set from the tags
+    a committed meta names — then one atomic (OCC-versioned) meta
+    rewrite records the tag; a crash before it leaves the delete
+    unapplied and the replay's overwrite is exact. ``ids`` is an
+    iterable or one-column DataFrame (normalize_tombstone_ids rules:
+    empty batches still commit their tag, uncastable ids refuse
+    loudly). ``id_type`` may be a DataType or a ZERO-ARG CALLABLE
+    returning one — callers whose type resolution costs a schema scan
+    pass the callable so a REPLAYED tag (the common at-least-once
+    path) returns False before any store read happens."""
+    validate_batch_tag(batch_tag)
+    meta = read_meta(path)
+    if batch_tag in meta.get("deletes", []):
+        return False
+    if callable(id_type):
+        id_type = id_type()
+    tomb = normalize_tombstone_ids(spark, ids, id_col, id_type)
     tomb.write.mode("overwrite").parquet(
         os.path.join(path, "tombstones", batch_tag)
     )
