@@ -22,6 +22,7 @@ from spark_indexedrdd_spark.core import SUM_MERGE, IndexedDataFrame  # noqa: E40
 from spark_indexedrdd_spark.functions import bpe as _bpe  # noqa: E402
 from spark_indexedrdd_spark.functions import classifier as _clf  # noqa: E402
 from spark_indexedrdd_spark.functions import dedup as _dedup  # noqa: E402
+from spark_indexedrdd_spark.functions import hybrid as _hyb  # noqa: E402
 from spark_indexedrdd_spark.functions import ivf as _ivf  # noqa: E402
 from spark_indexedrdd_spark.functions import multimodal as _mm  # noqa: E402
 from spark_indexedrdd_spark.functions import pq as _pq  # noqa: E402
@@ -623,6 +624,20 @@ def q_ivfpq_takedown_serve(spark, sf_dir):
     return _pq.ivfpq_store_ann(spark, path, queries, k=5, n_probe=4)
 
 
+def q_hybrid_rrf_retrieval(spark, sf_dir):
+    """Hybrid retrieval under driver evidence: BM25 lexical branch over
+    documents + brute-cosine dense branch over embeddings (same doc id
+    space), fused with fixed-point reciprocal-rank fusion
+    (floor(1e9/(60+rank)) summed as BIGINT — Cormack 2009). Both
+    branches are already hash-pinned, and rank fusion consumes ONLY
+    their integer ranks, so the fused top-k is oracle-exact. Fusion
+    touches branch results only (q x k_branch rows) — corpus-sized
+    work stays inside the branches; the at-rest twin
+    (hybrid.hybrid_rrf_from_stores, pytest-pinned store≡in-plan)
+    serves from pruned postings buckets + probed IVF clusters."""
+    return _hyb.hybrid_rrf(_docs(spark, sf_dir), _emb(spark, sf_dir))
+
+
 def q_zonemap_pruned_scan(spark, sf_dir):
     """Zone-map file skipping under driver evidence: cluster lineitem
     by l_shipdate with a per-file min/max sidecar
@@ -869,6 +884,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10 (post-window, PAST_CUTOFF_NEW): takedown on the compressed
     # serving tier — survivors-only ADC vs full-fit codebooks oracle
     "ivfpq_takedown_serve": q_ivfpq_takedown_serve,
+    # r10 (post-window, PAST_CUTOFF_NEW): hybrid BM25 ⊕ dense-cosine
+    # reciprocal-rank fusion — fixed-point rrf9 over branch ranks
+    "hybrid_rrf_retrieval": q_hybrid_rrf_retrieval,
     # r9 (post-window, PAST_CUTOFF_NEW): per-file bloom sidecar —
     # point-lookup file skipping on a non-clustered column
     "bloom_pruned_multiget": q_bloom_pruned_multiget,
@@ -1268,6 +1286,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     "ivfpq_takedown_serve": _pq.sql_ivfpq_residual_ann(
         query_ids=IVF_DELETE_QIDS, exclude_pred="vec_id % 7 = 0"
     ),
+    # branch CTEs are the branches' own exact oracles; fusion is the
+    # same floor(1e9/(60+rank)) BIGINT arithmetic on both engines
+    "hybrid_rrf_retrieval": _hyb.sql_hybrid_rrf(),
     # corpus never contained the dead docs; new batch unchanged
     "dedup_takedown_lsh": _dedup.sql_incremental_lsh_candidates(
         "doc_id % 20 = 0", exclude_pred="doc_id % 20 != 0 AND doc_id % 7 = 0"
@@ -1579,6 +1600,7 @@ PAST_CUTOFF_NEW: tuple = (
     "postings_store_changes",
     "zonemap_snapshot_scan",
     "ivfpq_takedown_serve",
+    "hybrid_rrf_retrieval",
 )
 
 # The 32 queries the staleness tripwire named verbatim after
@@ -1750,13 +1772,14 @@ _FILL_R9 = (
 # would exceed 50 the first time two debut-heavy rounds stack, making
 # the schedule unsatisfiable); cap debuts at ~5/round and prefer
 # folding near-duplicate entries (e.g. a future aggregate_fold ->
-# aggregate_using_index merge) over growing past it. n = 144 today
-# (140 at window-freeze + the ledger/takedown wave —
+# aggregate_using_index merge) over growing past it. n = 145 today
+# (140 at window-freeze + the ledger/takedown/hybrid wave —
 # bm25_store_time_travel, postings_store_changes,
-# zonemap_snapshot_scan, ivfpq_takedown_serve — behind the hatch); the 5 former past-cutoff
+# zonemap_snapshot_scan, ivfpq_takedown_serve, hybrid_rrf_retrieval —
+# behind the hatch); the 5 former past-cutoff
 # takedown/zone-map/bloom entries hold r10's entire debut budget, and
 # the r11 staleness batch is ~38 (the r08-green names _FILL_R10 does
-# not re-check) + 4 obliged debuts, leaving ~8 free r11 slots.
+# not re-check) + 5 obliged debuts, leaving ~7 free r11 slots.
 # --------------------------------------------------------------------- #
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}

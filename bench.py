@@ -895,6 +895,15 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
             _b.encode_from_store(spark, docs, "spark-warehouse/bench_bpe")
         )
 
+    # hybrid RRF: both branches + fusion in one plan — fusion cost is
+    # branch-results-sized (q x k_branch rows), so this times ~the sum
+    # of a BM25 pass and a brute-cosine pass
+    @timed("hybrid_rrf_retrieval")
+    def _hybrid():
+        from spark_indexedrdd_spark.functions import hybrid as _hyb
+
+        force(_hyb.hybrid_rrf(docs, emb))
+
     @timed("postings_store_write_once")
     def _post_w():
         import shutil

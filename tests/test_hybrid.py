@@ -1,0 +1,104 @@
+"""Hybrid RRF retrieval: oracle parity, store≡in-plan composition,
+fusion properties."""
+
+import os
+import shutil
+
+import pytest
+
+from spark_indexedrdd_spark.functions import hybrid as H
+from tests.oracle_utils import compare, duck_con
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def test_hybrid_rrf_oracle_exact(spark, sf_dir, docs, emb):
+    res = H.hybrid_rrf(docs, emb)
+    con = duck_con(sf_dir)
+    out = compare(res, H.sql_hybrid_rrf(), con)
+    assert out["ok"], out
+
+
+def test_hybrid_rrf_membership_and_shape(docs, emb):
+    """Every fused doc came from at least one branch top-k_branch; at
+    most k rows per qid; ranks are 1..n dense per qid."""
+    rows = H.hybrid_rrf(docs, emb, k=10, k_branch=20).collect()
+    by_q = {}
+    for r in rows:
+        assert r.lex_rank is not None or r.dense_rank is not None
+        assert r.lex_rank is None or 1 <= r.lex_rank <= 20
+        assert r.dense_rank is None or 1 <= r.dense_rank <= 20
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, grp in by_q.items():
+        assert len(grp) <= 10
+        ranks = sorted(r.rank for r in grp)
+        assert ranks == list(range(1, len(grp) + 1))
+        # fused order follows the fixed-point score, doc_id tie-break
+        grp = sorted(grp, key=lambda r: r.rank)
+        for a, b in zip(grp, grp[1:]):
+            assert (a.rrf_score, -a.doc_id) >= (b.rrf_score, -b.doc_id)
+
+
+def test_hybrid_both_branches_beat_single(docs, emb):
+    """A doc ranked #1 in BOTH branches must fuse to rank 1 (its rrf9
+    is the max achievable)."""
+    lex = [(1, 10, 1), (1, 11, 2)]
+    den = [(1, 10, 1), (1, 12, 1)]  # doc 10 tops both branches
+    sp = docs.sparkSession
+    lexdf = sp.createDataFrame(lex, "qid int, doc_id long, rank int")
+    dendf = sp.createDataFrame(den, "qid int, doc_id long, rank int")
+    fused = {r.doc_id: r.rank for r in H.fuse_rrf(lexdf, dendf, k=3).collect()}
+    assert fused[10] == 1
+
+
+def test_hybrid_from_stores_matches_in_plan(spark, sf_dir, docs, emb):
+    """Store-served hybrid (postings buckets + IVF clusters) with
+    n_probe = n_clusters equals fusing the SAME branch algorithms
+    in-plan — the store≡in-plan contract each branch carries, composed
+    through the fusion."""
+    from spark_indexedrdd_spark.functions import ivf as _ivf
+    from spark_indexedrdd_spark.functions import retrieval as _r
+
+    emb2 = emb.select("vec_id", "embedding")
+    ppath = os.path.join("spark-warehouse", "test_hybrid_postings")
+    ipath = os.path.join("spark-warehouse", "test_hybrid_ivf")
+    shutil.rmtree(ppath, ignore_errors=True)
+    shutil.rmtree(ipath, ignore_errors=True)
+    _r.write_postings_store(docs, ppath, n_buckets=16)
+    _ivf.write_ivf_store(emb2, ipath, n_clusters=8, method="det")
+
+    served = H.hybrid_rrf_from_stores(
+        spark, ppath, ipath, k=10, k_branch=20, n_probe=8
+    )
+
+    lex = _r.bm25_topk(
+        docs,
+        queries=tuple((q, t) for q, t, _v in H.HYBRID_QUERIES),
+        k=20,
+    ).select("qid", "doc_id", "rank")
+    den = _ivf.ivf_ann(
+        emb2,
+        query_ids=[v for _q, _t, v in H.HYBRID_QUERIES],
+        k=20,
+        n_clusters=8,
+        n_probe=8,
+        method="det",
+    )
+    inplan = H.fuse_rrf(
+        lex,
+        H._dense_to_qids(spark, den, H.HYBRID_QUERIES),
+        k=10,
+    )
+
+    key = lambda r: (r.qid, r.rank)  # noqa: E731
+    a = sorted(served.collect(), key=key)
+    b = sorted(inplan.collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
