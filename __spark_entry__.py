@@ -624,6 +624,31 @@ def q_ivfpq_takedown_serve(spark, sf_dir):
     return _pq.ivfpq_store_ann(spark, path, queries, k=5, n_probe=4)
 
 
+def q_similarity_ann_filtered(spark, sf_dir):
+    """Filtered ANN under driver evidence — the classic hard case for
+    vector indexes, expressed as a pushed-down predicate: build the
+    det IVF store persisting the label column (keep_cols), then serve
+    top-k among candidates with label % 2 = 0 ONLY (prefilter
+    semantics: ranks recut over matching candidates — a post-filter
+    of the unfiltered top-k would under-fill k). The predicate lands
+    in the pruned candidate scan as a parquet PushedFilter
+    (plan-asserted in tests/test_ivf_filtered.py), composing with the
+    cluster-directory pruning. Oracle: full-fit centroids, matching
+    candidates only (sql_ivf_ann(filter_pred=...))."""
+    import shutil
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+    path = os.path.join("spark-warehouse", "contract_ivf_filtered")
+    shutil.rmtree(path, ignore_errors=True)
+    _ivf.write_ivf_store(
+        emb, path, n_clusters=16, method="det", keep_cols=("label",)
+    )
+    return _ivf.ivf_ann_from_store(
+        spark, path, IVF_DELETE_QIDS, k=5, n_probe=4,
+        filter_pred="label % 2 = 0",
+    )
+
+
 def q_hybrid_rrf_retrieval(spark, sf_dir):
     """Hybrid retrieval under driver evidence: BM25 lexical branch over
     documents + brute-cosine dense branch over embeddings (same doc id
@@ -887,6 +912,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10 (post-window, PAST_CUTOFF_NEW): hybrid BM25 ⊕ dense-cosine
     # reciprocal-rank fusion — fixed-point rrf9 over branch ranks
     "hybrid_rrf_retrieval": q_hybrid_rrf_retrieval,
+    # r10 (post-window, PAST_CUTOFF_NEW): filtered ANN — metadata
+    # predicate pushed into the pruned IVF candidate scan
+    "similarity_ann_filtered": q_similarity_ann_filtered,
     # r9 (post-window, PAST_CUTOFF_NEW): per-file bloom sidecar —
     # point-lookup file skipping on a non-clustered column
     "bloom_pruned_multiget": q_bloom_pruned_multiget,
@@ -1289,6 +1317,11 @@ EXTENSION_ORACLE: dict[str, str] = {
     # branch CTEs are the branches' own exact oracles; fusion is the
     # same floor(1e9/(60+rank)) BIGINT arithmetic on both engines
     "hybrid_rrf_retrieval": _hyb.sql_hybrid_rrf(),
+    # full-fit centroids; candidate lists restricted to the matching
+    # labels only (prefilter semantics — ranks recut)
+    "similarity_ann_filtered": _ivf.sql_ivf_ann(
+        query_ids=IVF_DELETE_QIDS, filter_pred="label % 2 = 0"
+    ),
     # corpus never contained the dead docs; new batch unchanged
     "dedup_takedown_lsh": _dedup.sql_incremental_lsh_candidates(
         "doc_id % 20 = 0", exclude_pred="doc_id % 20 != 0 AND doc_id % 7 = 0"
@@ -1601,6 +1634,7 @@ PAST_CUTOFF_NEW: tuple = (
     "zonemap_snapshot_scan",
     "ivfpq_takedown_serve",
     "hybrid_rrf_retrieval",
+    "similarity_ann_filtered",
 )
 
 # The 32 queries the staleness tripwire named verbatim after
@@ -1772,14 +1806,17 @@ _FILL_R9 = (
 # would exceed 50 the first time two debut-heavy rounds stack, making
 # the schedule unsatisfiable); cap debuts at ~5/round and prefer
 # folding near-duplicate entries (e.g. a future aggregate_fold ->
-# aggregate_using_index merge) over growing past it. n = 145 today
-# (140 at window-freeze + the ledger/takedown/hybrid wave —
+# aggregate_using_index merge) over growing past it. n = 146 today
+# (140 at window-freeze + the ledger/takedown/retrieval wave —
 # bm25_store_time_travel, postings_store_changes,
-# zonemap_snapshot_scan, ivfpq_takedown_serve, hybrid_rrf_retrieval —
-# behind the hatch); the 5 former past-cutoff
-# takedown/zone-map/bloom entries hold r10's entire debut budget, and
-# the r11 staleness batch is ~38 (the r08-green names _FILL_R10 does
-# not re-check) + 5 obliged debuts, leaving ~7 free r11 slots.
+# zonemap_snapshot_scan, ivfpq_takedown_serve, hybrid_rrf_retrieval,
+# similarity_ann_filtered — behind the hatch); the 5 former
+# past-cutoff takedown/zone-map/bloom entries hold r10's entire debut
+# budget, and the r11 staleness batch is ~38 (the r08-green names
+# _FILL_R10 does not re-check) + 6 obliged debuts, leaving ~6 free
+# r11 slots — at the ~5/round debut cap, consolidate before adding
+# more (budget bound n <= 150 holds: 146 + r11's own debuts must not
+# push a single round's staleness batch past 50 - debuts).
 # --------------------------------------------------------------------- #
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}

@@ -556,6 +556,33 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
             method="det",
         )
 
+    # filtered ANN: metadata predicate pushed into the pruned candidate
+    # scan (keep_cols store) — prices the filter's row-skipping, not a
+    # metadata join
+    @timed("similarity_ann_filtered")
+    def _ivffilt():
+        import shutil
+
+        from spark_indexedrdd_spark.functions import ivf as _ivf
+
+        shutil.rmtree(
+            "spark-warehouse/bench_ivf_filtered", ignore_errors=True
+        )
+        _ivf.write_ivf_store(
+            emb.select("vec_id", "embedding", "label"),
+            "spark-warehouse/bench_ivf_filtered",
+            method="det",
+            keep_cols=("label",),
+        )
+        force(
+            _ivf.ivf_ann_from_store(
+                spark,
+                "spark-warehouse/bench_ivf_filtered",
+                _sim.DEFAULT_QUERY_IDS,
+                filter_pred="label % 2 = 0",
+            )
+        )
+
     @timed("semantic_dedup_incremental")
     def _semddi():
         from spark_indexedrdd_spark.functions import ivf as _ivf

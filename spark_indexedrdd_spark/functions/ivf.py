@@ -231,10 +231,23 @@ def ivf_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "kmeans",
+    filter_pred: "str | None" = None,
 ) -> DataFrame:
     """IVF top-k: (q_id, cand_id, cosine_sim, rank). Approximate — a true
     neighbor in an unprobed list is missed; recall is tested on clustered
     data in tests/test_similarity.py and tests/test_ivf_clusters.py.
+
+    ``filter_pred`` is FILTERED ANN (the classic hard case for vector
+    indexes — here it is just a predicate): top-k among candidates
+    satisfying a metadata predicate (e.g. ``"label % 2 = 0"``),
+    PREFILTER semantics — ranks are recut over the matching candidates,
+    never a post-filter of an unfiltered top-k (which under-fills k
+    exactly when the filter is selective). Centroids still fit on the
+    FULL corpus and queries are still looked up unfiltered: the filter
+    restricts the RESULT space only, matching the persisted-store
+    reality where the index is built once and filters vary per query.
+    The predicate sits directly on the candidate scan, below the
+    Arrow assignment projection — Catalyst pushes it into the source.
 
     ``method="kmeans"``: no SQL oracle (driver records a rows-only
     check) — pyspark.ml KMeans centroid updates are parallel float
@@ -251,9 +264,19 @@ def ivf_ann(
     projection), probe side broadcast, one window over the candidate
     set. ``.explain()`` shows no exchange between the scan and the
     candidate join."""
-    assigned, cents = build_ivf(
-        emb, n_clusters, seed, id_col, vec_col, method, repartition_lists=False
-    )
+    if filter_pred is None:
+        assigned, cents = build_ivf(
+            emb, n_clusters, seed, id_col, vec_col, method,
+            repartition_lists=False,
+        )
+    else:
+        # full-corpus fit, filtered candidates (see docstring)
+        cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
+        assigned = emb.where(filter_pred).select(
+            F.col(id_col),
+            F.col(vec_col),
+            _assign_udf(cents)(F.col(vec_col)).alias("cluster_id"),
+        )
 
     probes = (
         emb.where(F.col(id_col).isin(list(query_ids)))
@@ -372,6 +395,7 @@ def write_ivf_store(
     vec_col: str = "embedding",
     method: str = "kmeans",
     files_per_cluster: int = 1,
+    keep_cols: "tuple[str, ...]" = (),
 ) -> None:
     """Materialize the corpus as a partitioned IVF index: vectors (with
     precomputed norms and centroid assignment) at ``path/vectors``
@@ -397,16 +421,29 @@ def write_ivf_store(
     a million files per build). Keying the shuffle by (cluster, a
     bounded id-hash salt) caps the store at exactly n_clusters ×
     files_per_cluster files; raise files_per_cluster until each file
-    is ~maxPartitionBytes at your corpus size."""
+    is ~maxPartitionBytes at your corpus size.
+
+    ``keep_cols`` persists metadata columns alongside each vector
+    (e.g. a label/date/source column) — the store then supports
+    FILTERED ANN (``ivf_ann_from_store(filter_pred=...)``): the
+    predicate lands in the pruned candidate scan as a parquet
+    PushedFilter, so a filtered serve reads probed clusters and
+    row-skips inside them, never a separate metadata join. keep_cols
+    is recorded in meta; appends re-read it so batch schemas can't
+    silently diverge."""
     from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.functions.vectors import norm
 
+    missing = [c for c in keep_cols if c not in emb.columns]
+    if missing:
+        raise ValueError(f"keep_cols not in corpus frame: {missing}")
     cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
     assigned = emb.select(
         F.col(id_col),
         F.col(vec_col),
         norm(F.col(vec_col)).alias("nrm"),
         _assign_udf(cents)(F.col(vec_col)).alias("cluster_id"),
+        *[F.col(c) for c in keep_cols],
     )
     assigned = assigned.repartition(
         n_clusters * files_per_cluster,
@@ -425,7 +462,12 @@ def write_ivf_store(
         "cluster_id int, centroid array<double>, c_norm double",
     ).write.mode("overwrite").parquet(path + "/centroids")
     SC.commit_meta(
-        path, {"n_clusters": int(n_clusters), "method": str(method)}
+        path,
+        {
+            "n_clusters": int(n_clusters),
+            "method": str(method),
+            "keep_cols": list(keep_cols),
+        },
     )
 
 
@@ -472,17 +514,29 @@ def append_ivf_batch(
 
     spark = new_emb.sparkSession
     _vecs, cents = read_ivf_store(new_emb.sparkSession, path)
+    meta = SC.read_meta(path)
     tomb = _tombstone_ids(
-        spark, path, SC.read_meta(path), id_col,
+        spark, path, meta, id_col,
         _vecs.schema[id_col].dataType,
     )
     if tomb is not None:
         new_emb = new_emb.join(F.broadcast(tomb), id_col, "left_anti")
+    # the store's keep_cols contract, not the batch's shape: a batch
+    # missing a persisted metadata column must refuse loudly rather
+    # than appending rows the filtered-serve predicate can't see
+    keep_cols = tuple(meta.get("keep_cols", []) or [])
+    missing = [c for c in keep_cols if c not in new_emb.columns]
+    if missing:
+        raise ValueError(
+            f"batch lacks the store's keep_cols {missing} "
+            f"(store meta keep_cols={list(keep_cols)})"
+        )
     assigned = new_emb.select(
         F.col(id_col),
         F.col(vec_col),
         norm(F.col(vec_col)).alias("nrm"),
         _assign_udf(cents)(F.col(vec_col)).alias("cluster_id"),
+        *[F.col(c) for c in keep_cols],
     )
     assigned = assigned.repartition(
         len(cents) * files_per_cluster,
@@ -667,10 +721,22 @@ def ivf_ann_from_store(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     version: "int | None" = None,
+    filter_pred: "str | None" = None,
 ) -> DataFrame:
     """ANN top-k served FROM the persisted store: (q_id, cand_id,
     cosine_sim, rank), with committed tombstones excluded from both the
     query set and the candidates.
+
+    ``filter_pred`` is FILTERED ANN on the at-rest index: candidates
+    must satisfy a metadata predicate over the store's ``keep_cols``
+    (``write_ivf_store(keep_cols=...)``), prefilter semantics — ranks
+    recut over the matching candidates (``ivf_ann(filter_pred=)``
+    docstring). The predicate composes with the cluster pruning: it
+    sits on the pruned vectors scan, where Catalyst pushes it into the
+    parquet source (PushedFilters, plan-asserted) — a filtered serve
+    reads the probed clusters and row-group-skips inside them, never a
+    separate metadata join. A predicate naming a column the build did
+    not persist fails analysis loudly.
 
     Plan shape at scale: meta + centroids are one driver-side read;
     probe selection collects q × n_probe rows (bounded by the query
@@ -729,9 +795,10 @@ def ivf_ann_from_store(
     probe_df = spark.createDataFrame(
         [(r.q_id, r.q_vec, r.cluster_id) for r in probe_rows], probe_schema
     )
+    cand_vecs = vecs.where(filter_pred) if filter_pred else vecs
     cand = (
         F.broadcast(probe_df)
-        .join(vecs.where(F.col("cluster_id").isin(hit)), "cluster_id")
+        .join(cand_vecs.where(F.col("cluster_id").isin(hit)), "cluster_id")
         .where(F.col("q_id") != F.col(id_col))
     )
     scored = cand.select(
@@ -857,6 +924,7 @@ def sql_ivf_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_pred: "str | None" = None,
+    filter_pred: "str | None" = None,
 ) -> str:
     """Exact DuckDB twin of ``ivf_ann(..., method="det")``.
 
@@ -866,6 +934,12 @@ def sql_ivf_ann(
     never re-fits), while query selection and the candidate lists see
     only survivors. This is the oracle for
     :func:`ivf_ann_from_store` after :func:`delete_ivf_ids`.
+
+    ``filter_pred`` is the FILTERED-ANN twin: it restricts the
+    CANDIDATE lists only (queries still found unfiltered, centroids
+    still full-fit) — the oracle for ``ivf_ann(filter_pred=)`` and the
+    store serve with ``filter_pred=``. Composes with ``exclude_pred``
+    (filtered serve on a store with tombstones).
 
     Bit-exactness argument (same as sql_hyperplane_lsh_ann): both sides
     use sequential double folds for every dot product; the centroid set
@@ -880,6 +954,12 @@ def sql_ivf_ann(
 
     ids = ", ".join(str(i) for i in query_ids)
     live = f" WHERE NOT ({exclude_pred})" if exclude_pred else ""
+    cand_conds = []
+    if exclude_pred:
+        cand_conds.append(f"NOT ({exclude_pred})")
+    if filter_pred:
+        cand_conds.append(f"({filter_pred})")
+    cand_live = (" WHERE " + " AND ".join(cand_conds)) if cand_conds else ""
     c_sim = f"({sql_dot(f'e.{vec_col}', 'c.centroid')} / c.c_norm)"
     q_sim = f"({sql_dot(f'q.{vec_col}', 'c.centroid')} / c.c_norm)"
     return f"""
@@ -897,7 +977,7 @@ def sql_ivf_ann(
                            PARTITION BY e.{id_col}
                            ORDER BY {c_sim} DESC, c.cluster_id
                        ) AS rn
-                FROM (SELECT * FROM {table}{live}) e CROSS JOIN cents c
+                FROM (SELECT * FROM {table}{cand_live}) e CROSS JOIN cents c
             ) WHERE rn = 1
         ),
         probes AS (
