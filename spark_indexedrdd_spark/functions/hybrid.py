@@ -175,6 +175,7 @@ def hybrid_rrf_from_stores(
     n_probe: int = 4,
     postings_version: "int | None" = None,
     ivf_version: "int | None" = None,
+    dense_filter_pred: "str | None" = None,
 ) -> DataFrame:
     """Hybrid serve FROM the persisted indexes: the lexical branch is
     :func:`retrieval.bm25_from_store` (reads only the query terms'
@@ -186,7 +187,18 @@ def hybrid_rrf_from_stores(
 
     Parity (pytest-pinned): with ``n_probe = n_clusters`` this equals
     fusing the same branches in-plan (``bm25_topk`` + ``ivf_ann``) —
-    the store≡in-plan contract each branch already carries, composed."""
+    the store≡in-plan contract each branch already carries, composed.
+
+    ``dense_filter_pred`` is filtered hybrid search (RAG with a
+    metadata filter): the dense branch serves only candidates matching
+    the predicate over the IVF store's keep_cols
+    (``ivf.ivf_ann_from_store(filter_pred=)`` — prefilter semantics,
+    predicate pushed into the pruned scan). The lexical branch is
+    unfiltered (the postings store carries no metadata); a
+    doc admitted only lexically therefore fuses on its lexical rank
+    alone — callers needing a hard filter across both branches apply
+    it to the fused frame (the branch flags make that a one-line
+    where)."""
     from spark_indexedrdd_spark.functions.ivf import ivf_ann_from_store
     from spark_indexedrdd_spark.functions.retrieval import bm25_from_store
 
@@ -204,6 +216,7 @@ def hybrid_rrf_from_stores(
         k=k_branch,
         n_probe=n_probe,
         version=ivf_version,
+        filter_pred=dense_filter_pred,
     )
     return fuse_rrf(
         lex, _dense_to_qids(spark, den, queries), k=k, rrf_k=rrf_k

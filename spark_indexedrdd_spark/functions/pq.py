@@ -692,6 +692,7 @@ def _assign_res_encode(
     codebooks: "list[list[list[float]]]",
     id_col: str,
     vec_col: str,
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """One Arrow pass over the corpus: nearest centroid, then PQ codes
     of the RESIDUAL → (id, cluster_id, codes). mapInPandas, not a
@@ -730,17 +731,24 @@ def _assign_res_encode(
                         acc = acc + t * t
                     dists[:, c] = acc
                 codes[:, j] = np.argmin(dists, axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "cluster_id": assign.astype(np.int32),
-                    "codes": list(codes),
-                }
-            )
+            out = {
+                id_col: pdf[id_col],
+                "cluster_id": assign.astype(np.int32),
+                "codes": list(codes),
+            }
+            for c in keep_cols:  # metadata rides the encode pass
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    keep_schema = "".join(
+        f", {c} {emb.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
+    return emb.select(id_col, vec_col, *keep_cols).mapInPandas(
         assign_encode,
-        schema=f"{id_col} {id_type}, cluster_id int, codes array<int>",
+        schema=(
+            f"{id_col} {id_type}, cluster_id int, codes array<int>"
+            + keep_schema
+        ),
     )
 
 
@@ -835,6 +843,7 @@ def sql_ivfpq_residual_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_pred: "str | None" = None,
+    filter_pred: "str | None" = None,
 ) -> str:
     """Exact DuckDB twin of ``ivfpq_residual_ann(..., method="det")``:
     residuals computed relationally (assigned ⋈ cents), codebooks from
@@ -846,7 +855,13 @@ def sql_ivfpq_residual_ann(
     centroids AND codebooks still fit on the full table (the store pins
     both — deletion never re-codes), while the candidate codes see only
     survivors. This is the oracle for :func:`ivfpq_store_ann` after
-    :func:`delete_ivfpq_ids`."""
+    :func:`delete_ivfpq_ids`.
+
+    ``filter_pred`` is the FILTERED-ANN twin on the compressed tier:
+    candidate codes restricted to rows matching a predicate over
+    ``table``'s columns (queries unfiltered, quantizer full-fit) —
+    applied as an id semi-join because the residual CTE carries only
+    (id, cluster, residual). Composes with ``exclude_pred``."""
     from spark_indexedrdd_spark.functions.vectors import sql_dot, sql_norm
 
     ids = ", ".join(str(i) for i in query_ids)
@@ -854,7 +869,15 @@ def sql_ivfpq_residual_ann(
     res_slice = (
         f"list_slice(residual, sub_id * {dsub} + 1, sub_id * {dsub} + {dsub})"
     )
-    live = f" WHERE NOT ({exclude_pred})" if exclude_pred else ""
+    conds = []
+    if exclude_pred:
+        conds.append(f"NOT ({exclude_pred})")
+    if filter_pred:
+        conds.append(
+            f"{id_col} IN (SELECT {id_col} FROM {table}"
+            f" WHERE ({filter_pred}))"
+        )
+    live = (" WHERE " + " AND ".join(conds)) if conds else ""
     enc_dist = _sql_sub_dist("s.sub", "cb.cw", dsub)
     adc_dist = _sql_sub_dist("q.sub", "cb.cw", dsub)
     c_sim = f"({sql_dot(f'e.{vec_col}', 'c.centroid')} / c.c_norm)"
@@ -965,6 +988,7 @@ def write_ivfpq_store(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "kmeans",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> None:
     """Materialize the corpus as a SERVABLE IVFPQ index: residual codes
     at ``path/codes`` PARTITIONED BY cluster_id, centroids at
@@ -981,13 +1005,25 @@ def write_ivfpq_store(
     Commit protocol (store_commit docstring): retract the old meta
     marker, land the three parts, commit meta atomically LAST — a
     crashed rebuild cannot leave old codebooks silently decoding new
-    codes."""
+    codes.
+
+    ``keep_cols`` persists metadata columns beside each code row —
+    FILTERED ANN on the compressed tier
+    (``ivfpq_store_ann(filter_pred=)``), same contract as
+    ``ivf.write_ivf_store(keep_cols=...)``: recorded in meta, appends
+    re-read it, the predicate reaches the pruned codes scan as a
+    parquet PushedFilter."""
     from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.functions.ivf import _centroids
 
+    missing = [c for c in keep_cols if c not in emb.columns]
+    if missing:
+        raise ValueError(f"keep_cols not in corpus frame: {missing}")
     cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
     cbs = _res_codebooks(emb, cents, m, ksub, seed, id_col, vec_col, method)
-    codes = _assign_res_encode(emb, cents, cbs, id_col, vec_col)
+    codes = _assign_res_encode(
+        emb, cents, cbs, id_col, vec_col, keep_cols=keep_cols
+    )
     # retract only once the non-destructive work (centroid/codebook
     # fits) is done: a failed FIT must not brick an intact store
     SC.retract_meta(path)
@@ -1014,6 +1050,7 @@ def write_ivfpq_store(
             "n_probe": int(n_probe),
             "m": int(m),
             "ksub": int(ksub),
+            "keep_cols": list(keep_cols),
         },
     )
 
@@ -1053,9 +1090,22 @@ def append_ivfpq_batch(
     """Fold an ingest batch into the store: assign + encode with the
     STORED centroids and codebooks (the quantizer is fixed at build
     time — re-fitting would silently re-code every list) and append
-    into the per-cluster directories."""
+    into the per-cluster directories. The store's keep_cols contract
+    is enforced (ivf.append_ivf_batch docstring): a batch missing a
+    persisted metadata column refuses loudly."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    keep_cols = tuple(SC.read_meta(path).get("keep_cols", []) or [])
+    missing = [c for c in keep_cols if c not in new_emb.columns]
+    if missing:
+        raise ValueError(
+            f"batch lacks the store's keep_cols {missing} "
+            f"(store meta keep_cols={list(keep_cols)})"
+        )
     _codes, cents, cbs = read_ivfpq_store(new_emb.sparkSession, path)
-    batch = _assign_res_encode(new_emb, cents, cbs, id_col, vec_col)
+    batch = _assign_res_encode(
+        new_emb, cents, cbs, id_col, vec_col, keep_cols=keep_cols
+    )
     batch.write.mode("append").partitionBy("cluster_id").parquet(
         path + "/codes"
     )
@@ -1069,6 +1119,7 @@ def ivfpq_store_ann(
     n_probe: "int | None" = None,
     id_col: str = "vec_id",
     version: "int | None" = None,
+    filter_pred: "str | None" = None,
 ) -> DataFrame:
     """Serve ANN from a persisted IVFPQ store: (q_id, cand_id,
     adc_dist, rank) for driver-side query vectors. The codes read
@@ -1083,7 +1134,14 @@ def ivfpq_store_ann(
     candidates broadcast-side; ``version`` serves AS OF an earlier
     committed meta, freezing the tombstone set (the delete-history
     as-of surface, like ivf_ann_from_store — code appends are direct
-    cluster-dir writes and are not versioned away)."""
+    cluster-dir writes and are not versioned away).
+
+    ``filter_pred`` is FILTERED ANN on the compressed tier: candidates
+    restricted to a metadata predicate over the store's keep_cols
+    (prefilter semantics — ranks recut; ``ivf.ivf_ann(filter_pred=)``
+    docstring). The predicate sits on the pruned codes scan where it
+    becomes a parquet PushedFilter, composing with the cluster pruning
+    — never a metadata join or a decode."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
     meta = SC.resolve_serve_meta(path, version)
@@ -1096,6 +1154,8 @@ def ivfpq_store_ann(
     if tomb is not None:
         # takedown-batch sized — broadcast, never a candidate shuffle
         codes = codes.join(F.broadcast(tomb), id_col, "left_anti")
+    if filter_pred:
+        codes = codes.where(filter_pred)
     m = len(cbs)
     d = sum(len(cb[0]) for cb in cbs)
     bounds = _sub_bounds(d, m)

@@ -142,11 +142,16 @@ def binary_sketches(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
-    """(id, sketch array<bigint>): the persisted form — 32× smaller than
-    float32, computed inside the ingest scan (narrow)."""
+    """(id, sketch array<bigint>[, keep_cols...]): the persisted form —
+    32× smaller than float32, computed inside the ingest scan (narrow).
+    ``keep_cols`` rides metadata beside each sketch so a filtered serve
+    can predicate STAGE 1 (binary_store_ann docstring)."""
     return emb.select(
-        F.col(id_col), binary_sketch(F.col(vec_col), dims).alias("sketch")
+        F.col(id_col),
+        binary_sketch(F.col(vec_col), dims).alias("sketch"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -238,6 +243,7 @@ def write_binary_store(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> None:
     """Materialize the two-file serving layout:
 
@@ -262,15 +268,20 @@ def write_binary_store(
     from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.sources.bucketed import write_sorted
 
+    missing = [c for c in keep_cols if c not in emb.columns]
+    if missing:
+        raise ValueError(f"keep_cols not in corpus frame: {missing}")
     SC.retract_meta(path)
-    binary_sketches(emb, dims, id_col, vec_col).write.mode(
+    binary_sketches(emb, dims, id_col, vec_col, keep_cols).write.mode(
         "overwrite"
     ).parquet(path + "/sketches")
     idf = IndexedDataFrame.from_unique(
         emb.select(id_col, vec_col), id_col, cache=False
     )
     write_sorted(idf, path + "/vectors")
-    SC.commit_meta(path, {"dims": int(dims)})
+    SC.commit_meta(
+        path, {"dims": int(dims), "keep_cols": list(keep_cols)}
+    )
 
 
 def append_binary_batch(
@@ -298,13 +309,21 @@ def append_binary_batch(
     copies are bit-identical and binary_store_ann keeps one per id
     (pytest-pinned)."""
     from spark_indexedrdd_spark.core import IndexedDataFrame
+    from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.sources.bucketed import write_sorted
 
+    keep_cols = tuple(SC.read_meta(path).get("keep_cols", []) or [])
+    missing = [c for c in keep_cols if c not in new_emb.columns]
+    if missing:
+        raise ValueError(
+            f"batch lacks the store's keep_cols {missing} "
+            f"(store meta keep_cols={list(keep_cols)})"
+        )
     idf = IndexedDataFrame.from_unique(
         new_emb.select(id_col, vec_col), id_col, cache=False
     )
     write_sorted(idf, path + "/vectors", mode="append")
-    binary_sketches(new_emb, dims, id_col, vec_col).write.mode(
+    binary_sketches(new_emb, dims, id_col, vec_col, keep_cols).write.mode(
         "append"
     ).parquet(path + "/sketches")
 
@@ -318,6 +337,7 @@ def binary_store_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     version: "int | None" = None,
+    filter_pred: "str | None" = None,
 ) -> DataFrame:
     """Serve ANN queries from the persisted store: stage 1 scans ONLY
     the sketch file (Hamming against driver-computed query sketches,
@@ -377,6 +397,12 @@ def binary_store_ann(
         # takedown-batch sized — broadcast anti-join ON the sketch
         # scan, so a deleted id can't displace live Hamming candidates
         sk = sk.join(F.broadcast(tomb), id_col, "left_anti")
+    if filter_pred:
+        # FILTERED ANN: the predicate (over keep_cols persisted at
+        # build) lands in STAGE 1 for the same reason tombstones do —
+        # a non-matching id must not displace matching Hamming
+        # candidates. Pushed into the sketch scan by Catalyst.
+        sk = sk.where(filter_pred)
     pre_w = Window.partitionBy("q_id").orderBy(
         F.asc("hamming"), F.asc("cand_id")
     )
@@ -463,14 +489,20 @@ def sql_binary_ann(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_pred: "str | None" = None,
 ) -> str:
     """Exact DuckDB twin of :func:`binary_ann`: integer Hamming on the
     identically-folded sketches, ROW_NUMBER with the same (hamming,
     cand_id) and (cosine DESC, cand_id) tie-breaks, sequential-fold
-    cosine (vectors.sql_cosine) on the survivors."""
+    cosine (vectors.sql_cosine) on the survivors.
+
+    ``filter_pred`` restricts the CANDIDATE side only (stage-1
+    placement, mirroring the Spark serve) — the filtered-ANN twin for
+    ``binary_store_ann(filter_pred=)`` on a keep_cols store."""
     from spark_indexedrdd_spark.functions.vectors import sql_cosine
 
     ids = ", ".join(str(i) for i in query_ids)
+    cand_where = f" WHERE ({filter_pred})" if filter_pred else ""
     n_words = (dims + BINARY_WORD_BITS - 1) // BINARY_WORD_BITS
     ham = " + ".join(
         f"CAST(bit_count(xor(q.q_sketch[{i + 1}], c.c_sketch[{i + 1}])) AS BIGINT)"
@@ -485,7 +517,7 @@ def sql_binary_ann(
         c AS (
             SELECT {id_col} AS cand_id, {vec_col} AS c_vec,
                    {_sql_sketch(vec_col, dims)} AS c_sketch
-            FROM {table}
+            FROM {table}{cand_where}
         ),
         pre AS (
             SELECT q.q_id, c.cand_id, q.q_vec, c.c_vec,

@@ -102,3 +102,49 @@ def test_hybrid_from_stores_matches_in_plan(spark, sf_dir, docs, emb):
     a = sorted(served.collect(), key=key)
     b = sorted(inplan.collect(), key=key)
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_hybrid_from_stores_dense_filter(spark, docs, emb):
+    """Filtered hybrid: the dense branch honours a keep_cols metadata
+    predicate — equals fusing bm25 with the FILTERED in-plan IVF."""
+    from spark_indexedrdd_spark.functions import ivf as _ivf
+    from spark_indexedrdd_spark.functions import retrieval as _r
+
+    emb3 = emb.select("vec_id", "embedding", "label")
+    ppath = os.path.join("spark-warehouse", "test_hybrid_postings_f")
+    ipath = os.path.join("spark-warehouse", "test_hybrid_ivf_f")
+    shutil.rmtree(ppath, ignore_errors=True)
+    shutil.rmtree(ipath, ignore_errors=True)
+    _r.write_postings_store(docs, ppath, n_buckets=16)
+    _ivf.write_ivf_store(
+        emb3, ipath, n_clusters=8, method="det", keep_cols=("label",)
+    )
+    served = H.hybrid_rrf_from_stores(
+        spark, ppath, ipath, k=10, k_branch=20, n_probe=8,
+        dense_filter_pred="label % 2 = 0",
+    )
+    lex = _r.bm25_topk(
+        docs,
+        queries=tuple((q, t) for q, t, _v in H.HYBRID_QUERIES),
+        k=20,
+    ).select("qid", "doc_id", "rank")
+    den = _ivf.ivf_ann(
+        emb3,
+        query_ids=[v for _q, _t, v in H.HYBRID_QUERIES],
+        k=20,
+        n_clusters=8,
+        n_probe=8,
+        method="det",
+        filter_pred="label % 2 = 0",
+    )
+    inplan = H.fuse_rrf(
+        lex, H._dense_to_qids(spark, den, H.HYBRID_QUERIES), k=10
+    )
+    key = lambda r: (r.qid, r.rank)  # noqa: E731
+    assert sorted(map(tuple, served.collect()), key=lambda t: t[:2]) == \
+        sorted(map(tuple, inplan.collect()), key=lambda t: t[:2])
+    # every dense-admitted doc satisfies the predicate
+    labs = {r.vec_id: r.label for r in emb3.select("vec_id", "label").collect()}
+    for r in served.collect():
+        if r.dense_rank is not None:
+            assert labs[r.doc_id] % 2 == 0
