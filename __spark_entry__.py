@@ -24,6 +24,7 @@ from spark_indexedrdd_spark.functions import classifier as _clf  # noqa: E402
 from spark_indexedrdd_spark.functions import dedup as _dedup  # noqa: E402
 from spark_indexedrdd_spark.functions import hybrid as _hyb  # noqa: E402
 from spark_indexedrdd_spark.functions import ivf as _ivf  # noqa: E402
+from spark_indexedrdd_spark.functions import mmr as _mmr  # noqa: E402
 from spark_indexedrdd_spark.functions import multimodal as _mm  # noqa: E402
 from spark_indexedrdd_spark.functions import pq as _pq  # noqa: E402
 from spark_indexedrdd_spark.functions import quant as _quant  # noqa: E402
@@ -564,6 +565,7 @@ def q_dedup_takedown_lsh(spark, sf_dir):
 # Survivors of the delete predicate below among the standard ANN query
 # ids (0 and 350 are % 7 == 0 and get tombstoned).
 IVF_DELETE_QIDS = [50, 100, 150, 200, 250, 300, 400, 450]
+MMR_QIDS = [0, 100, 200, 300, 400]
 
 
 def q_ivf_store_delete_serve(spark, sf_dir):
@@ -646,6 +648,22 @@ def q_similarity_ann_filtered(spark, sf_dir):
     return _ivf.ivf_ann_from_store(
         spark, path, IVF_DELETE_QIDS, k=5, n_probe=4,
         filter_pred="label % 2 = 0",
+    )
+
+
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversified re-rank under driver evidence (Carbonell 1998):
+    greedy maximal-marginal-relevance over the brute-cosine candidate
+    pool — lam*rel - (1-lam)*max-sim-to-picked, ties to the smallest
+    cand_id, max over the empty set = 0.0. All sims are the fold-exact
+    JVM cosine (identical to the oracle's sql_cosine folds) and the
+    selection arithmetic is two IEEE multiplies + a subtract, so the
+    oracle — the k greedy steps UNROLLED as chained CTEs, the
+    PageRank-recurrence pattern — is bit-exact. Selection cost is
+    rerank-window sized (q x n_cand^2 pair rows, one Arrow task per
+    query), independent of corpus size."""
+    return _mmr.mmr_rerank(
+        _emb(spark, sf_dir), MMR_QIDS, k=5, n_candidates=20
     )
 
 
@@ -915,6 +933,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10 (post-window, PAST_CUTOFF_NEW): filtered ANN — metadata
     # predicate pushed into the pruned IVF candidate scan
     "similarity_ann_filtered": q_similarity_ann_filtered,
+    # r10 (post-window, PAST_CUTOFF_NEW): MMR diversified re-rank —
+    # unrolled greedy-step oracle, rerank-window-sized selection
+    "mmr_rerank": q_mmr_rerank,
     # r9 (post-window, PAST_CUTOFF_NEW): per-file bloom sidecar —
     # point-lookup file skipping on a non-clustered column
     "bloom_pruned_multiget": q_bloom_pruned_multiget,
@@ -1322,6 +1343,11 @@ EXTENSION_ORACLE: dict[str, str] = {
     "similarity_ann_filtered": _ivf.sql_ivf_ann(
         query_ids=IVF_DELETE_QIDS, filter_pred="label % 2 = 0"
     ),
+    # k greedy MMR steps unrolled as chained CTEs; same fold cosines,
+    # same lam*rel - (1-lam)*COALESCE(maxsim, 0.0) arithmetic
+    "mmr_rerank": _mmr.sql_mmr_rerank(
+        query_ids=MMR_QIDS, k=5, n_candidates=20
+    ),
     # corpus never contained the dead docs; new batch unchanged
     "dedup_takedown_lsh": _dedup.sql_incremental_lsh_candidates(
         "doc_id % 20 = 0", exclude_pred="doc_id % 20 != 0 AND doc_id % 7 = 0"
@@ -1635,6 +1661,7 @@ PAST_CUTOFF_NEW: tuple = (
     "ivfpq_takedown_serve",
     "hybrid_rrf_retrieval",
     "similarity_ann_filtered",
+    "mmr_rerank",
 )
 
 # The 32 queries the staleness tripwire named verbatim after
@@ -1806,17 +1833,19 @@ _FILL_R9 = (
 # would exceed 50 the first time two debut-heavy rounds stack, making
 # the schedule unsatisfiable); cap debuts at ~5/round and prefer
 # folding near-duplicate entries (e.g. a future aggregate_fold ->
-# aggregate_using_index merge) over growing past it. n = 146 today
+# aggregate_using_index merge) over growing past it. n = 147 today
 # (140 at window-freeze + the ledger/takedown/retrieval wave —
 # bm25_store_time_travel, postings_store_changes,
 # zonemap_snapshot_scan, ivfpq_takedown_serve, hybrid_rrf_retrieval,
-# similarity_ann_filtered — behind the hatch); the 5 former
-# past-cutoff takedown/zone-map/bloom entries hold r10's entire debut
-# budget, and the r11 staleness batch is ~38 (the r08-green names
-# _FILL_R10 does not re-check) + 6 obliged debuts, leaving ~6 free
-# r11 slots — at the ~5/round debut cap, consolidate before adding
-# more (budget bound n <= 150 holds: 146 + r11's own debuts must not
-# push a single round's staleness batch past 50 - debuts).
+# similarity_ann_filtered, mmr_rerank — behind the hatch); the 5
+# former past-cutoff takedown/zone-map/bloom entries hold r10's
+# entire debut budget, and the r11 staleness batch is ~38 (the
+# r08-green names _FILL_R10 does not re-check) + 7 obliged debuts
+# = 45 window slots, leaving ~5 free r11 slots. HARD STOP on further
+# r10 contract additions: 147 is within the n <= 150 bound but the
+# hatch is at capacity — r11 must add at most ~3 of its own debuts,
+# and consolidation (aggregate_fold -> aggregate_using_index) is the
+# next lever before n grows again.
 # --------------------------------------------------------------------- #
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}

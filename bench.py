@@ -922,6 +922,15 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
             _b.encode_from_store(spark, docs, "spark-warehouse/bench_bpe")
         )
 
+    # MMR diversified re-rank: pool generation + rerank-window-sized
+    # greedy selection (one Arrow task per query)
+    @timed("mmr_rerank")
+    def _mmr():
+        from spark_indexedrdd_spark.functions import mmr as _m
+
+        force(_m.mmr_rerank(emb, [0, 100, 200, 300, 400], k=5,
+                            n_candidates=20))
+
     # hybrid RRF: both branches + fusion in one plan — fusion cost is
     # branch-results-sized (q x k_branch rows), so this times ~the sum
     # of a BM25 pass and a brute-cosine pass
