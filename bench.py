@@ -556,11 +556,12 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
             method="det",
         )
 
-    # filtered ANN: metadata predicate pushed into the pruned candidate
-    # scan (keep_cols store) — prices the filter's row-skipping, not a
-    # metadata join
-    @timed("similarity_ann_filtered")
-    def _ivffilt():
+    # filtered ANN, split like every other store pair: the build is
+    # one entry, the serve another — so the serve number prices the
+    # filter's row-skipping (not the rebuild), and a filtered-serve
+    # regression is visible on its own line
+    @timed("ivf_filtered_store_write_once")
+    def _ivffilt_w():
         import shutil
 
         from spark_indexedrdd_spark.functions import ivf as _ivf
@@ -574,6 +575,11 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
             method="det",
             keep_cols=("label",),
         )
+
+    @timed("similarity_ann_filtered")
+    def _ivffilt_r():
+        from spark_indexedrdd_spark.functions import ivf as _ivf
+
         force(
             _ivf.ivf_ann_from_store(
                 spark,

@@ -198,6 +198,7 @@ def build_ivf(
     vec_col: str = "embedding",
     method: str = "kmeans",
     repartition_lists: bool = True,
+    cand_filter: "str | None" = None,
 ) -> "tuple[DataFrame, list[tuple[list[float], float]]]":
     """Returns (assigned, centroids): ``assigned`` is the corpus with a
     cluster_id column (the inverted file); ``centroids`` is the
@@ -209,9 +210,16 @@ def build_ivf(
     cluster_id — the layout a PERSISTED index wants (each inverted list
     co-located / one file group per list, so probes prune). One-shot
     queries should pass False: their candidate join broadcasts the probe
-    side, which needs no co-location."""
+    side, which needs no co-location.
+
+    ``cand_filter`` (filtered ANN, ``ivf_ann(filter_pred=)``) restricts
+    the ASSIGNED rows only — the centroid fit always reads the full
+    frame (the index is built once, filters vary per query), and the
+    filter sits below the assignment projection so Catalyst pushes it
+    into the source."""
     cents = _centroids(emb, k, seed, id_col, vec_col, method)
-    assigned = emb.select(
+    cand_src = emb.where(cand_filter) if cand_filter else emb
+    assigned = cand_src.select(
         F.col(id_col),
         F.col(vec_col),
         _assign_udf(cents)(F.col(vec_col)).alias("cluster_id"),
@@ -264,19 +272,10 @@ def ivf_ann(
     projection), probe side broadcast, one window over the candidate
     set. ``.explain()`` shows no exchange between the scan and the
     candidate join."""
-    if filter_pred is None:
-        assigned, cents = build_ivf(
-            emb, n_clusters, seed, id_col, vec_col, method,
-            repartition_lists=False,
-        )
-    else:
-        # full-corpus fit, filtered candidates (see docstring)
-        cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
-        assigned = emb.where(filter_pred).select(
-            F.col(id_col),
-            F.col(vec_col),
-            _assign_udf(cents)(F.col(vec_col)).alias("cluster_id"),
-        )
+    assigned, cents = build_ivf(
+        emb, n_clusters, seed, id_col, vec_col, method,
+        repartition_lists=False, cand_filter=filter_pred,
+    )
 
     probes = (
         emb.where(F.col(id_col).isin(list(query_ids)))
@@ -434,9 +433,7 @@ def write_ivf_store(
     from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.functions.vectors import norm
 
-    missing = [c for c in keep_cols if c not in emb.columns]
-    if missing:
-        raise ValueError(f"keep_cols not in corpus frame: {missing}")
+    SC.validate_keep_cols(emb, keep_cols)
     cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
     assigned = emb.select(
         F.col(id_col),
@@ -521,16 +518,9 @@ def append_ivf_batch(
     )
     if tomb is not None:
         new_emb = new_emb.join(F.broadcast(tomb), id_col, "left_anti")
-    # the store's keep_cols contract, not the batch's shape: a batch
-    # missing a persisted metadata column must refuse loudly rather
-    # than appending rows the filtered-serve predicate can't see
-    keep_cols = tuple(meta.get("keep_cols", []) or [])
-    missing = [c for c in keep_cols if c not in new_emb.columns]
-    if missing:
-        raise ValueError(
-            f"batch lacks the store's keep_cols {missing} "
-            f"(store meta keep_cols={list(keep_cols)})"
-        )
+    # the store's keep_cols contract, not the batch's shape (names AND
+    # types vs the persisted rows — store_commit.enforce_store_keep_cols)
+    keep_cols = SC.enforce_store_keep_cols(meta, new_emb, store_df=_vecs)
     assigned = new_emb.select(
         F.col(id_col),
         F.col(vec_col),

@@ -98,9 +98,12 @@ def mmr_over_candidates(
         F.col("cand_id").alias("b_id"),
         F.col("v").alias("vb"),
     )
+    # a_id < b_id: each unordered pair scored ONCE (cosine is exactly
+    # symmetric — per-element multiplies commute, fold order is the
+    # array order on both operand orders), pick() mirrors both keys
     pairs = (
         a.join(b, F.col("qa") == F.col("qb"))
-        .where(F.col("a_id") != F.col("b_id"))
+        .where(F.col("a_id") < F.col("b_id"))
         .select(
             F.col("qa").alias("q_id"), "a_id", "b_id",
             cosine(F.col("va"), F.col("vb")).alias("sim_ab"),
@@ -120,6 +123,13 @@ def mmr_over_candidates(
         cands = sorted(
             zip(rel_pdf["cand_id"].tolist(), rel_pdf["rel_sim"].tolist())
         )
+        # loud contract checks: an external pool that drifted from the
+        # emb frame would otherwise die as an opaque KeyError mid-pick
+        if len({c for c, _ in cands}) != len(cands):
+            raise ValueError(
+                f"duplicate (q_id, cand_id) rows in the candidate pool"
+                f" for q_id={qid}"
+            )
         sim = {}
         for aa, bb, s in zip(
             pair_pdf["a_id"].tolist(),
@@ -127,6 +137,15 @@ def mmr_over_candidates(
             pair_pdf["sim_ab"].tolist(),
         ):
             sim[(aa, bb)] = s
+            sim[(bb, aa)] = s
+        n_c = len(cands)
+        if n_c > 1 and len(sim) != n_c * (n_c - 1):
+            raise ValueError(
+                f"candidate pool for q_id={qid} has ids missing from the"
+                f" emb frame (pool {n_c} ids, {len(sim)} pair sims) —"
+                f" mmr_over_candidates requires every pool cand_id to"
+                f" resolve in emb"
+            )
         picked: list = []
         out_id, out_sc, out_rk = [], [], []
         remaining = dict(cands)

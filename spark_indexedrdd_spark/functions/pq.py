@@ -1016,9 +1016,7 @@ def write_ivfpq_store(
     from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.functions.ivf import _centroids
 
-    missing = [c for c in keep_cols if c not in emb.columns]
-    if missing:
-        raise ValueError(f"keep_cols not in corpus frame: {missing}")
+    SC.validate_keep_cols(emb, keep_cols)
     cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
     cbs = _res_codebooks(emb, cents, m, ksub, seed, id_col, vec_col, method)
     codes = _assign_res_encode(
@@ -1095,14 +1093,10 @@ def append_ivfpq_batch(
     persisted metadata column refuses loudly."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    keep_cols = tuple(SC.read_meta(path).get("keep_cols", []) or [])
-    missing = [c for c in keep_cols if c not in new_emb.columns]
-    if missing:
-        raise ValueError(
-            f"batch lacks the store's keep_cols {missing} "
-            f"(store meta keep_cols={list(keep_cols)})"
-        )
+    meta = SC.read_meta(path)
     _codes, cents, cbs = read_ivfpq_store(new_emb.sparkSession, path)
+    # names AND types vs the persisted code rows (store_commit helper)
+    keep_cols = SC.enforce_store_keep_cols(meta, new_emb, store_df=_codes)
     batch = _assign_res_encode(
         new_emb, cents, cbs, id_col, vec_col, keep_cols=keep_cols
     )

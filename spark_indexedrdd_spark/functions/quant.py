@@ -268,9 +268,7 @@ def write_binary_store(
     from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.sources.bucketed import write_sorted
 
-    missing = [c for c in keep_cols if c not in emb.columns]
-    if missing:
-        raise ValueError(f"keep_cols not in corpus frame: {missing}")
+    SC.validate_keep_cols(emb, keep_cols)
     SC.retract_meta(path)
     binary_sketches(emb, dims, id_col, vec_col, keep_cols).write.mode(
         "overwrite"
@@ -312,13 +310,17 @@ def append_binary_batch(
     from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.sources.bucketed import write_sorted
 
-    keep_cols = tuple(SC.read_meta(path).get("keep_cols", []) or [])
-    missing = [c for c in keep_cols if c not in new_emb.columns]
-    if missing:
-        raise ValueError(
-            f"batch lacks the store's keep_cols {missing} "
-            f"(store meta keep_cols={list(keep_cols)})"
-        )
+    # names AND types vs the persisted sketch rows (store_commit
+    # helper); the schema read is skipped when the store keeps none
+    meta = SC.read_meta(path)
+    keep_cols = SC.enforce_store_keep_cols(
+        meta,
+        new_emb,
+        store_df=(
+            new_emb.sparkSession.read.parquet(path + "/sketches")
+            if meta.get("keep_cols") else None
+        ),
+    )
     idf = IndexedDataFrame.from_unique(
         new_emb.select(id_col, vec_col), id_col, cache=False
     )

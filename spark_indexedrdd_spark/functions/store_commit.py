@@ -654,3 +654,45 @@ def validate_batch_tag(batch_tag: str) -> None:
 
     if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_tag):
         raise ValueError(f"invalid batch_tag {batch_tag!r}")
+
+
+def validate_keep_cols(df, keep_cols) -> None:
+    """ONE copy of the build-time keep_cols contract every vector-store
+    tier shares (IVF vectors, IVFPQ codes, binary sketches): every
+    requested metadata column must exist in the corpus frame."""
+    missing = [c for c in keep_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"keep_cols not in corpus frame: {missing}")
+
+
+def enforce_store_keep_cols(meta: dict, batch_df, store_df=None):
+    """ONE copy of the append-time keep_cols contract: the STORE's
+    keep_cols (from meta — never the batch's shape) must all be
+    present in the batch, and when ``store_df`` (a frame over the
+    store's persisted rows, which the caller usually already has in
+    hand) is given, each must match the persisted TYPE — a
+    string-typed label appended beside an int-typed store column
+    would land silently and fail later as a schema-merge error at the
+    next serve scan, the deferred failure the loud refusal exists to
+    prevent. Returns the keep_cols tuple for the caller's projection."""
+    keep_cols = tuple(meta.get("keep_cols", []) or [])
+    missing = [c for c in keep_cols if c not in batch_df.columns]
+    if missing:
+        raise ValueError(
+            f"batch lacks the store's keep_cols {missing} "
+            f"(store meta keep_cols={list(keep_cols)})"
+        )
+    if store_df is not None:
+        bad = [
+            (c, str(batch_df.schema[c].dataType),
+             str(store_df.schema[c].dataType))
+            for c in keep_cols
+            if batch_df.schema[c].dataType != store_df.schema[c].dataType
+        ]
+        if bad:
+            raise ValueError(
+                "batch keep_cols types diverge from the store's: "
+                + ", ".join(f"{c}: batch {bt} vs store {st}"
+                            for c, bt, st in bad)
+            )
+    return keep_cols

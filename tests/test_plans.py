@@ -342,6 +342,12 @@ def test_contract_wide_no_accidental_cross_joins(spark):
     BNLJ_INTENDED = {
         "similarity_topk",        # broadcast queries x candidates scorer
         "ann_recall",             # embeds the brute-force scorer as truth
+        "hybrid_rrf_retrieval",   # dense branch IS the brute scorer (the
+                                  # oracle tier; the store twin's IVF
+                                  # branch is the pruned equi-join form)
+        "mmr_rerank",             # candidate pool from the brute scorer
+                                  # (same contract; external pools via
+                                  # mmr_over_candidates skip it)
         "waiting_customers_q22",  # broadcast 1-row avg (scalar subquery)
         "similarity_ann_pq",      # broadcast ADC tables x code scan (the
                                   # brute-ADC scorer; IVFPQ is the pruned
