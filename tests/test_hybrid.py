@@ -5,6 +5,7 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from spark_indexedrdd_spark.functions import hybrid as H
 from tests.oracle_utils import compare, duck_con
@@ -148,3 +149,29 @@ def test_hybrid_from_stores_dense_filter(spark, docs, emb):
     for r in served.collect():
         if r.dense_rank is not None:
             assert labs[r.doc_id] % 2 == 0
+
+
+def test_hybrid_then_mmr_pipeline(spark, docs, emb):
+    """The composed retrieval pipeline a RAG deployment runs: hybrid
+    RRF fuses the lexical and dense branches, then MMR diversifies the
+    fused top-k against the embedding space. The fused rrf_score plays
+    the relevance role (MMR only needs a relevance ordering); picks
+    must come from the fused pool and carry the greedy rank order."""
+    from spark_indexedrdd_spark.functions import mmr as M
+
+    fused = H.hybrid_rrf(docs, emb, k=10, k_branch=20)
+    pool = fused.select(
+        "q_id" if "q_id" in fused.columns else F.col("qid").alias("q_id"),
+        F.col("doc_id").alias("cand_id"),
+        F.col("rrf_score").alias("rel_sim"),
+    )
+    picks = M.mmr_over_candidates(pool, emb, k=5).collect()
+    assert len(picks) == 3 * 5
+    pool_sets = {}
+    for r in pool.collect():
+        pool_sets.setdefault(r.q_id, set()).add(r.cand_id)
+    by_q = {}
+    for r in picks:
+        assert r.cand_id in pool_sets[r.q_id]
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
