@@ -175,3 +175,58 @@ def test_hybrid_then_mmr_pipeline(spark, docs, emb):
         assert r.cand_id in pool_sets[r.q_id]
         by_q.setdefault(r.q_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def test_hybrid_from_stores_asof_postings_version(spark, docs, emb):
+    """Snapshot hybrid: serving with postings_version frozen at the
+    half-corpus build equals fusing bm25 over the PRE-APPEND half with
+    the same dense branch — the postings ledger's as-of surface
+    composes through the fusion."""
+    from spark_indexedrdd_spark.functions import ivf as _ivf
+    from spark_indexedrdd_spark.functions import retrieval as _r
+    from spark_indexedrdd_spark.functions import store_commit as _sc
+
+    emb2 = emb.select("vec_id", "embedding")
+    ppath = os.path.join("spark-warehouse", "test_hybrid_postings_v")
+    ipath = os.path.join("spark-warehouse", "test_hybrid_ivf_v")
+    shutil.rmtree(ppath, ignore_errors=True)
+    shutil.rmtree(ipath, ignore_errors=True)
+    half = docs.where("doc_id % 2 = 0")
+    _r.write_postings_store(half, ppath, n_buckets=16)
+    v1 = _sc.read_meta(ppath)["version"]
+    _r.append_postings_batch(
+        docs.where("doc_id % 2 = 1"), ppath, batch_tag="v-b1"
+    )
+    _ivf.write_ivf_store(emb2, ipath, n_clusters=8, method="det")
+
+    snap = H.hybrid_rrf_from_stores(
+        spark, ppath, ipath, k=10, k_branch=20, n_probe=8,
+        postings_version=v1,
+    )
+    lex = _r.bm25_topk(
+        half,
+        queries=tuple((q, t) for q, t, _v in H.HYBRID_QUERIES),
+        k=20,
+    ).select("qid", "doc_id", "rank")
+    den = _ivf.ivf_ann(
+        emb2,
+        query_ids=[v for _q, _t, v in H.HYBRID_QUERIES],
+        k=20,
+        n_clusters=8,
+        n_probe=8,
+        method="det",
+    )
+    want = H.fuse_rrf(
+        lex, H._dense_to_qids(spark, den, H.HYBRID_QUERIES), k=10
+    )
+    key = lambda t: t[:2]  # noqa: E731
+    assert sorted(map(tuple, snap.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+    # and the LIVE serve differs (the appended half is visible)
+    live = H.hybrid_rrf_from_stores(
+        spark, ppath, ipath, k=10, k_branch=20, n_probe=8
+    )
+    assert sorted(map(tuple, live.collect()), key=key) != sorted(
+        map(tuple, snap.collect()), key=key
+    )
