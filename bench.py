@@ -946,6 +946,12 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
 
         force(_hyb.hybrid_rrf(docs, emb))
 
+    # RM3: feedback retrieval + expansion selection + expanded
+    # re-score — two corpus passes plus a q x m driver collect
+    @timed("bm25_rm3_topk")
+    def _rm3():
+        force(_ret.bm25_rm3_topk(docs))
+
     @timed("postings_store_write_once")
     def _post_w():
         import shutil

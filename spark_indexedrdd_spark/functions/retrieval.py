@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import re
+from math import floor as math_floor
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -166,6 +167,348 @@ def bm25_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def rm3_expansion_terms(
+    df: DataFrame,
+    queries: "tuple[tuple[int, str], ...]" = DEFAULT_BM25_QUERIES,
+    k_fb: int = 5,
+    m_expand: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RM3-style pseudo-relevance feedback terms (Lavrenko & Croft
+    2001 relevance models, the Anserini/Indri default expansion):
+    (qid, term, rm9, rank) — the top-``m_expand`` terms of each
+    query's top-``k_fb`` BM25 feedback documents, weighted by the
+    fixed-point relevance-model mass
+
+        rm9(t | q) = sum over feedback docs d of floor(1e9 * tf(t,d)/dl(d))
+
+    (per-doc floor BEFORE the sum, so the BIGINT total is
+    order-insensitive and engine-exact — the bm25 score9 discipline).
+    Original query terms are excluded; ties break on the term.
+
+    Plan shape: the feedback set is q x k_fb ids (broadcast), so the
+    expansion pass tokenizes ONLY the feedback documents — a
+    broadcast-semi-joined scan, corpus cost bounded by the feedback
+    docs — then one map-side-combined (qid, term) aggregation over
+    feedback-doc-sized input and a per-qid WindowGroupLimit top-m."""
+    qt = _query_terms(queries)
+    orig = {q: {t for qq, t in qt if qq == q} for q, _ in qt}
+    fb = (
+        bm25_topk(
+            df, queries=queries, k=k_fb, k1=k1, b=b,
+            text_col=text_col, id_col=id_col,
+        )
+        .select("qid", id_col)
+    )
+    spark = df.sparkSession
+    orig_df = F.broadcast(
+        spark.createDataFrame(
+            [(q, t) for q, ts in orig.items() for t in ts],
+            "qid int, term string",
+        )
+    )
+    dt = _doc_terms(df, text_col, id_col)
+    fb_terms = dt.join(F.broadcast(fb), id_col)
+    tf = fb_terms.groupBy("qid", id_col, "dl", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    contrib = tf.select(
+        "qid",
+        "term",
+        F.floor(F.lit(_SCALE) * (F.col("tf") / F.col("dl")))
+        .cast("long")
+        .alias("c9"),
+    )
+    rm = (
+        contrib.groupBy("qid", "term")
+        .agg(F.sum("c9").cast("long").alias("rm9"))
+        .join(orig_df, ["qid", "term"], "left_anti")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rm9"), F.asc("term"))
+    return (
+        rm.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= m_expand)
+        .select(
+            F.col("qid").cast("int"), "term", "rm9",
+            F.col("rank").cast("int"),
+        )
+    )
+
+
+def bm25_rm3_topk(
+    df: DataFrame,
+    queries: "tuple[tuple[int, str], ...]" = DEFAULT_BM25_QUERIES,
+    k: int = 10,
+    k_fb: int = 5,
+    m_expand: int = 5,
+    alpha: float = 0.6,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 + RM3 query expansion, end to end: feedback retrieval →
+    expansion-term selection (:func:`rm3_expansion_terms`) → re-score
+    with the interpolated query. Final fixed-point score, all-BIGINT:
+
+        final15(d) = alpha6 * s9_orig(d)
+                   + (1e6 - alpha6) * ((sum_t w6_t * s9_t(d)) DIV 1e6)
+
+    where alpha6 = floor(alpha * 1e6), w6_t = floor(1e6 * rm9_t /
+    sum rm9 over the query's expansion terms) (both products stay
+    under 2^53 BEFORE the floor, so the doubles are exact on both
+    engines), s9 is bm25's per-term fixed-point contribution, and DIV
+    is BIGINT integer division (the intermediate exceeds 2^53, so a
+    double-typed floor-div would lose exactness — this is why the
+    rescale is integral). Ranking is on the integer final15; the
+    emitted ``score`` is final15/1e15 ROUND(9).
+
+    Scale: two corpus passes (feedback retrieval; re-score with the
+    expanded literal term set — still an ``isin`` pushed below the tf
+    aggregation), plus a driver-side collect of q x m_expand expansion
+    rows (the IVF probe-selection pattern: query-batch bounded).
+    Exact DuckDB twin: :func:`sql_bm25_rm3_topk`."""
+    spark = df.sparkSession
+    alpha6 = int(math_floor(float(alpha) * 1_000_000.0))
+    beta6 = 1_000_000 - alpha6
+
+    exp_rows = rm3_expansion_terms(
+        df, queries=queries, k_fb=k_fb, m_expand=m_expand,
+        k1=k1, b=b, text_col=text_col, id_col=id_col,
+    ).collect()
+    tot = {}
+    for r in exp_rows:
+        tot[r.qid] = tot.get(r.qid, 0) + r.rm9
+    exp_w = [
+        # 1e6 * rm9 <= ~k_fb * 1e15 only when rm9 ~ 1e9 * k_fb; with
+        # k_fb small both the product and the quotient are 2^53-exact
+        (r.qid, r.term, int(math_floor(1_000_000.0 * r.rm9 / tot[r.qid])))
+        for r in exp_rows
+    ]
+    qt = _query_terms(queries)
+    qmap = spark.createDataFrame(
+        [(q, t, None) for q, t in qt]
+        + [(q, t, w6) for q, t, w6 in exp_w],
+        "qid int, term string, w6 long",
+    )
+    terms = sorted({t for _q, t, _w in exp_w} | {t for _q, t in qt})
+
+    stats = df.select(
+        F.size(tokens(F.col(text_col))).cast("long").alias("dl")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    ).select(
+        "n_docs",
+        F.round(F.col("total_dl") / F.col("n_docs"), 9).alias("avgdl"),
+    )
+    tok = _doc_terms(df, text_col, id_col).where(F.col("term").isin(terms))
+    tf = tok.groupBy(id_col, "dl", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(F.broadcast(stats))
+        .join(F.broadcast(qmap), "term")
+        .select("qid", id_col, "w6", _bm25_score9(k1, b).alias("s9"))
+    )
+    agg = scored.groupBy("qid", id_col).agg(
+        F.sum(F.when(F.col("w6").isNull(), F.col("s9")).otherwise(0))
+        .cast("long")
+        .alias("s9_orig"),
+        F.sum(
+            F.when(F.col("w6").isNotNull(), F.col("w6") * F.col("s9"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("exp_raw"),
+    )
+    final = agg.select(
+        "qid",
+        id_col,
+        (
+            F.lit(alpha6) * F.col("s9_orig")
+            + F.lit(beta6) * F.expr("exp_raw DIV 1000000")
+        ).alias("final15"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("final15"), F.asc(id_col))
+    return (
+        final.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").cast("int"),
+            F.col(id_col),
+            F.round(F.col("final15") / F.lit(1e15), 9).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _sql_rm3_core(
+    table: str,
+    queries: "tuple[tuple[int, str], ...]",
+    k_fb: int,
+    m_expand: int,
+    k1: float,
+    b: float,
+    text_col: str,
+    id_col: str,
+) -> str:
+    """Shared CTE prefix (WITH q … expansion) for the two RM3 oracle
+    builders: feedback retrieval (= sql_bm25_topk verbatim), feedback
+    term frequencies, per-doc-floored relevance mass, original-term
+    exclusion, top-m selection."""
+    qt = _query_terms(queries)
+    esc = {t: t.replace("'", "''") for _, t in qt}
+    vals = ", ".join(f"({q}, '{esc[t]}')" for q, t in qt)
+    fb_sql = sql_bm25_topk(
+        table=table, queries=queries, k=k_fb, k1=k1, b=b,
+        text_col=text_col, id_col=id_col,
+    )
+    return f"""
+        WITH q(qid, term) AS (VALUES {vals}),
+        fb AS (SELECT qid, {id_col} FROM ({fb_sql})),
+        dt_all AS ({_sql_doc_terms(table, text_col, id_col)}),
+        fb_tf AS (
+            SELECT fb.qid, dt.{id_col}, dt.dl, dt.term,
+                   CAST(COUNT(*) AS BIGINT) AS tf
+            FROM dt_all dt JOIN fb ON dt.{id_col} = fb.{id_col}
+            GROUP BY fb.qid, dt.{id_col}, dt.dl, dt.term
+        ),
+        rm AS (
+            SELECT qid, term,
+                   CAST(SUM(CAST(FLOOR(1000000000.0 * (tf / dl))
+                                 AS BIGINT)) AS BIGINT) AS rm9
+            FROM fb_tf
+            GROUP BY qid, term
+        ),
+        rm_new AS (
+            SELECT r.* FROM rm r
+            WHERE NOT EXISTS (
+                SELECT 1 FROM q WHERE q.qid = r.qid AND q.term = r.term
+            )
+        ),
+        expansion AS (
+            SELECT qid, term, rm9, CAST(rn AS INTEGER) AS rank FROM (
+                SELECT qid, term, rm9,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qid ORDER BY rm9 DESC, term
+                       ) AS rn
+                FROM rm_new
+            ) WHERE rn <= {m_expand}
+        )"""
+
+
+def sql_rm3_expansion_terms(
+    table: str = "documents",
+    queries: "tuple[tuple[int, str], ...]" = DEFAULT_BM25_QUERIES,
+    k_fb: int = 5,
+    m_expand: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Exact DuckDB twin of :func:`rm3_expansion_terms`."""
+    core = _sql_rm3_core(
+        table, queries, k_fb, m_expand, k1, b, text_col, id_col
+    )
+    return f"""
+        {core}
+        SELECT CAST(qid AS INTEGER) AS qid, term, rm9, rank
+        FROM expansion
+    """
+
+
+def sql_bm25_rm3_topk(
+    table: str = "documents",
+    queries: "tuple[tuple[int, str], ...]" = DEFAULT_BM25_QUERIES,
+    k: int = 10,
+    k_fb: int = 5,
+    m_expand: int = 5,
+    alpha: float = 0.6,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Exact DuckDB twin of :func:`bm25_rm3_topk`: the feedback CTE is
+    ``sql_bm25_topk`` itself, expansion mass the same per-doc-floored
+    BIGINT sums, the weight quotient the same 2^53-exact double floor,
+    and the final interpolation the same all-BIGINT arithmetic with
+    ``//`` (BIGINT integer division) for the 1e6 rescale."""
+    alpha6 = int(math_floor(float(alpha) * 1_000_000.0))
+    beta6 = 1_000_000 - alpha6
+    score9 = _sql_bm25_score9(k1, b)
+    core = _sql_rm3_core(
+        table, queries, k_fb, m_expand, k1, b, text_col, id_col
+    )
+    return f"""
+        {core},
+        exp_w AS (
+            SELECT qid, term,
+                   CAST(FLOOR(1000000.0 * rm9 /
+                        (SUM(rm9) OVER (PARTITION BY qid))) AS BIGINT)
+                       AS w6
+            FROM expansion
+        ),
+        qmap AS (
+            SELECT qid, term, CAST(NULL AS BIGINT) AS w6 FROM q
+            UNION ALL
+            SELECT qid, term, w6 FROM exp_w
+        ),
+        dt AS (
+            SELECT * FROM dt_all
+            WHERE term IN (SELECT DISTINCT term FROM qmap)
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND(CAST(SUM(len({sql_tokens(text_col)})) AS BIGINT)
+                         / CAST(COUNT(*) AS BIGINT), 9) AS avgdl
+            FROM {table}
+        ),
+        tf AS (
+            SELECT {id_col}, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM dt GROUP BY {id_col}, dl, term
+        ),
+        dft AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t
+            FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT m.qid, tf.{id_col}, m.w6, {score9} AS s9
+            FROM tf JOIN dft USING (term)
+                    CROSS JOIN stats
+                    JOIN qmap m ON m.term = tf.term
+        ),
+        agg AS (
+            SELECT qid, {id_col},
+                   CAST(SUM(CASE WHEN w6 IS NULL THEN s9 ELSE 0 END)
+                        AS BIGINT) AS s9_orig,
+                   CAST(SUM(CASE WHEN w6 IS NOT NULL THEN w6 * s9
+                            ELSE 0 END) AS BIGINT) AS exp_raw
+            FROM scored GROUP BY qid, {id_col}
+        ),
+        final AS (
+            SELECT qid, {id_col},
+                   {alpha6} * s9_orig + {beta6} * (exp_raw // 1000000)
+                       AS final15
+            FROM agg
+        )
+        SELECT CAST(qid AS INTEGER) AS qid, {id_col},
+               ROUND(final15 / 1000000000000000.0, 9) AS score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY final15 DESC, {id_col}
+               ) AS INTEGER) AS rank
+        FROM final
+        QUALIFY rank <= {k}
+    """
 
 
 def sql_bm25_topk(
