@@ -950,6 +950,8 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
     # re-score — two corpus passes plus a q x m driver collect
     @timed("bm25_rm3_topk")
     def _rm3():
+        from spark_indexedrdd_spark.functions import retrieval as _ret
+
         force(_ret.bm25_rm3_topk(docs))
 
     @timed("postings_store_write_once")
