@@ -196,8 +196,6 @@ def rm3_expansion_terms(
     broadcast-semi-joined scan, corpus cost bounded by the feedback
     docs — then one map-side-combined (qid, term) aggregation over
     feedback-doc-sized input and a per-qid WindowGroupLimit top-m."""
-    qt = _query_terms(queries)
-    orig = {q: {t for qq, t in qt if qq == q} for q, _ in qt}
     fb = (
         bm25_topk(
             df, queries=queries, k=k_fb, k1=k1, b=b,
@@ -205,6 +203,24 @@ def rm3_expansion_terms(
         )
         .select("qid", id_col)
     )
+    return _rm3_terms_for_feedback(
+        df, fb, queries, m_expand, text_col, id_col
+    )
+
+
+def _rm3_terms_for_feedback(
+    df: DataFrame,
+    fb: DataFrame,
+    queries: "tuple[tuple[int, str], ...]",
+    m_expand: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Expansion-term selection given a (qid, id) feedback frame —
+    shared by the in-plan and store-served RM3 (the feedback frame's
+    provenance is the only difference between them)."""
+    qt = _query_terms(queries)
+    orig = {q: {t for qq, t in qt if qq == q} for q, _ in qt}
     spark = df.sparkSession
     orig_df = F.broadcast(
         spark.createDataFrame(
@@ -1502,13 +1518,49 @@ def bm25_from_store(
     takedowns committed later are invisible. Snapshots stay readable
     until compaction/rebuild rewrites the data directories
     (read_meta_version docstring)."""
+    qt = _query_terms(queries)
+    scored, id_col, _meta, empty = _bm25_store_scored(
+        spark, path, [(q, t, None) for q, t in qt], k1, b, version
+    )
+    if empty is not None:
+        return empty
+    agg = scored.groupBy("qid", id_col).agg(
+        F.sum("s9").cast("long").alias("score9")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score9"), F.asc(id_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").cast("int"),
+            F.col(id_col),
+            F.round(F.col("score9") / F.lit(_SCALE), 9).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _bm25_store_scored(
+    spark: SparkSession,
+    path: str,
+    qrows: "list[tuple[int, str, int | None]]",
+    k1: float,
+    b: float,
+    version: "int | None",
+):
+    """Per-(query-term, doc) fixed-point BM25 contributions from the
+    PRUNED store scan: (scored_df with columns qid/<id_col>/w6/s9,
+    id_col, meta, empty_result_or_None). Shared by the plain serve and
+    the RM3-expanded serve — ``qrows`` is (qid, term, w6) where w6 is
+    NULL for original (unweighted) terms. All snapshot/tombstone/
+    bucket-pruning semantics documented on :func:`bm25_from_store`
+    live here."""
     from spark_indexedrdd_spark.functions import store_commit as _SC
 
     meta = _SC.resolve_serve_meta(path, version)
     id_col = meta["id_col"]
-    qt = _query_terms(queries)
-    terms = sorted({t for _, t in qt})
-    q = spark.createDataFrame(qt, "qid int, term string")
+    terms = sorted({t for _, t, _w in qrows})
+    q = spark.createDataFrame(qrows, "qid int, term string, w6 long")
     # bucket ids for the literal terms — computed through the same
     # xxhash64 expression the writer used, collected (≤ |terms| rows)
     # so the scan filter is literal and partition-pruning applies
@@ -1534,7 +1586,9 @@ def bm25_from_store(
         # can score — serve the typed empty result rather than falling
         # back to a directory listing (snapshot isolation) or handing
         # the reader an empty path list (scan error)
-        return _empty_bm25_result(spark, path, meta, id_col)
+        return None, id_col, meta, _empty_bm25_result(
+            spark, path, meta, id_col
+        )
     else:
         bktset = set(int(b) for b in bkts)
         sel = [f for f in rel if _bucket_of(f) in bktset]
@@ -1563,7 +1617,9 @@ def bm25_from_store(
         # a takedown deleted every document: avgdl is 0/0 (NULL — the
         # float() below would raise) and the tombstone anti-join hides
         # every candidate anyway — serve the typed empty result
-        return _empty_bm25_result(spark, path, meta, id_col)
+        return None, id_col, meta, _empty_bm25_result(
+            spark, path, meta, id_col
+        )
     dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
     # rounded through Spark's ROUND (HALF_UP), not Python's round()
     # (HALF_EVEN) — in-plan bm25_topk pins avgdl with F.round, and a
@@ -1580,19 +1636,86 @@ def bm25_from_store(
         .join(F.broadcast(q), "term")
         .withColumn("n_docs", F.lit(n_docs))
         .withColumn("avgdl", F.lit(float(avgdl)))
-        .select("qid", id_col, _bm25_score9(k1, b).alias("s9"))
+        .select("qid", id_col, "w6", _bm25_score9(k1, b).alias("s9"))
     )
-    agg = scored.groupBy("qid", id_col).agg(
-        F.sum("s9").cast("long").alias("score9")
+    return scored, id_col, meta, None
+
+
+def bm25_rm3_from_store(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    queries: "tuple[tuple[int, str], ...]" = DEFAULT_BM25_QUERIES,
+    k: int = 10,
+    k_fb: int = 5,
+    m_expand: int = 5,
+    alpha: float = 0.6,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    version: "int | None" = None,
+) -> DataFrame:
+    """RM3 served FROM the postings store: feedback retrieval AND the
+    expanded re-score both read only the query/expansion terms' bucket
+    directories (:func:`bm25_from_store` semantics — tombstones and
+    ``version=`` as-of snapshots included); only the expansion-term
+    selection touches text, and only for the q x k_fb feedback
+    documents of ``docs`` (broadcast semi-join — the store is an
+    inverted index, doc→terms needs the forward/text side).
+
+    Parity (pytest-pinned): on a store built over ``docs`` this equals
+    in-plan :func:`bm25_rm3_topk` — feedback, expansion and re-score
+    each carry their own store≡in-plan contract, composed."""
+    fb = bm25_from_store(
+        spark, path, queries=queries, k=k_fb, k1=k1, b=b, version=version
+    ).select("qid", id_col)
+    exp_rows = _rm3_terms_for_feedback(
+        docs, fb, queries, m_expand, text_col, id_col
+    ).collect()
+    tot: dict = {}
+    for r in exp_rows:
+        tot[r.qid] = tot.get(r.qid, 0) + r.rm9
+    qt = _query_terms(queries)
+    qrows = [(q, t, None) for q, t in qt] + [
+        (r.qid, r.term,
+         int(math_floor(1_000_000.0 * r.rm9 / tot[r.qid])))
+        for r in exp_rows
+    ]
+    alpha6 = int(math_floor(float(alpha) * 1_000_000.0))
+    beta6 = 1_000_000 - alpha6
+    scored, sid, _meta, empty = _bm25_store_scored(
+        spark, path, qrows, k1, b, version
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("score9"), F.asc(id_col))
+    if empty is not None:
+        return empty
+    agg = scored.groupBy("qid", sid).agg(
+        F.sum(F.when(F.col("w6").isNull(), F.col("s9")).otherwise(0))
+        .cast("long")
+        .alias("s9_orig"),
+        F.sum(
+            F.when(F.col("w6").isNotNull(), F.col("w6") * F.col("s9"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("exp_raw"),
+    )
+    final = agg.select(
+        "qid",
+        sid,
+        (
+            F.lit(alpha6) * F.col("s9_orig")
+            + F.lit(beta6) * F.expr("exp_raw DIV 1000000")
+        ).alias("final15"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("final15"), F.asc(sid))
     return (
-        agg.withColumn("rank", F.row_number().over(w))
+        final.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             F.col("qid").cast("int"),
-            F.col(id_col),
-            F.round(F.col("score9") / F.lit(_SCALE), 9).alias("score"),
+            F.col(sid),
+            F.round(F.col("final15") / F.lit(1e15), 9).alias("score"),
             F.col("rank").cast("int").alias("rank"),
         )
     )

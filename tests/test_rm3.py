@@ -80,3 +80,40 @@ def test_expansion_changes_ranking(docs):
         for r in R.bm25_rm3_topk(docs, k=10, alpha=0.6).collect()
     }
     assert base != rm3
+
+
+def test_rm3_from_store_matches_inplan(spark, docs):
+    """Store-served RM3 == in-plan RM3 when the store holds the same
+    corpus: feedback, expansion selection and the weighted re-score
+    each carry their own store≡in-plan contract, composed."""
+    import shutil
+
+    p = "spark-warehouse/test_rm3_store"
+    shutil.rmtree(p, ignore_errors=True)
+    R.write_postings_store(docs, p, n_buckets=16)
+    served = R.bm25_rm3_from_store(spark, p, docs)
+    inplan = R.bm25_rm3_topk(docs)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inplan.collect())
+    )
+
+
+def test_rm3_from_store_respects_takedown(spark, docs):
+    """After a takedown, the store-served RM3 equals in-plan RM3 over
+    the SURVIVOR corpus: feedback docs, expansion mass, df/stats and
+    candidates all exclude the tombstoned docs."""
+    import shutil
+
+    p = "spark-warehouse/test_rm3_store_del"
+    shutil.rmtree(p, ignore_errors=True)
+    R.write_postings_store(docs, p, n_buckets=16)
+    R.delete_postings_docs(
+        spark, p, docs.where("doc_id % 5 = 0").select("doc_id"),
+        batch_tag="rm3-del",
+    )
+    survivors = docs.where("doc_id % 5 != 0")
+    served = R.bm25_rm3_from_store(spark, p, survivors)
+    inplan = R.bm25_rm3_topk(survivors)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inplan.collect())
+    )
