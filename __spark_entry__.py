@@ -552,14 +552,13 @@ def q_dedup_takedown_lsh(spark, sf_dir):
         docs.where("doc_id % 20 != 0 AND doc_id % 7 = 0").select("doc_id"),
         batch_tag="contract-takedown",
     )
-    out = _dedup.incremental_lsh_candidates_from_store(
+    # the helper owns its one-shot materialization (eager
+    # localCheckpoint of the new-batch signatures — no CacheManager
+    # entry to leak, so no catalog-wide clearCache here that could
+    # evict a sibling query's cache in a shared gate session)
+    return _dedup.incremental_lsh_candidates_from_store(
         docs.where("doc_id % 20 = 0"), path
     )
-    # the helper caches the new-batch signatures (documented one-shot
-    # leak); localCheckpoint the result then release for the driver
-    out = out.localCheckpoint(eager=True)
-    spark.catalog.clearCache()
-    return out
 
 
 # Survivors of the delete predicate below among the standard ANN query

@@ -553,11 +553,23 @@ def incremental_lsh_candidates_from_store(
     :func:`incremental_lsh_candidates` (pytest-pinned equivalence), but
     the per-batch cost is hash(new batch) + a columnar scan of the
     signature table — the corpus text is never touched. Ids must be
-    disjoint (new vs stored). Same cache-ownership note as
-    :func:`incremental_lsh_candidates`: one-shot callers leak one small
-    cached signature frame until ``clearCache()``; per-micro-batch loops
-    must use the streaming form, which unpersists each batch."""
-    sig_new = minhash_signatures(new_df, text_col, id_col).cache()
+    disjoint (new vs stored).
+
+    Materialization ownership: the new-side signature frame feeds three
+    plan branches, so it is materialized ONCE via an eager
+    ``localCheckpoint`` — unlike ``.cache()`` this leaves no
+    CacheManager entry behind for a one-shot caller to leak (r10
+    VERDICT: the takedown contract query used to clear the ENTIRE
+    catalog cache to release it, evicting sibling queries' caches in a
+    shared session). The checkpointed blocks are batch-sized and are
+    released with the DataFrame by the ContextCleaner; the lineage
+    truncation is the usual localCheckpoint trade (executor loss =
+    recompute-from-scratch of a batch-sized frame). Per-micro-batch
+    loops still use the streaming form, which persists and unpersists
+    each batch explicitly."""
+    sig_new = minhash_signatures(new_df, text_col, id_col).localCheckpoint(
+        eager=True
+    )
     sig_old = read_signature_store(new_df.sparkSession, sig_store_path)
     return _incremental_candidates_from_sigs(sig_new, sig_old, id_col)
 
