@@ -198,33 +198,36 @@ def q_join_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_aggregate_using_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Op 17, native-aggregate path: keyed sum of lineitem revenue aligned
-    to the orders index (IndexedRDD.scala:293-297). Rounded: cross-engine
-    float summation order differs."""
+    """Op 17, BOTH paths consolidated into one contract entry (r10
+    VERDICT item 2 — the aggregate_fold entry folded in here to free a
+    contract slot): the native-aggregate path (keyed decimal-exact
+    revenue sum, IndexedRDD.scala:293-297) AND the user-reduce fold
+    path (SUM_MERGE over exact integer quantities — the reference's
+    reduceFunc contract, PARTPartition.scala:201-203), joined on the
+    shared index key. Both sides land on the index's partitioning
+    (same keys, same partition count), so the join adds sorts but no
+    exchange."""
     kv = orders_kv(spark, sf_dir)
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
-    )
+    li = load_table(spark, sf_dir, "lineitem")
     # exact decimal accumulation -> double: order-independent and
     # bit-identical to DuckDB (float sum order differs; ROUND differs at
     # decimal midpoints between engines)
-    out = kv.aggregate_using_index_expr(
-        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+    rev = kv.aggregate_using_index_expr(
+        li.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        ),
         F.sum(F.col("rev").cast("decimal(18,4)")).cast("double"),
         alias="total_rev",
     )
-    return out.to_df()
-
-
-def q_aggregate_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Op 17, fold path: user reduce function over exact integer values
-    (the reference's reduceFunc contract, PARTPartition.scala:201-203)."""
-    kv = orders_kv(spark, sf_dir)
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o_orderkey"),
-        F.col("l_quantity").cast("long").alias("qty"),
+    qty = kv.aggregate_using_index(
+        li.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        ),
+        SUM_MERGE,
     )
-    return kv.aggregate_using_index(li, SUM_MERGE).to_df()
+    return rev.to_df().join(qty.to_df(), "o_orderkey")
 
 
 def q_create_using_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,6 +669,43 @@ def q_mmr_rerank(spark, sf_dir):
     )
 
 
+def q_mmr_filtered_serve(spark, sf_dir):
+    """Filtered serve × diversified re-rank COMPOSED, under driver
+    evidence (r10 VERDICT item 6): build the det IVF store persisting
+    the label column, serve a top-20 candidate pool with the metadata
+    predicate pushed into the pruned cluster scan
+    (ivf_ann_from_store(filter_pred=) — prefilter semantics, parquet
+    PushedFilter), then run greedy MMR over THAT pool
+    (mmr_over_candidates). Pins the predicate → pruned scan → rerank
+    window pipeline end to end the way tests/test_hybrid.py pins
+    hybrid→MMR. Oracle: sql_mmr_rerank over the filtered-ANN candidate
+    CTE — same fold cosines, same unrolled greedy steps."""
+    import shutil
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+    path = os.path.join("spark-warehouse", "contract_mmr_filtered")
+    shutil.rmtree(path, ignore_errors=True)
+    _ivf.write_ivf_store(
+        emb, path, n_clusters=16, method="det", keep_cols=("label",)
+    )
+    pool = _ivf.ivf_ann_from_store(
+        spark, path, MMR_QIDS, k=20, n_probe=4,
+        filter_pred="label % 2 = 0",
+    ).select("q_id", "cand_id", F.col("cosine_sim").alias("rel_sim"))
+    return _mmr.mmr_over_candidates(pool, _emb(spark, sf_dir), k=5)
+
+
+def q_bm25_rm3_topk(spark, sf_dir):
+    """BM25 + RM3 pseudo-relevance-feedback expansion under driver
+    evidence (r10 VERDICT item 2 — the one first-class operator that
+    was pytest-only): feedback retrieval → fixed-point relevance-model
+    expansion terms → interpolated re-score, all-BIGINT ranking
+    arithmetic (retrieval.bm25_rm3_topk). The DuckDB twin unrolls the
+    same pipeline (sql_bm25_rm3_topk, pytest-pinned in
+    tests/test_rm3.py)."""
+    return _ret.bm25_rm3_topk(_docs(spark, sf_dir))
+
+
 def q_hybrid_rrf_retrieval(spark, sf_dir):
     """Hybrid retrieval under driver evidence: BM25 lexical branch over
     documents + brute-cosine dense branch over embeddings (same doc id
@@ -935,6 +975,12 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10 (post-window, PAST_CUTOFF_NEW): MMR diversified re-rank —
     # unrolled greedy-step oracle, rerank-window-sized selection
     "mmr_rerank": q_mmr_rerank,
+    # r11 debut: filtered store serve composed with MMR — predicate →
+    # pruned cluster scan → rerank window, one pipeline
+    "mmr_filtered_serve": q_mmr_filtered_serve,
+    # r11 debut: RM3 query expansion (pytest-pinned since r10; now a
+    # first-class contract entry like every other retrieval operator)
+    "bm25_rm3_topk": q_bm25_rm3_topk,
     # r9 (post-window, PAST_CUTOFF_NEW): per-file bloom sidecar —
     # point-lookup file skipping on a non-clustered column
     "bloom_pruned_multiget": q_bloom_pruned_multiget,
@@ -1347,6 +1393,17 @@ EXTENSION_ORACLE: dict[str, str] = {
     "mmr_rerank": _mmr.sql_mmr_rerank(
         query_ids=MMR_QIDS, k=5, n_candidates=20
     ),
+    # same greedy unroll, candidate pool swapped for the filtered-ANN
+    # CTE (full-fit centroids, label-matching candidates only)
+    "mmr_filtered_serve": _mmr.sql_mmr_rerank(
+        k=5,
+        cand_sql=_ivf.sql_ivf_ann(
+            query_ids=MMR_QIDS, k=20, filter_pred="label % 2 = 0"
+        ),
+    ),
+    # feedback CTE = the BM25 oracle itself; expansion mass per-doc-
+    # floored BIGINT sums; final interpolation all-BIGINT with // rescale
+    "bm25_rm3_topk": _ret.sql_bm25_rm3_topk(),
     # corpus never contained the dead docs; new batch unchanged
     "dedup_takedown_lsh": _dedup.sql_incremental_lsh_candidates(
         "doc_id % 20 = 0", exclude_pred="doc_id % 20 != 0 AND doc_id % 7 = 0"
@@ -1550,7 +1607,6 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "full_outer_join": q_full_outer_join,
     "join_update": q_join_update,
     "aggregate_using_index": q_aggregate_using_index,
-    "aggregate_fold": q_aggregate_fold,
     "create_using_index": q_create_using_index,
     "composite_key_scan": q_composite_key_scan,
     "composite_key_join": q_composite_key_join,
@@ -1644,24 +1700,13 @@ _FILL_R8 = (
     # debut; it rotates with the r9 staleness batch (note below).
 )
 
-# The five r9 past-cutoff entries (IVF tombstone-delete serve,
-# zone-map pruned scan, postings/signature takedowns, bloom-pruned
-# multiget) rotated INTO the r10 window as its debuts. Added after the
-# r10 window froze: the version-ledger snapshot serve
-# (bm25_store_time_travel — store_commit OCC versioning, new this
-# round) and the version-to-version CDC extract
-# (postings_store_changes — reference diff across the ledger). The
-# escape-hatch contract obliges the r11 rotation to front-queue both
-# as debuts.
-PAST_CUTOFF_NEW: tuple = (
-    "bm25_store_time_travel",
-    "postings_store_changes",
-    "zonemap_snapshot_scan",
-    "ivfpq_takedown_serve",
-    "hybrid_rrf_retrieval",
-    "similarity_ann_filtered",
-    "mmr_rerank",
-)
+# Empty as of r11: the seven r10 past-cutoff entries (snapshot serve,
+# postings CDC, zone-map as-of, IVFPQ takedown, hybrid RRF, filtered
+# ANN, MMR) rotated INTO the r11 window as its obliged debuts, and
+# this round's additions (bm25_rm3_topk, mmr_filtered_serve) debut
+# WITH driver evidence inside the window — nothing hides behind the
+# hatch.
+PAST_CUTOFF_NEW: tuple = ()
 
 # The 32 queries the staleness tripwire named verbatim after
 # CORRECTNESS_r08 landed (last hash-green r06; asserted
@@ -1821,34 +1866,114 @@ _FILL_R9 = (
     "trade_hops",
 )
 
+# The 39 queries the staleness tripwire named verbatim after
+# CORRECTNESS_r10 landed (last hash-green r08; asserted
+# verbatim-complete by tests/test_driver_sim.py::TRIPWIRE_R11 so a
+# partial rotation cannot pass locally), MINUS aggregate_fold — folded
+# into the aggregate_using_index entry this round (r10 VERDICT item 2:
+# the consolidated query exercises BOTH the native-agg and the
+# user-reduce fold path, so its slot covers the old entry's
+# semantics). Tripwire emission order: text/doc-prep family, span
+# dedup, similarity, the r6 TPC-H wave + analytics, key parity, then
+# the whole core §2 op set (the reference's own surface, last green
+# r08 — the highest-priority re-check).
+HORIZON_STALE_R11 = (
+    "text_stats",
+    "corpus_top_terms",
+    "stratified_split",
+    "duplicate_spans",
+    "remove_duplicate_spans",
+    "corpus_span_stats",
+    "similarity_topk",
+    "similarity_topk_fast",
+    "similarity_ann_lsh",
+    "volume_shipping_q7",
+    "returned_items_q10",
+    "promo_revenue_q14",
+    "bloom_pruned_join",
+    "pack_documents",
+    "skew_salted_revenue",
+    "shipping_priority",
+    "local_supplier_volume",
+    "cube_doc_counts",
+    "json_prop_stats",
+    "pivot_lang_source",
+    "binary_meta",
+    "quality_classifier",
+    "short_key_ops",
+    "char_key_ops",
+    "build_scan",
+    "multiget",
+    "multiput_merge",
+    "delete",
+    "filter_mapvalues",
+    "diff",
+    "inner_join",
+    "left_join",
+    "full_outer_join",
+    "join_update",
+    "aggregate_using_index",
+    "create_using_index",
+    "composite_key_scan",
+    "composite_key_join",
+)
+
+# Round-11 debuts: the seven r10 past-cutoff entries the escape-hatch
+# contract obliges this rotation to front-queue (ledger snapshot
+# serve, postings CDC, zone-map as-of, IVFPQ takedown, hybrid RRF,
+# filtered ANN, MMR) plus this round's two additions, windowed so they
+# debut WITH driver evidence (r7 convention): RM3 expansion — the one
+# first-class operator that was pytest-only (r10 VERDICT item 2) —
+# and the filtered-serve × MMR composition (r10 VERDICT item 6).
+DEBUTS_R11 = (
+    "bm25_store_time_travel",
+    "postings_store_changes",
+    "zonemap_snapshot_scan",
+    "ivfpq_takedown_serve",
+    "hybrid_rrf_retrieval",
+    "similarity_ann_filtered",
+    "mmr_rerank",
+    "bm25_rm3_topk",
+    "mmr_filtered_serve",
+)
+
+# Remaining 3 slots: the implementation-touched entry first (the
+# takedown serve's cache release changed from a catalog-wide clear to
+# helper-owned localCheckpoint — driver evidence should cover the NEW
+# shape, the _FILL_R10 convention), then the oldest r09-green batch,
+# event-time-leaning first (round-4 lesson). The r09-green names not
+# re-checked here are the round-12 staleness batch (~47 — fits one
+# 50-slot window; see the rotation-budget note below).
+_FILL_R11 = (
+    "dedup_takedown_lsh",
+    "sessionize",
+    "sliding_window",
+)
+
 # ------------------------- rotation budget --------------------------- #
 # Steady-state math (r8 VERDICT item 6), with n = contract size and a
 # 50-slot window: the tripwire's horizon is ceil(n/50) rounds, so each
 # round must re-check the queries last seen horizon-1 rounds ago. At
-# n in (100, 150] the horizon is 3 and the per-round staleness batch
-# settles at n - 2*50 + (slots spared last round) ≈ 32 today — leaving
-# ~18 slots/round for debuts + early re-checks. BUDGET: keep n <= 150
-# (at n=151 the horizon hits 4 but the ROUND-over-round staleness batch
-# would exceed 50 the first time two debut-heavy rounds stack, making
-# the schedule unsatisfiable); cap debuts at ~5/round and prefer
-# folding near-duplicate entries (e.g. a future aggregate_fold ->
-# aggregate_using_index merge) over growing past it. n = 147 today
-# (140 at window-freeze + the ledger/takedown/retrieval wave —
-# bm25_store_time_travel, postings_store_changes,
-# zonemap_snapshot_scan, ivfpq_takedown_serve, hybrid_rrf_retrieval,
-# similarity_ann_filtered, mmr_rerank — behind the hatch); the 5
-# former past-cutoff takedown/zone-map/bloom entries hold r10's
-# entire debut budget, and the r11 staleness batch is ~38 (the
-# r08-green names _FILL_R10 does not re-check) + 7 obliged debuts
-# = 45 window slots, leaving ~5 free r11 slots. HARD STOP on further
-# r10 contract additions: 147 is within the n <= 150 bound but the
-# hatch is at capacity — r11 must add at most ~3 of its own debuts,
-# and consolidation (aggregate_fold -> aggregate_using_index) is the
-# next lever before n grows again.
+# n in (100, 150] the horizon is 3 and each 3-round cycle has exactly
+# 150 - n slack slots. BUDGET: keep n <= 150 (at n=151 the horizon
+# hits 4 but the ROUND-over-round staleness batch would exceed 50 the
+# first time two debut-heavy rounds stack, making the schedule
+# unsatisfiable); prefer folding near-duplicate entries over growing
+# past it. n = 148 today: 147 at r10 - 1 (aggregate_fold folded into
+# aggregate_using_index, r10 VERDICT item 2) + 2 r11 debuts
+# (bm25_rm3_topk, mmr_filtered_serve). The r11 window = 38 stale
+# (tripwire batch minus the folded entry) + 9 debuts (7 obliged
+# past-cutoff + 2 new) + 3 fill = 50. Cycle slack is 150 - 148 = 2 and
+# the dedup_takedown_lsh early re-check spends 1 of it, so the r12
+# staleness batch is 49 (every r09-green name not re-covered since)
+# with exactly ONE spare slot: r12 may add AT MOST one debut, and any
+# further additions must displace via consolidation (candidate folds:
+# segment_set_ops ⊃ segment_intersect / segment_except_all;
+# duplicate_spans / corpus_span_stats into remove_duplicate_spans).
 # --------------------------------------------------------------------- #
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}
-_WINDOW = HORIZON_STALE_R10 + DEBUTS_R10 + _FILL_R10
+_WINDOW = HORIZON_STALE_R11 + DEBUTS_R11 + _FILL_R11
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{k: _ALL.get(k, CORE_QUERIES.get(k)) for k in _WINDOW},
@@ -1931,11 +2056,7 @@ ORACLE: dict[str, str] = {
     """,
     "aggregate_using_index": """
         SELECT l_orderkey AS o_orderkey,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
-        FROM lineitem GROUP BY l_orderkey
-    """,
-    "aggregate_fold": """
-        SELECT l_orderkey AS o_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_rev,
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
         FROM lineitem GROUP BY l_orderkey
     """,

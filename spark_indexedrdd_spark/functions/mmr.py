@@ -198,23 +198,32 @@ def sql_mmr_rerank(
     lam: float = DEFAULT_LAMBDA,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cand_sql: "str | None" = None,
 ) -> str:
     """Exact DuckDB twin of :func:`mmr_rerank`: the candidate CTE is
     ``sql_cosine_topk`` (fold-exact), pairwise sims the same
     ``sql_cosine``, and the k greedy steps are UNROLLED as chained CTEs
     (sel_i = sel_{i-1} + argmax of lam*rel - (1-lam)*COALESCE(max sim
     to sel_{i-1}, 0.0), ties to the smallest cand_id) — the PageRank
-    unrolled-recurrence oracle pattern."""
+    unrolled-recurrence oracle pattern.
+
+    ``cand_sql`` swaps the candidate pool's provenance — any SELECT
+    producing (q_id, cand_id, cosine_sim), e.g. ``sql_ivf_ann`` with a
+    metadata ``filter_pred`` — making this the twin of
+    :func:`mmr_over_candidates` composed over a store serve. Every pool
+    cand_id must resolve in ``table`` (the pairwise-sim joins), the same
+    contract the Spark side enforces loudly."""
     from spark_indexedrdd_spark.functions.similarity import sql_cosine_topk
     from spark_indexedrdd_spark.functions.vectors import sql_cosine
 
-    cand_sql = sql_cosine_topk(
-        table=table,
-        query_ids=query_ids,
-        k=n_candidates,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
+    if cand_sql is None:
+        cand_sql = sql_cosine_topk(
+            table=table,
+            query_ids=query_ids,
+            k=n_candidates,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     lam_s = repr(float(lam))
     one_m = repr(1.0 - float(lam))
     parts = [

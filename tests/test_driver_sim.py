@@ -257,3 +257,62 @@ def test_r10_window_front_queues_every_tripwire_name():
         covered |= set(json.load(open(rec)))
     missing = [q for q in TRIPWIRE_R10 if q not in covered]
     assert not missing, f"r10 rotation is partial — not windowed: {missing}"
+
+
+# The exact stale list the staleness tripwire emitted after
+# CORRECTNESS_r10 landed (last hash-green r08). Pinned verbatim so a
+# PARTIAL round-11 rotation cannot pass locally: every name must be in
+# the declared window — or, once the round-11 record exists, covered
+# by it (after which the dynamic tripwire above owns staleness again).
+# aggregate_fold was CONSOLIDATED into the aggregate_using_index entry
+# this round (r10 VERDICT item 2): the merged query runs both the
+# native-agg and the user-reduce fold path, so the consolidated name
+# stands in for it below.
+TRIPWIRE_R11 = (
+    "text_stats", "corpus_top_terms", "stratified_split",
+    "duplicate_spans", "remove_duplicate_spans", "corpus_span_stats",
+    "similarity_topk", "similarity_topk_fast", "similarity_ann_lsh",
+    "volume_shipping_q7", "returned_items_q10", "promo_revenue_q14",
+    "bloom_pruned_join", "pack_documents", "skew_salted_revenue",
+    "shipping_priority", "local_supplier_volume", "cube_doc_counts",
+    "json_prop_stats", "pivot_lang_source", "binary_meta",
+    "quality_classifier", "short_key_ops", "char_key_ops", "build_scan",
+    "multiget", "multiput_merge", "delete", "filter_mapvalues", "diff",
+    "inner_join", "left_join", "full_outer_join", "join_update",
+    "aggregate_using_index", "aggregate_fold", "create_using_index",
+    "composite_key_scan", "composite_key_join",
+)
+
+# The seven r10 past-cutoff debuts the escape-hatch contract obliges
+# the r11 rotation to front-queue alongside the stale batch.
+OBLIGED_DEBUTS_R11 = (
+    "bm25_store_time_travel", "postings_store_changes",
+    "zonemap_snapshot_scan", "ivfpq_takedown_serve",
+    "hybrid_rrf_retrieval", "similarity_ann_filtered", "mmr_rerank",
+)
+
+
+def test_r11_window_front_queues_every_tripwire_name():
+    import json
+
+    import __spark_entry__ as E
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    qs = set(E.queries())
+    # the consolidation must be real: the folded name gone from the
+    # contract, the consolidated entry still present
+    assert "aggregate_fold" not in qs, (
+        "aggregate_fold was consolidated into aggregate_using_index — "
+        "re-adding it must revisit the rotation budget note"
+    )
+    assert "aggregate_using_index" in qs
+    covered = set(list(E.queries().keys())[:50])
+    rec = os.path.join(repo, "CORRECTNESS_r11.json")
+    if os.path.exists(rec):
+        covered |= set(json.load(open(rec)))
+    missing = [
+        q
+        for q in TRIPWIRE_R11 + OBLIGED_DEBUTS_R11
+        if q not in covered and q != "aggregate_fold"
+    ]
+    assert not missing, f"r11 rotation is partial — not windowed: {missing}"
