@@ -433,7 +433,7 @@ def write_ivf_store(
     from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.functions.vectors import norm
 
-    SC.validate_keep_cols(emb, keep_cols)
+    SC.validate_keep_cols(emb, keep_cols, reserved=(id_col, vec_col))
     cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
     assigned = emb.select(
         F.col(id_col),

@@ -1016,7 +1016,7 @@ def write_ivfpq_store(
     from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.functions.ivf import _centroids
 
-    SC.validate_keep_cols(emb, keep_cols)
+    SC.validate_keep_cols(emb, keep_cols, reserved=(id_col, vec_col))
     cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
     cbs = _res_codebooks(emb, cents, m, ksub, seed, id_col, vec_col, method)
     codes = _assign_res_encode(

@@ -268,7 +268,7 @@ def write_binary_store(
     from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.sources.bucketed import write_sorted
 
-    SC.validate_keep_cols(emb, keep_cols)
+    SC.validate_keep_cols(emb, keep_cols, reserved=(id_col, vec_col))
     SC.retract_meta(path)
     binary_sketches(emb, dims, id_col, vec_col, keep_cols).write.mode(
         "overwrite"

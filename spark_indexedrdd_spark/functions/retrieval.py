@@ -301,8 +301,13 @@ def bm25_rm3_topk(
     for r in exp_rows:
         tot[r.qid] = tot.get(r.qid, 0) + r.rm9
     exp_w = [
-        # 1e6 * rm9 <= ~k_fb * 1e15 only when rm9 ~ 1e9 * k_fb; with
-        # k_fb small both the product and the quotient are 2^53-exact
+        # cross-engine exactness of w6 rests on IDENTICAL IEEE double
+        # op ORDER on both engines — one multiply, one divide, one
+        # floor over the same BIGINT-exact inputs (DuckDB's exp_w CTE
+        # performs the same three ops) — NOT on the product staying
+        # below 2^53: rm9 can reach ~k_fb * 1e9, so a large k_fb
+        # pushes 1e6 * rm9 past 2^53, where both engines round the
+        # product identically before the identical divide
         (r.qid, r.term, int(math_floor(1_000_000.0 * r.rm9 / tot[r.qid])))
         for r in exp_rows
     ]
@@ -456,9 +461,11 @@ def sql_bm25_rm3_topk(
 ) -> str:
     """Exact DuckDB twin of :func:`bm25_rm3_topk`: the feedback CTE is
     ``sql_bm25_topk`` itself, expansion mass the same per-doc-floored
-    BIGINT sums, the weight quotient the same 2^53-exact double floor,
-    and the final interpolation the same all-BIGINT arithmetic with
-    ``//`` (BIGINT integer division) for the 1e6 rescale."""
+    BIGINT sums, the weight quotient the same multiply→divide→floor
+    IEEE double sequence (identical op order on both engines — see the
+    exp_w op-order note in :func:`bm25_rm3_topk`), and the final
+    interpolation the same all-BIGINT arithmetic with ``//`` (BIGINT
+    integer division) for the 1e6 rescale."""
     alpha6 = int(math_floor(float(alpha) * 1_000_000.0))
     beta6 = 1_000_000 - alpha6
     score9 = _sql_bm25_score9(k1, b)
@@ -1664,12 +1671,47 @@ def bm25_rm3_from_store(
     documents of ``docs`` (broadcast semi-join — the store is an
     inverted index, doc→terms needs the forward/text side).
 
+    Contract: ``docs`` (the forward/text frame) must COVER the store's
+    feedback documents — every id the feedback serve returns must
+    resolve in ``docs``. An id that didn't would silently vanish in
+    the expansion join, degrading RM3 toward plain BM25 with no
+    signal, so the check below refuses loudly instead (r10 ADVICE).
+    Cost: the feedback ids are collected once (q × k_fb rows — the
+    serve's own bound) and probed with an ``isin`` literal filter the
+    parquet scan prunes on; the serve itself is not re-executed.
+
     Parity (pytest-pinned): on a store built over ``docs`` this equals
     in-plan :func:`bm25_rm3_topk` — feedback, expansion and re-score
     each carry their own store≡in-plan contract, composed."""
-    fb = bm25_from_store(
+    from pyspark.sql import types as T
+
+    fb_served = bm25_from_store(
         spark, path, queries=queries, k=k_fb, k1=k1, b=b, version=version
     ).select("qid", id_col)
+    fb_rows = fb_served.collect()
+    fb = spark.createDataFrame(
+        fb_rows,
+        T.StructType(
+            [fb_served.schema["qid"], fb_served.schema[id_col]]
+        ),
+    )
+    fb_ids = sorted({r[1] for r in fb_rows})
+    if fb_ids:
+        resolved = {
+            r[0]
+            for r in docs.select(id_col)
+            .where(F.col(id_col).isin(fb_ids))
+            .distinct()
+            .collect()
+        }
+        unresolved = [i for i in fb_ids if i not in resolved]
+        if unresolved:
+            raise ValueError(
+                f"docs does not cover the store's feedback documents: "
+                f"{len(unresolved)} of {len(fb_ids)} feedback ids missing "
+                f"(first few: {unresolved[:5]}) — the forward frame must "
+                "contain every document the store can serve as feedback"
+            )
     exp_rows = _rm3_terms_for_feedback(
         docs, fb, queries, m_expand, text_col, id_col
     ).collect()
@@ -1678,6 +1720,8 @@ def bm25_rm3_from_store(
         tot[r.qid] = tot.get(r.qid, 0) + r.rm9
     qt = _query_terms(queries)
     qrows = [(q, t, None) for q, t in qt] + [
+        # same three-op IEEE sequence (multiply, divide, floor) as
+        # bm25_rm3_topk's exp_w — see the op-order exactness note there
         (r.qid, r.term,
          int(math_floor(1_000_000.0 * r.rm9 / tot[r.qid])))
         for r in exp_rows

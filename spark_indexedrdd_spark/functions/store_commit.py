@@ -656,13 +656,33 @@ def validate_batch_tag(batch_tag: str) -> None:
         raise ValueError(f"invalid batch_tag {batch_tag!r}")
 
 
-def validate_keep_cols(df, keep_cols) -> None:
+# Store-internal column names every vector tier writes beside the
+# persisted rows. A keep_cols request naming one would pass the
+# presence check below, then die later as a confusing
+# duplicate-column / ambiguous-reference analysis error inside the
+# build write — the deferred failure the loud ValueError exists to
+# prevent (r10 ADVICE).
+RESERVED_STORE_COLS = frozenset({"cluster_id", "nrm", "sketch", "codes"})
+
+
+def validate_keep_cols(df, keep_cols, reserved=()) -> None:
     """ONE copy of the build-time keep_cols contract every vector-store
     tier shares (IVF vectors, IVFPQ codes, binary sketches): every
-    requested metadata column must exist in the corpus frame."""
+    requested metadata column must exist in the corpus frame, and none
+    may collide with a store-internal column — the shared
+    :data:`RESERVED_STORE_COLS` set plus the caller's own ``reserved``
+    names (each tier passes its id/vector column names)."""
     missing = [c for c in keep_cols if c not in df.columns]
     if missing:
         raise ValueError(f"keep_cols not in corpus frame: {missing}")
+    bad = [
+        c for c in keep_cols if c in RESERVED_STORE_COLS or c in set(reserved)
+    ]
+    if bad:
+        raise ValueError(
+            f"keep_cols collide with store-internal columns: {bad} "
+            f"(reserved: {sorted(RESERVED_STORE_COLS | set(reserved))})"
+        )
 
 
 def enforce_store_keep_cols(meta: dict, batch_df, store_df=None):

@@ -179,3 +179,20 @@ def test_append_carries_keep_cols(spark, emb):
         .select("label").collect()
     }
     assert all(l % 2 == 0 for l in labels)
+
+
+def test_build_refuses_reserved_keep_cols(spark, emb):
+    """keep_cols naming a store-internal column (cluster_id, nrm, the
+    id/vector columns) must refuse at validation time with the loud
+    ValueError, not die later as an ambiguous-reference analysis error
+    inside the build write (r10 ADVICE)."""
+    path = os.path.join("spark-warehouse", "test_ivf_reserved")
+    frame = emb.select(
+        "vec_id", "embedding", "label", F.lit(0).alias("cluster_id")
+    )
+    for bad in ("cluster_id", "nrm", "vec_id", "embedding"):
+        shutil.rmtree(path, ignore_errors=True)
+        with pytest.raises(ValueError, match="keep_cols"):
+            IVF.write_ivf_store(
+                frame, path, n_clusters=8, method="det", keep_cols=(bad,)
+            )

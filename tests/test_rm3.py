@@ -117,3 +117,24 @@ def test_rm3_from_store_respects_takedown(spark, docs):
     assert sorted(map(tuple, served.collect())) == sorted(
         map(tuple, inplan.collect())
     )
+
+
+def test_rm3_from_store_refuses_uncovered_feedback_docs(spark, docs):
+    """A forward frame that lacks store-servable feedback docs must
+    refuse loudly (r10 ADVICE): silently losing them in the expansion
+    join would degrade RM3 toward plain BM25 with no signal. The
+    store holds the full corpus; the forward frame drops every even
+    doc — at least one feedback id lands on an even doc, so the
+    coverage check must fire."""
+    import shutil
+
+    p = "spark-warehouse/test_rm3_store_uncov"
+    shutil.rmtree(p, ignore_errors=True)
+    R.write_postings_store(docs, p, n_buckets=16)
+    fb_ids = {
+        r.doc_id for r in R.bm25_from_store(spark, p, k=5).collect()
+    }
+    dropped = {i for i in fb_ids if i % 2 == 0}
+    assert dropped, "fixture assumption: some feedback doc id is even"
+    with pytest.raises(ValueError, match="does not cover"):
+        R.bm25_rm3_from_store(spark, p, docs.where("doc_id % 2 = 1"))
