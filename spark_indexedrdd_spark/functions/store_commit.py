@@ -249,7 +249,8 @@ def read_meta_version(path: str, version: int) -> dict:
     version) are served: a higher number on disk is a crashed writer's
     dead reservation, not a commit. Snapshot reads stay exact while the
     snapshot's files survive — compaction and rebuilds rewrite data
-    directories and therefore invalidate OLDER snapshots (the Delta
+    directories, and :func:`vacuum_store` reclaims a retention horizon
+    explicitly; either way OLDER snapshots invalidate (the Delta
     VACUUM trade; the ledger keeps the metas readable either way)."""
     frontier = int(read_meta(path).get("version", 0))
     v = int(version)
@@ -304,6 +305,126 @@ def list_versions(path: str) -> "list[int]":
         for f in os.listdir(vdir)
         if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) <= frontier
     )
+
+
+def vacuum_store(path: str, keep_versions: int = 1, spark=None) -> dict:
+    """Retention-horizon GC for a manifest-pointer store (r10 VERDICT
+    item 3 — the Delta VACUUM shape): advance the servability floor to
+    the oldest of the newest ``keep_versions`` committed versions, then
+    delete every on-disk parquet under the store's manifest-tracked
+    roots that NO floor-or-newer version references. As-of reads below
+    the new floor refuse loudly afterwards (the rewrite_floor refusal
+    machinery); floor-or-newer snapshots keep serving byte-identically
+    — their manifests only name surviving files.
+
+    What this reclaims per family: in an append-only lineage the
+    manifest lists are cumulative (old ⊆ new), so the dead set is
+    crash debris — files a crashed append published that no committed
+    manifest ever named, and manifest JSONs no retained meta
+    references. The directory-granular reclaim of genuinely dead
+    version data lives with the COW ledger
+    (``sources.versioned.VersionedKVStore.vacuum``), whose versions
+    carry disjoint file sets. Passing ``spark`` additionally GC's a
+    flat sidecar store's ``data/`` directory (zone-map / bloom): live
+    data files are the ones the retained sidecar rows name.
+
+    Ordering (crash-safe): the floor advance COMMITS first — readers
+    refuse vacuumed versions before any file disappears — then files
+    are deleted; a crash in between leaves dead-but-present files and
+    a re-run is idempotent. Single-writer maintenance op, same
+    contract as the compactors (a concurrent append racing the delete
+    pass could lose just-published, not-yet-committed files; its
+    replay republishes them exactly).
+
+    Returns ``{"floor": int, "removed_files": [...],
+    "removed_manifests": [...]}``."""
+    meta = read_meta(path)
+    versions = list_versions(path)
+    if not versions:
+        raise ValueError(f"store at {path!r} has no committed ledger")
+    kv = max(1, int(keep_versions))
+    horizon = versions[-kv] if kv <= len(versions) else versions[0]
+    old_floor = int(meta.get("rewrite_floor", 0))
+    new_floor = max(horizon, old_floor)
+    kept = [read_meta_version(path, v) for v in versions if v >= new_floor]
+    # resolve the retained file set BEFORE committing the floor: a
+    # retained pre-manifest meta (legacy store) cannot enumerate its
+    # files, so GC would be guessing — refuse instead
+    roots: "list[tuple[str, str]]" = []
+    for key, sub in (
+        ("manifests", "postings"),
+        ("manifests", "zones"),
+        ("manifests", "bloom"),
+        ("dl_manifests", "doclen"),
+    ):
+        if meta.get(key) is not None and os.path.isdir(os.path.join(path, sub)):
+            roots.append((key, sub))
+    live: "dict[str, set]" = {}
+    kept_manifest_names: set = set()
+    for key, sub in roots:
+        files: set = set()
+        for m in kept:
+            names = m.get(key)
+            if names is None:
+                raise ValueError(
+                    f"retained version {m.get('version')} predates the "
+                    f"manifest pointer ({key}) — cannot enumerate its "
+                    "files; vacuum would be guessing. Rebuild first."
+                )
+            kept_manifest_names.update(names)
+            files.update(resolve_manifest_files(path, {"manifests": names}))
+        live[sub] = files
+    # ---- commit point: floor advances before anything is deleted ----
+    if new_floor > old_floor:
+        meta["rewrite_floor"] = new_floor
+        commit_meta(path, meta)
+        # the fresh commit's meta is retained by construction; fold its
+        # (identical) manifest names in for the manifest GC below
+        for key, _sub in roots:
+            kept_manifest_names.update(meta.get(key) or [])
+    removed: "list[str]" = []
+    for _key, sub in roots:
+        root = os.path.join(path, sub)
+        for rel in list_parquet_files(root):
+            if rel not in live[sub]:
+                os.remove(os.path.join(root, rel))
+                removed.append(f"{sub}/{rel}")
+    # flat sidecar stores: data files are named by the sidecar rows
+    data_dir = os.path.join(path, "data")
+    if spark is not None and os.path.isdir(data_dir):
+        for _key, sub in roots:
+            if sub not in ("zones", "bloom"):
+                continue
+            side_files = [
+                os.path.join(path, sub, f) for f in sorted(live[sub])
+            ]
+            if not side_files:
+                continue
+            live_data = {
+                r[0]
+                for r in spark.read.parquet(*side_files)
+                .select("file")
+                .distinct()
+                .collect()
+            }
+            for rel in list_parquet_files(data_dir):
+                if rel not in live_data:
+                    os.remove(os.path.join(data_dir, rel))
+                    removed.append(f"data/{rel}")
+    removed_manifests: "list[str]" = []
+    mdir = os.path.join(path, "_manifests")
+    if roots and os.path.isdir(mdir):
+        for f in sorted(os.listdir(mdir)):
+            if not f.endswith(".json"):
+                continue
+            if f[:-5] not in kept_manifest_names:
+                os.remove(os.path.join(mdir, f))
+                removed_manifests.append(f[:-5])
+    return {
+        "floor": new_floor,
+        "removed_files": removed,
+        "removed_manifests": removed_manifests,
+    }
 
 
 def retract_meta(path: str) -> None:

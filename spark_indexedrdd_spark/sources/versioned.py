@@ -27,8 +27,10 @@ a snapshot so later reads start from a shorter chain.
 Scale: a commit costs one delta-sized write (the base is never
 rewritten); a read costs the snapshot scan plus one shuffled-hash merge
 per delta — compact every ~8 commits (the StreamingKVStore cadence) to
-bound the chain. Retention/GC is a directory delete of versions older
-than the newest snapshot you care to keep.
+bound the chain. Retention/GC is :meth:`VersionedKVStore.vacuum`: keep
+the newest N versions, publish the refusal floor, then delete the
+version directories below the newest snapshot the retained reads fold
+from.
 """
 
 from __future__ import annotations
@@ -185,6 +187,13 @@ class VersionedKVStore:
             version = entries[-1]["v"]
         if version not in {e["v"] for e in entries}:
             raise ValueError(f"unknown version {version}")
+        floor = int(m.get("vacuum_floor", 0))
+        if version < floor:
+            raise ValueError(
+                f"version {version} predates the vacuum floor {floor} — "
+                "its files were reclaimed by vacuum(); only versions >= "
+                "the floor are servable"
+            )
         upto = [e for e in entries if e["v"] <= version]
         snap_idx = max(
             i for i, e in enumerate(upto) if e["kind"] == "snapshot"
@@ -276,6 +285,46 @@ class VersionedKVStore:
             .trigger(**trigger_kwargs)
             .start()
         )
+
+    def vacuum(self, keep_versions: int = 1) -> "list[int]":
+        """Retention-horizon GC (r10 VERDICT item 3): keep the newest
+        ``keep_versions`` versions readable, reclaim everything older.
+        Unlike the manifest-pointer stores (whose append lineage shares
+        files cumulatively — ``store_commit.vacuum_store``), this COW
+        ledger's versions own disjoint delta/snapshot directories, so
+        vacuum here reclaims real bytes: every version directory below
+        the retention BASE — the newest snapshot at or under the oldest
+        retained version (retained reads fold from that snapshot, so
+        nothing older is reachable) — is deleted.
+
+        Ordering (crash-safe): the manifest swap publishing
+        ``vacuum_floor`` lands FIRST, so reads refuse vacuumed versions
+        before any directory disappears; a crash in between leaves
+        dead-but-present directories, and a re-run is idempotent.
+        Versions in [base, oldest-retained) stay readable — they cost
+        nothing to keep (their dirs are the retained fold's inputs).
+
+        Call :meth:`compact` first to plant a fresh snapshot if the
+        newest snapshot is far behind the horizon — vacuum never
+        deletes a directory a retained read still folds.
+
+        Returns the reclaimed version ids."""
+        import shutil
+
+        m = self._manifest()
+        entries = m["versions"]
+        kv = max(1, int(keep_versions))
+        keep_min = entries[-kv]["v"] if kv <= len(entries) else entries[0]["v"]
+        snaps = [e["v"] for e in entries if e["kind"] == "snapshot" and e["v"] <= keep_min]
+        base = max(snaps)  # v0 is always a snapshot
+        floor = max(int(m.get("vacuum_floor", 0)), base)
+        dead = [e["v"] for e in entries if e["v"] < floor]
+        if floor > int(m.get("vacuum_floor", 0)):
+            m["vacuum_floor"] = floor
+            self._swap_manifest(m)  # <-- refusal publishes before reclaim
+        for v in dead:
+            shutil.rmtree(os.path.join(self.path, f"v{v}"), ignore_errors=True)
+        return dead
 
     def compact(self) -> int:
         """Materialize the LATEST version as a snapshot so later reads

@@ -211,3 +211,50 @@ def test_unknown_version_and_merge_rejected(store, spark):
             spark.createDataFrame([(1, 1.0)], "k long, v double"),
             merge="max",
         )
+
+
+def test_vacuum_reclaims_old_versions_and_refuses_them(store, spark):
+    """Retention-horizon GC: vacuum(keep_versions=1) after a compaction
+    keeps the newest (snapshot) version serving byte-identically,
+    refuses every reclaimed version loudly, and actually deletes the
+    dead version directories."""
+    import os
+
+    ups = spark.createDataFrame([(1, 100.0), (200, 1.5)], "k long, v double")
+    v1 = store.commit_puts(ups)
+    v2 = store.commit_deletes(spark.createDataFrame([(2,)], "k long"))
+    v3 = store.compact()
+    pre = _as_dict(store.read(v3))
+    dead = store.vacuum(keep_versions=1)
+    assert dead == [0, v1, v2]
+    for v in dead:
+        assert not os.path.exists(os.path.join(store.path, f"v{v}"))
+    for v in dead:
+        with pytest.raises(ValueError, match="vacuum floor"):
+            store.read(v)
+    with pytest.raises(ValueError, match="vacuum floor"):
+        store.changes(v1, v3)
+    assert _as_dict(store.read(v3)) == pre
+    assert _as_dict(store.read()) == pre
+    # the store stays writable and the ledger arithmetic is intact
+    v4 = store.commit_puts(
+        spark.createDataFrame([(7, 7.0)], "k long, v double")
+    )
+    assert v4 == v3 + 1
+    assert _as_dict(store.read(v4))[7] == 7.0
+
+
+def test_vacuum_without_snapshot_at_horizon_is_a_safe_noop(store, spark):
+    """vacuum never deletes a directory a retained read still folds:
+    with only the v0 snapshot below the horizon, nothing is
+    reclaimable and every version stays readable."""
+    v1 = store.commit_puts(
+        spark.createDataFrame([(1, 2.0)], "k long, v double")
+    )
+    v2 = store.commit_puts(
+        spark.createDataFrame([(2, 3.0)], "k long, v double")
+    )
+    assert store.vacuum(keep_versions=2) == []
+    assert _as_dict(store.read(0))[1] == 1.0
+    assert _as_dict(store.read(v1))[1] == 2.0
+    assert _as_dict(store.read(v2))[2] == 3.0
