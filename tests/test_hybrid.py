@@ -230,3 +230,73 @@ def test_hybrid_from_stores_asof_postings_version(spark, docs, emb):
     assert sorted(map(tuple, live.collect()), key=key) != sorted(
         map(tuple, snap.collect()), key=key
     )
+
+
+def test_hybrid_streaming_ingest_then_serve(spark, docs, emb, tmp_path):
+    """Streaming hybrid ingest (r10 VERDICT item 7): documents arrive
+    as micro-batches that fold into BOTH persisted indexes — postings
+    via StreamingPostingsStore (init + tagged appends) and vectors via
+    write_ivf_store/append_ivf_batch under the stored centroids — and
+    the store-served hybrid afterwards equals the in-plan hybrid over
+    the UNION corpus. n_probe = n_clusters makes the dense serve
+    centroid-invariant (every list scanned), so parity is exact even
+    though the stream's first batch, not the union, fit the
+    centroids."""
+    from spark_indexedrdd_spark.functions import ivf as _ivf
+    from spark_indexedrdd_spark.functions import retrieval as _r
+
+    emb2 = emb.select("vec_id", "embedding")
+    src = str(tmp_path / "stream_docs")
+    docs.where("doc_id % 2 = 0").coalesce(1).write.parquet(
+        src + "/half0"
+    )
+    docs.where("doc_id % 2 = 1").coalesce(1).write.parquet(
+        src + "/half1"
+    )
+    ppath = os.path.join("spark-warehouse", "test_hybrid_stream_postings")
+    ipath = os.path.join("spark-warehouse", "test_hybrid_stream_ivf")
+    shutil.rmtree(ppath, ignore_errors=True)
+    shutil.rmtree(ipath, ignore_errors=True)
+
+    pstore = _r.StreamingPostingsStore(ppath, n_buckets=16)
+    ivf_init = {"done": False}
+
+    def _fb(batch_df, batch_id):
+        if not batch_df.take(1):
+            return
+        pstore.foreach_batch(batch_df, batch_id)
+        bemb = emb2.join(
+            F.broadcast(batch_df.select(F.col("doc_id").alias("vec_id"))),
+            "vec_id",
+            "left_semi",
+        )
+        if not ivf_init["done"]:
+            _ivf.write_ivf_store(bemb, ipath, n_clusters=8, method="det")
+            ivf_init["done"] = True
+        else:
+            _ivf.append_ivf_batch(bemb, ipath)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(_fb)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    served = H.hybrid_rrf_from_stores(
+        spark, ppath, ipath, k=10, k_branch=20, n_probe=8
+    )
+    inplan = H.hybrid_rrf(docs, emb, k=10, k_branch=20)
+    key = lambda r: (r.qid, r.rank)  # noqa: E731
+    a = [tuple(r) for r in sorted(served.collect(), key=key)]
+    b = [tuple(r) for r in sorted(inplan.collect(), key=key)]
+    assert a == b
