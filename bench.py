@@ -589,6 +589,25 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
             )
         )
 
+    # composed pipeline (r11): filtered store serve -> MMR rerank —
+    # prices the predicate-pushed pool generation plus the
+    # corpus-oblivious greedy window in one line
+    @timed("mmr_filtered_serve")
+    def _mmrfilt():
+        from spark_indexedrdd_spark.functions import ivf as _ivf
+        from spark_indexedrdd_spark.functions import mmr as _m
+
+        pool = _ivf.ivf_ann_from_store(
+            spark,
+            "spark-warehouse/bench_ivf_filtered",
+            [0, 100, 200, 300, 400],
+            k=20,
+            filter_pred="label % 2 = 0",
+        ).select(
+            "q_id", "cand_id", F.col("cosine_sim").alias("rel_sim")
+        )
+        force(_m.mmr_over_candidates(pool, emb, k=5))
+
     @timed("semantic_dedup_incremental")
     def _semddi():
         from spark_indexedrdd_spark.functions import ivf as _ivf
@@ -1024,6 +1043,22 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
                 # pre-versioning leftover store or no prior commit:
                 # serve live rather than KeyError/out-of-range
                 version=v if v >= 1 else None,
+            )
+        )
+
+    # RM3 from the store (r11): both scoring passes through the pruned
+    # postings buckets; only the q x k_fb feedback docs touch text.
+    # Runs against bench_postings post-takedown, with the survivor
+    # forward frame — the coverage contract the serve now enforces
+    @timed("bm25_rm3_from_store")
+    def _rm3_store():
+        from spark_indexedrdd_spark.functions import retrieval as _ret
+
+        force(
+            _ret.bm25_rm3_from_store(
+                spark,
+                "spark-warehouse/bench_postings",
+                docs.where("doc_id % 5 != 0"),
             )
         )
 
