@@ -538,6 +538,33 @@ FROM documents WHERE doc_id % 2 = 0 AND doc_id % 5 = 0
 """
 
 
+def q_postings_optimize_serve(spark, sf_dir):
+    """Snapshot-preserving compaction (Delta OPTIMIZE) under driver
+    evidence: build the store over the full corpus, tombstone every
+    doc_id % 5 == 0, then OPTIMIZE — physically fold the tombstones
+    and re-merge the append files through the ordinary manifest
+    commit, WITHOUT moving the servability floor (older snapshots keep
+    serving; tests/test_takedown.py pins that plus the later
+    vacuum_store reclaim). The serve must hash-match the DuckDB BM25
+    over the SURVIVOR corpus — the same oracle as the tombstone-only
+    takedown serve, now through a physically rewritten file set,
+    proving OPTIMIZE changes bytes-on-disk and nothing else."""
+    import shutil
+
+    from spark_indexedrdd_spark.functions import retrieval as _r
+
+    docs = _docs(spark, sf_dir)
+    path = os.path.join("spark-warehouse", "contract_postings_optimize")
+    shutil.rmtree(path, ignore_errors=True)
+    _r.write_postings_store(docs, path, n_buckets=64)
+    _r.delete_postings_docs(
+        spark, path, docs.where("doc_id % 5 = 0").select("doc_id"),
+        batch_tag="contract-opt-d1",
+    )
+    _r.optimize_postings_store(spark, path)
+    return _r.bm25_from_store(spark, path)
+
+
 def q_dedup_takedown_lsh(spark, sf_dir):
     """Signature-store takedown under driver evidence: tombstoned
     corpus docs must stop claiming new arrivals as near-dups. Store
@@ -984,6 +1011,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9 (post-window, PAST_CUTOFF_NEW): per-file bloom sidecar —
     # point-lookup file skipping on a non-clustered column
     "bloom_pruned_multiget": q_bloom_pruned_multiget,
+    # r11 (post-window, PAST_CUTOFF_NEW): snapshot-preserving
+    # compaction (Delta OPTIMIZE) — tombstones folded, files re-merged,
+    # floor unmoved; serve == survivor-corpus BM25
+    "postings_optimize_serve": q_postings_optimize_serve,
     "tfidf_keywords": lambda s, d: _ret.tfidf_keywords(_docs(s, d)),
     "stratified_split": lambda s, d: _ret.stratified_split(_docs(s, d)),
     "temperature_sample": lambda s, d: _text.temperature_sample(_docs(s, d)),
@@ -1365,6 +1396,10 @@ EXTENSION_ORACLE: dict[str, str] = {
     "bloom_pruned_multiget": SQL_BLOOM_PRUNED_MULTIGET,
     # survivor-corpus BM25: every stat re-derived over NOT (%5 = 0)
     "bm25_takedown_serve": _ret.sql_bm25_topk(exclude_pred="doc_id % 5 = 0"),
+    # same survivor oracle through the physically optimized file set
+    "postings_optimize_serve": _ret.sql_bm25_topk(
+        exclude_pred="doc_id % 5 = 0"
+    ),
     # the pre-append snapshot IS the even-doc corpus: the later
     # committed odd-doc batch must be invisible to version v_pre
     "bm25_store_time_travel": _ret.sql_bm25_topk(
@@ -1700,13 +1735,15 @@ _FILL_R8 = (
     # debut; it rotates with the r9 staleness batch (note below).
 )
 
-# Empty as of r11: the seven r10 past-cutoff entries (snapshot serve,
-# postings CDC, zone-map as-of, IVFPQ takedown, hybrid RRF, filtered
-# ANN, MMR) rotated INTO the r11 window as its obliged debuts, and
-# this round's additions (bm25_rm3_topk, mmr_filtered_serve) debut
-# WITH driver evidence inside the window — nothing hides behind the
-# hatch.
-PAST_CUTOFF_NEW: tuple = ()
+# The seven r10 past-cutoff entries rotated INTO the r11 window as its
+# obliged debuts, and this round's in-window additions (bm25_rm3_topk,
+# mmr_filtered_serve) debut WITH driver evidence. Added after the r11
+# window froze: the snapshot-preserving OPTIMIZE serve (compaction
+# that does not move the servability floor — the missing half of the
+# OPTIMIZE/VACUUM pair this round added). The escape-hatch contract
+# obliges the r12 rotation to front-queue it — it is r12's ONE
+# affordable debut (rotation-budget note below).
+PAST_CUTOFF_NEW: tuple = ("postings_optimize_serve",)
 
 # The 32 queries the staleness tripwire named verbatim after
 # CORRECTNESS_r08 landed (last hash-green r06; asserted
@@ -1961,13 +1998,16 @@ _FILL_R11 = (
 # unsatisfiable); prefer folding near-duplicate entries over growing
 # past it. n = 148 today: 147 at r10 - 1 (aggregate_fold folded into
 # aggregate_using_index, r10 VERDICT item 2) + 2 r11 debuts
-# (bm25_rm3_topk, mmr_filtered_serve). The r11 window = 38 stale
+# (bm25_rm3_topk, mmr_filtered_serve) + 1 post-freeze hatch entry
+# (postings_optimize_serve), so n = 149. The r11 window = 38 stale
 # (tripwire batch minus the folded entry) + 9 debuts (7 obliged
-# past-cutoff + 2 new) + 3 fill = 50. Cycle slack is 150 - 148 = 2 and
-# the dedup_takedown_lsh early re-check spends 1 of it, so the r12
-# staleness batch is 49 (every r09-green name not re-covered since)
-# with exactly ONE spare slot: r12 may add AT MOST one debut, and any
-# further additions must displace via consolidation (candidate folds:
+# past-cutoff + 2 new) + 3 fill = 50. Cycle slack is 150 - 149 = 1 and
+# the dedup_takedown_lsh early re-check spent it, so the r12 window is
+# FULLY DETERMINED: 49 stale (every r09-green name not re-covered
+# since) + the 1 obliged optimize debut = 50, zero fill slots. r12
+# therefore must not add contract entries of its own and should avoid
+# reshaping in-contract impls (no slot to re-check them); before ANY
+# r13 addition, consolidate first (candidate folds:
 # segment_set_ops ⊃ segment_intersect / segment_except_all;
 # duplicate_spans / corpus_span_stats into remove_duplicate_spans).
 # --------------------------------------------------------------------- #

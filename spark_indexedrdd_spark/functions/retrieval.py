@@ -1381,12 +1381,105 @@ def postings_changes(
     return out
 
 
+def optimize_postings_store(spark: SparkSession, path: str) -> int:
+    """Snapshot-PRESERVING compaction (the Delta OPTIMIZE half of the
+    OPTIMIZE/VACUUM pair; :func:`compact_postings_store` is the
+    destructive rebuild, ``store_commit.vacuum_store`` the retention
+    reclaim): physically fold the tombstones and re-merge the
+    append-accumulated small files into ONE fresh file set, published
+    through the ordinary manifest-pointer commit — the old versions'
+    files are NOT touched, so every earlier snapshot keeps serving
+    byte-identically and the servability floor does not move. Returns
+    the live doc count.
+
+    Mechanics: survivors (committed files, tombstone-anti-joined,
+    pinned bucketization — never re-hashed) stage under the store's
+    own staging protocol, publish under deterministic
+    ``batch-<tag>-*`` names (a crashed re-run sweeps its own names
+    first, the append discipline), and ONE atomic meta commit swings
+    ``manifests``/``dl_manifests`` to the compacted set, zeroes the
+    delete ledger and folds the stat deltas. Crash anywhere before
+    the commit leaves published-but-unreferenced files — invisible to
+    every reader, reclaimed by ``vacuum_store``, and the re-run is
+    exact. A concurrent writer's commit between the read and this
+    commit raises ``ConcurrentWriteConflict`` BEFORE anything is
+    referenced (nothing was destroyed — re-run against the winner).
+
+    The space cost is the point: old file sets stay on disk for the
+    as-of surface until a later ``vacuum_store(keep_versions=N)``
+    advances the floor past the pre-OPTIMIZE versions and reclaims
+    them (files, manifests AND the tombstone dirs the retained metas
+    no longer name). ``postings_changes`` across the boundary refuses
+    by design (the delete/manifest ledgers reset even though the LIVE
+    set is unchanged — the compactions counter makes that loud).
+
+    Requires a manifested store (every post-r9 build); refuses loudly
+    on a legacy directory-listing store, where "unreferenced" is not
+    well-defined."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    meta = SC.read_meta(path)
+    id_col = meta["id_col"]
+    tomb = _postings_tombstones(spark, path, meta)
+    n_live = int(meta["n_docs"]) - int(meta.get("n_docs_deleted", 0))
+    rel = _resolve_committed_files(path, meta)
+    if rel is None:
+        raise ValueError(
+            "optimize_postings_store requires a manifest-pointer store; "
+            "this store predates the manifest — rebuild it first"
+        )
+    tag = f"optimize-{int(meta.get('compactions', 0)) + 1}"
+    if tag in meta.get("manifests", []) or tag in meta.get("applied", []):
+        raise ValueError(f"optimize tag {tag!r} collides with a batch tag")
+    post = spark.read.option("basePath", path + "/postings").parquet(
+        *[os.path.join(path, "postings", f) for f in rel]
+    )
+    dl = _resolve_doclen(spark, path, meta)
+    if tomb is not None:
+        post = post.join(F.broadcast(tomb), id_col, "left_anti")
+        dl = dl.join(F.broadcast(tomb), id_col, "left_anti")
+    stage = os.path.join(path, "_staging", tag)
+    _cleanup_staging(path, tag)
+    post.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(stage, "postings"))
+    dl.repartition("dbucket").sortWithinPartitions("dbucket").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "doclen"))
+    # publish (invisible until the meta commit) — sweep this tag's
+    # names first so a crashed prior attempt's strays can't survive a
+    # re-run that produces fewer files
+    _sweep_batch_files(path, tag)
+    SC.sweep_tagged_files(os.path.join(path, "doclen"), tag)
+    new_post = _publish_staged(path, os.path.join(stage, "postings"), tag)
+    new_dl = SC.publish_staged_flat(
+        os.path.join(stage, "doclen"), os.path.join(path, "doclen"), tag
+    )
+    SC.write_manifest(path, tag, new_post)
+    SC.write_manifest(path, "dl-" + tag, new_dl)
+    meta["manifests"] = [tag]
+    meta["dl_manifests"] = ["dl-" + tag]
+    meta["n_docs"] = n_live
+    meta["total_dl"] = int(meta["total_dl"]) - int(
+        meta.get("total_dl_deleted", 0)
+    )
+    meta.pop("n_docs_deleted", None)
+    meta.pop("total_dl_deleted", None)
+    meta["deletes"] = []
+    meta["compactions"] = int(meta.get("compactions", 0)) + 1
+    SC.commit_meta(path, meta)  # <-- commit point; floor does NOT move
+    _cleanup_staging(path, tag)
+    return n_live
+
+
 def compact_postings_store(spark: SparkSession, path: str) -> int:
     """Physically drop tombstoned docs' postings and doclen rows and
     clear the tombstone list; returns the live doc count.
 
     Rebuild-class by design (delete_postings_docs docstring — the
-    Delta VACUUM/OPTIMIZE economics): survivors keep their pinned
+    Delta VACUUM/OPTIMIZE economics; prefer
+    :func:`optimize_postings_store` when the as-of surface must
+    survive): survivors keep their pinned
     bucketization (never re-hashed) and the append-accumulated small
     files re-merge. The rewrite lands in a SIBLING directory read from
     the old committed files — never a checkpoint of data whose

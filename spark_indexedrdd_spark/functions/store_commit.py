@@ -337,7 +337,7 @@ def vacuum_store(path: str, keep_versions: int = 1, spark=None) -> dict:
     replay republishes them exactly).
 
     Returns ``{"floor": int, "removed_files": [...],
-    "removed_manifests": [...]}``."""
+    "removed_manifests": [...], "removed_tombstones": [...]}``."""
     meta = read_meta(path)
     versions = list_versions(path)
     if not versions:
@@ -420,10 +420,28 @@ def vacuum_store(path: str, keep_versions: int = 1, spark=None) -> dict:
             if f[:-5] not in kept_manifest_names:
                 os.remove(os.path.join(mdir, f))
                 removed_manifests.append(f[:-5])
+    # tombstone batches no retained version names (a snapshot-preserving
+    # OPTIMIZE zeroes the delete ledger while the physical dirs stay for
+    # the older snapshots — once those fall below the floor, the dirs
+    # are dead); shared layout across the postings/IVF/IVFPQ/binary
+    # families: tombstones/<tag> named by meta["deletes"]
+    removed_tombstones: "list[str]" = []
+    tdir = os.path.join(path, "tombstones")
+    if os.path.isdir(tdir):
+        import shutil as _sh
+
+        kept_tags = set(meta.get("deletes", []))
+        for m in kept:
+            kept_tags.update(m.get("deletes", []))
+        for t in sorted(os.listdir(tdir)):
+            if t not in kept_tags:
+                _sh.rmtree(os.path.join(tdir, t), ignore_errors=True)
+                removed_tombstones.append(t)
     return {
         "floor": new_floor,
         "removed_files": removed,
         "removed_manifests": removed_manifests,
+        "removed_tombstones": removed_tombstones,
     }
 
 

@@ -527,3 +527,88 @@ def test_takedown_orchestrator_covers_compressed_tiers(
         "postings": False, "signatures": True, "ivf": False,
         "ivfpq": False, "binary": False,
     }
+
+
+def test_optimize_preserves_snapshots_then_vacuum_reclaims(
+    spark, docs, tmp_path
+):
+    """The OPTIMIZE/VACUUM pair (r11): snapshot-preserving compaction
+    folds the tombstones and re-merges files WITHOUT moving the
+    servability floor — the pre-optimize snapshot keeps serving
+    byte-identically — and a later vacuum reclaims the pre-optimize
+    files, manifests and tombstone dirs once the floor passes them."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    path = str(tmp_path / "postings_opt")
+    R.write_postings_store(docs.where("doc_id % 2 = 0"), path, n_buckets=8)
+    R.append_postings_batch(
+        docs.where("doc_id % 2 = 1"), path, batch_tag="opt-b1"
+    )
+    R.delete_postings_docs(
+        spark, path, docs.where(DEL_PRED).select("doc_id"),
+        batch_tag="opt-d1",
+    )
+    v_pre = SC.read_meta(path)["version"]
+    pre_live = sorted(map(tuple, R.bm25_from_store(spark, path).collect()))
+    pre_snap = sorted(
+        map(tuple, R.bm25_from_store(spark, path, version=v_pre).collect())
+    )
+    n_files_pre = len(SC.list_parquet_files(os.path.join(path, "postings")))
+
+    n_live = R.optimize_postings_store(spark, path)
+    v_post = SC.read_meta(path)["version"]
+    meta = SC.read_meta(path)
+    assert meta["deletes"] == [] and len(meta["manifests"]) == 1
+
+    # live serve unchanged; the pre-optimize snapshot STILL serves
+    # (the destructive compactor would have floored it away)
+    assert (
+        sorted(map(tuple, R.bm25_from_store(spark, path).collect()))
+        == pre_live
+    )
+    assert (
+        sorted(
+            map(tuple, R.bm25_from_store(spark, path, version=v_pre).collect())
+        )
+        == pre_snap
+    )
+    assert n_live == docs.where(f"NOT ({DEL_PRED})").count()
+    # stat exactness: optimized serve == survivor-corpus rebuild
+    assert pre_live == _survivor_scores(docs)
+    # CDC across the boundary refuses loudly (ledgers reset)
+    with pytest.raises(ValueError, match="crossed the interval"):
+        R.postings_changes(spark, path, v_pre, v_post)
+
+    out = SC.vacuum_store(path, keep_versions=1)
+    assert out["floor"] == v_post
+    # pre-optimize batch/base files + their manifests + the tombstone
+    # dir are reclaimed; the optimized file set survives
+    assert out["removed_files"] and out["removed_tombstones"] == ["opt-d1"]
+    assert set(out["removed_manifests"]) >= {"base", "opt-b1"}
+    n_files_post = len(SC.list_parquet_files(os.path.join(path, "postings")))
+    assert n_files_post < n_files_pre
+    with pytest.raises(ValueError, match="floor"):
+        R.bm25_from_store(spark, path, version=v_pre)
+    assert (
+        sorted(map(tuple, R.bm25_from_store(spark, path).collect()))
+        == pre_live
+    )
+
+
+def test_optimize_without_tombstones_remerges_files(spark, docs, tmp_path):
+    """OPTIMIZE is also the small-file re-merge: on a store with no
+    deletes it folds the append-accumulated files into one set per
+    bucket and the serve is unchanged."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    path = str(tmp_path / "postings_merge")
+    R.write_postings_store(docs.where("doc_id % 2 = 0"), path, n_buckets=8)
+    R.append_postings_batch(
+        docs.where("doc_id % 2 = 1"), path, batch_tag="m-b1"
+    )
+    pre = sorted(map(tuple, R.bm25_from_store(spark, path).collect()))
+    R.optimize_postings_store(spark, path)
+    assert (
+        sorted(map(tuple, R.bm25_from_store(spark, path).collect())) == pre
+    )
+    assert SC.read_meta(path)["manifests"] == ["optimize-1"]
