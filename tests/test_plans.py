@@ -364,6 +364,10 @@ def test_contract_wide_no_accidental_cross_joins(spark):
         "lm_cross_entropy",       # same one-row broadcast model arrays
         "bm25_topk",              # broadcast 1-row corpus stats (n_docs,
                                   # avgdl) x matched-postings scorer
+        "bm25_rm3_topk",          # same 1-row stats broadcast, twice:
+                                  # the feedback pass IS bm25_topk and
+                                  # the expanded re-score re-joins the
+                                  # same scalar stats frame
         "tfidf_keywords",         # broadcast 1-row n_docs scalar
         "corpus_top_terms",       # broadcast 1-row grand total onto the
                                   # k result rows (checkpointed-counts
