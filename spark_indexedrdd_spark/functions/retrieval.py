@@ -1554,7 +1554,11 @@ class StreamingPostingsStore:
     overwrite-mode) build rather than double-applying batch 0; later
     batches append with the batch_id as the replay tag via the staged
     commit protocol, so at-least-once re-delivery of a committed batch
-    is a true no-op (exactness pinned in tests/test_retrieval.py)."""
+    is a true no-op (exactness pinned in tests/test_retrieval.py).
+    ``optimize_every=N`` folds the manifest list with the
+    snapshot-preserving OPTIMIZE whenever it reaches N entries —
+    bounded file counts under continuous ingest without breaking the
+    as-of surface."""
 
     def __init__(
         self,
@@ -1562,11 +1566,20 @@ class StreamingPostingsStore:
         text_col: str = "text",
         id_col: str = "doc_id",
         n_buckets: int = 256,
+        optimize_every: "int | None" = None,
     ):
         self.path = path
         self.text_col = text_col
         self.id_col = id_col
         self.n_buckets = n_buckets
+        # optimize_every: run the snapshot-preserving OPTIMIZE once the
+        # manifest list reaches this many entries (the VersionedKVStore
+        # compact_every cadence, at-rest) — a year of micro-batches
+        # otherwise turns every serve's file resolution into a
+        # listing problem long before a data problem. Snapshot-
+        # preserving, so as-of reads of earlier batches keep working
+        # until a vacuum passes them.
+        self.optimize_every = optimize_every
         self._initialized = os.path.exists(os.path.join(path, "meta.json"))
 
     def foreach_batch(self, batch_df, batch_id: int) -> None:
@@ -1583,6 +1596,12 @@ class StreamingPostingsStore:
                 batch_df, self.path, self.text_col, self.id_col,
                 batch_tag=str(batch_id),
             )
+        if self.optimize_every:
+            from spark_indexedrdd_spark.functions import store_commit as _SC
+
+            n_manifests = len(_SC.read_meta(self.path).get("manifests", []))
+            if n_manifests >= int(self.optimize_every):
+                optimize_postings_store(batch_df.sparkSession, self.path)
 
     def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
         return (

@@ -758,3 +758,36 @@ def test_snapshot_serve_keeps_manifest_pruning(spark, docs, tmp_path):
             if m
         }
         assert 0 < len(touched) <= len(terms), touched
+
+
+def test_streaming_postings_store_optimize_cadence(spark, docs, tmp_path):
+    """optimize_every bounds the manifest/file growth under continuous
+    ingest: with the cadence at 2 the streamed store ends with a folded
+    manifest list, and serves exactly like the single-shot build."""
+    import tempfile
+
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    d = docs.select("doc_id", "text")
+    src = str(tmp_path / "pssopt_src")
+    for i in range(4):
+        d.where(f"doc_id % 4 = {i}").coalesce(1).write.mode("append").parquet(src)
+    store = str(tmp_path / "pssopt_store")
+    st = R.StreamingPostingsStore(store, optimize_every=2)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = st.attach(stream, tempfile.mkdtemp(prefix="pssoptckpt_"), availableNow=True)
+    q.awaitTermination(180)
+    meta = SC.read_meta(store)
+    # the cadence folded at least once, and the last fold left at most
+    # optimize_every entries (the terminal batch may append after it)
+    assert int(meta.get("compactions", 0)) >= 1
+    assert len(meta["manifests"]) <= 2
+    single = str(tmp_path / "pssopt_single")
+    R.write_postings_store(d, single)
+    a = sorted(map(tuple, R.bm25_from_store(spark, store).collect()))
+    b = sorted(map(tuple, R.bm25_from_store(spark, single).collect()))
+    assert a == b

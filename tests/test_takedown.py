@@ -612,3 +612,79 @@ def test_optimize_without_tombstones_remerges_files(spark, docs, tmp_path):
         sorted(map(tuple, R.bm25_from_store(spark, path).collect())) == pre
     )
     assert SC.read_meta(path)["manifests"] == ["optimize-1"]
+
+
+def test_optimize_conflict_destroys_nothing_and_rerun_succeeds(
+    spark, docs, tmp_path, monkeypatch
+):
+    """A writer committing DURING an optimize loses nothing: optimize's
+    meta commit detects the moved frontier and raises
+    ConcurrentWriteConflict BEFORE anything it staged is referenced;
+    the winner's takedown stands, and the re-run optimizes against the
+    winner's state exactly."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    path = str(tmp_path / "postings_race")
+    R.write_postings_store(docs, path, n_buckets=8)
+    orig = R._publish_staged
+    fired = {"done": False}
+
+    def racing_publish(p, stage, tag):
+        out = orig(p, stage, tag)
+        if not fired["done"]:
+            fired["done"] = True
+            R.delete_postings_docs(
+                spark, path, docs.where(DEL_PRED).select("doc_id"),
+                batch_tag="race-d1",
+            )
+        return out
+
+    monkeypatch.setattr(R, "_publish_staged", racing_publish)
+    with pytest.raises(SC.ConcurrentWriteConflict):
+        R.optimize_postings_store(spark, path)
+    monkeypatch.undo()
+    # the winner's takedown is intact and servable
+    assert (
+        sorted(map(tuple, R.bm25_from_store(spark, path).collect()))
+        == _survivor_scores(docs)
+    )
+    # re-run folds the winner's tombstones physically; serve unchanged
+    n_live = R.optimize_postings_store(spark, path)
+    assert n_live == docs.where(f"NOT ({DEL_PRED})").count()
+    assert SC.read_meta(path)["deletes"] == []
+    assert (
+        sorted(map(tuple, R.bm25_from_store(spark, path).collect()))
+        == _survivor_scores(docs)
+    )
+
+
+def test_optimize_crash_before_commit_leaves_store_intact(
+    spark, docs, tmp_path, monkeypatch
+):
+    """Crash between publish and the meta commit: every reader still
+    sees the pre-optimize store (published files are unreferenced), and
+    the re-run is exact."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    path = str(tmp_path / "postings_crash")
+    R.write_postings_store(docs, path, n_buckets=8)
+    R.delete_postings_docs(
+        spark, path, docs.where(DEL_PRED).select("doc_id"),
+        batch_tag="crash-d1",
+    )
+    pre = sorted(map(tuple, R.bm25_from_store(spark, path).collect()))
+
+    def boom(p, meta, rewrite=False):
+        raise RuntimeError("crash before commit")
+
+    monkeypatch.setattr(SC, "commit_meta", boom)
+    with pytest.raises(RuntimeError):
+        R.optimize_postings_store(spark, path)
+    monkeypatch.undo()
+    assert (
+        sorted(map(tuple, R.bm25_from_store(spark, path).collect())) == pre
+    )
+    R.optimize_postings_store(spark, path)
+    assert (
+        sorted(map(tuple, R.bm25_from_store(spark, path).collect())) == pre
+    )
