@@ -179,3 +179,32 @@ def test_store_serve_handles_float_vectors_and_int_ids(spark, sf_dir, tmp_path):
     rows = ivf_ann_from_store(spark, path, [50, 100], k=3, n_probe=4).collect()
     assert len(rows) > 0
     assert {r.q_id for r in rows} <= {50, 100}
+
+
+def test_vacuum_floor_applies_to_ivf_as_of_surface(spark, store):
+    """vacuum_store's retention floor covers the IVF ledger too (its
+    as-of surface is delete history): after vacuum(keep_versions=1), a
+    pre-takedown `version=` serve refuses loudly while the live serve
+    is byte-identical. The IVF store has no manifest roots, so the
+    vacuum is floor-advance (+ tombstone retention) only."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    emb, path = store
+    v_pre = SC.read_meta(path)["version"]
+    delete_ivf_ids(
+        spark, path, emb.where("vec_id % 7 = 0").select("vec_id"),
+        batch_tag="vac-d1",
+    )
+    pre_live = sorted(
+        map(tuple, ivf_ann_from_store(spark, path, QIDS, k=5).collect())
+    )
+    out = SC.vacuum_store(path, keep_versions=1)
+    assert out["floor"] > v_pre
+    # the takedown's tombstones are retained (the live meta names them)
+    assert out["removed_tombstones"] == []
+    with pytest.raises(ValueError, match="floor"):
+        ivf_ann_from_store(spark, path, QIDS, k=5, version=v_pre)
+    assert (
+        sorted(map(tuple, ivf_ann_from_store(spark, path, QIDS, k=5).collect()))
+        == pre_live
+    )

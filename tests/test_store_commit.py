@@ -704,3 +704,39 @@ def test_vacuum_store_flat_family_gcs_unreferenced_data(spark, tmp_path):
         sorted(map(tuple, ZM.zonemap_read(spark, p, lo, hi).collect()))
         == pre
     )
+
+
+def test_vacuum_store_bloom_family(spark, tmp_path):
+    """The bloom sidecar family rides the same vacuum path as the
+    zone-map (roots detection on the 'bloom' dir): floor advance, data/
+    debris GC, value-identical pruned lookups afterwards."""
+    import os
+    import shutil
+
+    from spark_indexedrdd_spark.sources import bloomindex as BL
+
+    orders = spark.read.parquet(SF_DIR + "/orders.parquet")
+    p = str(tmp_path / "vac_bloom")
+    BL.write_bloom_table(
+        orders.where("o_orderkey % 3 != 0"), p, "o_custkey", n_files=4
+    )
+    BL.append_bloom_batch(
+        orders.where("o_orderkey % 3 = 0"), p, batch_tag="bb1", n_files=2
+    )
+    v2 = SC.read_meta(p)["version"]
+    keys = [7, 19, 42, -5]
+    pre = sorted(map(tuple, BL.bloom_multiget(spark, p, keys).collect()))
+    datadir = os.path.join(p, "data")
+    src = next(
+        f for f in sorted(os.listdir(datadir)) if f.endswith(".parquet")
+    )
+    debris = os.path.join(datadir, "batch-crashed-00000.parquet")
+    shutil.copyfile(os.path.join(datadir, src), debris)
+
+    out = SC.vacuum_store(p, keep_versions=1, spark=spark)
+    assert out["floor"] == v2
+    assert "data/batch-crashed-00000.parquet" in out["removed_files"]
+    assert not os.path.exists(debris)
+    assert (
+        sorted(map(tuple, BL.bloom_multiget(spark, p, keys).collect())) == pre
+    )
