@@ -1996,7 +1996,7 @@ _FILL_R11 = (
 # hits 4 but the ROUND-over-round staleness batch would exceed 50 the
 # first time two debut-heavy rounds stack, making the schedule
 # unsatisfiable); prefer folding near-duplicate entries over growing
-# past it. n = 148 today: 147 at r10 - 1 (aggregate_fold folded into
+# past it. n = 149 today: 147 at r10 - 1 (aggregate_fold folded into
 # aggregate_using_index, r10 VERDICT item 2) + 2 r11 debuts
 # (bm25_rm3_topk, mmr_filtered_serve) + 1 post-freeze hatch entry
 # (postings_optimize_serve), so n = 149. The r11 window = 38 stale

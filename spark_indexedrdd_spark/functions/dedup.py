@@ -563,10 +563,13 @@ def incremental_lsh_candidates_from_store(
     catalog cache to release it, evicting sibling queries' caches in a
     shared session). The checkpointed blocks are batch-sized and are
     released with the DataFrame by the ContextCleaner; the lineage
-    truncation is the usual localCheckpoint trade (executor loss =
-    recompute-from-scratch of a batch-sized frame). Per-micro-batch
-    loops still use the streaming form, which persists and unpersists
-    each batch explicitly."""
+    truncation is the usual localCheckpoint trade — the blocks live
+    unreplicated on executors, so losing one makes them UNRECOVERABLE
+    and a downstream action FAILS (Spark does not recompute truncated
+    lineage); the caller re-runs the batch-sized call. Avoid under
+    aggressive dynamic allocation. Per-micro-batch loops still use the
+    streaming form, which persists and unpersists each batch
+    explicitly."""
     sig_new = minhash_signatures(new_df, text_col, id_col).localCheckpoint(
         eager=True
     )

@@ -957,6 +957,32 @@ def append_postings_batch(
         # the commit point but before cleanup
         _cleanup_staging(path, batch_tag)
         return False
+    if batch_tag is not None:
+        # Collision/namespace refusal BEFORE the tag's replay sweep
+        # runs: sweeping first would delete live batch-<tag>-* files
+        # when the tag names a COMMITTED manifest (e.g. a user tag
+        # 'optimize-1' after an optimize). Reserved prefixes keep the
+        # internal namespaces (doclen manifests, anon appends, the
+        # optimizer's deterministic tags) un-collidable; the retired
+        # ledger covers names an optimize removed from the live lists
+        # while older servable snapshots still reference their
+        # manifest files (vacuum prunes it as those files go).
+        retired = set(meta.get("retired_manifests", []))
+        if batch_tag.startswith(("dl-", "anon-", "optimize-")):
+            raise ValueError(
+                f"batch_tag {batch_tag!r} uses a reserved prefix "
+                "(dl-/anon-/optimize- are store-internal namespaces)"
+            )
+        if (
+            batch_tag in (meta.get("manifests") or [])
+            or batch_tag in retired
+            or ("dl-" + batch_tag) in (meta.get("dl_manifests") or [])
+            or ("dl-" + batch_tag) in retired
+        ):
+            raise ValueError(
+                f"batch_tag {batch_tag!r} collides with a manifest name "
+                "a servable version references"
+            )
     # Delete-wins until compaction: ids currently tombstoned are
     # EXCLUDED from the batch before stats are computed. Without this
     # a re-ingested deleted doc would add to n_docs/total_dl while the
@@ -1014,7 +1040,9 @@ def append_postings_batch(
             set(SC.list_parquet_files(path + "/postings")) - pre
         )
         mname = f"anon-{len(manifests):05d}"
-        while mname in manifests:
+        while mname in manifests or mname in set(
+            meta.get("retired_manifests", [])
+        ):
             mname += "x"
     else:
         stage = os.path.join(path, "_staging", batch_tag)
@@ -1024,14 +1052,13 @@ def append_postings_batch(
         mname = batch_tag
     if (
         mname in manifests
+        or mname in set(meta.get("retired_manifests", []))
         or mname.startswith("dl-")
         or ("dl-" + mname) in meta.get("dl_manifests", [])
     ):
-        # a tag colliding with a committed manifest name ('base', a
-        # prior anon-NNNNN, or the doclen sidecar's 'dl-*' namespace)
-        # would silently overwrite that manifest's file list — loud
-        # error instead (duplicate APPLIED tags were already handled
-        # above as replay no-ops)
+        # belt-and-braces re-check of the early refusal above: a tag
+        # colliding with a committed or retired manifest name would
+        # silently overwrite that manifest's file list
         raise ValueError(f"batch_tag {mname!r} collides with a manifest")
     SC.write_manifest(path, mname, new_files)
     dl_manifests = meta.get("dl_manifests")
@@ -1423,14 +1450,30 @@ def optimize_postings_store(spark: SparkSession, path: str) -> int:
     tomb = _postings_tombstones(spark, path, meta)
     n_live = int(meta["n_docs"]) - int(meta.get("n_docs_deleted", 0))
     rel = _resolve_committed_files(path, meta)
-    if rel is None:
+    if rel is None or meta.get("dl_manifests") is None:
+        # a manifest-backfilled legacy store can carry postings
+        # manifests while the doclen sidecar predates manifests —
+        # refuse loudly either way rather than dying on a None
+        # sidecar mid-rewrite
         raise ValueError(
-            "optimize_postings_store requires a manifest-pointer store; "
-            "this store predates the manifest — rebuild it first"
+            "optimize_postings_store requires a manifest-pointer store "
+            "(postings AND doclen sidecar manifests); this store "
+            "predates them — rebuild it first"
         )
+    # deterministic, collision-free tag: derived purely from meta, so
+    # a crashed attempt's re-run reuses the SAME tag (sweep-exact); a
+    # pre-existing colliding name (possible only on stores written
+    # before append tags reserved the optimize- prefix) is skipped
+    # with the anon-style deterministic suffix
+    taken = (
+        set(meta.get("manifests", []))
+        | set(meta.get("dl_manifests", []))
+        | set(meta.get("applied", []))
+        | set(meta.get("retired_manifests", []))
+    )
     tag = f"optimize-{int(meta.get('compactions', 0)) + 1}"
-    if tag in meta.get("manifests", []) or tag in meta.get("applied", []):
-        raise ValueError(f"optimize tag {tag!r} collides with a batch tag")
+    while tag in taken or ("dl-" + tag) in taken:
+        tag += "x"
     post = spark.read.option("basePath", path + "/postings").parquet(
         *[os.path.join(path, "postings", f) for f in rel]
     )
@@ -1457,6 +1500,15 @@ def optimize_postings_store(spark: SparkSession, path: str) -> int:
     )
     SC.write_manifest(path, tag, new_post)
     SC.write_manifest(path, "dl-" + tag, new_dl)
+    # the replaced names leave the live lists but their manifest FILES
+    # stay (older snapshots resolve them) — record them so no future
+    # append tag can reuse a name a servable version still references
+    # (vacuum prunes this ledger as it reclaims the files)
+    meta["retired_manifests"] = sorted(
+        set(meta.get("retired_manifests", []))
+        | set(meta.get("manifests", []))
+        | set(meta.get("dl_manifests", []))
+    )
     meta["manifests"] = [tag]
     meta["dl_manifests"] = ["dl-" + tag]
     meta["n_docs"] = n_live
@@ -1539,6 +1591,9 @@ def compact_postings_store(spark: SparkSession, path: str) -> int:
     meta["deletes"] = []
     meta["manifests"] = ["base"]
     meta["dl_manifests"] = ["dl-base"]
+    # the destructive swap removed every old manifest FILE, so the
+    # retired-name collision ledger has nothing left to protect
+    meta.pop("retired_manifests", None)
     meta["compactions"] = int(meta.get("compactions", 0)) + 1
     SC.commit_meta(path, meta, rewrite=True)
     shutil.rmtree(tmp, ignore_errors=True)

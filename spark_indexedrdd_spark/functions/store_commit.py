@@ -96,7 +96,9 @@ def _committed_frontier(path: str) -> int:
         return 0
 
 
-def commit_meta(path: str, meta: dict, rewrite: bool = False) -> None:
+def commit_meta(
+    path: str, meta: dict, rewrite: bool = False, bookkeeping: bool = False
+) -> None:
     """Atomically publish ``meta.json`` — the commit point — and stamp
     the commit into the monotonically-versioned ledger
     ``_versions/<n>.json`` (optimistic concurrency + snapshot reads).
@@ -151,6 +153,17 @@ def commit_meta(path: str, meta: dict, rewrite: bool = False) -> None:
     # deltas on top of the winner (the retry would base on new).
     stamped = dict(meta)
     stamped["version"] = new
+    # bookkeeping commits (vacuum's floor advance) are flagged so
+    # retention horizons count DATA versions only — otherwise every
+    # vacuum run would mint a version that the next run's
+    # keep_versions window slides over, eroding retention one version
+    # per run until only the frontier is servable. The flag never
+    # leaks onto a real writer's next commit: an unflagged commit
+    # strips it from the meta it inherited.
+    if bookkeeping:
+        stamped["vacuum_bookkeeping"] = True
+    else:
+        stamped.pop("vacuum_bookkeeping", None)
     # rewrite floor: the earliest version whose snapshot files still
     # exist. A fresh-dict commit IS a build/rebuild (the writers'
     # convention), and compactors pass rewrite=True explicitly — either
@@ -209,6 +222,10 @@ def commit_meta(path: str, meta: dict, rewrite: bool = False) -> None:
     # reservation holds: now advance the caller's dict in place (a
     # sequential re-commit by the same holder must base on `new`)
     meta["version"] = new
+    if bookkeeping:
+        meta["vacuum_bookkeeping"] = True
+    else:
+        meta.pop("vacuum_bookkeeping", None)
     if rewrite or fresh:
         meta["rewrite_floor"] = new
     meta_path = os.path.join(path, "meta.json")
@@ -343,10 +360,20 @@ def vacuum_store(path: str, keep_versions: int = 1, spark=None) -> dict:
     if not versions:
         raise ValueError(f"store at {path!r} has no committed ledger")
     kv = max(1, int(keep_versions))
-    horizon = versions[-kv] if kv <= len(versions) else versions[0]
+    # retention counts DATA versions only: a prior vacuum's
+    # floor-advance commit is bookkeeping, and counting it would slide
+    # the keep_versions window forward on every run (daily vacuum +
+    # infrequent commits would erode the horizon to the frontier)
+    metas = {v: read_meta_version(path, v) for v in versions}
+    data_versions = [
+        v for v in versions if not metas[v].get("vacuum_bookkeeping")
+    ] or versions
+    horizon = (
+        data_versions[-kv] if kv <= len(data_versions) else data_versions[0]
+    )
     old_floor = int(meta.get("rewrite_floor", 0))
     new_floor = max(horizon, old_floor)
-    kept = [read_meta_version(path, v) for v in versions if v >= new_floor]
+    kept = [metas[v] for v in versions if v >= new_floor]
     # resolve the retained file set BEFORE committing the floor: a
     # retained pre-manifest meta (legacy store) cannot enumerate its
     # files, so GC would be guessing — refuse instead
@@ -377,7 +404,15 @@ def vacuum_store(path: str, keep_versions: int = 1, spark=None) -> dict:
     # ---- commit point: floor advances before anything is deleted ----
     if new_floor > old_floor:
         meta["rewrite_floor"] = new_floor
-        commit_meta(path, meta)
+        # retired manifest names whose files this vacuum reclaims can
+        # leave the collision ledger — nothing servable references
+        # them anymore, so a future tag reusing the name writes a
+        # fresh, unreferenced manifest (harmless by construction)
+        if "retired_manifests" in meta:
+            meta["retired_manifests"] = sorted(
+                set(meta["retired_manifests"]) & kept_manifest_names
+            )
+        commit_meta(path, meta, bookkeeping=True)
         # the fresh commit's meta is retained by construction; fold its
         # (identical) manifest names in for the manifest GC below
         for key, _sub in roots:

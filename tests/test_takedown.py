@@ -129,7 +129,10 @@ def test_append_then_delete_composes(spark, docs, store):
 
 
 def test_dl_manifest_tag_collision_is_loud(spark, docs, store):
-    with pytest.raises(ValueError, match="collides"):
+    # the whole dl- namespace is now reserved up front (r11: refusal
+    # must run BEFORE the replay sweep), which subsumes the original
+    # per-name collision check this test pinned
+    with pytest.raises(ValueError, match="reserved prefix"):
         R.append_postings_batch(
             docs.where("doc_id % 97 = 0"), store, batch_tag="dl-base"
         )
@@ -688,3 +691,92 @@ def test_optimize_crash_before_commit_leaves_store_intact(
     assert (
         sorted(map(tuple, R.bm25_from_store(spark, path).collect())) == pre
     )
+
+
+def test_append_tags_cannot_collide_with_retired_or_internal_names(
+    spark, docs, tmp_path
+):
+    """Post-optimize, names an older servable snapshot still references
+    must stay un-collidable: reserved prefixes refuse outright (BEFORE
+    any replay sweep could touch live optimize files), and the retired
+    ledger blocks reuse of 'base'/old tags until a vacuum reclaims
+    their manifest files — after which the name is free again."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    path = str(tmp_path / "postings_collide")
+    half = docs.where("doc_id % 2 = 0")
+    rest = docs.where("doc_id % 2 = 1")
+    R.write_postings_store(half, path, n_buckets=8)
+    R.optimize_postings_store(spark, path)
+    assert SC.read_meta(path)["manifests"] == ["optimize-1"]
+    live_pre = sorted(map(tuple, R.bm25_from_store(spark, path).collect()))
+
+    # reserved prefix: refused loudly, and the live optimize files are
+    # untouched (the old bug swept batch-optimize-1-* before raising)
+    with pytest.raises(ValueError, match="reserved prefix"):
+        R.append_postings_batch(rest, path, batch_tag="optimize-1")
+    assert (
+        sorted(map(tuple, R.bm25_from_store(spark, path).collect()))
+        == live_pre
+    )
+    # retired name: 'base' left the live lists but its manifest file is
+    # still referenced by the pre-optimize snapshot
+    with pytest.raises(ValueError, match="collides"):
+        R.append_postings_batch(rest, path, batch_tag="base")
+
+    # vacuum reclaims the pre-optimize manifests -> the name frees up
+    out = SC.vacuum_store(path, keep_versions=1)
+    assert "base" in out["removed_manifests"]
+    assert R.append_postings_batch(rest, path, batch_tag="base") is True
+    single = str(tmp_path / "postings_collide_single")
+    R.write_postings_store(docs, single, n_buckets=8)
+    assert sorted(map(tuple, R.bm25_from_store(spark, path).collect())) == \
+        sorted(map(tuple, R.bm25_from_store(spark, single).collect()))
+
+
+def test_repeated_vacuum_does_not_erode_retention(spark, docs, tmp_path):
+    """vacuum's own floor-advance commit is ledger bookkeeping: running
+    vacuum repeatedly with the same keep_versions must not slide the
+    retention window over its own commits and refuse data versions the
+    caller asked to keep."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    path = str(tmp_path / "postings_revac")
+    R.write_postings_store(docs.where("doc_id % 2 = 0"), path, n_buckets=8)
+    v1 = SC.read_meta(path)["version"]
+    R.append_postings_batch(
+        docs.where("doc_id % 2 = 1"), path, batch_tag="rv-b1"
+    )
+    v2 = SC.read_meta(path)["version"]
+    snap_v2 = sorted(
+        map(tuple, R.bm25_from_store(spark, path, version=v2).collect())
+    )
+    # keep_versions=2 with two data versions: the floor never advances
+    # and NO ledger version is minted — fully idempotent
+    out = SC.vacuum_store(path, keep_versions=2)
+    assert out["floor"] == v1 and SC.read_meta(path)["version"] == v2
+    R.bm25_from_store(spark, path, version=v1).collect()
+    # keep_versions=1: the floor advances to v2 with ONE bookkeeping
+    # commit; re-runs must not count that commit as a data version and
+    # slide the window past v2 (the erosion bug)
+    out1 = SC.vacuum_store(path, keep_versions=1)
+    out2 = SC.vacuum_store(path, keep_versions=1)
+    out3 = SC.vacuum_store(path, keep_versions=1)
+    assert out1["floor"] == out2["floor"] == out3["floor"] == v2
+    assert SC.read_meta(path)["version"] == v2 + 1
+    assert (
+        sorted(map(tuple, R.bm25_from_store(spark, path, version=v2).collect()))
+        == snap_v2
+    )
+    with pytest.raises(ValueError, match="floor"):
+        R.bm25_from_store(spark, path, version=v1)
+    # a real commit after the bookkeeping one does not inherit the flag:
+    # it counts as a data version for the next retention window
+    R.delete_postings_docs(
+        spark, path, docs.where("doc_id % 31 = 0").select("doc_id"),
+        batch_tag="rv-d1",
+    )
+    v4 = SC.read_meta(path)["version"]
+    assert not SC.read_meta_version(path, v4).get("vacuum_bookkeeping")
+    out4 = SC.vacuum_store(path, keep_versions=1)
+    assert out4["floor"] == v4
