@@ -42,6 +42,7 @@ Two centroid modes:
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, Window
@@ -458,33 +459,71 @@ def write_ivf_store(
         [(i, c, n) for i, (c, n) in enumerate(cents)],
         "cluster_id int, centroid array<double>, c_norm double",
     ).write.mode("overwrite").parquet(path + "/centroids")
+    # manifest-pointer commit (r11): readers resolve the file set from
+    # the committed meta, so appends become versioned-away snapshots
+    # (ivf_ann_from_store as-of covers appends, not just deletes) and
+    # a concurrent reader never sees a published-but-uncommitted batch
+    SC.write_manifest(
+        path, "base", SC.list_parquet_files(path + "/vectors")
+    )
     SC.commit_meta(
         path,
         {
             "n_clusters": int(n_clusters),
             "method": str(method),
             "keep_cols": list(keep_cols),
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "files_per_cluster": int(files_per_cluster),
+            "manifests": ["base"],
+            "applied": [],
         },
     )
 
 
+def _vectors_for_meta(spark, path: str, meta: dict) -> DataFrame:
+    """The vector frame under ONE committed meta snapshot: resolved
+    through the manifest pointer (``cluster_id`` partition pruning is
+    preserved by the ``basePath`` read over the named files), falling
+    back to the directory listing for a legacy pre-manifest store —
+    which accepts the legacy publish-to-commit window, exactly the
+    postings reader's convention."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    rel = SC.resolve_manifest_files(path, meta)
+    if rel is None:
+        return spark.read.parquet(path + "/vectors")
+    if not rel:
+        # committed-empty snapshot (e.g. OPTIMIZE after a full
+        # takedown): zero rows under the directory's schema — the
+        # directory may still hold OLDER snapshots' files, so a plain
+        # directory read would resurrect them
+        return spark.read.parquet(path + "/vectors").where(F.lit(False))
+    return spark.read.option("basePath", path + "/vectors").parquet(
+        *[os.path.join(path, "vectors", f) for f in rel]
+    )
+
+
 def read_ivf_store(
-    spark, path: str
+    spark, path: str, meta: "dict | None" = None
 ) -> "tuple[DataFrame, list[tuple[list[float], float]]]":
-    """Returns (vectors, centroids) — vectors lazily from the
-    partitioned parquet (cluster_id filters prune directories),
-    centroids as the driver-side list ``build_ivf`` produces.
+    """Returns (vectors, centroids) — vectors lazily from the committed
+    file set (cluster_id filters prune directories), centroids as the
+    driver-side list ``build_ivf`` produces. ``meta`` pins the vectors
+    to ONE committed snapshot (the as-of serve path passes the resolved
+    version's meta); default is the live committed meta.
     FileNotFoundError on an uncommitted (crashed-rebuild) store."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    SC.read_meta(path)  # commit-marker check only
+    if meta is None:
+        meta = SC.read_meta(path)  # commit-marker check + file pointer
     rows = (
         spark.read.parquet(path + "/centroids")
         .orderBy("cluster_id")
         .collect()
     )
     cents = [([float(x) for x in r.centroid], float(r.c_norm)) for r in rows]
-    return spark.read.parquet(path + "/vectors"), cents
+    return _vectors_for_meta(spark, path, meta), cents
 
 
 def append_ivf_batch(
@@ -493,12 +532,24 @@ def append_ivf_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     files_per_cluster: int = 1,
-) -> None:
+    batch_tag: "str | None" = None,
+) -> bool:
     """Fold an accepted ingest batch into the store: assign with the
     STORED centroids (the index's clustering is fixed at build time —
     re-fitting would silently re-shape every list) and append into the
     per-cluster directories, with the same bounded-file-count shuffle
     as the build (write_ivf_store docstring).
+
+    Commit protocol (r11 — store_commit.append_partitioned_store_batch,
+    the postings store's staged manifest-pointer shape on the hive
+    layout): the batch's file list lands in ``_manifests/<tag>.json``
+    and ONE atomic meta commit makes it visible, so a concurrent serve
+    sees entirely-pre-batch or entirely-post-batch vectors, and the
+    version ledger's as-of surface covers appends
+    (``ivf_ann_from_store(version=...)``). With a ``batch_tag`` the
+    append is crash-replayable and exactly-once — returns False when
+    the tag was already applied (the streaming ingest's replay guard);
+    without one it is a direct append under an anonymous manifest.
 
     Delete-wins until compaction: ids currently tombstoned are
     EXCLUDED from the batch (broadcast anti-join). Without this, a
@@ -510,8 +561,15 @@ def append_ivf_batch(
     from spark_indexedrdd_spark.functions.vectors import norm
 
     spark = new_emb.sparkSession
-    _vecs, cents = read_ivf_store(new_emb.sparkSession, path)
+    if batch_tag is not None:
+        # replay fast-path: a committed tag returns before any store
+        # scan (the shared machine re-checks under its own meta read)
+        SC.validate_batch_tag(batch_tag)
+        if batch_tag in SC.read_meta(path).get("applied", []):
+            SC.cleanup_flat_staging(path, batch_tag)
+            return False
     meta = SC.read_meta(path)
+    _vecs, cents = read_ivf_store(spark, path, meta=meta)
     tomb = _tombstone_ids(
         spark, path, meta, id_col,
         _vecs.schema[id_col].dataType,
@@ -533,8 +591,12 @@ def append_ivf_batch(
         "cluster_id",
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cluster)),
     )
-    assigned.write.mode("append").partitionBy("cluster_id").parquet(
-        path + "/vectors"
+
+    def _write(dest: str, mode: str) -> None:
+        assigned.write.mode(mode).partitionBy("cluster_id").parquet(dest)
+
+    return SC.append_partitioned_store_batch(
+        path, batch_tag, _write, "vectors"
     )
 
 
@@ -566,11 +628,14 @@ def incremental_semantic_dedup_from_store(
     from spark_indexedrdd_spark.functions.vectors import dot, norm
 
     spark = new_emb.sparkSession
-    _store_all, cents = read_ivf_store(spark, path)
+    # ONE meta snapshot pins both the committed file set and the
+    # tombstone set — a concurrent append/delete can't tear the view
+    meta = SC.read_meta(path)
+    _store_all, cents = read_ivf_store(spark, path, meta=meta)
     # committed tombstones (delete_ivf_ids) are dead for dedup too: a
     # removed vector must not claim new arrivals as its duplicates
     tomb = _tombstone_ids(
-        spark, path, SC.read_meta(path), id_col,
+        spark, path, meta, id_col,
         _store_all.schema[id_col].dataType,
     )
     if tomb is not None:
@@ -743,16 +808,17 @@ def ivf_ann_from_store(
     delete and are pinned by the store — deletion never re-shapes the
     lists).
 
-    ``version`` serves AS OF an earlier committed meta: the snapshot
-    freezes the TOMBSTONE set (a pre-takedown read still sees deleted
-    vectors while compaction hasn't dropped them). Unlike the
-    manifest-pointer stores, IVF vector appends are a direct
-    cluster-dir write with no per-batch manifest, so appends are NOT
-    versioned away — the as-of surface here is delete history only."""
+    ``version`` serves AS OF an earlier committed meta, freezing BOTH
+    the file set (the manifest pointer — appends after the snapshot
+    are invisible, r11) and the tombstone set (a pre-takedown read
+    still sees deleted vectors while compaction hasn't dropped them).
+    On a legacy pre-manifest store the file pointer is absent and the
+    as-of surface degrades to delete history only (one tagged append
+    backfills the pointer)."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
     meta = SC.resolve_serve_meta(path, version)
-    vecs, cents = read_ivf_store(spark, path)
+    vecs, cents = read_ivf_store(spark, path, meta=meta)
     tomb = _tombstone_ids(
         spark, path, meta, id_col, vecs.schema[id_col].dataType
     )
@@ -832,7 +898,7 @@ def compact_ivf_store(
     from spark_indexedrdd_spark.functions import store_commit as SC
 
     meta = SC.read_meta(path)
-    vecs, _cents = read_ivf_store(spark, path)
+    vecs, _cents = read_ivf_store(spark, path, meta=meta)
     tomb = _tombstone_ids(
         spark, path, meta, id_col, vecs.schema[id_col].dataType
     )
@@ -852,11 +918,89 @@ def compact_ivf_store(
     shutil.rmtree(os.path.join(path, "vectors"), ignore_errors=True)
     os.replace(tmp + "/vectors", os.path.join(path, "vectors"))
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    # the destructive swap removed every old data file, so the manifest
+    # lists and the retired-name collision ledger reset with it (the
+    # rewrite=True commit advances the servability floor — no older
+    # snapshot can resolve the dead names anymore)
+    shutil.rmtree(os.path.join(path, "_manifests"), ignore_errors=True)
+    SC.write_manifest(
+        path, "base", SC.list_parquet_files(path + "/vectors")
+    )
+    meta["manifests"] = ["base"]
+    meta.pop("retired_manifests", None)
     meta["deletes"] = []
     meta["compactions"] = int(meta.get("compactions", 0)) + 1
     SC.commit_meta(path, meta, rewrite=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return n_live
+
+
+def optimize_ivf_store(
+    spark,
+    path: str,
+    id_col: "str | None" = None,
+    files_per_cluster: "int | None" = None,
+) -> int:
+    """Snapshot-PRESERVING compaction of the IVF store (the Delta
+    OPTIMIZE half of the OPTIMIZE/VACUUM pair, vector-tier form;
+    :func:`compact_ivf_store` is the destructive rebuild,
+    ``store_commit.vacuum_store`` the retention reclaim): physically
+    fold the tombstones and re-merge append-accumulated small
+    per-cluster files into a fresh bounded file set — n_clusters ×
+    files_per_cluster, the build's own layout knob — published through
+    the ordinary manifest-pointer commit. Old versions' files are NOT
+    touched, so every earlier snapshot keeps serving byte-identically
+    and the servability floor does not move; ``vacuum_store`` reclaims
+    them later. Returns the live vector count.
+
+    The 100 TB shape: under continuous ingest
+    (``streaming.dedup.streaming_semantic_dedup_ingest``) every
+    micro-batch adds up to n_clusters files, so a year of hourly
+    batches turns each probed-cluster read into a ~9k-file listing —
+    this is the lever that keeps serve-side file resolution
+    O(manifest), exactly the postings store's
+    :func:`~spark_indexedrdd_spark.functions.retrieval.optimize_postings_store`.
+    The survivors scan reads the committed files once and writes once
+    — the same cost shape as an append of the live corpus; the stored
+    ``cluster_id`` is carried, never re-fit (compaction must not
+    re-shape the lists).
+
+    Requires a manifest-pointer store (every r11+ build; one tagged
+    append backfills older stores); refuses loudly on a legacy
+    directory-listing store, where "unreferenced" is not
+    well-defined."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    meta = SC.read_meta(path)
+    rel = SC.resolve_manifest_files(path, meta)
+    if rel is None:
+        raise ValueError(
+            "optimize_ivf_store requires a manifest-pointer store; "
+            "this store predates the pointer — one append backfills "
+            "it, or rebuild"
+        )
+    id_col = id_col or meta.get("id_col", "vec_id")
+    fpc = int(files_per_cluster or meta.get("files_per_cluster", 1))
+    n_clusters = int(meta["n_clusters"])
+    vecs = _vectors_for_meta(spark, path, meta)
+    tomb = _tombstone_ids(
+        spark, path, meta, id_col, vecs.schema[id_col].dataType
+    )
+    if tomb is not None:
+        vecs = vecs.join(F.broadcast(tomb), id_col, "left_anti")
+    survivors = vecs.repartition(
+        n_clusters * fpc,
+        "cluster_id",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(fpc)),
+    )
+
+    def _write(stage: str) -> None:
+        survivors.write.mode("overwrite").partitionBy(
+            "cluster_id"
+        ).parquet(stage)
+
+    SC.optimize_partitioned_store(path, meta, _write, "vectors")
+    return _vectors_for_meta(spark, path, meta).count()
 
 
 def sql_semantic_dedup(

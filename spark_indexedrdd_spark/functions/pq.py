@@ -1041,6 +1041,11 @@ def write_ivfpq_store(
         ],
         "sub_id int, code int, cw array<double>",
     ).write.mode("overwrite").parquet(path + "/codebooks")
+    # manifest-pointer commit (r11, same shape as the IVF vectors
+    # store): readers resolve the code files from the committed meta,
+    # so appends are versioned-away snapshots and the as-of serve
+    # covers them, not just deletes
+    SC.write_manifest(path, "base", SC.list_parquet_files(path + "/codes"))
     SC.commit_meta(
         path,
         {
@@ -1049,18 +1054,45 @@ def write_ivfpq_store(
             "m": int(m),
             "ksub": int(ksub),
             "keep_cols": list(keep_cols),
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "manifests": ["base"],
+            "applied": [],
         },
     )
 
 
-def read_ivfpq_store(spark, path: str):
-    """(codes_df, centroids, codebooks) — codes lazily from the
-    partitioned parquet (cluster_id filters prune to probed
-    directories); centroids/codebooks as the driver-side structures the
-    build produced. FileNotFoundError on an uncommitted store."""
+def _codes_for_meta(spark, path: str, meta: dict):
+    """The code frame under ONE committed meta snapshot — manifest-
+    resolved with ``basePath`` (cluster_id pruning preserved), legacy
+    directory fallback; the IVF ``_vectors_for_meta`` convention."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    SC.read_meta(path)  # commit-marker check only
+    rel = SC.resolve_manifest_files(path, meta)
+    if rel is None:
+        return spark.read.parquet(path + "/codes")
+    if not rel:
+        # committed-empty snapshot: zero rows under the directory's
+        # schema (the directory may hold OLDER snapshots' files)
+        return spark.read.parquet(path + "/codes").where(F.lit(False))
+    import os as _os
+
+    return spark.read.option("basePath", path + "/codes").parquet(
+        *[_os.path.join(path, "codes", f) for f in rel]
+    )
+
+
+def read_ivfpq_store(spark, path: str, meta: "dict | None" = None):
+    """(codes_df, centroids, codebooks) — codes lazily from the
+    committed file set (cluster_id filters prune to probed
+    directories); centroids/codebooks as the driver-side structures the
+    build produced. ``meta`` pins the codes to ONE committed snapshot
+    (the as-of serve path passes the resolved version's meta).
+    FileNotFoundError on an uncommitted store."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    if meta is None:
+        meta = SC.read_meta(path)  # commit-marker check + file pointer
     cent_rows = (
         spark.read.parquet(path + "/centroids").orderBy("cluster_id").collect()
     )
@@ -1076,7 +1108,7 @@ def read_ivfpq_store(spark, path: str):
     cbs = [[] for _ in range(m)]
     for r in cb_rows:
         cbs[r.sub_id].append([float(x) for x in r.cw])
-    return spark.read.parquet(path + "/codes"), cents, cbs
+    return _codes_for_meta(spark, path, meta), cents, cbs
 
 
 def append_ivfpq_batch(
@@ -1084,25 +1116,79 @@ def append_ivfpq_batch(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+    batch_tag: "str | None" = None,
+) -> bool:
     """Fold an ingest batch into the store: assign + encode with the
     STORED centroids and codebooks (the quantizer is fixed at build
     time — re-fitting would silently re-code every list) and append
     into the per-cluster directories. The store's keep_cols contract
     is enforced (ivf.append_ivf_batch docstring): a batch missing a
-    persisted metadata column refuses loudly."""
+    persisted metadata column refuses loudly.
+
+    Commit protocol (r11): staged manifest-pointer append
+    (store_commit.append_partitioned_store_batch) — snapshot-isolated,
+    as-of-covered, and with a ``batch_tag`` crash-replayable
+    exactly-once (returns False on a committed tag's replay)."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
+    spark = new_emb.sparkSession
+    if batch_tag is not None:
+        SC.validate_batch_tag(batch_tag)
+        if batch_tag in SC.read_meta(path).get("applied", []):
+            SC.cleanup_flat_staging(path, batch_tag)
+            return False
     meta = SC.read_meta(path)
-    _codes, cents, cbs = read_ivfpq_store(new_emb.sparkSession, path)
+    _codes, cents, cbs = read_ivfpq_store(spark, path, meta=meta)
     # names AND types vs the persisted code rows (store_commit helper)
     keep_cols = SC.enforce_store_keep_cols(meta, new_emb, store_df=_codes)
     batch = _assign_res_encode(
         new_emb, cents, cbs, id_col, vec_col, keep_cols=keep_cols
     )
-    batch.write.mode("append").partitionBy("cluster_id").parquet(
-        path + "/codes"
+
+    def _write(dest: str, mode: str) -> None:
+        batch.write.mode(mode).partitionBy("cluster_id").parquet(dest)
+
+    return SC.append_partitioned_store_batch(path, batch_tag, _write, "codes")
+
+
+def optimize_ivfpq_store(
+    spark, path: str, id_col: "str | None" = None
+) -> int:
+    """Snapshot-PRESERVING compaction of the IVFPQ code store — the
+    compressed-tier twin of :func:`ivf.optimize_ivf_store` (one
+    shared protocol, store_commit.optimize_partitioned_store):
+    physically fold the tombstones and re-merge append-accumulated
+    small per-cluster code files into one file per cluster, published
+    through the manifest-pointer commit. Old snapshots keep serving
+    byte-identically (floor unmoved); ``vacuum_store`` reclaims their
+    files later. Returns the live code count. Refuses on a legacy
+    pre-manifest store."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    meta = SC.read_meta(path)
+    rel = SC.resolve_manifest_files(path, meta)
+    if rel is None:
+        raise ValueError(
+            "optimize_ivfpq_store requires a manifest-pointer store; "
+            "this store predates the pointer — one append backfills "
+            "it, or rebuild"
+        )
+    id_col = id_col or meta.get("id_col", "vec_id")
+    codes = _codes_for_meta(spark, path, meta)
+    tomb = SC.committed_tombstones(
+        spark, path, meta, id_col, codes.schema[id_col].dataType
     )
+    if tomb is not None:
+        codes = codes.join(F.broadcast(tomb), id_col, "left_anti")
+    survivors = codes.repartition("cluster_id")
+
+    def _write(stage: str) -> None:
+        survivors.write.mode("overwrite").partitionBy(
+            "cluster_id"
+        ).parquet(stage)
+
+    SC.optimize_partitioned_store(path, meta, _write, "codes")
+    return _codes_for_meta(spark, path, meta).count()
 
 
 def ivfpq_store_ann(
@@ -1126,9 +1212,10 @@ def ivfpq_store_ann(
 
     Committed tombstones (delete_ivfpq_ids) are excluded from the
     candidates broadcast-side; ``version`` serves AS OF an earlier
-    committed meta, freezing the tombstone set (the delete-history
-    as-of surface, like ivf_ann_from_store — code appends are direct
-    cluster-dir writes and are not versioned away).
+    committed meta, freezing BOTH the code-file set (the manifest
+    pointer — appends after the snapshot are invisible, r11) and the
+    tombstone set, like ivf_ann_from_store; on a legacy pre-manifest
+    store the surface degrades to delete history only.
 
     ``filter_pred`` is FILTERED ANN on the compressed tier: candidates
     restricted to a metadata predicate over the store's keep_cols
@@ -1141,7 +1228,7 @@ def ivfpq_store_ann(
     meta = SC.resolve_serve_meta(path, version)
     if n_probe is None:
         n_probe = int(meta.get("n_probe", 4))
-    codes, cents, cbs = read_ivfpq_store(spark, path)
+    codes, cents, cbs = read_ivfpq_store(spark, path, meta=meta)
     tomb = SC.committed_tombstones(
         spark, path, meta, id_col, codes.schema[id_col].dataType
     )
@@ -1238,7 +1325,7 @@ def compact_ivfpq_store(spark, path: str, id_col: str = "vec_id") -> int:
     from spark_indexedrdd_spark.functions import store_commit as SC
 
     meta = SC.read_meta(path)
-    codes = spark.read.parquet(path + "/codes")
+    codes = _codes_for_meta(spark, path, meta)
     tomb = SC.committed_tombstones(
         spark, path, meta, id_col, codes.schema[id_col].dataType
     )
@@ -1256,6 +1343,12 @@ def compact_ivfpq_store(spark, path: str, id_col: str = "vec_id") -> int:
     shutil.rmtree(os.path.join(path, "codes"), ignore_errors=True)
     os.replace(tmp + "/codes", os.path.join(path, "codes"))
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    # destructive swap: manifest lists and retired-name ledger reset
+    # (the rewrite=True commit advances the servability floor)
+    shutil.rmtree(os.path.join(path, "_manifests"), ignore_errors=True)
+    SC.write_manifest(path, "base", SC.list_parquet_files(path + "/codes"))
+    meta["manifests"] = ["base"]
+    meta.pop("retired_manifests", None)
     meta["deletes"] = []
     meta["compactions"] = int(meta.get("compactions", 0)) + 1
     SC.commit_meta(path, meta, rewrite=True)

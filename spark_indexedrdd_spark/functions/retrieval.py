@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 from math import floor as math_floor
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -967,22 +966,7 @@ def append_postings_batch(
         # ledger covers names an optimize removed from the live lists
         # while older servable snapshots still reference their
         # manifest files (vacuum prunes it as those files go).
-        retired = set(meta.get("retired_manifests", []))
-        if batch_tag.startswith(("dl-", "anon-", "optimize-")):
-            raise ValueError(
-                f"batch_tag {batch_tag!r} uses a reserved prefix "
-                "(dl-/anon-/optimize- are store-internal namespaces)"
-            )
-        if (
-            batch_tag in (meta.get("manifests") or [])
-            or batch_tag in retired
-            or ("dl-" + batch_tag) in (meta.get("dl_manifests") or [])
-            or ("dl-" + batch_tag) in retired
-        ):
-            raise ValueError(
-                f"batch_tag {batch_tag!r} collides with a manifest name "
-                "a servable version references"
-            )
+        _SC.refuse_manifest_collision(meta, batch_tag)
     # Delete-wins until compaction: ids currently tombstoned are
     # EXCLUDED from the batch before stats are computed. Without this
     # a re-ingested deleted doc would add to n_docs/total_dl while the
@@ -1145,45 +1129,25 @@ def _bucket_of(rel_path: str) -> int:
 def _sweep_batch_files(path: str, batch_tag: str) -> None:
     """Delete exactly this tag's ``batch-<tag>-NNNNN.parquet`` files
     under postings/ — the undo step that makes re-publishing a crashed
-    (uncommitted) batch exact. Exact-name match, NOT a string prefix:
-    tags are caller-supplied, and a prefix sweep for tag ``b1`` would
-    also delete another COMMITTED tag ``b1-2``'s files."""
-    root = os.path.join(path, "postings")
-    if not os.path.isdir(root):
-        return
-    pat = re.compile(rf"^batch-{re.escape(batch_tag)}-\d+\.parquet$")
-    for d in os.listdir(root):
-        bdir = os.path.join(root, d)
-        if not (d.startswith("bucket=") and os.path.isdir(bdir)):
-            continue
-        for f in os.listdir(bdir):
-            if pat.fullmatch(f):
-                os.remove(os.path.join(bdir, f))
+    (uncommitted) batch exact (shared partitioned-layout protocol,
+    store_commit.sweep_tagged_partitioned)."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    SC.sweep_tagged_partitioned(os.path.join(path, "postings"), batch_tag)
 
 
 def _publish_staged(path: str, stage: str, batch_tag: str) -> "list[str]":
     """Move staged parquet files into the live bucket directories under
     deterministic names; returns the published paths (relative to
-    postings/) for the batch's manifest. The moves alone publish
-    NOTHING to readers — only the subsequent meta commit naming the
-    manifest does (an object-store deployment replaces the renames
-    with a copy + the same manifest swap)."""
-    seq = 0
-    published: "list[str]" = []
-    for d in sorted(os.listdir(stage)):
-        sdir = os.path.join(stage, d)
-        if not (d.startswith("bucket=") and os.path.isdir(sdir)):
-            continue
-        dest = os.path.join(path, "postings", d)
-        os.makedirs(dest, exist_ok=True)
-        for f in sorted(os.listdir(sdir)):
-            if not f.endswith(".parquet"):
-                continue
-            name = f"batch-{batch_tag}-{seq:05d}.parquet"
-            os.replace(os.path.join(sdir, f), os.path.join(dest, name))
-            published.append(f"{d}/{name}")
-            seq += 1
-    return published
+    postings/) for the batch's manifest (shared partitioned-layout
+    protocol, store_commit.publish_staged_partitioned — the moves alone
+    publish NOTHING to readers; only the subsequent meta commit naming
+    the manifest does)."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    return SC.publish_staged_partitioned(
+        stage, os.path.join(path, "postings"), batch_tag
+    )
 
 
 def _cleanup_staging(path: str, batch_tag: str) -> None:
@@ -1460,20 +1424,9 @@ def optimize_postings_store(spark: SparkSession, path: str) -> int:
             "(postings AND doclen sidecar manifests); this store "
             "predates them — rebuild it first"
         )
-    # deterministic, collision-free tag: derived purely from meta, so
-    # a crashed attempt's re-run reuses the SAME tag (sweep-exact); a
-    # pre-existing colliding name (possible only on stores written
-    # before append tags reserved the optimize- prefix) is skipped
-    # with the anon-style deterministic suffix
-    taken = (
-        set(meta.get("manifests", []))
-        | set(meta.get("dl_manifests", []))
-        | set(meta.get("applied", []))
-        | set(meta.get("retired_manifests", []))
-    )
-    tag = f"optimize-{int(meta.get('compactions', 0)) + 1}"
-    while tag in taken or ("dl-" + tag) in taken:
-        tag += "x"
+    # deterministic, collision-free tag (shared protocol helper): a
+    # crashed attempt's re-run reuses the SAME tag (sweep-exact)
+    tag = SC.derive_optimize_tag(meta)
     post = spark.read.option("basePath", path + "/postings").parquet(
         *[os.path.join(path, "postings", f) for f in rel]
     )

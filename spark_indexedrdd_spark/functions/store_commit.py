@@ -29,8 +29,10 @@ Which stores carry a marker, and which deliberately don't:
   isolated), and the zone-map/bloom appends reuse exactly that shape
   via the flat-dir helpers at the bottom of this module (readers reach
   data only through committed sidecar rows, so stray crash files are
-  dead bytes); IVF/IVFPQ appends are a single write (no cross-part
-  window); the binary store's two-part append relies on write ORDER —
+  dead bytes); IVF/IVFPQ appends commit through the PARTITIONED
+  manifest helpers at the bottom of this module (same shape, hive
+  layout — so the ledger's as-of surface covers vector/code appends,
+  not just deletes); the binary store's two-part append relies on write ORDER —
   vectors before sketches — so a crash leaves invisible vectors, never
   sketch rows whose stage-2 vectors are missing (quant.py
   append_binary_batch docstring); n-gram count appends are additive
@@ -382,6 +384,8 @@ def vacuum_store(path: str, keep_versions: int = 1, spark=None) -> dict:
         ("manifests", "postings"),
         ("manifests", "zones"),
         ("manifests", "bloom"),
+        ("manifests", "vectors"),
+        ("manifests", "codes"),
         ("dl_manifests", "doclen"),
     ):
         if meta.get(key) is not None and os.path.isdir(os.path.join(path, sub)):
@@ -890,3 +894,231 @@ def enforce_store_keep_cols(meta: dict, batch_df, store_df=None):
                             for c, bt, st in bad)
             )
     return keep_cols
+
+
+# --------------------------------------------------------------------- #
+# Hive-partitioned manifest-pointer stores (IVF vectors, IVFPQ codes)
+# — the partitioned-layout twin of the flat helpers above, and ONE
+# copy of the postings store's staged-publish state machine for data
+# directories laid out as <root>/<col>=<val>/*.parquet. With these,
+# every append is a manifest-named commit, so the version ledger's
+# as-of surface covers APPENDS as well as deletes on the vector tiers
+# (before r11, ivf_ann_from_store documented "appends are NOT
+# versioned away" — direct cluster-dir writes were visible to every
+# snapshot).
+# --------------------------------------------------------------------- #
+
+# Manifest-name namespaces the stores own internally: dl- (doclen
+# sidecars), anon- (untagged appends), optimize- (snapshot-preserving
+# compaction). A caller tag in one of these could collide with a name
+# a servable snapshot references (postings append docstring).
+RESERVED_TAG_PREFIXES = ("dl-", "anon-", "optimize-")
+
+
+def sweep_tagged_partitioned(root: str, batch_tag: str) -> None:
+    """Delete exactly ``batch-<tag>-NNNNN.parquet`` files under the
+    partition directories of ``root`` — the undo step that makes
+    re-publishing a crashed (uncommitted) batch exact. Exact-name
+    match, not a string prefix (a prefix sweep for tag ``b1`` would
+    also delete committed tag ``b1-2``'s files)."""
+    import re as _re
+
+    if not os.path.isdir(root):
+        return
+    pat = _re.compile(rf"^batch-{_re.escape(batch_tag)}-\d+\.parquet$")
+    for d in os.listdir(root):
+        pdir = os.path.join(root, d)
+        if "=" not in d or not os.path.isdir(pdir):
+            continue
+        for f in os.listdir(pdir):
+            if pat.fullmatch(f):
+                os.remove(os.path.join(pdir, f))
+
+
+def publish_staged_partitioned(
+    stage: str, root: str, batch_tag: str
+) -> "list[str]":
+    """Move staged ``<col>=<val>/*.parquet`` files into the live
+    partition directories under deterministic ``batch-<tag>-NNNNN``
+    names; returns the published paths (relative to ``root``) for the
+    batch's manifest. The moves publish NOTHING to readers — only the
+    later meta commit naming the manifest does (an object-store
+    deployment replaces the renames with a copy + the same manifest
+    swap)."""
+    seq = 0
+    published: "list[str]" = []
+    for d in sorted(os.listdir(stage)):
+        sdir = os.path.join(stage, d)
+        if "=" not in d or not os.path.isdir(sdir):
+            continue
+        dest = os.path.join(root, d)
+        os.makedirs(dest, exist_ok=True)
+        for f in sorted(os.listdir(sdir)):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"batch-{batch_tag}-{seq:05d}.parquet"
+            os.replace(os.path.join(sdir, f), os.path.join(dest, name))
+            published.append(f"{d}/{name}")
+            seq += 1
+    return published
+
+
+def refuse_manifest_collision(meta: dict, batch_tag: str) -> None:
+    """Loud refusal BEFORE any sweep or write runs, for a caller tag
+    that (a) sits in a store-internal namespace or (b) names a
+    manifest some servable version still references — live, retired
+    by an optimize, or a doclen twin. Sweeping first would delete that
+    manifest's committed files; writing first would overwrite its file
+    list (postings append docstring, r11 review finding)."""
+    if batch_tag.startswith(RESERVED_TAG_PREFIXES):
+        raise ValueError(
+            f"batch_tag {batch_tag!r} uses a reserved prefix "
+            f"({'/'.join(RESERVED_TAG_PREFIXES)} are store-internal "
+            "namespaces)"
+        )
+    retired = set(meta.get("retired_manifests", []))
+    if (
+        batch_tag in (meta.get("manifests") or [])
+        or batch_tag in retired
+        or ("dl-" + batch_tag) in (meta.get("dl_manifests") or [])
+        or ("dl-" + batch_tag) in retired
+    ):
+        raise ValueError(
+            f"batch_tag {batch_tag!r} collides with a manifest name "
+            "a servable version references"
+        )
+
+
+def append_partitioned_store_batch(
+    path: str,
+    batch_tag: "str | None",
+    write_batch,
+    data_sub: str,
+    mutate_meta=None,
+) -> bool:
+    """The staged manifest-pointer append for hive-partitioned stores
+    (IVF ``vectors/``, IVFPQ ``codes/``) — ONE copy of the
+    commit/replay state machine, the partitioned twin of
+    :func:`append_flat_store_batch`.
+
+    ``write_batch(dest_dir, mode)`` writes the batch's partitioned
+    parquet (``partitionBy`` the store's partition column);
+    ``mutate_meta(meta)``, if given, folds family counters into the
+    meta dict right before the commit. Flow: replay check → collision
+    refusal → legacy 'base' manifest backfill (a pre-manifest store's
+    directory listing IS the committed base — single-writer, so
+    backfilling before the append is exact) → stage/sweep/
+    deterministic publish (or direct append + listing diff for
+    untagged batches) → ``_manifests/<tag>.json`` → atomic OCC meta
+    commit naming manifest + tag. Crash anywhere before the commit
+    leaves stray files no manifest names — invisible to readers that
+    resolve files through the manifest — and the replay is exact.
+    Returns False (no-op) when ``batch_tag`` was already applied."""
+    if batch_tag is not None:
+        validate_batch_tag(batch_tag)
+    meta = read_meta(path)
+    applied = meta.setdefault("applied", [])
+    if batch_tag is not None and batch_tag in applied:
+        cleanup_flat_staging(path, batch_tag)
+        return False
+    if batch_tag is not None:
+        refuse_manifest_collision(meta, batch_tag)
+    root = os.path.join(path, data_sub)
+    manifests = meta.get("manifests")
+    if manifests is None:
+        # Sweep THIS tag's published files before the listing becomes
+        # 'base': a tagged append that crashed between publish and
+        # commit left batch-<tag>-* files on disk, and backfilling
+        # them into 'base' would count them twice once the
+        # deterministic republish puts the same names into the tag's
+        # own manifest (append_flat_store_batch docstring).
+        if batch_tag is not None:
+            sweep_tagged_partitioned(root, batch_tag)
+        write_manifest(path, "base", list_parquet_files(root))
+        manifests = meta["manifests"] = ["base"]
+    if batch_tag is None:
+        pre = set(list_parquet_files(root))
+        write_batch(root, "append")
+        new_files = sorted(set(list_parquet_files(root)) - pre)
+        mname = f"anon-{len(manifests):05d}"
+        while mname in manifests or mname in set(
+            meta.get("retired_manifests", [])
+        ):
+            mname += "x"
+    else:
+        stage = os.path.join(path, "_staging", batch_tag)
+        write_batch(stage, "overwrite")
+        sweep_tagged_partitioned(root, batch_tag)  # undo a crashed replay
+        new_files = publish_staged_partitioned(stage, root, batch_tag)
+        mname = batch_tag
+    if mname in manifests or mname in set(meta.get("retired_manifests", [])):
+        # belt-and-braces re-check of the early refusal above
+        raise ValueError(f"batch_tag {mname!r} collides with a manifest")
+    write_manifest(path, mname, new_files)
+    manifests.append(mname)
+    if batch_tag is not None:
+        applied.append(batch_tag)
+    if mutate_meta is not None:
+        mutate_meta(meta)
+    commit_meta(path, meta)  # <-- commit point
+    if batch_tag is not None:
+        cleanup_flat_staging(path, batch_tag)
+    return True
+
+
+def derive_optimize_tag(meta: dict) -> str:
+    """Deterministic, collision-free manifest tag for a
+    snapshot-preserving OPTIMIZE: derived purely from meta, so a
+    crashed attempt's re-run reuses the SAME tag (sweep-exact); a
+    pre-existing colliding name (possible only on stores written
+    before append tags reserved the optimize- prefix) is skipped with
+    the anon-style deterministic suffix."""
+    taken = (
+        set(meta.get("manifests") or [])
+        | set(meta.get("dl_manifests") or [])
+        | set(meta.get("applied") or [])
+        | set(meta.get("retired_manifests") or [])
+    )
+    tag = f"optimize-{int(meta.get('compactions', 0)) + 1}"
+    while tag in taken or ("dl-" + tag) in taken:
+        tag += "x"
+    return tag
+
+
+def optimize_partitioned_store(
+    path: str, meta: dict, survivors_writer, data_sub: str
+) -> str:
+    """Snapshot-PRESERVING compaction commit for a hive-partitioned
+    manifest-pointer store — the shared back half of the Delta
+    OPTIMIZE shape (retrieval.optimize_postings_store is the postings
+    form with its interleaved doclen sidecar; this is the pure-data
+    form the vector tiers share). The caller resolved the committed
+    survivors from THIS meta snapshot; ``survivors_writer(stage_dir)``
+    writes them partitioned. This helper owns the protocol: staged
+    publish under the deterministic ``optimize-N`` tag, manifest swap
+    (live lists collapse to the one compacted manifest; replaced names
+    move to ``retired_manifests`` so no future tag can reuse a name a
+    servable snapshot still references), delete-ledger zero, and ONE
+    atomic OCC meta commit. Old versions' files are NOT touched — the
+    servability floor does not move; ``vacuum_store`` reclaims them
+    later. A crash before the commit leaves published-but-unreferenced
+    files (invisible; the re-run sweeps its own tag names first).
+    Returns the optimize tag."""
+    tag = derive_optimize_tag(meta)
+    root = os.path.join(path, data_sub)
+    stage = os.path.join(path, "_staging", tag)
+    cleanup_flat_staging(path, tag)
+    survivors_writer(stage)
+    sweep_tagged_partitioned(root, tag)
+    new_files = publish_staged_partitioned(stage, root, tag)
+    write_manifest(path, tag, new_files)
+    meta["retired_manifests"] = sorted(
+        set(meta.get("retired_manifests", []))
+        | set(meta.get("manifests", []))
+    )
+    meta["manifests"] = [tag]
+    meta["deletes"] = []
+    meta["compactions"] = int(meta.get("compactions", 0)) + 1
+    commit_meta(path, meta)  # <-- commit point; floor does NOT move
+    cleanup_flat_staging(path, tag)
+    return tag

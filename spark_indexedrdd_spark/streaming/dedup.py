@@ -118,6 +118,7 @@ def streaming_semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_files_per_trigger: int = 1,
+    optimize_every: "int | None" = None,
 ):
     """Continuous-ingest SemDeDup: each arriving embedding file becomes
     a micro-batch that is (1) assigned to the persisted IVF index's
@@ -132,14 +133,21 @@ def streaming_semantic_dedup(
     the clusters the batch lands in (partition-pruned directories);
     corpus×corpus never happens; the only global state is k centroids.
 
-    Delivery note: foreachBatch is at-least-once — a replayed batch can
-    append verdicts (and vectors) twice. Verdicts dedupe downstream by
-    vec_id; the candidate join's ``id != id`` guard keeps a replayed
-    batch from flagging itself against its own stored copy, mirroring
-    the LSH store's note (duplicated store rows can, however, flip a
-    replayed vector's verdict to dup-of-itself's-copy — exactly-once
-    sinks should checkpoint-commit before append, as with any
-    foreachBatch pipeline).
+    Delivery note: the vector APPEND is exactly-once — the batch_id is
+    the replay tag for the store's staged manifest-pointer commit
+    (``append_ivf_batch(batch_tag=...)``, r11), so at-least-once
+    re-delivery of a committed batch never duplicates stored vectors.
+    The VERDICT side remains at-least-once: a replayed batch recomputes
+    verdicts against a store that already contains its own committed
+    copy, so its rows can flip to dup-of-itself's-copy; verdicts dedupe
+    downstream by vec_id, and exactly-once verdict sinks should
+    checkpoint-commit before append, as with any foreachBatch pipeline.
+
+    ``optimize_every=N`` folds the manifest list with the
+    snapshot-preserving ``optimize_ivf_store`` whenever it reaches N
+    entries (the ``StreamingPostingsStore`` cadence) — bounded
+    per-cluster file counts under continuous ingest without breaking
+    the as-of surface.
 
     Returns the unstarted ``DataStreamWriter``; drive with e.g.
     ``.trigger(availableNow=True).option("checkpointLocation", ...)``.
@@ -147,6 +155,7 @@ def streaming_semantic_dedup(
     from spark_indexedrdd_spark.functions.ivf import (
         append_ivf_batch,
         incremental_semantic_dedup_from_store,
+        optimize_ivf_store,
     )
 
     schema = spark.read.parquet(emb_path).schema
@@ -162,6 +171,19 @@ def streaming_semantic_dedup(
             batch, ivf_store_path, threshold, id_col, vec_col
         )
         verdicts.write.mode("append").parquet(verdicts_path)
-        append_ivf_batch(batch, ivf_store_path, id_col, vec_col)
+        append_ivf_batch(
+            batch, ivf_store_path, id_col, vec_col,
+            batch_tag=f"b{batch_id}",
+        )
+        if optimize_every is not None:
+            from spark_indexedrdd_spark.functions import (
+                store_commit as _SC,
+            )
+
+            n_manifests = len(
+                _SC.read_meta(ivf_store_path).get("manifests") or []
+            )
+            if n_manifests >= optimize_every:
+                optimize_ivf_store(spark, ivf_store_path, id_col)
 
     return stream.writeStream.foreachBatch(_process).outputMode("append")
