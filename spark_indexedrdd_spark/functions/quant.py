@@ -277,8 +277,66 @@ def write_binary_store(
         emb.select(id_col, vec_col), id_col, cache=False
     )
     write_sorted(idf, path + "/vectors")
+    # manifest-pointer commit (r11): BOTH parts' file lists are named
+    # by the committed meta (sk_manifests / vec_manifests — the
+    # postings manifests/dl_manifests twin-list shape), so appends are
+    # snapshot-isolated and versioned away, and a crashed append's
+    # stray files are invisible rather than dead-but-scanned
+    SC.write_manifest(
+        path, "base", SC.list_parquet_files(path + "/sketches")
+    )
+    SC.write_manifest(
+        path, "vec-base", SC.list_parquet_files(path + "/vectors")
+    )
     SC.commit_meta(
-        path, {"dims": int(dims), "keep_cols": list(keep_cols)}
+        path,
+        {
+            "dims": int(dims),
+            "keep_cols": list(keep_cols),
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "sk_manifests": ["base"],
+            "vec_manifests": ["vec-base"],
+            "applied": [],
+        },
+    )
+
+
+def _sketches_for_meta(spark, path: str, meta: dict) -> DataFrame:
+    """The sketch frame under ONE committed meta snapshot (manifest-
+    resolved; legacy directory fallback — the IVF convention)."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    names = meta.get("sk_manifests")
+    if names is None:
+        return spark.read.parquet(path + "/sketches")
+    rel = SC.resolve_manifest_files(path, {"manifests": names})
+    if not rel:
+        return spark.read.parquet(path + "/sketches").where(F.lit(False))
+    import os
+
+    return spark.read.parquet(
+        *[os.path.join(path, "sketches", f) for f in rel]
+    )
+
+
+def _bin_vectors_for_meta(spark, path: str, meta: dict) -> DataFrame:
+    """The stage-2 vector frame under the same committed snapshot. The
+    flat file list keeps the sorted layout's min/max pruning — each
+    published file is still internally id-sorted, so the survivors'
+    isin predicate prunes files/row groups exactly as before."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    names = meta.get("vec_manifests")
+    if names is None:
+        return spark.read.parquet(path + "/vectors")
+    rel = SC.resolve_manifest_files(path, {"manifests": names})
+    if not rel:
+        return spark.read.parquet(path + "/vectors").where(F.lit(False))
+    import os
+
+    return spark.read.parquet(
+        *[os.path.join(path, "vectors", f) for f in rel]
     )
 
 
@@ -288,46 +346,114 @@ def append_binary_batch(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+    batch_tag: "str | None" = None,
+) -> bool:
     """Fold an ingest batch in: append its vectors, THEN its sketches.
     Sketch computation is stateless, so appends need no read of
     existing store data.
 
-    Crash-ordering invariant (the two appends are not fenced by the
-    meta marker, which guards REBUILDS): vectors land first because a
-    sketch row is what makes an id visible to stage 1 — a crash
+    Commit protocol (r11): both parts' file lists land in twin
+    manifests (``<tag>`` for sketches, ``vec-<tag>`` for vectors —
+    the postings manifests/dl_manifests shape) and ONE atomic meta
+    commit makes them visible, so a crash ANYWHERE before it leaves
+    stray files no committed manifest names — invisible to
+    manifest-resolved readers — and the version ledger's as-of surface
+    covers appends. With a ``batch_tag`` the append is staged and
+    crash-replayable exactly-once (returns False on a committed tag's
+    replay); without one it is a direct append under anonymous
+    manifests.
+
+    The vectors-before-sketches write ORDER is kept for the legacy
+    (pre-manifest) window, where readers list directories: a crash
     between the writes leaves extra vectors no sketch references
     (invisible, harmless) rather than sketch rows whose stage-2
     vectors are missing (stage 2's join would silently DROP those
-    candidates — recall loss with no error). A crash mid-sketch-append
-    exposes a statistically partial batch whose surfaced ids all
-    re-rank exactly — the same partial-first-batch tolerance the
-    append-ledger stores document, never a cross-part mix. Redelivering
-    the SAME batch after a crash is serve-exact: the duplicate vector
-    copies are bit-identical and binary_store_ann keeps one per id
+    candidates — recall loss with no error). Redelivering the SAME
+    batch after a crash is serve-exact on both shapes: manifest
+    readers never see the crashed files, and the legacy
+    ``binary_store_ann`` keeps one vector copy per id
     (pytest-pinned)."""
+    import os
+
     from spark_indexedrdd_spark.core import IndexedDataFrame
     from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.sources.bucketed import write_sorted
 
+    meta = SC.read_meta(path)
+    applied = meta.setdefault("applied", [])
+    if batch_tag is not None:
+        SC.validate_batch_tag(batch_tag)
+        if batch_tag in applied:
+            SC.cleanup_flat_staging(path, batch_tag)
+            return False
+        SC.refuse_manifest_collision(meta, batch_tag)
     # names AND types vs the persisted sketch rows (store_commit
     # helper); the schema read is skipped when the store keeps none
-    meta = SC.read_meta(path)
     keep_cols = SC.enforce_store_keep_cols(
         meta,
         new_emb,
         store_df=(
-            new_emb.sparkSession.read.parquet(path + "/sketches")
+            _sketches_for_meta(new_emb.sparkSession, path, meta)
             if meta.get("keep_cols") else None
         ),
     )
+    sk_dir = os.path.join(path, "sketches")
+    vec_dir = os.path.join(path, "vectors")
+    if meta.get("sk_manifests") is None:
+        # legacy backfill: the pre-append directory listings ARE the
+        # committed base (single-writer); sweep THIS tag's crashed
+        # strays first so they can't be counted twice after the
+        # deterministic republish (append_flat_store_batch docstring)
+        if batch_tag is not None:
+            SC.sweep_tagged_files(sk_dir, batch_tag)
+            SC.sweep_tagged_files(vec_dir, batch_tag)
+        SC.write_manifest(path, "base", SC.list_parquet_files(sk_dir))
+        SC.write_manifest(
+            path, "vec-base", SC.list_parquet_files(vec_dir)
+        )
+        meta["sk_manifests"] = ["base"]
+        meta["vec_manifests"] = ["vec-base"]
     idf = IndexedDataFrame.from_unique(
         new_emb.select(id_col, vec_col), id_col, cache=False
     )
-    write_sorted(idf, path + "/vectors", mode="append")
-    binary_sketches(new_emb, dims, id_col, vec_col, keep_cols).write.mode(
-        "append"
-    ).parquet(path + "/sketches")
+    if batch_tag is None:
+        pre_v = set(SC.list_parquet_files(vec_dir))
+        write_sorted(idf, vec_dir, mode="append")
+        new_v = sorted(set(SC.list_parquet_files(vec_dir)) - pre_v)
+        pre_s = set(SC.list_parquet_files(sk_dir))
+        binary_sketches(
+            new_emb, dims, id_col, vec_col, keep_cols
+        ).write.mode("append").parquet(sk_dir)
+        new_s = sorted(set(SC.list_parquet_files(sk_dir)) - pre_s)
+        mname = f"anon-{len(meta['sk_manifests']):05d}"
+        taken = SC._taken_manifest_names(meta)
+        while mname in taken or ("vec-" + mname) in taken:
+            mname += "x"
+    else:
+        stage = os.path.join(path, "_staging", batch_tag)
+        write_sorted(idf, os.path.join(stage, "vectors"))
+        binary_sketches(
+            new_emb, dims, id_col, vec_col, keep_cols
+        ).write.mode("overwrite").parquet(os.path.join(stage, "sketches"))
+        SC.sweep_tagged_files(vec_dir, batch_tag)
+        SC.sweep_tagged_files(sk_dir, batch_tag)
+        new_v = SC.publish_staged_flat(
+            os.path.join(stage, "vectors"), vec_dir, batch_tag
+        )
+        new_s = SC.publish_staged_flat(
+            os.path.join(stage, "sketches"), sk_dir, batch_tag
+        )
+        mname = batch_tag
+    SC.write_manifest(path, mname, new_s)
+    SC.write_manifest(path, "vec-" + mname, new_v)
+    meta["sk_manifests"].append(mname)
+    meta["vec_manifests"].append("vec-" + mname)
+    if batch_tag is not None:
+        applied.append(batch_tag)
+    SC.commit_meta(path, meta)  # <-- commit point
+    if batch_tag is not None:
+        SC.cleanup_flat_staging(path, batch_tag)
+    return True
 
 
 def binary_store_ann(
@@ -360,10 +486,13 @@ def binary_store_ann(
     from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.functions.vectors import dot, norm
 
-    # commit-marker check + the tombstone/as-of snapshot: committed
-    # deletes (delete_binary_ids) are excluded in STAGE 1 below;
-    # ``version`` freezes the tombstone set (delete-history as-of,
-    # like ivfpq_store_ann — direct appends are not versioned away)
+    # commit-marker check + the snapshot: ONE meta read pins the
+    # tombstone set AND both parts' file sets (sk_manifests /
+    # vec_manifests, r11) — committed deletes (delete_binary_ids) are
+    # excluded in STAGE 1 below, and ``version`` serves AS OF an
+    # earlier commit with appends after it invisible. Legacy
+    # pre-manifest stores fall back to directory listings
+    # (delete-history-only as-of; one tagged append backfills).
     meta = SC.resolve_serve_meta(path, version)
 
     def py_sketch(vec):
@@ -391,7 +520,7 @@ def binary_store_ann(
             f"q_norm double",
         )
     )
-    sk = spark.read.parquet(path + "/sketches")
+    sk = _sketches_for_meta(spark, path, meta)
     tomb = SC.committed_tombstones(
         spark, path, meta, id_col, sk.schema[id_col].dataType
     )
@@ -427,14 +556,16 @@ def binary_store_ann(
     cand_ids = [
         r.cand_id for r in survivors.select("cand_id").distinct().collect()
     ]
-    # dropDuplicates: a crashed-then-redelivered append leaves the
-    # batch's vectors in the file twice (vectors land before sketches —
+    # dropDuplicates: on a LEGACY (pre-manifest) store a
+    # crashed-then-redelivered append leaves the batch's vectors in
+    # the file twice (vectors land before sketches —
     # append_binary_batch docstring); the copies are bit-identical, so
     # keeping one per id restores exact serve output instead of the
-    # duplicate join rows perturbing row_number ranks. Survivor-sized
-    # input (≤ |q|·M rows), so the dedup shuffle is trivial.
+    # duplicate join rows perturbing row_number ranks. Manifest-
+    # resolved reads never see crashed copies, but the dedup stays for
+    # the fallback (survivor-sized input ≤ |q|·M rows — trivial).
     vecs = (
-        spark.read.parquet(path + "/vectors")
+        _bin_vectors_for_meta(spark, path, meta)
         .where(F.col(id_col).isin(cand_ids))
         .select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
         .dropDuplicates(["cand_id"])
@@ -592,3 +723,81 @@ def delete_binary_ids(
         lambda: spark.read.parquet(path + "/sketches")
         .select(id_col).schema[0].dataType,
     )
+
+
+def optimize_binary_store(spark, path: str, id_col: "str | None" = None) -> int:
+    """Snapshot-PRESERVING compaction of the binary sketch store — the
+    two-part twin of :func:`ivf.optimize_ivf_store`: physically fold
+    the tombstones and re-merge append-accumulated small files in BOTH
+    parts (sketches re-packed; vectors re-sorted through the build's
+    own ``write_sorted`` layout, restoring the point-read file/row-group
+    pruning appends dilute), published through the twin-manifest
+    commit. Old versions' files are untouched — every earlier snapshot
+    keeps serving byte-identically, the servability floor does not
+    move, and ``store_commit.vacuum_store`` (whose roots include
+    ``sketches/`` and ``vectors/``) reclaims them later. Returns the
+    live vector count. Refuses on a legacy pre-manifest store (one
+    tagged append backfills the pointer)."""
+    import os
+
+    from spark_indexedrdd_spark.core import IndexedDataFrame
+    from spark_indexedrdd_spark.functions import store_commit as SC
+    from spark_indexedrdd_spark.sources.bucketed import write_sorted
+
+    meta = SC.read_meta(path)
+    if meta.get("sk_manifests") is None:
+        raise ValueError(
+            "optimize_binary_store requires a manifest-pointer store; "
+            "this store predates the pointer — one append backfills "
+            "it, or rebuild"
+        )
+    id_col = id_col or meta.get("id_col", "vec_id")
+    vec_col = meta.get("vec_col", "embedding")
+    sk = _sketches_for_meta(spark, path, meta)
+    vec = _bin_vectors_for_meta(spark, path, meta)
+    tomb = SC.committed_tombstones(
+        spark, path, meta, id_col, sk.schema[id_col].dataType
+    )
+    if tomb is not None:
+        sk = sk.join(F.broadcast(tomb), id_col, "left_anti")
+        vec = vec.join(F.broadcast(tomb), id_col, "left_anti")
+    tag = SC.derive_optimize_tag(meta)
+    stage = os.path.join(path, "_staging", tag)
+    SC.cleanup_flat_staging(path, tag)
+    # legacy-crash debris (pre-manifest redelivery) can hold duplicate
+    # vector copies; the compacted layout keeps exactly one per id
+    idf = IndexedDataFrame.from_unique(
+        vec.select(id_col, vec_col).dropDuplicates([id_col]),
+        id_col,
+        cache=False,
+    )
+    write_sorted(idf, os.path.join(stage, "vectors"))
+    sk.repartition(idf.num_partitions).write.mode("overwrite").parquet(
+        os.path.join(stage, "sketches")
+    )
+    sk_dir = os.path.join(path, "sketches")
+    vec_dir = os.path.join(path, "vectors")
+    # publish (invisible until the meta commit); sweep this tag's own
+    # names first so a crashed prior attempt's strays can't survive
+    SC.sweep_tagged_files(vec_dir, tag)
+    SC.sweep_tagged_files(sk_dir, tag)
+    new_v = SC.publish_staged_flat(
+        os.path.join(stage, "vectors"), vec_dir, tag
+    )
+    new_s = SC.publish_staged_flat(
+        os.path.join(stage, "sketches"), sk_dir, tag
+    )
+    SC.write_manifest(path, tag, new_s)
+    SC.write_manifest(path, "vec-" + tag, new_v)
+    meta["retired_manifests"] = sorted(
+        set(meta.get("retired_manifests", []))
+        | set(meta.get("sk_manifests", []))
+        | set(meta.get("vec_manifests", []))
+    )
+    meta["sk_manifests"] = [tag]
+    meta["vec_manifests"] = ["vec-" + tag]
+    meta["deletes"] = []
+    meta["compactions"] = int(meta.get("compactions", 0)) + 1
+    SC.commit_meta(path, meta)  # <-- commit point; floor does NOT move
+    SC.cleanup_flat_staging(path, tag)
+    return _bin_vectors_for_meta(spark, path, meta).count()

@@ -387,6 +387,8 @@ def vacuum_store(path: str, keep_versions: int = 1, spark=None) -> dict:
         ("manifests", "vectors"),
         ("manifests", "codes"),
         ("dl_manifests", "doclen"),
+        ("sk_manifests", "sketches"),
+        ("vec_manifests", "vectors"),
     ):
         if meta.get(key) is not None and os.path.isdir(os.path.join(path, sub)):
             roots.append((key, sub))
@@ -909,10 +911,28 @@ def enforce_store_keep_cols(meta: dict, batch_df, store_df=None):
 # --------------------------------------------------------------------- #
 
 # Manifest-name namespaces the stores own internally: dl- (doclen
-# sidecars), anon- (untagged appends), optimize- (snapshot-preserving
-# compaction). A caller tag in one of these could collide with a name
-# a servable snapshot references (postings append docstring).
-RESERVED_TAG_PREFIXES = ("dl-", "anon-", "optimize-")
+# sidecars), vec- (the binary store's vector-part twins), anon-
+# (untagged appends), optimize- (snapshot-preserving compaction). A
+# caller tag in one of these could collide with a name a servable
+# snapshot references (postings append docstring).
+RESERVED_TAG_PREFIXES = ("dl-", "vec-", "anon-", "optimize-")
+
+# Every meta key that holds a manifest-name list, across the store
+# families (postings/IVF/IVFPQ use "manifests", postings' doclen
+# sidecar "dl_manifests", the binary store's two parts
+# "sk_manifests"/"vec_manifests"). Collision refusals and optimize-tag
+# derivation scan them ALL so one family's tag can never overwrite a
+# sibling list's manifest file.
+MANIFEST_LIST_KEYS = (
+    "manifests", "dl_manifests", "sk_manifests", "vec_manifests"
+)
+
+
+def _taken_manifest_names(meta: dict) -> set:
+    taken = set(meta.get("retired_manifests", []))
+    for k in MANIFEST_LIST_KEYS:
+        taken |= set(meta.get(k) or [])
+    return taken
 
 
 def sweep_tagged_partitioned(root: str, batch_tag: str) -> None:
@@ -976,12 +996,11 @@ def refuse_manifest_collision(meta: dict, batch_tag: str) -> None:
             f"({'/'.join(RESERVED_TAG_PREFIXES)} are store-internal "
             "namespaces)"
         )
-    retired = set(meta.get("retired_manifests", []))
+    taken = _taken_manifest_names(meta)
     if (
-        batch_tag in (meta.get("manifests") or [])
-        or batch_tag in retired
-        or ("dl-" + batch_tag) in (meta.get("dl_manifests") or [])
-        or ("dl-" + batch_tag) in retired
+        batch_tag in taken
+        or ("dl-" + batch_tag) in taken
+        or ("vec-" + batch_tag) in taken
     ):
         raise ValueError(
             f"batch_tag {batch_tag!r} collides with a manifest name "
@@ -1073,14 +1092,9 @@ def derive_optimize_tag(meta: dict) -> str:
     pre-existing colliding name (possible only on stores written
     before append tags reserved the optimize- prefix) is skipped with
     the anon-style deterministic suffix."""
-    taken = (
-        set(meta.get("manifests") or [])
-        | set(meta.get("dl_manifests") or [])
-        | set(meta.get("applied") or [])
-        | set(meta.get("retired_manifests") or [])
-    )
+    taken = _taken_manifest_names(meta) | set(meta.get("applied") or [])
     tag = f"optimize-{int(meta.get('compactions', 0)) + 1}"
-    while tag in taken or ("dl-" + tag) in taken:
+    while tag in taken or ("dl-" + tag) in taken or ("vec-" + tag) in taken:
         tag += "x"
     return tag
 

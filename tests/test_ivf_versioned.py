@@ -266,3 +266,154 @@ def test_ivfpq_append_versioned_and_optimize(spark, sf_dir, tmp_path):
     assert _rows(ivfpq_store_ann(spark, path, queries, k=5)) == served
     meta = SC.read_meta(path)
     assert meta["deletes"] == [] and len(meta["manifests"]) == 1
+
+
+def test_streaming_ingest_is_exactly_once_and_optimizes(
+    spark, sf_dir, tmp_path
+):
+    """The streaming SemDeDup ingest rides the tagged append: verdicts
+    match the sequential batch path, the store never duplicates a
+    replayed batch's vectors, and ``optimize_every`` keeps the manifest
+    list bounded without changing what is served."""
+    import glob
+
+    from spark_indexedrdd_spark.functions import ivf as IV
+    from spark_indexedrdd_spark.streaming.dedup import (
+        streaming_semantic_dedup,
+    )
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.where("vec_id < 300")
+    batches = [
+        emb.where("vec_id >= 300 AND vec_id < 400"),
+        emb.where("vec_id >= 400"),
+    ]
+    store = str(tmp_path / "ivf")
+    write_ivf_store(corpus, store, n_clusters=8, method="det")
+
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    for i, b in enumerate(batches, start=1):
+        tmp_out = str(tmp_path / f"w{i}")
+        b.coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        dest = str(stream_dir / f"f{i}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+    q = (
+        streaming_semantic_dedup(
+            spark, str(stream_dir), store, str(tmp_path / "verdicts"),
+            threshold=0.3, optimize_every=2,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    vecs, _ = read_ivf_store(spark, store)
+    assert vecs.count() == emb.count()
+    assert (
+        vecs.groupBy("vec_id").count().where("count > 1").count() == 0
+    ), "streaming replay duplicated vectors"
+    meta = SC.read_meta(store)
+    # cadence: the manifest list folded at least once and stays bounded
+    assert int(meta.get("compactions", 0)) >= 1
+    assert len(meta["manifests"]) <= 2
+    # the applied ledger survives the optimize — a replayed batch_id
+    # is still a no-op
+    assert append_ivf_batch(
+        batches[0].select("vec_id", "embedding"), store, batch_tag="b1"
+    ) is False
+    served = ivf_ann_from_store(spark, store, QIDS, k=5)
+    assert served.count() == len(QIDS) * 5
+
+
+def test_binary_store_versioned_append_optimize_vacuum(
+    spark, sf_dir, tmp_path
+):
+    """The binary sketch tier joins the ledger: twin-manifest appends
+    (sketches + vectors under ONE commit) are as-of-versioned and
+    replay-exact; OPTIMIZE folds tombstones + files in both parts
+    without moving the floor; vacuum reclaims the dead snapshots."""
+    from spark_indexedrdd_spark.functions import quant as Q
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "bstore")
+    Q.write_binary_store(emb.where("vec_id < 400"), path)
+    qv = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where("vec_id IN (10, 20)").collect()
+    ]
+    v_build = SC.read_meta(path)["version"]
+    before = _rows(Q.binary_store_ann(spark, path, qv, k=5))
+    assert Q.append_binary_batch(
+        emb.where("vec_id >= 400"), path, batch_tag="w1"
+    ) is True
+    assert Q.append_binary_batch(
+        emb.where("vec_id >= 400"), path, batch_tag="w1"
+    ) is False
+    meta = SC.read_meta(path)
+    assert meta["sk_manifests"] == ["base", "w1"]
+    assert meta["vec_manifests"] == ["vec-base", "vec-w1"]
+    # as-of the build: appended vectors invisible in BOTH stages
+    assert (
+        _rows(Q.binary_store_ann(spark, path, qv, k=5, version=v_build))
+        == before
+    )
+    sk_live = Q._sketches_for_meta(spark, path, meta)
+    assert sk_live.count() == emb.count()
+    # takedown + snapshot-preserving optimize
+    Q.delete_binary_ids(spark, path, [5, 15, 25], batch_tag="t1")
+    served = _rows(Q.binary_store_ann(spark, path, qv, k=5))
+    v_pre_opt = SC.read_meta(path)["version"]
+    n_live = Q.optimize_binary_store(spark, path)
+    assert n_live == emb.count() - 3
+    meta = SC.read_meta(path)
+    assert meta["deletes"] == []
+    assert len(meta["sk_manifests"]) == 1
+    assert _rows(Q.binary_store_ann(spark, path, qv, k=5)) == served
+    # pre-optimize snapshot serves byte-identically (floor unmoved)
+    assert (
+        _rows(Q.binary_store_ann(spark, path, qv, k=5, version=v_pre_opt))
+        == served
+    )
+    # vacuum reclaims the pre-optimize files and fences old versions
+    rep = SC.vacuum_store(path, keep_versions=1)
+    assert rep["removed_files"]
+    with pytest.raises(ValueError, match="floor|rewrit"):
+        Q.binary_store_ann(spark, path, qv, k=5, version=v_build)
+    assert _rows(Q.binary_store_ann(spark, path, qv, k=5)) == served
+
+
+def test_binary_legacy_store_falls_back_then_backfills(
+    spark, sf_dir, tmp_path
+):
+    from spark_indexedrdd_spark.functions import quant as Q
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "bstore_legacy")
+    Q.write_binary_store(emb.where("vec_id < 400"), path)
+    qv = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where("vec_id IN (10, 20)").collect()
+    ]
+    pre = _rows(Q.binary_store_ann(spark, path, qv, k=5))
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    for k in ("sk_manifests", "vec_manifests", "applied"):
+        meta.pop(k, None)
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    shutil.rmtree(os.path.join(path, "_manifests"), ignore_errors=True)
+    assert _rows(Q.binary_store_ann(spark, path, qv, k=5)) == pre
+    with pytest.raises(ValueError, match="manifest"):
+        Q.optimize_binary_store(spark, path)
+    assert Q.append_binary_batch(
+        emb.where("vec_id >= 400"), path, batch_tag="w1"
+    ) is True
+    meta = SC.read_meta(path)
+    assert meta["sk_manifests"] == ["base", "w1"]
+    assert Q._sketches_for_meta(spark, path, meta).count() == emb.count()
+    Q.optimize_binary_store(spark, path)  # now legal
