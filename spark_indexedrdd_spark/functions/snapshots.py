@@ -1,0 +1,129 @@
+"""Named multi-store snapshot pins — reproducibility across the
+retrieval stack.
+
+Every persisted store family carries its own OCC version ledger
+(functions/store_commit.py) and every serve path takes ``version=``,
+so any single store can be re-served as-of. What a training run needs
+on top is ONE durable name that captures the whole stack — "the
+postings index at v7, the IVF index at v12, the classifier at v3" —
+written once when the run starts and resolvable years later, so
+"which data did run X see?" is a file read, not an archaeology
+project. (The reference's multi-version semantics,
+IndexedRDD.scala:25-33, lifted from a single RDD lineage to a fleet
+of at-rest indexes; the operational shape is a manifest-of-manifests,
+like a Delta Lake multi-table checkpoint without a catalog
+transaction.)
+
+Consistency contract: a pin records each store's COMMITTED frontier at
+read time. The reads are not a cross-store transaction — a writer
+committing to store B between the pin's read of A and of B yields a
+pin where A is slightly older than B. Each recorded version is still a
+real committed snapshot of its store (per-store snapshot isolation is
+the ledger's guarantee), which is exactly the consistency a
+multi-table reader gets from any catalog-less lake format. Pin while
+ingest is quiesced (or right after the commits you mean to capture)
+when cross-store simultaneity matters.
+
+Durability of the pinned DATA is the retention contract:
+``store_commit.vacuum_store(keep_versions=N)`` advances each store's
+servability floor independently, and a pin older than a store's floor
+refuses loudly at resolve time (:func:`assert_pin_servable`) — the
+pin file itself never silently outlives the bytes it names.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from spark_indexedrdd_spark.functions import store_commit as SC
+
+
+def _tag_file(tag_dir: str, name: str) -> str:
+    # reuse the batch-tag charset rule: one copy of "safe as a path
+    # segment" across the protocol surface
+    SC.validate_batch_tag(name)
+    return os.path.join(tag_dir, name + ".json")
+
+
+def pin_stores(
+    tag_dir: str, name: str, stores: "dict[str, str]"
+) -> "dict[str, dict]":
+    """Durably record ``{alias: {"path", "version"}}`` for every store
+    in ``stores`` (``{alias: store_path}``) under ``tag_dir/<name>.json``
+    and return it. The version recorded is the store's committed
+    frontier (``meta.json``'s own version — never an uncommitted ledger
+    reservation). Pins are IMMUTABLE: re-pinning an existing name
+    refuses loudly (a silently moved pin is the reproducibility bug
+    this module exists to prevent); delete the file explicitly to
+    retire a name. Refuses a store with no version ledger (nothing to
+    pin) — every post-r10 store commit mints one."""
+    pin: "dict[str, dict]" = {}
+    for alias, path in sorted(stores.items()):
+        meta = SC.read_meta(path)
+        version = meta.get("version")
+        if version is None:
+            raise ValueError(
+                f"store {alias!r} at {path!r} predates the version "
+                "ledger — commit once (any append/delete) to mint one"
+            )
+        pin[alias] = {"path": path, "version": int(version)}
+    fpath = _tag_file(tag_dir, name)
+    os.makedirs(tag_dir, exist_ok=True)
+    # exclusive create IS the immutability check (no TOCTOU window)
+    try:
+        fd = os.open(fpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ValueError(
+            f"pin {name!r} already exists in {tag_dir!r} — pins are "
+            "immutable; pick a new name or delete the old pin "
+            "explicitly"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        json.dump(pin, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    dfd = os.open(tag_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+    return pin
+
+
+def read_pin(tag_dir: str, name: str) -> "dict[str, dict]":
+    """The recorded ``{alias: {"path", "version"}}`` map. FileNotFound
+    for an unknown name — never a guess."""
+    with open(_tag_file(tag_dir, name)) as fh:
+        return json.load(fh)
+
+
+def assert_pin_servable(pin: "dict[str, dict]") -> None:
+    """Refuse loudly — naming every broken store — if ANY pinned
+    version fell below its store's servability floor (a later
+    destructive compaction/rebuild, or a ``vacuum_store`` retention
+    pass, reclaimed its files). A pin is all-or-nothing: serving a
+    stack where one index silently moved forward is the torn-snapshot
+    bug, so one dead store fails the whole pin."""
+    broken = []
+    for alias, ref in sorted(pin.items()):
+        try:
+            snap = SC.read_meta_version(ref["path"], ref["version"])
+            SC.assert_snapshot_servable(ref["path"], snap)
+        except (ValueError, FileNotFoundError) as e:
+            broken.append(f"{alias} (v{ref['version']}): {e}")
+    if broken:
+        raise ValueError(
+            "pin is no longer servable — retention passed it:\n  "
+            + "\n  ".join(broken)
+        )
+
+
+def pin_versions(pin: "dict[str, dict]") -> "dict[str, int]":
+    """``{alias: version}`` — the form serve paths consume, e.g.
+    ``hybrid_rrf_from_stores(postings_version=v['lexical'],
+    ivf_version=v['dense'])``. Validates servability first, so a
+    vacuumed pin fails HERE with the full per-store report instead of
+    deep inside one branch's scan."""
+    assert_pin_servable(pin)
+    return {alias: ref["version"] for alias, ref in pin.items()}

@@ -1,0 +1,101 @@
+"""Named multi-store snapshot pins (functions/snapshots.py): one
+durable name captures the whole retrieval stack's committed versions,
+serves at the pin are byte-stable across later ingest on EVERY store,
+and retention passing any pinned store fails the whole pin loudly."""
+
+import os
+
+import pytest
+
+from spark_indexedrdd_spark.functions import retrieval as R
+from spark_indexedrdd_spark.functions import snapshots as SNAP
+from spark_indexedrdd_spark.functions import store_commit as SC
+from spark_indexedrdd_spark.functions.hybrid import hybrid_rrf_from_stores
+from spark_indexedrdd_spark.functions.ivf import (
+    append_ivf_batch,
+    optimize_ivf_store,
+    write_ivf_store,
+)
+from spark_indexedrdd_spark.sources.tables import load_table
+
+# (qid, lexical query text, dense query vec_id) — hybrid.HYBRID_QUERIES shape
+QUERIES = ((1, "the quick data", 10), (2, "data quality", 20))
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def stack(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    post = str(tmp_path / "postings")
+    ivf = str(tmp_path / "ivf")
+    R.write_postings_store(docs.where("doc_id < 400"), post, n_buckets=32)
+    write_ivf_store(
+        emb.where("vec_id < 400"), ivf, n_clusters=8, method="det"
+    )
+    return docs, emb, post, ivf, str(tmp_path / "tags")
+
+
+def _serve(spark, post, ivf, versions=None):
+    v = versions or {}
+    return hybrid_rrf_from_stores(
+        spark, post, ivf, queries=QUERIES, k=5, k_branch=10, n_probe=8,
+        postings_version=v.get("lexical"), ivf_version=v.get("dense"),
+    )
+
+
+def test_pin_survives_ingest_on_both_stores(spark, stack):
+    docs, emb, post, ivf, tags = stack
+    before = _rows(_serve(spark, post, ivf))
+    pin = SNAP.pin_stores(tags, "run-1", {"lexical": post, "dense": ivf})
+    # ingest on BOTH stores moves the live serve...
+    R.append_postings_batch(docs.where("doc_id >= 400"), post, batch_tag="b1")
+    append_ivf_batch(emb.where("vec_id >= 400"), ivf, batch_tag="b1")
+    live = _rows(_serve(spark, post, ivf))
+    assert live != before
+    # ...but the pin re-serves the run's exact corpus
+    v = SNAP.pin_versions(SNAP.read_pin(tags, "run-1"))
+    assert v == {k: r["version"] for k, r in pin.items()}
+    assert _rows(_serve(spark, post, ivf, v)) == before
+
+
+def test_pin_is_immutable(spark, stack):
+    _docs, _emb, post, ivf, tags = stack
+    SNAP.pin_stores(tags, "run-1", {"lexical": post})
+    with pytest.raises(ValueError, match="immutable"):
+        SNAP.pin_stores(tags, "run-1", {"lexical": post, "dense": ivf})
+    # the original pin is untouched
+    assert set(SNAP.read_pin(tags, "run-1")) == {"lexical"}
+
+
+def test_retention_past_any_store_fails_the_whole_pin(spark, stack):
+    docs, emb, post, ivf, tags = stack
+    pin = SNAP.pin_stores(tags, "run-1", {"lexical": post, "dense": ivf})
+    # age ONLY the dense store past the pin: append, optimize, vacuum
+    append_ivf_batch(emb.where("vec_id >= 400"), ivf, batch_tag="b1")
+    optimize_ivf_store(spark, ivf)
+    SC.vacuum_store(ivf, keep_versions=1)
+    with pytest.raises(ValueError, match="dense"):
+        SNAP.pin_versions(pin)
+    # all-or-nothing: the intact lexical store does not make it pass
+    with pytest.raises(ValueError, match="no longer servable"):
+        SNAP.assert_pin_servable(pin)
+
+
+def test_unversioned_store_refuses_at_pin_time(spark, stack, tmp_path):
+    import json
+
+    _docs, _emb, post, _ivf, tags = stack
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(legacy)
+    with open(os.path.join(legacy, "meta.json"), "w") as fh:
+        json.dump({"n_docs": 0}, fh)  # pre-ledger marker, no version
+    with pytest.raises(ValueError, match="ledger"):
+        SNAP.pin_stores(tags, "run-2", {"lexical": post, "old": legacy})
+    # nothing half-written
+    assert not os.path.exists(os.path.join(tags, "run-2.json"))
