@@ -482,25 +482,13 @@ def write_ivf_store(
 
 
 def _vectors_for_meta(spark, path: str, meta: dict) -> DataFrame:
-    """The vector frame under ONE committed meta snapshot: resolved
-    through the manifest pointer (``cluster_id`` partition pruning is
-    preserved by the ``basePath`` read over the named files), falling
-    back to the directory listing for a legacy pre-manifest store —
-    which accepts the legacy publish-to-commit window, exactly the
-    postings reader's convention."""
+    """The vector frame under ONE committed meta snapshot — shared
+    protocol (store_commit.read_store_files; ``basePath`` preserves
+    the cluster_id partition pruning), legacy directory fallback."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    rel = SC.resolve_manifest_files(path, meta)
-    if rel is None:
-        return spark.read.parquet(path + "/vectors")
-    if not rel:
-        # committed-empty snapshot (e.g. OPTIMIZE after a full
-        # takedown): zero rows under the directory's schema — the
-        # directory may still hold OLDER snapshots' files, so a plain
-        # directory read would resurrect them
-        return spark.read.parquet(path + "/vectors").where(F.lit(False))
-    return spark.read.option("basePath", path + "/vectors").parquet(
-        *[os.path.join(path, "vectors", f) for f in rel]
+    return SC.read_store_files(
+        spark, path, meta, "manifests", "vectors", base_path=True
     )
 
 
@@ -531,7 +519,7 @@ def append_ivf_batch(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    files_per_cluster: int = 1,
+    files_per_cluster: "int | None" = None,
     batch_tag: "str | None" = None,
 ) -> bool:
     """Fold an accepted ingest batch into the store: assign with the
@@ -569,6 +557,11 @@ def append_ivf_batch(
             SC.cleanup_flat_staging(path, batch_tag)
             return False
     meta = SC.read_meta(path)
+    # the BUILD's layout knob, unless the caller overrides: without
+    # this, streaming appends to a files_per_cluster=4 store would
+    # silently bucket with pmod(hash, 1) and diverge from the build
+    # contract until the next OPTIMIZE (r11 review finding)
+    fpc = int(files_per_cluster or meta.get("files_per_cluster", 1))
     _vecs, cents = read_ivf_store(spark, path, meta=meta)
     tomb = _tombstone_ids(
         spark, path, meta, id_col,
@@ -587,9 +580,9 @@ def append_ivf_batch(
         *[F.col(c) for c in keep_cols],
     )
     assigned = assigned.repartition(
-        len(cents) * files_per_cluster,
+        len(cents) * fpc,
         "cluster_id",
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cluster)),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(fpc)),
     )
 
     def _write(dest: str, mode: str) -> None:

@@ -1063,22 +1063,13 @@ def write_ivfpq_store(
 
 
 def _codes_for_meta(spark, path: str, meta: dict):
-    """The code frame under ONE committed meta snapshot — manifest-
-    resolved with ``basePath`` (cluster_id pruning preserved), legacy
-    directory fallback; the IVF ``_vectors_for_meta`` convention."""
+    """The code frame under ONE committed meta snapshot — shared
+    protocol (store_commit.read_store_files; ``basePath`` preserves
+    the cluster_id partition pruning), legacy directory fallback."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    rel = SC.resolve_manifest_files(path, meta)
-    if rel is None:
-        return spark.read.parquet(path + "/codes")
-    if not rel:
-        # committed-empty snapshot: zero rows under the directory's
-        # schema (the directory may hold OLDER snapshots' files)
-        return spark.read.parquet(path + "/codes").where(F.lit(False))
-    import os as _os
-
-    return spark.read.option("basePath", path + "/codes").parquet(
-        *[_os.path.join(path, "codes", f) for f in rel]
+    return SC.read_store_files(
+        spark, path, meta, "manifests", "codes", base_path=True
     )
 
 

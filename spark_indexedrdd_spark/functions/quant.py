@@ -303,40 +303,23 @@ def write_binary_store(
 
 
 def _sketches_for_meta(spark, path: str, meta: dict) -> DataFrame:
-    """The sketch frame under ONE committed meta snapshot (manifest-
-    resolved; legacy directory fallback — the IVF convention)."""
+    """The sketch frame under ONE committed meta snapshot — shared
+    protocol (store_commit.read_store_files), legacy fallback."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    names = meta.get("sk_manifests")
-    if names is None:
-        return spark.read.parquet(path + "/sketches")
-    rel = SC.resolve_manifest_files(path, {"manifests": names})
-    if not rel:
-        return spark.read.parquet(path + "/sketches").where(F.lit(False))
-    import os
-
-    return spark.read.parquet(
-        *[os.path.join(path, "sketches", f) for f in rel]
-    )
+    return SC.read_store_files(spark, path, meta, "sk_manifests", "sketches")
 
 
 def _bin_vectors_for_meta(spark, path: str, meta: dict) -> DataFrame:
-    """The stage-2 vector frame under the same committed snapshot. The
-    flat file list keeps the sorted layout's min/max pruning — each
-    published file is still internally id-sorted, so the survivors'
-    isin predicate prunes files/row groups exactly as before."""
+    """The stage-2 vector frame under the same committed snapshot —
+    shared protocol (store_commit.read_store_files). The flat file
+    list keeps the sorted layout's min/max pruning: each published
+    file is still internally id-sorted, so the survivors' isin
+    predicate prunes files/row groups exactly as before."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    names = meta.get("vec_manifests")
-    if names is None:
-        return spark.read.parquet(path + "/vectors")
-    rel = SC.resolve_manifest_files(path, {"manifests": names})
-    if not rel:
-        return spark.read.parquet(path + "/vectors").where(F.lit(False))
-    import os
-
-    return spark.read.parquet(
-        *[os.path.join(path, "vectors", f) for f in rel]
+    return SC.read_store_files(
+        spark, path, meta, "vec_manifests", "vectors"
     )
 
 
@@ -413,6 +396,14 @@ def append_binary_batch(
         )
         meta["sk_manifests"] = ["base"]
         meta["vec_manifests"] = ["vec-base"]
+        # re-run the refusal now that the backfilled names exist: on a
+        # legacy store the tag 'base' passed the early check (empty
+        # lists) and the write_manifest below would OVERWRITE the
+        # backfill with only the batch's files — silently erasing the
+        # whole pre-batch corpus from the committed view (r11 review
+        # finding). Raising here costs nothing: nothing staged yet.
+        if batch_tag is not None:
+            SC.refuse_manifest_collision(meta, batch_tag)
     idf = IndexedDataFrame.from_unique(
         new_emb.select(id_col, vec_col), id_col, cache=False
     )
@@ -444,6 +435,11 @@ def append_binary_batch(
             os.path.join(stage, "sketches"), sk_dir, batch_tag
         )
         mname = batch_tag
+    if mname in SC._taken_manifest_names(meta) or (
+        "vec-" + mname
+    ) in SC._taken_manifest_names(meta):
+        # belt-and-braces re-check of the refusals above
+        raise ValueError(f"batch_tag {mname!r} collides with a manifest")
     SC.write_manifest(path, mname, new_s)
     SC.write_manifest(path, "vec-" + mname, new_v)
     meta["sk_manifests"].append(mname)
@@ -765,16 +761,20 @@ def optimize_binary_store(spark, path: str, id_col: "str | None" = None) -> int:
     stage = os.path.join(path, "_staging", tag)
     SC.cleanup_flat_staging(path, tag)
     # legacy-crash debris (pre-manifest redelivery) can hold duplicate
-    # vector copies; the compacted layout keeps exactly one per id
+    # copies in BOTH parts; the compacted layout keeps exactly one per
+    # id — a surviving duplicate sketch row would occupy two Hamming
+    # top-M slots forever, silently displacing a distinct candidate
+    # (r11 review finding). Copies are bit-identical, so any-one-kept
+    # is exact.
     idf = IndexedDataFrame.from_unique(
         vec.select(id_col, vec_col).dropDuplicates([id_col]),
         id_col,
         cache=False,
     )
     write_sorted(idf, os.path.join(stage, "vectors"))
-    sk.repartition(idf.num_partitions).write.mode("overwrite").parquet(
-        os.path.join(stage, "sketches")
-    )
+    sk.dropDuplicates([id_col]).repartition(
+        idf.num_partitions
+    ).write.mode("overwrite").parquet(os.path.join(stage, "sketches"))
     sk_dir = os.path.join(path, "sketches")
     vec_dir = os.path.join(path, "vectors")
     # publish (invisible until the meta commit); sweep this tag's own

@@ -1015,6 +1015,14 @@ def append_postings_batch(
             path, "base", SC.list_parquet_files(path + "/postings")
         )
         manifests = meta["manifests"] = ["base"]
+        # re-run the refusal now that the backfilled name exists: a
+        # tag like 'base' passed the early check on the empty legacy
+        # lists and would otherwise reach the late belt-and-braces
+        # only AFTER its files were published into live bucket dirs —
+        # visible to legacy directory-listing readers and swept into
+        # the NEXT append's backfill (r11 review finding)
+        if batch_tag is not None:
+            _SC.refuse_manifest_collision(meta, batch_tag)
     if batch_tag is None:
         pre = set(SC.list_parquet_files(path + "/postings"))
         batch.write.mode("append").partitionBy("bucket").parquet(

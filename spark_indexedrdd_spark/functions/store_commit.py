@@ -365,8 +365,15 @@ def vacuum_store(path: str, keep_versions: int = 1, spark=None) -> dict:
     # retention counts DATA versions only: a prior vacuum's
     # floor-advance commit is bookkeeping, and counting it would slide
     # the keep_versions window forward on every run (daily vacuum +
-    # infrequent commits would erode the horizon to the frontier)
-    metas = {v: read_meta_version(path, v) for v in versions}
+    # infrequent commits would erode the horizon to the frontier).
+    # Direct ledger reads — list_versions already bounded the range to
+    # the committed frontier, and read_meta_version would re-open
+    # meta.json per call (O(2N) opens on a year of streaming commits —
+    # r11 review finding).
+    metas = {}
+    for v in versions:
+        with open(os.path.join(path, "_versions", f"{v:020d}.json")) as fh:
+            metas[v] = json.load(fh)
     data_versions = [
         v for v in versions if not metas[v].get("vacuum_bookkeeping")
     ] or versions
@@ -983,6 +990,35 @@ def publish_staged_partitioned(
     return published
 
 
+def read_store_files(
+    spark, path: str, meta: dict, key: str, sub: str,
+    base_path: bool = False,
+):
+    """ONE copy of the manifest-resolved data read every versioned
+    store family shares (IVF vectors, IVFPQ codes, binary sketches +
+    vectors): the frame under ONE committed meta snapshot. ``key`` is
+    the meta list naming the manifests, ``sub`` the data subdirectory;
+    ``base_path=True`` preserves hive partition columns/pruning for
+    partitioned layouts. Falls back to the directory listing for a
+    legacy pre-manifest store (accepting the legacy publish-to-commit
+    window); a committed-EMPTY snapshot serves zero rows under the
+    directory's schema (the directory may still hold OLDER snapshots'
+    files, so a plain directory read would resurrect them)."""
+    from pyspark.sql import functions as F
+
+    root = os.path.join(path, sub)
+    names = meta.get(key)
+    if names is None:
+        return spark.read.parquet(root)
+    rel = resolve_manifest_files(path, {"manifests": names})
+    if not rel:
+        return spark.read.parquet(root).where(F.lit(False))
+    reader = spark.read
+    if base_path:
+        reader = reader.option("basePath", root)
+    return reader.parquet(*[os.path.join(root, f) for f in rel])
+
+
 def refuse_manifest_collision(meta: dict, batch_tag: str) -> None:
     """Loud refusal BEFORE any sweep or write runs, for a caller tag
     that (a) sits in a store-internal namespace or (b) names a
@@ -1055,6 +1091,14 @@ def append_partitioned_store_batch(
             sweep_tagged_partitioned(root, batch_tag)
         write_manifest(path, "base", list_parquet_files(root))
         manifests = meta["manifests"] = ["base"]
+        # re-run the refusal now that the backfilled names exist: on a
+        # legacy store a tag like 'base' passed the early check (empty
+        # lists), and without this it would OVERWRITE the backfilled
+        # manifest below — erasing the whole pre-batch corpus from the
+        # committed view. Raising HERE costs nothing: no data has been
+        # staged or published yet (r11 review finding).
+        if batch_tag is not None:
+            refuse_manifest_collision(meta, batch_tag)
     if batch_tag is None:
         pre = set(list_parquet_files(root))
         write_batch(root, "append")

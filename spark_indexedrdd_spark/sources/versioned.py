@@ -66,10 +66,24 @@ class VersionedKVStore:
             return json.load(f)
 
     def _swap_manifest(self, m: dict) -> None:
+        # fsync data before the rename and the directory entry after —
+        # same discipline as store_commit.commit_meta; without it a
+        # power loss can journal the rename ahead of the data blocks
+        # (ext4 semantics) and publish an EMPTY manifest, and vacuum's
+        # refuse-before-reclaim ordering (floor lands BEFORE version
+        # dirs are deleted) would otherwise not be durable (r11 review
+        # finding)
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path())  # atomic on POSIX
+        dfd = os.open(self.path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     # -------------------------------------------------------------- #
     # construction

@@ -417,3 +417,95 @@ def test_binary_legacy_store_falls_back_then_backfills(
     assert meta["sk_manifests"] == ["base", "w1"]
     assert Q._sketches_for_meta(spark, path, meta).count() == emb.count()
     Q.optimize_binary_store(spark, path)  # now legal
+
+
+def test_legacy_backfill_refuses_base_tag_before_any_write(
+    spark, sf_dir, tmp_path
+):
+    """r11 review finding: on a LEGACY store the tag 'base' passes the
+    early collision check (empty lists) and used to overwrite the
+    just-backfilled base manifest — erasing the whole pre-batch corpus
+    from the committed view. The refusal must land BEFORE any data is
+    staged or published, on every appender."""
+    from spark_indexedrdd_spark.functions import quant as Q
+    from spark_indexedrdd_spark.functions import retrieval as R
+
+    emb = _emb(spark, sf_dir)
+
+    def _strip(path, keys):
+        meta_path = os.path.join(path, "meta.json")
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        for k in keys:
+            meta.pop(k, None)
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
+        shutil.rmtree(os.path.join(path, "_manifests"), ignore_errors=True)
+
+    # IVF
+    p = str(tmp_path / "ivf")
+    write_ivf_store(emb.where("vec_id < 400"), p, n_clusters=8, method="det")
+    _strip(p, ("manifests", "applied"))
+    with pytest.raises(ValueError, match="collides"):
+        append_ivf_batch(emb.where("vec_id >= 400"), p, batch_tag="base")
+    # no published batch files, and the backfilled base is intact
+    vdir = os.path.join(p, "vectors")
+    strays = [
+        f
+        for d in os.listdir(vdir)
+        if os.path.isdir(os.path.join(vdir, d))
+        for f in os.listdir(os.path.join(vdir, d))
+        if f.startswith("batch-base-")
+    ]
+    assert not strays
+    vecs, _ = read_ivf_store(spark, p)
+    assert vecs.count() == emb.where("vec_id < 400").count()
+
+    # binary (two-part)
+    bp = str(tmp_path / "bstore")
+    Q.write_binary_store(emb.where("vec_id < 400"), bp)
+    _strip(bp, ("sk_manifests", "vec_manifests", "applied"))
+    with pytest.raises(ValueError, match="collides"):
+        Q.append_binary_batch(
+            emb.where("vec_id >= 400"), bp, batch_tag="base"
+        )
+    meta = SC.read_meta(bp)
+    assert Q._sketches_for_meta(spark, bp, meta).count() == emb.where(
+        "vec_id < 400"
+    ).count()
+
+    # postings
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pp = str(tmp_path / "postings")
+    R.write_postings_store(docs.where("doc_id < 400"), pp, n_buckets=16)
+    _strip(pp, ("manifests", "dl_manifests", "applied"))
+    with pytest.raises(ValueError, match="collides"):
+        R.append_postings_batch(
+            docs.where("doc_id >= 400"), pp, batch_tag="base"
+        )
+    pdir = os.path.join(pp, "postings")
+    strays = [
+        f
+        for d in os.listdir(pdir)
+        if os.path.isdir(os.path.join(pdir, d))
+        for f in os.listdir(os.path.join(pdir, d))
+        if f.startswith("batch-base-")
+    ]
+    assert not strays
+
+
+def test_append_honors_build_files_per_cluster(spark, sf_dir, tmp_path):
+    """r11 review finding: appends must default to the BUILD's recorded
+    files_per_cluster, not the signature default of 1."""
+    emb = _emb(spark, sf_dir)
+    p = str(tmp_path / "ivf_fpc")
+    write_ivf_store(
+        emb.where("vec_id < 300"), p,
+        n_clusters=8, method="det", files_per_cluster=2,
+    )
+    append_ivf_batch(emb.where("vec_id >= 300"), p, batch_tag="w1")
+    meta = SC.read_meta(p)
+    w1_files = SC.resolve_manifest_files(path=p, meta={"manifests": ["w1"]})
+    # under fpc=1 the append writes at most n_clusters(=8) files; with
+    # the build's fpc=2 honored it writes into up to 16 buckets
+    assert len(w1_files) > 8, w1_files
