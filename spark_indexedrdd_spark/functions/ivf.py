@@ -477,6 +477,9 @@ def write_ivf_store(
             "files_per_cluster": int(files_per_cluster),
             "manifests": ["base"],
             "applied": [],
+            # identity of THIS build: store_changes refuses an
+            # interval that crosses a rebuild (ledgers reset)
+            "build_token": os.urandom(8).hex(),
         },
     )
 
@@ -994,6 +997,20 @@ def optimize_ivf_store(
 
     SC.optimize_partitioned_store(path, meta, _write, "vectors")
     return _vectors_for_meta(spark, path, meta).count()
+
+
+def ivf_changes(spark, path: str, v_from: int, v_to: int) -> DataFrame:
+    """Version-to-version CDC on the IVF store: (vec_id, added|deleted)
+    between two committed versions, reading only the interval's delta
+    manifests and tombstone batches — O(delta), the postings store's
+    ``postings_changes`` carried onto the vector tier (shared protocol,
+    store_commit.store_changes). Refuses across an OPTIMIZE/compaction/
+    rebuild boundary, where the ledgers reset."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    return SC.store_changes(
+        spark, path, v_from, v_to, "manifests", "vectors"
+    )
 
 
 def sql_semantic_dedup(

@@ -1045,6 +1045,8 @@ def write_ivfpq_store(
     # store): readers resolve the code files from the committed meta,
     # so appends are versioned-away snapshots and the as-of serve
     # covers them, not just deletes
+    import os as _os
+
     SC.write_manifest(path, "base", SC.list_parquet_files(path + "/codes"))
     SC.commit_meta(
         path,
@@ -1058,6 +1060,7 @@ def write_ivfpq_store(
             "vec_col": vec_col,
             "manifests": ["base"],
             "applied": [],
+            "build_token": _os.urandom(8).hex(),
         },
     )
 
@@ -1180,6 +1183,15 @@ def optimize_ivfpq_store(
 
     SC.optimize_partitioned_store(path, meta, _write, "codes")
     return _codes_for_meta(spark, path, meta).count()
+
+
+def ivfpq_changes(spark, path: str, v_from: int, v_to: int):
+    """Version-to-version CDC on the IVFPQ code store: (vec_id,
+    added|deleted), O(delta) — shared protocol (ivf.ivf_changes
+    docstring, store_commit.store_changes)."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    return SC.store_changes(spark, path, v_from, v_to, "manifests", "codes")
 
 
 def ivfpq_store_ann(

@@ -264,6 +264,8 @@ def write_binary_store(
     rebuild cannot leave new sketches pointing stage 2 at the OLD
     vector file (ids that no longer exist, or stale vectors re-ranked
     as current)."""
+    import os as _os
+
     from spark_indexedrdd_spark.core import IndexedDataFrame
     from spark_indexedrdd_spark.functions import store_commit as SC
     from spark_indexedrdd_spark.sources.bucketed import write_sorted
@@ -298,6 +300,9 @@ def write_binary_store(
             "sk_manifests": ["base"],
             "vec_manifests": ["vec-base"],
             "applied": [],
+            # identity of THIS build: store_changes refuses an
+            # interval that crosses a rebuild (ledgers reset)
+            "build_token": _os.urandom(8).hex(),
         },
     )
 
@@ -718,6 +723,20 @@ def delete_binary_ids(
         spark, path, ids, batch_tag, id_col,
         lambda: spark.read.parquet(path + "/sketches")
         .select(id_col).schema[0].dataType,
+    )
+
+
+def binary_changes(spark, path: str, v_from: int, v_to: int):
+    """Version-to-version CDC on the binary sketch store: (vec_id,
+    added|deleted), O(delta), resolved from the SKETCH-part manifests
+    (one row per id — the vector part's twin lists move in lockstep
+    under the same commits). Shared protocol (store_commit
+    .store_changes); refuses across OPTIMIZE/compaction/rebuild."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    return SC.store_changes(
+        spark, path, v_from, v_to, "sk_manifests", "sketches",
+        base_path=False,
     )
 
 

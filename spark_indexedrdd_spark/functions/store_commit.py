@@ -1019,6 +1019,113 @@ def read_store_files(
     return reader.parquet(*[os.path.join(root, f) for f in rel])
 
 
+def store_changes(
+    spark,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key: str,
+    sub: str,
+    id_col: "str | None" = None,
+    base_path: bool = True,
+):
+    """Version-to-version CDC for a manifest-pointer data store — ONE
+    copy of the ``postings_changes`` delta shape for the pure-data
+    tiers (IVF vectors, IVFPQ codes, binary sketches): (id, change ∈
+    added|deleted) between two committed versions, reading ONLY the
+    interval's delta manifests and tombstone batches — O(delta), never
+    a store scan. An id added AND deleted inside the interval nets to
+    nothing (true CDC semantics).
+
+    Refuses when the interval is not delta-comparable: a
+    snapshot-preserving OPTIMIZE or destructive compaction resets the
+    manifest/delete ledgers (prefix + compactions checks), and a
+    REBUILD mints a fresh ``build_token`` (the postings convention —
+    two builds' version numbers are not the same lineage even when the
+    ledger lists look alike)."""
+    from pyspark.sql import functions as F
+
+    if v_from > v_to:
+        raise ValueError(f"v_from {v_from} > v_to {v_to}")
+    m_from = read_meta_version(path, v_from)
+    m_to = read_meta_version(path, v_to)
+    # the delta files are named by v_to's ledger (append-only lineage:
+    # old ⊆ new), so v_to's servability is what matters — a retained
+    # v_to keeps every delta file alive through vacuum
+    assert_snapshot_servable(path, m_to)
+    mf = m_from.get(key)
+    mt = m_to.get(key)
+    if mf is None or mt is None:
+        raise ValueError(
+            f"store version predates the manifest pointer ({key})"
+        )
+    del_from = m_from.get("deletes", [])
+    del_to = m_to.get("deletes", [])
+    if (
+        mt[: len(mf)] != mf
+        or del_to[: len(del_from)] != del_from
+        or m_from.get("compactions", 0) != m_to.get("compactions", 0)
+        or m_from.get("build_token") != m_to.get("build_token")
+    ):
+        raise ValueError(
+            "a compaction/rebuild crossed the interval — version deltas "
+            "are not comparable (ledgers were reset)"
+        )
+    id_col = id_col or m_to.get("id_col", "vec_id")
+    root = os.path.join(path, sub)
+    new_m = mt[len(mf):]
+    new_tags = del_to[len(del_from):]
+    added = None
+    if new_m:
+        rel = resolve_manifest_files(path, {"manifests": new_m})
+        if rel:
+            reader = spark.read
+            if base_path:
+                reader = reader.option("basePath", root)
+            added = (
+                reader.parquet(*[os.path.join(root, f) for f in rel])
+                .select(id_col)
+                .distinct()
+            )
+    tomb = None
+    if new_tags:
+        tomb = (
+            spark.read.parquet(
+                *[os.path.join(path, "tombstones", t) for t in new_tags]
+            )
+            .select(id_col)
+            .distinct()
+        )
+    parts = []
+    if added is not None:
+        a = added
+        if tomb is not None:
+            a = a.join(tomb, id_col, "left_anti")
+        parts.append(a.withColumn("change", F.lit("added")))
+    if tomb is not None:
+        d = tomb
+        if added is not None:
+            d = d.join(added, id_col, "left_anti")
+        parts.append(d.withColumn("change", F.lit("deleted")))
+    if not parts:
+        from pyspark.sql import types as T
+
+        data = read_store_files(spark, path, m_to, key, sub, base_path)
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(id_col, data.schema[id_col].dataType),
+                    T.StructField("change", T.StringType()),
+                ]
+            ),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def refuse_manifest_collision(meta: dict, batch_tag: str) -> None:
     """Loud refusal BEFORE any sweep or write runs, for a caller tag
     that (a) sits in a store-internal namespace or (b) names a

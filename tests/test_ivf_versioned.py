@@ -509,3 +509,55 @@ def test_append_honors_build_files_per_cluster(spark, sf_dir, tmp_path):
     # under fpc=1 the append writes at most n_clusters(=8) files; with
     # the build's fpc=2 honored it writes into up to 16 buckets
     assert len(w1_files) > 8, w1_files
+
+
+def test_ivf_changes_cdc(spark, split_store):
+    """Version-to-version CDC on the vector tier (store_changes):
+    added = the interval's appended ids, deleted = its tombstoned ids,
+    added-then-deleted nets to nothing; refuses across an OPTIMIZE and
+    across a rebuild (fresh build_token)."""
+    from spark_indexedrdd_spark.functions.ivf import ivf_changes
+
+    emb, path = split_store
+    v1 = SC.read_meta(path)["version"]
+    append_ivf_batch(emb.where("vec_id >= 400"), path, batch_tag="w1")
+    # delete two pre-existing ids and one id appended THIS interval
+    delete_ivf_ids(spark, path, [7, 14, 450], batch_tag="t1")
+    v3 = SC.read_meta(path)["version"]
+    ch = {(r[0], r.change) for r in ivf_changes(spark, path, v1, v3).collect()}
+    added = {r.vec_id for r in emb.where("vec_id >= 400").collect()} - {450}
+    assert ch == {(i, "added") for i in added} | {
+        (7, "deleted"), (14, "deleted")
+    }
+    # empty interval: typed zero rows
+    assert ivf_changes(spark, path, v3, v3).count() == 0
+    # OPTIMIZE resets the ledgers: the crossing interval refuses
+    optimize_ivf_store(spark, path)
+    v4 = SC.read_meta(path)["version"]
+    with pytest.raises(ValueError, match="compaction|rebuild"):
+        ivf_changes(spark, path, v1, v4)
+    # rebuild mints a new build_token: even look-alike ledgers refuse
+    write_ivf_store(
+        emb.where("vec_id < 400"), path, n_clusters=8, method="det"
+    )
+    v5 = SC.read_meta(path)["version"]
+    with pytest.raises(ValueError, match="compaction|rebuild|floor|rewrit"):
+        ivf_changes(spark, path, v1, v5)
+
+
+def test_binary_changes_cdc(spark, sf_dir, tmp_path):
+    from spark_indexedrdd_spark.functions import quant as Q
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "bstore")
+    Q.write_binary_store(emb.where("vec_id < 400"), path)
+    v1 = SC.read_meta(path)["version"]
+    Q.append_binary_batch(emb.where("vec_id >= 400"), path, batch_tag="w1")
+    Q.delete_binary_ids(spark, path, [3, 410], batch_tag="t1")
+    v3 = SC.read_meta(path)["version"]
+    ch = {
+        (r[0], r.change)
+        for r in Q.binary_changes(spark, path, v1, v3).collect()
+    }
+    added = {r.vec_id for r in emb.where("vec_id >= 400").collect()} - {410}
+    assert ch == {(i, "added") for i in added} | {(3, "deleted")}
