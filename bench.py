@@ -639,6 +639,31 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
             n_probe=4,
         ).count()
 
+    # snapshot-preserving OPTIMIZE on the vector store (r11): fold the
+    # delete entry's tombstones plus a tagged micro-batch append back
+    # into the build's bounded per-cluster layout through the manifest
+    # commit, then serve — prices the maintenance op and the recovered
+    # serve in one line (replayed rounds no-op the append by tag)
+    @timed("ivf_store_optimize_serve")
+    def _ivfopt():
+        from spark_indexedrdd_spark.functions import ivf as _ivf
+
+        _ivf.append_ivf_batch(
+            emb.where("vec_id % 97 = 0").select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+            ),
+            "spark-warehouse/bench_ivf_store",
+            batch_tag="bench-opt-b1",
+        )
+        _ivf.optimize_ivf_store(spark, "spark-warehouse/bench_ivf_store")
+        _ivf.ivf_ann_from_store(
+            spark,
+            "spark-warehouse/bench_ivf_store",
+            [50, 100, 150, 200, 250, 300, 400, 450],
+            k=5,
+            n_probe=4,
+        ).count()
+
     # zone-map file skipping (r9): clustered write + per-file min/max
     # sidecar; the quarter scan schedules only overlapping files
     @timed("zonemap_write_once")

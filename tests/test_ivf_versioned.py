@@ -561,3 +561,23 @@ def test_binary_changes_cdc(spark, sf_dir, tmp_path):
     }
     added = {r.vec_id for r in emb.where("vec_id >= 400").collect()} - {410}
     assert ch == {(i, "added") for i in added} | {(3, "deleted")}
+
+
+def test_asof_read_keeps_partition_pruning(spark, split_store):
+    """The manifest-resolved (explicit file list + basePath) as-of read
+    must keep cluster_id filters at the PARTITION level — directory
+    pruning, not a post-scan data filter — or every probed-cluster
+    serve silently degrades to a full-index scan at scale."""
+    from pyspark.sql import functions as F
+
+    emb, path = split_store
+    v1 = SC.read_meta(path)["version"]
+    append_ivf_batch(emb.where("vec_id >= 400"), path, batch_tag="w1")
+    snap = SC.read_meta_version(path, v1)
+    vecs, _ = read_ivf_store(spark, path, meta=snap)
+    one = vecs.where(F.col("cluster_id") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("cluster_id" in ln for ln in pf), plan
+    # and the snapshot really is the pre-append file set
+    assert vecs.count() == emb.where("vec_id < 400").count()
