@@ -244,6 +244,7 @@ def write_binary_store(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: "tuple[str, ...]" = (),
+    applied_tags: "tuple[str, ...]" = (),
 ) -> None:
     """Materialize the two-file serving layout:
 
@@ -299,7 +300,10 @@ def write_binary_store(
             "vec_col": vec_col,
             "sk_manifests": ["base"],
             "vec_manifests": ["vec-base"],
-            "applied": [],
+            # the streaming twin passes its first batch_id here so a
+            # crash between build and checkpoint can never double-apply
+            # batch 0 (StreamingPostingsStore convention)
+            "applied": [str(t) for t in applied_tags],
             # identity of THIS build: store_changes refuses an
             # interval that crosses a rebuild (ledgers reset)
             "build_token": _os.urandom(8).hex(),
@@ -820,3 +824,72 @@ def optimize_binary_store(spark, path: str, id_col: "str | None" = None) -> int:
     SC.commit_meta(path, meta)  # <-- commit point; floor does NOT move
     SC.cleanup_flat_staging(path, tag)
     return _bin_vectors_for_meta(spark, path, meta).count()
+
+
+class StreamingBinaryStore:
+    """foreachBatch ingest for the binary sketch index — the
+    store-family streaming twin (postings, IVF, signatures, sketches,
+    counts, SCD2). First non-empty batch initializes: its batch_id goes
+    into meta.json's replay ledger in the SAME atomic write that
+    commits the store, so a crash mid-init re-runs the (idempotent,
+    overwrite-mode) build rather than double-applying batch 0; later
+    batches fold in through the tagged twin-manifest append
+    (:func:`append_binary_batch`), so at-least-once re-delivery of a
+    committed batch is a true no-op. ``optimize_every=N`` folds the
+    manifest list with the snapshot-preserving
+    :func:`optimize_binary_store` whenever it reaches N entries —
+    bounded file counts AND a vector part re-sorted back into the
+    point-read layout, without breaking the as-of surface."""
+
+    def __init__(
+        self,
+        path: str,
+        dims: int = 64,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        optimize_every: "int | None" = None,
+    ):
+        import os
+
+        self.path = path
+        self.dims = dims
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.optimize_every = optimize_every
+        self._initialized = os.path.exists(
+            os.path.join(path, "meta.json")
+        )
+
+    def foreach_batch(self, batch_df, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if not self._initialized:
+            write_binary_store(
+                batch_df, self.path, self.dims, self.id_col,
+                self.vec_col, applied_tags=(f"b{batch_id}",),
+            )
+            self._initialized = True
+        else:
+            append_binary_batch(
+                batch_df, self.path, self.dims, self.id_col,
+                self.vec_col, batch_tag=f"b{batch_id}",
+            )
+        if self.optimize_every:
+            from spark_indexedrdd_spark.functions import (
+                store_commit as _SC,
+            )
+
+            n = len(_SC.read_meta(self.path).get("sk_manifests") or [])
+            if n >= int(self.optimize_every):
+                optimize_binary_store(
+                    batch_df.sparkSession, self.path, self.id_col
+                )
+
+    def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
+        return (
+            stream_df.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.foreach_batch)
+            .trigger(**trigger_kwargs)
+            .start()
+        )

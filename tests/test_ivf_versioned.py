@@ -581,3 +581,58 @@ def test_asof_read_keeps_partition_pruning(spark, split_store):
     assert pf and any("cluster_id" in ln for ln in pf), plan
     # and the snapshot really is the pre-append file set
     assert vecs.count() == emb.where("vec_id < 400").count()
+
+
+def test_streaming_binary_store_matches_batch(spark, sf_dir, tmp_path):
+    """StreamingBinaryStore: file-per-micro-batch ingest builds the same
+    servable store as the build+append batch path (serve-identical),
+    batch 0's id is in the replay ledger from the initializing commit,
+    and optimize_every keeps the twin manifest lists bounded."""
+    import glob
+
+    from spark_indexedrdd_spark.functions import quant as Q
+
+    emb = _emb(spark, sf_dir)
+    batches = [
+        emb.where("vec_id < 300"),
+        emb.where("vec_id >= 300 AND vec_id < 400"),
+        emb.where("vec_id >= 400"),
+    ]
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    for i, b in enumerate(batches, start=1):
+        tmp_out = str(tmp_path / f"w{i}")
+        b.coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        dest = str(stream_dir / f"f{i}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+    store = str(tmp_path / "bstore_stream")
+    schema = spark.read.parquet(str(stream_dir / "f1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    s = Q.StreamingBinaryStore(store, optimize_every=2)
+    q = s.attach(stream, str(tmp_path / "ckpt"), availableNow=True)
+    q.processAllAvailable()
+    q.stop()
+
+    ref = str(tmp_path / "bstore_ref")
+    Q.write_binary_store(emb, ref)
+    qv = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where("vec_id IN (10, 20, 30)").collect()
+    ]
+    got = _rows(Q.binary_store_ann(spark, store, qv, k=5))
+    want = _rows(Q.binary_store_ann(spark, ref, qv, k=5))
+    assert got == want and got
+    meta = SC.read_meta(store)
+    # batch 0 is replay-guarded from the initializing commit itself
+    assert "b0" in meta["applied"]
+    # the optimize cadence fired and bounded the manifest lists
+    assert int(meta.get("compactions", 0)) >= 1
+    assert len(meta["sk_manifests"]) <= 2
+    # a redelivered committed batch is a no-op
+    assert Q.append_binary_batch(batches[1], store, batch_tag="b1") is False
