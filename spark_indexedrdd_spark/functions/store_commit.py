@@ -1236,6 +1236,51 @@ def append_partitioned_store_batch(
     return True
 
 
+def optimize_flat_store(
+    path: str, meta: dict, write_data, build_sidecar, sidecar_sub: str
+) -> str:
+    """Snapshot-PRESERVING compaction commit for a flat sidecar store
+    (zone-map / bloom) — the sidecar twin of
+    :func:`optimize_partitioned_store`, ONE copy of the protocol.
+    ``write_data(stage_dir)`` writes the compacted data files;
+    ``build_sidecar(abs_published_files) -> DataFrame`` derives the
+    sidecar rows for exactly the published files (the same callback
+    contract as :func:`append_flat_store_batch`). Readers reach data
+    only through committed sidecar rows, so the old versions' data
+    files stay live for the as-of surface until ``vacuum_store``
+    (whose sidecar-driven data GC reclaims exactly the files no
+    retained version's rows name). Floor does not move; a crash before
+    the commit leaves unnamed files (invisible; re-run sweeps its own
+    tag). Returns the optimize tag."""
+    tag = derive_optimize_tag(meta)
+    data_dir = os.path.join(path, "data")
+    side_dir = os.path.join(path, sidecar_sub)
+    stage = os.path.join(path, "_staging", tag)
+    cleanup_flat_staging(path, tag)
+    write_data(os.path.join(stage, "data"))
+    sweep_tagged_files(data_dir, tag)
+    new_files = publish_staged_flat(
+        os.path.join(stage, "data"), data_dir, tag
+    )
+    side_rows = build_sidecar(
+        [os.path.join(data_dir, f) for f in new_files]
+    ).coalesce(1)
+    sstage = os.path.join(stage, "sidecar")
+    side_rows.write.mode("overwrite").parquet(sstage)
+    sweep_tagged_files(side_dir, tag)
+    new_side = publish_staged_flat(sstage, side_dir, tag)
+    write_manifest(path, tag, new_side)
+    meta["retired_manifests"] = sorted(
+        set(meta.get("retired_manifests", []))
+        | set(meta.get("manifests", []))
+    )
+    meta["manifests"] = [tag]
+    meta["compactions"] = int(meta.get("compactions", 0)) + 1
+    commit_meta(path, meta)  # <-- commit point; floor does NOT move
+    cleanup_flat_staging(path, tag)
+    return tag
+
+
 def derive_optimize_tag(meta: dict) -> str:
     """Deterministic, collision-free manifest tag for a
     snapshot-preserving OPTIMIZE: derived purely from meta, so a

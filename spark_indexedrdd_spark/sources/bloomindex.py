@@ -194,12 +194,16 @@ class StreamingBloomIngest:
         n_files: int | None = None,
         m: int = 8192,
         k: int = 4,
+        optimize_every: int | None = None,
     ):
         self.path = path
         self.key_col = key_col
         self.n_files = n_files
         self.m = m
         self.k = k
+        # the postings cadence: fold the manifest list with the
+        # snapshot-preserving re-merge once it reaches N entries
+        self.optimize_every = optimize_every
         self._initialized = os.path.exists(os.path.join(path, "meta.json"))
 
     def foreach_batch(self, batch_df, batch_id: int) -> None:
@@ -220,6 +224,14 @@ class StreamingBloomIngest:
         append_bloom_batch(
             batch_df, self.path, batch_tag=str(batch_id), n_files=self.n_files
         )
+        if self.optimize_every:
+            from spark_indexedrdd_spark.functions import store_commit as _SC
+
+            n = len(_SC.read_meta(self.path).get("manifests") or [])
+            if n >= int(self.optimize_every):
+                optimize_bloom_store(
+                    batch_df.sparkSession, self.path, self.n_files
+                )
 
     def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
         """Start a streaming query feeding this ingest (postings-twin
@@ -232,6 +244,44 @@ class StreamingBloomIngest:
             .trigger(**trigger_kwargs)
             .start()
         )
+
+
+def optimize_bloom_store(
+    spark: SparkSession, path: str, n_files: int | None = None
+) -> int:
+    """Snapshot-PRESERVING re-merge of the bloom-indexed table: read
+    the committed rows through the sidecar, re-pack into ``n_files``
+    (default: let the plan pick), rebuild per-file blooms under the
+    store's pinned (m, k), and publish through the sidecar-manifest
+    commit (store_commit.optimize_flat_store — the zonemap optimize's
+    twin). Fewer, fuller files mean fewer sidecar rows per lookup and
+    per-file blooms re-sized to their actual key counts; old snapshots
+    keep serving until vacuum. Returns the live data-file count."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    meta = SC.read_meta(path)
+    if meta.get("manifests") is None:
+        raise ValueError(
+            "optimize_bloom_store requires a manifest-pointer store; "
+            "one append backfills it, or rebuild"
+        )
+    key_col = meta["key_col"]
+    m, k = int(meta["m"]), int(meta["k"])
+    side = _resolve_bloom(spark, path, meta)
+    files = sorted(
+        os.path.join(path, "data", r.file)
+        for r in side.select("file").distinct().collect()
+    )
+    live = spark.read.parquet(*files)
+    out = live.repartition(n_files) if n_files else live
+    SC.optimize_flat_store(
+        path,
+        meta,
+        write_data=lambda dest: out.write.mode("overwrite").parquet(dest),
+        build_sidecar=lambda fs: _file_positions(spark, fs, key_col, m, k),
+        sidecar_sub="bloom",
+    )
+    return _resolve_bloom(spark, path, meta).select("file").distinct().count()
 
 
 def bloom_prune_files(

@@ -177,6 +177,47 @@ def append_zonemap_batch(
     )
 
 
+def optimize_zonemap_store(
+    spark: SparkSession, path: str, n_files: int | None = None
+) -> int:
+    """Snapshot-PRESERVING global re-cluster (the Delta OPTIMIZE ZORDER
+    analog on the one-column zone map; :func:`compact_zonemap_store`
+    is the destructive form): read the committed rows through the
+    sidecar, range-re-cluster on the zone column — append-accumulated
+    batch files re-merge and the per-file zone overlap re-tightens to
+    the build's — and publish through the ordinary sidecar-manifest
+    commit (store_commit.optimize_flat_store). Every earlier snapshot
+    keeps serving byte-identically (its sidecar rows still name the
+    old data files) until a ``vacuum_store(spark=...)`` pass reclaims
+    them. Returns the live data-file count after."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    meta = SC.read_meta(path)
+    if meta.get("manifests") is None:
+        raise ValueError(
+            "optimize_zonemap_store requires a manifest-pointer store; "
+            "one append backfills it, or rebuild"
+        )
+    zone_col = meta["zone_col"]
+    files = _surviving_files(
+        path, _resolve_zones(spark, path, meta), None, None
+    )
+    live = spark.read.parquet(*files)
+    out = (
+        live.repartitionByRange(n_files, zone_col)
+        if n_files
+        else live.repartitionByRange(zone_col)
+    ).sortWithinPartitions(zone_col)
+    SC.optimize_flat_store(
+        path,
+        meta,
+        write_data=lambda dest: out.write.mode("overwrite").parquet(dest),
+        build_sidecar=lambda fs: _file_stats(spark, fs, zone_col),
+        sidecar_sub="zones",
+    )
+    return _resolve_zones(spark, path, meta).count()
+
+
 def compact_zonemap_store(spark: SparkSession, path: str) -> int:
     """Globally re-cluster the store (append-accumulated batch files
     re-merge, zone overlap re-tightens); returns the file count after.
@@ -230,10 +271,21 @@ class StreamingZonemapIngest:
     replay tag, so at-least-once re-delivery of a committed batch is a
     true no-op."""
 
-    def __init__(self, path: str, zone_col: str, n_files: int | None = None):
+    def __init__(
+        self,
+        path: str,
+        zone_col: str,
+        n_files: int | None = None,
+        optimize_every: int | None = None,
+    ):
         self.path = path
         self.zone_col = zone_col
         self.n_files = n_files
+        # fold the manifest list with the snapshot-preserving global
+        # re-cluster once it reaches this many entries (the postings
+        # cadence): bounded file counts AND re-tightened zone overlap
+        # under continuous ingest, without breaking as-of reads
+        self.optimize_every = optimize_every
         self._initialized = os.path.exists(os.path.join(path, "meta.json"))
 
     def foreach_batch(self, batch_df, batch_id: int) -> None:
@@ -252,6 +304,14 @@ class StreamingZonemapIngest:
         append_zonemap_batch(
             batch_df, self.path, batch_tag=str(batch_id), n_files=self.n_files
         )
+        if self.optimize_every:
+            from spark_indexedrdd_spark.functions import store_commit as _SC
+
+            n = len(_SC.read_meta(self.path).get("manifests") or [])
+            if n >= int(self.optimize_every):
+                optimize_zonemap_store(
+                    batch_df.sparkSession, self.path, self.n_files
+                )
 
     def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
         """Start a streaming query feeding this ingest (postings-twin

@@ -314,3 +314,40 @@ def test_real_stream_ingest_equals_one_shot(spark, sf_dir, tmp_path):
     got = bloom_multiget(spark, store, [42])
     want = orders.where(F.col("o_custkey") == 42)
     assert _sorted_rows(got) == _sorted_rows(want) and got.count() > 0
+
+
+def test_optimize_preserves_snapshots_and_merges(spark, sf_dir, tmp_path):
+    """Snapshot-preserving OPTIMIZE on the bloom store: batch files
+    re-merge under the pinned (m, k), lookups stay byte-identical live
+    AND as-of, and vacuum reclaims the pre-optimize files."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+    from spark_indexedrdd_spark.sources.bloomindex import (
+        append_bloom_batch,
+        optimize_bloom_store,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "bl_opt")
+    write_bloom_table(orders.where("o_orderkey % 3 = 1"), path,
+                      "o_custkey", n_files=8)
+    append_bloom_batch(orders.where("o_orderkey % 3 = 2"), path,
+                       batch_tag="b1", n_files=8)
+    v_pre = SC.read_meta(path)["version"]
+    append_bloom_batch(orders.where("o_orderkey % 3 = 0"), path,
+                       batch_tag="b2", n_files=8)
+    keys = [7, 19, 42]
+    want = orders.where(F.col("o_custkey").isin(keys))
+    pre_rows = _sorted_rows(bloom_multiget(spark, path, keys, version=v_pre))
+    n_after = optimize_bloom_store(spark, path, n_files=8)
+    assert n_after == 8
+    assert _sorted_rows(bloom_multiget(spark, path, keys)) == _sorted_rows(want)
+    files, total = bloom_prune_files(spark, path, [7])
+    assert total == 8 and 0 < len(files) < total  # still prunes
+    # pre-optimize snapshot byte-identical (floor unmoved)
+    assert _sorted_rows(
+        bloom_multiget(spark, path, keys, version=v_pre)) == pre_rows
+    rep = SC.vacuum_store(path, keep_versions=1, spark=spark)
+    assert any(r.startswith("data/") for r in rep["removed_files"])
+    with pytest.raises(ValueError, match="floor|rewrit"):
+        bloom_multiget(spark, path, keys, version=v_pre)
+    assert _sorted_rows(bloom_multiget(spark, path, keys)) == _sorted_rows(want)

@@ -282,3 +282,50 @@ def test_legacy_flat_store_tagged_replay_backfill_not_doubled(
         fh.write(legacy)
     assert append_zonemap_batch(batch, path, batch_tag="b1", n_files=4)
     assert zonemap_read(spark, path).count() == base.count() + batch.count()
+
+
+def test_optimize_preserves_snapshots_and_retightens(spark, sf_dir, tmp_path):
+    """Snapshot-preserving OPTIMIZE (r11): global re-cluster folds
+    batch files and re-tightens zone overlap WITHOUT moving the
+    servability floor — pre-optimize as-of reads stay byte-identical
+    until vacuum reclaims them."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+    from spark_indexedrdd_spark.sources.zonemap import (
+        append_zonemap_batch,
+        optimize_zonemap_store,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "zm_opt")
+    write_zonemap_table(li.where("l_orderkey % 3 = 1"), path,
+                        "l_shipdate", n_files=8)
+    append_zonemap_batch(li.where("l_orderkey % 3 = 2"), path,
+                         batch_tag="b1", n_files=8)
+    v_pre = SC.read_meta(path)["version"]
+    append_zonemap_batch(li.where("l_orderkey % 3 = 0"), path,
+                         batch_tag="b2", n_files=8)
+    lo, hi = "1996-01-01", "1996-03-31"
+    want = li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") <= hi))
+    pre_rows = sorted(map(tuple, zonemap_read(
+        spark, path, lo, hi, version=v_pre).collect()))
+    _f, total_before = zonemap_prune_files(spark, path, lo, hi)
+    files_before = len(_f)
+    n_after = optimize_zonemap_store(spark, path, n_files=8)
+    assert n_after == 8 < total_before == 24
+    # live reads identical; overlap re-tightened to the build's
+    assert zonemap_read(spark, path, lo, hi).count() == want.count() > 0
+    f_after, total_after = zonemap_prune_files(spark, path, lo, hi)
+    assert total_after == 8 and len(f_after) <= files_before
+    assert len(f_after) < total_after  # still prunes
+    # the pre-optimize snapshot serves byte-identically (floor unmoved)
+    assert sorted(map(tuple, zonemap_read(
+        spark, path, lo, hi, version=v_pre).collect())) == pre_rows
+    # replay of a pre-optimize tag is still a no-op
+    assert not append_zonemap_batch(
+        li.where("l_orderkey % 3 = 0"), path, batch_tag="b2")
+    # vacuum reclaims the pre-optimize data files and fences the as-of
+    rep = SC.vacuum_store(path, keep_versions=1, spark=spark)
+    assert any(r.startswith("data/") for r in rep["removed_files"])
+    with pytest.raises(ValueError, match="floor|rewrit"):
+        zonemap_read(spark, path, lo, hi, version=v_pre)
+    assert zonemap_read(spark, path, lo, hi).count() == want.count()
