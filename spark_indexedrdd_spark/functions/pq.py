@@ -1133,6 +1133,16 @@ def append_ivfpq_batch(
             return False
     meta = SC.read_meta(path)
     _codes, cents, cbs = read_ivfpq_store(spark, path, meta=meta)
+    # delete-wins until compaction (ivf.append_ivf_batch convention,
+    # r11 review finding): a re-ingested tombstoned id would land in a
+    # committed manifest while the serve's anti-join hides it —
+    # invisible rows on disk, and the CDC's added∧deleted netting
+    # would silently drop the delete event
+    tomb = SC.committed_tombstones(
+        spark, path, meta, id_col, _codes.schema[id_col].dataType
+    )
+    if tomb is not None:
+        new_emb = new_emb.join(F.broadcast(tomb), id_col, "left_anti")
     # names AND types vs the persisted code rows (store_commit helper)
     keep_cols = SC.enforce_store_keep_cols(meta, new_emb, store_df=_codes)
     batch = _assign_res_encode(

@@ -389,6 +389,19 @@ def append_binary_batch(
             if meta.get("keep_cols") else None
         ),
     )
+    # delete-wins until compaction (ivf.append_ivf_batch convention,
+    # r11 review finding): a re-ingested tombstoned id would land in
+    # committed manifests while stage 1's anti-join hides it, and the
+    # CDC's added∧deleted netting would drop the delete event
+    if meta.get("deletes"):
+        _spark = new_emb.sparkSession
+        tomb = SC.committed_tombstones(
+            _spark, path, meta, id_col,
+            _sketches_for_meta(_spark, path, meta)
+            .schema[id_col].dataType,
+        )
+        if tomb is not None:
+            new_emb = new_emb.join(F.broadcast(tomb), id_col, "left_anti")
     sk_dir = os.path.join(path, "sketches")
     vec_dir = os.path.join(path, "vectors")
     if meta.get("sk_manifests") is None:
@@ -869,11 +882,13 @@ class StreamingBinaryStore:
                 self.vec_col, applied_tags=(f"b{batch_id}",),
             )
             self._initialized = True
-        else:
-            append_binary_batch(
-                batch_df, self.path, self.dims, self.id_col,
-                self.vec_col, batch_tag=f"b{batch_id}",
-            )
+            # the twins' convention: the cadence never fires on the
+            # fresh single-batch build it would pointlessly rewrite
+            return
+        append_binary_batch(
+            batch_df, self.path, self.dims, self.id_col,
+            self.vec_col, batch_tag=f"b{batch_id}",
+        )
         if self.optimize_every:
             from spark_indexedrdd_spark.functions import (
                 store_commit as _SC,

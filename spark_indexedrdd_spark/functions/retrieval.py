@@ -1297,87 +1297,25 @@ def postings_changes(
     delete-wins appends + prior-tombstone anti-joins guarantee the
     delta sets are otherwise disjoint from both endpoints' live sets.
     Raises when a compaction/rebuild crossed the interval (it resets
-    both ledgers, so deltas are no longer comparable)."""
+    both ledgers, so deltas are no longer comparable).
+
+    ONE copy of the delta state machine: this delegates to
+    ``store_commit.store_changes`` (the r11 vector-tier CDC) over the
+    doclen sidecar's manifest list — a protocol fix lands on every
+    family at once. A version predating the sidecar refuses with the
+    same predates-the-pointer message the other tiers use."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
-    if v_from > v_to:
-        raise ValueError(f"v_from {v_from} > v_to {v_to}")
-    m_from = SC.read_meta_version(path, v_from)
-    m_to = SC.read_meta_version(path, v_to)
-    # an interval ENTIRELY below the rewrite floor has equal ledgers
-    # and counters (nothing moved between its endpoints) but its delta
-    # FILES were rewritten away — the servability guard catches it
-    SC.assert_snapshot_servable(path, m_to)
-    dl_from = m_from.get("dl_manifests")
-    dl_to = m_to.get("dl_manifests")
-    if dl_from is None or dl_to is None:
-        raise ValueError("store version predates the doclen sidecar")
-    del_from = m_from.get("deletes", [])
-    del_to = m_to.get("deletes", [])
-    if (
-        dl_to[: len(dl_from)] != dl_from
-        or del_to[: len(del_from)] != del_from
-        # compaction reuses the 'dl-base' manifest NAME, so the prefix
-        # checks alone can't see it — the compaction counter and the
-        # per-build token close that hole (and rebuilds generally)
-        or m_from.get("compactions", 0) != m_to.get("compactions", 0)
-        or m_from.get("build_token") != m_to.get("build_token")
-    ):
-        raise ValueError(
-            "a compaction/rebuild crossed the interval — version deltas "
-            "are not comparable (ledgers were reset)"
-        )
-    id_col = m_to["id_col"]
-    new_dl = dl_to[len(dl_from):]
-    new_tags = del_to[len(del_from):]
-    added = None
-    if new_dl:
-        rel = SC.resolve_manifest_files(path, {"manifests": new_dl})
-        if rel:
-            added = (
-                spark.read.option("basePath", path + "/doclen")
-                .parquet(*[os.path.join(path, "doclen", f) for f in rel])
-                .select(id_col)
-                .distinct()
-            )
-    tomb = None
-    if new_tags:
-        tomb = (
-            spark.read.parquet(
-                *[os.path.join(path, "tombstones", t) for t in new_tags]
-            )
-            .select(id_col)
-            .distinct()
-        )
-    parts = []
-    if added is not None:
-        a = added
-        if tomb is not None:
-            a = a.join(tomb, id_col, "left_anti")
-        parts.append(a.withColumn("change", F.lit("added")))
-    if tomb is not None:
-        d = tomb
-        if added is not None:
-            d = d.join(added, id_col, "left_anti")
-        parts.append(d.withColumn("change", F.lit("deleted")))
-    if not parts:
-        dl = _resolve_doclen(spark, path, m_to)
-        from pyspark.sql import types as T
-
-        schema = T.StructType(
-            [
-                T.StructField(
-                    id_col,
-                    dl.schema[id_col].dataType if dl is not None else T.LongType(),
-                ),
-                T.StructField("change", T.StringType()),
-            ]
-        )
-        return spark.createDataFrame([], schema)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    m_to = SC.read_meta_version(path, max(int(v_from), int(v_to)))
+    return SC.store_changes(
+        spark,
+        path,
+        v_from,
+        v_to,
+        "dl_manifests",
+        "doclen",
+        id_col=m_to.get("id_col", "doc_id"),
+    )
 
 
 def optimize_postings_store(spark: SparkSession, path: str) -> int:

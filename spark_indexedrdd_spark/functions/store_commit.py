@@ -678,6 +678,14 @@ def append_flat_store_batch(
     if batch_tag is not None and batch_tag in applied:
         cleanup_flat_staging(path, batch_tag)
         return False
+    if batch_tag is not None:
+        # retired names (an optimize moved them off the live list while
+        # older servable snapshots still reference their manifest
+        # files) and reserved prefixes refuse BEFORE any write — the
+        # partitioned twin's discipline (r11 review finding: without
+        # this, a post-optimize tag could overwrite a manifest a
+        # retained snapshot resolves)
+        refuse_manifest_collision(meta, batch_tag)
     side_dir = os.path.join(path, sidecar_sub)
     manifests = meta.get("manifests")
     if manifests is None:
@@ -693,13 +701,22 @@ def append_flat_store_batch(
             sweep_tagged_files(side_dir, batch_tag)
         write_manifest(path, "base", list_parquet_files(side_dir))
         manifests = meta["manifests"] = ["base"]
+        # re-run the refusal now that the backfilled name exists (the
+        # partitioned twin's post-backfill re-check): a legacy tag of
+        # 'base' would otherwise overwrite the backfill below
+        if batch_tag is not None:
+            refuse_manifest_collision(meta, batch_tag)
     data_dir = os.path.join(path, "data")
     if batch_tag is None:
         pre = set(list_parquet_files(data_dir))
         write_batch(data_dir, "append")
         new_files = sorted(set(list_parquet_files(data_dir)) - pre)
+        # an optimize collapses the live list to one name, so
+        # len(manifests) alone would re-mint a RETIRED anon name and
+        # overwrite a manifest retained snapshots still reference
         mname = f"anon-{len(manifests):05d}"
-        while mname in manifests:
+        taken = _taken_manifest_names(meta)
+        while mname in taken:
             mname += "x"
     else:
         stage = os.path.join(path, "_staging", batch_tag)
@@ -707,7 +724,8 @@ def append_flat_store_batch(
         sweep_tagged_files(data_dir, batch_tag)
         new_files = publish_staged_flat(stage, data_dir, batch_tag)
         mname = batch_tag
-    if mname in manifests:
+    if mname in _taken_manifest_names(meta):
+        # belt-and-braces re-check of the refusals above
         raise ValueError(f"batch_tag {mname!r} collides with a manifest")
     if new_files:
         side_rows = build_sidecar(
@@ -1110,12 +1128,23 @@ def store_changes(
     if not parts:
         from pyspark.sql import types as T
 
-        data = read_store_files(spark, path, m_to, key, sub, base_path)
+        # type the empty frame from ONE committed file, never the
+        # whole store — the no-change polling case must stay O(1), not
+        # O(committed files) (r11 review finding)
+        rel = resolve_manifest_files(path, {"manifests": mt[:1]}) or []
+        if rel:
+            id_type = (
+                spark.read.parquet(os.path.join(root, rel[0]))
+                .schema[id_col]
+                .dataType
+            )
+        else:
+            id_type = T.LongType()
         return spark.createDataFrame(
             [],
             T.StructType(
                 [
-                    T.StructField(id_col, data.schema[id_col].dataType),
+                    T.StructField(id_col, id_type),
                     T.StructField("change", T.StringType()),
                 ]
             ),

@@ -636,3 +636,90 @@ def test_streaming_binary_store_matches_batch(spark, sf_dir, tmp_path):
     assert len(meta["sk_manifests"]) <= 2
     # a redelivered committed batch is a no-op
     assert Q.append_binary_batch(batches[1], store, batch_tag="b1") is False
+
+
+def test_binary_delete_wins_append_and_cdc_reports_delete(
+    spark, sf_dir, tmp_path
+):
+    """r11 review finding: the binary/IVFPQ appends must drop currently
+    tombstoned ids (delete-wins, the IVF convention) — otherwise a
+    delete-then-re-append lands the id in a committed manifest the
+    serve hides, and the CDC's added∧deleted netting silently drops the
+    delete event."""
+    from spark_indexedrdd_spark.functions import pq as PQ
+    from spark_indexedrdd_spark.functions import quant as Q
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "bstore")
+    Q.write_binary_store(emb.where("vec_id < 400"), path)
+    v1 = SC.read_meta(path)["version"]
+    Q.delete_binary_ids(spark, path, [7], batch_tag="t1")
+    # the re-ingest batch INCLUDES the tombstoned id — it must be
+    # excluded from the committed manifest (delete-wins)
+    Q.append_binary_batch(
+        emb.where("vec_id = 7 OR vec_id >= 400"), path, batch_tag="w1"
+    )
+    meta = SC.read_meta(path)
+    assert (
+        Q._sketches_for_meta(spark, path, meta)
+        .where("vec_id = 7").count() == 1
+    ), "shadow copy written"
+    v3 = meta["version"]
+    ch = {
+        (r[0], r.change)
+        for r in Q.binary_changes(spark, path, v1, v3).collect()
+    }
+    assert (7, "deleted") in ch, ch
+    assert all(i != 7 for i, c in ch if c == "added")
+
+    # IVFPQ tier: same contract
+    p2 = str(tmp_path / "ivfpq")
+    PQ.write_ivfpq_store(
+        emb.where("vec_id < 400"), p2,
+        n_clusters=8, m=4, ksub=8, method="det",
+    )
+    v1 = SC.read_meta(p2)["version"]
+    PQ.delete_ivfpq_ids(spark, p2, [7], batch_tag="t1")
+    PQ.append_ivfpq_batch(
+        emb.where("vec_id = 7 OR vec_id >= 400"), p2, batch_tag="w1"
+    )
+    meta = SC.read_meta(p2)
+    codes, _c, _b = PQ.read_ivfpq_store(spark, p2, meta=meta)
+    assert codes.where("vec_id = 7").count() == 1, "shadow copy written"
+    ch = {
+        (r[0], r.change)
+        for r in PQ.ivfpq_changes(spark, p2, v1, meta["version"]).collect()
+    }
+    assert (7, "deleted") in ch, ch
+
+
+def test_streaming_binary_init_batch_does_not_optimize(
+    spark, sf_dir, tmp_path
+):
+    """r11 review finding: the cadence must not fire on the fresh
+    single-batch build (the zonemap/bloom twins' convention)."""
+    import glob
+
+    from spark_indexedrdd_spark.functions import quant as Q
+
+    emb = _emb(spark, sf_dir)
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    tmp_out = str(tmp_path / "w1")
+    emb.where("vec_id < 200").coalesce(1).write.parquet(tmp_out)
+    shutil.copy(
+        glob.glob(f"{tmp_out}/part-*.parquet")[0],
+        str(stream_dir / "f1.parquet"),
+    )
+    store = str(tmp_path / "bstore")
+    schema = spark.read.parquet(str(stream_dir / "f1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    s = Q.StreamingBinaryStore(store, optimize_every=1)
+    q = s.attach(stream, str(tmp_path / "ckpt"), availableNow=True)
+    q.processAllAvailable()
+    q.stop()
+    assert int(SC.read_meta(store).get("compactions", 0)) == 0

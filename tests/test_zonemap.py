@@ -329,3 +329,42 @@ def test_optimize_preserves_snapshots_and_retightens(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="floor|rewrit"):
         zonemap_read(spark, path, lo, hi, version=v_pre)
     assert zonemap_read(spark, path, lo, hi).count() == want.count()
+
+
+def test_post_optimize_untagged_append_never_reuses_retired_anon_name(
+    spark, sf_dir, tmp_path
+):
+    """r11 review finding: after an optimize collapses the live
+    manifest list, the next untagged append's anon name must skip the
+    RETIRED names too — reusing one would overwrite a manifest that
+    retained pre-optimize snapshots still resolve."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+    from spark_indexedrdd_spark.sources.zonemap import (
+        append_zonemap_batch,
+        optimize_zonemap_store,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "zm_anon")
+    write_zonemap_table(li.where("l_orderkey % 3 = 1"), path,
+                        "l_shipdate", n_files=4)
+    # untagged append mints anon-00001
+    append_zonemap_batch(li.where("l_orderkey % 3 = 2"), path, n_files=4)
+    assert "anon-00001" in SC.read_meta(path)["manifests"]
+    v_pre = SC.read_meta(path)["version"]
+    lo, hi = "1996-01-01", "1996-03-31"
+    pre_rows = sorted(map(tuple, zonemap_read(
+        spark, path, lo, hi, version=v_pre).collect()))
+    optimize_zonemap_store(spark, path, n_files=4)
+    # the next untagged append must NOT re-mint anon-00001
+    append_zonemap_batch(li.where("l_orderkey % 3 = 0"), path, n_files=4)
+    meta = SC.read_meta(path)
+    assert "anon-00001" in meta["retired_manifests"]
+    assert "anon-00001" not in meta["manifests"]
+    # the retained pre-optimize snapshot still serves byte-identically
+    assert sorted(map(tuple, zonemap_read(
+        spark, path, lo, hi, version=v_pre).collect())) == pre_rows
+    # and a tagged append colliding with a retired name refuses
+    with pytest.raises(ValueError, match="collides"):
+        append_zonemap_batch(
+            li.where("l_orderkey % 3 = 0"), path, batch_tag="base")
