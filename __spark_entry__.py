@@ -1743,6 +1743,15 @@ _FILL_R8 = (
 # OPTIMIZE/VACUUM pair this round added). The escape-hatch contract
 # obliges the r12 rotation to front-queue it — it is r12's ONE
 # affordable debut (rotation-budget note below).
+#
+# Deliberately NOT in the contract (pytest-pinned protocol ops, the
+# ROWS_ONLY/no-evidence-slot precedent): the rest of the r11 ledger
+# wave — versioned vector-tier appends + OPTIMIZE (IVF/IVFPQ/binary/
+# zonemap/bloom), the ivf/ivfpq/binary_changes CDC, snapshot pins,
+# and the streaming twins. Their driver evidence IS the hash-green
+# store-serve entries that ride the manifest-resolved reads
+# (similarity_ann_ivf_det, ivf_store_delete_serve,
+# similarity_ann_binary, zonemap_*, bloom_*, hybrid_rrf_retrieval).
 PAST_CUTOFF_NEW: tuple = ("postings_optimize_serve",)
 
 # The 32 queries the staleness tripwire named verbatim after
