@@ -723,3 +723,132 @@ def test_streaming_binary_init_batch_does_not_optimize(
     q.processAllAvailable()
     q.stop()
     assert int(SC.read_meta(store).get("compactions", 0)) == 0
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    ops=st.lists(
+        st.sampled_from(
+            [
+                "append_clean",
+                "append_crash",
+                "append_redeliver",
+                "delete",
+                "optimize",
+                "vacuum",
+            ]
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ivf_versioned_lifecycle_model(spark, sf_dir, ops):
+    """Property over store lifecycles: for ANY sequence of appends
+    (clean / crash-after-publish replay / duplicate redelivery),
+    tombstone deletes, snapshot-preserving optimizes, and retention
+    vacuums, the live store equals a simple set model (exactly-once
+    appends with delete-wins, physical folds at optimize), and every
+    recorded version snapshot either serves its frozen id set exactly
+    (at/above the floor) or refuses loudly (below it)."""
+    import shutil as sh
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    root = tempfile.mkdtemp(prefix="ivfmodel_")
+    try:
+        p = os.path.join(root, "store")
+        base_ids = {i for i in all_ids if i % 17 == 0}
+        write_ivf_store(
+            emb.where("vec_id % 17 = 0"), p, n_clusters=4, method="det"
+        )
+        live = set(base_ids)
+        tombs: set = set()
+        snaps = []  # (version, frozenset(live))
+        n_appends = 0
+        n_deletes = 0
+
+        def record():
+            snaps.append((SC.read_meta(p)["version"], frozenset(live)))
+
+        record()
+        for op in ops:
+            if op.startswith("append"):
+                n_appends += 1
+                m = n_appends  # slices %17 == m are disjoint per append
+                if m > 16:
+                    continue
+                batch_ids = {i for i in all_ids if i % 17 == m}
+                batch = emb.where(f"vec_id % 17 = {m}")
+                tag = f"a{m}"
+                if op == "append_crash":
+                    with open(os.path.join(p, "meta.json")) as fh:
+                        pre = fh.read()
+                    assert append_ivf_batch(batch, p, batch_tag=tag)
+                    with open(os.path.join(p, "meta.json"), "w") as fh:
+                        fh.write(pre)  # crash: publish done, commit rewound
+                    assert append_ivf_batch(batch, p, batch_tag=tag)
+                else:
+                    assert append_ivf_batch(batch, p, batch_tag=tag)
+                    if op == "append_redeliver":
+                        assert (
+                            append_ivf_batch(batch, p, batch_tag=tag)
+                            is False
+                        )
+                live |= batch_ids - tombs  # delete-wins exactly-once
+            elif op == "delete":
+                n_deletes += 1
+                del_ids = {
+                    i for i in all_ids if i % 13 == n_deletes % 13
+                }
+                delete_ivf_ids(
+                    spark, p, sorted(del_ids), batch_tag=f"d{n_deletes}"
+                )
+                live -= del_ids
+                tombs |= del_ids
+            elif op == "optimize":
+                n_live = optimize_ivf_store(spark, p)
+                assert n_live == len(live)
+                tombs = set()  # physically folded
+            elif op == "vacuum":
+                SC.vacuum_store(p, keep_versions=1)
+            record()
+            vecs, _ = read_ivf_store(spark, p)
+            got = {r.vec_id for r in vecs.select("vec_id").collect()}
+            # the live FRAME may still hold tombstoned rows (logical
+            # deletes); the serve path's view is frame minus tombstones
+            assert got - tombs == live, (op, len(got), len(live))
+        # every recorded snapshot: exact at/above the floor, loud below
+        floor = int(SC.read_meta(p).get("rewrite_floor", 0))
+        for v, frozen in snaps:
+            if v >= floor:
+                snap_meta = SC.read_meta_version(p, v)
+                vecs, _ = read_ivf_store(spark, p, meta=snap_meta)
+                got = {
+                    r.vec_id for r in vecs.select("vec_id").collect()
+                }
+                tomb_df = SC.committed_tombstones(
+                    spark, p, snap_meta, "vec_id",
+                    vecs.schema["vec_id"].dataType,
+                )
+                dead = (
+                    {r.vec_id for r in tomb_df.collect()}
+                    if tomb_df is not None
+                    else set()
+                )
+                assert got - dead == frozen, (v, len(got), len(frozen))
+            else:
+                with pytest.raises(ValueError):
+                    SC.assert_snapshot_servable(
+                        p, SC.read_meta_version(p, v)
+                    )
+    finally:
+        sh.rmtree(root, ignore_errors=True)
