@@ -127,3 +127,42 @@ def pin_versions(pin: "dict[str, dict]") -> "dict[str, int]":
     deep inside one branch's scan."""
     assert_pin_servable(pin)
     return {alias: ref["version"] for alias, ref in pin.items()}
+
+
+def min_pinned_versions(tag_dir: str) -> "dict[str, int]":
+    """The oldest pinned version per store path, across EVERY pin in
+    ``tag_dir`` — the retention protection map. Unknown/empty tag dirs
+    yield an empty map (nothing to protect)."""
+    out: "dict[str, int]" = {}
+    if not os.path.isdir(tag_dir):
+        return out
+    for f in sorted(os.listdir(tag_dir)):
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(tag_dir, f)) as fh:
+            pin = json.load(fh)
+        for ref in pin.values():
+            p, v = ref["path"], int(ref["version"])
+            out[p] = min(out.get(p, v), v)
+    return out
+
+
+def vacuum_respecting_pins(
+    tag_dir: str,
+    path: str,
+    keep_versions: int = 1,
+    spark=None,
+) -> dict:
+    """``store_commit.vacuum_store`` with the floor capped at the
+    oldest version any pin in ``tag_dir`` records for this store —
+    routine retention can never silently break a training-run pin.
+    Retire pins explicitly (delete the tag file) to let the next
+    vacuum pass reclaim their snapshots; the refusal machinery then
+    reports any still-held pin loudly (:func:`assert_pin_servable`)."""
+    protect = min_pinned_versions(tag_dir).get(path)
+    return SC.vacuum_store(
+        path,
+        keep_versions=keep_versions,
+        spark=spark,
+        protect_version=protect,
+    )

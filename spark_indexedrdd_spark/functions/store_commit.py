@@ -326,7 +326,12 @@ def list_versions(path: str) -> "list[int]":
     )
 
 
-def vacuum_store(path: str, keep_versions: int = 1, spark=None) -> dict:
+def vacuum_store(
+    path: str,
+    keep_versions: int = 1,
+    spark=None,
+    protect_version: "int | None" = None,
+) -> dict:
     """Retention-horizon GC for a manifest-pointer store (r10 VERDICT
     item 3 — the Delta VACUUM shape): advance the servability floor to
     the oldest of the newest ``keep_versions`` committed versions, then
@@ -380,6 +385,14 @@ def vacuum_store(path: str, keep_versions: int = 1, spark=None) -> dict:
     horizon = (
         data_versions[-kv] if kv <= len(data_versions) else data_versions[0]
     )
+    # ``protect_version`` caps the floor advance: retention never
+    # passes a version an operator still needs servable — the
+    # snapshot-pin integration (functions/snapshots.py
+    # vacuum_respecting_pins feeds the oldest pinned version here), so
+    # a routine keep_versions=N pass cannot silently break a
+    # training-run pin. Everything at/above the cap stays servable.
+    if protect_version is not None:
+        horizon = min(horizon, int(protect_version))
     old_floor = int(meta.get("rewrite_floor", 0))
     new_floor = max(horizon, old_floor)
     kept = [metas[v] for v in versions if v >= new_floor]

@@ -99,3 +99,28 @@ def test_unversioned_store_refuses_at_pin_time(spark, stack, tmp_path):
         SNAP.pin_stores(tags, "run-2", {"lexical": post, "old": legacy})
     # nothing half-written
     assert not os.path.exists(os.path.join(tags, "run-2.json"))
+
+
+def test_vacuum_respecting_pins_protects_then_reclaims(spark, stack):
+    """Routine retention must not break a held pin: the floor caps at
+    the oldest pinned version, the pinned serve stays byte-identical,
+    and retiring the pin (deleting the tag file) lets the next vacuum
+    pass reclaim it."""
+    from spark_indexedrdd_spark.functions.ivf import optimize_ivf_store
+
+    docs, emb, post, ivf, tags = stack
+    before = _rows(_serve(spark, post, ivf))
+    SNAP.pin_stores(tags, "run-1", {"lexical": post, "dense": ivf})
+    append_ivf_batch(emb.where("vec_id >= 400"), ivf, batch_tag="b1")
+    optimize_ivf_store(spark, ivf)
+    # pin-aware vacuum: floor caps at the pinned version — nothing of
+    # the pinned snapshot is reclaimed and the pin still serves
+    SNAP.vacuum_respecting_pins(tags, ivf, keep_versions=1)
+    v = SNAP.pin_versions(SNAP.read_pin(tags, "run-1"))
+    assert _rows(_serve(spark, post, ivf, v)) == before
+    # retire the pin -> the next pass reclaims and the pin refuses
+    os.remove(os.path.join(tags, "run-1.json"))
+    rep = SNAP.vacuum_respecting_pins(tags, ivf, keep_versions=1)
+    assert rep["removed_files"]
+    with pytest.raises(ValueError, match="no longer servable"):
+        SNAP.pin_versions({"dense": {"path": ivf, "version": v["dense"]}})
