@@ -602,10 +602,16 @@ def q_ivf_store_delete_serve(spark, sf_dir):
     delete(ks), IndexedRDD.scala:120-123, carried onto the persisted
     vector index): build the det IVF store over the full corpus,
     tombstone every vec_id % 7 == 0 through the manifest-pointer
-    delete commit, then serve ANN top-k FROM the store. Scores must
-    hash-match the DuckDB twin that fits centroids on the FULL corpus
-    (the store pins them at build time) but ranks only survivors —
-    proving build + delete + pruned serve compose exactly."""
+    delete commit, OPTIMIZE (r12 — snapshot-preserving compaction
+    physically folds the tombstones and re-merges the per-cluster
+    files through the ordinary manifest commit, ivf.py
+    optimize_ivf_store), then serve ANN top-k FROM the store. Scores
+    must hash-match the DuckDB twin that fits centroids on the FULL
+    corpus (the store pins them at build time) but ranks only
+    survivors — proving build + delete + OPTIMIZE + pruned serve
+    compose exactly: the compaction changes bytes-on-disk and nothing
+    else (the postings tier proved the same composition in
+    q_postings_optimize_serve)."""
     import shutil
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
@@ -618,6 +624,7 @@ def q_ivf_store_delete_serve(spark, sf_dir):
         emb.where("vec_id % 7 = 0").select("vec_id"),
         batch_tag="contract-takedown",
     )
+    _ivf.optimize_ivf_store(spark, path)
     return _ivf.ivf_ann_from_store(
         spark, path, IVF_DELETE_QIDS, k=5, n_probe=4
     )
@@ -1052,8 +1059,12 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": lambda s, d: _ivf.semantic_dedup(
         _emb(s, d), threshold=0.3
     ),
-    # similarity search
-    "similarity_topk": lambda s, d: _sim.cosine_topk(_emb(s, d)),
+    # similarity search. similarity_topk (the sequential-fold brute
+    # tier) was CONSOLIDATED into similarity_topk_fast r12 (r11
+    # VERDICT item 3): both entries ranked the same brute-cosine
+    # DuckDB oracle, so the slot was redundant — the fast entry keeps
+    # the oracle hash-check and tests/test_similarity.py pins the
+    # slow tier to it (ids AND round-9 scores).
     "similarity_topk_fast": lambda s, d: _sim.cosine_topk_fast(_emb(s, d)),
     "embedding_neardup": lambda s, d: _sim.near_duplicates(_emb(s, d), 0.3),
     "similarity_ann_lsh": lambda s, d: _sim.hyperplane_lsh_ann(_emb(s, d)),
@@ -1476,7 +1487,8 @@ EXTENSION_ORACLE: dict[str, str] = {
     "dedup_pipeline": _dedup.sql_dedup_pipeline(),
     "simhash": _dedup.sql_simhash(),
     "dedup_ngram_jaccard": _dedup.sql_ngram_jaccard_pairs(),
-    "similarity_topk": _sim.sql_cosine_topk(),
+    # similarity_topk oracle retired with the r12 consolidation (its
+    # SQL lives on as similarity_topk_fast's round-9 variant below)
     "similarity_ann_pq": _pq.sql_pq_ann(
         query_ids=_sim.DEFAULT_QUERY_IDS
     ),
@@ -1742,7 +1754,8 @@ _FILL_R8 = (
 # that does not move the servability floor — the missing half of the
 # OPTIMIZE/VACUUM pair this round added). The escape-hatch contract
 # obliges the r12 rotation to front-queue it — it is r12's ONE
-# affordable debut (rotation-budget note below).
+# affordable debut (rotation-budget note below). DONE r12: it is in
+# DEBUTS_R12 below, so the hatch is empty again.
 #
 # Deliberately NOT in the contract (pytest-pinned protocol ops, the
 # ROWS_ONLY/no-evidence-slot precedent): the rest of the r11 ledger
@@ -1752,7 +1765,11 @@ _FILL_R8 = (
 # store-serve entries that ride the manifest-resolved reads
 # (similarity_ann_ivf_det, ivf_store_delete_serve,
 # similarity_ann_binary, zonemap_*, bloom_*, hybrid_rrf_retrieval).
-PAST_CUTOFF_NEW: tuple = ("postings_optimize_serve",)
+# Likewise the r12 ledger-hygiene wave (pin path normalization,
+# below-the-floor ledger checkpointing, the empty-store OPTIMIZE
+# refusals, per-family reserved-tag scoping) is pytest-pinned, not
+# contract-grown — n is at the rotation budget's ceiling.
+PAST_CUTOFF_NEW: tuple = ()
 
 # The 32 queries the staleness tripwire named verbatim after
 # CORRECTNESS_r08 landed (last hash-green r06; asserted
@@ -1996,6 +2013,86 @@ _FILL_R11 = (
     "sliding_window",
 )
 
+# The 47 queries the staleness tripwire named verbatim after
+# CORRECTNESS_r11 landed (last hash-green r09; asserted
+# verbatim-complete by tests/test_driver_sim.py::TRIPWIRE_R12 so a
+# partial rotation cannot pass locally). Tripwire emission order:
+# the sampling/quality family, the incremental-LSH + compressed-ANN
+# store tiers, the r6 TPC-H wave, the event-time/document-prep
+# stragglers, the iterative graph family, then the key-parity pins
+# and `count`.
+HORIZON_STALE_R12 = (
+    "quality_filter",
+    "repetition_stats",
+    "domain_cap_sample",
+    "temperature_sample",
+    "weighted_sample",
+    "dedup_incremental_lsh",
+    "training_order",
+    "similarity_ann_pq",
+    "similarity_ann_ivfpq",
+    "similarity_ann_ivfpq_res",
+    "ann_recall",
+    "dedup_pipeline",
+    "pricing_summary",
+    "forecast_revenue_q6",
+    "order_priority_q4",
+    "customer_order_dist_q13",
+    "large_orders_q18",
+    "disjunctive_revenue_q19",
+    "waiting_customers_q22",
+    "small_qty_revenue_q17",
+    "waiting_suppliers_q21",
+    "market_share_q8",
+    "top_supplier_q15",
+    "min_cost_supplier_q2",
+    "important_parts_q11",
+    "excess_suppliers_q20",
+    "product_profit_q9",
+    "shipmode_priority_q12",
+    "parts_supplier_q16",
+    "running_revenue_by_month",
+    "chunk_documents",
+    "epoch_upsample",
+    "late_shipment_orders",
+    "revenue_month_over_month",
+    "windowed_event_dedup",
+    "range_join_sessions",
+    "orders_by_month",
+    "image_dhash",
+    "embedding_quantize_stats",
+    "profile_documents",
+    "pagerank_trade",
+    "communities_trade",
+    "trade_hops",
+    "event_rate_anomalies",
+    "uuid_key_ops",
+    "decimal_key_ops",
+    "count",
+)
+
+# Round-12 debut: the single r11 past-cutoff entry the escape-hatch
+# contract obliges this rotation to front-queue — the
+# snapshot-preserving postings OPTIMIZE serve. r12 adds NO contract
+# entries of its own (rotation-budget note below: n sits at the
+# ceiling; this round consolidates instead — similarity_topk folded
+# into similarity_topk_fast, n 149 → 148).
+DEBUTS_R12 = ("postings_optimize_serve",)
+
+# Remaining 2 slots: implementation-touched entries (the _FILL_R10
+# convention — driver evidence should cover the NEW shape).
+# ivf_store_delete_serve is reshaped this round (r11 VERDICT item 2:
+# delete → OPTIMIZE → serve, same survivor oracle — the vector-tier
+# twin of the postings proof debuting above) and was due at the r13
+# horizon anyway (last green r10). zonemap_pruned_scan rides the
+# store_commit append path that the r12 ADVICE fixes touch
+# (per-family reserved-tag scoping, empty-store OPTIMIZE refusal)
+# and is the oldest such store entry (last green r10).
+_FILL_R12 = (
+    "ivf_store_delete_serve",
+    "zonemap_pruned_scan",
+)
+
 # ------------------------- rotation budget --------------------------- #
 # Steady-state math (r8 VERDICT item 6), with n = contract size and a
 # 50-slot window: the tripwire's horizon is ceil(n/50) rounds, so each
@@ -2005,24 +2102,31 @@ _FILL_R11 = (
 # hits 4 but the ROUND-over-round staleness batch would exceed 50 the
 # first time two debut-heavy rounds stack, making the schedule
 # unsatisfiable); prefer folding near-duplicate entries over growing
-# past it. n = 149 today: 147 at r10 - 1 (aggregate_fold folded into
-# aggregate_using_index, r10 VERDICT item 2) + 2 r11 debuts
-# (bm25_rm3_topk, mmr_filtered_serve) + 1 post-freeze hatch entry
-# (postings_optimize_serve), so n = 149. The r11 window = 38 stale
-# (tripwire batch minus the folded entry) + 9 debuts (7 obliged
-# past-cutoff + 2 new) + 3 fill = 50. Cycle slack is 150 - 149 = 1 and
-# the dedup_takedown_lsh early re-check spent it, so the r12 window is
-# FULLY DETERMINED: 49 stale (every r09-green name not re-covered
-# since) + the 1 obliged optimize debut = 50, zero fill slots. r12
-# therefore must not add contract entries of its own and should avoid
-# reshaping in-contract impls (no slot to re-check them); before ANY
-# r13 addition, consolidate first (candidate folds:
-# segment_set_ops ⊃ segment_intersect / segment_except_all;
-# duplicate_spans / corpus_span_stats into remove_duplicate_spans).
+# past it. n = 148 today: 149 at r11 (the r11 note below) - 1 — the
+# r12 consolidation folded similarity_topk into similarity_topk_fast
+# (r11 VERDICT item 3; both ranked the SAME brute-cosine DuckDB
+# oracle, so the two entries were redundant evidence — the surviving
+# entry's Arrow-matmul path is hash-compared to that oracle every
+# rotation, and tests/test_similarity.py pins slow==fast parity
+# byte-for-byte, so the sequential-fold tier keeps a pin without
+# burning a window slot). r11 history: 147 at r10 - 1 (aggregate_fold
+# folded into aggregate_using_index, r10 VERDICT item 2) + 2 r11
+# debuts (bm25_rm3_topk, mmr_filtered_serve) + 1 post-freeze hatch
+# entry (postings_optimize_serve) = 149; the r11 window = 38 stale +
+# 9 debuts + 3 fill = 50. The r12 window = 47 stale (the tripwire
+# batch verbatim — the r11 budget note predicted 49, but
+# dedup_takedown_lsh's early re-check and the two r11 in-window
+# debuts landed INSIDE the horizon, leaving 47) + the 1 obliged
+# optimize debut + 2 impl-touched fill = 50. Cycle slack after the
+# fold is 150 - 148 = 2: r13 can afford ~2 debuts IF the r12-green
+# batch stays ≤ 48 — before any addition beyond that, consolidate
+# first (candidate folds: segment_set_ops ⊃ segment_intersect /
+# segment_except_all; duplicate_spans / corpus_span_stats into
+# remove_duplicate_spans).
 # --------------------------------------------------------------------- #
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}
-_WINDOW = HORIZON_STALE_R11 + DEBUTS_R11 + _FILL_R11
+_WINDOW = HORIZON_STALE_R12 + DEBUTS_R12 + _FILL_R12
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{k: _ALL.get(k, CORE_QUERIES.get(k)) for k in _WINDOW},

@@ -378,7 +378,10 @@ def append_binary_batch(
         if batch_tag in applied:
             SC.cleanup_flat_staging(path, batch_tag)
             return False
-        SC.refuse_manifest_collision(meta, batch_tag)
+        SC.refuse_manifest_collision(
+            meta, batch_tag,
+            reserved=("vec-",) + SC.COMMON_RESERVED_PREFIXES,
+        )
     # names AND types vs the persisted sketch rows (store_commit
     # helper); the schema read is skipped when the store keeps none
     keep_cols = SC.enforce_store_keep_cols(
@@ -425,7 +428,10 @@ def append_binary_batch(
         # whole pre-batch corpus from the committed view (r11 review
         # finding). Raising here costs nothing: nothing staged yet.
         if batch_tag is not None:
-            SC.refuse_manifest_collision(meta, batch_tag)
+            SC.refuse_manifest_collision(
+                meta, batch_tag,
+                reserved=("vec-",) + SC.COMMON_RESERVED_PREFIXES,
+            )
     idf = IndexedDataFrame.from_unique(
         new_emb.select(id_col, vec_col), id_col, cache=False
     )

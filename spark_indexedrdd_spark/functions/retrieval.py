@@ -966,7 +966,10 @@ def append_postings_batch(
         # ledger covers names an optimize removed from the live lists
         # while older servable snapshots still reference their
         # manifest files (vacuum prunes it as those files go).
-        _SC.refuse_manifest_collision(meta, batch_tag)
+        _SC.refuse_manifest_collision(
+            meta, batch_tag,
+            reserved=("dl-",) + _SC.COMMON_RESERVED_PREFIXES,
+        )
     # Delete-wins until compaction: ids currently tombstoned are
     # EXCLUDED from the batch before stats are computed. Without this
     # a re-ingested deleted doc would add to n_docs/total_dl while the
@@ -1022,7 +1025,10 @@ def append_postings_batch(
         # visible to legacy directory-listing readers and swept into
         # the NEXT append's backfill (r11 review finding)
         if batch_tag is not None:
-            _SC.refuse_manifest_collision(meta, batch_tag)
+            _SC.refuse_manifest_collision(
+                meta, batch_tag,
+                reserved=("dl-",) + _SC.COMMON_RESERVED_PREFIXES,
+            )
     if batch_tag is None:
         pre = set(SC.list_parquet_files(path + "/postings"))
         batch.write.mode("append").partitionBy("bucket").parquet(

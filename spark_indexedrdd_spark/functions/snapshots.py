@@ -46,6 +46,19 @@ def _tag_file(tag_dir: str, name: str) -> str:
     return os.path.join(tag_dir, name + ".json")
 
 
+def _canon(path: str) -> str:
+    """ONE canonical spelling per store for pin bookkeeping: realpath
+    (absolute, symlinks resolved, no trailing slash). Pins are matched
+    to vacuum targets BY PATH STRING — a pin recorded as
+    ``./stores/ivf`` that a later ``vacuum_respecting_pins`` addresses
+    as ``/data/stores/ivf/`` must still protect the snapshot, not fail
+    loudly only after the bytes are gone. Both the record side
+    (:func:`pin_stores`) and every lookup side
+    (:func:`min_pinned_versions`, :func:`vacuum_respecting_pins`)
+    canonicalize through here."""
+    return os.path.realpath(os.path.abspath(path))
+
+
 def pin_stores(
     tag_dir: str, name: str, stores: "dict[str, str]"
 ) -> "dict[str, dict]":
@@ -67,7 +80,9 @@ def pin_stores(
                 f"store {alias!r} at {path!r} predates the version "
                 "ledger — commit once (any append/delete) to mint one"
             )
-        pin[alias] = {"path": path, "version": int(version)}
+        # canonical path at record time: the retention-protection map
+        # keys on this string (see _canon)
+        pin[alias] = {"path": _canon(path), "version": int(version)}
     fpath = _tag_file(tag_dir, name)
     os.makedirs(tag_dir, exist_ok=True)
     # exclusive create IS the immutability check (no TOCTOU window)
@@ -142,7 +157,9 @@ def min_pinned_versions(tag_dir: str) -> "dict[str, int]":
         with open(os.path.join(tag_dir, f)) as fh:
             pin = json.load(fh)
         for ref in pin.values():
-            p, v = ref["path"], int(ref["version"])
+            # canonicalize on read too: pre-r12 pins recorded the raw
+            # caller spelling (relative / trailing-slash / symlink)
+            p, v = _canon(ref["path"]), int(ref["version"])
             out[p] = min(out.get(p, v), v)
     return out
 
@@ -159,7 +176,7 @@ def vacuum_respecting_pins(
     Retire pins explicitly (delete the tag file) to let the next
     vacuum pass reclaim their snapshots; the refusal machinery then
     reports any still-held pin loudly (:func:`assert_pin_servable`)."""
-    protect = min_pinned_versions(tag_dir).get(path)
+    protect = min_pinned_versions(tag_dir).get(_canon(path))
     return SC.vacuum_store(
         path,
         keep_versions=keep_versions,

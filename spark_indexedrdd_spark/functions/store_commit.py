@@ -953,7 +953,18 @@ def enforce_store_keep_cols(meta: dict, batch_df, store_df=None):
 # (untagged appends), optimize- (snapshot-preserving compaction). A
 # caller tag in one of these could collide with a name a servable
 # snapshot references (postings append docstring).
-RESERVED_TAG_PREFIXES = ("dl-", "vec-", "anon-", "optimize-")
+#
+# SCOPED PER FAMILY (r11 ADVICE): only the prefixes a family actually
+# MINTS are refused for its callers — dl- is postings-only, vec- is
+# binary-store-only. Blanket-refusing the union broke pre-r11
+# zonemap/bloom stores whose callers legitimately tagged batches
+# 'vec-2024': their restarted streaming queries crashed mid-ledger on
+# upgrade. COMMON_RESERVED_PREFIXES is what every family mints;
+# families with sidecar twins pass their extra prefix at the call
+# site. RESERVED_TAG_PREFIXES (the union) remains for documentation
+# and for callers that want the strict pre-r12 behavior.
+COMMON_RESERVED_PREFIXES = ("anon-", "optimize-")
+RESERVED_TAG_PREFIXES = ("dl-", "vec-") + COMMON_RESERVED_PREFIXES
 
 # Every meta key that holds a manifest-name list, across the store
 # families (postings/IVF/IVFPQ use "manifests", postings' doclen
@@ -1143,16 +1154,22 @@ def store_changes(
 
         # type the empty frame from ONE committed file, never the
         # whole store — the no-change polling case must stay O(1), not
-        # O(committed files) (r11 review finding)
-        rel = resolve_manifest_files(path, {"manifests": mt[:1]}) or []
-        if rel:
-            id_type = (
-                spark.read.parquet(os.path.join(root, rel[0]))
-                .schema[id_col]
-                .dataType
-            )
-        else:
-            id_type = T.LongType()
+        # O(committed files) (r11 review finding). Walk manifests only
+        # until the FIRST file: stopping at mt[:1] mis-typed a
+        # string-keyed store whose initial build committed zero files
+        # (empty base + later appends → LongType id, breaking a
+        # downstream unionByName) — r11 ADVICE. Still one footer read;
+        # the manifest walk is ledger-JSON only.
+        id_type = T.LongType()  # all-manifests-empty last resort
+        for m in mt:
+            rel = resolve_manifest_files(path, {"manifests": [m]}) or []
+            if rel:
+                id_type = (
+                    spark.read.parquet(os.path.join(root, rel[0]))
+                    .schema[id_col]
+                    .dataType
+                )
+                break
         return spark.createDataFrame(
             [],
             T.StructType(
@@ -1168,18 +1185,25 @@ def store_changes(
     return out
 
 
-def refuse_manifest_collision(meta: dict, batch_tag: str) -> None:
+def refuse_manifest_collision(
+    meta: dict,
+    batch_tag: str,
+    reserved: "tuple[str, ...]" = COMMON_RESERVED_PREFIXES,
+) -> None:
     """Loud refusal BEFORE any sweep or write runs, for a caller tag
-    that (a) sits in a store-internal namespace or (b) names a
-    manifest some servable version still references — live, retired
-    by an optimize, or a doclen twin. Sweeping first would delete that
-    manifest's committed files; writing first would overwrite its file
-    list (postings append docstring, r11 review finding)."""
-    if batch_tag.startswith(RESERVED_TAG_PREFIXES):
+    that (a) sits in a store-internal namespace THIS family mints
+    (``reserved`` — postings adds ``dl-``, the binary store ``vec-``;
+    see COMMON_RESERVED_PREFIXES) or (b) names a manifest some
+    servable version still references — live, retired by an optimize,
+    or a doclen twin. Sweeping first would delete that manifest's
+    committed files; writing first would overwrite its file list
+    (postings append docstring, r11 review finding). The collision
+    check in (b) still spans every sidecar namespace unconditionally —
+    scoping only relaxes the PREFIX ban, never the overwrite guard."""
+    if batch_tag.startswith(reserved):
         raise ValueError(
             f"batch_tag {batch_tag!r} uses a reserved prefix "
-            f"({'/'.join(RESERVED_TAG_PREFIXES)} are store-internal "
-            "namespaces)"
+            f"({'/'.join(reserved)} are store-internal namespaces)"
         )
     taken = _taken_manifest_names(meta)
     if (

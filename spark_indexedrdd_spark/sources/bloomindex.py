@@ -272,6 +272,10 @@ def optimize_bloom_store(
         os.path.join(path, "data", r.file)
         for r in side.select("file").distinct().collect()
     )
+    if not files:
+        # empty committed store: no-op, matching optimize_zonemap_store
+        # (spark.read.parquet() with zero paths raises opaquely)
+        return 0
     live = spark.read.parquet(*files)
     out = live.repartition(n_files) if n_files else live
     SC.optimize_flat_store(

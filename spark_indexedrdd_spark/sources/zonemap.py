@@ -202,6 +202,11 @@ def optimize_zonemap_store(
     files = _surviving_files(
         path, _resolve_zones(spark, path, meta), None, None
     )
+    if not files:
+        # nothing committed to re-cluster (empty build, or every row
+        # tombstoned): a no-op beats the opaque Spark error that
+        # spark.read.parquet() with zero paths raises (r11 ADVICE)
+        return 0
     live = spark.read.parquet(*files)
     out = (
         live.repartitionByRange(n_files, zone_col)

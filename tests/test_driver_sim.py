@@ -292,6 +292,60 @@ OBLIGED_DEBUTS_R11 = (
 )
 
 
+# The exact stale list the staleness tripwire emitted after
+# CORRECTNESS_r11 landed (last hash-green r09). Pinned verbatim so a
+# PARTIAL round-12 rotation cannot pass locally: every name must be in
+# the declared window — or, once the round-12 record exists, covered
+# by it (after which the dynamic tripwire above owns staleness again).
+TRIPWIRE_R12 = (
+    "quality_filter", "repetition_stats", "domain_cap_sample",
+    "temperature_sample", "weighted_sample", "dedup_incremental_lsh",
+    "training_order", "similarity_ann_pq", "similarity_ann_ivfpq",
+    "similarity_ann_ivfpq_res", "ann_recall", "dedup_pipeline",
+    "pricing_summary", "forecast_revenue_q6", "order_priority_q4",
+    "customer_order_dist_q13", "large_orders_q18",
+    "disjunctive_revenue_q19", "waiting_customers_q22",
+    "small_qty_revenue_q17", "waiting_suppliers_q21", "market_share_q8",
+    "top_supplier_q15", "min_cost_supplier_q2", "important_parts_q11",
+    "excess_suppliers_q20", "product_profit_q9", "shipmode_priority_q12",
+    "parts_supplier_q16", "running_revenue_by_month", "chunk_documents",
+    "epoch_upsample", "late_shipment_orders", "revenue_month_over_month",
+    "windowed_event_dedup", "range_join_sessions", "orders_by_month",
+    "image_dhash", "embedding_quantize_stats", "profile_documents",
+    "pagerank_trade", "communities_trade", "trade_hops",
+    "event_rate_anomalies", "uuid_key_ops", "decimal_key_ops", "count",
+)
+
+# The single r11 past-cutoff debut the escape-hatch contract obliges
+# the r12 rotation to front-queue alongside the stale batch.
+OBLIGED_DEBUTS_R12 = ("postings_optimize_serve",)
+
+
+def test_r12_window_front_queues_every_tripwire_name():
+    import json
+
+    import __spark_entry__ as E
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    qs = set(E.queries())
+    # the r12 consolidation must be real: the folded name gone from
+    # the contract, the consolidated entry still present (its parity
+    # pin lives in tests/test_similarity.py)
+    assert "similarity_topk" not in qs, (
+        "similarity_topk was consolidated into similarity_topk_fast — "
+        "re-adding it must revisit the rotation budget note"
+    )
+    assert "similarity_topk_fast" in qs
+    covered = set(list(E.queries().keys())[:50])
+    rec = os.path.join(repo, "CORRECTNESS_r12.json")
+    if os.path.exists(rec):
+        covered |= set(json.load(open(rec)))
+    missing = [
+        q for q in TRIPWIRE_R12 + OBLIGED_DEBUTS_R12 if q not in covered
+    ]
+    assert not missing, f"r12 rotation is partial — not windowed: {missing}"
+
+
 def test_r11_window_front_queues_every_tripwire_name():
     import json
 

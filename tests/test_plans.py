@@ -340,7 +340,8 @@ def test_contract_wide_no_accidental_cross_joins(spark):
     import __spark_entry__ as E
 
     BNLJ_INTENDED = {
-        "similarity_topk",        # broadcast queries x candidates scorer
+        # ("similarity_topk" left the contract in the r12 fold; its
+        #  brute scorer still rides in via ann_recall/hybrid/mmr below)
         "ann_recall",             # embeds the brute-force scorer as truth
         "hybrid_rrf_retrieval",   # dense branch IS the brute scorer (the
                                   # oracle tier; the store twin's IVF

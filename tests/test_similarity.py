@@ -35,8 +35,21 @@ def test_near_duplicates_oracle(emb, con):
 
 
 def test_fast_path_matches_bruteforce_ids(emb):
-    bf = {(r.q_id, r.rank): r.cand_id for r in SM.cosine_topk(emb).collect()}
-    fast = {(r.q_id, r.rank): r.cand_id for r in SM.cosine_topk_fast(emb).collect()}
+    """Since the r12 consolidation this test IS the brute tier's pin:
+    the `similarity_topk` contract entry folded into
+    `similarity_topk_fast` (both ranked the same DuckDB oracle), so
+    the sequential-fold path's evidence is this ids + round-9-score
+    equivalence to the hash-checked fast path (BLAS vs fold differ
+    by ~1 ulp — both contract oracles rank on ROUND(score, 9), the
+    same tolerance pinned here)."""
+    bf = {
+        (r.q_id, r.rank): (r.cand_id, round(r.cosine_sim, 9))
+        for r in SM.cosine_topk(emb).collect()
+    }
+    fast = {
+        (r.q_id, r.rank): (r.cand_id, round(r.cosine_sim, 9))
+        for r in SM.cosine_topk_fast(emb).collect()
+    }
     assert bf == fast and len(bf) == 50
 
 

@@ -101,6 +101,37 @@ def test_unversioned_store_refuses_at_pin_time(spark, stack, tmp_path):
     assert not os.path.exists(os.path.join(tags, "run-2.json"))
 
 
+def test_pin_protection_is_path_spelling_independent(spark, stack):
+    """Regression (r11 ADVICE): pins used to match stores by RAW path
+    string, so a pin recorded via one spelling (relative, trailing
+    slash, symlink) silently failed to protect a vacuum addressed via
+    another — and the pin only refused later, after the bytes were
+    gone. Every spelling of the same store must hit the same
+    protection entry."""
+    docs, emb, post, ivf, tags = stack
+    before = _rows(_serve(spark, post, ivf))
+    # pin via symlink + trailing slash; vacuum via the real path
+    link = os.path.join(os.path.dirname(ivf), "ivf-link")
+    os.symlink(ivf, link)
+    SNAP.pin_stores(tags, "run-1", {"lexical": post, "dense": link + "/"})
+    assert SNAP.min_pinned_versions(tags).get(os.path.realpath(ivf)) is not None
+    append_ivf_batch(emb.where("vec_id >= 400"), ivf, batch_tag="b1")
+    optimize_ivf_store(spark, ivf)
+    SNAP.vacuum_respecting_pins(tags, ivf, keep_versions=1)
+    v = SNAP.pin_versions(SNAP.read_pin(tags, "run-1"))
+    assert _rows(_serve(spark, post, ivf, v)) == before
+    # pre-r12 pins (raw caller spelling on disk) are canonicalized on
+    # READ too: a hand-written legacy pin file still protects
+    import json
+
+    legacy_rel = os.path.relpath(ivf)
+    with open(os.path.join(tags, "legacy.json"), "w") as fh:
+        json.dump({"dense": {"path": legacy_rel, "version": v["dense"]}}, fh)
+    assert (
+        SNAP.min_pinned_versions(tags)[os.path.realpath(ivf)] == v["dense"]
+    )
+
+
 def test_vacuum_respecting_pins_protects_then_reclaims(spark, stack):
     """Routine retention must not break a held pin: the floor caps at
     the oldest pinned version, the pinned serve stays byte-identical,

@@ -119,6 +119,45 @@ def test_append_batch_exact_and_pruned(spark, sf_dir, tmp_path):
     assert not append_zonemap_batch(batch, path, batch_tag="b1")
 
 
+def test_reserved_prefixes_scope_to_the_minting_family(spark, sf_dir, tmp_path):
+    """Regression (r11 ADVICE): the r11 blanket refusal applied every
+    family's internal prefixes to every store, so a pre-r11 zonemap
+    store whose caller tagged batches 'vec-2024' started refusing
+    appends on upgrade — crashing a restarted streaming query
+    mid-ledger. Scoped check: a family refuses only prefixes IT mints
+    (zonemap: anon-/optimize-), so the sidecar-twin prefixes of OTHER
+    families stay ordinary caller tags here."""
+    import pytest
+
+    from spark_indexedrdd_spark.sources.zonemap import append_zonemap_batch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "zm_prefix")
+    write_zonemap_table(
+        li.where("l_orderkey % 3 != 0"), path, "l_shipdate", n_files=4
+    )
+    batch = li.where("l_orderkey % 3 = 0")
+    # other families' internal prefixes are legal caller tags here...
+    assert append_zonemap_batch(
+        batch.where("l_linenumber = 1"), path, batch_tag="vec-2024"
+    )
+    assert append_zonemap_batch(
+        batch.where("l_linenumber = 2"), path, batch_tag="dl-2024"
+    )
+    # ...and replay stays exactly-once under them
+    assert not append_zonemap_batch(
+        batch.where("l_linenumber = 1"), path, batch_tag="vec-2024"
+    )
+    # the prefixes zonemap itself mints still refuse loudly
+    for tag in ("anon-00001", "optimize-1"):
+        with pytest.raises(ValueError, match="reserved prefix"):
+            append_zonemap_batch(batch, path, batch_tag=tag)
+    want = li.where(
+        "l_orderkey % 3 != 0 OR (l_orderkey % 3 = 0 AND l_linenumber <= 2)"
+    ).count()
+    assert zonemap_read(spark, path).count() == want
+
+
 def test_crashed_append_invisible_then_replay_exact(spark, sf_dir, tmp_path):
     import glob
     import shutil as sh
