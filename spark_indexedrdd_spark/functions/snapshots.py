@@ -169,6 +169,7 @@ def vacuum_respecting_pins(
     path: str,
     keep_versions: int = 1,
     spark=None,
+    prune_ledger: bool = False,
 ) -> dict:
     """``store_commit.vacuum_store`` with the floor capped at the
     oldest version any pin in ``tag_dir`` records for this store —
@@ -182,4 +183,5 @@ def vacuum_respecting_pins(
         keep_versions=keep_versions,
         spark=spark,
         protect_version=protect,
+        prune_ledger=prune_ledger,
     )

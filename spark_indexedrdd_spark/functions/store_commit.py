@@ -270,15 +270,16 @@ def read_meta_version(path: str, version: int) -> dict:
     snapshot's files survive — compaction and rebuilds rewrite data
     directories, and :func:`vacuum_store` reclaims a retention horizon
     explicitly; either way OLDER snapshots invalidate (the Delta
-    VACUUM trade; the ledger keeps the metas readable either way)."""
+    VACUUM trade; the ledger keeps the metas readable either way —
+    below-floor metas folded by a ledger prune resolve from the
+    checkpoint)."""
     frontier = int(read_meta(path).get("version", 0))
     v = int(version)
     if not (1 <= v <= frontier):
         raise ValueError(
             f"version {v} not in this store's committed range 1..{frontier}"
         )
-    with open(os.path.join(path, "_versions", f"{v:020d}.json")) as fh:
-        return json.load(fh)
+    return _read_ledger_meta(path, v, _read_ledger_checkpoint(path))
 
 
 def assert_snapshot_servable(path: str, snap_meta: dict) -> None:
@@ -312,18 +313,59 @@ def resolve_serve_meta(path: str, version: "int | None") -> dict:
     return meta
 
 
+def _read_ledger_checkpoint(path: str) -> "dict | None":
+    """The ledger checkpoint (``_versions/_checkpoint.json``), or None.
+    A ``vacuum_store(prune_ledger=True)`` pass folds every meta BELOW
+    the servability floor into this one JSON — the Delta log-checkpoint
+    shape — so a year of micro-batch commits stops being ~10^5 tiny
+    files listed on every :func:`list_versions` call. Audit
+    readability is preserved: :func:`read_meta_version` falls back
+    here for folded versions; serves below the floor keep refusing via
+    :func:`assert_snapshot_servable` exactly as before."""
+    f = os.path.join(path, "_versions", "_checkpoint.json")
+    if not os.path.exists(f):
+        return None
+    with open(f) as fh:
+        return json.load(fh)
+
+
+def _read_ledger_meta(path: str, v: int, checkpoint: "dict | None") -> dict:
+    """One committed meta: the live ``_versions/<v>.json`` file, else
+    the checkpoint fold (post-prune). FileNotFoundError only when a
+    version is in neither — genuine ledger corruption, never routine."""
+    f = os.path.join(path, "_versions", f"{int(v):020d}.json")
+    try:
+        with open(f) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        if checkpoint is not None:
+            m = checkpoint.get("metas", {}).get(str(int(v)))
+            if m is not None:
+                return m
+        raise
+
+
 def list_versions(path: str) -> "list[int]":
     """Committed version numbers, ascending (the readable time-travel
-    range — dead reservations above the frontier are excluded)."""
+    range — dead reservations above the frontier are excluded).
+    Includes checkpoint-folded versions (their metas stay readable via
+    :func:`read_meta_version`), so a ledger prune never shrinks the
+    audit range — only the file count."""
     frontier = int(read_meta(path).get("version", 0))
     vdir = os.path.join(path, "_versions")
     if not os.path.isdir(vdir):
         return []
-    return sorted(
+    vs = {
         int(f[:-5])
         for f in os.listdir(vdir)
         if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) <= frontier
-    )
+    }
+    cp = _read_ledger_checkpoint(path)
+    if cp is not None:
+        vs.update(
+            v for v in map(int, cp.get("metas", {})) if v <= frontier
+        )
+    return sorted(vs)
 
 
 def vacuum_store(
@@ -331,6 +373,7 @@ def vacuum_store(
     keep_versions: int = 1,
     spark=None,
     protect_version: "int | None" = None,
+    prune_ledger: bool = False,
 ) -> dict:
     """Retention-horizon GC for a manifest-pointer store (r10 VERDICT
     item 3 — the Delta VACUUM shape): advance the servability floor to
@@ -360,8 +403,26 @@ def vacuum_store(
     pass could lose just-published, not-yet-committed files; its
     replay republishes them exactly).
 
+    ``prune_ledger=True`` additionally CHECKPOINTS the version ledger
+    below the (post-advance) floor: every ``_versions/<v>.json`` with
+    v < floor folds into ``_versions/_checkpoint.json`` (one file,
+    merged with any prior checkpoint) and the per-version files are
+    unlinked — Delta's log checkpointing. Without it the ledger grows
+    one tiny JSON per commit FOREVER (a year of micro-batch streaming
+    commits is ~10^5 files listed on every ledger read). Semantics are
+    unchanged: :func:`list_versions` still reports the folded range,
+    :func:`read_meta_version` still reads folded metas (audit), and
+    below-floor SERVES still refuse with the same rewrite-floor
+    message. Checkpoint-then-unlink ordering makes a crash in between
+    harmless (both copies readable; the re-run re-folds).
+
     Returns ``{"floor": int, "removed_files": [...],
-    "removed_manifests": [...], "removed_tombstones": [...]}``."""
+    "removed_manifests": [...], "removed_tombstones": [...]}`` plus
+    ``"pruned_ledger"`` (folded version numbers, prune_ledger only)
+    and ``"data_gc"`` (flat sidecar stores only — "done", or a loud
+    "skipped …" note when no ``spark`` was passed, so a bare
+    ``vacuum_store(path)`` on a zonemap/bloom store can't silently
+    reclaim less than the caller expects)."""
     meta = read_meta(path)
     versions = list_versions(path)
     if not versions:
@@ -374,11 +435,12 @@ def vacuum_store(
     # Direct ledger reads — list_versions already bounded the range to
     # the committed frontier, and read_meta_version would re-open
     # meta.json per call (O(2N) opens on a year of streaming commits —
-    # r11 review finding).
+    # r11 review finding). Checkpoint-aware: a prior prune folded
+    # below-floor metas into one JSON.
+    checkpoint = _read_ledger_checkpoint(path)
     metas = {}
     for v in versions:
-        with open(os.path.join(path, "_versions", f"{v:020d}.json")) as fh:
-            metas[v] = json.load(fh)
+        metas[v] = _read_ledger_meta(path, v, checkpoint)
     data_versions = [
         v for v in versions if not metas[v].get("vacuum_bookkeeping")
     ] or versions
@@ -452,6 +514,19 @@ def vacuum_store(
                 removed.append(f"{sub}/{rel}")
     # flat sidecar stores: data files are named by the sidecar rows
     data_dir = os.path.join(path, "data")
+    data_gc: "str | None" = None
+    if os.path.isdir(data_dir) and any(
+        sub in ("zones", "bloom") for _key, sub in roots
+    ):
+        # visible either way: "done", or a loud skip note — a bare
+        # vacuum_store(path) on a zonemap/bloom store reclaims LESS
+        # than the caller may expect (r11 VERDICT item 6)
+        data_gc = (
+            "done"
+            if spark is not None
+            else "skipped — no spark session; pass spark= to GC the "
+            "flat sidecar store's data/ directory"
+        )
     if spark is not None and os.path.isdir(data_dir):
         for _key, sub in roots:
             if sub not in ("zones", "bloom"):
@@ -498,12 +573,50 @@ def vacuum_store(
             if t not in kept_tags:
                 _sh.rmtree(os.path.join(tdir, t), ignore_errors=True)
                 removed_tombstones.append(t)
-    return {
+    out = {
         "floor": new_floor,
         "removed_files": removed,
         "removed_manifests": removed_manifests,
         "removed_tombstones": removed_tombstones,
     }
+    if data_gc is not None:
+        out["data_gc"] = data_gc
+    if prune_ledger:
+        # fold every per-version file BELOW the floor into the single
+        # checkpoint JSON, then unlink. The frontier commit (meta.json
+        # + its _versions twin) is always >= floor, so the OCC
+        # exclusive-create arithmetic (_max_version) never loses its
+        # high-water mark. Ordering: durable checkpoint FIRST, unlink
+        # after — a crash between leaves both copies readable and the
+        # re-run is idempotent (file wins over fold in _read_ledger_meta).
+        vdir = os.path.join(path, "_versions")
+        fold = {
+            str(v): metas[v]
+            for v in versions
+            if v < new_floor
+            and os.path.exists(os.path.join(vdir, f"{v:020d}.json"))
+        }
+        pruned: "list[int]" = []
+        if fold:
+            merged = dict((checkpoint or {}).get("metas", {}))
+            merged.update(fold)
+            cp = {"through": new_floor - 1, "metas": merged}
+            tmp = os.path.join(vdir, "_checkpoint.json.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(cp, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, os.path.join(vdir, "_checkpoint.json"))
+            dfd = os.open(vdir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+            for v in sorted(map(int, fold)):
+                os.remove(os.path.join(vdir, f"{v:020d}.json"))
+                pruned.append(v)
+        out["pruned_ledger"] = pruned
+    return out
 
 
 def retract_meta(path: str) -> None:

@@ -256,7 +256,10 @@ def optimize_bloom_store(
     commit (store_commit.optimize_flat_store — the zonemap optimize's
     twin). Fewer, fuller files mean fewer sidecar rows per lookup and
     per-file blooms re-sized to their actual key counts; old snapshots
-    keep serving until vacuum. Returns the live data-file count."""
+    keep serving until vacuum (``vacuum_store(path, spark=...)`` — the
+    ``data/`` GC needs a session to read the sidecars; a bare
+    ``vacuum_store(path)`` skips it and says so in its report's
+    ``data_gc`` note). Returns the live data-file count."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
     meta = SC.read_meta(path)

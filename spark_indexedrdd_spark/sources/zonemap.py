@@ -189,7 +189,10 @@ def optimize_zonemap_store(
     commit (store_commit.optimize_flat_store). Every earlier snapshot
     keeps serving byte-identically (its sidecar rows still name the
     old data files) until a ``vacuum_store(spark=...)`` pass reclaims
-    them. Returns the live data-file count after."""
+    them — the ``spark=`` matters: a bare ``vacuum_store(path)`` skips
+    the ``data/`` GC (no session to read the sidecars) and flags the
+    skip in its report's ``data_gc`` note. Returns the live data-file
+    count after."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
     meta = SC.read_meta(path)

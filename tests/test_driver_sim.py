@@ -292,6 +292,34 @@ OBLIGED_DEBUTS_R11 = (
 )
 
 
+def test_survey_header_matches_contract():
+    """SURVEY.md's implementation-status header advertises the contract
+    size to the judge — r11 found it 23 queries stale. Pin it to the
+    registry it describes: the header must state len(queries()) and
+    the oracle/rows-only split exactly."""
+    import re
+
+    import __spark_entry__ as E
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SURVEY.md")) as fh:
+        head = fh.read(2000)
+    n = len(E.queries())
+    n_rows_only = len(getattr(E, "ROWS_ONLY", ()))
+    m = re.search(
+        r"Contract size: (\d+) queries — (\d+) DuckDB-oracle-checked"
+        r" \+ (\d+) rows-only",
+        head.replace("\n> ", " "),
+    )
+    assert m, "SURVEY.md header lost its contract-size line"
+    assert (int(m[1]), int(m[2]), int(m[3])) == (
+        n, n - n_rows_only, n_rows_only,
+    ), (
+        f"SURVEY.md header says {m.groups()}, registry has "
+        f"({n}, {n - n_rows_only}, {n_rows_only}) — update the header"
+    )
+
+
 # The exact stale list the staleness tripwire emitted after
 # CORRECTNESS_r11 landed (last hash-green r09). Pinned verbatim so a
 # PARTIAL round-12 rotation cannot pass locally: every name must be in

@@ -667,6 +667,95 @@ def test_vacuum_store_advances_floor_and_gcs_debris(spark, tmp_path):
     assert again["removed_files"] == [] and again["removed_manifests"] == []
 
 
+def test_vacuum_prune_ledger_checkpoints_below_the_floor(spark, tmp_path):
+    """prune_ledger=True folds every below-floor _versions/<v>.json
+    into ONE checkpoint JSON (Delta log checkpointing) — without it a
+    year of micro-batch commits is ~10^5 tiny files listed on every
+    ledger read (r11 VERDICT item 5). Semantics must not move:
+    list_versions reports the same range, read_meta_version still
+    reads folded metas (audit), above-floor as-of serves are
+    byte-identical, below-floor serves refuse with the SAME
+    rewrite-floor message."""
+    import os
+
+    from spark_indexedrdd_spark.functions import retrieval as R
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = str(tmp_path / "vac_prune")
+    R.write_postings_store(docs.where("doc_id % 4 = 0"), p, n_buckets=8)
+    for i, pred in enumerate(
+        ("doc_id % 4 = 1", "doc_id % 4 = 2", "doc_id % 4 = 3")
+    ):
+        R.append_postings_batch(docs.where(pred), p, batch_tag=f"b{i}")
+    pre_versions = SC.list_versions(p)
+    assert len(pre_versions) == 4
+    v_old, v_keep = pre_versions[0], pre_versions[-2]
+    pre_old_meta = SC.read_meta_version(p, v_old)
+    pre_keep = sorted(
+        map(tuple, R.bm25_from_store(spark, p, version=v_keep).collect())
+    )
+    pre_live = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
+
+    out = SC.vacuum_store(p, keep_versions=2, prune_ledger=True)
+    assert out["floor"] == v_keep
+    assert out["pruned_ledger"] == [v for v in pre_versions if v < v_keep]
+    vdir = os.path.join(p, "_versions")
+    on_disk = sorted(
+        int(f[:-5]) for f in os.listdir(vdir) if f[:-5].isdigit()
+    )
+    assert min(on_disk) >= v_keep, "a below-floor ledger file survived"
+    assert os.path.exists(os.path.join(vdir, "_checkpoint.json"))
+    # the audit surface is unchanged: full range listed, folded metas
+    # readable and identical (vacuum adds its own bookkeeping commit)
+    assert set(pre_versions) <= set(SC.list_versions(p))
+    assert SC.read_meta_version(p, v_old) == pre_old_meta
+    # serves: above-floor byte-identical, below-floor same refusal
+    assert (
+        sorted(map(tuple, R.bm25_from_store(spark, p, version=v_keep).collect()))
+        == pre_keep
+    )
+    assert sorted(map(tuple, R.bm25_from_store(spark, p).collect())) == pre_live
+    with pytest.raises(ValueError, match="predates the last rewrite"):
+        R.bm25_from_store(spark, p, version=v_old)
+    # idempotent re-run THROUGH the checkpoint (the metas loop must
+    # resolve folded versions), and a later prune merges, not replaces
+    again = SC.vacuum_store(p, keep_versions=2, prune_ledger=True)
+    assert again["pruned_ledger"] == [] and again["floor"] == v_keep
+    R.append_postings_batch(docs.where("doc_id % 97 = 0"), p, batch_tag="b9")
+    out3 = SC.vacuum_store(p, keep_versions=1, prune_ledger=True)
+    assert out3["floor"] > v_keep and v_keep in out3["pruned_ledger"]
+    assert SC.read_meta_version(p, v_old) == pre_old_meta  # still folded
+
+
+def test_vacuum_data_gc_skip_is_visible(spark, tmp_path):
+    """A bare vacuum_store(path) on a flat sidecar store skips the
+    data/ GC (needs a session to read the sidecars) — the skip must be
+    visible in the report, not silent under-reclaim (r11 VERDICT
+    item 6)."""
+    from spark_indexedrdd_spark.sources import zonemap as ZM
+
+    li = spark.read.parquet(SF_DIR + "/lineitem.parquet")
+    p = str(tmp_path / "vac_note")
+    ZM.write_zonemap_table(
+        li.where("l_orderkey % 3 != 0"), p, "l_shipdate", n_files=4
+    )
+    ZM.append_zonemap_batch(
+        li.where("l_orderkey % 3 = 0"), p, batch_tag="zb1", n_files=2
+    )
+    out = SC.vacuum_store(p, keep_versions=1)
+    assert out["data_gc"].startswith("skipped"), out
+    out2 = SC.vacuum_store(p, keep_versions=1, spark=spark)
+    assert out2["data_gc"] == "done"
+    # non-sidecar families carry no note at all
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    from spark_indexedrdd_spark.functions import retrieval as R
+
+    p2 = str(tmp_path / "vac_note_post")
+    R.write_postings_store(docs.where("doc_id % 2 = 0"), p2, n_buckets=8)
+    R.append_postings_batch(docs.where("doc_id % 2 = 1"), p2, batch_tag="b1")
+    assert "data_gc" not in SC.vacuum_store(p2, keep_versions=1)
+
+
 def test_vacuum_store_flat_family_gcs_unreferenced_data(spark, tmp_path):
     """The flat sidecar families (zone-map): with spark passed, vacuum
     also GC's data/ files no retained sidecar row names, and the
