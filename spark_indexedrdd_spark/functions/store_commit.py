@@ -279,7 +279,7 @@ def read_meta_version(path: str, version: int) -> dict:
         raise ValueError(
             f"version {v} not in this store's committed range 1..{frontier}"
         )
-    return _read_ledger_meta(path, v, _read_ledger_checkpoint(path))
+    return _read_ledger_meta(path, v)
 
 
 def assert_snapshot_servable(path: str, snap_meta: dict) -> None:
@@ -314,13 +314,20 @@ def resolve_serve_meta(path: str, version: "int | None") -> dict:
 
 
 def _read_ledger_checkpoint(path: str) -> "dict | None":
-    """The ledger checkpoint (``_versions/_checkpoint.json``), or None.
-    A ``vacuum_store(prune_ledger=True)`` pass folds every meta BELOW
-    the servability floor into this one JSON — the Delta log-checkpoint
-    shape — so a year of micro-batch commits stops being ~10^5 tiny
-    files listed on every :func:`list_versions` call. Audit
-    readability is preserved: :func:`read_meta_version` falls back
-    here for folded versions; serves below the floor keep refusing via
+    """The ledger checkpoint INDEX (``_versions/_checkpoint.json``),
+    or None. A ``vacuum_store(prune_ledger=True)`` pass folds every
+    meta BELOW the servability floor out of the per-commit files — the
+    Delta log-checkpoint shape — so a year of micro-batch commits
+    stops being ~10^5 tiny files listed on every
+    :func:`list_versions` call. The checkpoint is SPLIT: this index is
+    just ``{"through", "versions"}`` (a number array — all enumeration
+    needs), while the folded meta BODIES live in the sibling
+    ``_checkpoint_metas.json`` read only by the audit path
+    (:func:`read_meta_version` on a folded version). The split
+    matters: metas carry cumulative manifest lists (meta v names v
+    manifests), so a one-file checkpoint is O(commits^2) bytes parsed
+    on EVERY enumeration — measured 0.25 → 2.13 ms at just 120 folded
+    commits. Serves below the floor keep refusing via
     :func:`assert_snapshot_servable` exactly as before."""
     f = os.path.join(path, "_versions", "_checkpoint.json")
     if not os.path.exists(f):
@@ -329,17 +336,21 @@ def _read_ledger_checkpoint(path: str) -> "dict | None":
         return json.load(fh)
 
 
-def _read_ledger_meta(path: str, v: int, checkpoint: "dict | None") -> dict:
+def _read_ledger_meta(path: str, v: int) -> dict:
     """One committed meta: the live ``_versions/<v>.json`` file, else
-    the checkpoint fold (post-prune). FileNotFoundError only when a
-    version is in neither — genuine ledger corruption, never routine."""
+    the checkpoint fold in ``_checkpoint_metas.json`` (post-prune
+    audit read — rare, so the big-file parse is paid only here).
+    FileNotFoundError only when a version is in neither — genuine
+    ledger corruption, never routine."""
     f = os.path.join(path, "_versions", f"{int(v):020d}.json")
     try:
         with open(f) as fh:
             return json.load(fh)
     except FileNotFoundError:
-        if checkpoint is not None:
-            m = checkpoint.get("metas", {}).get(str(int(v)))
+        mfile = os.path.join(path, "_versions", "_checkpoint_metas.json")
+        if os.path.exists(mfile):
+            with open(mfile) as fh:
+                m = json.load(fh).get("metas", {}).get(str(int(v)))
             if m is not None:
                 return m
         raise
@@ -362,9 +373,7 @@ def list_versions(path: str) -> "list[int]":
     }
     cp = _read_ledger_checkpoint(path)
     if cp is not None:
-        vs.update(
-            v for v in map(int, cp.get("metas", {})) if v <= frontier
-        )
+        vs.update(v for v in cp.get("versions", []) if v <= frontier)
     return sorted(vs)
 
 
@@ -405,12 +414,15 @@ def vacuum_store(
 
     ``prune_ledger=True`` additionally CHECKPOINTS the version ledger
     below the (post-advance) floor: every ``_versions/<v>.json`` with
-    v < floor folds into ``_versions/_checkpoint.json`` (one file,
-    merged with any prior checkpoint) and the per-version files are
-    unlinked — Delta's log checkpointing. Without it the ledger grows
-    one tiny JSON per commit FOREVER (a year of micro-batch streaming
-    commits is ~10^5 files listed on every ledger read). Semantics are
-    unchanged: :func:`list_versions` still reports the folded range,
+    v < floor folds into the checkpoint pair — the big meta bodies in
+    ``_checkpoint_metas.json`` (audit reads only), the tiny version
+    index in ``_checkpoint.json`` (what enumeration parses; see
+    :func:`_read_ledger_checkpoint` for why the split matters) — and
+    the per-version files are unlinked, Delta's log checkpointing.
+    Without it the ledger grows one tiny JSON per commit FOREVER (a
+    year of micro-batch streaming commits is ~10^5 files listed on
+    every ledger read). Semantics are unchanged:
+    :func:`list_versions` still reports the folded range,
     :func:`read_meta_version` still reads folded metas (audit), and
     below-floor SERVES still refuse with the same rewrite-floor
     message. Checkpoint-then-unlink ordering makes a crash in between
@@ -435,14 +447,26 @@ def vacuum_store(
     # Direct ledger reads — list_versions already bounded the range to
     # the committed frontier, and read_meta_version would re-open
     # meta.json per call (O(2N) opens on a year of streaming commits —
-    # r11 review finding). Checkpoint-aware: a prior prune folded
-    # below-floor metas into one JSON.
-    checkpoint = _read_ledger_checkpoint(path)
+    # r11 review finding). Checkpoint-aware: versions a prior prune
+    # folded have no per-commit file — their metas are never needed
+    # here (they sit below the old floor, so they can't be retained,
+    # and their files are already gone), so vacuum deliberately never
+    # parses the big _checkpoint_metas.json.
     metas = {}
+    vdir = os.path.join(path, "_versions")
     for v in versions:
-        metas[v] = _read_ledger_meta(path, v, checkpoint)
+        try:
+            with open(os.path.join(vdir, f"{v:020d}.json")) as fh:
+                metas[v] = json.load(fh)
+        except FileNotFoundError:
+            pass  # checkpoint-folded (below the floor by construction)
+    # Folded versions count as data versions here: they only influence
+    # the horizon when keep_versions exceeds the above-floor count, and
+    # then new_floor clamps to the old floor either way.
     data_versions = [
-        v for v in versions if not metas[v].get("vacuum_bookkeeping")
+        v
+        for v in versions
+        if v not in metas or not metas[v].get("vacuum_bookkeeping")
     ] or versions
     horizon = (
         data_versions[-kv] if kv <= len(data_versions) else data_versions[0]
@@ -582,31 +606,44 @@ def vacuum_store(
     if data_gc is not None:
         out["data_gc"] = data_gc
     if prune_ledger:
-        # fold every per-version file BELOW the floor into the single
-        # checkpoint JSON, then unlink. The frontier commit (meta.json
-        # + its _versions twin) is always >= floor, so the OCC
-        # exclusive-create arithmetic (_max_version) never loses its
-        # high-water mark. Ordering: durable checkpoint FIRST, unlink
-        # after — a crash between leaves both copies readable and the
-        # re-run is idempotent (file wins over fold in _read_ledger_meta).
-        vdir = os.path.join(path, "_versions")
+        # fold every per-version file BELOW the floor into the
+        # checkpoint pair (big metas body + tiny index), then unlink.
+        # The frontier commit (meta.json + its _versions twin) is
+        # always >= floor, so the OCC exclusive-create arithmetic
+        # (_max_version) never loses its high-water mark. Ordering:
+        # durable metas body FIRST, then the index (the commit point
+        # for enumeration), unlink last — a crash at any seam leaves
+        # every copy readable and the re-run is idempotent (the
+        # per-version file wins over the fold in _read_ledger_meta).
         fold = {
             str(v): metas[v]
             for v in versions
-            if v < new_floor
-            and os.path.exists(os.path.join(vdir, f"{v:020d}.json"))
+            if v < new_floor and v in metas
         }
         pruned: "list[int]" = []
         if fold:
-            merged = dict((checkpoint or {}).get("metas", {}))
+            def _durable_json(payload: dict, name: str) -> None:
+                tmp = os.path.join(vdir, name + ".tmp")
+                with open(tmp, "w") as fh:
+                    json.dump(payload, fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.replace(tmp, os.path.join(vdir, name))
+
+            mfile = os.path.join(vdir, "_checkpoint_metas.json")
+            merged: dict = {}
+            if os.path.exists(mfile):
+                with open(mfile) as fh:
+                    merged = json.load(fh).get("metas", {})
             merged.update(fold)
-            cp = {"through": new_floor - 1, "metas": merged}
-            tmp = os.path.join(vdir, "_checkpoint.json.tmp")
-            with open(tmp, "w") as fh:
-                json.dump(cp, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-            os.replace(tmp, os.path.join(vdir, "_checkpoint.json"))
+            _durable_json({"metas": merged}, "_checkpoint_metas.json")
+            _durable_json(
+                {
+                    "through": new_floor - 1,
+                    "versions": sorted(map(int, merged)),
+                },
+                "_checkpoint.json",
+            )
             dfd = os.open(vdir, os.O_RDONLY)
             try:
                 os.fsync(dfd)

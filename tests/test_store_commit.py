@@ -704,7 +704,17 @@ def test_vacuum_prune_ledger_checkpoints_below_the_floor(spark, tmp_path):
         int(f[:-5]) for f in os.listdir(vdir) if f[:-5].isdigit()
     )
     assert min(on_disk) >= v_keep, "a below-floor ledger file survived"
+    # the checkpoint is SPLIT: tiny version index (what enumeration
+    # parses) + big meta bodies (audit only) — the one-file form made
+    # list_versions O(total folded meta bytes) per call
     assert os.path.exists(os.path.join(vdir, "_checkpoint.json"))
+    assert os.path.exists(os.path.join(vdir, "_checkpoint_metas.json"))
+    import json as _json
+
+    with open(os.path.join(vdir, "_checkpoint.json")) as fh:
+        idx = _json.load(fh)
+    assert "metas" not in idx, "meta bodies leaked into the index file"
+    assert idx["versions"] == out["pruned_ledger"]
     # the audit surface is unchanged: full range listed, folded metas
     # readable and identical (vacuum adds its own bookkeeping commit)
     assert set(pre_versions) <= set(SC.list_versions(p))
