@@ -2118,11 +2118,12 @@ _FILL_R12 = (
 # dedup_takedown_lsh's early re-check and the two r11 in-window
 # debuts landed INSIDE the horizon, leaving 47) + the 1 obliged
 # optimize debut + 2 impl-touched fill = 50. Cycle slack after the
-# fold is 150 - 148 = 2: r13 can afford ~2 debuts IF the r12-green
-# batch stays ≤ 48 — before any addition beyond that, consolidate
-# first (candidate folds: segment_set_ops ⊃ segment_intersect /
-# segment_except_all; duplicate_spans / corpus_span_stats into
-# remove_duplicate_spans).
+# fold is 150 - 148 = 2, and the r13 batch is already computable:
+# contract minus (r12 window ∪ CORRECTNESS_r11) minus ROWS_ONLY = 47
+# stale names, so r13 has exactly 3 spare slots for debuts/fills —
+# before any addition beyond that, consolidate first (candidate
+# folds: segment_set_ops ⊃ segment_intersect / segment_except_all;
+# duplicate_spans / corpus_span_stats into remove_duplicate_spans).
 # --------------------------------------------------------------------- #
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}
