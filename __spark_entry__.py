@@ -754,6 +754,71 @@ def q_hybrid_rrf_retrieval(spark, sf_dir):
     return _hyb.hybrid_rrf(_docs(spark, sf_dir), _emb(spark, sf_dir))
 
 
+def q_hybrid_pinned_serve(spark, sf_dir):
+    """Reproducibility pin under driver evidence (r12 — the r11
+    snapshot-pin machinery was pytest-only): build BOTH retrieval
+    stores from the base corpus (doc/vec id % 5 != 4), durably pin the
+    stack under one name (snapshots.pin_stores — each store's
+    committed frontier), ingest the held-out fifth into BOTH stores,
+    then serve the hybrid THROUGH the pin
+    (pin_versions → postings_version/ivf_version as-of reads). The
+    serve must hash-match the DuckDB hybrid-RRF twin over the BASE
+    corpus only — the post-pin ingest must be invisible, which is
+    exactly the "which data did run X see?" contract a training run
+    needs (reference multi-version semantics, IndexedRDD.scala:25-33,
+    lifted to the at-rest stack). n_probe = n_clusters makes the
+    dense branch exhaustive, so the IVF serve equals the oracle's
+    brute-cosine branch exactly (the store≡in-plan contract,
+    tests/test_hybrid.py)."""
+    import shutil
+
+    from spark_indexedrdd_spark.functions import snapshots as _snap
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    ppath = os.path.join("spark-warehouse", "contract_hybpin_postings")
+    ipath = os.path.join("spark-warehouse", "contract_hybpin_ivf")
+    tags = os.path.join("spark-warehouse", "contract_hybpin_tags")
+    for p in (ppath, ipath, tags):
+        shutil.rmtree(p, ignore_errors=True)
+    _ret.write_postings_store(
+        docs.where("doc_id % 5 != 4"), ppath, n_buckets=64
+    )
+    _ivf.write_ivf_store(
+        emb.where("vec_id % 5 != 4"), ipath, n_clusters=8, method="det"
+    )
+    _snap.pin_stores(tags, "run-1", {"lexical": ppath, "dense": ipath})
+    # post-pin ingest on BOTH stores — the pin must not see it
+    _ret.append_postings_batch(
+        docs.where("doc_id % 5 = 4"), ppath, batch_tag="post-pin"
+    )
+    _ivf.append_ivf_batch(
+        emb.where("vec_id % 5 = 4"), ipath, batch_tag="post-pin"
+    )
+    v = _snap.pin_versions(_snap.read_pin(tags, "run-1"))
+    return _hyb.hybrid_rrf_from_stores(
+        spark, ppath, ipath, k=10, k_branch=20, n_probe=8,
+        postings_version=v["lexical"], ivf_version=v["dense"],
+    )
+
+
+def _sql_hybrid_pinned_serve() -> str:
+    """DuckDB twin of q_hybrid_pinned_serve: the ordinary hybrid-RRF
+    oracle evaluated over the BASE subset only (CTE views spliced into
+    sql_hybrid_rrf's own WITH list) — if any post-pin row leaks into
+    either branch, the hash moves."""
+    inner = _hyb.sql_hybrid_rrf(
+        doc_table="documents_base", emb_table="embeddings_base"
+    )
+    return (
+        "WITH documents_base AS "
+        "(SELECT * FROM documents WHERE doc_id % 5 != 4), "
+        "embeddings_base AS "
+        "(SELECT * FROM embeddings WHERE vec_id % 5 != 4)"
+        + inner.replace("WITH lex_raw", ", lex_raw", 1)
+    )
+
+
 def q_zonemap_pruned_scan(spark, sf_dir):
     """Zone-map file skipping under driver evidence: cluster lineitem
     by l_shipdate with a per-file min/max sidecar
@@ -1022,6 +1087,11 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # compaction (Delta OPTIMIZE) — tombstones folded, files re-merged,
     # floor unmoved; serve == survivor-corpus BM25
     "postings_optimize_serve": q_postings_optimize_serve,
+    # r12 (post-window, PAST_CUTOFF_NEW): the snapshot-pinned hybrid
+    # serve — the r11 pin machinery under driver evidence (pin both
+    # stores, ingest both, serve through pin_versions; post-pin rows
+    # must be invisible)
+    "hybrid_pinned_serve": q_hybrid_pinned_serve,
     "tfidf_keywords": lambda s, d: _ret.tfidf_keywords(_docs(s, d)),
     "stratified_split": lambda s, d: _ret.stratified_split(_docs(s, d)),
     "temperature_sample": lambda s, d: _text.temperature_sample(_docs(s, d)),
@@ -1429,6 +1499,9 @@ EXTENSION_ORACLE: dict[str, str] = {
     # branch CTEs are the branches' own exact oracles; fusion is the
     # same floor(1e9/(60+rank)) BIGINT arithmetic on both engines
     "hybrid_rrf_retrieval": _hyb.sql_hybrid_rrf(),
+    # the same hybrid oracle over the BASE subset only: the post-pin
+    # ingest on both stores must be invisible to the pinned serve
+    "hybrid_pinned_serve": _sql_hybrid_pinned_serve(),
     # full-fit centroids; candidate lists restricted to the matching
     # labels only (prefilter semantics — ranks recut)
     "similarity_ann_filtered": _ivf.sql_ivf_ann(
@@ -1768,8 +1841,15 @@ _FILL_R8 = (
 # Likewise the r12 ledger-hygiene wave (pin path normalization,
 # below-the-floor ledger checkpointing, the empty-store OPTIMIZE
 # refusals, per-family reserved-tag scoping) is pytest-pinned, not
-# contract-grown — n is at the rotation budget's ceiling.
-PAST_CUTOFF_NEW: tuple = ()
+# contract-grown.
+#
+# Added after the r12 window froze: the snapshot-pinned hybrid serve
+# — the ONE capability whose only evidence was pytest (the r11 pin
+# machinery; r11 VERDICT item 7's loop, now under an oracle). The
+# escape-hatch contract obliges the r13 rotation to front-queue it;
+# the r13 budget affords it exactly (47 stale + 1 obliged debut + 2
+# spare — rotation-budget note below).
+PAST_CUTOFF_NEW: tuple = ("hybrid_pinned_serve",)
 
 # The 32 queries the staleness tripwire named verbatim after
 # CORRECTNESS_r08 landed (last hash-green r06; asserted
@@ -2117,12 +2197,13 @@ _FILL_R12 = (
 # batch verbatim — the r11 budget note predicted 49, but
 # dedup_takedown_lsh's early re-check and the two r11 in-window
 # debuts landed INSIDE the horizon, leaving 47) + the 1 obliged
-# optimize debut + 2 impl-touched fill = 50. Cycle slack after the
-# fold is 150 - 148 = 2, and the r13 batch is already computable:
-# contract minus (r12 window ∪ CORRECTNESS_r11) minus ROWS_ONLY = 47
-# stale names, so r13 has exactly 3 spare slots for debuts/fills —
-# before any addition beyond that, consolidate first (candidate
-# folds: segment_set_ops ⊃ segment_intersect / segment_except_all;
+# optimize debut + 2 impl-touched fill = 50. After the fold and the
+# one r12 hatch entry (hybrid_pinned_serve) n = 149, and the r13
+# batch is already computable: contract minus (r12 window ∪
+# CORRECTNESS_r11) minus ROWS_ONLY = 47 stale names + the 1 obliged
+# hatch debut = 48, leaving exactly 2 spare slots — before ANY r13
+# addition beyond those, consolidate first (candidate folds:
+# segment_set_ops ⊃ segment_intersect / segment_except_all;
 # duplicate_spans / corpus_span_stats into remove_duplicate_spans).
 # --------------------------------------------------------------------- #
 

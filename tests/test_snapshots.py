@@ -101,6 +101,32 @@ def test_unversioned_store_refuses_at_pin_time(spark, stack, tmp_path):
     assert not os.path.exists(os.path.join(tags, "run-2.json"))
 
 
+def test_contract_hybrid_pinned_serve_matches_oracle(spark, sf_dir):
+    """The r12 hatch entry (PAST_CUTOFF_NEW — obliges the r13 window):
+    pin both retrieval stores, ingest the held-out fifth into both,
+    serve through pin_versions — must equal the DuckDB hybrid-RRF twin
+    over the BASE corpus only. This is the pin machinery's first
+    oracle-checked composition; the driver hash-checks the same pair
+    when the entry rotates in."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from oracle_utils import compare
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    rep = compare(
+        E.queries()["hybrid_pinned_serve"](spark, sf_dir),
+        E.oracle_sql()["hybrid_pinned_serve"],
+        con,
+    )
+    con.close()
+    assert rep["ok"], rep
+
+
 def test_pin_protection_is_path_spelling_independent(spark, stack):
     """Regression (r11 ADVICE): pins used to match stores by RAW path
     string, so a pin recorded via one spelling (relative, trailing
