@@ -739,6 +739,7 @@ from hypothesis import strategies as st  # noqa: E402
                 "delete",
                 "optimize",
                 "vacuum",
+                "vacuum_prune",
             ]
         ),
         min_size=2,
@@ -820,6 +821,13 @@ def test_ivf_versioned_lifecycle_model(spark, sf_dir, ops):
                 tombs = set()  # physically folded
             elif op == "vacuum":
                 SC.vacuum_store(p, keep_versions=1)
+            elif op == "vacuum_prune":
+                # r12: retention + ledger checkpoint in one pass — the
+                # below-floor per-commit files fold into the
+                # index/metas checkpoint pair; every invariant below
+                # (snapshot serves, refusals, list_versions range)
+                # must hold identically through the fold
+                SC.vacuum_store(p, keep_versions=1, prune_ledger=True)
             record()
             vecs, _ = read_ivf_store(spark, p)
             got = {r.vec_id for r in vecs.select("vec_id").collect()}
@@ -850,5 +858,11 @@ def test_ivf_versioned_lifecycle_model(spark, sf_dir, ops):
                     SC.assert_snapshot_servable(
                         p, SC.read_meta_version(p, v)
                     )
+        # a ledger prune must never shrink the ENUMERABLE range: every
+        # recorded version stays listed (folded ones via the
+        # checkpoint index) and its meta stays readable above —
+        # read_meta_version succeeded for every snap in the loop
+        listed = set(SC.list_versions(p))
+        assert {v for v, _ in snaps} <= listed, (snaps, sorted(listed))
     finally:
         sh.rmtree(root, ignore_errors=True)
