@@ -199,8 +199,11 @@ class VersionedKVStore:
         entries = m["versions"]
         if version is None:
             version = entries[-1]["v"]
-        if version not in {e["v"] for e in entries}:
-            raise ValueError(f"unknown version {version}")
+        # floor refusal FIRST: a below-floor version refuses with the
+        # vacuum message whether or not its log entry still exists —
+        # vacuum(prune_manifest=True) drops dead entries, and "unknown
+        # version" for a version retention reclaimed would misread as
+        # caller error
         floor = int(m.get("vacuum_floor", 0))
         if version < floor:
             raise ValueError(
@@ -208,6 +211,8 @@ class VersionedKVStore:
                 "its files were reclaimed by vacuum(); only versions >= "
                 "the floor are servable"
             )
+        if version not in {e["v"] for e in entries}:
+            raise ValueError(f"unknown version {version}")
         upto = [e for e in entries if e["v"] <= version]
         snap_idx = max(
             i for i, e in enumerate(upto) if e["kind"] == "snapshot"
@@ -300,7 +305,9 @@ class VersionedKVStore:
             .start()
         )
 
-    def vacuum(self, keep_versions: int = 1) -> "list[int]":
+    def vacuum(
+        self, keep_versions: int = 1, prune_manifest: bool = False
+    ) -> "list[int]":
         """Retention-horizon GC (r10 VERDICT item 3): keep the newest
         ``keep_versions`` versions readable, reclaim everything older.
         Unlike the manifest-pointer stores (whose append lineage shares
@@ -322,6 +329,15 @@ class VersionedKVStore:
         newest snapshot is far behind the horizon — vacuum never
         deletes a directory a retained read still folds.
 
+        ``prune_manifest=True`` additionally drops the DEAD entries
+        (v < floor) from the manifest's version log — the COW twin of
+        ``store_commit.vacuum_store(prune_ledger=True)``: without it a
+        year of micro-batch commits leaves a ~10^5-entry log parsed on
+        every read. Below-floor reads refuse with the SAME vacuum
+        message either way (the floor check runs before the
+        unknown-version check), and the entry drop rides the same
+        atomic manifest swap that publishes the floor.
+
         Returns the reclaimed version ids."""
         import shutil
 
@@ -333,8 +349,15 @@ class VersionedKVStore:
         base = max(snaps)  # v0 is always a snapshot
         floor = max(int(m.get("vacuum_floor", 0)), base)
         dead = [e["v"] for e in entries if e["v"] < floor]
-        if floor > int(m.get("vacuum_floor", 0)):
+        pruned = (
+            [e for e in entries if e["v"] < floor] if prune_manifest else []
+        )
+        if floor > int(m.get("vacuum_floor", 0)) or pruned:
             m["vacuum_floor"] = floor
+            if pruned:
+                # the base snapshot sits AT the floor, so every entry a
+                # retained read folds from survives the drop
+                m["versions"] = [e for e in entries if e["v"] >= floor]
             self._swap_manifest(m)  # <-- refusal publishes before reclaim
         for v in dead:
             shutil.rmtree(os.path.join(self.path, f"v{v}"), ignore_errors=True)

@@ -244,6 +244,45 @@ def test_vacuum_reclaims_old_versions_and_refuses_them(store, spark):
     assert _as_dict(store.read(v4))[7] == 7.0
 
 
+def test_vacuum_prune_manifest_drops_dead_entries_same_refusals(store, spark):
+    """prune_manifest=True (r12 — the COW twin of the manifest-pointer
+    ledger's checkpoint): dead entries leave the version log so a year
+    of micro-batch commits doesn't become a 10^5-entry JSON parsed per
+    read, while every behavior is unchanged — retained serves
+    byte-identical, below-floor reads refuse with the SAME vacuum
+    message (never 'unknown version'), the store stays writable, and a
+    re-run is a no-op."""
+    import json
+    import os
+
+    ups = spark.createDataFrame([(1, 100.0), (200, 1.5)], "k long, v double")
+    v1 = store.commit_puts(ups)
+    v2 = store.commit_deletes(spark.createDataFrame([(2,)], "k long"))
+    v3 = store.compact()
+    pre = _as_dict(store.read(v3))
+    dead = store.vacuum(keep_versions=1, prune_manifest=True)
+    assert dead == [0, v1, v2]
+    with open(os.path.join(store.path, "manifest.json")) as fh:
+        m = json.load(fh)
+    assert [e["v"] for e in m["versions"]] == [v3]
+    for v in dead:
+        with pytest.raises(ValueError, match="vacuum floor"):
+            store.read(v)
+    assert _as_dict(store.read(v3)) == pre
+    assert _as_dict(store.read()) == pre
+    # idempotent re-run, then the store keeps working and a later
+    # vacuum+prune folds the next horizon
+    assert store.vacuum(keep_versions=1, prune_manifest=True) == []
+    v4 = store.commit_puts(
+        spark.createDataFrame([(7, 7.0)], "k long, v double")
+    )
+    v5 = store.compact()
+    assert store.vacuum(keep_versions=1, prune_manifest=True) == [v3, v4]
+    with pytest.raises(ValueError, match="vacuum floor"):
+        store.read(v3)
+    assert _as_dict(store.read(v5))[7] == 7.0
+
+
 def test_vacuum_without_snapshot_at_horizon_is_a_safe_noop(store, spark):
     """vacuum never deletes a directory a retained read still folds:
     with only the v0 snapshot below the horizon, nothing is
