@@ -1518,7 +1518,17 @@ class StreamingPostingsStore:
     ``optimize_every=N`` folds the manifest list with the
     snapshot-preserving OPTIMIZE whenever it reaches N entries —
     bounded file counts under continuous ingest without breaking the
-    as-of surface."""
+    as-of surface. ``vacuum_every=M`` (r12) closes the remaining
+    unbounded axis: once the per-commit ledger reaches M files, the
+    writer runs retention + ledger checkpoint in its own foreachBatch
+    turn (single-writer contract preserved — the ingest IS the
+    maintenance writer), keeping ``keep_versions`` servable snapshots
+    and folding everything older into the checkpoint pair. With
+    ``pin_tag_dir`` the pass routes through
+    ``snapshots.vacuum_respecting_pins``, so scheduled retention under
+    live ingest can never reclaim a training run's pinned snapshot. A
+    store configured with both cadences is fully self-maintaining:
+    bounded data files, bounded ledger, pin-safe — no operator job."""
 
     def __init__(
         self,
@@ -1527,6 +1537,9 @@ class StreamingPostingsStore:
         id_col: str = "doc_id",
         n_buckets: int = 256,
         optimize_every: "int | None" = None,
+        vacuum_every: "int | None" = None,
+        keep_versions: int = 8,
+        pin_tag_dir: "str | None" = None,
     ):
         self.path = path
         self.text_col = text_col
@@ -1540,6 +1553,13 @@ class StreamingPostingsStore:
         # preserving, so as-of reads of earlier batches keep working
         # until a vacuum passes them.
         self.optimize_every = optimize_every
+        # vacuum_every counts per-commit LEDGER FILES, not versions:
+        # a prune drops the file count back to ~keep_versions, which
+        # re-arms the cadence naturally (the folded history stays
+        # enumerable via the checkpoint index)
+        self.vacuum_every = vacuum_every
+        self.keep_versions = keep_versions
+        self.pin_tag_dir = pin_tag_dir
         self._initialized = os.path.exists(os.path.join(path, "meta.json"))
 
     def foreach_batch(self, batch_df, batch_id: int) -> None:
@@ -1562,6 +1582,31 @@ class StreamingPostingsStore:
             n_manifests = len(_SC.read_meta(self.path).get("manifests", []))
             if n_manifests >= int(self.optimize_every):
                 optimize_postings_store(batch_df.sparkSession, self.path)
+        if self.vacuum_every:
+            vdir = os.path.join(self.path, "_versions")
+            n_files = len(
+                [f for f in os.listdir(vdir) if f[:-5].isdigit()]
+            )
+            if n_files >= int(self.vacuum_every):
+                if self.pin_tag_dir is not None:
+                    from spark_indexedrdd_spark.functions import (
+                        snapshots as _SNAP,
+                    )
+
+                    _SNAP.vacuum_respecting_pins(
+                        self.pin_tag_dir, self.path,
+                        keep_versions=self.keep_versions,
+                        prune_ledger=True,
+                    )
+                else:
+                    from spark_indexedrdd_spark.functions import (
+                        store_commit as _SC,
+                    )
+
+                    _SC.vacuum_store(
+                        self.path, keep_versions=self.keep_versions,
+                        prune_ledger=True,
+                    )
 
     def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
         return (

@@ -791,3 +791,90 @@ def test_streaming_postings_store_optimize_cadence(spark, docs, tmp_path):
     a = sorted(map(tuple, R.bm25_from_store(spark, store).collect()))
     b = sorted(map(tuple, R.bm25_from_store(spark, single).collect()))
     assert a == b
+
+
+def test_streaming_postings_store_vacuum_cadence_is_pin_safe(
+    spark, docs, tmp_path
+):
+    """vacuum_every (r12) makes the streamed store fully
+    self-maintaining: the per-commit ledger stays bounded (retention +
+    checkpoint run from the writer's own foreachBatch turn), the final
+    serve still equals the single-shot build, and a pin taken
+    mid-stream survives the automatic retention — the pinned snapshot
+    serves byte-identically afterwards."""
+    import tempfile
+
+    from spark_indexedrdd_spark.functions import snapshots as SNAP
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    d = docs.select("doc_id", "text")
+    src = str(tmp_path / "pssvac_src")
+    for i in range(3):
+        d.where(f"doc_id % 6 = {i}").coalesce(1).write.mode("append").parquet(src)
+    store = str(tmp_path / "pssvac_store")
+    tags = str(tmp_path / "pssvac_tags")
+    schema = spark.read.parquet(src).schema
+
+    # phase 1: ingest half the corpus, then pin the committed frontier
+    st = R.StreamingPostingsStore(
+        store, vacuum_every=3, keep_versions=1, pin_tag_dir=tags
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="pssvacckpt_")
+    q = st.attach(stream, ckpt, availableNow=True)
+    q.awaitTermination(180)
+    pin = SNAP.pin_stores(tags, "run-1", {"lexical": store})
+    pinned_serve = sorted(
+        map(
+            tuple,
+            R.bm25_from_store(
+                spark, store, version=pin["lexical"]["version"]
+            ).collect(),
+        )
+    )
+
+    # phase 2: the other half arrives (new doc ids only); the cadence
+    # (3 ledger files with keep_versions=1) must vacuum+prune at least
+    # once — but never past the pin
+    for i in range(3, 6):
+        d.where(f"doc_id % 6 = {i}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    st2 = R.StreamingPostingsStore(
+        store, vacuum_every=3, keep_versions=1, pin_tag_dir=tags
+    )
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = st2.attach(stream2, ckpt, availableNow=True)
+    q2.awaitTermination(180)
+
+    vdir = os.path.join(store, "_versions")
+    n_files = len([f for f in os.listdir(vdir) if f[:-5].isdigit()])
+    meta = SC.read_meta(store)
+    # retention ran (floor advanced to the pin, never past it) and the
+    # ledger checkpoint folded below-pin commits
+    assert int(meta.get("rewrite_floor", 0)) == pin["lexical"]["version"]
+    assert os.path.exists(os.path.join(vdir, "_checkpoint.json"))
+    assert n_files <= 3 + 2  # cadence bound + in-flight commits
+    # the pin still serves byte-identically through the retention
+    v = SNAP.pin_versions(SNAP.read_pin(tags, "run-1"))
+    got = sorted(
+        map(
+            tuple,
+            R.bm25_from_store(spark, store, version=v["lexical"]).collect(),
+        )
+    )
+    assert got == pinned_serve
+    # and the live serve equals the single-shot union build
+    single = str(tmp_path / "pssvac_single")
+    R.write_postings_store(d, single)
+    a = sorted(map(tuple, R.bm25_from_store(spark, store).collect()))
+    b = sorted(map(tuple, R.bm25_from_store(spark, single).collect()))
+    assert a == b
