@@ -804,18 +804,18 @@ def q_hybrid_pinned_serve(spark, sf_dir):
 
 def _sql_hybrid_pinned_serve() -> str:
     """DuckDB twin of q_hybrid_pinned_serve: the ordinary hybrid-RRF
-    oracle evaluated over the BASE subset only (CTE views spliced into
-    sql_hybrid_rrf's own WITH list) — if any post-pin row leaks into
-    either branch, the hash moves."""
-    inner = _hyb.sql_hybrid_rrf(
-        doc_table="documents_base", emb_table="embeddings_base"
-    )
-    return (
-        "WITH documents_base AS "
-        "(SELECT * FROM documents WHERE doc_id % 5 != 4), "
-        "embeddings_base AS "
-        "(SELECT * FROM embeddings WHERE vec_id % 5 != 4)"
-        + inner.replace("WITH lex_raw", ", lex_raw", 1)
+    oracle evaluated over the BASE subset only (base-subset CTE views
+    composed via sql_hybrid_rrf's prefix_ctes parameter) — if any
+    post-pin row leaks into either branch, the hash moves."""
+    return _hyb.sql_hybrid_rrf(
+        doc_table="documents_base",
+        emb_table="embeddings_base",
+        prefix_ctes=(
+            "documents_base AS "
+            "(SELECT * FROM documents WHERE doc_id % 5 != 4), "
+            "embeddings_base AS "
+            "(SELECT * FROM embeddings WHERE vec_id % 5 != 4), "
+        ),
     )
 
 
@@ -2182,7 +2182,8 @@ _FILL_R12 = (
 # hits 4 but the ROUND-over-round staleness batch would exceed 50 the
 # first time two debut-heavy rounds stack, making the schedule
 # unsatisfiable); prefer folding near-duplicate entries over growing
-# past it. n = 148 today: 149 at r11 (the r11 note below) - 1 — the
+# past it. n = 149 today: 149 at r11 (the r11 note below) - 1 fold
+# + 1 hatch debut (arithmetic at the end of this note). The fold: the
 # r12 consolidation folded similarity_topk into similarity_topk_fast
 # (r11 VERDICT item 3; both ranked the SAME brute-cosine DuckDB
 # oracle, so the two entries were redundant evidence — the surviving

@@ -230,11 +230,17 @@ def sql_hybrid_rrf(
     k: int = 10,
     k_branch: int = 20,
     rrf_k: int = RRF_K,
+    prefix_ctes: str = "",
 ) -> str:
     """Exact DuckDB twin of :func:`hybrid_rrf`: the branch CTEs are the
     branches' own exact oracles (``sql_bm25_topk``,
     ``sql_cosine_topk``), fused with the same fixed-point arithmetic
-    (floor(1e9/(rrf_k+rank)) summed as BIGINT)."""
+    (floor(1e9/(rrf_k+rank)) summed as BIGINT).
+
+    ``prefix_ctes`` prepends caller CTEs to the WITH list (e.g.
+    ``"documents_base AS (SELECT ...), "``) so a base-subset oracle
+    (the snapshot-pinned serve's twin) composes structurally —
+    callers must NOT splice text into the returned SQL."""
     from spark_indexedrdd_spark.functions.retrieval import sql_bm25_topk
     from spark_indexedrdd_spark.functions.similarity import sql_cosine_topk
 
@@ -250,7 +256,7 @@ def sql_hybrid_rrf(
     )
     qmap_vals = ", ".join(f"({int(q)}, {int(v)})" for q, _t, v in queries)
     return f"""
-        WITH lex_raw AS ({lex_sql}),
+        WITH {prefix_ctes}lex_raw AS ({lex_sql}),
         den_raw AS ({den_sql}),
         qmap(qid, vid) AS (VALUES {qmap_vals}),
         lex_q AS (SELECT qid, doc_id, rank FROM lex_raw),

@@ -1554,12 +1554,29 @@ class StreamingPostingsStore:
         # until a vacuum passes them.
         self.optimize_every = optimize_every
         # vacuum_every counts per-commit LEDGER FILES, not versions:
-        # a prune drops the file count back to ~keep_versions, which
-        # re-arms the cadence naturally (the folded history stays
-        # enumerable via the checkpoint index)
+        # a prune drops the file count back to ~keep_versions+1 (the
+        # retained data versions + the floor-advance bookkeeping
+        # commit), which re-arms the cadence — PROVIDED the threshold
+        # sits above that resting level, enforced below. The growth
+        # guard additionally covers the pin-held case: while a pin
+        # caps the floor, the resting level can't drop, and without
+        # the guard every micro-batch would re-run a full (futile)
+        # retention scan forever (r12 review finding).
+        if vacuum_every is not None and int(vacuum_every) <= keep_versions + 1:
+            raise ValueError(
+                f"vacuum_every={vacuum_every} must exceed "
+                f"keep_versions+1={keep_versions + 1}: a prune leaves "
+                "~keep_versions data versions plus the floor-advance "
+                "commit on disk, so a smaller threshold re-fires a "
+                "full vacuum on every micro-batch"
+            )
         self.vacuum_every = vacuum_every
         self.keep_versions = keep_versions
         self.pin_tag_dir = pin_tag_dir
+        # file count observed right after the last vacuum pass: the
+        # cadence re-fires only on GROWTH past it, never on a resting
+        # level a held pin keeps above the threshold
+        self._post_vacuum_files: "int | None" = None
         self._initialized = os.path.exists(os.path.join(path, "meta.json"))
 
     def foreach_batch(self, batch_df, batch_id: int) -> None:
@@ -1587,7 +1604,11 @@ class StreamingPostingsStore:
             n_files = len(
                 [f for f in os.listdir(vdir) if f[:-5].isdigit()]
             )
-            if n_files >= int(self.vacuum_every):
+            due = n_files >= int(self.vacuum_every) and (
+                self._post_vacuum_files is None
+                or n_files > self._post_vacuum_files
+            )
+            if due:
                 if self.pin_tag_dir is not None:
                     from spark_indexedrdd_spark.functions import (
                         snapshots as _SNAP,
@@ -1607,6 +1628,9 @@ class StreamingPostingsStore:
                         self.path, keep_versions=self.keep_versions,
                         prune_ledger=True,
                     )
+                self._post_vacuum_files = len(
+                    [f for f in os.listdir(vdir) if f[:-5].isdigit()]
+                )
 
     def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
         return (

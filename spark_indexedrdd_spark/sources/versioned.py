@@ -126,6 +126,13 @@ class VersionedKVStore:
         for e in m["versions"]:
             if e.get("tag") == tag:
                 return e["v"]
+        # tags of log entries a vacuum(prune_manifest=True) dropped:
+        # the replay ledger must outlive the entries, or a redelivered
+        # batch whose commit was pruned re-applies as the NEWEST
+        # version (overwrite-merge: stale values win; sum-merge:
+        # double count) — r12 review finding
+        if tag in m.get("pruned_tags", {}):
+            return int(m["pruned_tags"][tag])
         return None
 
     def commit_puts(
@@ -356,7 +363,19 @@ class VersionedKVStore:
             m["vacuum_floor"] = floor
             if pruned:
                 # the base snapshot sits AT the floor, so every entry a
-                # retained read folds from survives the drop
+                # retained read folds from survives the drop; the
+                # REPLAY LEDGER survives it too — pruned entries' tags
+                # fold into a compact {tag: v} map consulted by
+                # _tagged, so at-least-once redelivery of a pruned
+                # commit stays a no-op (stream_ingest's exactly-once
+                # contract; tags are ~bytes per commit, the entries'
+                # kind/merge payloads are what pruning sheds)
+                kept_tags = dict(m.get("pruned_tags", {}))
+                kept_tags.update(
+                    {e["tag"]: e["v"] for e in pruned if "tag" in e}
+                )
+                if kept_tags:
+                    m["pruned_tags"] = kept_tags
                 m["versions"] = [e for e in entries if e["v"] >= floor]
             self._swap_manifest(m)  # <-- refusal publishes before reclaim
         for v in dead:

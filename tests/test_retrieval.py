@@ -793,6 +793,25 @@ def test_streaming_postings_store_optimize_cadence(spark, docs, tmp_path):
     assert a == b
 
 
+def test_streaming_vacuum_cadence_validates_against_refire_loop(tmp_path):
+    """r12 review finding: with vacuum_every <= keep_versions+1 the
+    post-prune resting file level sits at/above the threshold, so every
+    micro-batch would pay a full (futile) retention scan. The
+    constructor refuses the degenerate configuration loudly."""
+    with pytest.raises(ValueError, match="must exceed"):
+        R.StreamingPostingsStore(
+            str(tmp_path / "s"), vacuum_every=5, keep_versions=8
+        )
+    with pytest.raises(ValueError, match="must exceed"):
+        R.StreamingPostingsStore(
+            str(tmp_path / "s"), vacuum_every=2, keep_versions=1
+        )
+    # the boundary-legal form constructs fine
+    R.StreamingPostingsStore(
+        str(tmp_path / "s"), vacuum_every=3, keep_versions=1
+    )
+
+
 def test_streaming_postings_store_vacuum_cadence_is_pin_safe(
     spark, docs, tmp_path
 ):

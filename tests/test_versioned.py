@@ -283,6 +283,39 @@ def test_vacuum_prune_manifest_drops_dead_entries_same_refusals(store, spark):
     assert _as_dict(store.read(v5))[7] == 7.0
 
 
+def test_prune_manifest_keeps_tagged_replay_idempotent(store, spark):
+    """r12 review finding: pruning dead entries must NOT drop the
+    replay ledger — stream_ingest tags every micro-batch, and a
+    redelivered batch whose log entry was pruned (checkpoint reset,
+    at-least-once source) would otherwise re-apply as the NEWEST
+    version: overwrite-merge would resurrect stale values over later
+    updates. The pruned entries' tags fold into a compact map the
+    idempotency check consults."""
+    ups = spark.createDataFrame([(1, 100.0)], "k long, v double")
+    v1 = store.commit_puts(ups, tag="batch-0")
+    store.commit_puts(
+        spark.createDataFrame([(1, 777.0)], "k long, v double"),
+        tag="batch-1",
+    )
+    v3 = store.compact()
+    store.vacuum(keep_versions=1, prune_manifest=True)
+    pre = _as_dict(store.read())
+    assert pre[1] == 777.0
+    # redeliver BOTH pruned batches: must be no-ops returning the
+    # original (now below-floor) version ids, never new commits
+    assert store.commit_puts(ups, tag="batch-0") == v1
+    assert _as_dict(store.read()) == pre, (
+        "a replayed pruned batch re-applied — stale value resurrected"
+    )
+    assert _as_dict(store.read(v3)) == pre
+    # a genuinely new tagged batch still commits normally
+    v_new = store.commit_puts(
+        spark.createDataFrame([(9, 9.0)], "k long, v double"),
+        tag="batch-2",
+    )
+    assert v_new > v3 and _as_dict(store.read())[9] == 9.0
+
+
 def test_vacuum_without_snapshot_at_horizon_is_a_safe_noop(store, spark):
     """vacuum never deletes a directory a retained read still folds:
     with only the v0 snapshot below the horizon, nothing is
