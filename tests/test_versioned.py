@@ -330,3 +330,86 @@ def test_vacuum_without_snapshot_at_horizon_is_a_safe_noop(store, spark):
     assert _as_dict(store.read(0))[1] == 1.0
     assert _as_dict(store.read(v1))[1] == 2.0
     assert _as_dict(store.read(v2))[2] == 3.0
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    ops=st.lists(
+        st.sampled_from(
+            ["put", "put_replay", "delete", "compact", "vacuum_prune"]
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cow_lifecycle_model_with_pruning(spark, tmp_path_factory, ops):
+    """Property over COW-store lifecycles (the versioned-IVF model's
+    twin on the other ledger design): for ANY sequence of tagged puts,
+    immediate at-least-once redeliveries, tagged deletes, compactions,
+    and pruning vacuums, the live read equals a plain dict model
+    (exactly-once commits, delete-wins), redelivery of ANY
+    previously-committed tag — including tags whose log entries a
+    prune dropped — is a no-op, and the version counter never reuses
+    an id."""
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, v double"
+    )
+    idf = IndexedDataFrame.from_unique(base, "k", num_partitions=4, cache=False)
+    root = tmp_path_factory.mktemp("cowmodel")
+    s = VersionedKVStore.init(idf, str(root / "s"))
+    model = {i: float(i) for i in range(50)}
+    seen_tags: dict = {}  # tag -> (version, kind, payload)
+    n = 0
+    last_v = 0
+    for op in ops:
+        n += 1
+        if op in ("put", "put_replay"):
+            tag = f"p{n}"
+            df = spark.createDataFrame(
+                [(n % 7, 1000.0 + n), (100 + n, float(n))],
+                "k long, v double",
+            )
+            v = s.commit_puts(df, tag=tag)
+            assert v > last_v
+            last_v = v
+            model[n % 7] = 1000.0 + n
+            model[100 + n] = float(n)
+            seen_tags[tag] = v
+            if op == "put_replay":
+                assert s.commit_puts(df, tag=tag) == v  # immediate no-op
+        elif op == "delete":
+            tag = f"d{n}"
+            k = n % 5
+            v = s.commit_deletes(
+                spark.createDataFrame([(k,)], "k long"), tag=tag
+            )
+            assert v > last_v
+            last_v = v
+            model.pop(k, None)
+            seen_tags[tag] = v
+        elif op == "compact":
+            last_v = s.compact()
+        elif op == "vacuum_prune":
+            s.vacuum(keep_versions=1, prune_manifest=True)
+        live = {r.k: r.v for r in s.read().df.collect()}
+        assert live == model, (op, len(live), len(model))
+    # EVERY tag ever committed — pruned or not — replays as a no-op
+    # returning its original version, and the live table is unmoved
+    for tag, v in seen_tags.items():
+        df = spark.createDataFrame([(999, -1.0)], "k long, v double")
+        if tag.startswith("p"):
+            assert s.commit_puts(df, tag=tag) == v
+        else:
+            assert s.commit_deletes(
+                spark.createDataFrame([(999,)], "k long"), tag=tag
+            ) == v
+    live = {r.k: r.v for r in s.read().df.collect()}
+    assert live == model and 999 not in live
