@@ -1111,17 +1111,22 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs": lambda s, d: _dedup.simhash_near_pairs(
         _docs(s, d), max_hamming=8
     ),
-    # exact-substring span dedup stats (Lee et al. 2021): corpus-wide
-    # duplicated-span fraction per document
-    "duplicate_spans": lambda s, d: _text.duplicate_spans(_docs(s, d)),
-    # the removal counterpart: canonical occurrence kept, every other
-    # occurrence's tokens deleted; returns cleaned text
+    # the removal counterpart of the span pipeline: canonical
+    # occurrence kept, every other occurrence's tokens deleted;
+    # returns cleaned text
     "remove_duplicate_spans": lambda s, d: _text.remove_duplicate_spans(
         _docs(s, d)
     ),
-    # one-row corpus duplication summary (exact form; the HLL approx
-    # twin is the 100 TB path, pytest-pinned within rsd of this)
-    "corpus_span_stats": lambda s, d: _text.corpus_span_stats(_docs(s, d)),
+    # one-row corpus duplication report. CONSOLIDATED r13 (r12 VERDICT
+    # item 4, the similarity_topk fold pattern): duplicate_spans'
+    # per-document pipeline folded into this entry — the report's
+    # n_dup_spans / n_docs_with_dups columns are the corpus aggregate
+    # of the per-doc output, so one hash-check pins BOTH the
+    # distinct-span path and the full occurrence pipeline. The per-doc
+    # form stays public API with its own DuckDB-twin pytest
+    # (test_text_dedup.py) and Hypothesis model (test_properties.py).
+    # The HLL approx twin remains the 100 TB path, pytest-pinned.
+    "corpus_span_stats": lambda s, d: _text.corpus_span_report(_docs(s, d)),
     # deterministic global shuffle + shard assignment for serving
     "training_order": lambda s, d: _shards.training_order(_docs(s, d)),
     # SemDeDup (Abbas et al. 2023): cluster-then-intra-cluster cosine
@@ -1546,9 +1551,10 @@ EXTENSION_ORACLE: dict[str, str] = {
     "product_profit_q9": _an.sql_product_type_profit(),
     "shipmode_priority_q12": _an.sql_shipmode_priority_dist(),
     "parts_supplier_q16": _an.sql_parts_supplier_relationship(),
-    "duplicate_spans": _text.sql_duplicate_spans(),
     "remove_duplicate_spans": _text.sql_remove_duplicate_spans(),
-    "corpus_span_stats": _text.sql_corpus_span_stats(),
+    # consolidated r13: the corpus_span_stats twin × the corpus fold
+    # of the duplicate_spans twin (see the queries() note)
+    "corpus_span_stats": _text.sql_corpus_span_report(),
     "training_order": _shards.sql_training_order(),
     "semantic_dedup": _ivf.sql_semantic_dedup(threshold=0.3),
     "redact_pii": _text.sql_redact_pii(),
@@ -1843,13 +1849,11 @@ _FILL_R8 = (
 # refusals, per-family reserved-tag scoping) is pytest-pinned, not
 # contract-grown.
 #
-# Added after the r12 window froze: the snapshot-pinned hybrid serve
-# — the ONE capability whose only evidence was pytest (the r11 pin
-# machinery; r11 VERDICT item 7's loop, now under an oracle). The
-# escape-hatch contract obliges the r13 rotation to front-queue it;
-# the r13 budget affords it exactly (47 stale + 1 obliged debut + 2
-# spare — rotation-budget note below).
-PAST_CUTOFF_NEW: tuple = ("hybrid_pinned_serve",)
+# The r12 past-cutoff entry (hybrid_pinned_serve — the snapshot-pinned
+# hybrid serve) rotated INTO the r13 window as its obliged debut
+# (DEBUTS_R13 below), so the hatch is empty again. r13 adds no
+# post-freeze entries.
+PAST_CUTOFF_NEW: tuple = ()
 
 # The 32 queries the staleness tripwire named verbatim after
 # CORRECTNESS_r08 landed (last hash-green r06; asserted
@@ -2173,6 +2177,84 @@ _FILL_R12 = (
     "zonemap_pruned_scan",
 )
 
+# The 47 queries the staleness tripwire named verbatim after
+# CORRECTNESS_r12 landed (last hash-green r10; asserted
+# verbatim-complete by tests/test_driver_sim.py::TRIPWIRE_R13 so a
+# partial rotation cannot pass locally). Tripwire emission order:
+# text-analysis + BM25/postings/takedown family, the dedup wave, the
+# windows/set-ops/funnel analytics wave, scd2/cohort, then the
+# det-IVF/binary ANN + DSIR/LM stragglers.
+HORIZON_STALE_R13 = (
+    "lang_id",
+    "doc_fingerprint",
+    "winnow_fingerprints",
+    "bm25_topk",
+    "bm25_postings_store",
+    "bm25_takedown_serve",
+    "bloom_pruned_multiget",
+    "tfidf_keywords",
+    "redact_pii",
+    "contamination_check",
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_lsh_candidates",
+    "simhash",
+    "dedup_ngram_jaccard",
+    "simhash_near_pairs",
+    "semantic_dedup",
+    "embedding_neardup",
+    "similarity_ann_ivf_det",
+    "dedup_clusters",
+    "top_orders_per_customer",
+    "global_topk_orders",
+    "rollup_doc_counts",
+    "customers_without_orders",
+    "orders_above_cust_avg",
+    "funnel_purchase_after_signup",
+    "funnel_signup_conversion",
+    "hash_split",
+    "doc_sample",
+    "scd2_merge",
+    "cohort_retention",
+    "ordered_funnel",
+    "ewma_by_user",
+    "supplier_diversity",
+    "grouping_sets_doc_stats",
+    "segment_except_all",
+    "segment_set_ops",
+    "segment_intersect",
+    "percentiles_by_segment",
+    "asof_join",
+    "distinct_counts",
+    "revenue_percentiles",
+    "tumbling_window",
+    "session_window",
+    "similarity_ann_binary",
+    "dsir_select",
+    "lm_cross_entropy",
+)
+
+# Round-13 debut: the single r12 past-cutoff entry the escape-hatch
+# contract obliges this rotation to front-queue — the snapshot-pinned
+# hybrid serve (pin both stores, ingest post-pin, serve through the
+# pin; the reproducibility contract a training run needs). r13 adds
+# NO contract entries of its own; it consolidates instead
+# (duplicate_spans folded into the corpus_span_stats report entry,
+# n 149 → 148 — rotation-budget note below).
+DEBUTS_R13 = ("hybrid_pinned_serve",)
+
+# Remaining 2 slots: implementation-touched entries (the _FILL_R10
+# convention — driver evidence should cover the NEW shape). The r13
+# consolidation reshapes the corpus_span_stats entry (now the
+# five-column corpus_span_report pinning both span pipelines), and
+# remove_duplicate_spans rides the same span/tokenize fence; both
+# were last green r11 and fall due at the r14 horizon anyway, so the
+# slots also shrink the r14 staleness batch.
+_FILL_R13 = (
+    "corpus_span_stats",
+    "remove_duplicate_spans",
+)
+
 # ------------------------- rotation budget --------------------------- #
 # Steady-state math (r8 VERDICT item 6), with n = contract size and a
 # 50-slot window: the tripwire's horizon is ceil(n/50) rounds, so each
@@ -2182,8 +2264,15 @@ _FILL_R12 = (
 # hits 4 but the ROUND-over-round staleness batch would exceed 50 the
 # first time two debut-heavy rounds stack, making the schedule
 # unsatisfiable); prefer folding near-duplicate entries over growing
-# past it. n = 149 today: 149 at r11 (the r11 note below) - 1 fold
-# + 1 hatch debut (arithmetic at the end of this note). The fold: the
+# past it. n = 148 today: 149 at r12 - 1 r13 fold (duplicate_spans
+# folded into the consolidated corpus_span_report served under the
+# corpus_span_stats entry — its n_dup_spans / n_docs_with_dups
+# columns are the corpus aggregate of the per-doc duplicate_spans
+# pipeline, so the surviving entry's hash pins BOTH span paths; the
+# per-doc form keeps its DuckDB-twin pytest, Hypothesis model, and
+# bench slot without burning a window slot). r12 history: 149 at r11
+# - 1 fold + 1 hatch debut (arithmetic continues below). That fold:
+# the
 # r12 consolidation folded similarity_topk into similarity_topk_fast
 # (r11 VERDICT item 3; both ranked the SAME brute-cosine DuckDB
 # oracle, so the two entries were redundant evidence — the surviving
@@ -2198,18 +2287,19 @@ _FILL_R12 = (
 # batch verbatim — the r11 budget note predicted 49, but
 # dedup_takedown_lsh's early re-check and the two r11 in-window
 # debuts landed INSIDE the horizon, leaving 47) + the 1 obliged
-# optimize debut + 2 impl-touched fill = 50. After the fold and the
-# one r12 hatch entry (hybrid_pinned_serve) n = 149, and the r13
-# batch is already computable: contract minus (r12 window ∪
-# CORRECTNESS_r11) minus ROWS_ONLY = 47 stale names + the 1 obliged
-# hatch debut = 48, leaving exactly 2 spare slots — before ANY r13
-# addition beyond those, consolidate first (candidate folds:
-# segment_set_ops ⊃ segment_intersect / segment_except_all;
-# duplicate_spans / corpus_span_stats into remove_duplicate_spans).
+# optimize debut + 2 impl-touched fill = 50. The r13 window = the 47
+# tripwire-named stale queries (last green r10) + the 1 obliged hatch
+# debut (hybrid_pinned_serve) + 2 impl-touched fill (the reshaped
+# corpus_span_stats report + remove_duplicate_spans, both last green
+# r11 and due at r14 anyway) = 50. After the r13 fold n = 148, so the
+# r14 batch is contract minus (r13 window ∪ CORRECTNESS_r12) minus
+# ROWS_ONLY ≈ 46 stale names, leaving ~4 spare slots — before ANY r14
+# addition beyond those, consolidate first (standing candidate:
+# segment_set_ops ⊃ segment_intersect / segment_except_all).
 # --------------------------------------------------------------------- #
 
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}
-_WINDOW = HORIZON_STALE_R12 + DEBUTS_R12 + _FILL_R12
+_WINDOW = HORIZON_STALE_R13 + DEBUTS_R13 + _FILL_R13
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{k: _ALL.get(k, CORE_QUERIES.get(k)) for k in _WINDOW},

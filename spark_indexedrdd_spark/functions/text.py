@@ -1777,6 +1777,65 @@ def sql_corpus_span_stats(
     """
 
 
+def corpus_span_report(
+    df: DataFrame,
+    width: int = 10,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Consolidated one-row corpus span-duplication report — the r13
+    contract fold of :func:`duplicate_spans` into
+    :func:`corpus_span_stats` (same pattern as the r12 similarity_topk
+    fold): (n_spans, n_distinct_spans, dup_rate, n_dup_spans,
+    n_docs_with_dups). The first three columns are corpus_span_stats'
+    exact form; the last two are the corpus fold of duplicate_spans'
+    per-document statistics, so ONE hash-check pins BOTH pipelines —
+    the distinct-span sketch path AND the full per-doc occurrence
+    pipeline (explode → per-doc span counts → corpus totals → join →
+    doc aggregation). Internal consistency is structural: both sides
+    explode the identical md5 span hashes, so the per-doc SUM(n_spans)
+    equals the direct COUNT(*) (pytest-pinned in test_text_dedup).
+
+    Scale: two passes over the span explode (one per constituent), each
+    with the shuffle shape documented on its constituent; the final
+    combine is a 1-row × 1-row scalar crossJoin (broadcast, no data
+    movement)."""
+    summary = corpus_span_stats(df, width, stride, text_col, id_col)
+    fold = duplicate_spans(df, width, stride, text_col, id_col).agg(
+        F.sum("n_dup_spans").cast("bigint").alias("n_dup_spans"),
+        F.sum(F.when(F.col("n_dup_spans") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_with_dups"),
+    )
+    return summary.crossJoin(fold)
+
+
+def sql_corpus_span_report(
+    table: str = "documents",
+    width: int = 10,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`corpus_span_report`: the corpus_span_stats
+    twin cross-joined with the corpus fold of the duplicate_spans
+    twin — both one-row."""
+    stats = sql_corpus_span_stats(table, width, stride, text_col, id_col)
+    per_doc = sql_duplicate_spans(table, width, stride, text_col, id_col)
+    return f"""
+        WITH stats AS ({stats}),
+        per_doc AS ({per_doc}),
+        fold AS (
+            SELECT CAST(SUM(n_dup_spans) AS BIGINT) AS n_dup_spans,
+                   CAST(SUM(CASE WHEN n_dup_spans > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs_with_dups
+            FROM per_doc
+        )
+        SELECT stats.*, fold.* FROM stats CROSS JOIN fold
+    """
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     width: int = 10,

@@ -36,7 +36,7 @@ for name in list(qs)[:50] + [
         "funnel_purchase_after_signup", "funnel_signup_conversion",
         "shipping_priority", "quality_filter", "similarity_topk_fast",
         "similarity_ann_lsh", "similarity_ann_ivf_det",
-        "duplicate_spans", "remove_duplicate_spans", "semantic_dedup"]:
+        "corpus_span_stats", "remove_duplicate_spans", "semantic_dedup"]:
     s = qs[name](spark, "/root/testdata/sf0.001").toPandas()
     o = con.sql(osql[name]).df()
     s = s.reindex(sorted(s.columns), axis=1).sort_values(
@@ -347,6 +347,61 @@ TRIPWIRE_R12 = (
 # The single r11 past-cutoff debut the escape-hatch contract obliges
 # the r12 rotation to front-queue alongside the stale batch.
 OBLIGED_DEBUTS_R12 = ("postings_optimize_serve",)
+
+# The exact stale list the staleness tripwire emitted after
+# CORRECTNESS_r12 landed (last hash-green r10). Pinned verbatim so a
+# PARTIAL round-13 rotation cannot pass locally: every name must be in
+# the declared window — or, once the round-13 record exists, covered
+# by it (after which the dynamic tripwire above owns staleness again).
+TRIPWIRE_R13 = (
+    "lang_id", "doc_fingerprint", "winnow_fingerprints", "bm25_topk",
+    "bm25_postings_store", "bm25_takedown_serve", "bloom_pruned_multiget",
+    "tfidf_keywords", "redact_pii", "contamination_check", "dedup_exact",
+    "minhash_signatures", "dedup_lsh_candidates", "simhash",
+    "dedup_ngram_jaccard", "simhash_near_pairs", "semantic_dedup",
+    "embedding_neardup", "similarity_ann_ivf_det", "dedup_clusters",
+    "top_orders_per_customer", "global_topk_orders", "rollup_doc_counts",
+    "customers_without_orders", "orders_above_cust_avg",
+    "funnel_purchase_after_signup", "funnel_signup_conversion",
+    "hash_split", "doc_sample", "scd2_merge", "cohort_retention",
+    "ordered_funnel", "ewma_by_user", "supplier_diversity",
+    "grouping_sets_doc_stats", "segment_except_all", "segment_set_ops",
+    "segment_intersect", "percentiles_by_segment", "asof_join",
+    "distinct_counts", "revenue_percentiles", "tumbling_window",
+    "session_window", "similarity_ann_binary", "dsir_select",
+    "lm_cross_entropy",
+)
+
+# The single r12 past-cutoff debut the escape-hatch contract obliges
+# the r13 rotation to front-queue alongside the stale batch.
+OBLIGED_DEBUTS_R13 = ("hybrid_pinned_serve",)
+
+
+def test_r13_window_front_queues_every_tripwire_name():
+    import json
+
+    import __spark_entry__ as E
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    qs = set(E.queries())
+    # the r13 consolidation must be real: the folded name gone from
+    # the contract, the consolidated report entry still present (its
+    # parity pins live in tests/test_text_dedup.py and the per-doc
+    # form's own DuckDB-twin / Hypothesis tests)
+    assert "duplicate_spans" not in qs, (
+        "duplicate_spans was consolidated into the corpus_span_stats "
+        "report entry — re-adding it must revisit the rotation budget "
+        "note"
+    )
+    assert "corpus_span_stats" in qs
+    covered = set(list(E.queries().keys())[:50])
+    rec = os.path.join(repo, "CORRECTNESS_r13.json")
+    if os.path.exists(rec):
+        covered |= set(json.load(open(rec)))
+    missing = [
+        q for q in TRIPWIRE_R13 + OBLIGED_DEBUTS_R13 if q not in covered
+    ]
+    assert not missing, f"r13 rotation is partial — not windowed: {missing}"
 
 
 def test_r12_window_front_queues_every_tripwire_name():

@@ -649,6 +649,40 @@ def test_corpus_span_stats_exact_and_approx(spark, sf_dir):
     assert rel <= 0.06, rel
 
 
+def test_corpus_span_report_folds_duplicate_spans(spark, sf_dir):
+    """The r13 consolidation pin (r12 VERDICT item 4): the contract's
+    corpus_span_stats entry now serves corpus_span_report, whose
+    n_dup_spans / n_docs_with_dups columns must equal the direct
+    corpus aggregate of duplicate_spans' per-document output, and
+    whose first three columns must equal corpus_span_stats verbatim —
+    so the one hash-checked entry pins BOTH span pipelines."""
+    import pyspark.sql.functions as F
+
+    from spark_indexedrdd_spark.functions.text import (
+        corpus_span_report,
+        corpus_span_stats,
+        duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = corpus_span_report(docs).collect()[0]
+    stats = corpus_span_stats(docs).collect()[0]
+    per_doc = duplicate_spans(docs)
+    fold = per_doc.agg(
+        F.sum("n_dup_spans").alias("nd"),
+        F.sum(F.when(F.col("n_dup_spans") > 0, 1).otherwise(0)).alias("dd"),
+        F.sum("n_spans").alias("ns"),
+    ).collect()[0]
+    assert (rep.n_spans, rep.n_distinct_spans, rep.dup_rate) == (
+        stats.n_spans, stats.n_distinct_spans, stats.dup_rate,
+    )
+    assert rep.n_dup_spans == fold.nd
+    assert rep.n_docs_with_dups == fold.dd
+    # structural consistency between the two constituent pipelines:
+    # both explode the identical md5 span hashes
+    assert rep.n_spans == fold.ns
+
+
 def test_compact_store_preserves_rows_and_shrinks_files(spark, tmp_path):
     """Compaction after many appends: identical row set, far fewer
     files, and the store path stays valid for the incremental reader."""
