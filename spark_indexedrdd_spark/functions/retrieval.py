@@ -1557,11 +1557,17 @@ class StreamingPostingsStore:
         # a prune drops the file count back to ~keep_versions+1 (the
         # retained data versions + the floor-advance bookkeeping
         # commit), which re-arms the cadence — PROVIDED the threshold
-        # sits above that resting level, enforced below. The growth
-        # guard additionally covers the pin-held case: while a pin
-        # caps the floor, the resting level can't drop, and without
-        # the guard every micro-batch would re-run a full (futile)
-        # retention scan forever (r12 review finding).
+        # sits above that resting level, enforced below. The cadence
+        # additionally covers the pin-held case: while a pin caps the
+        # floor the resting level can't drop, so re-arming is based on
+        # GROWTH OF A FULL INTERVAL past the post-vacuum resting level
+        # (n_files >= _post_vacuum_files + vacuum_every), never on the
+        # count merely sitting above the threshold — a held pin costs
+        # one vacuum pass per vacuum_every commits, not one full-store
+        # retention scan per micro-batch (r12 VERDICT item 2: the
+        # earlier any-growth guard re-fired on every batch once a pin
+        # kept the count from shrinking, because each commit grows the
+        # ledger by one).
         if vacuum_every is not None and int(vacuum_every) <= keep_versions + 1:
             raise ValueError(
                 f"vacuum_every={vacuum_every} must exceed "
@@ -1601,12 +1607,22 @@ class StreamingPostingsStore:
                 optimize_postings_store(batch_df.sparkSession, self.path)
         if self.vacuum_every:
             vdir = os.path.join(self.path, "_versions")
+            # same filter as _max_version/list_versions: a stray
+            # non-.json artifact must not inflate the cadence count
             n_files = len(
-                [f for f in os.listdir(vdir) if f[:-5].isdigit()]
+                [
+                    f
+                    for f in os.listdir(vdir)
+                    if f.endswith(".json") and f[:-5].isdigit()
+                ]
             )
+            # due at one full interval past the post-vacuum resting
+            # level (see the __init__ note): a pin-capped floor raises
+            # the resting level but never turns ingest into a
+            # vacuum-per-batch loop
             due = n_files >= int(self.vacuum_every) and (
                 self._post_vacuum_files is None
-                or n_files > self._post_vacuum_files
+                or n_files >= self._post_vacuum_files + int(self.vacuum_every)
             )
             if due:
                 if self.pin_tag_dir is not None:
@@ -1629,7 +1645,11 @@ class StreamingPostingsStore:
                         prune_ledger=True,
                     )
                 self._post_vacuum_files = len(
-                    [f for f in os.listdir(vdir) if f[:-5].isdigit()]
+                    [
+                        f
+                        for f in os.listdir(vdir)
+                        if f.endswith(".json") and f[:-5].isdigit()
+                    ]
                 )
 
     def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):

@@ -454,12 +454,21 @@ def vacuum_store(
     # parses the big _checkpoint_metas.json.
     metas = {}
     vdir = os.path.join(path, "_versions")
+    old_floor = int(meta.get("rewrite_floor", 0))
+    # Below-floor metas are never needed: retention can't keep them
+    # (new_floor clamps to the old floor) and their classification
+    # can't move the horizon past the clamp — so skip them OUTRIGHT
+    # instead of attempting ~10^5 guaranteed-failed opens on a
+    # checkpoint-folded ledger (r12 ADVICE: the folded range is below
+    # the floor by construction, as the retention note says).
     for v in versions:
+        if v < old_floor:
+            continue
         try:
             with open(os.path.join(vdir, f"{v:020d}.json")) as fh:
                 metas[v] = json.load(fh)
         except FileNotFoundError:
-            pass  # checkpoint-folded (below the floor by construction)
+            pass  # raced by a concurrent prune: same below-floor case
     # Folded versions count as data versions here: they only influence
     # the horizon when keep_versions exceeds the above-floor count, and
     # then new_floor clamps to the old floor either way.
@@ -479,7 +488,6 @@ def vacuum_store(
     # training-run pin. Everything at/above the cap stays servable.
     if protect_version is not None:
         horizon = min(horizon, int(protect_version))
-    old_floor = int(meta.get("rewrite_floor", 0))
     new_floor = max(horizon, old_floor)
     kept = [metas[v] for v in versions if v >= new_floor]
     # resolve the retained file set BEFORE committing the floor: a

@@ -49,6 +49,16 @@ from spark_indexedrdd_spark.core import (
 _MERGES = {"overwrite": OVERWRITE, "sum": SUM_MERGE}
 
 
+def _batch_tag_id(tag: "str | None") -> "int | None":
+    """The micro-batch id of a stream_ingest commit tag ('batch-<id>'),
+    or None for operator-issued tags — the discriminator behind the
+    O(1) pruned-batch replay watermark."""
+    if tag is None or not tag.startswith("batch-"):
+        return None
+    suffix = tag[6:]
+    return int(suffix) if suffix.isdigit() else None
+
+
 class VersionedKVStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -133,6 +143,17 @@ class VersionedKVStore:
         # double count) — r12 review finding
         if tag in m.get("pruned_tags", {}):
             return int(m["pruned_tags"][tag])
+        # stream_ingest's monotonic 'batch-<id>' tags fold into ONE
+        # watermark instead of an O(pruned-commits) map (r12 ADVICE:
+        # a year of micro-batches must not leave a ~10^5-entry map
+        # parsed on every manifest read). Structured Streaming batch
+        # ids are monotonic per checkpoint, so any id at/below the
+        # watermark was applied — redelivery is a no-op.
+        wm = m.get("pruned_batch_watermark")
+        if wm is not None:
+            bid = _batch_tag_id(tag)
+            if bid is not None and bid <= int(wm["max_id"]):
+                return int(wm["v"])
         return None
 
     def commit_puts(
@@ -370,11 +391,40 @@ class VersionedKVStore:
                 # commit stays a no-op (stream_ingest's exactly-once
                 # contract; tags are ~bytes per commit, the entries'
                 # kind/merge payloads are what pruning sheds)
+                # stream_ingest's monotonic 'batch-<id>' tags compact
+                # into a single watermark (max pruned id + its version)
+                # so the replay ledger is O(1) for streaming ingest, not
+                # O(pruned-commits); operator-issued tags (bounded by
+                # human cadence, not micro-batch cadence) keep the exact
+                # {tag: v} map. Pre-watermark batch entries already in
+                # pruned_tags are swept into the watermark here too, so
+                # an existing store's map shrinks on its next vacuum.
                 kept_tags = dict(m.get("pruned_tags", {}))
                 kept_tags.update(
                     {e["tag"]: e["v"] for e in pruned if "tag" in e}
                 )
-                if kept_tags:
+                wm = m.get("pruned_batch_watermark")
+                batch_tags = {
+                    t: v
+                    for t, v in kept_tags.items()
+                    if _batch_tag_id(t) is not None
+                }
+                if batch_tags:
+                    top_tag = max(batch_tags, key=lambda t: _batch_tag_id(t))
+                    cand = {
+                        "max_id": _batch_tag_id(top_tag),
+                        "v": int(batch_tags[top_tag]),
+                    }
+                    if wm is None or cand["max_id"] > int(wm["max_id"]):
+                        wm = cand
+                    kept_tags = {
+                        t: v
+                        for t, v in kept_tags.items()
+                        if t not in batch_tags
+                    }
+                if wm is not None:
+                    m["pruned_batch_watermark"] = wm
+                if kept_tags or "pruned_tags" in m:
                     m["pruned_tags"] = kept_tags
                 m["versions"] = [e for e in entries if e["v"] >= floor]
             self._swap_manifest(m)  # <-- refusal publishes before reclaim

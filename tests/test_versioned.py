@@ -289,11 +289,12 @@ def test_prune_manifest_keeps_tagged_replay_idempotent(store, spark):
     redelivered batch whose log entry was pruned (checkpoint reset,
     at-least-once source) would otherwise re-apply as the NEWEST
     version: overwrite-merge would resurrect stale values over later
-    updates. The pruned entries' tags fold into a compact map the
-    idempotency check consults."""
+    updates. Monotonic 'batch-<id>' tags fold into the O(1)
+    pruned_batch_watermark (r12 ADVICE: the per-tag map grew one entry
+    per pruned commit forever); operator tags keep the exact map."""
     ups = spark.createDataFrame([(1, 100.0)], "k long, v double")
     v1 = store.commit_puts(ups, tag="batch-0")
-    store.commit_puts(
+    v2 = store.commit_puts(
         spark.createDataFrame([(1, 777.0)], "k long, v double"),
         tag="batch-1",
     )
@@ -301,9 +302,11 @@ def test_prune_manifest_keeps_tagged_replay_idempotent(store, spark):
     store.vacuum(keep_versions=1, prune_manifest=True)
     pre = _as_dict(store.read())
     assert pre[1] == 777.0
-    # redeliver BOTH pruned batches: must be no-ops returning the
-    # original (now below-floor) version ids, never new commits
-    assert store.commit_puts(ups, tag="batch-0") == v1
+    # redeliver BOTH pruned batches: must be no-ops (a below-floor
+    # version id comes back — the watermark's, since per-id versions
+    # are exactly what the O(1) summary sheds), never new commits
+    replay_v = store.commit_puts(ups, tag="batch-0")
+    assert replay_v == v2 and replay_v >= v1 and replay_v < v3
     assert _as_dict(store.read()) == pre, (
         "a replayed pruned batch re-applied — stale value resurrected"
     )
@@ -314,6 +317,41 @@ def test_prune_manifest_keeps_tagged_replay_idempotent(store, spark):
         tag="batch-2",
     )
     assert v_new > v3 and _as_dict(store.read())[9] == 9.0
+
+
+def test_pruned_replay_ledger_is_bounded(store, spark):
+    """r12 ADVICE: pruned_tags grew one entry per pruned tagged commit
+    FOREVER — a year of micro-batches left an O(commits) map parsed on
+    every manifest read. Monotonic batch tags must compact into the
+    single watermark across repeated prune cycles, while operator tags
+    (human cadence) keep their exact {tag: v} entries."""
+    import json as _json
+    import os as _os
+
+    ups = lambda v: spark.createDataFrame([(1, v)], "k long, v double")  # noqa: E731
+    op_v = store.commit_puts(ups(5.0), tag="initial-load")
+    n_batches = 12
+    batch_vs = {}
+    for i in range(n_batches):
+        batch_vs[i] = store.commit_puts(ups(float(i)), tag=f"batch-{i}")
+        if i % 4 == 3:
+            store.compact()
+            store.vacuum(keep_versions=1, prune_manifest=True)
+    with open(_os.path.join(store.path, "manifest.json")) as fh:
+        m = _json.load(fh)
+    # the replay ledger is O(1) for streaming: one watermark, and the
+    # exact map holds only the operator tag — NOT one entry per batch
+    assert set(m.get("pruned_tags", {})) == {"initial-load"}
+    wm = m["pruned_batch_watermark"]
+    pruned_ids = [i for i in batch_vs if batch_vs[i] < m["vacuum_floor"]]
+    assert int(wm["max_id"]) == max(pruned_ids)
+    # every pruned batch id replays as a no-op through the watermark
+    pre = _as_dict(store.read())
+    for i in pruned_ids:
+        assert store.commit_puts(ups(-1.0), tag=f"batch-{i}") == int(wm["v"])
+    # the operator tag replays as a no-op with its EXACT version
+    assert store.commit_puts(ups(-1.0), tag="initial-load") == op_v
+    assert _as_dict(store.read()) == pre
 
 
 def test_vacuum_without_snapshot_at_horizon_is_a_safe_noop(store, spark):
@@ -339,7 +377,14 @@ from hypothesis import strategies as st  # noqa: E402
 @given(
     ops=st.lists(
         st.sampled_from(
-            ["put", "put_replay", "delete", "compact", "vacuum_prune"]
+            [
+                "put",
+                "put_replay",
+                "batch_put",
+                "delete",
+                "compact",
+                "vacuum_prune",
+            ]
         ),
         min_size=2,
         max_size=6,
@@ -367,12 +412,16 @@ def test_cow_lifecycle_model_with_pruning(spark, tmp_path_factory, ops):
     s = VersionedKVStore.init(idf, str(root / "s"))
     model = {i: float(i) for i in range(50)}
     seen_tags: dict = {}  # tag -> (version, kind, payload)
+    batch_tags: dict = {}  # stream_ingest-form tags (watermark path)
     n = 0
     last_v = 0
     for op in ops:
         n += 1
-        if op in ("put", "put_replay"):
-            tag = f"p{n}"
+        if op in ("put", "put_replay", "batch_put"):
+            # batch_put uses stream_ingest's monotonic tag form, whose
+            # pruned-replay ledger is the O(1) watermark rather than
+            # the exact {tag: v} map (r13)
+            tag = f"batch-{n}" if op == "batch_put" else f"p{n}"
             df = spark.createDataFrame(
                 [(n % 7, 1000.0 + n), (100 + n, float(n))],
                 "k long, v double",
@@ -382,7 +431,7 @@ def test_cow_lifecycle_model_with_pruning(spark, tmp_path_factory, ops):
             last_v = v
             model[n % 7] = 1000.0 + n
             model[100 + n] = float(n)
-            seen_tags[tag] = v
+            (batch_tags if op == "batch_put" else seen_tags)[tag] = v
             if op == "put_replay":
                 assert s.commit_puts(df, tag=tag) == v  # immediate no-op
         elif op == "delete":
@@ -411,5 +460,15 @@ def test_cow_lifecycle_model_with_pruning(spark, tmp_path_factory, ops):
             assert s.commit_deletes(
                 spark.createDataFrame([(999,)], "k long"), tag=tag
             ) == v
+    # batch-form tags replay as no-ops too; once pruned they resolve
+    # through the O(1) watermark, so the returned id is SOME
+    # already-committed version (never a new commit), not necessarily
+    # the original
+    frontier = max(
+        [last_v, *seen_tags.values(), *batch_tags.values()]
+    )
+    for tag in batch_tags:
+        df = spark.createDataFrame([(999, -1.0)], "k long, v double")
+        assert s.commit_puts(df, tag=tag) <= frontier
     live = {r.k: r.v for r in s.read().df.collect()}
     assert live == model and 999 not in live
