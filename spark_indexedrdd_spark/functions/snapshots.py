@@ -144,11 +144,13 @@ def pin_versions(pin: "dict[str, dict]") -> "dict[str, int]":
     return {alias: ref["version"] for alias, ref in pin.items()}
 
 
-def min_pinned_versions(tag_dir: str) -> "dict[str, int]":
-    """The oldest pinned version per store path, across EVERY pin in
-    ``tag_dir`` — the retention protection map. Unknown/empty tag dirs
-    yield an empty map (nothing to protect)."""
-    out: "dict[str, int]" = {}
+def oldest_pins(tag_dir: str) -> "dict[str, tuple[int, str]]":
+    """``{store_path: (oldest pinned version, pin name holding it)}``
+    across EVERY pin in ``tag_dir`` — the retention protection map,
+    with the holder NAMED so an operator can see (and release) what is
+    blocking reclamation. Unknown/empty tag dirs yield an empty map
+    (nothing to protect)."""
+    out: "dict[str, tuple[int, str]]" = {}
     if not os.path.isdir(tag_dir):
         return out
     for f in sorted(os.listdir(tag_dir)):
@@ -156,12 +158,37 @@ def min_pinned_versions(tag_dir: str) -> "dict[str, int]":
             continue
         with open(os.path.join(tag_dir, f)) as fh:
             pin = json.load(fh)
+        name = f[:-5]
         for ref in pin.values():
             # canonicalize on read too: pre-r12 pins recorded the raw
             # caller spelling (relative / trailing-slash / symlink)
             p, v = _canon(ref["path"]), int(ref["version"])
-            out[p] = min(out.get(p, v), v)
+            if p not in out or v < out[p][0]:
+                out[p] = (v, name)
     return out
+
+
+def min_pinned_versions(tag_dir: str) -> "dict[str, int]":
+    """The oldest pinned version per store path, across EVERY pin in
+    ``tag_dir`` — the retention protection map. Unknown/empty tag dirs
+    yield an empty map (nothing to protect)."""
+    return {p: v for p, (v, _name) in oldest_pins(tag_dir).items()}
+
+
+def retire_pin(tag_dir: str, name: str) -> "dict[str, dict]":
+    """Explicitly release a pin so the NEXT retention pass may reclaim
+    the snapshots it protected, returning the retired
+    ``{alias: {"path", "version"}}`` map (the operator's record of what
+    just became reclaimable). Raises FileNotFoundError for an unknown
+    name — retiring a pin that was never held is a bookkeeping bug,
+    never a no-op. This is the sanctioned spelling of "delete the tag
+    file": pins are immutable while held (:func:`pin_stores`), and
+    retirement is the single mutation their lifecycle has."""
+    fpath = _tag_file(tag_dir, name)
+    with open(fpath) as fh:
+        pin = json.load(fh)
+    os.remove(fpath)
+    return pin
 
 
 def vacuum_respecting_pins(
@@ -174,14 +201,22 @@ def vacuum_respecting_pins(
     """``store_commit.vacuum_store`` with the floor capped at the
     oldest version any pin in ``tag_dir`` records for this store —
     routine retention can never silently break a training-run pin.
-    Retire pins explicitly (delete the tag file) to let the next
-    vacuum pass reclaim their snapshots; the refusal machinery then
-    reports any still-held pin loudly (:func:`assert_pin_servable`)."""
-    protect = min_pinned_versions(tag_dir).get(_canon(path))
-    return SC.vacuum_store(
+    When a pin holds the cap, the returned report says so:
+    ``protected_by`` names the pin and ``protect_version`` is its
+    capped floor (r12 VERDICT item 5 — a silent cap left operators
+    unable to see which retention blocker to release). Retire pins
+    explicitly (:func:`retire_pin`) to let the next vacuum pass
+    reclaim their snapshots; the refusal machinery then reports any
+    still-held pin loudly (:func:`assert_pin_servable`)."""
+    held = oldest_pins(tag_dir).get(_canon(path))
+    report = SC.vacuum_store(
         path,
         keep_versions=keep_versions,
         spark=spark,
-        protect_version=protect,
+        protect_version=held[0] if held is not None else None,
         prune_ledger=prune_ledger,
     )
+    if held is not None:
+        report["protect_version"] = held[0]
+        report["protected_by"] = held[1]
+    return report

@@ -167,17 +167,27 @@ def test_vacuum_respecting_pins_protects_then_reclaims(spark, stack):
 
     docs, emb, post, ivf, tags = stack
     before = _rows(_serve(spark, post, ivf))
-    SNAP.pin_stores(tags, "run-1", {"lexical": post, "dense": ivf})
+    pinned = SNAP.pin_stores(tags, "run-1", {"lexical": post, "dense": ivf})
     append_ivf_batch(emb.where("vec_id >= 400"), ivf, batch_tag="b1")
     optimize_ivf_store(spark, ivf)
     # pin-aware vacuum: floor caps at the pinned version — nothing of
-    # the pinned snapshot is reclaimed and the pin still serves
-    SNAP.vacuum_respecting_pins(tags, ivf, keep_versions=1)
+    # the pinned snapshot is reclaimed, the pin still serves, and the
+    # report NAMES the retention blocker (r12 VERDICT item 5)
+    rep0 = SNAP.vacuum_respecting_pins(tags, ivf, keep_versions=1)
+    assert rep0["protected_by"] == "run-1"
+    assert rep0["protect_version"] == pinned["dense"]["version"]
+    assert rep0["floor"] <= pinned["dense"]["version"]
     v = SNAP.pin_versions(SNAP.read_pin(tags, "run-1"))
     assert _rows(_serve(spark, post, ivf, v)) == before
-    # retire the pin -> the next pass reclaims and the pin refuses
-    os.remove(os.path.join(tags, "run-1.json"))
+    # retire the pin (the sanctioned spelling of deleting the tag
+    # file) -> the next pass reclaims, reports NO blocker, and the
+    # retired pin refuses at resolve time
+    retired = SNAP.retire_pin(tags, "run-1")
+    assert retired == pinned
+    with pytest.raises(FileNotFoundError):
+        SNAP.retire_pin(tags, "run-1")  # never a silent no-op
     rep = SNAP.vacuum_respecting_pins(tags, ivf, keep_versions=1)
     assert rep["removed_files"]
+    assert "protected_by" not in rep and "protect_version" not in rep
     with pytest.raises(ValueError, match="no longer servable"):
         SNAP.pin_versions({"dense": {"path": ivf, "version": v["dense"]}})
