@@ -51,6 +51,11 @@ from __future__ import annotations
 import json
 import os
 
+try:  # POSIX only; absent on exotic/object-store mounts — see commit_meta
+    import fcntl as _fcntl
+except ImportError:  # pragma: no cover
+    _fcntl = None
+
 
 class ConcurrentWriteConflict(RuntimeError):
     """Another writer committed this store since the losing writer read
@@ -116,10 +121,16 @@ def commit_meta(
     case every store family documents as unsupported now fails loudly
     instead of silently losing one writer's meta deltas. A reservation
     BELOW the committed frontier-to-be is a crashed writer's leftover
-    and is reclaimed atomically. This is best-effort detection on a
-    filesystem (two live writers racing the same dead reservation can
-    still interleave); an object-store deployment makes the reservation
-    a put-if-absent and gets true CAS semantics from the same shape.
+    and is reclaimed atomically. On a POSIX filesystem the whole
+    reserve→publish sequence additionally runs under an exclusive
+    ``flock`` on ``_versions/.occ.lock`` (r12 VERDICT item 8): two
+    LIVE writers racing the same base serialize — the loser re-checks
+    the frontier after the winner's publish and raises — while a
+    crashed holder's lock releases with its process, so no dead-lock
+    sweep is ever needed. Where flock is unavailable (object-store
+    mounts), detection degrades to the reservation race it had before;
+    an object-store deployment makes the reservation a put-if-absent
+    and gets true CAS semantics from the same shape.
 
     meta.json's atomic replace remains THE commit point — a crash
     after the reservation but before the replace leaves the store on
@@ -179,6 +190,39 @@ def commit_meta(
     vdir = os.path.join(path, "_versions")
     os.makedirs(vdir, exist_ok=True)
     vpath = os.path.join(vdir, f"{new:020d}.json")
+    # Serialize reserve→publish against other LIVE writers on this
+    # host (docstring: the flock releases with a crashed process, so
+    # it can never become a dead lock itself). Best-effort: where the
+    # mount refuses flock, fall through to the bare reservation race.
+    lock_fd = None
+    if _fcntl is not None:
+        try:
+            lock_fd = os.open(
+                os.path.join(vdir, ".occ.lock"), os.O_CREAT | os.O_RDWR
+            )
+            _fcntl.flock(lock_fd, _fcntl.LOCK_EX)
+        except OSError:  # pragma: no cover - flock-less mount
+            if lock_fd is not None:
+                os.close(lock_fd)
+            lock_fd = None
+    try:
+        _commit_meta_locked(path, meta, blob, stamped, new, vdir, vpath)
+    finally:
+        if lock_fd is not None:
+            os.close(lock_fd)  # closing releases the flock
+
+
+def _commit_meta_locked(
+    path: str,
+    meta: dict,
+    blob: str,
+    stamped: dict,
+    new: int,
+    vdir: str,
+    vpath: str,
+) -> None:
+    """The reserve→publish body of :func:`commit_meta` — runs under the
+    per-store writer flock when the filesystem provides one."""
     try:
         fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
@@ -222,14 +266,11 @@ def commit_meta(
     finally:
         os.close(vfd)
     # reservation holds: now advance the caller's dict in place (a
-    # sequential re-commit by the same holder must base on `new`)
-    meta["version"] = new
-    if bookkeeping:
-        meta["vacuum_bookkeeping"] = True
-    else:
+    # sequential re-commit by the same holder must base on `new`) —
+    # `stamped` IS the committed state, so sync to it exactly
+    meta.update(stamped)
+    if "vacuum_bookkeeping" not in stamped:
         meta.pop("vacuum_bookkeeping", None)
-    if rewrite or fresh:
-        meta["rewrite_floor"] = new
     meta_path = os.path.join(path, "meta.json")
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as fh:

@@ -151,6 +151,53 @@ def test_versioned_commit_detects_concurrent_writer(tmp_path):
     assert SC.list_versions(p) == [1, 2]
 
 
+def test_live_writers_serialize_under_the_commit_lock(tmp_path):
+    """r12 VERDICT item 8: two LIVE writers racing the same base could
+    interleave through the dead-reservation reclaim (the loser saw the
+    winner's not-yet-published reservation, judged it dead by the
+    frontier check, and overwrote it). The reserve→publish critical
+    section now runs under an exclusive flock, so of N writers sharing
+    one base exactly ONE commits per version, every loser raises
+    ConcurrentWriteConflict, and the ledger has no gaps or torn
+    files — regardless of interleaving."""
+    import json
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    p = str(tmp_path / "race")
+    SC.commit_meta(p, {"payload": "base"})  # frontier = 1
+
+    # every writer snapshots the SAME base before any of them commits
+    metas = [SC.read_meta(p) for _ in range(8)]
+    for i, m in enumerate(metas):
+        m["payload"] = f"writer-{i}"
+
+    def attempt(m):
+        try:
+            SC.commit_meta(p, m)
+            return ("ok", m["version"], m["payload"])
+        except SC.ConcurrentWriteConflict:
+            return ("conflict", None, None)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(attempt, metas))
+    oks = [r for r in results if r[0] == "ok"]
+    assert len(oks) == 1, f"interleaved commits: {oks}"
+    assert sum(1 for r in results if r[0] == "conflict") == 7
+    # the winner's payload is what both the frontier AND its ledger
+    # file hold — no torn winner-meta/loser-ledger mix
+    final = SC.read_meta(p)
+    assert final["version"] == 2 and final["payload"] == oks[0][2]
+    vdir = os.path.join(p, "_versions")
+    with open(os.path.join(vdir, f"{2:020d}.json")) as fh:
+        assert json.load(fh)["payload"] == oks[0][2]
+    assert SC.list_versions(p) == [1, 2]
+    # the store stays writable afterwards (the lock was released)
+    nxt = SC.read_meta(p)
+    SC.commit_meta(p, nxt)
+    assert SC.read_meta(p)["version"] == 3
+
+
 def test_crashed_reservation_is_reclaimed(tmp_path):
     """A version file above the committed frontier is a crashed
     writer's dead reservation — the next commit reclaims the number
