@@ -32,7 +32,6 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 N_COMMITS = 12
@@ -44,13 +43,11 @@ def main() -> int:
     from spark_indexedrdd_spark.functions import snapshots as SNAP
     from spark_indexedrdd_spark.functions import text as T
 
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.adaptive.enabled", "true")
-        .appName("r13-sf1")
-        .getOrCreate()
-    )
+    # the bench harness's own session (8g driver, AQE, UTC): the span
+    # explode at sf1.0 needs the same driver headroom bench.py has
+    from spark_indexedrdd_spark.session import get_spark
+
+    spark = get_spark("r13-sf1", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
     def force(df):

@@ -1553,36 +1553,24 @@ class StreamingPostingsStore:
         # preserving, so as-of reads of earlier batches keep working
         # until a vacuum passes them.
         self.optimize_every = optimize_every
-        # vacuum_every counts per-commit LEDGER FILES, not versions:
-        # a prune drops the file count back to ~keep_versions+1 (the
-        # retained data versions + the floor-advance bookkeeping
-        # commit), which re-arms the cadence — PROVIDED the threshold
-        # sits above that resting level, enforced below. The cadence
-        # additionally covers the pin-held case: while a pin caps the
-        # floor the resting level can't drop, so re-arming is based on
-        # GROWTH OF A FULL INTERVAL past the post-vacuum resting level
-        # (n_files >= _post_vacuum_files + vacuum_every), never on the
-        # count merely sitting above the threshold — a held pin costs
-        # one vacuum pass per vacuum_every commits, not one full-store
-        # retention scan per micro-batch (r12 VERDICT item 2: the
-        # earlier any-growth guard re-fired on every batch once a pin
-        # kept the count from shrinking, because each commit grows the
-        # ledger by one).
-        if vacuum_every is not None and int(vacuum_every) <= keep_versions + 1:
-            raise ValueError(
-                f"vacuum_every={vacuum_every} must exceed "
-                f"keep_versions+1={keep_versions + 1}: a prune leaves "
-                "~keep_versions data versions plus the floor-advance "
-                "commit on disk, so a smaller threshold re-fires a "
-                "full vacuum on every micro-batch"
-            )
+        # vacuum cadence semantics (threshold validation, the
+        # full-interval re-arm that keeps a held pin from turning
+        # ingest into a scan-per-batch loop, pin routing) live in ONE
+        # place shared by every streaming store tier:
+        # snapshots.LedgerVacuumCadence.
         self.vacuum_every = vacuum_every
         self.keep_versions = keep_versions
         self.pin_tag_dir = pin_tag_dir
-        # file count observed right after the last vacuum pass: the
-        # cadence re-fires only on GROWTH past it, never on a resting
-        # level a held pin keeps above the threshold
-        self._post_vacuum_files: "int | None" = None
+        if vacuum_every is not None:
+            from spark_indexedrdd_spark.functions.snapshots import (
+                LedgerVacuumCadence,
+            )
+
+            self._vacuum = LedgerVacuumCadence(
+                path, vacuum_every, keep_versions, pin_tag_dir
+            )
+        else:
+            self._vacuum = None
         self._initialized = os.path.exists(os.path.join(path, "meta.json"))
 
     def foreach_batch(self, batch_df, batch_id: int) -> None:
@@ -1605,52 +1593,8 @@ class StreamingPostingsStore:
             n_manifests = len(_SC.read_meta(self.path).get("manifests", []))
             if n_manifests >= int(self.optimize_every):
                 optimize_postings_store(batch_df.sparkSession, self.path)
-        if self.vacuum_every:
-            vdir = os.path.join(self.path, "_versions")
-            # same filter as _max_version/list_versions: a stray
-            # non-.json artifact must not inflate the cadence count
-            n_files = len(
-                [
-                    f
-                    for f in os.listdir(vdir)
-                    if f.endswith(".json") and f[:-5].isdigit()
-                ]
-            )
-            # due at one full interval past the post-vacuum resting
-            # level (see the __init__ note): a pin-capped floor raises
-            # the resting level but never turns ingest into a
-            # vacuum-per-batch loop
-            due = n_files >= int(self.vacuum_every) and (
-                self._post_vacuum_files is None
-                or n_files >= self._post_vacuum_files + int(self.vacuum_every)
-            )
-            if due:
-                if self.pin_tag_dir is not None:
-                    from spark_indexedrdd_spark.functions import (
-                        snapshots as _SNAP,
-                    )
-
-                    _SNAP.vacuum_respecting_pins(
-                        self.pin_tag_dir, self.path,
-                        keep_versions=self.keep_versions,
-                        prune_ledger=True,
-                    )
-                else:
-                    from spark_indexedrdd_spark.functions import (
-                        store_commit as _SC,
-                    )
-
-                    _SC.vacuum_store(
-                        self.path, keep_versions=self.keep_versions,
-                        prune_ledger=True,
-                    )
-                self._post_vacuum_files = len(
-                    [
-                        f
-                        for f in os.listdir(vdir)
-                        if f.endswith(".json") and f[:-5].isdigit()
-                    ]
-                )
+        if self._vacuum is not None:
+            self._vacuum.maybe_vacuum()
 
     def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
         return (

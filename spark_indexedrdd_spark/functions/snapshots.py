@@ -144,6 +144,95 @@ def pin_versions(pin: "dict[str, dict]") -> "dict[str, int]":
     return {alias: ref["version"] for alias, ref in pin.items()}
 
 
+class LedgerVacuumCadence:
+    """The shared self-maintenance cadence for streaming store writers
+    (one implementation; the postings and vector tiers both ride it):
+    when the per-commit ledger reaches ``vacuum_every`` files, run
+    retention + ledger checkpoint from the writer's OWN foreachBatch
+    turn — the single-writer maintenance contract holds because the
+    ingest IS the writer — routed through
+    :func:`vacuum_respecting_pins` when a ``pin_tag_dir`` is given.
+
+    Cadence contract (r12 VERDICT item 2): re-arm only a FULL INTERVAL
+    past the post-vacuum resting level (``n_files >= resting +
+    vacuum_every``), never on the count merely sitting above the
+    threshold — a held pin caps the floor so the resting level can't
+    drop, and an any-growth guard would re-fire a full-store retention
+    scan on EVERY micro-batch (each commit grows the ledger by one). A
+    pin held across N commits costs at most N/vacuum_every (+1)
+    passes. The constructor refuses ``vacuum_every <= keep_versions +
+    1``: a prune leaves ~keep_versions data versions plus the
+    floor-advance commit on disk, so a smaller threshold re-fires a
+    full vacuum on every micro-batch."""
+
+    def __init__(
+        self,
+        path: str,
+        vacuum_every: int,
+        keep_versions: int = 8,
+        pin_tag_dir: "str | None" = None,
+    ):
+        if int(vacuum_every) <= keep_versions + 1:
+            raise ValueError(
+                f"vacuum_every={vacuum_every} must exceed "
+                f"keep_versions+1={keep_versions + 1}: a prune leaves "
+                "~keep_versions data versions plus the floor-advance "
+                "commit on disk, so a smaller threshold re-fires a "
+                "full vacuum on every micro-batch"
+            )
+        self.path = path
+        self.vacuum_every = int(vacuum_every)
+        self.keep_versions = keep_versions
+        self.pin_tag_dir = pin_tag_dir
+        # file count observed right after the last vacuum pass: the
+        # re-arm baseline (see the class note)
+        self._post_vacuum_files: "int | None" = None
+
+    def _ledger_files(self) -> int:
+        # same filter as store_commit._max_version/list_versions: a
+        # stray non-.json artifact must not inflate the cadence count
+        vdir = os.path.join(self.path, "_versions")
+        if not os.path.isdir(vdir):
+            return 0
+        return len(
+            [
+                f
+                for f in os.listdir(vdir)
+                if f.endswith(".json") and f[:-5].isdigit()
+            ]
+        )
+
+    def maybe_vacuum(self, spark=None) -> "dict | None":
+        """Run one retention + ledger-checkpoint pass iff due; returns
+        the vacuum report (with ``protected_by`` when a pin capped the
+        floor) or None. Pass ``spark=`` for flat sidecar stores whose
+        data GC needs a session (zonemap/bloom)."""
+        n = self._ledger_files()
+        due = n >= self.vacuum_every and (
+            self._post_vacuum_files is None
+            or n >= self._post_vacuum_files + self.vacuum_every
+        )
+        if not due:
+            return None
+        if self.pin_tag_dir is not None:
+            report = vacuum_respecting_pins(
+                self.pin_tag_dir,
+                self.path,
+                keep_versions=self.keep_versions,
+                spark=spark,
+                prune_ledger=True,
+            )
+        else:
+            report = SC.vacuum_store(
+                self.path,
+                keep_versions=self.keep_versions,
+                spark=spark,
+                prune_ledger=True,
+            )
+        self._post_vacuum_files = self._ledger_files()
+        return report
+
+
 def oldest_pins(tag_dir: str) -> "dict[str, tuple[int, str]]":
     """``{store_path: (oldest pinned version, pin name holding it)}``
     across EVERY pin in ``tag_dir`` — the retention protection map,

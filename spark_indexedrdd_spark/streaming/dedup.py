@@ -119,6 +119,9 @@ def streaming_semantic_dedup(
     vec_col: str = "embedding",
     max_files_per_trigger: int = 1,
     optimize_every: "int | None" = None,
+    vacuum_every: "int | None" = None,
+    keep_versions: int = 8,
+    pin_tag_dir: "str | None" = None,
 ):
     """Continuous-ingest SemDeDup: each arriving embedding file becomes
     a micro-batch that is (1) assigned to the persisted IVF index's
@@ -149,6 +152,19 @@ def streaming_semantic_dedup(
     per-cluster file counts under continuous ingest without breaking
     the as-of surface.
 
+    ``vacuum_every=M`` (r13) completes the vector tier's
+    self-maintenance, riding the SAME
+    ``snapshots.LedgerVacuumCadence`` the postings tier uses: when the
+    per-commit ledger reaches M files, retention + ledger checkpoint
+    run from this writer's own foreachBatch turn, routed through
+    ``vacuum_respecting_pins`` when ``pin_tag_dir`` is given — a
+    training run's pinned IVF snapshot is never reclaimed, and a held
+    pin costs one pass per M commits, never a scan per micro-batch.
+    Composed with ``optimize_every``, a streamed vector store is fully
+    self-maintaining at 100 TB: bounded data files, bounded ledger,
+    pin-safe scheduled retention — the exact composition the lexical
+    tier has.
+
     Returns the unstarted ``DataStreamWriter``; drive with e.g.
     ``.trigger(availableNow=True).option("checkpointLocation", ...)``.
     """
@@ -157,6 +173,17 @@ def streaming_semantic_dedup(
         incremental_semantic_dedup_from_store,
         optimize_ivf_store,
     )
+
+    if vacuum_every is not None:
+        from spark_indexedrdd_spark.functions.snapshots import (
+            LedgerVacuumCadence,
+        )
+
+        cadence = LedgerVacuumCadence(
+            ivf_store_path, vacuum_every, keep_versions, pin_tag_dir
+        )
+    else:
+        cadence = None
 
     schema = spark.read.parquet(emb_path).schema
     stream = (
@@ -185,5 +212,7 @@ def streaming_semantic_dedup(
             )
             if n_manifests >= optimize_every:
                 optimize_ivf_store(spark, ivf_store_path, id_col)
+        if cadence is not None:
+            cadence.maybe_vacuum()
 
     return stream.writeStream.foreachBatch(_process).outputMode("append")

@@ -329,6 +329,106 @@ def test_streaming_ingest_is_exactly_once_and_optimizes(
     assert served.count() == len(QIDS) * 5
 
 
+def test_streaming_ivf_vacuum_cadence_is_pin_safe(spark, sf_dir, tmp_path):
+    """r13: the vector tier gets the SAME self-maintenance composition
+    the lexical tier has (snapshots.LedgerVacuumCadence, one shared
+    implementation): vacuum_every runs retention + ledger checkpoint
+    from the ingest's own foreachBatch turn, the floor caps at a held
+    pin (never past it), the pinned serve stays byte-identical through
+    the maintenance, and a replayed batch is still a no-op."""
+    import glob
+
+    from spark_indexedrdd_spark.functions import snapshots as SNAP
+    from spark_indexedrdd_spark.streaming.dedup import (
+        streaming_semantic_dedup,
+    )
+
+    emb = _emb(spark, sf_dir)
+    store = str(tmp_path / "ivf")
+    tags = str(tmp_path / "tags")
+    write_ivf_store(emb.where("vec_id < 300"), store, n_clusters=8, method="det")
+
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    lo, hi = 300, emb.agg({"vec_id": "max"}).collect()[0][0] + 1
+    step = max(1, (hi - lo) // 6)
+    cuts = list(range(lo, hi, step)) + [hi]
+
+    def drop_files(idxs):
+        for i in idxs:
+            b = emb.where(f"vec_id >= {cuts[i]} AND vec_id < {cuts[i + 1]}")
+            tmp_out = str(tmp_path / f"w{i}")
+            b.coalesce(1).write.parquet(tmp_out)
+            part = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+            dest = str(stream_dir / f"f{i}.parquet")
+            shutil.copy(part, dest)
+            os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+
+    def run_stream():
+        q = (
+            streaming_semantic_dedup(
+                spark, str(stream_dir), store, str(tmp_path / "verdicts"),
+                threshold=0.3, vacuum_every=3, keep_versions=1,
+                pin_tag_dir=tags,
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # phase 1: a couple of appends land, then the run pins the frontier
+    drop_files(range(2))
+    run_stream()
+    pin = SNAP.pin_stores(tags, "run-1", {"dense": store})
+    pinned_serve = _rows(
+        ivf_ann_from_store(
+            spark, store, QIDS, k=5, version=pin["dense"]["version"]
+        )
+    )
+    # phase 2: ingest continues past the pin; the cadence must vacuum
+    # (folding the below-pin ledger) without ever passing the pin
+    drop_files(range(2, len(cuts) - 1))
+    run_stream()
+
+    meta = SC.read_meta(store)
+    vdir = os.path.join(store, "_versions")
+    # retention ran: floor advanced exactly to the pin (never past it)
+    # and the ledger checkpoint folded below-pin commits
+    assert int(meta.get("rewrite_floor", 0)) == pin["dense"]["version"]
+    assert os.path.exists(os.path.join(vdir, "_checkpoint.json"))
+    ledger = [
+        int(f[:-5])
+        for f in os.listdir(vdir)
+        if f.endswith(".json") and f[:-5].isdigit()
+    ]
+    # everything below the pinned floor folded into the checkpoint;
+    # what remains is exactly the pin-protected range (which grows
+    # with ingest while the pin is held — the bounded part is BELOW)
+    assert min(ledger) >= int(meta["rewrite_floor"])
+    assert len(ledger) <= (len(cuts) - 1 - 2) + 3  # post-pin commits + slack
+    # the pinned snapshot still serves byte-identically
+    v = SNAP.pin_versions(SNAP.read_pin(tags, "run-1"))
+    assert (
+        _rows(ivf_ann_from_store(spark, store, QIDS, k=5, version=v["dense"]))
+        == pinned_serve
+    )
+    # every vector arrived exactly once, and a replayed batch tag is
+    # still a no-op through the maintenance
+    vecs, _ = read_ivf_store(spark, store)
+    assert vecs.count() == emb.count()
+    assert vecs.groupBy("vec_id").count().where("count > 1").count() == 0
+    # batch ids restart per phase-2 query? No: the shared checkpoint
+    # makes ids monotonic across both runs, so phase 1's first batch
+    # committed under tag b0 — its replay stays a no-op
+    assert append_ivf_batch(
+        emb.where(f"vec_id >= {cuts[0]} AND vec_id < {cuts[1]}"),
+        store,
+        batch_tag="b0",
+    ) is False
+
+
 def test_binary_store_versioned_append_optimize_vacuum(
     spark, sf_dir, tmp_path
 ):
