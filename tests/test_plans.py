@@ -350,6 +350,12 @@ def test_contract_wide_no_accidental_cross_joins(spark):
                                   # (same contract; external pools via
                                   # mmr_over_candidates skip it)
         "waiting_customers_q22",  # broadcast 1-row avg (scalar subquery)
+        "corpus_span_stats",      # r13 consolidated report: the final
+                                  # combine is a 1-row x 1-row scalar
+                                  # crossJoin of the two constituent
+                                  # aggregates (stats x per-doc fold) —
+                                  # a broadcast of one row, no data
+                                  # movement
         "similarity_ann_pq",      # broadcast ADC tables x code scan (the
                                   # brute-ADC scorer; IVFPQ is the pruned
                                   # equi-join form)
