@@ -414,6 +414,7 @@ def test_span_ops_keep_token_fence(spark):
         T.duplicate_spans(docs),
         T.remove_duplicate_spans(docs),
         T.corpus_span_stats(docs),
+        T.corpus_span_report(docs),
     ):
         p = df._jdf.queryExecution().executedPlan().toString()
         gen = [l for l in p.splitlines() if "Generate explode" in l
@@ -435,6 +436,28 @@ def test_span_ops_keep_token_fence(spark):
         l for l in p.splitlines() if "dup_bigram_frac" in l
     )
     assert "split(" not in out_proj, out_proj
+
+
+def test_corpus_span_report_reuses_the_span_exchange(spark):
+    """The consolidated report derives BOTH halves (corpus summary +
+    per-doc dup fold) from one shared per-(doc, span) aggregation, so
+    the scan → explode → partial-agg → exchange subtree must be
+    computed ONCE and reused — the single-pass shape that made the
+    report 30% cheaper than the naive two-pass compose at sf1.0
+    (SCALING.md r13). AQE finalizes reuse at runtime, so assert on the
+    executed final plan."""
+    from spark_indexedrdd_spark.functions import text as T
+    from spark_indexedrdd_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    df = T.corpus_span_report(docs)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in p
+    assert "ReusedExchange" in p, (
+        "the report's two branches stopped sharing the span-aggregation "
+        "exchange — the explode now runs per branch:\n" + p
+    )
 
 
 def test_corpus_top_terms_no_full_vocab_single_partition_window(spark):
