@@ -1643,7 +1643,7 @@ def duplicate_spans(
     Docs shorter than ``width`` tokens have zero spans and report
     dup_span_frac = 0.0 (restored by the left join — explode drops
     them)."""
-    occ = _tokenized(df, text_col, id_col).select(
+    occ = _span_tokenized(df, text_col, id_col).select(
         F.col(id_col), F.explode(_span_hashes(width, stride)).alias("__h")
     )
     per_doc_span = occ.groupBy(id_col, "__h").agg(
@@ -1686,8 +1686,31 @@ def _tokenized(
     inside the slice lambda (measured at sf0.1: the span explode cost
     2.8 s single-task; with tokens materialized behind this projection
     — which CollapseProject does not merge through a Generate — the
-    same explode is 0.5 s). Every span operator builds on this."""
+    same explode is 0.5 s). Every span operator builds on this.
+
+    The SPAN operators (duplicate/remove/report/stats) additionally
+    exclude null document ids via :func:`_span_tokenized` — see its
+    note on why the explicit predicate is load-bearing for exchange
+    reuse."""
     return df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+
+
+def _span_tokenized(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """:func:`_tokenized` with null document ids excluded — the span
+    operators' shared base (ids are non-null by the engine's key
+    contract; the span SQL twins carry the same predicate). The
+    explicit exclusion is LOAD-BEARING for performance: the span ops
+    reference their exploded per-(doc, span) aggregation from two plan
+    branches, and Catalyst pushes the join side's IsNotNull into one
+    branch only — the subtrees then stop being canonically identical,
+    ReusedExchange no longer fires, and the explode (the dominant
+    cost) silently runs once PER BRANCH. With the filter applied at
+    the base, both branches match and the explode runs once
+    (plan-asserted in tests/test_plans.py; duplicate_spans measured
+    5.58 s → 3.5 s at sf1.0)."""
+    return _tokenized(df.where(F.col(id_col).isNotNull()), text_col, id_col)
 
 
 def _span_starts(width: int, stride: int) -> Column:
@@ -1728,7 +1751,7 @@ def corpus_span_stats(
     one ~1.5 KB sketch per task instead of the distinct span set. The
     approx twin is pytest-pinned within rsd of the exact answer; it has
     no SQL oracle (HLL register layouts are engine-specific)."""
-    occ = _tokenized(df, text_col, id_col).select(
+    occ = _span_tokenized(df, text_col, id_col).select(
         F.explode(_span_hashes(width, stride)).alias("__h")
     )
     distinct = (
@@ -1758,14 +1781,16 @@ def sql_corpus_span_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> str:
-    """DuckDB twin of the EXACT form of :func:`corpus_span_stats`."""
+    """DuckDB twin of the EXACT form of :func:`corpus_span_stats` —
+    same null-id exclusion as the Spark side's ``_span_tokenized``."""
     toks = sql_tokens(text_col)
     spans = (
         f"list_transform(range(1, greatest(len(t) - {width - 1}, 0) + 1, {stride}),"
         f" i -> md5(array_to_string(list_slice(t, i, i + {width - 1}), ' ')))"
     )
     return f"""
-        WITH tk AS (SELECT {toks} AS t FROM {table}),
+        WITH tk AS (SELECT {toks} AS t FROM {table}
+                    WHERE {id_col} IS NOT NULL),
         occ AS (SELECT unnest({spans}) AS h FROM tk)
         SELECT CAST(COUNT(*) AS BIGINT) AS n_spans,
                CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_spans,
@@ -1806,7 +1831,7 @@ def corpus_span_report(
     (plan-asserted in tests/test_plans.py; measured ~20% off the
     naive two-pass compose at sf1.0). The final combine is a 1-row ×
     1-row scalar crossJoin (broadcast, no data movement)."""
-    occ = _tokenized(df, text_col, id_col).select(
+    occ = _span_tokenized(df, text_col, id_col).select(
         F.col(id_col), F.explode(_span_hashes(width, stride)).alias("__h")
     )
     per = occ.groupBy(id_col, "__h").agg(
@@ -1896,13 +1921,19 @@ def remove_duplicate_spans(
     token coverage is integer-range arithmetic. The DuckDB twin is
     bit-identical.
 
-    Scale: same shuffle structure as duplicate_spans (span hashes are
-    corpus-aggregated once; ``stride`` bounds the explode), plus one
-    collect_list of removal STARTS per affected doc — bounded by
-    spans-per-doc, not corpus size. The final token filter is a per-row
-    HOF over (token index × removal ranges) — quadratic only in
-    per-document terms. Positions are 1-based on both engines."""
-    tk = _tokenized(df, text_col, id_col)
+    Scale: same shuffle structure as duplicate_spans — ONE
+    per-(doc, span) aggregation (positions collected per doc-span,
+    fine-grained keys, so a boilerplate span repeated across millions
+    of docs never makes a hot key) that BOTH downstream branches
+    (corpus canon/count and the removal join) reference, so the span
+    explode and its exchange run once and ReusedExchange serves the
+    second branch (plan-asserted; the previous occ-join-occ shape ran
+    the explode once per branch). ``stride`` bounds the explode; the
+    removal-starts list is bounded by spans-per-doc, not corpus size.
+    The final token filter is a per-row HOF over (token index ×
+    removal ranges) — quadratic only in per-document terms. Positions
+    are 1-based on both engines."""
+    tk = _span_tokenized(df, text_col, id_col)
     # (doc, start_pos, hash) occurrences; pos is 1-based token index
     occ = tk.select(
         F.col(id_col),
@@ -1912,27 +1943,45 @@ def remove_duplicate_spans(
         (F.col("__sp") * stride + 1).alias("__p"),
         "__h",
     )
+    # the shared base: one sorted position list per (doc, span)
+    per = occ.groupBy(id_col, "__h").agg(
+        F.sort_array(F.collect_list("__p")).alias("__ps")
+    )
+    # corpus canon per span: the lexicographically smallest (doc, pos)
+    # is the min over per-doc minima (ps is sorted, so ps[1] is the
+    # per-doc minimum position)
     dup_canon = (
-        occ.groupBy("__h")
+        per.groupBy("__h")
         .agg(
-            F.count("*").alias("__cnt"),
-            F.min(F.struct(F.col(id_col).alias("d"), F.col("__p").alias("p"))).alias(
-                "__canon"
-            ),
+            F.sum(F.size("__ps")).alias("__cnt"),
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("d"),
+                    F.element_at("__ps", 1).alias("p"),
+                )
+            ).alias("__canon"),
         )
         .where(F.col("__cnt") >= 2)
         .select("__h", "__canon")
     )
     removals = (
-        occ.join(dup_canon, "__h")
-        .where(
-            ~(
-                (F.col(id_col) == F.col("__canon.d"))
-                & (F.col("__p") == F.col("__canon.p"))
-            )
+        per.join(dup_canon, "__h")
+        .select(
+            id_col,
+            F.filter(
+                F.col("__ps"),
+                lambda p: ~(
+                    (F.col(id_col) == F.col("__canon.d"))
+                    & (p == F.col("__canon.p"))
+                ),
+            ).alias("__rm"),
         )
         .groupBy(id_col)
-        .agg(F.array_sort(F.collect_set("__p")).alias("__starts"))
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("__rm")))
+            ).alias("__starts")
+        )
     )
     starts_or_empty = F.coalesce(
         F.col("__starts"), F.array().cast("array<int>")
@@ -1973,7 +2022,8 @@ def sql_remove_duplicate_spans(
         f" i -> md5(array_to_string(list_slice(t, i, i + {width - 1}), ' ')))"
     )
     return f"""
-        WITH tk AS (SELECT {id_col}, {toks} AS t FROM {table}),
+        WITH tk AS (SELECT {id_col}, {toks} AS t FROM {table}
+                    WHERE {id_col} IS NOT NULL),
         sp AS (SELECT {id_col}, unnest(range(1, len({spans}) + 1)) AS i,
                       {spans} AS hs
                FROM tk),
@@ -2028,7 +2078,8 @@ def sql_duplicate_spans(
         f" i -> md5(array_to_string(list_slice(t, i, i + {width - 1}), ' ')))"
     )
     return f"""
-        WITH tk AS (SELECT {id_col}, {toks} AS t FROM {table}),
+        WITH tk AS (SELECT {id_col}, {toks} AS t FROM {table}
+                    WHERE {id_col} IS NOT NULL),
         occ AS (SELECT {id_col}, unnest({spans}) AS h FROM tk),
         per AS (SELECT {id_col}, h, CAST(COUNT(*) AS BIGINT) AS c
                 FROM occ GROUP BY {id_col}, h),

@@ -438,26 +438,34 @@ def test_span_ops_keep_token_fence(spark):
     assert "split(" not in out_proj, out_proj
 
 
-def test_corpus_span_report_reuses_the_span_exchange(spark):
-    """The consolidated report derives BOTH halves (corpus summary +
-    per-doc dup fold) from one shared per-(doc, span) aggregation, so
-    the scan → explode → partial-agg → exchange subtree must be
-    computed ONCE and reused — the single-pass shape that made the
-    report 30% cheaper than the naive two-pass compose at sf1.0
-    (SCALING.md r13). AQE finalizes reuse at runtime, so assert on the
-    executed final plan."""
+def test_span_ops_reuse_the_span_exchange(spark):
+    """Every span operator with two consumers of the exploded
+    per-(doc, span) aggregation must compute that subtree ONCE —
+    ReusedExchange serves the second branch. Two ingredients make the
+    subtrees canonically identical (SCALING.md r13: report 6.30 →
+    4.39 s, duplicate_spans 5.58 → 4.55 s, remove 4.40 → 3.98 s at
+    sf1.0): the explicit null-id predicate at the shared base
+    (_span_tokenized — otherwise Catalyst pushes the join side's
+    IsNotNull into one branch only) and both branches referencing the
+    SAME aggregation (remove_duplicate_spans' old shape re-joined raw
+    occurrences instead). AQE finalizes reuse at runtime, so assert on
+    the executed final plan."""
     from spark_indexedrdd_spark.functions import text as T
     from spark_indexedrdd_spark.sources.tables import load_table
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-    df = T.corpus_span_report(docs)
-    df.collect()
-    p = df._jdf.queryExecution().executedPlan().toString()
-    assert "isFinalPlan=true" in p
-    assert "ReusedExchange" in p, (
-        "the report's two branches stopped sharing the span-aggregation "
-        "exchange — the explode now runs per branch:\n" + p
-    )
+    for name, df in (
+        ("corpus_span_report", T.corpus_span_report(docs)),
+        ("duplicate_spans", T.duplicate_spans(docs)),
+        ("remove_duplicate_spans", T.remove_duplicate_spans(docs)),
+    ):
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p, name
+        assert "ReusedExchange" in p, (
+            f"{name}: the branches stopped sharing the span-aggregation "
+            "exchange — the explode now runs per branch:\n" + p
+        )
 
 
 def test_corpus_top_terms_no_full_vocab_single_partition_window(spark):
