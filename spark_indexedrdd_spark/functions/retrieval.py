@@ -69,6 +69,26 @@ def _sql_doc_terms(table: str, text_col: str, id_col: str) -> str:
     """
 
 
+def _df_t(tf: DataFrame) -> DataFrame:
+    """Per-term document frequency from an aggregated ``(…, term, tf)``
+    frame, phrased so BOTH consumers of ``tf`` (the scorer join and
+    this df_t aggregate) share ONE physical subtree. The obvious
+    ``COUNT(*)`` lets RemoveRedundantAggregates rewrite THIS branch's
+    copy of the shared tf aggregate into its distinct form
+    (``functions=[]``) — the subtrees stop being canonically identical,
+    ReusedExchange no longer fires, and the corpus tokenize+explode
+    silently runs once per branch. ``COUNT(CASE WHEN tf > 0 ...)``
+    references the tf column in a form the optimizer cannot reduce
+    (exactly equivalent: tf >= 1 on every row by construction), keeping
+    the branches identical — plan-asserted in tests/test_plans.py
+    (bm25_topk/tfidf: 2 scans + 2 explodes → 1)."""
+    return tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, F.lit(1)))
+        .cast("long")
+        .alias("df_t")
+    )
+
+
 def _bm25_score9(k1: float, b: float) -> Column:
     """Per-(doc, term) BM25 contribution as a fixed-point BIGINT.
 
@@ -144,7 +164,7 @@ def bm25_topk(
     tf = tok.groupBy(id_col, "dl", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
-    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
+    dft = _df_t(tf)
 
     scored = (
         tf.join(F.broadcast(dft), "term")
@@ -331,7 +351,7 @@ def bm25_rm3_topk(
     tf = tok.groupBy(id_col, "dl", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
-    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
+    dft = _df_t(tf)
     scored = (
         tf.join(F.broadcast(dft), "term")
         .join(F.broadcast(stats))
@@ -624,7 +644,7 @@ def tfidf_keywords(
     tf = tok.groupBy(id_col, "term").agg(
         F.count("*").cast("long").alias("tf")
     )
-    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
+    dft = _df_t(tf)
     n_docs = df.agg(F.count("*").cast("long").alias("n_docs"))
     idf9 = F.round(
         F.log(F.col("n_docs") / F.col("df_t")) * F.lit(_SCALE), 0
@@ -1732,6 +1752,10 @@ def _bm25_store_scored(
         return None, id_col, meta, _empty_bm25_result(
             spark, path, meta, id_col
         )
+    # plain COUNT(*) here, NOT _df_t: this tf is the pruned store SCAN
+    # (not a shared aggregate subtree), so there is no exchange to
+    # reuse — the two consumers each re-read the tiny bucket-pruned
+    # parquet, which is the store's whole point
     dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
     # rounded through Spark's ROUND (HALF_UP), not Python's round()
     # (HALF_EVEN) — in-plan bm25_topk pins avgdl with F.round, and a

@@ -454,17 +454,31 @@ def test_span_ops_reuse_the_span_exchange(spark):
     from spark_indexedrdd_spark.sources.tables import load_table
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    from spark_indexedrdd_spark.functions import retrieval as R
+
     for name, df in (
         ("corpus_span_report", T.corpus_span_report(docs)),
         ("duplicate_spans", T.duplicate_spans(docs)),
         ("remove_duplicate_spans", T.remove_duplicate_spans(docs)),
+        # the BM25 family's tf aggregate feeds both the scorer and the
+        # df_t branch — shared via _df_t's reduction-proof COUNT form
+        ("bm25_topk", R.bm25_topk(docs)),
+        ("tfidf_keywords", R.tfidf_keywords(docs)),
     ):
         df.collect()
         p = df._jdf.queryExecution().executedPlan().toString()
+        final = p.split("== Initial Plan ==")[0]
         assert "isFinalPlan=true" in p, name
-        assert "ReusedExchange" in p, (
-            f"{name}: the branches stopped sharing the span-aggregation "
+        assert "ReusedExchange" in final, (
+            f"{name}: the branches stopped sharing the shared-aggregate "
             "exchange — the explode now runs per branch:\n" + p
+        )
+        n_explodes = final.count("Generate explode") + final.count(
+            "Generate posexplode"
+        )
+        assert n_explodes <= 2, (
+            f"{name}: {n_explodes} explodes in the final plan — a "
+            "consumer stopped sharing:\n" + p
         )
 
 
