@@ -687,6 +687,47 @@ def q_similarity_ann_filtered(spark, sf_dir):
     )
 
 
+def q_ivfpq_filtered_serve(spark, sf_dir):
+    """Filtered ANN × tombstone takedown COMPOSED on the COMPRESSED
+    serving tier, under driver evidence (r13 VERDICT item 4 — the
+    filtered store serves were pytest-only): build the det IVFPQ store
+    persisting the label column (keep_cols), tombstone every
+    vec_id % 7 == 0 (pq.delete_ivfpq_ids), then serve ADC top-k with
+    the metadata predicate label % 2 = 0 pushed into the pruned codes
+    scan (prefilter semantics — ranks recut over matching survivor
+    candidates; the predicate is a parquet PushedFilter on the codes
+    read, composing with the cluster-directory pruning — asserted in
+    tests/test_filtered_compressed.py). Oracle: centroids AND
+    codebooks fit on the FULL corpus (the store pins both at build
+    time), candidate codes restricted to matching survivors only
+    (sql_ivfpq_residual_ann(exclude_pred=, filter_pred=))."""
+    import shutil
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+    path = os.path.join("spark-warehouse", "contract_ivfpq_filtered")
+    shutil.rmtree(path, ignore_errors=True)
+    _pq.write_ivfpq_store(
+        emb, path, n_clusters=16, n_probe=4, m=8, ksub=16, method="det",
+        keep_cols=("label",),
+    )
+    _pq.delete_ivfpq_ids(
+        spark,
+        path,
+        emb.where("vec_id % 7 = 0").select("vec_id"),
+        batch_tag="contract-filtered-takedown",
+    )
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.where(
+            F.col("vec_id").isin(IVF_DELETE_QIDS)
+        ).collect()
+    ]
+    return _pq.ivfpq_store_ann(
+        spark, path, queries, k=5, n_probe=4,
+        filter_pred="label % 2 = 0",
+    )
+
+
 def q_mmr_rerank(spark, sf_dir):
     """MMR diversified re-rank under driver evidence (Carbonell 1998):
     greedy maximal-marginal-relevance over the brute-cosine candidate
@@ -738,6 +779,40 @@ def q_bm25_rm3_topk(spark, sf_dir):
     same pipeline (sql_bm25_rm3_topk, pytest-pinned in
     tests/test_rm3.py)."""
     return _ret.bm25_rm3_topk(_docs(spark, sf_dir))
+
+
+def q_bm25_rm3_from_store(spark, sf_dir):
+    """RM3 served FROM the postings store under driver evidence (r13
+    VERDICT item 3 — the production shape was pytest-only since r10):
+    build the store from the even half, fold the odd half in through
+    the staged manifest-pointer append, tombstone every
+    doc_id % 5 == 0, then run the FULL RM3 pipeline against the store
+    — feedback retrieval AND the expanded re-score both read only the
+    query/expansion terms' pruned bucket directories, tombstone-aware
+    (retrieval.bm25_rm3_from_store); only the q × k_fb feedback
+    documents touch the forward text frame. Must hash-match the DuckDB
+    RM3 oracle over the SURVIVOR corpus — feedback docs, expansion
+    mass, df/stats and candidates all re-derived over NOT (%5 = 0) —
+    proving build + append + takedown + the composed two-pass RM3
+    serve are indistinguishable from in-plan RM3 on the live set."""
+    import shutil
+
+    from spark_indexedrdd_spark.functions import retrieval as _r
+
+    docs = _docs(spark, sf_dir)
+    path = os.path.join("spark-warehouse", "contract_rm3_store")
+    shutil.rmtree(path, ignore_errors=True)
+    _r.write_postings_store(docs.where("doc_id % 2 = 0"), path, n_buckets=64)
+    _r.append_postings_batch(
+        docs.where("doc_id % 2 = 1"), path, batch_tag="contract-rm3-b1"
+    )
+    _r.delete_postings_docs(
+        spark, path, docs.where("doc_id % 5 = 0").select("doc_id"),
+        batch_tag="contract-rm3-takedown",
+    )
+    return _r.bm25_rm3_from_store(
+        spark, path, docs.where("doc_id % 5 != 0")
+    )
 
 
 def q_hybrid_rrf_retrieval(spark, sf_dir):
@@ -1080,6 +1155,12 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r11 debut: RM3 query expansion (pytest-pinned since r10; now a
     # first-class contract entry like every other retrieval operator)
     "bm25_rm3_topk": q_bm25_rm3_topk,
+    # r14 debut: RM3 served FROM the postings store — feedback AND
+    # re-score from pruned buckets, build+append+takedown composed
+    "bm25_rm3_from_store": q_bm25_rm3_from_store,
+    # r14 debut: filtered ANN × takedown on the COMPRESSED tier —
+    # label predicate pushed into the pruned survivor codes scan
+    "ivfpq_filtered_serve": q_ivfpq_filtered_serve,
     # r9 (post-window, PAST_CUTOFF_NEW): per-file bloom sidecar —
     # point-lookup file skipping on a non-clustered column
     "bloom_pruned_multiget": q_bloom_pruned_multiget,
@@ -1342,16 +1423,14 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_revenue": lambda s, d: _skew.salted_revenue_by_returnflag(
         load_table(s, d, "lineitem")
     ),
-    "segment_except_all": lambda s, d: _an.segment_except_all(
-        load_table(s, d, "customer"), 1, 2
-    ),
     "windowed_event_dedup": lambda s, d: _dedup.windowed_event_dedup(
         load_table(s, d, "events")
     ),
+    # r14 consolidation: segment_intersect + segment_except_all folded
+    # into this one report entry (rotation-budget note below) — its
+    # hash pins EXCEPT + INTERSECT + EXCEPT ALL in one slot; the
+    # per-op forms keep their DuckDB twins in tests.
     "segment_set_ops": lambda s, d: _an.segment_set_ops(
-        load_table(s, d, "customer"), 1, 2
-    ),
-    "segment_intersect": lambda s, d: _an.segment_intersect(
         load_table(s, d, "customer"), 1, 2
     ),
     "percentiles_by_segment": lambda s, d: _an.percentiles_by_segment(
@@ -1528,6 +1607,20 @@ EXTENSION_ORACLE: dict[str, str] = {
     # feedback CTE = the BM25 oracle itself; expansion mass per-doc-
     # floored BIGINT sums; final interpolation all-BIGINT with // rescale
     "bm25_rm3_topk": _ret.sql_bm25_rm3_topk(),
+    # the SAME RM3 oracle over the survivor corpus only: the store's
+    # build + append + %5 takedown must be indistinguishable from
+    # in-plan RM3 on the live set (sql_bm25_topk's exclude_pred
+    # convention, threaded through the whole RM3 CTE chain)
+    "bm25_rm3_from_store": _ret.sql_bm25_rm3_topk(
+        table="(SELECT * FROM documents WHERE NOT (doc_id % 5 = 0))"
+    ),
+    # centroids+codebooks fit on the FULL corpus (store pins both);
+    # candidate codes are label-matching survivors of the %7 takedown
+    "ivfpq_filtered_serve": _pq.sql_ivfpq_residual_ann(
+        query_ids=IVF_DELETE_QIDS,
+        exclude_pred="vec_id % 7 = 0",
+        filter_pred="label % 2 = 0",
+    ),
     # corpus never contained the dead docs; new batch unchanged
     "dedup_takedown_lsh": _dedup.sql_incremental_lsh_candidates(
         "doc_id % 20 = 0", exclude_pred="doc_id % 20 != 0 AND doc_id % 7 = 0"
@@ -1628,10 +1721,10 @@ EXTENSION_ORACLE: dict[str, str] = {
     "grouping_sets_doc_stats": _an.SQL_GROUPING_SETS_DOC_STATS,
     "revenue_month_over_month": _an.SQL_REVENUE_MONTH_OVER_MONTH,
     "skew_salted_revenue": _skew.SQL_SALTED_REVENUE_BY_RETURNFLAG,
-    "segment_except_all": _an.sql_segment_except_all(1, 2),
     "windowed_event_dedup": _dedup.sql_windowed_event_dedup(),
+    # consolidated report: the three branch subqueries are the per-op
+    # twins verbatim, UNION ALL'd under a branch tag
     "segment_set_ops": _an.sql_segment_set_ops(1, 2),
-    "segment_intersect": _an.sql_segment_intersect(1, 2),
     "percentiles_by_segment": _an.SQL_PERCENTILES_BY_SEGMENT,
     "asof_join": _an.SQL_ASOF_JOIN_EVENTS,
     "sessionize": _an.sql_sessionize(),
@@ -2296,10 +2389,102 @@ _FILL_R13 = (
 # ROWS_ONLY ≈ 46 stale names, leaving ~4 spare slots — before ANY r14
 # addition beyond those, consolidate first (standing candidate:
 # segment_set_ops ⊃ segment_intersect / segment_except_all).
+# r14 executed exactly that: the fold landed first (segment_intersect
+# + segment_except_all folded into the consolidated segment_set_ops
+# report — one entry whose (set_op, c_mktsegment, n) hash pins EXCEPT,
+# INTERSECT and EXCEPT ALL; the per-op forms keep their DuckDB twins
+# and a report≡per-op-union parity pin in
+# tests/test_analytics_streaming.py), n 148 → 146, then the two
+# reclaimed slots funded the r14 debuts (bm25_rm3_from_store,
+# ivfpq_filtered_serve), n → 148. The r14 window = the 46
+# tripwire-named stale queries (last green r11) + 2 debuts + 2
+# impl-touched fill (the reshaped segment_set_ops; corpus_span_stats,
+# whose oracle SQL gained the empty-corpus COALESCE) = 50. The r15
+# batch is contract minus (r14 window ∪ CORRECTNESS_r13) minus
+# ROWS_ONLY ≈ 46 stale names again — the same ~4 spare slots; same
+# rule: consolidate before growing.
 # --------------------------------------------------------------------- #
 
+# The 46 queries the staleness tripwire named verbatim after
+# CORRECTNESS_r13 landed (last hash-green r11; asserted
+# verbatim-complete by tests/test_driver_sim.py::TRIPWIRE_R14 so a
+# partial rotation cannot pass locally). Tripwire emission order:
+# text-analysis stragglers, the r10 store wave (time-travel/CDC/
+# zonemap-snapshot/IVFPQ-takedown/hybrid/filtered-ANN/MMR/RM3), the
+# ANN fast tiers, the TPC-H Q3/Q5/Q7/Q10/Q14 shapes + analytics, then
+# the ENTIRE core §2 operator family.
+HORIZON_STALE_R14 = (
+    "text_stats",
+    "corpus_top_terms",
+    "dedup_takedown_lsh",
+    "bm25_store_time_travel",
+    "postings_store_changes",
+    "zonemap_snapshot_scan",
+    "ivfpq_takedown_serve",
+    "hybrid_rrf_retrieval",
+    "similarity_ann_filtered",
+    "mmr_rerank",
+    "mmr_filtered_serve",
+    "bm25_rm3_topk",
+    "stratified_split",
+    "similarity_topk_fast",
+    "similarity_ann_lsh",
+    "volume_shipping_q7",
+    "returned_items_q10",
+    "promo_revenue_q14",
+    "bloom_pruned_join",
+    "pack_documents",
+    "skew_salted_revenue",
+    "sessionize",
+    "shipping_priority",
+    "local_supplier_volume",
+    "cube_doc_counts",
+    "json_prop_stats",
+    "pivot_lang_source",
+    "sliding_window",
+    "binary_meta",
+    "quality_classifier",
+    "short_key_ops",
+    "char_key_ops",
+    "build_scan",
+    "multiget",
+    "multiput_merge",
+    "delete",
+    "filter_mapvalues",
+    "diff",
+    "inner_join",
+    "left_join",
+    "full_outer_join",
+    "join_update",
+    "aggregate_using_index",
+    "create_using_index",
+    "composite_key_scan",
+    "composite_key_join",
+)
+
+# Round-14 debuts (no obliged hatch entries — PAST_CUTOFF_NEW was
+# empty after r13): the two serve paths the r13 VERDICT named as the
+# last pytest-only gaps, both debuting WITH driver evidence using the
+# slots the segment-set-op fold reclaimed. bm25_rm3_from_store is the
+# production RM3 shape (feedback AND re-score from pruned postings
+# buckets, build+append+takedown composed); ivfpq_filtered_serve is
+# filtered ANN × tombstones on the COMPRESSED tier.
+DEBUTS_R14 = ("bm25_rm3_from_store", "ivfpq_filtered_serve")
+
+# Remaining 2 slots: implementation-touched entries (the _FILL_R10
+# convention — driver evidence should cover the NEW shape). The r14
+# consolidation reshapes segment_set_ops into the three-branch set-op
+# report (EXCEPT + INTERSECT + EXCEPT ALL under one hash), and the
+# corpus_span_stats entry's oracle SQL changed this round (the fold
+# CTE's empty-corpus COALESCE, r13 ADVICE) — both were green r13 but
+# the shapes the driver checked then are not the shapes shipping now.
+_FILL_R14 = (
+    "segment_set_ops",
+    "corpus_span_stats",
+)
+
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}
-_WINDOW = HORIZON_STALE_R13 + DEBUTS_R13 + _FILL_R13
+_WINDOW = HORIZON_STALE_R14 + DEBUTS_R14 + _FILL_R14
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{k: _ALL.get(k, CORE_QUERIES.get(k)) for k in _WINDOW},

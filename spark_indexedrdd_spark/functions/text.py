@@ -1893,9 +1893,14 @@ def sql_corpus_span_report(
         WITH stats AS ({stats}),
         per_doc AS ({per_doc}),
         fold AS (
-            SELECT CAST(SUM(n_dup_spans) AS BIGINT) AS n_dup_spans,
-                   CAST(SUM(CASE WHEN n_dup_spans > 0 THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_docs_with_dups
+            -- COALESCE to match the Spark side's F.coalesce(..., 0):
+            -- on an EMPTY corpus the fold aggregates are NULL in SQL
+            -- but 0 in corpus_span_report (r13 ADVICE)
+            SELECT CAST(COALESCE(SUM(n_dup_spans), 0) AS BIGINT)
+                       AS n_dup_spans,
+                   CAST(COALESCE(
+                        SUM(CASE WHEN n_dup_spans > 0 THEN 1 ELSE 0 END),
+                        0) AS BIGINT) AS n_docs_with_dups
             FROM per_doc
         )
         SELECT stats.*, fold.* FROM stats CROSS JOIN fold

@@ -110,6 +110,19 @@ CASES = [
         lambda t: AN.segment_except_all(t["customer"], 1, 2),
         lambda: AN.sql_segment_except_all(1, 2),
     ),
+    # the r14 fold's per-op forms: folded out of the driver contract
+    # (segment_set_ops now pins all three in one slot) but each keeps
+    # its own DuckDB twin here
+    (
+        "segment_except",
+        lambda t: AN.segment_except(t["customer"], 1, 2),
+        lambda: AN.sql_segment_except(1, 2),
+    ),
+    (
+        "segment_intersect",
+        lambda t: AN.segment_intersect(t["customer"], 1, 2),
+        lambda: AN.sql_segment_intersect(1, 2),
+    ),
     (
         "binary_meta",
         lambda t: MM.binary_meta(MM.attach_binary(t["documents"])),
@@ -122,6 +135,29 @@ CASES = [
 def test_oracle_parity(name, build, sql, tables, con):
     report = compare(build(tables), sql(), con)
     assert report["ok"], report
+
+
+def test_segment_set_ops_report_equals_per_op_union(tables):
+    """The r14 fold must be pure consolidation: the consolidated
+    report's three branches equal the standalone per-op results
+    row-for-row (the similarity_topk fold's parity-pin precedent),
+    so the one driver hash really pins all three pipelines."""
+    cust = tables["customer"]
+    report = {}
+    for r in AN.segment_set_ops(cust, 1, 2).collect():
+        report.setdefault(r.set_op, {})[r.c_mktsegment] = r.n
+    ex = {r.c_mktsegment: 1 for r in AN.segment_except(cust, 1, 2).collect()}
+    it = {
+        r.c_mktsegment: 1 for r in AN.segment_intersect(cust, 1, 2).collect()
+    }
+    xa = {
+        r.c_mktsegment: r.surplus
+        for r in AN.segment_except_all(cust, 1, 2).collect()
+    }
+    assert report.get("except", {}) == ex
+    assert report.get("intersect", {}) == it
+    assert report.get("except_all", {}) == xa
+    assert set(report) <= {"except", "intersect", "except_all"}
 
 
 def test_pricing_summary_fast_matches_exact_approximately(tables):

@@ -376,6 +376,61 @@ TRIPWIRE_R13 = (
 # the r13 rotation to front-queue alongside the stale batch.
 OBLIGED_DEBUTS_R13 = ("hybrid_pinned_serve",)
 
+# The exact stale list the staleness tripwire emitted after
+# CORRECTNESS_r13 landed (last hash-green r11). Pinned verbatim so a
+# PARTIAL round-14 rotation cannot pass locally: every name must be in
+# the declared window — or, once the round-14 record exists, covered
+# by it (after which the dynamic tripwire above owns staleness again).
+# segment_intersect and segment_except_all were CONSOLIDATED into the
+# segment_set_ops report entry this round (r13 VERDICT item 2): the
+# merged entry's hash pins all three set-op pipelines, so the
+# consolidated name stands in for them below.
+TRIPWIRE_R14 = (
+    "text_stats", "corpus_top_terms", "dedup_takedown_lsh",
+    "bm25_store_time_travel", "postings_store_changes",
+    "zonemap_snapshot_scan", "ivfpq_takedown_serve",
+    "hybrid_rrf_retrieval", "similarity_ann_filtered", "mmr_rerank",
+    "mmr_filtered_serve", "bm25_rm3_topk", "stratified_split",
+    "similarity_topk_fast", "similarity_ann_lsh", "volume_shipping_q7",
+    "returned_items_q10", "promo_revenue_q14", "bloom_pruned_join",
+    "pack_documents", "skew_salted_revenue", "sessionize",
+    "shipping_priority", "local_supplier_volume", "cube_doc_counts",
+    "json_prop_stats", "pivot_lang_source", "sliding_window",
+    "binary_meta", "quality_classifier", "short_key_ops",
+    "char_key_ops", "build_scan", "multiget", "multiput_merge",
+    "delete", "filter_mapvalues", "diff", "inner_join", "left_join",
+    "full_outer_join", "join_update", "aggregate_using_index",
+    "create_using_index", "composite_key_scan", "composite_key_join",
+)
+
+
+def test_r14_window_front_queues_every_tripwire_name():
+    import json
+
+    import __spark_entry__ as E
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    qs = set(E.queries())
+    # the r14 consolidation must be real: the folded names gone from
+    # the contract, the consolidated report entry still present (its
+    # parity pins live in tests/test_analytics_streaming.py — per-op
+    # DuckDB twins + the report≡per-op-union pin)
+    for folded in ("segment_intersect", "segment_except_all"):
+        assert folded not in qs, (
+            f"{folded} was consolidated into the segment_set_ops report "
+            "entry — re-adding it must revisit the rotation budget note"
+        )
+    assert "segment_set_ops" in qs
+    # the fold's reclaimed slots funded the r14 debuts, in-window
+    for debut in ("bm25_rm3_from_store", "ivfpq_filtered_serve"):
+        assert debut in qs
+    covered = set(list(E.queries().keys())[:50])
+    rec = os.path.join(repo, "CORRECTNESS_r14.json")
+    if os.path.exists(rec):
+        covered |= set(json.load(open(rec)))
+    missing = [q for q in TRIPWIRE_R14 if q not in covered]
+    assert not missing, f"r14 rotation is partial — not windowed: {missing}"
+
 
 def test_r13_window_front_queues_every_tripwire_name():
     import json

@@ -683,6 +683,31 @@ def test_corpus_span_report_folds_duplicate_spans(spark, sf_dir):
     assert rep.n_spans == fold.ns
 
 
+def test_corpus_span_report_twin_matches_on_empty_corpus(spark, sf_dir):
+    """r13 ADVICE: the twin's fold CTE used to yield NULL (not 0) for
+    n_dup_spans / n_docs_with_dups on an EMPTY corpus while the Spark
+    side coalesces both to 0 — a hash-check over an empty table would
+    mismatch. Both sides must now agree bit-for-bit on empty input."""
+    import os
+
+    import duckdb
+
+    from spark_indexedrdd_spark.functions.text import (
+        corpus_span_report,
+        sql_corpus_span_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(0)
+    con = duckdb.connect()
+    path = os.path.join(sf_dir, "documents.parquet")
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{path}' WHERE 1 = 0"
+    )
+    report = compare(corpus_span_report(docs), sql_corpus_span_report(), con)
+    con.close()
+    assert report["ok"], report
+
+
 def test_compact_store_preserves_rows_and_shrinks_files(spark, tmp_path):
     """Compaction after many appends: identical row set, far fewer
     files, and the store path stays valid for the incremental reader."""
