@@ -454,6 +454,8 @@ def test_span_ops_reuse_the_span_exchange(spark):
     from spark_indexedrdd_spark.sources.tables import load_table
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    from spark_indexedrdd_spark.functions import hybrid as H
     from spark_indexedrdd_spark.functions import retrieval as R
 
     for name, df in (
@@ -464,6 +466,9 @@ def test_span_ops_reuse_the_span_exchange(spark):
         # df_t branch — shared via _df_t's reduction-proof COUNT form
         ("bm25_topk", R.bm25_topk(docs)),
         ("tfidf_keywords", R.tfidf_keywords(docs)),
+        # r14 audit: the hybrid fusion's lexical branch IS bm25_topk —
+        # the reuse must survive the extra fusion join/agg on top
+        ("hybrid_rrf", H.hybrid_rrf(docs, emb)),
     ):
         df.collect()
         p = df._jdf.queryExecution().executedPlan().toString()
@@ -480,6 +485,29 @@ def test_span_ops_reuse_the_span_exchange(spark):
             f"{name}: {n_explodes} explodes in the final plan — a "
             "consumer stopped sharing:\n" + p
         )
+
+
+def test_dedup_pipeline_tokenizes_once_behind_the_checkpoint(spark):
+    """r14 audit (r13 VERDICT item 6): dedup_pipeline's exact pass and
+    verdict join both consume the fingerprint frame, which is
+    eager-localCheckpoint'd precisely so the full-corpus tokenize runs
+    ONCE. If that checkpoint is ever removed, Catalyst inlines the
+    md5(concat_ws(split(...))) computation into BOTH the group-table
+    and doc→rep branches and tokenization reappears in the final plan
+    — so the fence is: zero split() calls downstream of the
+    checkpointed leaves (the near-pass tokenizes only the
+    representatives subset, inside its own checkpointed CC stages)."""
+    from spark_indexedrdd_spark.functions import dedup as DD
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = DD.dedup_pipeline(docs)
+    out.collect()
+    p = out._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]
+    assert "split(" not in final, (
+        "tokenization leaked past the fingerprint checkpoint — the "
+        "exact-pass branches re-tokenize the corpus per consumer:\n" + p
+    )
 
 
 def test_corpus_top_terms_no_full_vocab_single_partition_window(spark):
