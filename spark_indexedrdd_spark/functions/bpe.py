@@ -338,7 +338,14 @@ class StreamingBpeEncoder:
     (the same idempotent-foreachBatch discipline as
     classifier.StreamingClassifierGate, and the same model-version
     caveat: replay after a store rebuild re-encodes under the NEW
-    tokenizer — detectable because every row carries merges_id)."""
+    tokenizer — detectable because every row carries merges_id).
+
+    Maintenance note (r14): no LedgerVacuumCadence here — this writer
+    only READS the merges store (written once by training, static
+    thereafter) and emits per-batch output directories; there is no
+    growing per-commit ledger on either side to vacuum. Output
+    retention is the downstream consumer's policy (the batch_id
+    layout makes range deletes trivial)."""
 
     def __init__(self, store_path: str, out_path: str,
                  text_col: str = "text", id_col: str = "doc_id") -> None:

@@ -867,6 +867,9 @@ class StreamingBinaryStore:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         optimize_every: "int | None" = None,
+        vacuum_every: "int | None" = None,
+        keep_versions: int = 8,
+        pin_tag_dir: "str | None" = None,
     ):
         import os
 
@@ -875,6 +878,22 @@ class StreamingBinaryStore:
         self.id_col = id_col
         self.vec_col = vec_col
         self.optimize_every = optimize_every
+        # vacuum_every (r14): the shared self-maintenance cadence every
+        # ledger-backed streaming writer rides
+        # (snapshots.LedgerVacuumCadence — full-interval re-arm, pin
+        # routing, threshold refusal), completing the binary tier's
+        # postings/IVF parity: bounded data files (optimize_every) AND
+        # bounded ledger + retention (vacuum_every), pin-safe.
+        if vacuum_every is not None:
+            from spark_indexedrdd_spark.functions.snapshots import (
+                LedgerVacuumCadence,
+            )
+
+            self._vacuum = LedgerVacuumCadence(
+                path, vacuum_every, keep_versions, pin_tag_dir
+            )
+        else:
+            self._vacuum = None
         self._initialized = os.path.exists(
             os.path.join(path, "meta.json")
         )
@@ -905,6 +924,8 @@ class StreamingBinaryStore:
                 optimize_binary_store(
                     batch_df.sparkSession, self.path, self.id_col
                 )
+        if self._vacuum is not None:
+            self._vacuum.maybe_vacuum()
 
     def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
         return (

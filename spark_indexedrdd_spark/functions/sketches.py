@@ -80,7 +80,16 @@ def append_sketch_batch(
     """Fold an ingest batch in: aggregate the BATCH to sketch rows and
     append. No read of existing store data — merging is deferred to
     read time, so appends from concurrent batches never conflict
-    (parquet append of disjoint files)."""
+    (parquet append of disjoint files).
+
+    Maintenance note (r14): the LedgerVacuumCadence the
+    postings/IVF/zonemap/bloom/binary writers ride does NOT apply here
+    — this store mints no per-commit versions (no ``_versions/``
+    ledger, no as-of surface to retain), and its on-disk state is
+    |groups| KB-sized sketch rows per batch, mergeable at read time.
+    The growth dimension is batch-file count, bounded by re-sketching
+    (read_summary the store, write_sketch_store the merged rows to a
+    fresh path) during any scheduled maintenance window."""
     _batch_sketches(df, group_cols, distinct_col, quantile_col).write.mode(
         "append"
     ).parquet(path)
@@ -379,7 +388,9 @@ class StreamingTopkStore:
     appends its top-m item/meta rows (same no-read/no-merge append
     contract as StreamingSketchStore; replays tolerated statistically —
     for strict idempotency mirror the monitor's batch_id-keyed
-    overwrite)."""
+    overwrite). Like the sketch store, it mints no per-commit versions,
+    so the ledger-backed writers' LedgerVacuumCadence does not apply
+    (see append_sketch_batch's maintenance note)."""
 
     def __init__(self, path: str, group_cols: "list[str]", item_col: str, m: int = 100):
         import os

@@ -195,6 +195,9 @@ class StreamingBloomIngest:
         m: int = 8192,
         k: int = 4,
         optimize_every: int | None = None,
+        vacuum_every: int | None = None,
+        keep_versions: int = 8,
+        pin_tag_dir: str | None = None,
     ):
         self.path = path
         self.key_col = key_col
@@ -204,6 +207,20 @@ class StreamingBloomIngest:
         # the postings cadence: fold the manifest list with the
         # snapshot-preserving re-merge once it reaches N entries
         self.optimize_every = optimize_every
+        # vacuum_every (r14): the shared self-maintenance cadence
+        # (snapshots.LedgerVacuumCadence — full-interval re-arm, pin
+        # routing, threshold refusal). Bloom is a flat sidecar store,
+        # so the data GC needs the batch's session.
+        if vacuum_every is not None:
+            from spark_indexedrdd_spark.functions.snapshots import (
+                LedgerVacuumCadence,
+            )
+
+            self._vacuum = LedgerVacuumCadence(
+                path, vacuum_every, keep_versions, pin_tag_dir
+            )
+        else:
+            self._vacuum = None
         self._initialized = os.path.exists(os.path.join(path, "meta.json"))
 
     def foreach_batch(self, batch_df, batch_id: int) -> None:
@@ -220,18 +237,23 @@ class StreamingBloomIngest:
                 applied_tags=(str(batch_id),),
             )
             self._initialized = True
-            return
-        append_bloom_batch(
-            batch_df, self.path, batch_tag=str(batch_id), n_files=self.n_files
-        )
-        if self.optimize_every:
-            from spark_indexedrdd_spark.functions import store_commit as _SC
-
-            n = len(_SC.read_meta(self.path).get("manifests") or [])
-            if n >= int(self.optimize_every):
-                optimize_bloom_store(
-                    batch_df.sparkSession, self.path, self.n_files
+        else:
+            append_bloom_batch(
+                batch_df, self.path, batch_tag=str(batch_id),
+                n_files=self.n_files,
+            )
+            if self.optimize_every:
+                from spark_indexedrdd_spark.functions import (
+                    store_commit as _SC,
                 )
+
+                n = len(_SC.read_meta(self.path).get("manifests") or [])
+                if n >= int(self.optimize_every):
+                    optimize_bloom_store(
+                        batch_df.sparkSession, self.path, self.n_files
+                    )
+        if self._vacuum is not None:
+            self._vacuum.maybe_vacuum(spark=batch_df.sparkSession)
 
     def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
         """Start a streaming query feeding this ingest (postings-twin
