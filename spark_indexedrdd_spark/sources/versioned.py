@@ -49,14 +49,46 @@ from spark_indexedrdd_spark.core import (
 _MERGES = {"overwrite": OVERWRITE, "sum": SUM_MERGE}
 
 
-def _batch_tag_id(tag: "str | None") -> "int | None":
-    """The micro-batch id of a stream_ingest commit tag ('batch-<id>'),
-    or None for operator-issued tags — the discriminator behind the
-    O(1) pruned-batch replay watermark."""
+def _batch_tag_parts(tag: "str | None") -> "tuple[str, int] | None":
+    """(namespace, micro-batch id) of a stream_ingest commit tag, or
+    None for operator-issued tags — the discriminator behind the O(1)
+    pruned-batch replay watermark. Two forms:
+
+    - ``batch-<id>`` — legacy un-namespaced (pre-r14 ingests),
+      namespace "".
+    - ``batch-<ns>-<id>`` — namespaced by the Structured Streaming
+      CHECKPOINT's query id (r14, r13 ADVICE): batch ids are monotonic
+      only PER CHECKPOINT, so a fresh checkpoint (ids reset to 0)
+      against a store whose watermark already covers those ids would
+      silently no-op genuinely new data. A fresh checkpoint gets a
+      fresh namespace — and a fresh watermark — instead.
+    """
     if tag is None or not tag.startswith("batch-"):
         return None
     suffix = tag[6:]
-    return int(suffix) if suffix.isdigit() else None
+    if suffix.isdigit():
+        return ("", int(suffix))
+    ns, sep, bid = suffix.rpartition("-")
+    if sep and ns and bid.isdigit():
+        return (ns, int(bid))
+    return None
+
+
+def _batch_tag_id(tag: "str | None") -> "int | None":
+    parts = _batch_tag_parts(tag)
+    return None if parts is None else parts[1]
+
+
+def _load_watermarks(m: dict) -> "dict[str, dict]":
+    """The per-namespace pruned-batch watermark map, normalizing the
+    legacy single-watermark form ({"max_id": ..., "v": ...}, minted by
+    pre-r14 vacuums over un-namespaced tags) to namespace ""."""
+    wm = m.get("pruned_batch_watermark")
+    if wm is None:
+        return {}
+    if "max_id" in wm:  # legacy single-namespace form
+        return {"": wm}
+    return dict(wm)
 
 
 class VersionedKVStore:
@@ -143,16 +175,22 @@ class VersionedKVStore:
         # double count) — r12 review finding
         if tag in m.get("pruned_tags", {}):
             return int(m["pruned_tags"][tag])
-        # stream_ingest's monotonic 'batch-<id>' tags fold into ONE
-        # watermark instead of an O(pruned-commits) map (r12 ADVICE:
-        # a year of micro-batches must not leave a ~10^5-entry map
-        # parsed on every manifest read). Structured Streaming batch
-        # ids are monotonic per checkpoint, so any id at/below the
-        # watermark was applied — redelivery is a no-op.
-        wm = m.get("pruned_batch_watermark")
-        if wm is not None:
-            bid = _batch_tag_id(tag)
-            if bid is not None and bid <= int(wm["max_id"]):
+        # stream_ingest's monotonic batch tags fold into ONE watermark
+        # PER CHECKPOINT NAMESPACE instead of an O(pruned-commits) map
+        # (r12 ADVICE: a year of micro-batches must not leave a
+        # ~10^5-entry map parsed on every manifest read). Structured
+        # Streaming batch ids are monotonic per checkpoint — that is
+        # exactly the namespace — so any id at/below ITS OWN
+        # checkpoint's watermark was applied and redelivery is a
+        # no-op, while a fresh checkpoint's ids start in a fresh
+        # namespace and never collide (r13 ADVICE). The returned
+        # version is the watermark's (per-id versions are what the
+        # O(1) summary sheds); callers needing the exact replay
+        # version must not prune the manifest.
+        parts = _batch_tag_parts(tag)
+        if parts is not None:
+            wm = _load_watermarks(m).get(parts[0])
+            if wm is not None and parts[1] <= int(wm["max_id"]):
                 return int(wm["v"])
         return None
 
@@ -310,15 +348,57 @@ class VersionedKVStore:
         **trigger_kwargs,
     ):
         """Attach a Structured Streaming query whose every micro-batch
-        becomes one COMMITTED version (tag = batch id, so at-least-once
-        replays are no-ops), compacting every ``compact_every`` commits
-        to bound the read-time fold chain — the persisted twin of
-        streaming.kv_sink.StreamingKVStore."""
+        becomes one COMMITTED version (tag = checkpoint-namespaced
+        batch id, so at-least-once replays are no-ops), compacting
+        every ``compact_every`` commits to bound the read-time fold
+        chain — the persisted twin of streaming.kv_sink.StreamingKVStore.
+
+        Replay tags are namespaced by the CHECKPOINT's query id (read
+        from the ``metadata`` file Spark writes at query start): batch
+        ids are monotonic only per checkpoint, and the vacuum-pruned
+        replay ledger compacts them into a per-namespace watermark —
+        so a stream restarted against the same store with a FRESH
+        checkpoint (ids reset to 0) lands in a fresh namespace instead
+        of silently no-oping below another run's watermark (r13
+        ADVICE). Restriction that remains: ingest history committed
+        with PRE-NAMESPACE tags ('batch-<id>') compacts into the ""
+        namespace, whose watermark the legacy replay check below still
+        consults — a fresh checkpoint over such a store must start
+        past that legacy watermark (or the store must be vacuumed on a
+        pinned manifest before the old entries prune)."""
+
+        def _ns() -> str:
+            # Spark writes <ckpt>/metadata = {"id": "<query-uuid>"} at
+            # query start, stable across restarts of the SAME
+            # checkpoint, fresh for a new one — exactly the batch-id
+            # monotonicity domain. Fall back to legacy un-namespaced
+            # tags if the file is unreadable (e.g. a non-local
+            # checkpoint store this code cannot open directly).
+            try:
+                import json as _json
+
+                with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+                    return _json.load(fh)["id"].replace("-", "")[:12]
+            except Exception:
+                return ""
+
+        ns_cache: "list[str | None]" = [None]
 
         def _fb(batch_df, batch_id: int) -> None:
             if not batch_df.take(1):
                 return
-            self.commit_puts(batch_df, merge=merge, tag=f"batch-{batch_id}")
+            if ns_cache[0] is None:
+                ns_cache[0] = _ns()
+            ns = ns_cache[0]
+            tag = f"batch-{ns}-{batch_id}" if ns else f"batch-{batch_id}"
+            if ns and self._tagged(
+                self._manifest(), f"batch-{batch_id}"
+            ) is not None:
+                # legacy replay guard: a pre-namespace run already
+                # committed this batch id un-namespaced — redelivery
+                # across the upgrade must stay a no-op
+                return
+            self.commit_puts(batch_df, merge=merge, tag=tag)
             n_deltas = sum(
                 1 for e in self._manifest()["versions"] if e["kind"] != "snapshot"
             )
@@ -391,39 +471,39 @@ class VersionedKVStore:
                 # commit stays a no-op (stream_ingest's exactly-once
                 # contract; tags are ~bytes per commit, the entries'
                 # kind/merge payloads are what pruning sheds)
-                # stream_ingest's monotonic 'batch-<id>' tags compact
-                # into a single watermark (max pruned id + its version)
-                # so the replay ledger is O(1) for streaming ingest, not
-                # O(pruned-commits); operator-issued tags (bounded by
-                # human cadence, not micro-batch cadence) keep the exact
-                # {tag: v} map. Pre-watermark batch entries already in
-                # pruned_tags are swept into the watermark here too, so
-                # an existing store's map shrinks on its next vacuum.
+                # stream_ingest's monotonic batch tags compact into one
+                # watermark (max pruned id + its version) PER CHECKPOINT
+                # NAMESPACE, so the replay ledger is O(checkpoints) for
+                # streaming ingest — one entry per stream ever attached,
+                # human cadence — not O(pruned-commits); operator-issued
+                # tags keep the exact {tag: v} map. Pre-watermark batch
+                # entries already in pruned_tags are swept into their
+                # namespace's watermark here too, so an existing store's
+                # map shrinks on its next vacuum; a legacy single-form
+                # watermark migrates to namespace "" (_load_watermarks).
                 kept_tags = dict(m.get("pruned_tags", {}))
                 kept_tags.update(
                     {e["tag"]: e["v"] for e in pruned if "tag" in e}
                 )
-                wm = m.get("pruned_batch_watermark")
+                wms = _load_watermarks(m)
                 batch_tags = {
                     t: v
                     for t, v in kept_tags.items()
-                    if _batch_tag_id(t) is not None
+                    if _batch_tag_parts(t) is not None
                 }
+                for t, v in batch_tags.items():
+                    ns, bid = _batch_tag_parts(t)
+                    wm = wms.get(ns)
+                    if wm is None or bid > int(wm["max_id"]):
+                        wms[ns] = {"max_id": bid, "v": int(v)}
                 if batch_tags:
-                    top_tag = max(batch_tags, key=lambda t: _batch_tag_id(t))
-                    cand = {
-                        "max_id": _batch_tag_id(top_tag),
-                        "v": int(batch_tags[top_tag]),
-                    }
-                    if wm is None or cand["max_id"] > int(wm["max_id"]):
-                        wm = cand
                     kept_tags = {
                         t: v
                         for t, v in kept_tags.items()
                         if t not in batch_tags
                     }
-                if wm is not None:
-                    m["pruned_batch_watermark"] = wm
+                if wms:
+                    m["pruned_batch_watermark"] = wms
                 if kept_tags or "pruned_tags" in m:
                     m["pruned_tags"] = kept_tags
                 m["versions"] = [e for e in entries if e["v"] >= floor]

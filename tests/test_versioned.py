@@ -2,6 +2,9 @@
 isolation across commits, fold == live-operator equivalence, compaction
 transparency, and cross-"session" reopen."""
 
+import json
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -203,6 +206,76 @@ def test_stream_ingest_matches_batch_fold(spark, tmp_path):
     assert _as_dict(store.read()) == want
 
 
+def test_fresh_checkpoint_never_drops_below_another_runs_watermark(
+    spark, tmp_path
+):
+    """r13 ADVICE: batch ids are monotonic only PER CHECKPOINT, but the
+    pruned-batch replay watermark used to be global — a stream
+    restarted against the same store with a FRESH checkpoint (ids
+    reset to 0) silently no-oped all ids at/below another run's
+    watermark. stream_ingest now namespaces replay tags by the
+    checkpoint's query id, and the vacuum compacts one watermark per
+    namespace, so run B's batch 0 lands even after run A's batch 0..N
+    were committed, compacted AND pruned."""
+    import tempfile
+
+    base = spark.createDataFrame(
+        [(i, 0.0) for i in range(10)], "k long, v double"
+    )
+    idf = IndexedDataFrame.from_unique(base, "k", num_partitions=2, cache=False)
+    store = VersionedKVStore.init(idf, str(tmp_path / "vfresh"))
+
+    def run(src_rows, src_dir, ckpt):
+        src = str(tmp_path / src_dir)
+        for i, batch in enumerate(src_rows):
+            spark.createDataFrame(batch, "k long, v double").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("k long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = store.stream_ingest(
+            stream, ckpt, merge="sum", compact_every=2, availableNow=True
+        )
+        q.awaitTermination(120)
+
+    # run A: 3 micro-batches through checkpoint A, then prune its
+    # replay entries into the watermark
+    run(
+        [[(1, 1.0)], [(2, 2.0)], [(3, 3.0)]],
+        "srcA", tempfile.mkdtemp(prefix="vkv_ckptA_"),
+    )
+    store.compact()
+    store.vacuum(keep_versions=1, prune_manifest=True)
+    m = json.load(open(os.path.join(store.path, "manifest.json")))
+    wms = m["pruned_batch_watermark"]
+    assert wms and all("max_id" in w for w in wms.values())
+    assert "" not in wms, "stream_ingest tags should be namespaced now"
+    pre = _as_dict(store.read())
+    assert (pre[1], pre[2], pre[3]) == (1.0, 2.0, 3.0)
+    # run B: a FRESH checkpoint, ids restart at 0 — every batch must
+    # LAND (the old global watermark silently dropped all of these)
+    run(
+        [[(1, 10.0)], [(2, 20.0)]],
+        "srcB", tempfile.mkdtemp(prefix="vkv_ckptB_"),
+    )
+    got = _as_dict(store.read())
+    assert (got[1], got[2], got[3]) == (11.0, 22.0, 3.0), (
+        "fresh-checkpoint batches were swallowed by another run's "
+        "replay watermark"
+    )
+    # and run A's pruned ids still replay as no-ops in THEIR namespace
+    ns = next(iter(wms))
+    v_replay = store.commit_puts(
+        spark.createDataFrame([(1, 99.0)], "k long, v double"),
+        merge="sum", tag=f"batch-{ns}-0",
+    )
+    assert v_replay == int(wms[ns]["v"])
+    assert _as_dict(store.read()) == got
+
+
 def test_unknown_version_and_merge_rejected(store, spark):
     with pytest.raises(ValueError):
         store.read(99)
@@ -342,7 +415,9 @@ def test_pruned_replay_ledger_is_bounded(store, spark):
     # the replay ledger is O(1) for streaming: one watermark, and the
     # exact map holds only the operator tag — NOT one entry per batch
     assert set(m.get("pruned_tags", {})) == {"initial-load"}
-    wm = m["pruned_batch_watermark"]
+    # r14: the watermark is a per-checkpoint-namespace map; legacy
+    # un-namespaced 'batch-<id>' tags land in namespace ""
+    wm = m["pruned_batch_watermark"][""]
     pruned_ids = [i for i in batch_vs if batch_vs[i] < m["vacuum_floor"]]
     assert int(wm["max_id"]) == max(pruned_ids)
     # every pruned batch id replays as a no-op through the watermark
