@@ -608,6 +608,41 @@ def run_suite(spark, only: frozenset | None = None) -> dict[str, float]:
         )
         force(_m.mmr_over_candidates(pool, emb, k=5))
 
+    # r14: filtered ANN on the COMPRESSED tier, same build/serve split —
+    # the serve line prices the label predicate's PushedFilter on the
+    # pruned codes scan (never a decode or metadata join)
+    @timed("ivfpq_filtered_store_write_once")
+    def _ivfpqfilt_w():
+        import shutil
+
+        from spark_indexedrdd_spark.functions import pq as _pq
+
+        shutil.rmtree(
+            "spark-warehouse/bench_ivfpq_filtered", ignore_errors=True
+        )
+        _pq.write_ivfpq_store(
+            emb.select("vec_id", "embedding", "label"),
+            "spark-warehouse/bench_ivfpq_filtered",
+            method="det",
+            keep_cols=("label",),
+        )
+
+    @timed("ivfpq_filtered_serve")
+    def _ivfpqfilt_r():
+        from spark_indexedrdd_spark.functions import pq as _pq
+
+        qvecs = [
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.where("vec_id in (0, 50, 100, 150, 200)").collect()
+        ]
+        _pq.ivfpq_store_ann(
+            spark,
+            "spark-warehouse/bench_ivfpq_filtered",
+            qvecs,
+            k=5,
+            filter_pred="label % 2 = 0",
+        ).collect()
+
     @timed("semantic_dedup_incremental")
     def _semddi():
         from spark_indexedrdd_spark.functions import ivf as _ivf
