@@ -1203,6 +1203,7 @@ def write_ngram_count_store(
     n_buckets: int = 65536,
     text_col: str = "text",
     id_col: str = "doc_id",
+    applied_tags: "tuple[str, ...]" = (),
 ) -> None:
     """Initialize the store with this batch's unigram+bigram bucket
     counts: rows (space 'u'|'g', bucket, c) at ``path/counts`` —
@@ -1214,18 +1215,22 @@ def write_ngram_count_store(
     crash at any point leaves the store clearly uncommitted rather
     than the old meta over half-overwritten counts
     (store_commit module docstring); the re-run is idempotent.
-    (Appends stay ledger-free by design: counts are additive and the
-    read merges by SUM, so a replayed batch perturbs the MODEL's
-    counts statistically rather than corrupting serve-path exactness
-    the way non-additive postings replay would — the documented
-    at-least-once trade-off.)"""
+    ``applied_tags`` records the initializing batch's replay tag in
+    the SAME atomic commit (the store-family convention), so a
+    replayed batch 0 is a no-op like any later tagged append."""
     from spark_indexedrdd_spark.functions import store_commit as SC
 
     SC.retract_meta(path)
     _store_counts(df, n_buckets, text_col, id_col).write.mode(
         "overwrite"
     ).parquet(path + "/counts")
-    SC.commit_meta(path, {"n_buckets": int(n_buckets)})
+    SC.commit_meta(
+        path,
+        {
+            "n_buckets": int(n_buckets),
+            "applied": [str(t) for t in applied_tags],
+        },
+    )
 
 
 def append_ngram_count_batch(
@@ -1233,17 +1238,53 @@ def append_ngram_count_batch(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> None:
-    """Fold an ingest batch in (append-only; counts merge by SUM at
-    read). n_buckets comes from the store's meta — never the caller."""
+    batch_tag: "str | None" = None,
+) -> "bool":
+    """Fold an ingest batch in (counts merge by SUM at read). n_buckets
+    comes from the store's meta — never the caller.
+
+    ``batch_tag=None`` is the legacy operator append: a plain parquet
+    append under ``counts/`` (counts are additive, so a replayed
+    UNTAGGED batch perturbs the model's counts statistically — the
+    pre-r14 documented trade-off, kept for ad-hoc batch use).
+
+    ``batch_tag`` given (r14) makes the append EXACTLY-ONCE, the same
+    contract every other store-family writer has: the batch's count
+    rows land under their own ``counts_tagged/tag=<tag>`` directory
+    (overwrite mode — a crashed first attempt is simply rewritten),
+    and only the atomic meta commit appending the tag to ``applied``
+    publishes them; readers resolve tagged directories FROM the meta
+    snapshot, so an uncommitted directory is invisible and a replayed
+    committed tag is a no-op (returns False). Because the commit rides
+    the OCC version ledger, every tagged append is also an as-of
+    boundary: ``_read_counts(version=)`` serves the counts exactly as
+    of any committed version — the reproducibility contract a DSIR/LM
+    filtering run needs (score against the count model as of the
+    training-data cut, regardless of later ingest)."""
     import json
     import os
 
-    with open(os.path.join(path, "meta.json")) as f:
-        n_buckets = int(json.load(f)["n_buckets"])
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    if batch_tag is None:
+        with open(os.path.join(path, "meta.json")) as f:
+            n_buckets = int(json.load(f)["n_buckets"])
+        _store_counts(df, n_buckets, text_col, id_col).write.mode(
+            "append"
+        ).parquet(path + "/counts")
+        return True
+    SC.validate_batch_tag(batch_tag)
+    meta = SC.read_meta(path)
+    applied = meta.setdefault("applied", [])
+    if batch_tag in applied:
+        return False  # at-least-once replay of a committed batch
+    n_buckets = int(meta["n_buckets"])
     _store_counts(df, n_buckets, text_col, id_col).write.mode(
-        "append"
-    ).parquet(path + "/counts")
+        "overwrite"
+    ).parquet(os.path.join(path, "counts_tagged", f"tag={batch_tag}"))
+    applied.append(batch_tag)
+    SC.commit_meta(path, meta)  # <-- commit point publishes the tag
+    return True
 
 
 def _store_counts(
@@ -1255,16 +1296,35 @@ def _store_counts(
     return u.unionByName(g).select("space", "bucket", "c")
 
 
-def _read_counts(spark, path: str) -> "tuple[DataFrame, int]":
-    import json
+def _read_counts(
+    spark, path: str, version: "int | None" = None
+) -> "tuple[DataFrame, int]":
+    """Merged (space, bucket, c) counts + n_buckets from ONE meta
+    snapshot: the base/legacy files under ``counts/`` plus exactly the
+    committed tagged directories the snapshot's ``applied`` list names
+    — an uncommitted (crashed) tagged write is invisible, and
+    ``version=`` serves the counts as of any committed ledger version
+    (tagged appends after the snapshot are invisible; the base +
+    legacy untagged appends predate the ledger and are part of every
+    snapshot, the other stores' legacy-history caveat)."""
     import os
 
-    with open(os.path.join(path, "meta.json")) as f:
-        n_buckets = int(json.load(f)["n_buckets"])
-    merged = (
-        spark.read.parquet(path + "/counts")
-        .groupBy("space", "bucket")
-        .agg(F.sum("c").cast("long").alias("c"))
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    meta = SC.resolve_serve_meta(path, version)
+    n_buckets = int(meta["n_buckets"])
+    counts = spark.read.parquet(path + "/counts")
+    tagged_dirs = [
+        os.path.join(path, "counts_tagged", f"tag={t}")
+        for t in meta.get("applied", [])
+        if os.path.isdir(os.path.join(path, "counts_tagged", f"tag={t}"))
+    ]
+    if tagged_dirs:
+        counts = counts.unionByName(
+            spark.read.parquet(*tagged_dirs).select("space", "bucket", "c")
+        )
+    merged = counts.groupBy("space", "bucket").agg(
+        F.sum("c").cast("long").alias("c")
     )
     return merged, n_buckets
 
@@ -1276,14 +1336,18 @@ def lm_cross_entropy_from_store(
     flag_factor: float = 0.9,
     text_col: str = "text",
     id_col: str = "doc_id",
+    version: "int | None" = None,
 ) -> DataFrame:
     """Score NEW documents under the PERSISTED corpus model — the
     incremental-ingest form of :func:`lm_cross_entropy` (quality-gate a
     batch against the accumulated corpus without re-reading it). Same
     scoring core, so store-built-from-X scores exactly like in-plan
-    over X (pytest-pinned)."""
+    over X (pytest-pinned). ``version=`` scores under the count model
+    AS OF a committed ledger version (r14: tagged appends after the
+    snapshot are invisible) — a training run pins the model it
+    filtered with, like every other store serve."""
     spark = df.sparkSession
-    merged, n_buckets = _read_counts(spark, path)
+    merged, n_buckets = _read_counts(spark, path, version=version)
     docs_b = _lm_buckets(df, n_buckets, text_col, id_col)
     cg = merged.where("space = 'g'").select("bucket", F.col("c").alias("cg"))
     cu = merged.where("space = 'u'").select("bucket", F.col("c").alias("cu"))
@@ -1295,7 +1359,13 @@ class StreamingNgramCountStore:
     family ships a streaming twin (signatures, IVF, sketches, top-m,
     SCD2, counts). Counts are additive and the read merges by SUM, so
     per-batch appends need no read of existing state; a resumed stream
-    appends to an existing store instead of re-initializing it."""
+    appends to an existing store instead of re-initializing it.
+
+    r14: appends carry the batch_id as a replay tag (the postings-twin
+    convention — batch 0's tag lands in the initializing commit), so
+    at-least-once redelivery of a committed batch is a true NO-OP
+    rather than the pre-r14 statistical double-count, and every
+    micro-batch is an as-of boundary for ``_read_counts(version=)``."""
 
     def __init__(
         self,
@@ -1317,12 +1387,14 @@ class StreamingNgramCountStore:
             return
         if not self._initialized:
             write_ngram_count_store(
-                batch_df, self.path, self.n_buckets, self.text_col, self.id_col
+                batch_df, self.path, self.n_buckets, self.text_col,
+                self.id_col, applied_tags=(f"b{batch_id}",),
             )
             self._initialized = True
         else:
             append_ngram_count_batch(
-                batch_df, self.path, self.text_col, self.id_col
+                batch_df, self.path, self.text_col, self.id_col,
+                batch_tag=f"b{batch_id}",
             )
 
     def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
@@ -1342,6 +1414,8 @@ def dsir_scores_from_stores(
     alpha: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    raw_version: "int | None" = None,
+    target_version: "int | None" = None,
 ) -> DataFrame:
     """DSIR importance scores for NEW documents from two PERSISTED
     count stores — the paper's actual deployment shape (Xie et al.
@@ -1349,6 +1423,9 @@ def dsir_scores_from_stores(
     (its own store), the raw model from the accumulated crawl, and
     neither corpus is re-read to score an ingest batch. Uses both
     hashed spaces (unigrams + bigrams) of the stores.
+    ``raw_version=``/``target_version=`` (r14) pin each model AS OF a
+    committed ledger version — the selection a training run made stays
+    reproducible while both stores keep ingesting.
 
     score(doc) = Σ over its uni- and bigram buckets of
     [ln p_target(bucket) − ln p_raw(bucket)], each space's
@@ -1359,8 +1436,8 @@ def dsir_scores_from_stores(
     Returns every scored doc (no top-k — the caller composes selection
     with the batch's own budget): (doc_id, n_grams, dsir_score)."""
     spark = df.sparkSession
-    raw, n_raw = _read_counts(spark, raw_store)
-    tgt, n_tgt = _read_counts(spark, target_store)
+    raw, n_raw = _read_counts(spark, raw_store, version=raw_version)
+    tgt, n_tgt = _read_counts(spark, target_store, version=target_version)
     if n_raw != n_tgt:
         raise ValueError(f"bucketization mismatch: {n_raw} vs {n_tgt}")
     n_buckets = n_raw

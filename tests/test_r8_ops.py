@@ -372,6 +372,68 @@ def test_lm_store_append_equals_rebuild(spark, sf_dir, tmp_path):
     assert a == b
 
 
+def test_ngram_tagged_append_exactly_once_and_asof(spark, sf_dir, tmp_path):
+    """r14: the count store joins the store-family replay contract —
+    a tagged append is exactly-once (replay = no-op, returns False;
+    the pre-r14 untagged path double-counted statistically), an
+    UNCOMMITTED tagged directory is invisible to readers (crash
+    safety), and every tagged commit is an as-of boundary
+    (lm_cross_entropy_from_store(version=) scores under the model as
+    of the cut — the DSIR/LM reproducibility pin)."""
+    from spark_indexedrdd_spark.functions import store_commit as SC
+    from spark_indexedrdd_spark.functions.text import (
+        _store_counts,
+        append_ngram_count_batch,
+        lm_cross_entropy_from_store,
+        write_ngram_count_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    even, odd = docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+    p = str(tmp_path / "ng_tagged")
+    write_ngram_count_store(even, p, n_buckets=4096, applied_tags=("b0",))
+    v_pre = int(SC.read_meta(p)["version"])
+    probe = docs.where("doc_id < 40")
+    pre = sorted(map(tuple, lm_cross_entropy_from_store(probe, p).collect()))
+
+    assert append_ngram_count_batch(odd, p, batch_tag="b1") is True
+    post = sorted(map(tuple, lm_cross_entropy_from_store(probe, p).collect()))
+    full = str(tmp_path / "ng_tagged_full")
+    write_ngram_count_store(docs, full, n_buckets=4096)
+    want = sorted(
+        map(tuple, lm_cross_entropy_from_store(probe, full).collect())
+    )
+    assert post == want  # tagged append ≡ rebuild
+
+    # replay of BOTH committed tags (init + append) is a true no-op
+    assert append_ngram_count_batch(odd, p, batch_tag="b1") is False
+    assert append_ngram_count_batch(even, p, batch_tag="b0") is False
+    assert sorted(
+        map(tuple, lm_cross_entropy_from_store(probe, p).collect())
+    ) == post
+
+    # as-of: the pre-append snapshot scores exactly like the even-only
+    # store — the later committed batch is invisible to the version
+    asof = sorted(
+        map(
+            tuple,
+            lm_cross_entropy_from_store(probe, p, version=v_pre).collect(),
+        )
+    )
+    assert asof == pre
+
+    # crash safety: a tagged directory written but never committed is
+    # invisible — readers resolve tagged dirs from the meta snapshot
+    import os
+
+    _store_counts(odd, 4096, "text", "doc_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(p, "counts_tagged", "tag=crashed"))
+    assert sorted(
+        map(tuple, lm_cross_entropy_from_store(probe, p).collect())
+    ) == post
+
+
 def test_kl_divergence_zero_on_self_positive_on_shift(spark, sf_dir, tmp_path):
     from spark_indexedrdd_spark.functions.text import (
         corpus_kl_divergence,
