@@ -669,6 +669,27 @@ def vacuum_store(
             for v in versions
             if v < new_floor and v in metas
         }
+        # Straggler sweep (r14): a compaction/rebuild's rewrite=True
+        # commit advances the floor WITHOUT pruning, so versions that
+        # were above the floor at the last prune but below it now have
+        # file-backed entries that `metas` deliberately skipped (the
+        # r12 no-failed-opens rule assumed below-floor ⇒ already
+        # folded). Without this sweep those files are immortal — under
+        # a compact_every + vacuum_every composition the ledger grows
+        # one orphan per compaction forever. Only versions ABOVE the
+        # existing checkpoint's `through` can be file-backed, so the
+        # sweep opens exactly the stragglers, never the folded range.
+        ck = _read_ledger_checkpoint(path)
+        through = int(ck["through"]) if ck else 0
+        for v in versions:
+            if v >= new_floor or str(v) in fold or v <= through:
+                continue
+            f = os.path.join(vdir, f"{v:020d}.json")
+            try:
+                with open(f) as fh:
+                    fold[str(v)] = json.load(fh)
+            except FileNotFoundError:
+                pass  # raced by a concurrent prune
         pruned: "list[int]" = []
         if fold:
             def _durable_json(payload: dict, name: str) -> None:

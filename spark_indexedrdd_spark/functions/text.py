@@ -1287,6 +1287,48 @@ def append_ngram_count_batch(
     return True
 
 
+def compact_ngram_count_store(spark, path: str) -> int:
+    """Fold every committed tagged directory (and any legacy untagged
+    appends) into ONE base count file set — the count store's bounded-
+    read maintenance op: under continuous tagged ingest the read-time
+    merge unions one ≤2·n_buckets-row directory PER BATCH, so a year
+    of micro-batches turns every model read into a 10^5-directory
+    union; after compaction a read is one base scan again, and counts
+    are byte-identical (integer SUM is associative — pytest-pinned).
+
+    Swap protocol (the compact_postings_store pattern): the merged
+    counts land in a SIBLING directory first, then retract →
+    dir swap → ``commit_meta(rewrite=True)`` — a crash before the
+    retract leaves the old store committed and untouched; inside the
+    window, loudly uncommitted with the compacted copy recoverable on
+    disk. The rewrite commit advances the servability floor, so as-of
+    reads BELOW the compaction refuse loudly (their tagged directories
+    are folded — the family's snapshots-survive-until-rewrite trade)
+    while the replay ledger (``applied``) survives the fold: a
+    redelivered pre-compaction batch is still a no-op. Returns the
+    number of live (space, bucket) rows."""
+    import os
+    import shutil
+
+    from spark_indexedrdd_spark.functions import store_commit as SC
+
+    meta = SC.read_meta(path)
+    merged, _ = _read_counts(spark, path)
+    tmp = path + "__compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # ≤ 2·n_buckets rows — one file reads fastest
+    merged.coalesce(1).write.parquet(os.path.join(tmp, "counts"))
+    n_rows = spark.read.parquet(os.path.join(tmp, "counts")).count()
+    SC.retract_meta(path)  # loudly uncommitted through the swap
+    old = os.path.join(path, "counts")
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(os.path.join(tmp, "counts"), old)
+    shutil.rmtree(os.path.join(path, "counts_tagged"), ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    SC.commit_meta(path, meta, rewrite=True)  # floor advances
+    return int(n_rows)
+
+
 def _store_counts(
     df: DataFrame, n_buckets: int, text_col: str, id_col: str
 ) -> DataFrame:
@@ -1365,7 +1407,17 @@ class StreamingNgramCountStore:
     convention — batch 0's tag lands in the initializing commit), so
     at-least-once redelivery of a committed batch is a true NO-OP
     rather than the pre-r14 statistical double-count, and every
-    micro-batch is an as-of boundary for ``_read_counts(version=)``."""
+    micro-batch is an as-of boundary for ``_read_counts(version=)``.
+
+    Self-maintenance (the full streaming-store composition):
+    ``compact_every=N`` folds the accumulated tagged directories into
+    one base via :func:`compact_ngram_count_store` whenever N of them
+    exist — bounded read-time merge under continuous ingest;
+    ``vacuum_every=M`` rides the shared
+    ``snapshots.LedgerVacuumCadence`` (full-interval re-arm, pin
+    routing) to checkpoint the per-commit ledger — the store has no
+    manifest-tracked data roots, so the cadence's vacuum is
+    ledger-and-floor only, which is exactly what grows here."""
 
     def __init__(
         self,
@@ -1373,6 +1425,10 @@ class StreamingNgramCountStore:
         n_buckets: int = 65536,
         text_col: str = "text",
         id_col: str = "doc_id",
+        compact_every: "int | None" = None,
+        vacuum_every: "int | None" = None,
+        keep_versions: int = 8,
+        pin_tag_dir: "str | None" = None,
     ):
         import os
 
@@ -1380,9 +1436,22 @@ class StreamingNgramCountStore:
         self.n_buckets = n_buckets
         self.text_col = text_col
         self.id_col = id_col
+        self.compact_every = compact_every
+        if vacuum_every is not None:
+            from spark_indexedrdd_spark.functions.snapshots import (
+                LedgerVacuumCadence,
+            )
+
+            self._vacuum = LedgerVacuumCadence(
+                path, vacuum_every, keep_versions, pin_tag_dir
+            )
+        else:
+            self._vacuum = None
         self._initialized = os.path.exists(os.path.join(path, "meta.json"))
 
     def foreach_batch(self, batch_df, batch_id: int) -> None:
+        import os
+
         if not batch_df.take(1):
             return
         if not self._initialized:
@@ -1396,6 +1465,17 @@ class StreamingNgramCountStore:
                 batch_df, self.path, self.text_col, self.id_col,
                 batch_tag=f"b{batch_id}",
             )
+            if self.compact_every:
+                tagged = os.path.join(self.path, "counts_tagged")
+                n_dirs = (
+                    len(os.listdir(tagged)) if os.path.isdir(tagged) else 0
+                )
+                if n_dirs >= int(self.compact_every):
+                    compact_ngram_count_store(
+                        batch_df.sparkSession, self.path
+                    )
+        if self._vacuum is not None:
+            self._vacuum.maybe_vacuum()
 
     def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
         return (

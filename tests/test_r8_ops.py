@@ -434,6 +434,110 @@ def test_ngram_tagged_append_exactly_once_and_asof(spark, sf_dir, tmp_path):
     ) == post
 
 
+def test_ngram_compaction_exact_bounded_and_replay_safe(
+    spark, sf_dir, tmp_path
+):
+    """r14: compact_ngram_count_store folds the per-batch tagged
+    directories into one base — scores byte-identical (integer SUM is
+    associative), the tagged directories gone (bounded read-time
+    merge), the replay ledger SURVIVES the fold (a redelivered
+    pre-compaction batch is still a no-op), and as-of reads below the
+    rewrite floor refuse loudly (their directories are folded)."""
+    import os
+
+    import pytest as _pytest
+
+    from spark_indexedrdd_spark.functions import store_commit as SC
+    from spark_indexedrdd_spark.functions.text import (
+        append_ngram_count_batch,
+        compact_ngram_count_store,
+        lm_cross_entropy_from_store,
+        write_ngram_count_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = str(tmp_path / "ng_compact")
+    write_ngram_count_store(
+        docs.where("doc_id % 3 = 0"), p, n_buckets=4096, applied_tags=("b0",)
+    )
+    append_ngram_count_batch(
+        docs.where("doc_id % 3 = 1"), p, batch_tag="b1"
+    )
+    v_pre = int(SC.read_meta(p)["version"])
+    append_ngram_count_batch(
+        docs.where("doc_id % 3 = 2"), p, batch_tag="b2"
+    )
+    probe = docs.where("doc_id < 40")
+    pre = sorted(map(tuple, lm_cross_entropy_from_store(probe, p).collect()))
+
+    n_rows = compact_ngram_count_store(spark, p)
+    assert n_rows > 0
+    assert not os.path.isdir(os.path.join(p, "counts_tagged"))
+    assert sorted(
+        map(tuple, lm_cross_entropy_from_store(probe, p).collect())
+    ) == pre  # fold is byte-identical
+    # replay ledger outlives the fold
+    assert append_ngram_count_batch(
+        docs.where("doc_id % 3 = 2"), p, batch_tag="b2"
+    ) is False
+    assert sorted(
+        map(tuple, lm_cross_entropy_from_store(probe, p).collect())
+    ) == pre
+    # as-of below the rewrite floor refuses loudly, never partial counts
+    with _pytest.raises(ValueError, match="rewrite"):
+        lm_cross_entropy_from_store(probe, p, version=v_pre).collect()
+    # ingest continues normally after the fold
+    assert append_ngram_count_batch(
+        docs.where("doc_id % 3 = 2"), p, batch_tag="b3"
+    ) is True
+
+
+def test_streaming_ngram_store_self_maintains(spark, sf_dir, tmp_path):
+    """The full composition on the counts tier: streamed ingest with
+    compact_every + vacuum_every stays score-exact vs a one-shot
+    store, keeps the tagged-directory count bounded, and checkpoints
+    the per-commit ledger (the LedgerVacuumCadence contract)."""
+    import os
+
+    from spark_indexedrdd_spark.functions.text import (
+        StreamingNgramCountStore,
+        lm_cross_entropy_from_store,
+        write_ngram_count_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = str(tmp_path / "ng_selfmaint")
+    st = StreamingNgramCountStore(
+        p, n_buckets=4096, compact_every=2, vacuum_every=3, keep_versions=1
+    )
+    n_batches = 8
+    for i in range(n_batches):
+        st.foreach_batch(docs.where(f"doc_id % {n_batches} = {i}"), i)
+    single = str(tmp_path / "ng_single")
+    write_ngram_count_store(docs, single, n_buckets=4096)
+    probe = docs.where("doc_id < 40")
+    a = sorted(map(tuple, lm_cross_entropy_from_store(probe, p).collect()))
+    b = sorted(map(tuple, lm_cross_entropy_from_store(probe, single).collect()))
+    assert a == b
+    tagged = os.path.join(p, "counts_tagged")
+    n_dirs = len(os.listdir(tagged)) if os.path.isdir(tagged) else 0
+    assert n_dirs < 4, f"{n_dirs} tagged dirs — compaction cadence leaked"
+    vdir = os.path.join(p, "_versions")
+    assert os.path.exists(os.path.join(vdir, "_checkpoint.json"))
+    ledger = [
+        f for f in os.listdir(vdir)
+        if f.endswith(".json") and f[:-5].isdigit()
+    ]
+    assert len(ledger) <= 6, f"ledger holds {len(ledger)} per-commit files"
+    # a replayed committed batch is STILL a no-op through compaction +
+    # ledger checkpointing (tags live in meta, not the folded ledger)
+    st2 = StreamingNgramCountStore(p, n_buckets=4096)
+    st2.foreach_batch(docs.where(f"doc_id % {n_batches} = 3"), 3)
+    assert sorted(
+        map(tuple, lm_cross_entropy_from_store(probe, p).collect())
+    ) == a
+
+
 def test_kl_divergence_zero_on_self_positive_on_shift(spark, sf_dir, tmp_path):
     from spark_indexedrdd_spark.functions.text import (
         corpus_kl_divergence,

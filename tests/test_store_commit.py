@@ -714,6 +714,57 @@ def test_vacuum_store_advances_floor_and_gcs_debris(spark, tmp_path):
     assert again["removed_files"] == [] and again["removed_manifests"] == []
 
 
+def test_prune_folds_stragglers_a_rewrite_floor_advance_orphaned(
+    spark, tmp_path
+):
+    """r14 regression: a compaction's rewrite=True commit advances the
+    floor WITHOUT pruning, and the r12 no-failed-opens rule then made
+    the next prune skip those below-floor file-backed versions
+    entirely — never folded, never unlinked, one immortal ledger file
+    per compaction under a compact+vacuum composition. The prune must
+    sweep exactly the stragglers (versions above the existing
+    checkpoint's `through`, below the new floor) into the checkpoint."""
+    import os
+
+    from spark_indexedrdd_spark.functions import retrieval as R
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = str(tmp_path / "straggler")
+    R.write_postings_store(docs.where("doc_id % 4 = 0"), p, n_buckets=8)
+    for i, pred in enumerate(
+        ("doc_id % 4 = 1", "doc_id % 4 = 2", "doc_id % 4 = 3")
+    ):
+        R.append_postings_batch(docs.where(pred), p, batch_tag=f"s{i}")
+    R.delete_postings_docs(
+        spark, p, docs.where("doc_id % 5 = 0").select("doc_id"),
+        batch_tag="s-del",
+    )
+    pre_versions = SC.list_versions(p)
+    # the rewrite-class op advances the floor past every prior commit
+    # WITHOUT folding their ledger files
+    R.compact_postings_store(spark, p)
+    floor = int(SC.read_meta(p).get("rewrite_floor", 0))
+    assert floor > pre_versions[-1]
+    out = SC.vacuum_store(p, keep_versions=1, prune_ledger=True)
+    # every pre-compaction version folded — none survive as files
+    assert set(out["pruned_ledger"]) >= set(pre_versions), out
+    vdir = os.path.join(p, "_versions")
+    on_disk = sorted(
+        int(f[:-5]) for f in os.listdir(vdir) if f[:-5].isdigit()
+    )
+    assert min(on_disk) >= floor, (
+        f"orphaned below-floor ledger files survived the prune: "
+        f"{[v for v in on_disk if v < floor]}"
+    )
+    # folded metas stay audit-readable through the checkpoint
+    assert int(
+        SC.read_meta_version(p, pre_versions[0])["version"]
+    ) == pre_versions[0]
+    # and a second pass is a no-op, not a re-fold
+    again = SC.vacuum_store(p, keep_versions=1, prune_ledger=True)
+    assert again["pruned_ledger"] == []
+
+
 def test_vacuum_prune_ledger_checkpoints_below_the_floor(spark, tmp_path):
     """prune_ledger=True folds every below-floor _versions/<v>.json
     into ONE checkpoint JSON (Delta log checkpointing) — without it a
