@@ -845,7 +845,12 @@ def optimize_binary_store(spark, path: str, id_col: "str | None" = None) -> int:
     return _bin_vectors_for_meta(spark, path, meta).count()
 
 
-class StreamingBinaryStore:
+from spark_indexedrdd_spark.functions.store_commit import (  # noqa: E402
+    StreamTagMixin as _StreamTagMixin,
+)
+
+
+class StreamingBinaryStore(_StreamTagMixin):
     """foreachBatch ingest for the binary sketch index — the
     store-family streaming twin (postings, IVF, signatures, sketches,
     counts, SCD2). First non-empty batch initializes: its batch_id goes
@@ -901,10 +906,13 @@ class StreamingBinaryStore:
     def foreach_batch(self, batch_df, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        tag = self._stream_tag(f"b{batch_id}")
+        if self._legacy_applied(self.path, f"b{batch_id}"):
+            return
         if not self._initialized:
             write_binary_store(
                 batch_df, self.path, self.dims, self.id_col,
-                self.vec_col, applied_tags=(f"b{batch_id}",),
+                self.vec_col, applied_tags=(tag,),
             )
             self._initialized = True
             # the twins' convention: the cadence never fires on the
@@ -912,7 +920,7 @@ class StreamingBinaryStore:
             return
         append_binary_batch(
             batch_df, self.path, self.dims, self.id_col,
-            self.vec_col, batch_tag=f"b{batch_id}",
+            self.vec_col, batch_tag=tag,
         )
         if self.optimize_every:
             from spark_indexedrdd_spark.functions import (
@@ -928,10 +936,6 @@ class StreamingBinaryStore:
             self._vacuum.maybe_vacuum()
 
     def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
-        return (
-            stream_df.writeStream.outputMode("update")
-            .option("checkpointLocation", checkpoint_dir)
-            .foreachBatch(self.foreach_batch)
-            .trigger(**trigger_kwargs)
-            .start()
+        return self._start_stream(
+            stream_df, checkpoint_dir, "update", **trigger_kwargs
         )

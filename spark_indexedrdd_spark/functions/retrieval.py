@@ -1525,7 +1525,12 @@ def compact_postings_store(spark: SparkSession, path: str) -> int:
     return n_live
 
 
-class StreamingPostingsStore:
+from spark_indexedrdd_spark.functions.store_commit import (  # noqa: E402
+    StreamTagMixin as _StreamTagMixin,
+)
+
+
+class StreamingPostingsStore(_StreamTagMixin):
     """foreachBatch ingest for the inverted index — the store-family
     streaming twin (signatures, IVF, sketches, top-m, counts, SCD2,
     postings). First non-empty batch initializes — its batch_id goes
@@ -1596,16 +1601,23 @@ class StreamingPostingsStore:
     def foreach_batch(self, batch_df, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        # replay tags namespaced by the checkpoint's query id (r14 —
+        # StreamTagMixin): a FRESH checkpoint's batch 0 must land, not
+        # no-op against another run's committed "0"; a PRE-namespace
+        # run's redelivered id stays a no-op via the legacy guard
+        tag = self._stream_tag(str(batch_id))
+        if self._legacy_applied(self.path, str(batch_id)):
+            return
         if not self._initialized:
             write_postings_store(
                 batch_df, self.path, self.text_col, self.id_col,
-                self.n_buckets, applied_tags=(str(batch_id),),
+                self.n_buckets, applied_tags=(tag,),
             )
             self._initialized = True
         else:
             append_postings_batch(
                 batch_df, self.path, self.text_col, self.id_col,
-                batch_tag=str(batch_id),
+                batch_tag=tag,
             )
         if self.optimize_every:
             from spark_indexedrdd_spark.functions import store_commit as _SC
@@ -1617,12 +1629,8 @@ class StreamingPostingsStore:
             self._vacuum.maybe_vacuum()
 
     def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
-        return (
-            stream_df.writeStream.outputMode("update")
-            .option("checkpointLocation", checkpoint_dir)
-            .foreachBatch(self.foreach_batch)
-            .trigger(**trigger_kwargs)
-            .start()
+        return self._start_stream(
+            stream_df, checkpoint_dir, "update", **trigger_kwargs
         )
 
 

@@ -1084,6 +1084,79 @@ def tombstone_delete(
     return True
 
 
+def checkpoint_namespace(checkpoint_dir: "str | None") -> str:
+    """The Structured Streaming checkpoint's query id (first 12 hex
+    chars of the ``metadata`` file Spark writes at query start), or ""
+    when unavailable. Batch ids are monotonic only PER CHECKPOINT, so
+    this is the namespace replay tags need: a stream restarted against
+    the same store with a FRESH checkpoint resets batch ids to 0, and
+    an un-namespaced tag ledger would silently no-op that genuinely
+    new data as a "replay" of another run's batches (the r13 ADVICE
+    hazard on the versioned KV store — present on every tag-ledger
+    writer until r14). Stable across restarts of the SAME checkpoint;
+    fresh for a new one; "" (legacy un-namespaced tags) when the
+    metadata is unreadable — e.g. a non-local checkpoint store this
+    code cannot open, or a direct foreach_batch call outside a real
+    streaming query."""
+    if not checkpoint_dir:
+        return ""
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+            return json.load(fh)["id"].replace("-", "")[:12]
+    except Exception:
+        return ""
+
+
+class StreamTagMixin:
+    """Per-checkpoint replay-tag derivation shared by every streaming
+    store writer (postings, zonemap, bloom, binary, counts): ``attach``
+    records the checkpoint dir, ``_stream_tag`` namespaces the batch
+    id by the checkpoint's query id once the query is running, and
+    ``_legacy_applied`` is the cross-upgrade redelivery guard (a
+    pre-namespace run committed the bare id — its redelivery must stay
+    a no-op even though the new code would tag it differently).
+
+    Direct ``foreach_batch`` calls outside ``attach`` (operator
+    scripts, tests) keep the legacy un-namespaced tags — byte-for-byte
+    the pre-r14 behavior. Restriction that remains for legacy-history
+    stores: a fresh checkpoint's early batch ids collide with the
+    un-namespaced tags already in ``applied`` via the legacy guard, so
+    such a stream must start past the legacy ids (or the store's
+    history must be re-tagged); stores written only by namespaced runs
+    have no such restriction."""
+
+    _ckpt_dir: "str | None" = None
+    _ns: "str | None" = None
+
+    def _start_stream(
+        self, stream_df, checkpoint_dir: str, output_mode: str,
+        **trigger_kwargs,
+    ):
+        self._ckpt_dir = checkpoint_dir
+        self._ns = None  # re-derive per attach: checkpoints can change
+        return (
+            stream_df.writeStream.outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.foreach_batch)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    def _stream_tag(self, legacy_tag: str) -> str:
+        if self._ns is None:
+            self._ns = checkpoint_namespace(self._ckpt_dir)
+        return f"{self._ns}-{legacy_tag}" if self._ns else legacy_tag
+
+    def _legacy_applied(self, path: str, legacy_tag: str) -> bool:
+        if not self._ns:
+            return False  # legacy tags ARE the tags — append checks them
+        try:
+            meta = read_meta(path)
+        except FileNotFoundError:
+            return False
+        return legacy_tag in (meta.get("applied") or [])
+
+
 def validate_batch_tag(batch_tag: str) -> None:
     """Loud error for a tag unusable as a path component / file-name
     segment — ONE copy of the rule every tagged store path shares (a

@@ -1396,7 +1396,12 @@ def lm_cross_entropy_from_store(
     return _lm_score(docs_b, cg, cu, n_buckets, alpha, flag_factor, id_col)
 
 
-class StreamingNgramCountStore:
+from spark_indexedrdd_spark.functions.store_commit import (  # noqa: E402
+    StreamTagMixin as _StreamTagMixin,
+)
+
+
+class StreamingNgramCountStore(_StreamTagMixin):
     """foreachBatch ingest for the n-gram count store: every store
     family ships a streaming twin (signatures, IVF, sketches, top-m,
     SCD2, counts). Counts are additive and the read merges by SUM, so
@@ -1454,16 +1459,19 @@ class StreamingNgramCountStore:
 
         if not batch_df.take(1):
             return
+        tag = self._stream_tag(f"b{batch_id}")
+        if self._legacy_applied(self.path, f"b{batch_id}"):
+            return
         if not self._initialized:
             write_ngram_count_store(
                 batch_df, self.path, self.n_buckets, self.text_col,
-                self.id_col, applied_tags=(f"b{batch_id}",),
+                self.id_col, applied_tags=(tag,),
             )
             self._initialized = True
         else:
             append_ngram_count_batch(
                 batch_df, self.path, self.text_col, self.id_col,
-                batch_tag=f"b{batch_id}",
+                batch_tag=tag,
             )
             if self.compact_every:
                 tagged = os.path.join(self.path, "counts_tagged")
@@ -1478,12 +1486,8 @@ class StreamingNgramCountStore:
             self._vacuum.maybe_vacuum()
 
     def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):
-        return (
-            stream_df.writeStream.outputMode("update")
-            .option("checkpointLocation", checkpoint_dir)
-            .foreachBatch(self.foreach_batch)
-            .trigger(**trigger_kwargs)
-            .start()
+        return self._start_stream(
+            stream_df, checkpoint_dir, "update", **trigger_kwargs
         )
 
 

@@ -180,12 +180,20 @@ def append_bloom_batch(
     )
 
 
-class StreamingBloomIngest:
+from spark_indexedrdd_spark.functions.store_commit import (  # noqa: E402
+    StreamTagMixin as _StreamTagMixin,
+)
+
+
+class StreamingBloomIngest(_StreamTagMixin):
     """foreachBatch ingest for the bloom-indexed table — the
     store-family streaming twin (postings convention): first non-empty
     batch initializes with its batch_id committed in the replay
     ledger; later batches append with the batch_id as the replay tag,
-    so at-least-once re-delivery of a committed batch is a no-op."""
+    so at-least-once re-delivery of a committed batch is a no-op.
+    Tags are checkpoint-namespaced via ``attach`` (StreamTagMixin,
+    r14), so a fresh checkpoint's reset batch ids never collide with
+    another run's committed tags."""
 
     def __init__(
         self,
@@ -226,6 +234,9 @@ class StreamingBloomIngest:
     def foreach_batch(self, batch_df, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        tag = self._stream_tag(str(batch_id))
+        if self._legacy_applied(self.path, str(batch_id)):
+            return
         if not self._initialized:
             write_bloom_table(
                 batch_df,
@@ -234,12 +245,12 @@ class StreamingBloomIngest:
                 n_files=self.n_files,
                 m=self.m,
                 k=self.k,
-                applied_tags=(str(batch_id),),
+                applied_tags=(tag,),
             )
             self._initialized = True
         else:
             append_bloom_batch(
-                batch_df, self.path, batch_tag=str(batch_id),
+                batch_df, self.path, batch_tag=tag,
                 n_files=self.n_files,
             )
             if self.optimize_every:
@@ -259,12 +270,8 @@ class StreamingBloomIngest:
         """Start a streaming query feeding this ingest (postings-twin
         convention): checkpointed batch_ids + the replay-tag ledger
         give exactly-once store effects over at-least-once delivery."""
-        return (
-            stream_df.writeStream.outputMode("update")
-            .option("checkpointLocation", checkpoint_dir)
-            .foreachBatch(self.foreach_batch)
-            .trigger(**trigger_kwargs)
-            .start()
+        return self._start_stream(
+            stream_df, checkpoint_dir, "update", **trigger_kwargs
         )
 
 

@@ -122,6 +122,7 @@ def streaming_semantic_dedup(
     vacuum_every: "int | None" = None,
     keep_versions: int = 8,
     pin_tag_dir: "str | None" = None,
+    checkpoint_dir: "str | None" = None,
 ):
     """Continuous-ingest SemDeDup: each arriving embedding file becomes
     a micro-batch that is (1) assigned to the persisted IVF index's
@@ -192,7 +193,29 @@ def streaming_semantic_dedup(
         .parquet(emb_path)
     )
 
+    # ``checkpoint_dir=`` (r14): pass the SAME directory the caller
+    # sets as checkpointLocation and the replay tags are namespaced by
+    # that checkpoint's query id (store_commit.checkpoint_namespace —
+    # the fresh-checkpoint/reset-batch-ids collision fix every
+    # class-based writer gets through attach()); without it tags stay
+    # the legacy un-namespaced 'b<id>' form. Resolved lazily at the
+    # first batch (Spark writes the checkpoint metadata at query
+    # start, before any batch runs).
+    ns_cache: "list[str | None]" = [None]
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from spark_indexedrdd_spark.functions import store_commit as _SC
+
+        if ns_cache[0] is None:
+            ns_cache[0] = _SC.checkpoint_namespace(checkpoint_dir)
+        ns = ns_cache[0]
+        tag = f"{ns}-b{batch_id}" if ns else f"b{batch_id}"
+        if ns:
+            # cross-upgrade guard: a pre-namespace run committed the
+            # bare id — its redelivery must stay a no-op
+            applied = _SC.read_meta(ivf_store_path).get("applied") or []
+            if f"b{batch_id}" in applied:
+                return
         batch = batch_df.select(id_col, vec_col)
         verdicts = incremental_semantic_dedup_from_store(
             batch, ivf_store_path, threshold, id_col, vec_col
@@ -200,7 +223,7 @@ def streaming_semantic_dedup(
         verdicts.write.mode("append").parquet(verdicts_path)
         append_ivf_batch(
             batch, ivf_store_path, id_col, vec_col,
-            batch_tag=f"b{batch_id}",
+            batch_tag=tag,
         )
         if optimize_every is not None:
             from spark_indexedrdd_spark.functions import (

@@ -730,12 +730,16 @@ def test_streaming_binary_store_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and got
     meta = SC.read_meta(store)
     # batch 0 is replay-guarded from the initializing commit itself
-    assert "b0" in meta["applied"]
+    # (r14: tags are checkpoint-namespaced — <ns>-b0, never bare b0)
+    tags = sorted(meta["applied"])
+    assert any(t.endswith("-b0") for t in tags), tags
+    assert not any(t == "b0" for t in tags), tags
     # the optimize cadence fired and bounded the manifest lists
     assert int(meta.get("compactions", 0)) >= 1
     assert len(meta["sk_manifests"]) <= 2
-    # a redelivered committed batch is a no-op
-    assert Q.append_binary_batch(batches[1], store, batch_tag="b1") is False
+    # a redelivered committed batch is a no-op (its committed tag form)
+    b1_tag = next(t for t in tags if t.endswith("-b1"))
+    assert Q.append_binary_batch(batches[1], store, batch_tag=b1_tag) is False
 
 
 def test_binary_delete_wins_append_and_cdc_reports_delete(
