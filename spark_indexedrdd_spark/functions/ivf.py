@@ -556,7 +556,7 @@ def append_ivf_batch(
         # replay fast-path: a committed tag returns before any store
         # scan (the shared machine re-checks under its own meta read)
         SC.validate_batch_tag(batch_tag)
-        if batch_tag in SC.read_meta(path).get("applied", []):
+        if SC.tag_is_applied(SC.read_meta(path), batch_tag):
             SC.cleanup_flat_staging(path, batch_tag)
             return False
     meta = SC.read_meta(path)

@@ -1128,7 +1128,7 @@ def append_ivfpq_batch(
     spark = new_emb.sparkSession
     if batch_tag is not None:
         SC.validate_batch_tag(batch_tag)
-        if batch_tag in SC.read_meta(path).get("applied", []):
+        if SC.tag_is_applied(SC.read_meta(path), batch_tag):
             SC.cleanup_flat_staging(path, batch_tag)
             return False
     meta = SC.read_meta(path)

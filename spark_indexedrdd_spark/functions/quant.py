@@ -375,7 +375,7 @@ def append_binary_batch(
     applied = meta.setdefault("applied", [])
     if batch_tag is not None:
         SC.validate_batch_tag(batch_tag)
-        if batch_tag in applied:
+        if SC.tag_is_applied(meta, batch_tag):
             SC.cleanup_flat_staging(path, batch_tag)
             return False
         SC.refuse_manifest_collision(

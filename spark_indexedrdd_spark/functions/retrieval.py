@@ -971,8 +971,9 @@ def append_postings_batch(
     with open(meta_path) as fh:
         meta = json.load(fh)
     applied = meta.setdefault("applied", [])
-    if batch_tag is not None and batch_tag in applied:
-        # committed already; clear any staging left by a crash after
+    if _SC.tag_is_applied(meta, batch_tag):
+        # committed already (exact entry or its checkpoint namespace's
+        # folded watermark); clear any staging left by a crash after
         # the commit point but before cleanup
         _cleanup_staging(path, batch_tag)
         return False

@@ -453,6 +453,16 @@ def vacuum_store(
     pass could lose just-published, not-yet-committed files; its
     replay republishes them exactly).
 
+    Every pass also folds checkpoint-namespaced stream replay tags in
+    ``applied`` into per-namespace watermarks
+    (:func:`fold_applied_watermarks`) — the meta-size analog of the
+    ledger checkpoint below: without it a year of micro-batch ingest
+    parses a ~10^5-string replay list on every ``read_meta``. The fold
+    commits even when the floor is at rest (its own bookkeeping
+    commit), and only on manifest-pointer stores — the n-gram count
+    store's ``applied`` doubles as its live-directory pointer and
+    folds at its own compaction instead.
+
     ``prune_ledger=True`` additionally CHECKPOINTS the version ledger
     below the (post-advance) floor: every ``_versions/<v>.json`` with
     v < floor folds into the checkpoint pair — the big meta bodies in
@@ -562,6 +572,19 @@ def vacuum_store(
             kept_manifest_names.update(names)
             files.update(resolve_manifest_files(path, {"manifests": names}))
         live[sub] = files
+    # Fold checkpoint-namespaced stream tags into per-namespace
+    # watermarks (r14): continuous tagged ingest otherwise grows
+    # `applied` one entry per micro-batch FOREVER — a year of
+    # streaming leaves a ~10^5-string list parsed on every read_meta.
+    # Post-fold the list holds operator tags only; the replay check
+    # (tag_is_applied) consults the watermark for stream tags. Gated
+    # to manifest-pointer stores (roots non-empty): there `applied` is
+    # a pure replay ledger, whereas the n-gram count store's list ALSO
+    # names its live counts_tagged/ directories — that family folds at
+    # its own compaction, where the directories are merged away too.
+    # Rides the same commit as the floor advance when there is one,
+    # its own bookkeeping commit otherwise.
+    folded_applied = fold_applied_watermarks(meta) if roots else 0
     # ---- commit point: floor advances before anything is deleted ----
     if new_floor > old_floor:
         meta["rewrite_floor"] = new_floor
@@ -573,6 +596,7 @@ def vacuum_store(
             meta["retired_manifests"] = sorted(
                 set(meta["retired_manifests"]) & kept_manifest_names
             )
+    if new_floor > old_floor or folded_applied:
         commit_meta(path, meta, bookkeeping=True)
         # the fresh commit's meta is retained by construction; fold its
         # (identical) manifest names in for the manifest GC below
@@ -651,6 +675,7 @@ def vacuum_store(
         "removed_files": removed,
         "removed_manifests": removed_manifests,
         "removed_tombstones": removed_tombstones,
+        "folded_applied": int(folded_applied),
     }
     if data_gc is not None:
         out["data_gc"] = data_gc
@@ -908,7 +933,7 @@ def append_flat_store_batch(
         validate_batch_tag(batch_tag)
     meta = read_meta(path)
     applied = meta.setdefault("applied", [])
-    if batch_tag is not None and batch_tag in applied:
+    if tag_is_applied(meta, batch_tag):
         cleanup_flat_staging(path, batch_tag)
         return False
     if batch_tag is not None:
@@ -1165,6 +1190,83 @@ def validate_batch_tag(batch_tag: str) -> None:
 
     if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_tag):
         raise ValueError(f"invalid batch_tag {batch_tag!r}")
+
+
+# Checkpoint-namespaced stream tags ONLY: a 12-hex checkpoint query-id
+# prefix (checkpoint_namespace), an optional family 'b' marker, a
+# numeric batch id. Nothing an operator hand-writes matches (the hex
+# prefix + dash is machine-minted), so folding these into watermarks
+# can never mis-classify a non-monotonic operator tag as applied.
+_STREAM_TAG_RE = None
+
+
+def _stream_tag_parts(tag: "str | None") -> "tuple[str, int] | None":
+    """(stem, batch id) of a checkpoint-namespaced stream tag —
+    ``<12-hex-ns>-<id>`` or ``<12-hex-ns>-b<id>`` — else None. The
+    stem (namespace + family marker) is the watermark key: batch ids
+    are monotonic per checkpoint, which is exactly per stem."""
+    global _STREAM_TAG_RE
+    if _STREAM_TAG_RE is None:
+        import re as _re
+
+        _STREAM_TAG_RE = _re.compile(r"^([0-9a-f]{12}-b?)([0-9]+)$")
+    if tag is None:
+        return None
+    m = _STREAM_TAG_RE.match(tag)
+    return (m.group(1), int(m.group(2))) if m else None
+
+
+def tag_is_applied(meta: dict, batch_tag: "str | None") -> bool:
+    """The ONE replay check every tagged append shares: exact member of
+    ``applied``, or covered by its checkpoint namespace's folded
+    watermark (``applied_watermarks``, r14 — vacuum compacts the
+    per-commit stream tags so meta stays O(checkpoints-ever +
+    operator-tags), not O(commits-ever). Structured Streaming batch
+    ids are monotonic per checkpoint, so any id at/below its OWN
+    namespace's watermark was committed; a FRESH checkpoint has a
+    fresh namespace and is never covered — the StreamTagMixin
+    invariant that makes the fold safe)."""
+    if batch_tag is None:
+        return False
+    if batch_tag in (meta.get("applied") or []):
+        return True
+    parts = _stream_tag_parts(batch_tag)
+    if parts is not None:
+        wm = (meta.get("applied_watermarks") or {}).get(parts[0])
+        if wm is not None and parts[1] <= int(wm):
+            return True
+    return False
+
+
+def fold_applied_watermarks(meta: dict) -> int:
+    """Compact every checkpoint-namespaced stream tag in ``applied``
+    into its stem's high-water mark, in place; returns how many tags
+    folded. Operator tags (anything the 12-hex-ns pattern does not
+    match — including every pre-r14 legacy bare-id tag) keep their
+    exact entries: only machine-minted monotonic tags are safe to
+    summarize. Empty micro-batches never commit, so a watermark may
+    cover uncommitted gap ids — their redelivery re-derives the same
+    empty batch, so treating them as applied is exact. Callers must
+    only fold where ``applied`` is a pure replay ledger (every
+    manifest-pointer family); the n-gram count store's list doubles as
+    its live-directory pointer and folds only at its compaction."""
+    applied = meta.get("applied") or []
+    wms = dict(meta.get("applied_watermarks") or {})
+    keep = []
+    folded = 0
+    for t in applied:
+        parts = _stream_tag_parts(t)
+        if parts is None:
+            keep.append(t)
+            continue
+        stem, bid = parts
+        if stem not in wms or bid > int(wms[stem]):
+            wms[stem] = bid
+        folded += 1
+    if folded:
+        meta["applied"] = keep
+        meta["applied_watermarks"] = wms
+    return folded
 
 
 # Store-internal column names every vector tier writes beside the
@@ -1539,7 +1641,7 @@ def append_partitioned_store_batch(
         validate_batch_tag(batch_tag)
     meta = read_meta(path)
     applied = meta.setdefault("applied", [])
-    if batch_tag is not None and batch_tag in applied:
+    if tag_is_applied(meta, batch_tag):
         cleanup_flat_staging(path, batch_tag)
         return False
     if batch_tag is not None:

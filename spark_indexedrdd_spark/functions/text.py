@@ -1276,7 +1276,7 @@ def append_ngram_count_batch(
     SC.validate_batch_tag(batch_tag)
     meta = SC.read_meta(path)
     applied = meta.setdefault("applied", [])
-    if batch_tag in applied:
+    if SC.tag_is_applied(meta, batch_tag):
         return False  # at-least-once replay of a committed batch
     n_buckets = int(meta["n_buckets"])
     _store_counts(df, n_buckets, text_col, id_col).write.mode(
@@ -1325,6 +1325,15 @@ def compact_ngram_count_store(spark, path: str) -> int:
     shutil.move(os.path.join(tmp, "counts"), old)
     shutil.rmtree(os.path.join(path, "counts_tagged"), ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+    # This family's `applied` list doubles as the live counts_tagged/
+    # directory pointer, so it can only fold into per-checkpoint
+    # watermarks HERE — the directories just merged into the base, so
+    # post-compaction the list is a pure replay ledger again. Without
+    # the fold, continuous streaming ingest grows meta by one tag per
+    # micro-batch forever (compaction bounds the DIRECTORIES but the
+    # vacuum-side fold is gated off this family exactly because of the
+    # dual use). Replays of folded tags stay no-ops via tag_is_applied.
+    SC.fold_applied_watermarks(meta)
     SC.commit_meta(path, meta, rewrite=True)  # floor advances
     return int(n_rows)
 

@@ -261,6 +261,11 @@ def compact_zonemap_store(spark: SparkSession, path: str) -> int:
     # winner. rewrite=True records the servability floor.
     new_meta["version"] = meta.get("version")
     new_meta.pop("rewrite_floor", None)
+    # carry the folded replay watermarks too (r14): write_zonemap_table
+    # only carries the exact `applied` list — dropping the watermarks
+    # would re-apply a redelivered folded stream batch after a compact
+    if meta.get("applied_watermarks"):
+        new_meta["applied_watermarks"] = meta["applied_watermarks"]
     SC.recheck_version(path, meta)  # abort BEFORE the destructive swap
     SC.retract_meta(path)  # <-- old store now loudly uncommitted
     for sub in ("data", "zones", "_manifests"):

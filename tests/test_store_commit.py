@@ -937,3 +937,162 @@ def test_vacuum_store_bloom_family(spark, tmp_path):
     assert (
         sorted(map(tuple, BL.bloom_multiget(spark, p, keys).collect())) == pre
     )
+
+
+def test_fold_applied_watermarks_unit():
+    """r14: vacuum compacts checkpoint-namespaced stream tags into
+    per-namespace high-water marks so meta stays O(checkpoints-ever +
+    operator-tags) under continuous ingest. Operator and legacy bare
+    tags keep exact entries (only machine-minted monotonic ids are
+    safe to summarize); a FRESH checkpoint's namespace is never
+    covered — the hazard the r13 ADVICE named on the exact-map
+    watermark is structurally absent here."""
+    meta = {
+        "applied": [
+            "opt-batch",           # operator tag: kept exact
+            "b3",                  # legacy un-namespaced stream tag: kept
+            "abcdefabcdef-b0",     # ns A, postings-style 'b' marker
+            "abcdefabcdef-b2",
+            "0123456789ab-7",      # ns B, bare-id style
+            "not-a-hexns12-1",     # non-hex prefix: kept exact
+        ]
+    }
+    assert SC.fold_applied_watermarks(meta) == 3
+    assert meta["applied"] == ["opt-batch", "b3", "not-a-hexns12-1"]
+    assert meta["applied_watermarks"] == {
+        "abcdefabcdef-b": 2,
+        "0123456789ab-": 7,
+    }
+    # idempotent: nothing left to fold
+    assert SC.fold_applied_watermarks(meta) == 0
+    # replay coverage: at/below the OWN namespace's watermark only
+    assert SC.tag_is_applied(meta, "abcdefabcdef-b1")  # gap id: covered
+    assert SC.tag_is_applied(meta, "abcdefabcdef-b2")
+    assert not SC.tag_is_applied(meta, "abcdefabcdef-b3")
+    assert SC.tag_is_applied(meta, "0123456789ab-7")
+    assert not SC.tag_is_applied(meta, "ffffffffffff-b0")  # fresh ckpt
+    assert SC.tag_is_applied(meta, "b3")  # legacy: exact entry
+    assert not SC.tag_is_applied(meta, "b4")
+    assert not SC.tag_is_applied(meta, None)
+    assert SC.tag_is_applied(meta, "opt-batch")
+
+
+def test_vacuum_folds_stream_tags_replay_stays_noop(spark, tmp_path):
+    """Vacuum on a manifest-pointer store folds the stream tags into
+    watermarks (its own bookkeeping commit when the floor is already
+    at rest), replays of folded tags stay exact no-ops, a fresh
+    checkpoint's batch 0 still lands, and operator tags survive as
+    exact entries."""
+    from spark_indexedrdd_spark.functions import retrieval as R
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = str(tmp_path / "fold_postings")
+    R.write_postings_store(docs.where("doc_id % 4 = 0"), p, n_buckets=8)
+    assert R.append_postings_batch(
+        docs.where("doc_id % 4 = 1"), p, batch_tag="abcdefabcdef-b0"
+    )
+    assert R.append_postings_batch(
+        docs.where("doc_id % 4 = 2"), p, batch_tag="abcdefabcdef-b1"
+    )
+    assert R.append_postings_batch(
+        docs.where("doc_id % 4 = 3"), p, batch_tag="opbatch"
+    )
+    pre = sorted(map(tuple, R.bm25_from_store(spark, p).collect()))
+
+    out = SC.vacuum_store(p, keep_versions=10)  # floor does NOT move
+    assert out["folded_applied"] == 2
+    meta = SC.read_meta(p)
+    assert meta["applied"] == ["opbatch"]
+    assert meta["applied_watermarks"] == {"abcdefabcdef-b": 1}
+    # replay of a folded tag: no-op, serve unchanged
+    assert not R.append_postings_batch(
+        docs.where("doc_id % 4 = 1"), p, batch_tag="abcdefabcdef-b0"
+    )
+    assert not R.append_postings_batch(
+        docs.where("doc_id % 4 = 3"), p, batch_tag="opbatch"
+    )
+    assert sorted(map(tuple, R.bm25_from_store(spark, p).collect())) == pre
+    # a second vacuum has nothing to fold (no commit-churn per vacuum)
+    v = SC.read_meta(p)["version"]
+    again = SC.vacuum_store(p, keep_versions=10)
+    assert again["folded_applied"] == 0
+    assert SC.read_meta(p)["version"] == v
+    # fresh checkpoint namespace: batch id 0 again is NEW data
+    assert R.append_postings_batch(
+        docs.where("doc_id % 4 = 1"), p, batch_tag="ffffffffffff-b0"
+    )
+
+
+def test_count_store_compaction_folds_replay_ledger(spark, tmp_path):
+    """The n-gram count store's `applied` list doubles as its live
+    counts_tagged/ directory pointer, so vacuum_store must NOT fold it
+    (no manifest roots -> gated off); its own compaction — where the
+    directories merge into the base — is the fold point. Counts stay
+    byte-identical, folded-tag replays stay no-ops, fresh namespaces
+    land."""
+    from spark_indexedrdd_spark.functions import text as T
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = str(tmp_path / "fold_counts")
+    T.write_ngram_count_store(
+        docs.where("doc_id % 3 = 0"), p, n_buckets=256
+    )
+    assert T.append_ngram_count_batch(
+        docs.where("doc_id % 3 = 1"), p, batch_tag="abcdefabcdef-b0"
+    )
+    assert T.append_ngram_count_batch(
+        docs.where("doc_id % 3 = 2"), p, batch_tag="abcdefabcdef-b1"
+    )
+
+    def counts():
+        merged, _ = T._read_counts(spark, p)
+        return sorted(map(tuple, merged.collect()))
+
+    pre = counts()
+    # vacuum on this family must not touch the dual-purpose ledger
+    SC.vacuum_store(p, keep_versions=1)
+    assert SC.read_meta(p).get("applied") == [
+        "abcdefabcdef-b0", "abcdefabcdef-b1"
+    ]
+    assert counts() == pre
+
+    T.compact_ngram_count_store(spark, p)
+    meta = SC.read_meta(p)
+    assert meta["applied"] == []
+    assert meta["applied_watermarks"] == {"abcdefabcdef-b": 1}
+    assert counts() == pre  # integer SUM fold is exact
+    # folded-tag replay: no-op, counts unchanged
+    assert not T.append_ngram_count_batch(
+        docs.where("doc_id % 3 = 1"), p, batch_tag="abcdefabcdef-b1"
+    )
+    assert counts() == pre
+    # fresh checkpoint: same batch id, genuinely new data, lands
+    assert T.append_ngram_count_batch(
+        docs.where("doc_id % 3 = 1"), p, batch_tag="ffffffffffff-b0"
+    )
+    assert counts() != pre
+
+
+def test_zonemap_compact_carries_applied_watermarks(spark, tmp_path):
+    """compact_zonemap_store rebuilds meta via a sibling build that
+    carries only the exact `applied` list — r14: the folded watermarks
+    must ride along or a redelivered folded stream batch re-applies
+    after a compact."""
+    from spark_indexedrdd_spark.sources import zonemap as Z
+
+    ev = spark.read.parquet(SF_DIR + "/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    p = str(tmp_path / "fold_zones")
+    Z.write_zonemap_table(ev.where("event_id % 2 = 0"), p, "ts", n_files=2)
+    assert Z.append_zonemap_batch(
+        ev.where("event_id % 2 = 1"), p, batch_tag="abcdefabcdef-b0"
+    )
+    pre = Z.zonemap_read(spark, p).count()
+    assert SC.vacuum_store(p, keep_versions=10)["folded_applied"] == 1
+    Z.compact_zonemap_store(spark, p)
+    assert SC.read_meta(p)["applied_watermarks"] == {"abcdefabcdef-b": 0}
+    assert not Z.append_zonemap_batch(
+        ev.where("event_id % 2 = 1"), p, batch_tag="abcdefabcdef-b0"
+    )
+    assert Z.zonemap_read(spark, p).count() == pre
