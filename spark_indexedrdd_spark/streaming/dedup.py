@@ -141,11 +141,14 @@ def streaming_semantic_dedup(
     the replay tag for the store's staged manifest-pointer commit
     (``append_ivf_batch(batch_tag=...)``, r11), so at-least-once
     re-delivery of a committed batch never duplicates stored vectors.
-    The VERDICT side remains at-least-once: a replayed batch recomputes
-    verdicts against a store that already contains its own committed
-    copy, so its rows can flip to dup-of-itself's-copy; verdicts dedupe
-    downstream by vec_id, and exactly-once verdict sinks should
-    checkpoint-commit before append, as with any foreachBatch pipeline.
+    The VERDICT side is nearly exactly-once (r14): a redelivered batch
+    whose tag is already committed is a FULL no-op — the replay check
+    runs BEFORE the verdict compute, so post-commit redeliveries never
+    append duplicate verdict rows (pre-r14 they recomputed against a
+    store already holding their own copy and could flip to
+    dup-of-itself's-copy). The remaining at-least-once window is a
+    crash between the verdict write and the store's commit point;
+    verdicts dedupe downstream by vec_id if that window matters.
 
     ``optimize_every=N`` folds the manifest list with the
     snapshot-preserving ``optimize_ivf_store`` whenever it reaches N
@@ -208,34 +211,68 @@ def streaming_semantic_dedup(
 
         if ns_cache[0] is None:
             ns_cache[0] = _SC.checkpoint_namespace(checkpoint_dir)
-        ns = ns_cache[0]
-        tag = f"{ns}-b{batch_id}" if ns else f"b{batch_id}"
-        if ns:
-            # cross-upgrade guard: a pre-namespace run committed the
-            # bare id — its redelivery must stay a no-op
-            applied = _SC.read_meta(ivf_store_path).get("applied") or []
-            if f"b{batch_id}" in applied:
-                return
-        batch = batch_df.select(id_col, vec_col)
-        verdicts = incremental_semantic_dedup_from_store(
-            batch, ivf_store_path, threshold, id_col, vec_col
+        _semantic_dedup_batch(
+            batch_df, batch_id, ivf_store_path, verdicts_path,
+            threshold, id_col, vec_col, ns_cache[0],
+            optimize_every=optimize_every, cadence=cadence,
         )
-        verdicts.write.mode("append").parquet(verdicts_path)
-        append_ivf_batch(
-            batch, ivf_store_path, id_col, vec_col,
-            batch_tag=tag,
-        )
-        if optimize_every is not None:
-            from spark_indexedrdd_spark.functions import (
-                store_commit as _SC,
-            )
-
-            n_manifests = len(
-                _SC.read_meta(ivf_store_path).get("manifests") or []
-            )
-            if n_manifests >= optimize_every:
-                optimize_ivf_store(spark, ivf_store_path, id_col)
-        if cadence is not None:
-            cadence.maybe_vacuum()
 
     return stream.writeStream.foreachBatch(_process).outputMode("append")
+
+
+def _semantic_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    ivf_store_path: str,
+    verdicts_path: str,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    ns: "str | None",
+    optimize_every: "int | None" = None,
+    cadence=None,
+) -> None:
+    """One ``streaming_semantic_dedup`` micro-batch, factored out so
+    redelivery semantics are directly testable. A batch whose tag is
+    already committed (exact entry OR covered by its checkpoint
+    namespace's folded watermark) is a FULL no-op: with the r14
+    tag_is_applied check up front, a post-commit redelivery skips the
+    verdict recompute entirely instead of appending a duplicate set of
+    verdict rows before the vector append no-ops. The remaining
+    at-least-once window on the verdict sink is a crash between the
+    verdict write and the store's commit point — unavoidable with two
+    sinks and documented on streaming_semantic_dedup."""
+    from spark_indexedrdd_spark.functions import store_commit as _SC
+    from spark_indexedrdd_spark.functions.ivf import (
+        append_ivf_batch,
+        incremental_semantic_dedup_from_store,
+        optimize_ivf_store,
+    )
+
+    tag = f"{ns}-b{batch_id}" if ns else f"b{batch_id}"
+    meta = _SC.read_meta(ivf_store_path)
+    if _SC.tag_is_applied(meta, tag):
+        return
+    if ns and f"b{batch_id}" in (meta.get("applied") or []):
+        # cross-upgrade guard: a pre-namespace run committed the
+        # bare id — its redelivery must stay a no-op
+        return
+    batch = batch_df.select(id_col, vec_col)
+    verdicts = incremental_semantic_dedup_from_store(
+        batch, ivf_store_path, threshold, id_col, vec_col
+    )
+    verdicts.write.mode("append").parquet(verdicts_path)
+    append_ivf_batch(
+        batch, ivf_store_path, id_col, vec_col,
+        batch_tag=tag,
+    )
+    if optimize_every is not None:
+        n_manifests = len(
+            _SC.read_meta(ivf_store_path).get("manifests") or []
+        )
+        if n_manifests >= optimize_every:
+            optimize_ivf_store(
+                batch_df.sparkSession, ivf_store_path, id_col
+            )
+    if cadence is not None:
+        cadence.maybe_vacuum()

@@ -686,3 +686,44 @@ def test_streaming_semantic_dedup_matches_sequential_batches(spark, sf_dir, tmp_
     assert got == expected and len(got) > 0
     vecs, _cents = IV.read_ivf_store(spark, store)
     assert vecs.count() == emb.count()
+
+
+def test_semantic_dedup_redelivery_is_a_full_noop(spark, sf_dir, tmp_path):
+    """r14: a redelivered committed batch skips the verdict recompute
+    entirely — no duplicate verdict rows, no vector re-append —
+    whether its tag is an exact `applied` entry or only covered by the
+    folded per-checkpoint watermark after a vacuum (pre-r14 the
+    verdict side re-appended a recomputed copy before the vector
+    append no-opped)."""
+    from spark_indexedrdd_spark.functions import ivf as IV
+    from spark_indexedrdd_spark.functions import store_commit as SC
+    from spark_indexedrdd_spark.streaming.dedup import _semantic_dedup_batch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.where("vec_id < 300")
+    b1 = emb.where("vec_id >= 300 AND vec_id < 400")
+    store = str(tmp_path / "ivf")
+    verdicts = str(tmp_path / "verdicts")
+    IV.write_ivf_store(corpus, store, n_clusters=8, method="det")
+
+    ns = "abcdefabcdef"
+    args = (store, verdicts, 0.3, "vec_id", "embedding", ns)
+    _semantic_dedup_batch(b1, 0, *args)
+    n_verdicts = spark.read.parquet(verdicts).count()
+    n_vecs = IV.read_ivf_store(spark, store)[0].count()
+    assert n_verdicts > 0
+
+    # exact-entry redelivery: full no-op on BOTH sinks
+    _semantic_dedup_batch(b1, 0, *args)
+    assert spark.read.parquet(verdicts).count() == n_verdicts
+    assert IV.read_ivf_store(spark, store)[0].count() == n_vecs
+
+    # vacuum folds the tag into the namespace watermark; redelivery of
+    # the now-folded tag must STILL be a full no-op
+    assert SC.vacuum_store(store, keep_versions=10)["folded_applied"] == 1
+    assert SC.read_meta(store).get("applied") == []
+    _semantic_dedup_batch(b1, 0, *args)
+    assert spark.read.parquet(verdicts).count() == n_verdicts
+    assert IV.read_ivf_store(spark, store)[0].count() == n_vecs
