@@ -270,10 +270,14 @@ def write_bpe_store(spark, merges: "list[tuple[str, str]]", path: str) -> None:
     from spark_indexedrdd_spark.functions import store_commit as SC
 
     SC.retract_meta(path)
+    # repartition(1), NOT coalesce(1): coalescing a Python-local frame
+    # serializes a Python-runner handshake per pickled slice into one
+    # task (~4.8s flat at local[32]; see write_classifier_model).
+    # read_bpe_store orders by rank, so file row order is free.
     spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/merges")
+    ).repartition(1).write.mode("overwrite").parquet(path + "/merges")
     SC.commit_meta(
         path, {"n_merges": len(merges), "merges_id": merges_id(merges)}
     )

@@ -112,10 +112,19 @@ def _bucketize(
 
 def _margin(w: list[float], bias: float) -> Column:
     """bias + left-fold of w[bucket] over the doc's sorted distinct
-    buckets — the model as a pure JVM expression (w as a literal array;
-    n_buckets doubles, same footprint class as dsir_select's broadcast
-    row)."""
-    warr = F.array(*[F.lit(float(x)) for x in w])
+    buckets — the model as a pure JVM expression (w shipped as ONE
+    parsed SQL array literal, not n_buckets client-built F.lit columns:
+    building 1024 Columns costs ~0.56s of py4j round-trips PER GD
+    iteration, F.lit(list) the same (it expands to per-element lits),
+    while one expr string parses in ~7ms and constant-folds to the
+    identical array Literal — measured values bit-equal, per-iteration
+    wall 0.8s -> 0.22s at sf0.1. repr() emits shortest-roundtrip
+    decimals and the D suffix parses them back through
+    Double.parseDouble, so the doubles survive exactly; n_buckets
+    doubles, same footprint class as dsir_select's broadcast row)."""
+    warr = F.expr(
+        "array(" + ",".join(repr(float(x)) + "D" for x in w) + ")"
+    )
     return F.lit(float(bias)) + F.aggregate(
         F.col("__b"),
         F.lit(0.0),
@@ -282,9 +291,15 @@ def write_classifier_model(
     from spark_indexedrdd_spark.functions import store_commit as SC
 
     SC.retract_meta(path)
+    # repartition(1), NOT coalesce(1): coalescing a Python-local
+    # (parallelized) frame folds its ~n_cores pickled slices into ONE
+    # task that pays a Python-runner handshake per slice — a flat
+    # ~4.8s at local[32] regardless of row count (measured; the
+    # repartition keeps the slices parallel and shuffles 1024 rows,
+    # 0.33s). Readers index rows by bucket, so file row order is free.
     spark.createDataFrame(
         [(b, float(x)) for b, x in enumerate(w)], "bucket int, w double"
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/weights")
+    ).repartition(1).write.mode("overwrite").parquet(path + "/weights")
     SC.commit_meta(path, {"bias": float(bias), "n_buckets": len(w)})
 
 
