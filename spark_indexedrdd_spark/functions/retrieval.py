@@ -89,6 +89,38 @@ def _df_t(tf: DataFrame) -> DataFrame:
     )
 
 
+def _avgdl9(spark, total_dl: int, n_docs: int) -> "float | None":
+    """ROUND(total_dl / n_docs, 9) evaluated by Spark's OWN Round
+    (HALF_UP over the JVM double of a double/double division — the
+    exact op sequence the in-plan broadcast-stats frame performs), but
+    through a OneRowRelation select that constant-folds in the
+    optimizer: no shuffle, no scan, one trivial task — replaces the
+    spark.range(1) job the serve path used to run per call. Returns
+    None on an empty corpus (mirrors the NULL the in-plan agg yields)."""
+    if not n_docs or total_dl is None:
+        return None
+    row = spark.sql(
+        f"SELECT round(CAST({int(total_dl)} AS DOUBLE) / "
+        f"CAST({int(n_docs)} AS DOUBLE), 9) AS a"
+    ).collect()[0]
+    return float(row["a"])
+
+
+def _attach_stats(scored: DataFrame, spark, stats_lit) -> DataFrame:
+    """Attach (n_docs, avgdl) as LITERAL columns from exact driver-side
+    longs — the shared-stats path for flows that score the same corpus
+    twice (RM3's feedback pass + expanded re-score): the corpus-stats
+    tokenize runs once per flow instead of once per pass. Values are
+    bit-identical to the 1-row broadcast-stats join (same JVM division
+    and Round — see _avgdl9)."""
+    n_docs, total_dl = stats_lit
+    return scored.withColumn(
+        "n_docs", F.lit(int(n_docs)).cast("long")
+    ).withColumn(
+        "avgdl", F.lit(_avgdl9(spark, total_dl, n_docs)).cast("double")
+    )
+
+
 def _bm25_score9(k1: float, b: float) -> Column:
     """Per-(doc, term) BM25 contribution as a fixed-point BIGINT.
 
@@ -133,6 +165,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _stats: "tuple[int, int | None] | None" = None,
 ) -> DataFrame:
     """Okapi BM25 top-k retrieval for a literal query workload:
     (qid, doc_id, score, rank), rank 1..k per query, ties broken by id.
@@ -144,21 +177,17 @@ def bm25_topk(
     driver/broadcast sized. The only wide ops are the map-side-combined
     tf aggregation and the per-qid top-k window, whose rank<=k cutoff
     pushes below the exchange (WindowGroupLimit) — so the final shuffle
-    carries at most k rows per query per map task."""
+    carries at most k rows per query per map task.
+
+    ``_stats`` (exact driver-side ``(n_docs, total_dl)`` longs) is the
+    shared-stats hook for flows that score the same corpus more than
+    once (RM3): when given, the corpus-stats aggregate — a full
+    tokenize pass of its own — is skipped and the identical values
+    attach as literals (:func:`_attach_stats`)."""
     spark = df.sparkSession
     qt = _query_terms(queries)
     terms = sorted({t for _, t in qt})
     q = spark.createDataFrame(qt, "qid int, term string")
-
-    stats = df.select(
-        F.size(tokens(F.col(text_col))).cast("long").alias("dl")
-    ).agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_dl"),
-    ).select(
-        "n_docs",
-        F.round(F.col("total_dl") / F.col("n_docs"), 9).alias("avgdl"),
-    )
 
     tok = _doc_terms(df, text_col, id_col).where(F.col("term").isin(terms))
     tf = tok.groupBy(id_col, "dl", "term").agg(
@@ -166,10 +195,22 @@ def bm25_topk(
     )
     dft = _df_t(tf)
 
+    scored = tf.join(F.broadcast(dft), "term")
+    if _stats is None:
+        stats = df.select(
+            F.size(tokens(F.col(text_col))).cast("long").alias("dl")
+        ).agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_dl"),
+        ).select(
+            "n_docs",
+            F.round(F.col("total_dl") / F.col("n_docs"), 9).alias("avgdl"),
+        )
+        scored = scored.join(F.broadcast(stats))
+    else:
+        scored = _attach_stats(scored, spark, _stats)
     scored = (
-        tf.join(F.broadcast(dft), "term")
-        .join(F.broadcast(stats))
-        .join(F.broadcast(q), "term")
+        scored.join(F.broadcast(q), "term")
         .select("qid", id_col, _bm25_score9(k1, b).alias("s9"))
     )
     agg = scored.groupBy("qid", id_col).agg(
@@ -197,6 +238,7 @@ def rm3_expansion_terms(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _stats: "tuple[int, int | None] | None" = None,
 ) -> DataFrame:
     """RM3-style pseudo-relevance feedback terms (Lavrenko & Croft
     2001 relevance models, the Anserini/Indri default expansion):
@@ -210,20 +252,30 @@ def rm3_expansion_terms(
     order-insensitive and engine-exact — the bm25 score9 discipline).
     Original query terms are excluded; ties break on the term.
 
-    Plan shape: the feedback set is q x k_fb ids (broadcast), so the
-    expansion pass tokenizes ONLY the feedback documents — a
-    broadcast-semi-joined scan, corpus cost bounded by the feedback
-    docs — then one map-side-combined (qid, term) aggregation over
-    feedback-doc-sized input and a per-qid WindowGroupLimit top-m."""
-    fb = (
-        bm25_topk(
-            df, queries=queries, k=k_fb, k1=k1, b=b,
-            text_col=text_col, id_col=id_col,
-        )
-        .select("qid", id_col)
+    Plan shape: the feedback result is collected (q x k_fb rows — the
+    serve's own bound) so its ids reach the expansion pass as an
+    ``isin`` literal the parquet scan prunes on: only the feedback
+    documents are read and tokenized. (As a lazy broadcast join the
+    filter sat ABOVE the explode — Catalyst does not reorder a join
+    below a generate — so the expansion pass used to tokenize the
+    ENTIRE corpus to keep ~q x k_fb documents: a second full corpus
+    pass, removed r14.) Then one map-side-combined (qid, term)
+    aggregation over feedback-doc-sized input and a per-qid
+    WindowGroupLimit top-m."""
+    from pyspark.sql import types as T
+
+    fb_frame = bm25_topk(
+        df, queries=queries, k=k_fb, k1=k1, b=b,
+        text_col=text_col, id_col=id_col, _stats=_stats,
+    ).select("qid", id_col)
+    fb_rows = fb_frame.collect()
+    fb = df.sparkSession.createDataFrame(
+        fb_rows,
+        T.StructType([fb_frame.schema["qid"], fb_frame.schema[id_col]]),
     )
     return _rm3_terms_for_feedback(
-        df, fb, queries, m_expand, text_col, id_col
+        df, fb, queries, m_expand, text_col, id_col,
+        fb_ids=sorted({r[1] for r in fb_rows}),
     )
 
 
@@ -234,10 +286,21 @@ def _rm3_terms_for_feedback(
     m_expand: int,
     text_col: str,
     id_col: str,
+    fb_ids=None,
 ) -> DataFrame:
     """Expansion-term selection given a (qid, id) feedback frame —
     shared by the in-plan and store-served RM3 (the feedback frame's
-    provenance is the only difference between them)."""
+    provenance is the only difference between them).
+
+    ``fb_ids`` (the distinct feedback doc ids, driver-side — both
+    callers hold them already) prunes the corpus scan to the feedback
+    documents BEFORE tokenization: the isin literal pushes into the
+    parquet source, so only ~q × k_fb documents are read and exploded.
+    A broadcast join alone cannot do this — Catalyst does not reorder
+    a join below the explode, so without the literal the whole corpus
+    was tokenized to keep a handful of rows. Joining fb afterwards
+    (unchanged) attaches qids; results are identical because the join
+    keeps exactly the fb_ids rows either way."""
     qt = _query_terms(queries)
     orig = {q: {t for qq, t in qt if qq == q} for q, _ in qt}
     spark = df.sparkSession
@@ -247,7 +310,13 @@ def _rm3_terms_for_feedback(
             "qid int, term string",
         )
     )
-    dt = _doc_terms(df, text_col, id_col)
+    src = df
+    if fb_ids is not None:
+        ids = list(fb_ids)
+        src = df.where(
+            F.col(id_col).isin(ids) if ids else F.lit(False)
+        )
+    dt = _doc_terms(src, text_col, id_col)
     fb_terms = dt.join(F.broadcast(fb), id_col)
     tf = fb_terms.groupBy("qid", id_col, "dl", "term").agg(
         F.count("*").cast("long").alias("tf")
@@ -303,18 +372,37 @@ def bm25_rm3_topk(
     rescale is integral). Ranking is on the integer final15; the
     emitted ``score`` is final15/1e15 ROUND(9).
 
-    Scale: two corpus passes (feedback retrieval; re-score with the
-    expanded literal term set — still an ``isin`` pushed below the tf
-    aggregation), plus a driver-side collect of q x m_expand expansion
-    rows (the IVF probe-selection pattern: query-batch bounded).
-    Exact DuckDB twin: :func:`sql_bm25_rm3_topk`."""
+    Scale: three corpus passes — ONE shared stats tokenize (collected
+    as exact longs, attached to both scoring passes as literals via
+    :func:`_attach_stats`; each pass used to run its own), feedback
+    retrieval, and the re-score with the expanded literal term set
+    (still an ``isin`` pushed below the tf aggregation) — plus
+    driver-side collects of q x k_fb feedback ids and q x m_expand
+    expansion rows (the IVF probe-selection pattern: query-batch
+    bounded). Exact DuckDB twin: :func:`sql_bm25_rm3_topk`."""
     spark = df.sparkSession
     alpha6 = int(math_floor(float(alpha) * 1_000_000.0))
     beta6 = 1_000_000 - alpha6
 
+    # corpus stats ONCE for both scoring passes: the feedback pass and
+    # the expanded re-score each used to run their own full-corpus
+    # stats tokenize — identical values by construction, so collect the
+    # exact longs here and attach them as literals (_attach_stats) in
+    # both passes: 2 corpus-stats passes -> 1 per RM3 call
+    strow = df.select(
+        F.size(tokens(F.col(text_col))).cast("long").alias("dl")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    ).collect()[0]
+    stats_lit = (
+        int(strow["n_docs"]),
+        None if strow["total_dl"] is None else int(strow["total_dl"]),
+    )
+
     exp_rows = rm3_expansion_terms(
         df, queries=queries, k_fb=k_fb, m_expand=m_expand,
-        k1=k1, b=b, text_col=text_col, id_col=id_col,
+        k1=k1, b=b, text_col=text_col, id_col=id_col, _stats=stats_lit,
     ).collect()
     tot = {}
     for r in exp_rows:
@@ -338,23 +426,13 @@ def bm25_rm3_topk(
     )
     terms = sorted({t for _q, t, _w in exp_w} | {t for _q, t in qt})
 
-    stats = df.select(
-        F.size(tokens(F.col(text_col))).cast("long").alias("dl")
-    ).agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_dl"),
-    ).select(
-        "n_docs",
-        F.round(F.col("total_dl") / F.col("n_docs"), 9).alias("avgdl"),
-    )
     tok = _doc_terms(df, text_col, id_col).where(F.col("term").isin(terms))
     tf = tok.groupBy(id_col, "dl", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
     dft = _df_t(tf)
     scored = (
-        tf.join(F.broadcast(dft), "term")
-        .join(F.broadcast(stats))
+        _attach_stats(tf.join(F.broadcast(dft), "term"), spark, stats_lit)
         .join(F.broadcast(qmap), "term")
         .select("qid", id_col, "w6", _bm25_score9(k1, b).alias("s9"))
     )
@@ -1768,14 +1846,9 @@ def _bm25_store_scored(
     dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df_t"))
     # rounded through Spark's ROUND (HALF_UP), not Python's round()
     # (HALF_EVEN) — in-plan bm25_topk pins avgdl with F.round, and a
-    # .5-boundary 9th digit would silently shift every score otherwise
-    avgdl = (
-        spark.range(1)
-        .select(
-            F.round(F.lit(total_dl) / F.lit(n_docs), 9).alias("a")
-        )
-        .collect()[0]["a"]
-    )
+    # .5-boundary 9th digit would silently shift every score otherwise;
+    # _avgdl9 constant-folds instead of running the old range(1) job
+    avgdl = _avgdl9(spark, total_dl, n_docs)
     scored = (
         tf.join(F.broadcast(dft), "term")
         .join(F.broadcast(q), "term")
@@ -1851,7 +1924,7 @@ def bm25_rm3_from_store(
                 "contain every document the store can serve as feedback"
             )
     exp_rows = _rm3_terms_for_feedback(
-        docs, fb, queries, m_expand, text_col, id_col
+        docs, fb, queries, m_expand, text_col, id_col, fb_ids=fb_ids
     ).collect()
     tot: dict = {}
     for r in exp_rows:
