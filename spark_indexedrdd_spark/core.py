@@ -45,6 +45,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spark_indexedrdd_spark.localframe import local_rows_df
+
 # (old_value, new_value) -> merged_value, as Column expressions.
 MergeFn = Callable[[Column, Column], Column]
 # new_value -> initial_value for keys absent from the base (reference `z`,
@@ -491,8 +493,10 @@ class IndexedDataFrame:
             # 1k keys; the join path is for 10k+ where predicate size and
             # driver-side literal construction dominate)
             keys_df = F.broadcast(
-                self.df.sparkSession.createDataFrame(
-                    key_tuples, schema=self.df.select(*self.keys).schema
+                local_rows_df(
+                    self.df.sparkSession,
+                    key_tuples,
+                    self.df.select(*self.keys).schema,
                 ).dropDuplicates(self.keys)
             )
             rows = self.df.join(keys_df, on=self.keys, how="left_semi").collect()
@@ -614,8 +618,8 @@ class IndexedDataFrame:
             for k, val in kvs.items()
         }
         rows = [(*self._key_tuple(k), val) for k, val in vals.items()]
-        updates = spark.createDataFrame(
-            rows, schema=self.df.select(*self.keys, v).schema
+        updates = local_rows_df(
+            spark, rows, self.df.select(*self.keys, v).schema
         )
         out = self.multiput_df(updates, f=f, z=z, broadcast_updates=True)
         if z is IDENTITY and coerce is not None:
@@ -720,7 +724,7 @@ class IndexedDataFrame:
         rows = [self._key_tuple(k) for k in ks]
         if not rows:
             return self
-        dels = spark.createDataFrame(rows, schema=self.df.select(*self.keys).schema)
+        dels = local_rows_df(spark, rows, self.df.select(*self.keys).schema)
         out = self.delete_df(dels, broadcast_deletes=True)
         # deletes are value-independent: point reads of deleted keys are
         # answered driver-side (absent), the rest by the parent

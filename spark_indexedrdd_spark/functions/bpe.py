@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from spark_indexedrdd_spark.functions.text import tokens
+from spark_indexedrdd_spark.localframe import local_rows_df
 
 # marks end-of-word so merges never cross word boundaries and a final
 # symbol "st</w>" is distinguishable from a word-internal "st"
@@ -274,7 +275,8 @@ def write_bpe_store(spark, merges: "list[tuple[str, str]]", path: str) -> None:
     # serializes a Python-runner handshake per pickled slice into one
     # task (~4.8s flat at local[32]; see write_classifier_model).
     # read_bpe_store orders by rank, so file row order is free.
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string",
     ).repartition(1).write.mode("overwrite").parquet(path + "/merges")

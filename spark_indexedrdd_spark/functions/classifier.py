@@ -63,6 +63,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from spark_indexedrdd_spark.functions.text import sql_tokens, tokens
+from spark_indexedrdd_spark.localframe import local_rows_df
 
 SCALE = 1_000_000  # gradient fixed-point quantum (1e-6 per instance)
 PARETO_ALPHA = 9.0  # GPT-3 Appendix A's np.random.pareto(9) lottery
@@ -297,8 +298,9 @@ def write_classifier_model(
     # ~4.8s at local[32] regardless of row count (measured; the
     # repartition keeps the slices parallel and shuffles 1024 rows,
     # 0.33s). Readers index rows by bucket, so file row order is free.
-    spark.createDataFrame(
-        [(b, float(x)) for b, x in enumerate(w)], "bucket int, w double"
+    local_rows_df(
+        spark, [(b, float(x)) for b, x in enumerate(w)],
+        "bucket int, w double",
     ).repartition(1).write.mode("overwrite").parquet(path + "/weights")
     SC.commit_meta(path, {"bias": float(bias), "n_buckets": len(w)})
 

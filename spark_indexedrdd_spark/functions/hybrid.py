@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spark_indexedrdd_spark.localframe import local_rows_df
+
 # (qid, lexical query text, dense query vec_id): the hybrid workload
 # pairs each qid with a keyword string (BM25 branch, documents table)
 # and a query-by-example embedding id (cosine branch, embeddings
@@ -114,8 +116,9 @@ def _dense_to_qids(spark: SparkSession, den: DataFrame, queries) -> DataFrame:
     """Map the dense branch's (q_id = query vec_id) rows back to the
     hybrid workload's qids via a broadcast literal map."""
     qmap = F.broadcast(
-        spark.createDataFrame(
-            [(int(q), int(v)) for q, _t, v in queries], "qid int, vid long"
+        local_rows_df(
+            spark, [(int(q), int(v)) for q, _t, v in queries],
+            "qid int, vid long",
         )
     )
     return den.join(qmap, den["q_id"] == qmap["vid"]).select(

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_indexedrdd_spark.functions.vectors import cosine
+from spark_indexedrdd_spark.localframe import local_rows_df
 
 
 # KMeans training-set cap: centroid quality saturates long before the
@@ -455,7 +456,8 @@ def write_ivf_store(
         path + "/vectors"
     )
     spark = emb.sparkSession
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(i, c, n) for i, (c, n) in enumerate(cents)],
         "cluster_id int, centroid array<double>, c_norm double",
     ).write.mode("overwrite").parquet(path + "/centroids")
@@ -844,8 +846,9 @@ def ivf_ann_from_store(
             T.StructField("cluster_id", T.IntegerType()),
         ]
     )
-    probe_df = spark.createDataFrame(
-        [(r.q_id, r.q_vec, r.cluster_id) for r in probe_rows], probe_schema
+    probe_df = local_rows_df(
+        spark, [(r.q_id, r.q_vec, r.cluster_id) for r in probe_rows],
+        probe_schema,
     )
     cand_vecs = vecs.where(filter_pred) if filter_pred else vecs
     cand = (

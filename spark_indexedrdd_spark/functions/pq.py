@@ -53,6 +53,8 @@ import math
 from typing import Iterable
 
 from pyspark.sql import DataFrame, Window
+
+from spark_indexedrdd_spark.localframe import local_rows_df
 from pyspark.sql import functions as F
 
 from spark_indexedrdd_spark.functions.ivf import TRAIN_SAMPLE_CAP, _PROBE_LIMIT
@@ -275,7 +277,7 @@ def pq_ann(
         ]
         per_query.append((int(r[0]), table))
 
-    tables = emb.sparkSession.createDataFrame(
+    tables = local_rows_df(emb.sparkSession, 
         per_query, "q_id: long, tbl: array<array<double>>"
     )
     scored = (
@@ -496,7 +498,7 @@ def ivfpq_ann(
         per_query.append((int(r[0]), table, probe_list))
 
     probes = (
-        emb.sparkSession.createDataFrame(
+        local_rows_df(emb.sparkSession, 
             per_query,
             "q_id: long, tbl: array<array<double>>, probe: array<int>",
         )
@@ -809,7 +811,7 @@ def ivfpq_residual_ann(
             ]
             probe_rows.append((int(r[0]), cid, table))
 
-    probes = emb.sparkSession.createDataFrame(
+    probes = local_rows_df(emb.sparkSession, 
         probe_rows,
         "q_id: long, cluster_id: int, tbl: array<array<double>>",
     )
@@ -1029,11 +1031,11 @@ def write_ivfpq_store(
         path + "/codes"
     )
     spark = emb.sparkSession
-    spark.createDataFrame(
+    local_rows_df(spark, 
         [(i, c, n) for i, (c, n) in enumerate(cents)],
         "cluster_id int, centroid array<double>, c_norm double",
     ).write.mode("overwrite").parquet(path + "/centroids")
-    spark.createDataFrame(
+    local_rows_df(spark, 
         [
             (sub, code, word)
             for sub, cb in enumerate(cbs)
@@ -1271,7 +1273,7 @@ def ivfpq_store_ann(
             probe_rows.append((int(q_id), cid, table))
 
     probed_clusters = sorted({cid for _, cid, _ in probe_rows})
-    probes = spark.createDataFrame(
+    probes = local_rows_df(spark, 
         probe_rows,
         "q_id: long, cluster_id: int, tbl: array<array<double>>",
     )

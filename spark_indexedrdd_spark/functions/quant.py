@@ -25,6 +25,8 @@ from __future__ import annotations
 from collections.abc import Iterable
 
 from pyspark.sql import Column, DataFrame
+
+from spark_indexedrdd_spark.localframe import local_rows_df
 from pyspark.sql import functions as F
 
 INT8_MAX = 127.0
@@ -535,7 +537,8 @@ def binary_store_ann(
         return math.sqrt(acc)
 
     q = F.broadcast(
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [
                 (int(i), [float(x) for x in v], py_sketch(v), py_norm(v))
                 for i, v in query_vecs

@@ -24,6 +24,8 @@ import os
 from math import floor as math_floor
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from spark_indexedrdd_spark.localframe import local_rows_df
 from pyspark.sql import functions as F
 
 from spark_indexedrdd_spark.functions.text import sql_tokens, tokens
@@ -187,7 +189,7 @@ def bm25_topk(
     spark = df.sparkSession
     qt = _query_terms(queries)
     terms = sorted({t for _, t in qt})
-    q = spark.createDataFrame(qt, "qid int, term string")
+    q = local_rows_df(spark, qt, "qid int, term string")
 
     tok = _doc_terms(df, text_col, id_col).where(F.col("term").isin(terms))
     tf = tok.groupBy(id_col, "dl", "term").agg(
@@ -269,7 +271,8 @@ def rm3_expansion_terms(
         text_col=text_col, id_col=id_col, _stats=_stats,
     ).select("qid", id_col)
     fb_rows = fb_frame.collect()
-    fb = df.sparkSession.createDataFrame(
+    fb = local_rows_df(
+        df.sparkSession,
         fb_rows,
         T.StructType([fb_frame.schema["qid"], fb_frame.schema[id_col]]),
     )
@@ -305,7 +308,8 @@ def _rm3_terms_for_feedback(
     orig = {q: {t for qq, t in qt if qq == q} for q, _ in qt}
     spark = df.sparkSession
     orig_df = F.broadcast(
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(q, t) for q, ts in orig.items() for t in ts],
             "qid int, term string",
         )
@@ -419,7 +423,8 @@ def bm25_rm3_topk(
         for r in exp_rows
     ]
     qt = _query_terms(queries)
-    qmap = spark.createDataFrame(
+    qmap = local_rows_df(
+        spark,
         [(q, t, None) for q, t in qt]
         + [(q, t, w6) for q, t, w6 in exp_w],
         "qid int, term string, w6 long",
@@ -1779,14 +1784,14 @@ def _bm25_store_scored(
     meta = _SC.resolve_serve_meta(path, version)
     id_col = meta["id_col"]
     terms = sorted({t for _, t, _w in qrows})
-    q = spark.createDataFrame(qrows, "qid int, term string, w6 long")
+    q = local_rows_df(spark, qrows, "qid int, term string, w6 long")
     # bucket ids for the literal terms — computed through the same
     # xxhash64 expression the writer used, collected (≤ |terms| rows)
     # so the scan filter is literal and partition-pruning applies
     bkts = sorted(
         {
             r["b"]
-            for r in spark.createDataFrame([(t,) for t in terms], "term string")
+            for r in local_rows_df(spark, [(t,) for t in terms], "term string")
             .select(F.pmod(F.xxhash64("term"), meta["n_buckets"]).alias("b"))
             .collect()
         }
@@ -1900,7 +1905,8 @@ def bm25_rm3_from_store(
         spark, path, queries=queries, k=k_fb, k1=k1, b=b, version=version
     ).select("qid", id_col)
     fb_rows = fb_served.collect()
-    fb = spark.createDataFrame(
+    fb = local_rows_df(
+        spark,
         fb_rows,
         T.StructType(
             [fb_served.schema["qid"], fb_served.schema[id_col]]

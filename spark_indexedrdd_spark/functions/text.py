@@ -15,6 +15,8 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import Column, DataFrame, Window
+
+from spark_indexedrdd_spark.localframe import local_rows_df
 from pyspark.sql import functions as F
 
 # Stopword profiles for the language-ID heuristic. Deterministic,
@@ -356,8 +358,9 @@ def contamination_check(
 
     spark = df.sparkSession
     probes = probes if probes is not None else CONTAMINATION_PROBES
-    probe_df = spark.createDataFrame(
-        [(i, p) for i, p in enumerate(probes)], "probe_id int, text string"
+    probe_df = local_rows_df(
+        spark, [(i, p) for i, p in enumerate(probes)],
+        "probe_id int, text string",
     )
     # tiny frame (a few probe rows): materialize tokens first anyway so
     # the shingle construction matches shingles()/sql twins exactly

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_indexedrdd_spark.localframe import local_rows_df
+
 
 def _dec_sum(col) -> "F.Column":
     """Order-independent, cross-engine-exact double sum: accumulate in
@@ -2330,8 +2332,10 @@ def ordered_funnel(
     )
     per_user = events.groupBy("user_id").agg(stage.alias("stage"))
     counts = per_user.groupBy("stage").agg(F.count("*").alias("n"))
-    steps_df = events.sparkSession.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
+    steps_df = local_rows_df(
+        events.sparkSession,
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step int, step_name string",
     )
     # users reaching step k = Σ counts over stages >= k: a |steps|×
     # |stages| theta-join of two tiny aggregates (NOT a sparse

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_indexedrdd_spark.core import IndexedDataFrame
+from spark_indexedrdd_spark.localframe import local_rows_df
 
 # 1.0 of rank mass, in fixed-point units. 10^12 keeps integer-division
 # truncation error ~12 digits below the mass while leaving ~90M nodes of
@@ -340,8 +341,8 @@ def shortest_hops(
     )
     e = edges.repartition(n, "src").cache()
     dist = IndexedDataFrame.from_unique(
-        spark.createDataFrame(
-            [(int(s), 0) for s in sources], "id long, hops int"
+        local_rows_df(
+            spark, [(int(s), 0) for s in sources], "id long, hops int"
         ).repartition(n, "id"),
         "id",
         num_partitions=n,

@@ -27,6 +27,8 @@ import zlib
 
 from pyspark import TaskContext
 
+from spark_indexedrdd_spark.localframe import local_rows_df
+
 from spark_indexedrdd_spark.core import IndexedDataFrame
 from spark_indexedrdd_spark.hashing import (
     hashers_for_schema,
@@ -115,7 +117,7 @@ class NativeHashPointIndex:
 
         from pyspark.sql import functions as F
 
-        kdf = self._spark.createDataFrame(key_tuples, schema=self._key_schema)
+        kdf = local_rows_df(self._spark, key_tuples, self._key_schema)
         rows = kdf.select(
             *self.keys, F.pmod(F.hash(*self.keys), F.lit(self.n)).alias("__p")
         ).collect()
