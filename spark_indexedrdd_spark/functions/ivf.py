@@ -48,7 +48,7 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from spark_indexedrdd_spark.functions.vectors import cosine
+from spark_indexedrdd_spark.functions.vectors import cosine, dot, norm
 from spark_indexedrdd_spark.localframe import local_rows_df
 
 
@@ -284,19 +284,27 @@ def ivf_ann(
         .select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("__qn"),
             F.explode(
                 _probe_udf(cents, n_probe)(F.col(vec_col))
             ).alias("cluster_id"),
         )
     )
 
-    cand = F.broadcast(probes).join(assigned, "cluster_id").where(
-        F.col("q_id") != F.col(id_col)
+    # norms once per SIDE row, not per candidate pair: the interpreted
+    # HOF fold costs O(dims) per evaluation and cosine() would re-fold
+    # both norms for every (query, candidate) pair — dot/(qn*cn) is the
+    # identical IEEE sequence (sqrt each, multiply, divide)
+    cand = (
+        F.broadcast(probes)
+        .join(assigned.withColumn("__cn", norm(F.col(vec_col))), "cluster_id")
+        .where(F.col("q_id") != F.col(id_col))
     )
     scored = cand.select(
         "q_id",
         F.col(id_col).alias("cand_id"),
-        cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
+        (dot(F.col("q_vec"), F.col(vec_col))
+         / (F.col("__qn") * F.col("__cn"))).alias("cosine_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
     return (
@@ -851,15 +859,23 @@ def ivf_ann_from_store(
         probe_schema,
     )
     cand_vecs = vecs.where(filter_pred) if filter_pred else vecs
+    # same per-side norm hoist as ivf_ann: dot/(qn*cn) is cosine()'s
+    # exact IEEE sequence with the two norm folds paid once per row
+    # instead of once per candidate pair
     cand = (
-        F.broadcast(probe_df)
-        .join(cand_vecs.where(F.col("cluster_id").isin(hit)), "cluster_id")
+        F.broadcast(probe_df.withColumn("__qn", norm(F.col("q_vec"))))
+        .join(
+            cand_vecs.where(F.col("cluster_id").isin(hit))
+            .withColumn("__cn", norm(F.col(vec_col))),
+            "cluster_id",
+        )
         .where(F.col("q_id") != F.col(id_col))
     )
     scored = cand.select(
         "q_id",
         F.col(id_col).alias("cand_id"),
-        cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
+        (dot(F.col("q_vec"), F.col(vec_col))
+         / (F.col("__qn") * F.col("__cn"))).alias("cosine_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
     return (

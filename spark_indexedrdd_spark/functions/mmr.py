@@ -80,25 +80,32 @@ def mmr_over_candidates(
     state, q x n_cand^2 pair rows)."""
     import pandas as pd
 
-    from spark_indexedrdd_spark.functions.vectors import cosine
+    from spark_indexedrdd_spark.functions.vectors import dot, norm
 
+    # norm once per candidate row, not per pair (cosine() would re-run
+    # both norm folds for each of the q x n_cand^2 pairs; dot/(na*nb)
+    # is the identical IEEE sequence)
     candv = rel.join(
         emb.select(
-            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("v")
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("__n"),
         ),
         "cand_id",
-    ).select("q_id", "cand_id", "rel_sim", "v")
+    ).select("q_id", "cand_id", "rel_sim", "v", "__n")
     a = candv.select(
         F.col("q_id").alias("qa"),
         F.col("cand_id").alias("a_id"),
         F.col("v").alias("va"),
+        F.col("__n").alias("na"),
     )
     b = candv.select(
         F.col("q_id").alias("qb"),
         F.col("cand_id").alias("b_id"),
         F.col("v").alias("vb"),
+        F.col("__n").alias("nb"),
     )
-    # a_id < b_id: each unordered pair scored ONCE (cosine is exactly
+    # a_id < b_id: each unordered pair scored ONCE (the dot is exactly
     # symmetric — per-element multiplies commute, fold order is the
     # array order on both operand orders), pick() mirrors both keys
     pairs = (
@@ -106,7 +113,8 @@ def mmr_over_candidates(
         .where(F.col("a_id") < F.col("b_id"))
         .select(
             F.col("qa").alias("q_id"), "a_id", "b_id",
-            cosine(F.col("va"), F.col("vb")).alias("sim_ab"),
+            (dot(F.col("va"), F.col("vb"))
+             / (F.col("na") * F.col("nb"))).alias("sim_ab"),
         )
     )
 
