@@ -596,7 +596,7 @@ def repetition_stats(
     toks = F.col("__t")
     n = F.size(toks)
 
-    def ngram_dup_frac(width: int) -> Column:
+    def ngram_array(width: int) -> Column:
         # n-grams by zipping shifted slices: [t0..tn-2] x [t1..tn-1]
         grams = F.slice(toks, 1, F.greatest(n - (width - 1), F.lit(0)))
         for off in range(1, width):
@@ -605,6 +605,22 @@ def repetition_stats(
                 F.slice(toks, 1 + off, F.greatest(n - (width - 1), F.lit(0))),
                 lambda a, b: F.concat(a, F.lit(" "), b),
             )
+        return grams
+
+    # Two more projection fences (same device as the `_tokenized` one
+    # above): the gram arrays are referenced 3x each (two sizes + the
+    # distinct) and the dup fractions 2x each (value column + flag) —
+    # inlined, the interpreted zip_with chain re-built every gram array
+    # 6x per row. CollapseProject keeps both fences (non-cheap aliases,
+    # multiply referenced); values are bit-identical.
+    g = tk.select(
+        F.col(id_col),
+        n.cast("int").alias("n_tokens"),
+        ngram_array(2).alias("__g2"),
+        ngram_array(3).alias("__g3"),
+    )
+
+    def dup_frac(grams: Column) -> Column:
         n_grams = F.size(grams)
         return F.when(
             n_grams <= 0, F.lit(0.0)
@@ -612,14 +628,20 @@ def repetition_stats(
             1.0 - F.size(F.array_distinct(grams)) / n_grams.cast("double")
         )
 
-    dup2 = ngram_dup_frac(2)
-    dup3 = ngram_dup_frac(3)
-    return tk.select(
+    d = g.select(
         F.col(id_col),
-        n.cast("int").alias("n_tokens"),
-        dup2.alias("dup_bigram_frac"),
-        dup3.alias("dup_trigram_frac"),
-        ((dup2 > 0.2) | (dup3 > 0.18)).alias("repetition_flag"),
+        "n_tokens",
+        dup_frac(F.col("__g2")).alias("__d2"),
+        dup_frac(F.col("__g3")).alias("__d3"),
+    )
+    return d.select(
+        F.col(id_col),
+        "n_tokens",
+        F.col("__d2").alias("dup_bigram_frac"),
+        F.col("__d3").alias("dup_trigram_frac"),
+        ((F.col("__d2") > 0.2) | (F.col("__d3") > 0.18)).alias(
+            "repetition_flag"
+        ),
     )
 
 
