@@ -110,21 +110,46 @@ def _kmeans_centroids(
         return _det_centroids(emb, k, id_col, vec_col)
 
 
-def _det_centroids(
-    emb: DataFrame, k: int, id_col: str, vec_col: str
+def _det_head(
+    emb: DataFrame, n: int, id_col: str, vec_col: str
 ) -> "list[list[float]]":
-    """The embeddings of the k smallest ids, verbatim — deterministic
-    and reproducible from the data by any engine (the SQL twin derives
-    the identical set with ORDER BY id LIMIT k)."""
-    rows = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    """ONE TakeOrdered pass for the first-n-by-id embeddings. In det
+    mode both the centroid fit (first n_clusters) and the PQ codebook
+    fit (first ksub) read prefixes of this list, so composite callers
+    (IVFPQ query/build paths) collect max(n_clusters, ksub) rows once
+    instead of running two identical full-corpus TakeOrdered jobs."""
+    rows = emb.orderBy(id_col).limit(n).select(vec_col).collect()
     return [[float(x) for x in r[0]] for r in rows]
 
 
+def _det_centroids(
+    emb: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    head: "list[list[float]] | None" = None,
+) -> "list[list[float]]":
+    """The embeddings of the k smallest ids, verbatim — deterministic
+    and reproducible from the data by any engine (the SQL twin derives
+    the identical set with ORDER BY id LIMIT k). ``head`` supplies a
+    pre-collected :func:`_det_head` prefix (len ≥ k) to skip the
+    scan."""
+    if head is not None:
+        return [list(v) for v in head[:k]]
+    return _det_head(emb, k, id_col, vec_col)
+
+
 def _centroids(
-    emb: DataFrame, k: int, seed: int, id_col: str, vec_col: str, method: str
+    emb: DataFrame,
+    k: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    method: str,
+    head: "list[list[float]] | None" = None,
 ) -> "list[tuple[list[float], float]]":
     if method == "det":
-        cents = _det_centroids(emb, k, id_col, vec_col)
+        cents = _det_centroids(emb, k, id_col, vec_col, head=head)
     elif method == "kmeans":
         cents = _kmeans_centroids(emb, k, seed, id_col, vec_col)
     else:

@@ -79,13 +79,24 @@ def _py_sub_dist(a: "list[float]", b: "list[float]") -> float:
 
 
 def _det_codebooks(
-    emb: DataFrame, m: int, ksub: int, id_col: str, vec_col: str
+    emb: DataFrame,
+    m: int,
+    ksub: int,
+    id_col: str,
+    vec_col: str,
+    head: "list[list[float]] | None" = None,
 ) -> "list[list[list[float]]]":
     """codebooks[sub][code] = sub-slice of the (code+1)-th embedding by
     id order — reproducible from the data by any engine (the SQL twin
-    derives the identical codewords with ORDER BY id LIMIT ksub)."""
-    rows = emb.orderBy(id_col).limit(ksub).select(vec_col).collect()
-    vecs = [[float(x) for x in r[0]] for r in rows]
+    derives the identical codewords with ORDER BY id LIMIT ksub).
+    ``head``: pre-collected ``ivf._det_head`` prefix (len ≥ ksub) —
+    composite IVFPQ callers share one TakeOrdered pass with the
+    centroid fit instead of two identical corpus scans."""
+    if head is not None:
+        vecs = [list(v) for v in head[:ksub]]
+    else:
+        rows = emb.orderBy(id_col).limit(ksub).select(vec_col).collect()
+        vecs = [[float(x) for x in r[0]] for r in rows]
     if len(vecs) < ksub:
         raise ValueError(f"corpus has fewer than ksub={ksub} vectors")
     bounds = _sub_bounds(len(vecs[0]), m)
@@ -163,9 +174,10 @@ def train_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "kmeans",
+    head: "list[list[float]] | None" = None,
 ) -> "list[list[list[float]]]":
     if method == "det":
-        return _det_codebooks(emb, m, ksub, id_col, vec_col)
+        return _det_codebooks(emb, m, ksub, id_col, vec_col, head=head)
     if method == "kmeans":
         return _kmeans_codebooks(emb, m, ksub, seed, id_col, vec_col)
     raise ValueError(f"unknown PQ codebook method: {method!r}")
@@ -462,10 +474,19 @@ def ivfpq_ann(
     side (probe lists + ADC tables) is computed driver-side from |q|
     collected rows and broadcast; scoring is the JVM element_at fold of
     :func:`_adc_expr` over only the probed lists' rows."""
-    from spark_indexedrdd_spark.functions.ivf import _assign_udf, _centroids
+    from spark_indexedrdd_spark.functions.ivf import (
+        _assign_udf,
+        _centroids,
+        _det_head,
+    )
 
-    cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
-    cbs = train_pq(emb, m, ksub, seed, id_col, vec_col, method)
+    head = (
+        _det_head(emb, max(n_clusters, ksub), id_col, vec_col)
+        if method == "det"
+        else None
+    )
+    cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method, head)
+    cbs = train_pq(emb, m, ksub, seed, id_col, vec_col, method, head)
     codes = emb.select(
         F.col(id_col),
         _assign_udf(cents)(F.col(vec_col)).alias("cluster_id"),
@@ -641,18 +662,26 @@ def _res_codebooks(
     id_col: str,
     vec_col: str,
     method: str,
+    head: "list[list[float]] | None" = None,
 ) -> "list[list[list[float]]]":
     """Codebooks over RESIDUALS (x − centroid[assign(x)]).
 
     det: residuals of the first-ksub-by-id vectors, assigned driver-side
     with the same sequential-fold sims / first-max tie-break as the SQL
     twin's window. kmeans: numpy Lloyd's over the residuals of the
-    capped sample (assignment vectorized, same arithmetic)."""
+    capped sample (assignment vectorized, same arithmetic). ``head``:
+    pre-collected ``ivf._det_head`` prefix shared with the centroid
+    fit (det only)."""
     import numpy as np
 
     if method == "det":
-        rows = emb.orderBy(id_col).limit(ksub).select(vec_col).collect()
-        vecs = [[float(x) for x in r[0]] for r in rows]
+        if head is not None:
+            vecs = [list(v) for v in head[:ksub]]
+        else:
+            rows = (
+                emb.orderBy(id_col).limit(ksub).select(vec_col).collect()
+            )
+            vecs = [[float(x) for x in r[0]] for r in rows]
     else:
         n_bounded = emb.select(id_col).limit(_PROBE_LIMIT + 1).count()
         if n_bounded <= TRAIN_SAMPLE_CAP:
@@ -782,10 +811,17 @@ def ivfpq_residual_ann(
     + encoding fuse into ONE Arrow scan projection; the probe side
     (now (q_id, cluster_id, tbl) rows) broadcasts; scoring is the same
     JVM element_at fold over only probed lists."""
-    from spark_indexedrdd_spark.functions.ivf import _centroids
+    from spark_indexedrdd_spark.functions.ivf import _centroids, _det_head
 
-    cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
-    cbs = _res_codebooks(emb, cents, m, ksub, seed, id_col, vec_col, method)
+    head = (
+        _det_head(emb, max(n_clusters, ksub), id_col, vec_col)
+        if method == "det"
+        else None
+    )
+    cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method, head)
+    cbs = _res_codebooks(
+        emb, cents, m, ksub, seed, id_col, vec_col, method, head
+    )
     codes = _assign_res_encode(emb, cents, cbs, id_col, vec_col)
 
     qids = list(query_ids)
@@ -1016,11 +1052,18 @@ def write_ivfpq_store(
     re-read it, the predicate reaches the pruned codes scan as a
     parquet PushedFilter."""
     from spark_indexedrdd_spark.functions import store_commit as SC
-    from spark_indexedrdd_spark.functions.ivf import _centroids
+    from spark_indexedrdd_spark.functions.ivf import _centroids, _det_head
 
     SC.validate_keep_cols(emb, keep_cols, reserved=(id_col, vec_col))
-    cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method)
-    cbs = _res_codebooks(emb, cents, m, ksub, seed, id_col, vec_col, method)
+    head = (
+        _det_head(emb, max(n_clusters, ksub), id_col, vec_col)
+        if method == "det"
+        else None
+    )
+    cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method, head)
+    cbs = _res_codebooks(
+        emb, cents, m, ksub, seed, id_col, vec_col, method, head
+    )
     codes = _assign_res_encode(
         emb, cents, cbs, id_col, vec_col, keep_cols=keep_cols
     )

@@ -2157,15 +2157,21 @@ def parts_supplier_relationship(
 
     Counts are BIGINTs — cross-engine exact.
 
-    Scale: the distinct pair extraction is ONE lineitem shuffle bounded
-    by |observed part×supplier| (dim-sized output); the part filter and
-    the anti-join list both broadcast; COUNT(DISTINCT suppkey) per
-    group re-shuffles only the dim-sized pair relation. No fact-sized
-    exchange after the first distinct."""
-    pairs = lineitem.select(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).distinct()
+    Scale: the ONLY fact-scale exchange is COUNT(DISTINCT)'s partial
+    pass, and both broadcast filters land BELOW it: the dim-side part
+    filter prunes lineitem to matching parts (~10% selectivity) and the
+    anti-join drops complaint suppliers BEFORE any shuffle, and the
+    partial aggregate reduces each scan partition to its distinct
+    (brand, type, size, suppkey) combos — coarser than the textbook
+    partsupp derivation's (partkey, suppkey) key, so the exchange
+    carries strictly fewer, pre-filtered rows AND the standalone
+    pair-distinct exchange disappears (r14: 4 exchanges → 3).
+    Equivalence with the SQL twin's SELECT-DISTINCT-pairs form:
+    COUNT(DISTINCT suppkey) is insensitive to duplicate (partkey,
+    suppkey) observations, part is unique on p_partkey so the dim join
+    commutes with pair dedup, and the suppkey anti-join commutes with
+    both; group keys are unique per output row so the ORDER BY is a
+    deterministic total order either way."""
     pk = part.where(
         (F.col("p_brand") != excl_brand)
         & (F.col("p_type") != excl_type)
@@ -2173,6 +2179,10 @@ def parts_supplier_relationship(
     )
     excl = supplier.where(F.col("s_acctbal") < balance_floor).select(
         F.col("s_suppkey").alias("x_suppkey")
+    )
+    pairs = lineitem.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
     )
     return (
         pairs.join(
