@@ -333,11 +333,15 @@ def dhash64(
                     cnt = np.bincount(seg, minlength=n_cells)
                     nz = cnt > 0
                     g[nz] = g[nz] // cnt[nz]
-                h = 0
-                for r in range(DHASH_ROWS):
-                    for c in range(DHASH_COLS - 1):
-                        if g[r * DHASH_COLS + c] > g[r * DHASH_COLS + c + 1]:
-                            h |= 1 << (r * (DHASH_COLS - 1) + c)
+                # vectorized bit-pack: bit r*(COLS-1)+c is row-major
+                # position (r, c) of the 8x8 adjacent-compare grid —
+                # identical to the former per-bit Python loop (r14)
+                gr = g.reshape(DHASH_ROWS, DHASH_COLS)
+                bits = (gr[:, :-1] > gr[:, 1:]).reshape(-1)
+                h = int(
+                    bits.astype(np.uint64)
+                    @ (np.uint64(1) << np.arange(64, dtype=np.uint64))
+                )
                 if h >= 1 << 63:  # two's-complement wrap to signed
                     h -= 1 << 64
                 hashes.append(h)
@@ -374,8 +378,15 @@ def image_near_dup(
     bit-chunks (pigeonhole), so the chunk-bucket self-join loses
     nothing. Same candidate-generation shape as SimHash/LSH — no
     all-pairs pass anywhere, which is the 100 TB requirement; the
-    popcount re-check runs only on bucket collisions."""
-    sh = dhash64(df, bin_col, id_col)
+    popcount re-check runs only on bucket collisions.
+
+    The (id, dhash) proxy is localCheckpointed before the self-join:
+    without it each join side re-ran the FULL Python decode+hash pass
+    over the payloads (the broadcast build side cannot reuse the probe
+    side's scan), so the heaviest stage executed twice. Checkpointing
+    16 B/row once and joining the proxy is guide §8's move — decide on
+    lightweight rows, touch the heavy bytes once (r14)."""
+    sh = dhash64(df, bin_col, id_col).localCheckpoint(eager=True)
     chunks = [
         (
             cid,

@@ -936,10 +936,11 @@ def dsir_select(
     (score desc, id) stands in for the paper's Gumbel resampling so the
     selection is reproducible and hash-checkable.
 
-    Scale: one materialized pass tokenizes+hashes each doc (three
-    consumers — raw counts, target counts, scoring — would otherwise
-    re-tokenize the corpus thrice); the two count aggregates shuffle
-    ``n_buckets``-cardinality keys with map-side combine; the log-ratio
+    Scale: one materialized pass tokenizes+hashes each doc (the count
+    and scoring consumers would otherwise re-tokenize the corpus); raw
+    and target counts come out of ONE explode pass (count + count_if in
+    the same aggregate) shuffling ``n_buckets``-cardinality keys with
+    map-side combine; the log-ratio
     table is ONE broadcast row of ``n_buckets`` doubles; scoring is a
     narrow fold; selection is orderBy+limit = TakeOrderedAndProject
     (per-partition k-heaps, no global sort or single-task window).
@@ -968,23 +969,25 @@ def dsir_select(
         F.transform(grams, bucket_of).alias("__b"),
     ).localCheckpoint(eager=True)
 
-    def counts(src: DataFrame, name: str) -> DataFrame:
-        return (
-            src.select(F.explode("__b").alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias(name))
+    # raw + target counts in ONE explode pass: ct = COUNT(rows where
+    # __is_target) == count_if(__is_target) (count_if skips false AND
+    # null exactly as the old .where() did), so one map-side-combined
+    # aggregate replaces two full passes over the checkpointed arrays
+    # and the grid joins once instead of twice (r14, guide §2.3).
+    cnts = (
+        docs_b.select(F.explode("__b").alias("bucket"), "__is_target")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cs"),
+            F.count_if("__is_target").alias("ct"),
         )
-
+    )
     spark = df.sparkSession
     grid = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
-    d = (
-        grid.join(counts(docs_b, "cs"), "bucket", "left")
-        .join(counts(docs_b.where("__is_target"), "ct"), "bucket", "left")
-        .select(
-            "bucket",
-            F.coalesce("cs", F.lit(0)).alias("cs"),
-            F.coalesce("ct", F.lit(0)).alias("ct"),
-        )
+    d = grid.join(cnts, "bucket", "left").select(
+        "bucket",
+        F.coalesce("cs", F.lit(0)).alias("cs"),
+        F.coalesce("ct", F.lit(0)).alias("ct"),
     )
     wall = Window.partitionBy()
     a, ab = float(alpha), float(alpha) * n_buckets

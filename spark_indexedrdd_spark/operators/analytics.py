@@ -1489,36 +1489,60 @@ def waiting_suppliers(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     lineitem table with non-equi residuals. The double correlated
     EXISTS is the hardest decorrelation shape in the TPC-H suite.
 
-    Scale: all three lineitem sides shuffle once on l_orderkey (the
-    equi key); the suppkey/shipdate inequalities ride the joins as
-    residual predicates. Orders pre-filters to status 'F' before its
-    join. Output: (l_suppkey, numwait)."""
-    l1 = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    Scale (r14 rewrite, guide §2.4): the semi+anti join form derived
+    lineitem THREE times (three fact scans; three fact shuffles under
+    sort-merge, or two whole-fact broadcasts when the estimator allows
+    them). Both EXISTS are correlated only on l_orderkey, so one
+    hash(l_orderkey) exchange + windows over the order's lines answers
+    them from a SINGLE lineitem scan:
+
+      m1 = max shipdate in the order,
+      sm = the set of suppliers with a line at m1,
+      m2 = max shipdate over lines of suppliers NOT in sm.
+
+    A line (s, d) waits iff some OTHER supplier participated and none
+    shipped strictly later, i.e. maxOther(s) <= d where maxOther(s) is
+    the max shipdate over other suppliers' lines:
+      * another supplier sits at the top (size(sm) > 1 or s not in sm):
+        maxOther = m1, and maxOther <= d iff d == m1 — and EXISTS holds
+        because that top supplier differs from s;
+      * s is the UNIQUE top supplier (sm == {s}): every other
+        supplier's line is below m1 and belongs to a not-in-sm
+        supplier, so maxOther = m2 exactly; m2 IS NULL means no other
+        supplier participated (EXISTS fails) and NULL <= d filters
+        false, which is the required outcome.
+    TPC-H's l_orderkey/l_suppkey/l_shipdate are NOT NULL, matching the
+    joins' implicit null drops. Output: (l_suppkey, numwait)."""
     fin = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
-    base = l1.join(fin, l1["l_orderkey"] == fin["o_orderkey"]).select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
+    base = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(fin, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
     )
-    l2 = lineitem.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    w_o = Window.partitionBy("l_orderkey")
+    d = F.col("l_shipdate")
+    s1 = base.withColumn("__m1", F.max(d).over(w_o))
+    s2 = s1.withColumn(
+        "__sm",
+        F.collect_set(
+            F.when(d == F.col("__m1"), F.col("l_suppkey"))
+        ).over(w_o),
     )
-    multi = base.join(
-        l2,
-        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
-        "left_semi",
+    s3 = s2.withColumn(
+        "__m2",
+        F.max(
+            F.when(~F.array_contains("__sm", F.col("l_suppkey")), d)
+        ).over(w_o),
     )
-    l3 = lineitem.select(
-        F.col("l_orderkey").alias("o3"),
-        F.col("l_suppkey").alias("s3"),
-        F.col("l_shipdate").alias("d3"),
+    top_other = (F.size("__sm") > 1) | ~F.array_contains(
+        "__sm", F.col("l_suppkey")
     )
-    last = multi.join(
-        l3,
-        (F.col("l_orderkey") == F.col("o3"))
-        & (F.col("l_suppkey") != F.col("s3"))
-        & (F.col("d3") > F.col("l_shipdate")),
-        "left_anti",
+    waited = s3.where(
+        F.when(top_other, d == F.col("__m1")).otherwise(
+            F.col("__m2") <= d
+        )
     )
-    return last.groupBy("l_suppkey").agg(
+    return waited.groupBy("l_suppkey").agg(
         F.count("*").cast("bigint").alias("numwait")
     )
 

@@ -309,10 +309,12 @@ def test_tpch_shape_plans(spark):
     assert any("l_shipdate" in l for l in pushed), pushed
 
 
-def test_q21_compiles_to_semi_plus_anti(spark):
-    """Q21's EXISTS + NOT EXISTS must be one left-semi and one left-anti
-    join with residual inequality predicates — never a cartesian or a
-    join+distinct reconstruction."""
+def test_q21_single_lineitem_scan_window_form(spark):
+    """Q21's EXISTS + NOT EXISTS are both correlated only on
+    l_orderkey, so the r14 form answers them with ONE lineitem scan +
+    one hash(l_orderkey) exchange + per-order windows — never the
+    three-scan semi/anti join reconstruction (which broadcast the whole
+    fact table twice), a cartesian, or a join+distinct."""
     from spark_indexedrdd_spark.operators import analytics as AN
     from spark_indexedrdd_spark.sources.tables import load_table
 
@@ -326,8 +328,18 @@ def test_q21_compiles_to_semi_plus_anti(spark):
         .executedPlan()
         .toString()
     )
-    assert "LeftSemi" in p and "LeftAnti" in p
+    li_scans = [
+        l
+        for l in p.splitlines()
+        if "Scan parquet" in l or "lineitem" in l.lower()
+    ]
+    assert (
+        sum("lineitem" in l.lower() for l in li_scans) == 1
+    ), li_scans  # exactly one fact scan
+    assert "Window" in p
     assert "CartesianProduct" not in p and "Distinct" not in p
+    # the order-correlated windows must never be single-partition
+    assert "Window" in p and "hashpartitioning(l_orderkey" in p, p
 
 
 def test_contract_wide_no_accidental_cross_joins(spark):
