@@ -952,7 +952,14 @@ def compact_ivf_store(
     survivors.repartition("cluster_id").write.mode("overwrite").partitionBy(
         "cluster_id"
     ).parquet(tmp + "/vectors")
-    n_live = spark.read.parquet(tmp + "/vectors").count()
+    # live count from the rewrite's parquet footers (driver-side
+    # metadata, not a second scan of the survivors — r14)
+    n_live = SC.parquet_rows_total(
+        os.path.join(dp, f)
+        for dp, _dn, fns in os.walk(tmp + "/vectors")
+        for f in fns
+        if f.endswith(".parquet")
+    )
     SC.recheck_version(path, meta)  # abort BEFORE the destructive swap
     SC.retract_meta(path)  # <-- old store now loudly uncommitted
     shutil.rmtree(os.path.join(path, "vectors"), ignore_errors=True)
@@ -1040,6 +1047,16 @@ def optimize_ivf_store(
         ).parquet(stage)
 
     SC.optimize_partitioned_store(path, meta, _write, "vectors")
+    # live count from the just-committed manifest's parquet footers —
+    # O(files) driver-side metadata, not a second full index scan
+    # (the postings form reads its meta counters for the same reason);
+    # the delete ledger was zeroed by the commit, so footer rows ==
+    # live rows exactly (r14)
+    rel_new = SC.resolve_manifest_files(path, meta)
+    if rel_new is not None:
+        return SC.parquet_rows_total(
+            os.path.join(path, "vectors", f) for f in rel_new
+        )
     return _vectors_for_meta(spark, path, meta).count()
 
 

@@ -1742,6 +1742,19 @@ def optimize_flat_store(
     return tag
 
 
+def parquet_rows_total(files) -> int:
+    """Sum of parquet FOOTER row counts over absolute file paths — the
+    exact row count for O(files) driver-side metadata reads (the
+    zorder sidecar's footer pattern), never an executor data scan.
+    Parquet footers are authoritative: the writer records the row
+    count at commit, so for a just-written committed file set this
+    equals a full ``.count()`` at a tiny fraction of the cost (at
+    index scale, O(files) metadata vs a full re-read of the data)."""
+    import pyarrow.parquet as papq
+
+    return sum(papq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def derive_optimize_tag(meta: dict) -> str:
     """Deterministic, collision-free manifest tag for a
     snapshot-preserving OPTIMIZE: derived purely from meta, so a
