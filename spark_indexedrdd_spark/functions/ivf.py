@@ -77,37 +77,54 @@ def _py_norm(vec: "list[float]") -> float:
     return math.sqrt(acc)
 
 
+def _train_sample(
+    emb: DataFrame, seed: int, id_col: str, vec_col: str
+) -> "list[list[float]]":
+    """The seeded, capped kmeans training sample as driver-side float
+    lists — ONE collect shared by every fit that needs it (centroids
+    AND the PQ residual codebooks; the det method's ``_det_head``
+    analog). Bounded-probe count: limit(N).count() short-circuits
+    after N rows, so deciding the sample fraction never costs a full
+    scan; the fraction scales to land near the cap instead of a fixed
+    5% (continuous through the cap boundary — cap+1 rows → fraction
+    ≈ 1.0 → still ~cap training vectors; past the probe limit
+    n_bounded saturates and the fraction floors at 5%, >100k of >2M
+    rows, trimmed back by limit())."""
+    n_bounded = emb.select(id_col).limit(_PROBE_LIMIT + 1).count()
+    if n_bounded <= TRAIN_SAMPLE_CAP:
+        train = emb
+    else:
+        frac = min(1.0, max(0.05, 1.1 * TRAIN_SAMPLE_CAP / n_bounded))
+        train = emb.sample(fraction=frac, seed=seed).limit(TRAIN_SAMPLE_CAP)
+    return [
+        [float(x) for x in r[0]] for r in train.select(vec_col).collect()
+    ]
+
+
 def _kmeans_centroids(
-    emb: DataFrame, k: int, seed: int, id_col: str, vec_col: str
+    emb: DataFrame,
+    k: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    sample: "list[list[float]] | None" = None,
 ) -> "list[list[float]]":
     """Lloyd's centroids over a seeded sample of at most
-    ``TRAIN_SAMPLE_CAP`` vectors. Falls back to the deterministic
-    first-k centroids if pyspark.ml is unavailable."""
-    try:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
+    ``TRAIN_SAMPLE_CAP`` vectors — driver-side numpy Lloyd's (the PQ
+    codebooks' ``_lloyd_np``, same 10 iterations), NOT a pyspark.ml
+    fit: the sample is capped regardless of corpus size, and the ml
+    estimator spent ~10 Spark jobs of scheduling on data that fits in
+    ~50 MB of driver numpy (guide §4.2 — let Spark distribute the
+    corpus-sized work, hand the bounded kernel to native code; r14).
+    ``sample`` shares one collected training sample across fits."""
+    import numpy as np
 
-        # Bounded-probe count: limit(N).count() short-circuits after N
-        # rows, so deciding the sample fraction never costs a full scan.
-        n_bounded = emb.select(id_col).limit(_PROBE_LIMIT + 1).count()
-        if n_bounded <= TRAIN_SAMPLE_CAP:
-            train = emb
-        else:
-            # Scale the fraction to land near the cap instead of a fixed
-            # 5%: continuous through the cap boundary (cap+1 rows →
-            # fraction ≈ 1.0 → still ~cap training vectors). Past the
-            # probe limit n_bounded saturates and the fraction floors at
-            # 5% — of >2M rows that is >100k sampled, and limit() trims
-            # back to the cap.
-            frac = min(1.0, max(0.05, 1.1 * TRAIN_SAMPLE_CAP / n_bounded))
-            train = emb.sample(fraction=frac, seed=seed).limit(TRAIN_SAMPLE_CAP)
-        ds = train.select(
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-        )
-        model = KMeans(k=k, seed=seed, maxIter=10).fit(ds)
-        return [[float(x) for x in c] for c in model.clusterCenters()]
-    except Exception:  # pragma: no cover - ml always present in this image
-        return _det_centroids(emb, k, id_col, vec_col)
+    from spark_indexedrdd_spark.functions.pq import _lloyd_np
+
+    if sample is None:
+        sample = _train_sample(emb, seed, id_col, vec_col)
+    x = np.array(sample, dtype=np.float64)
+    return [[float(v) for v in c] for c in _lloyd_np(x, k, seed)]
 
 
 def _det_head(
@@ -147,11 +164,12 @@ def _centroids(
     vec_col: str,
     method: str,
     head: "list[list[float]] | None" = None,
+    sample: "list[list[float]] | None" = None,
 ) -> "list[tuple[list[float], float]]":
     if method == "det":
         cents = _det_centroids(emb, k, id_col, vec_col, head=head)
     elif method == "kmeans":
-        cents = _kmeans_centroids(emb, k, seed, id_col, vec_col)
+        cents = _kmeans_centroids(emb, k, seed, id_col, vec_col, sample=sample)
     else:
         raise ValueError(f"unknown IVF centroid method: {method!r}")
     return [(c, _py_norm(c)) for c in cents]

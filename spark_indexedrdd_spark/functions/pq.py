@@ -57,9 +57,6 @@ from pyspark.sql import DataFrame, Window
 from spark_indexedrdd_spark.localframe import local_rows_df
 from pyspark.sql import functions as F
 
-from spark_indexedrdd_spark.functions.ivf import TRAIN_SAMPLE_CAP, _PROBE_LIMIT
-
-
 def _sub_bounds(d: int, m: int) -> "list[tuple[int, int]]":
     """[(lo, hi), ...) 0-based half-open dim ranges; d must divide by m."""
     if d % m != 0:
@@ -137,10 +134,17 @@ def _lloyd_np(x, ksub: int, seed: int, iters: int = 10):
 
 
 def _kmeans_codebooks(
-    emb: DataFrame, m: int, ksub: int, seed: int, id_col: str, vec_col: str
+    emb: DataFrame,
+    m: int,
+    ksub: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    sample: "list[list[float]] | None" = None,
 ) -> "list[list[list[float]]]":
     """Per-subspace Lloyd's codebooks over ONE seeded bounded sample
-    (ivf._kmeans_centroids' continuous-fraction probe). The sample is
+    (``ivf._train_sample``'s continuous-fraction probe; pass
+    ``sample`` to share a caller's collect). The sample is
     collected once and the m fits run DRIVER-SIDE in numpy
     (:func:`_lloyd_np`): the training set is capped at 100k rows
     regardless of corpus size, and m pyspark.ml fits at that scale cost
@@ -152,14 +156,11 @@ def _kmeans_codebooks(
     subspaces draw independent initializations."""
     import numpy as np
 
-    n_bounded = emb.select(id_col).limit(_PROBE_LIMIT + 1).count()
-    if n_bounded <= TRAIN_SAMPLE_CAP:
-        train = emb
-    else:
-        frac = min(1.0, max(0.05, 1.1 * TRAIN_SAMPLE_CAP / n_bounded))
-        train = emb.sample(fraction=frac, seed=seed).limit(TRAIN_SAMPLE_CAP)
-    sample = train.select(F.col(vec_col).cast("array<double>")).collect()
-    v = np.array([r[0] for r in sample], dtype=np.float64)
+    if sample is None:
+        from spark_indexedrdd_spark.functions.ivf import _train_sample
+
+        sample = _train_sample(emb, seed, id_col, vec_col)
+    v = np.array(sample, dtype=np.float64)
     return [
         [[float(x) for x in c] for c in _lloyd_np(v[:, lo:hi], ksub, seed + j)]
         for j, (lo, hi) in enumerate(_sub_bounds(v.shape[1], m))
@@ -175,11 +176,14 @@ def train_pq(
     vec_col: str = "embedding",
     method: str = "kmeans",
     head: "list[list[float]] | None" = None,
+    sample: "list[list[float]] | None" = None,
 ) -> "list[list[list[float]]]":
     if method == "det":
         return _det_codebooks(emb, m, ksub, id_col, vec_col, head=head)
     if method == "kmeans":
-        return _kmeans_codebooks(emb, m, ksub, seed, id_col, vec_col)
+        return _kmeans_codebooks(
+            emb, m, ksub, seed, id_col, vec_col, sample=sample
+        )
     raise ValueError(f"unknown PQ codebook method: {method!r}")
 
 
@@ -478,6 +482,7 @@ def ivfpq_ann(
         _assign_udf,
         _centroids,
         _det_head,
+        _train_sample,
     )
 
     head = (
@@ -485,8 +490,17 @@ def ivfpq_ann(
         if method == "det"
         else None
     )
-    cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method, head)
-    cbs = train_pq(emb, m, ksub, seed, id_col, vec_col, method, head)
+    sample = (
+        _train_sample(emb, seed, id_col, vec_col)
+        if method == "kmeans"
+        else None
+    )
+    cents = _centroids(
+        emb, n_clusters, seed, id_col, vec_col, method, head, sample=sample
+    )
+    cbs = train_pq(
+        emb, m, ksub, seed, id_col, vec_col, method, head, sample=sample
+    )
     codes = emb.select(
         F.col(id_col),
         _assign_udf(cents)(F.col(vec_col)).alias("cluster_id"),
@@ -663,6 +677,7 @@ def _res_codebooks(
     vec_col: str,
     method: str,
     head: "list[list[float]] | None" = None,
+    sample: "list[list[float]] | None" = None,
 ) -> "list[list[list[float]]]":
     """Codebooks over RESIDUALS (x − centroid[assign(x)]).
 
@@ -671,7 +686,8 @@ def _res_codebooks(
     twin's window. kmeans: numpy Lloyd's over the residuals of the
     capped sample (assignment vectorized, same arithmetic). ``head``:
     pre-collected ``ivf._det_head`` prefix shared with the centroid
-    fit (det only)."""
+    fit (det only); ``sample``: the pre-collected ``ivf._train_sample``
+    shared with the kmeans centroid fit (one collect, two fits — r14)."""
     import numpy as np
 
     if method == "det":
@@ -682,17 +698,12 @@ def _res_codebooks(
                 emb.orderBy(id_col).limit(ksub).select(vec_col).collect()
             )
             vecs = [[float(x) for x in r[0]] for r in rows]
+    elif sample is not None:
+        vecs = [list(v) for v in sample]
     else:
-        n_bounded = emb.select(id_col).limit(_PROBE_LIMIT + 1).count()
-        if n_bounded <= TRAIN_SAMPLE_CAP:
-            train = emb
-        else:
-            frac = min(1.0, max(0.05, 1.1 * TRAIN_SAMPLE_CAP / n_bounded))
-            train = emb.sample(fraction=frac, seed=seed).limit(TRAIN_SAMPLE_CAP)
-        vecs = [
-            [float(x) for x in r[0]]
-            for r in train.select(vec_col).collect()
-        ]
+        from spark_indexedrdd_spark.functions.ivf import _train_sample
+
+        vecs = _train_sample(emb, seed, id_col, vec_col)
     # driver-side assignment with the engines' exact fold arithmetic
     residuals = []
     for v in vecs:
@@ -811,16 +822,28 @@ def ivfpq_residual_ann(
     + encoding fuse into ONE Arrow scan projection; the probe side
     (now (q_id, cluster_id, tbl) rows) broadcasts; scoring is the same
     JVM element_at fold over only probed lists."""
-    from spark_indexedrdd_spark.functions.ivf import _centroids, _det_head
+    from spark_indexedrdd_spark.functions.ivf import (
+        _centroids,
+        _det_head,
+        _train_sample,
+    )
 
     head = (
         _det_head(emb, max(n_clusters, ksub), id_col, vec_col)
         if method == "det"
         else None
     )
-    cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method, head)
+    sample = (
+        _train_sample(emb, seed, id_col, vec_col)
+        if method == "kmeans"
+        else None
+    )
+    cents = _centroids(
+        emb, n_clusters, seed, id_col, vec_col, method, head, sample=sample
+    )
     cbs = _res_codebooks(
-        emb, cents, m, ksub, seed, id_col, vec_col, method, head
+        emb, cents, m, ksub, seed, id_col, vec_col, method, head,
+        sample=sample,
     )
     codes = _assign_res_encode(emb, cents, cbs, id_col, vec_col)
 
@@ -1052,7 +1075,11 @@ def write_ivfpq_store(
     re-read it, the predicate reaches the pruned codes scan as a
     parquet PushedFilter."""
     from spark_indexedrdd_spark.functions import store_commit as SC
-    from spark_indexedrdd_spark.functions.ivf import _centroids, _det_head
+    from spark_indexedrdd_spark.functions.ivf import (
+        _centroids,
+        _det_head,
+        _train_sample,
+    )
 
     SC.validate_keep_cols(emb, keep_cols, reserved=(id_col, vec_col))
     head = (
@@ -1060,9 +1087,17 @@ def write_ivfpq_store(
         if method == "det"
         else None
     )
-    cents = _centroids(emb, n_clusters, seed, id_col, vec_col, method, head)
+    sample = (
+        _train_sample(emb, seed, id_col, vec_col)
+        if method == "kmeans"
+        else None
+    )
+    cents = _centroids(
+        emb, n_clusters, seed, id_col, vec_col, method, head, sample=sample
+    )
     cbs = _res_codebooks(
-        emb, cents, m, ksub, seed, id_col, vec_col, method, head
+        emb, cents, m, ksub, seed, id_col, vec_col, method, head,
+        sample=sample,
     )
     codes = _assign_res_encode(
         emb, cents, cbs, id_col, vec_col, keep_cols=keep_cols
