@@ -1779,7 +1779,7 @@ EXTENSION_ORACLE: dict[str, str] = {
 # exact oracles (recursive-CTE connected components; rounded-rank
 # cosine top-k; literal-plane LSH with bit-identical fold arithmetic).
 ROWS_ONLY = (
-    "similarity_ann_ivf",   # pyspark.ml KMeans centroids: parallel float
+    "similarity_ann_ivf",   # kmeans (Lloyd's) centroids: float mean
                             # reductions are not SQL-reproducible — see
                             # ivf.ivf_ann docstring; recall + determinism
                             # pinned in tests

@@ -26,8 +26,9 @@ keeps that repartition available for that use.
 
 Two centroid modes:
 
-- ``kmeans`` (default): pyspark.ml Lloyd's over a seeded bounded
-  sample. Best recall; NOT SQL-reproducible (parallel float reductions)
+- ``kmeans`` (default): seeded driver-side numpy Lloyd's over a capped
+  bounded sample (the PQ codebooks' ``_lloyd_np``). Best recall; NOT
+  SQL-reproducible (float reductions with engine-specific summation)
   — the driver records a rows-only check for it.
 - ``det``: the embeddings of the k smallest vec_ids, taken as
   centroids verbatim (no iterations). Every arithmetic step — the
@@ -303,9 +304,9 @@ def ivf_ann(
     Arrow assignment projection — Catalyst pushes it into the source.
 
     ``method="kmeans"``: no SQL oracle (driver records a rows-only
-    check) — pyspark.ml KMeans centroid updates are parallel float
-    reductions with nondeterministic summation order across engines, so
-    no ANSI-SQL formulation reproduces the corpus partition bit-exactly.
+    check) — Lloyd's centroid updates are float mean reductions whose
+    summation order is engine-specific, so no ANSI-SQL formulation
+    reproduces the corpus partition bit-exactly.
     End-to-end determinism within Spark is still pinned: fixed seed,
     fixed iteration count, rank ties broken by cand_id.
 
