@@ -1205,7 +1205,14 @@ def main() -> None:
         app_name="bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
+        # Console progress bars + WARN logs eat the driver's 2 kB tail
+        # capture (BENCH_r14.json's tail is half stage-progress noise);
+        # silence both so the gate line — now carrying the per-query
+        # record — survives the capture intact. Measurement-plumbing
+        # only: neither affects executed plans or timings.
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    spark.sparkContext.setLogLevel("ERROR")
     best: dict[str, float] = {}
     cold: dict[str, float] = {}
     round_totals = []
@@ -1260,6 +1267,20 @@ def main() -> None:
         "rounds": gate_rounds,
         "full_suite_rounds": len(round_totals),
         "detail": "BENCH_LOCAL.json",
+        # Per-query record for the driver (r14 VERDICT item 1): the
+        # 34-query gate subset at centisecond precision is ~1.1 kB —
+        # inside the driver's 2 kB tail capture now that console noise
+        # is silenced above. build_index doubles as the machine-noise
+        # control (this VM shows ±25%–3x transient slow phases; a
+        # build_index far off ~0.4 s flags the run). The FULL per-query
+        # map (every entry, 4-decimal) still lands in BENCH_LOCAL.json;
+        # the r5/r6 overflow (full map on stdout -> parsed:null) is why
+        # only the gate subset rides the line.
+        "queries": {
+            k: round(v, 2)
+            for k, v in sorted(best.items())
+            if k in BASELINE_R1_QUERIES
+        },
     }
     detail = {
         **gate,
@@ -1270,11 +1291,17 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
-    # The compact gate line goes LAST on stdout: the driver's record
-    # tail-captures ~2 kB of output, and r5/r6's one-line full JSON
-    # (with the per-query map) overflowed it — two rounds of
-    # `parsed: null` (r6 VERDICT item 2). Keep this line ~200 bytes.
-    print(json.dumps(gate))
+    # The gate line goes LAST on stdout: the driver's record
+    # tail-captures exactly 2000 bytes, and r5/r6's one-line full JSON
+    # (every query in the map) overflowed it — two rounds of
+    # `parsed: null` (r6 VERDICT item 2). The gate-subset map above
+    # keeps the line ~1.1 kB; the guard below protects the capture if
+    # the subset ever grows (drop the map rather than emit a line the
+    # driver would truncate mid-JSON).
+    line = json.dumps(gate)
+    if len(line) > 1900:
+        line = json.dumps({k: v for k, v in gate.items() if k != "queries"})
+    print(line)
     spark.stop()
 
 

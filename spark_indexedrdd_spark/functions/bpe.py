@@ -117,29 +117,97 @@ def _safe_merge_prefix(
     return merges
 
 
+def _merge_fold_py(sym: "list[str]", a: str, b: str) -> "list[str]":
+    """Plain-Python twin of :func:`_merge_fold` — the identical
+    left-to-right greedy fold (append each symbol unless it completes
+    the pair with the output's last element)."""
+    out: "list[str]" = []
+    ab = a + b
+    for x in sym:
+        if out and out[-1] == a and x == b:
+            out[-1] = ab
+        else:
+            out.append(x)
+    return out
+
+
+def _train_merges_py(
+    vocab: "list[tuple[list[str], int]]", n_merges: int
+) -> "list[tuple[str, str]]":
+    """Merge-at-a-time BPE on a collected (symbols, count) vocabulary —
+    the driver-side loop for small vocabularies. Integer pair counts
+    and the (count DESC, left ASC, right ASC) argmax are exactly the
+    distributed loop's: Python ints are exact like BIGINT sums, and
+    Python's code-point string order equals Spark's UTF8 binary order
+    (UTF-8 byte order is code-point order)."""
+    merges: "list[tuple[str, str]]" = []
+    while len(merges) < n_merges:
+        counts: "dict[tuple[str, str], int]" = {}
+        for sym, cnt in vocab:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < 2:
+            break
+        merges.append((a, b))
+        vocab = [(_merge_fold_py(sym, a, b), cnt) for sym, cnt in vocab]
+    return merges
+
+
 def train_bpe(
     df: DataFrame,
     n_merges: int = 20,
     text_col: str = "text",
     checkpoint_every: int = 5,
     batch_top_m: int = 64,
+    driver_max_vocab: "int | None" = None,
 ) -> "list[tuple[str, str]]":
     """Learn ``n_merges`` BPE merges from the corpus. Returns the
     ordered merge list [(left, right), ...] — the tokenizer artifact
     (apply with :func:`encode_bpe`). Stops early if no pair occurs
     twice. Deterministic: (count DESC, left ASC, right ASC) argmax.
 
-    Driver round-trips are amortized: each job collects the top
-    ``batch_top_m`` pairs (KB-sized) and applies the longest
+    Small vocabularies train on the DRIVER: after the one corpus-scale
+    pass, every merge iteration is a function of the (word, count)
+    vocabulary alone, and below ``driver_max_vocab`` entries (default
+    env ``SPARK_GRAFT_BPE_DRIVER_MAX_VOCAB`` = 65536 ≈ a few MB
+    collected) the per-iteration pair-count jobs are pure scheduler
+    overhead — the collected loop (:func:`_train_merges_py`) is
+    merge-at-a-time by construction and bit-identical (pytest-pinned
+    against the distributed path and the plain-Python Sennrich
+    reference; the same driver-side-small-state pattern as the
+    kmeans/codebook fits in ivf.py/pq.py). A full-corpus vocabulary
+    past the cap (real text at 100 TB: millions of words) takes the
+    distributed loop unchanged; ``driver_max_vocab=0`` forces it.
+
+    Distributed driver round-trips are amortized: each job collects the
+    top ``batch_top_m`` pairs (KB-sized) and applies the longest
     provably-argmax-equivalent prefix (:func:`_safe_merge_prefix` —
     symbol-disjoint, tie-safe), so 1k merges need far fewer than 1k
     jobs while remaining bit-identical to merge-at-a-time selection
     (pinned against the plain-Python Sennrich model in tests)."""
+    import os as _os
+
+    if driver_max_vocab is None:
+        driver_max_vocab = int(
+            _os.environ.get("SPARK_GRAFT_BPE_DRIVER_MAX_VOCAB", "65536")
+        )
     vocab = (
         _word_vocab(df, text_col)
         .select(_char_symbols(F.col("w")).alias("__sym"), "cnt")
         .localCheckpoint(eager=True)
     )
+    n_vocab = vocab.count()  # prices the checkpoint blocks, not the scan
+    if driver_max_vocab and n_vocab <= driver_max_vocab:
+        return _train_merges_py(
+            [(list(r["__sym"]), int(r["cnt"])) for r in vocab.collect()],
+            n_merges,
+        )
     # Right-size once: every later iteration runs on the vocab alone,
     # and a sampled trainer's vocab is usually thousands of rows spread
     # over shuffle.partitions near-empty partitions — per-iteration job
@@ -147,7 +215,7 @@ def train_bpe(
     # ~50k rows per partition keeps a 100M-word full-corpus vocabulary
     # wide while collapsing sample-sized trainers to a few tasks.
     n_parts = max(1, min(
-        vocab.rdd.getNumPartitions(), vocab.count() // 50_000 + 1
+        vocab.rdd.getNumPartitions(), n_vocab // 50_000 + 1
     ))
     if n_parts < vocab.rdd.getNumPartitions():
         # narrow op over the checkpoint — no second materialization

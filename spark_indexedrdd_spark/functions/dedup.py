@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_indexedrdd_spark.functions.text import sql_tokens, tokens
+from spark_indexedrdd_spark.localframe import local_rows_df
 
 # MinHash configuration (shared by Spark + SQL sides).
 NUM_HASHES = 16
@@ -934,6 +935,7 @@ def resolve_duplicate_clusters(
     max_iterations: int = 10,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    driver_max_edges: "int | None" = None,
 ) -> DataFrame:
     """Turn near-duplicate candidate PAIRS into duplicate CLUSTERS:
     connected components by iterative min-label propagation, the step
@@ -948,13 +950,62 @@ def resolve_duplicate_clusters(
     chains), so ``max_iterations=10`` is generous. Verified against a
     Python union-find in tests AND against the recursive-CTE oracle
     :func:`sql_duplicate_clusters` (transitive closure + MIN-reachable
-    label — same fixpoint, different evaluation strategy)."""
+    label — same fixpoint, different evaluation strategy).
+
+    Small edge lists resolve on the DRIVER: the distributed loop costs
+    4+ sequential blocking jobs (labels init, per-iteration checkpoint +
+    fixpoint probe) that are pure scheduling overhead when the edge
+    list — already reduced to candidate PAIRS, never corpus rows — is
+    tiny. Below ``driver_max_edges`` directed edges (default env
+    ``SPARK_GRAFT_CC_DRIVER_MAX_EDGES`` = 500000 ≈ 8 MB of ids;
+    union-find is O(E α(E)) ≈ ms there) the checkpointed edges are
+    collected and resolved by union-find — min-label connected
+    components are engine-independent, so the result is bit-identical
+    (pytest-pinned against the distributed loop on the same pairs; the
+    same driver-side-small-state pattern as the kmeans/codebook fits in
+    ivf.py/pq.py). A 100 TB candidate graph past the cap takes the
+    distributed loop unchanged; pass ``driver_max_edges=0`` to force it.
+    """
+    import os as _os
+
+    if driver_max_edges is None:
+        driver_max_edges = int(
+            _os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "500000")
+        )
     edges = (
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .unionByName(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # count() over the eager checkpoint prices the already-materialized
+    # blocks, not the LSH lineage
+    if driver_max_edges and edges.count() <= driver_max_edges:
+        rows = edges.collect()
+        # NULL endpoints would follow the joins' null-drop semantics in
+        # the distributed loop — keep that path authoritative for them
+        if not any(r[0] is None or r[1] is None for r in rows):
+            parent: dict = {}
+
+            def _find(x):
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]  # path halving
+                    x = parent[x]
+                return x
+
+            for a, b in rows:
+                ra, rb = _find(a), _find(b)
+                if ra != rb:
+                    # attach max under min: every root stays the MIN of
+                    # its component, so find() IS the min-label fixpoint
+                    parent[max(ra, rb)] = min(ra, rb)
+            dtype = edges.schema[0].dataType.simpleString()
+            return local_rows_df(
+                pairs.sparkSession,
+                sorted((n, _find(n)) for n in parent),
+                f"doc_id {dtype}, cluster_id {dtype}",
+            )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()

@@ -228,3 +228,16 @@ def test_streaming_encoder_matches_store_encode_and_replays(spark, tmp_path):
     w = {r.doc_id: (list(r.bpe_tokens), r.merges_id) for r in want.collect()}
     assert g == w  # replay did not duplicate; content identical
     assert got.count() == df.count()
+
+
+def test_train_driver_and_distributed_paths_identical(spark):
+    """The size-gated driver-side merge loop must reproduce the
+    distributed batched-argmax loop merge-for-merge (both are pinned to
+    merge-at-a-time selection; this pins them to each other)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    driver = train_bpe(df, n_merges=12, driver_max_vocab=1 << 20)
+    distributed = train_bpe(df, n_merges=12, driver_max_vocab=0)
+    assert driver == distributed
+    assert driver == _py_train(TEXTS, 12)

@@ -202,3 +202,31 @@ def test_ivf_store_append_and_pruning(spark, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and any("cluster_id" in l for l in pf), plan
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [(1, 2), (2, 3), (4, 5)],
+        [(1, 5), (5, 9), (2, 9), (7, 8), (100, 1)],
+    ],
+)
+def test_resolve_clusters_driver_and_distributed_paths_identical(
+    spark, pairs
+):
+    """The size-gated driver-side union-find must reproduce the
+    distributed min-label loop row-for-row (min-label connected
+    components are engine-independent)."""
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    driver = sorted(
+        map(tuple, resolve_duplicate_clusters(df, driver_max_edges=10**6).collect())
+    )
+    distributed = sorted(
+        map(tuple, resolve_duplicate_clusters(df, driver_max_edges=0).collect())
+    )
+    assert driver == distributed
+    # schema parity between the two construction paths
+    a = resolve_duplicate_clusters(df, driver_max_edges=10**6).schema
+    b = resolve_duplicate_clusters(df, driver_max_edges=0).schema
+    assert [f.name for f in a] == [f.name for f in b]
+    assert [f.dataType for f in a] == [f.dataType for f in b]
