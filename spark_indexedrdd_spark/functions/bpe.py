@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from spark_indexedrdd_spark.functions.text import tokens
 from spark_indexedrdd_spark.localframe import local_rows_df
+from spark_indexedrdd_spark.checkpoint import truncate_lineage
 
 # marks end-of-word so merges never cross word boundaries and a final
 # symbol "st</w>" is distinguishable from a word-internal "st"
@@ -200,7 +201,7 @@ def train_bpe(
     vocab = (
         _word_vocab(df, text_col)
         .select(_char_symbols(F.col("w")).alias("__sym"), "cnt")
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     n_vocab = vocab.count()  # prices the checkpoint blocks, not the scan
     if driver_max_vocab and n_vocab <= driver_max_vocab:
@@ -255,7 +256,7 @@ def train_bpe(
             vocab = vocab.select(_merge_fold(a, b).alias("__sym"), "cnt")
         since_ckpt += len(batch)
         if since_ckpt >= checkpoint_every:
-            vocab = vocab.localCheckpoint(eager=True)
+            vocab = vocab.transform(truncate_lineage)
             since_ckpt = 0
     return merges
 

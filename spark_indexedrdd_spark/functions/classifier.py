@@ -64,6 +64,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from spark_indexedrdd_spark.functions.text import sql_tokens, tokens
 from spark_indexedrdd_spark.localframe import local_rows_df
+from spark_indexedrdd_spark.checkpoint import truncate_lineage
 
 SCALE = 1_000_000  # gradient fixed-point quantum (1e-6 per instance)
 PARETO_ALPHA = 9.0  # GPT-3 Appendix A's np.random.pareto(9) lottery
@@ -148,9 +149,7 @@ def train_logreg_hashed(
     docstring). Returns ``(weights, bias, features)`` where features is
     the checkpointed (id, y, __b) frame — reuse it for scoring so the
     corpus is tokenized exactly once."""
-    feats = _bucketize(df, label, n_buckets, text_col, id_col).localCheckpoint(
-        eager=True
-    )
+    feats = _bucketize(df, label, n_buckets, text_col, id_col).transform(truncate_lineage)
     n_docs = feats.count()  # exact; also materializes the checkpoint
     w = [0.0] * n_buckets
     bias = 0.0

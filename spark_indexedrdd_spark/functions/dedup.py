@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from spark_indexedrdd_spark.functions.text import sql_tokens, tokens
 from spark_indexedrdd_spark.localframe import local_rows_df
+from spark_indexedrdd_spark.checkpoint import truncate_lineage
 
 # MinHash configuration (shared by Spark + SQL sides).
 NUM_HASHES = 16
@@ -571,9 +572,7 @@ def incremental_lsh_candidates_from_store(
     aggressive dynamic allocation. Per-micro-batch loops still use the
     streaming form, which persists and unpersists each batch
     explicitly."""
-    sig_new = minhash_signatures(new_df, text_col, id_col).localCheckpoint(
-        eager=True
-    )
+    sig_new = minhash_signatures(new_df, text_col, id_col).transform(truncate_lineage)
     sig_old = read_signature_store(new_df.sparkSession, sig_store_path)
     return _incremental_candidates_from_sigs(sig_new, sig_old, id_col)
 
@@ -976,7 +975,7 @@ def resolve_duplicate_clusters(
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .unionByName(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     # count() over the eager checkpoint prices the already-materialized
     # blocks, not the LSH lineage
@@ -1010,7 +1009,7 @@ def resolve_duplicate_clusters(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     for _ in range(max_iterations):
         # step 1: pull the minimum label from neighbors
@@ -1044,7 +1043,7 @@ def resolve_duplicate_clusters(
         )
         # localCheckpoint: truncate lineage so iteration depth can't
         # overflow the planner (32 chained joins did)
-        new_labels = jumped.localCheckpoint(eager=True)
+        new_labels = jumped.transform(truncate_lineage)
         # fixpoint: no edge still connects two different labels
         changed = (
             new_labels.alias("l")
@@ -1126,9 +1125,7 @@ def dedup_pipeline(
     # cost at scale, and the pipeline already runs internal actions
     # (the CC loop), so the eager cut adds no new materialization
     # regime. State is (id, md5) — ~50 B/doc.
-    fp = df.select(F.col(id_col), F.md5(norm).alias("fp_md5")).localCheckpoint(
-        eager=True
-    )
+    fp = df.select(F.col(id_col), F.md5(norm).alias("fp_md5")).transform(truncate_lineage)
     g = fp.groupBy("fp_md5").agg(F.min(id_col).alias("rep"))
     m = fp.join(g, "fp_md5").select(id_col, "rep")
     reps = df.join(

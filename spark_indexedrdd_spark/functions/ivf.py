@@ -66,6 +66,13 @@ TRAIN_SAMPLE_CAP = 100_000
 # vectors instead of ~100k.
 _PROBE_LIMIT = 20 * TRAIN_SAMPLE_CAP
 
+# Byte ceiling on the collected kmeans training sample (the row cap is
+# min(TRAIN_SAMPLE_CAP, this / (dim * 8)) — see _train_sample). Env-
+# overridable for clusters with bigger driver heaps.
+TRAIN_SAMPLE_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_TRAIN_SAMPLE_MAX_BYTES", str(256 * 1024 * 1024))
+)
+
 
 def _py_norm(vec: "list[float]") -> float:
     """L2 norm with the exact IEEE sequence of ``vectors.dot(a, a)``:
@@ -80,26 +87,45 @@ def _py_norm(vec: "list[float]") -> float:
 
 def _train_sample(
     emb: DataFrame, seed: int, id_col: str, vec_col: str
-) -> "list[list[float]]":
-    """The seeded, capped kmeans training sample as driver-side float
-    lists — ONE collect shared by every fit that needs it (centroids
-    AND the PQ residual codebooks; the det method's ``_det_head``
-    analog). Bounded-probe count: limit(N).count() short-circuits
-    after N rows, so deciding the sample fraction never costs a full
-    scan; the fraction scales to land near the cap instead of a fixed
-    5% (continuous through the cap boundary — cap+1 rows → fraction
-    ≈ 1.0 → still ~cap training vectors; past the probe limit
-    n_bounded saturates and the fraction floors at 5%, >100k of >2M
-    rows, trimmed back by limit())."""
+):
+    """The seeded, capped kmeans training sample as a driver-side
+    (rows, dim) float64 numpy array — ONE collect shared by every fit
+    that needs it (centroids AND the PQ residual codebooks; the det
+    method's ``_det_head`` analog). Bounded-probe count:
+    limit(N).count() short-circuits after N rows, so deciding the
+    sample fraction never costs a full scan; the fraction scales to
+    land near the cap instead of a fixed 5% (continuous through the
+    cap boundary — cap+1 rows → fraction ≈ 1.0 → still ~cap training
+    vectors; past the probe limit n_bounded saturates and the fraction
+    floors at 5%, >100k of >2M rows, trimmed back by limit()).
+
+    Driver memory: the row cap is BYTE-derived — min(100k rows,
+    ``TRAIN_SAMPLE_MAX_BYTES`` / (dim × 8)) — so a high-dim corpus
+    cannot OOM the driver (at dim 768 a flat 100k rows would be
+    ~614 MB of float64 plus Python-list transients; the byte cap
+    holds the array near 256 MB at any dim). The collected rows go
+    straight into one numpy array, never a second list-of-lists copy.
+    An empty corpus raises a deliberate ValueError instead of
+    propagating numpy internals from ``_lloyd_np``."""
+    import numpy as np
+
     n_bounded = emb.select(id_col).limit(_PROBE_LIMIT + 1).count()
-    if n_bounded <= TRAIN_SAMPLE_CAP:
+    if n_bounded == 0:
+        raise ValueError(
+            "kmeans fit needs a non-empty corpus (0 embedding rows) — "
+            "use method='det' semantics only over non-empty data too"
+        )
+    peek = emb.select(vec_col).limit(1).collect()  # CollectLimit: 1 row
+    dim = len(peek[0][0]) if peek and peek[0][0] is not None else 1
+    cap = max(1, min(TRAIN_SAMPLE_CAP, TRAIN_SAMPLE_MAX_BYTES // (dim * 8)))
+    if n_bounded <= cap:
         train = emb
     else:
-        frac = min(1.0, max(0.05, 1.1 * TRAIN_SAMPLE_CAP / n_bounded))
-        train = emb.sample(fraction=frac, seed=seed).limit(TRAIN_SAMPLE_CAP)
-    return [
-        [float(x) for x in r[0]] for r in train.select(vec_col).collect()
-    ]
+        frac = min(1.0, max(0.05, 1.1 * cap / n_bounded))
+        train = emb.sample(fraction=frac, seed=seed).limit(cap)
+    return np.array(
+        [r[0] for r in train.select(vec_col).collect()], dtype=np.float64
+    )
 
 
 def _kmeans_centroids(
@@ -113,9 +139,10 @@ def _kmeans_centroids(
     """Lloyd's centroids over a seeded sample of at most
     ``TRAIN_SAMPLE_CAP`` vectors — driver-side numpy Lloyd's (the PQ
     codebooks' ``_lloyd_np``, same 10 iterations), NOT a pyspark.ml
-    fit: the sample is capped regardless of corpus size, and the ml
-    estimator spent ~10 Spark jobs of scheduling on data that fits in
-    ~50 MB of driver numpy (guide §4.2 — let Spark distribute the
+    fit: the sample is capped regardless of corpus size (row AND byte
+    cap — ``TRAIN_SAMPLE_MAX_BYTES``, ~256 MB of float64 at any dim),
+    and the ml estimator spent ~10 Spark jobs of scheduling on data
+    that fits in driver numpy (guide §4.2 — let Spark distribute the
     corpus-sized work, hand the bounded kernel to native code; r14).
     ``sample`` shares one collected training sample across fits."""
     import numpy as np
@@ -124,7 +151,7 @@ def _kmeans_centroids(
 
     if sample is None:
         sample = _train_sample(emb, seed, id_col, vec_col)
-    x = np.array(sample, dtype=np.float64)
+    x = np.asarray(sample, dtype=np.float64)
     return [[float(v) for v in c] for c in _lloyd_np(x, k, seed)]
 
 
@@ -1070,13 +1097,17 @@ def optimize_ivf_store(
     # O(files) driver-side metadata, not a second full index scan
     # (the postings form reads its meta counters for the same reason);
     # the delete ledger was zeroed by the commit, so footer rows ==
-    # live rows exactly (r14)
-    rel_new = SC.resolve_manifest_files(path, meta)
+    # live rows exactly (r14). Re-read the COMMITTED meta from disk:
+    # counting must not depend on optimize_partitioned_store mutating
+    # the caller's dict in place — a helper returning a fresh meta
+    # would otherwise silently count the OLD manifest's files.
+    meta_new = SC.read_meta(path)
+    rel_new = SC.resolve_manifest_files(path, meta_new)
     if rel_new is not None:
         return SC.parquet_rows_total(
             os.path.join(path, "vectors", f) for f in rel_new
         )
-    return _vectors_for_meta(spark, path, meta).count()
+    return _vectors_for_meta(spark, path, meta_new).count()
 
 
 def ivf_changes(spark, path: str, v_from: int, v_to: int) -> DataFrame:

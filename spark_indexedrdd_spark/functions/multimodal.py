@@ -23,6 +23,7 @@ import zlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from spark_indexedrdd_spark.checkpoint import truncate_lineage
 
 MEDIA_SCHEMA = (
     "doc_id long, payload binary, mime string, byte_len long"
@@ -380,13 +381,21 @@ def image_near_dup(
     all-pairs pass anywhere, which is the 100 TB requirement; the
     popcount re-check runs only on bucket collisions.
 
-    The (id, dhash) proxy is localCheckpointed before the self-join:
+    The (id, dhash) proxy is checkpointed before the self-join:
     without it each join side re-ran the FULL Python decode+hash pass
     over the payloads (the broadcast build side cannot reuse the probe
     side's scan), so the heaviest stage executed twice. Checkpointing
     16 B/row once and joining the proxy is guide §8's move — decide on
-    lightweight rows, touch the heavy bytes once (r14)."""
-    sh = dhash64(df, bin_col, id_col).localCheckpoint(eager=True)
+    lightweight rows, touch the heavy bytes once (r14).
+
+    Construction is EAGER: the decode+hash pass runs when this function
+    is called, not when the result is first acted on. Under the default
+    ``local`` checkpoint device the proxy blocks live on executors only
+    — an executor lost mid-job fails the query instead of recomputing
+    from lineage (acceptable against the doubled decode it removes; set
+    ``SPARK_GRAFT_CHECKPOINT=reliable`` for durable truncation — see
+    spark_indexedrdd_spark/checkpoint.py)."""
+    sh = dhash64(df, bin_col, id_col).transform(truncate_lineage)
     chunks = [
         (
             cid,

@@ -160,7 +160,7 @@ def _kmeans_codebooks(
         from spark_indexedrdd_spark.functions.ivf import _train_sample
 
         sample = _train_sample(emb, seed, id_col, vec_col)
-    v = np.array(sample, dtype=np.float64)
+    v = np.asarray(sample, dtype=np.float64)
     return [
         [[float(x) for x in c] for c in _lloyd_np(v[:, lo:hi], ksub, seed + j)]
         for j, (lo, hi) in enumerate(_sub_bounds(v.shape[1], m))

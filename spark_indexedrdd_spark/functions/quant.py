@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 
 from spark_indexedrdd_spark.localframe import local_rows_df
 from pyspark.sql import functions as F
+from spark_indexedrdd_spark.checkpoint import truncate_lineage
 
 INT8_MAX = 127.0
 
@@ -640,7 +641,7 @@ def binary_store_ann(
         )
         # serving result is top-k-sized; eager checkpoint lets the
         # survivor cache be released immediately (no lingering plans)
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     survivors.unpersist()
     return out

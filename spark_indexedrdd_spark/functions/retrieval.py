@@ -29,6 +29,7 @@ from spark_indexedrdd_spark.localframe import local_rows_df
 from pyspark.sql import functions as F
 
 from spark_indexedrdd_spark.functions.text import sql_tokens, tokens
+from spark_indexedrdd_spark.checkpoint import truncate_lineage
 
 # Default query workload: three fixed queries over the synthetic corpus
 # vocabulary (TESTDATA.md documents.text) — literal so every run and
@@ -1372,7 +1373,7 @@ def delete_postings_docs(
     prior = _postings_tombstones(spark, path, meta)
     if prior is not None:
         doomed_live = doomed_live.join(prior, id_col, "left_anti")
-    doomed_live = doomed_live.localCheckpoint(eager=True)
+    doomed_live = doomed_live.transform(truncate_lineage)
     delta = doomed_live.agg(
         F.count("*").alias("n"), F.sum("dl").alias("s")
     ).collect()[0]

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 
 from spark_indexedrdd_spark.localframe import local_rows_df
 from pyspark.sql import functions as F
+from spark_indexedrdd_spark.checkpoint import truncate_lineage
 
 # Stopword profiles for the language-ID heuristic. Deterministic,
 # engine-agnostic: score(lang) = #tokens in profile; argmax with
@@ -769,7 +770,7 @@ def corpus_top_terms(
     counts = (
         terms.groupBy("term")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     total = counts.agg(F.sum("n").cast("long").alias("total"))
     w = Window.orderBy(F.desc("n"), F.asc("term"))
@@ -967,7 +968,7 @@ def dsir_select(
         F.col(id_col),
         "__is_target",
         F.transform(grams, bucket_of).alias("__b"),
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
 
     # raw + target counts in ONE explode pass: ct = COUNT(rows where
     # __is_target) == count_if(__is_target) (count_if skips false AND
@@ -1152,7 +1153,7 @@ def _lm_buckets(
         F.col(id_col),
         F.transform(hist, bucket_of).alias("__u"),
         F.transform(bigrams, bucket_of).alias("__g"),
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
 
 
 def _bucket_counts(docs_b: DataFrame, col: str, name: str) -> DataFrame:

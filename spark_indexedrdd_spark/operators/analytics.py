@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_indexedrdd_spark.localframe import local_rows_df
+from spark_indexedrdd_spark.checkpoint import truncate_lineage
 
 
 def _dec_sum(col) -> "F.Column":
@@ -1723,9 +1724,7 @@ def top_supplier(
 
     Output: (s_suppkey, s_name, total_revenue) — ties all kept, per the
     official query's semantics."""
-    rev = _q15_supplier_revenue(lineitem, start, end).localCheckpoint(
-        eager=True
-    )
+    rev = _q15_supplier_revenue(lineitem, start, end).transform(truncate_lineage)
     mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
     return (
         rev.crossJoin(F.broadcast(mx))
@@ -1852,7 +1851,7 @@ def important_parts(
                 "decimal(18,6)"
             )
         ).alias("__rev_dec")
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
     tot = pr.agg(
         F.sum("__rev_dec").alias("__total"), F.count("*").alias("__n")
     )

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from spark_indexedrdd_spark.core import IndexedDataFrame
 from spark_indexedrdd_spark.localframe import local_rows_df
+from spark_indexedrdd_spark.checkpoint import truncate_lineage
 
 # 1.0 of rank mass, in fixed-point units. 10^12 keeps integer-division
 # truncation error ~12 digits below the mass while leaving ~90M nodes of
@@ -191,13 +192,13 @@ def pagerank(
             and (i + 1) < iterations
         ):
             ranks = IndexedDataFrame(
-                ranks.df.localCheckpoint(eager=True), ["id"], n
+                ranks.df.transform(truncate_lineage), ["id"], n
             )
     # Materialize the final state and release the edge cache — an
     # iterative job's terminal state is checkpointed anyway, and a
     # lazily-returned plan would pin the cached edges forever (the
     # accumulating-cache failure mode the streaming dedup fix removed).
-    out = ranks.df.select("id", "rank").localCheckpoint(eager=True)
+    out = ranks.df.select("id", "rank").transform(truncate_lineage)
     edeg.unpersist()
     return out
 
@@ -309,10 +310,10 @@ def label_propagation(
             and (i + 1) < iterations
         ):
             labels = IndexedDataFrame(
-                labels.df.localCheckpoint(eager=True), ["id"], n
+                labels.df.transform(truncate_lineage), ["id"], n
             )
     out = labels.df.select("id", F.col("label").alias("community"))
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(truncate_lineage)
     e.unpersist()
     return out
 
@@ -387,9 +388,7 @@ def shortest_hops(
                 .groupBy("id")
                 .agg(F.min("hops").alias("hops"))
             )
-            new = cand.join(dist.df, "id", "left_anti").localCheckpoint(
-                eager=True
-            )
+            new = cand.join(dist.df, "id", "left_anti").transform(truncate_lineage)
             if not new.take(1):  # frontier drained: BFS complete
                 break
             dist = IndexedDataFrame(
@@ -419,11 +418,9 @@ def shortest_hops(
                 and (i + 1) < iterations
             ):
                 dist = IndexedDataFrame(
-                    dist.df.localCheckpoint(eager=True), ["id"], n
+                    dist.df.transform(truncate_lineage), ["id"], n
                 )
-    out = dist.df.select("id", F.col("hops").cast("int")).localCheckpoint(
-        eager=True
-    )
+    out = dist.df.select("id", F.col("hops").cast("int")).transform(truncate_lineage)
     e.unpersist()
     return out
 

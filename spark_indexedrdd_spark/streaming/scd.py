@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_indexedrdd_spark.operators.scd import scd2_apply
+from spark_indexedrdd_spark.checkpoint import truncate_lineage
 
 
 def compact_cdc_batch(
@@ -87,7 +88,7 @@ class StreamingSCD2Store:
         )
         self._batches += 1
         if self._batches % self.compact_every == 0:
-            updated = updated.localCheckpoint(eager=True)
+            updated = updated.transform(truncate_lineage)
         self.current = updated
 
     def attach(self, stream_df, checkpoint_dir: str, **trigger_kwargs):

@@ -230,3 +230,28 @@ def test_pagerank_trade_runs_on_testdata(spark, sf_dir):
     rows = out.collect()
     assert len(rows) > 0
     assert all(r.rank > 0 for r in rows)
+
+
+def test_checkpoint_device_knob(spark, sf_dir, tmp_path, monkeypatch):
+    """SPARK_GRAFT_CHECKPOINT=reliable swaps the lineage-truncation
+    device (localCheckpoint -> reliable checkpoint) without changing a
+    single value; an unset checkpoint dir fails loudly."""
+    import pytest as _pytest
+
+    from spark_indexedrdd_spark.checkpoint import truncate_lineage
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    local = sorted(map(tuple, pagerank_trade(li, orders, iterations=3).collect()))
+
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT", "reliable")
+    if not spark.sparkContext.getCheckpointDir():
+        monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    reliable = sorted(
+        map(tuple, pagerank_trade(li, orders, iterations=3).collect())
+    )
+    assert local == reliable
+
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT", "bogus")
+    with _pytest.raises(ValueError, match="SPARK_GRAFT_CHECKPOINT"):
+        truncate_lineage(li.limit(1))
