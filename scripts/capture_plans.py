@@ -1,7 +1,7 @@
 """Capture .explain("formatted") for declared queries into plans/<tag>/.
 
 Usage: python scripts/capture_plans.py <tag_suffix> <query> [query ...]
-Writes plans/r14/<query>_<tag_suffix>.txt  (tag_suffix: before|after)
+Writes plans/$SPARK_GRAFT_PLANS_TAG (default r15)/<query>_<tag_suffix>.txt  (tag_suffix: before|after)
 
 Uses sf0.01 (plan shape is scale-independent; store-backed queries build
 their stores in a temp warehouse exactly like the driver does).
@@ -27,7 +27,7 @@ def main() -> None:
     qs = E.queries()
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r14",
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_TAG", "r15"),
     )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
