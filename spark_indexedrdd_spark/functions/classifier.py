@@ -134,6 +134,71 @@ def _margin(w: list[float], bias: float) -> Column:
     )
 
 
+def _train_gd_driver(
+    ys, bs, n_buckets: int, iters: int, lr: float, scale: int, n_docs: int
+) -> "tuple[list[float], float]":
+    """Driver-side twin of the distributed GD loop — the SAME IEEE
+    operation sequence, vectorized with numpy, for corpora whose
+    collected features fit driver memory (caller gates on a doc cap).
+
+    Bit-identity argument, step by step against the Spark loop:
+    - margin fold: ``np.cumsum`` along the gram axis IS the sequential
+      left fold (cumsum must produce every prefix, so it cannot
+      reassociate); padding slots gather a 0.0 sentinel weight and
+      ``x + 0.0 == x`` exactly (no intermediate here is ever -0.0:
+      weights come from subtractions, which never produce -0.0);
+    - ``bias + fold`` / ``1/(1+exp(-m)) - y`` / ``floor(g*scale)``:
+      the same IEEE double ops elementwise (exp parity between numpy
+      and the JVM is pinned by tests/test_classifier.py's driver-vs-
+      distributed equality on real corpora — a disagreement could only
+      flip a result through floor() landing within 1 ulp of an
+      integer, the module docstring's accepted quantizer risk class);
+    - gradient sums: exact int64 accumulation (np.add.at), identical
+      to any-order BIGINT SUM;
+    - weight update: ``w - lr * (s/denom)`` with the same
+      int64->double cast and parenthesization.
+    """
+    import numpy as np
+
+    lens = np.fromiter((len(b) for b in bs), np.int64, n_docs)
+    flat = (
+        np.concatenate([np.asarray(b, dtype=np.int64) for b in bs])
+        if lens.sum() else np.zeros(0, np.int64)
+    )
+    y = np.asarray(ys, dtype=np.float64)
+    starts = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(lens, out=starts[1:])
+    max_len = int(lens.max()) if n_docs else 0
+    # padded (docs x max_len) gather-index matrix, built chunk-wise so
+    # peak memory stays ~64 MB however ragged the corpus is
+    chunk_rows = max(1, (8 << 20) // max(1, max_len))
+    w = np.zeros(n_buckets, np.float64)
+    bias = 0.0
+    denom = float(n_docs * scale)
+    for _ in range(int(iters)):
+        w_ext = np.append(w, 0.0)  # sentinel slot for padding
+        m = np.empty(n_docs, np.float64)
+        for lo in range(0, n_docs, chunk_rows):
+            hi = min(lo + chunk_rows, n_docs)
+            cl = int(lens[lo:hi].max()) if hi > lo else 0
+            if cl == 0:
+                m[lo:hi] = 0.0
+                continue
+            idx = np.full((hi - lo, cl), n_buckets, np.int64)
+            for j in range(lo, hi):
+                idx[j - lo, : lens[j]] = flat[starts[j] : starts[j + 1]]
+            m[lo:hi] = np.cumsum(w_ext[idx], axis=1)[:, -1]
+        m = bias + m
+        g = 1.0 / (1.0 + np.exp(-m)) - y
+        q = np.floor(g * scale).astype(np.int64)
+        acc = np.zeros(n_buckets, np.int64)
+        np.add.at(acc, flat, np.repeat(q, lens))
+        bias_s = int(q.sum())
+        w = w - lr * (acc.astype(np.float64) / denom)
+        bias = bias - lr * (float(bias_s) / denom)
+    return [float(x) for x in w], float(bias)
+
+
 def train_logreg_hashed(
     df: DataFrame,
     label: Column,
@@ -143,17 +208,42 @@ def train_logreg_hashed(
     scale: int = SCALE,
     text_col: str = "text",
     id_col: str = "doc_id",
+    driver_max_docs: "int | None" = None,
 ) -> "tuple[list[float], float, DataFrame]":
     """Full-batch gradient descent for logistic regression on hashed
     n-gram features, every cross-row sum exact-integer (module
     docstring). Returns ``(weights, bias, features)`` where features is
     the checkpointed (id, y, __b) frame — reuse it for scoring so the
-    corpus is tokenized exactly once."""
+    corpus is tokenized exactly once.
+
+    Small corpora train on the DRIVER: each distributed GD iteration is
+    one blocking scheduler job whose real work at small N is
+    milliseconds — 8 iterations pay ~8x fixed job overhead. Below
+    ``driver_max_docs`` documents (default env
+    ``SPARK_GRAFT_CLF_DRIVER_MAX_DOCS`` = 200000; the gradient state
+    was ALWAYS collected per iteration — this additionally collects the
+    (y, __b) features once, ~1 KB/doc) the identical op sequence runs
+    in numpy (:func:`_train_gd_driver`, bit-equality pinned in pytest
+    both paths). A 100 TB corpus past the cap takes the distributed
+    loop unchanged; pass ``driver_max_docs=0`` to force it."""
+    import os as _os
+
     feats = _bucketize(df, label, n_buckets, text_col, id_col).transform(truncate_lineage)
     n_docs = feats.count()  # exact; also materializes the checkpoint
     w = [0.0] * n_buckets
     bias = 0.0
     if n_docs == 0:  # empty corpus: zero model, no 0-division in updates
+        return w, bias, feats
+    if driver_max_docs is None:
+        driver_max_docs = int(
+            _os.environ.get("SPARK_GRAFT_CLF_DRIVER_MAX_DOCS", "200000")
+        )
+    if driver_max_docs and n_docs <= driver_max_docs:
+        pdf = feats.select("y", "__b").toPandas()
+        w, bias = _train_gd_driver(
+            pdf["y"].to_list(), pdf["__b"].to_list(),
+            n_buckets, iters, lr, scale, n_docs,
+        )
         return w, bias, feats
     for _ in range(int(iters)):
         g = (

@@ -136,6 +136,31 @@ def test_training_matches_python_reference_on_random_corpora(spark):
     check()
 
 
+def test_driver_gd_path_equals_distributed_path_exactly(spark):
+    """The numpy driver-side GD (small-corpus fast path) and the
+    distributed per-iteration-job loop produce BIT-identical weights,
+    bias, and scores on a real corpus — the same pin the CC union-find
+    and BPE driver paths carry. This is also the empirical exp-parity
+    check between numpy and the JVM on real margin values."""
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    lab = F.col("text").contains("spark")
+    nb, it, lr = 256, 6, 4.0
+    w_drv, b_drv, feats = C.train_logreg_hashed(
+        docs, lab, n_buckets=nb, iters=it, lr=lr, driver_max_docs=10**9
+    )
+    w_dst, b_dst, _ = C.train_logreg_hashed(
+        docs, lab, n_buckets=nb, iters=it, lr=lr, driver_max_docs=0
+    )
+    import struct
+
+    pack = lambda xs: b"".join(struct.pack("<d", x) for x in xs)  # noqa: E731
+    assert pack(w_drv) == pack(w_dst)
+    assert struct.pack("<d", b_drv) == struct.pack("<d", b_dst)
+    s_drv = C.classifier_score(feats, w_drv, b_drv).collect()
+    s_dst = C.classifier_score(feats, w_dst, b_dst).collect()
+    assert sorted(map(tuple, s_drv)) == sorted(map(tuple, s_dst))
+
+
 def test_unicode_and_quote_tokens_match_python_reference(spark):
     """Non-ASCII tokens and quote characters flow through md5 hashing
     identically in Spark (UTF-8 binary md5) and the Python reference —
