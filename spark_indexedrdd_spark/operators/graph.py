@@ -68,7 +68,20 @@ def trade_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     as Catalyst sizes it) and the DISTINCT is one hash aggregate —
     both map-side-combinable.
     """
-    pairs = (
+    pairs = _trade_pairs(lineitem, orders)
+    fwd = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    rev = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def _trade_pairs(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Distinct directed (s, c) trade pairs — half the rows of the
+    symmetric closure. :func:`trade_edges` mirrors them in-plan (the
+    two halves are individually distinct, so their union is distinct by
+    construction — no second exchange over the doubled edge list); the
+    driver fast paths mirror them in numpy after collecting, halving
+    the transferred bytes."""
+    return (
         lineitem.select("l_orderkey", "l_suppkey")
         .join(orders.select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
@@ -76,16 +89,8 @@ def trade_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
             (-(F.col("l_suppkey") + 1)).alias("s"),
             F.col("o_custkey").alias("c"),
         )
+        .distinct()
     )
-    # dedupe the DIRECTED pairs once (half the rows of the symmetric
-    # closure), then mirror: forward rows have src < 0 and reversed
-    # rows src >= 0, so the union of the two (individually distinct)
-    # sets is distinct by construction — no second exchange over the
-    # doubled edge list.
-    pairs = pairs.distinct()
-    fwd = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    rev = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    return fwd.unionByName(rev)
 
 
 def pagerank(
@@ -203,12 +208,89 @@ def pagerank(
     return out
 
 
+# --------------------------------------------------------------------- #
+# Driver fast path for SMALL graphs (the CC-union-find /
+# classifier-driver-GD pattern): every algorithm here is exact integer
+# arithmetic, so a single-machine numpy run is bit-identical to the
+# distributed loop — and a loop whose per-iteration real work is
+# milliseconds pays ~1 blocking scheduler job per checkpoint cadence in
+# pure overhead. The TRADE wrappers gate on a METADATA-CHEAP upper
+# bound (2 x lineitem rows >= directed trade edges — each lineitem row
+# contributes at most one distinct pair, mirrored once; the row count
+# comes from parquet footers, no data pass) against
+# ``SPARK_GRAFT_GRAPH_DRIVER_MAX_EDGES`` (default 4M directed edges
+# ~ 64 MB collected; 0 disables). Past the cap the distributed loops
+# run UNCHANGED — they stay the 100 TB path and the pytest pin keeps
+# both paths bit-identical.
+# --------------------------------------------------------------------- #
+
+
+def _collect_trade_edges(lineitem: DataFrame, orders: DataFrame):
+    """(src_idx, dst_idx, ids) — the symmetric trade edge list with
+    endpoints densified to indices into the sorted distinct-id array.
+    Only the distinct (s, c) pairs cross the driver boundary (Arrow);
+    the mirror is a numpy concatenate, producing exactly
+    :func:`trade_edges`'s fwd-union-rev edge multiset."""
+    import numpy as np
+
+    pdf = _trade_pairs(lineitem, orders).toPandas()
+    s = pdf["s"].to_numpy(dtype="int64")
+    c = pdf["c"].to_numpy(dtype="int64")
+    src = np.concatenate([s, c])
+    dst = np.concatenate([c, s])
+    ids = np.unique(src)
+    return np.searchsorted(ids, src), np.searchsorted(ids, dst), ids
+
+
+def _graph_driver_cap() -> int:
+    import os as _os
+
+    return int(
+        _os.environ.get("SPARK_GRAFT_GRAPH_DRIVER_MAX_EDGES", "4000000")
+    )
+
+
+def _edges_bound(lineitem: DataFrame) -> int:
+    # parquet-footer count: metadata-only on a raw table scan
+    return 2 * lineitem.count()
+
+
+def _pagerank_np(lineitem: DataFrame, orders: DataFrame, iterations: int,
+                 scale: int, damping_pct: int) -> DataFrame:
+    """Driver twin of :func:`pagerank` over the trade graph — same
+    integer recurrence, same truncating divisions (all quantities
+    non-negative, so numpy's floor division equals Spark's ``div``),
+    exact int64 sums (order-free)."""
+    import numpy as np
+
+    src_idx, dst_idx, ids = _collect_trade_edges(lineitem, orders)
+    n = len(ids)
+    teleport = (100 - damping_pct) * scale // 100
+    outdeg = np.bincount(src_idx, minlength=n)
+    ranks = np.full(n, scale, dtype=np.int64)
+    for _ in range(iterations):
+        msgs = ranks[src_idx] // outdeg[src_idx]
+        inflow = np.zeros(n, dtype=np.int64)
+        np.add.at(inflow, dst_idx, msgs)
+        ranks = teleport + (damping_pct * inflow) // 100
+    return local_rows_df(
+        lineitem.sparkSession,
+        [(int(i), int(r)) for i, r in zip(ids, ranks)],
+        "id long, rank long",
+    )
+
+
 def pagerank_trade(
     lineitem: DataFrame, orders: DataFrame, iterations: int = 6
 ) -> DataFrame:
     """PageRank over the supplier↔customer trade graph — the contract
     query instantiation ("trade influence": which suppliers/customers
     sit in the densest purchasing neighborhoods)."""
+    cap = _graph_driver_cap()
+    if cap and _edges_bound(lineitem) <= cap:
+        return _pagerank_np(
+            lineitem, orders, iterations, RANK_SCALE, DAMPING_PCT
+        )
     return pagerank(trade_edges(lineitem, orders), iterations=iterations)
 
 
@@ -318,12 +400,59 @@ def label_propagation(
     return out
 
 
+def _label_propagation_np(lineitem: DataFrame, orders: DataFrame,
+                          iterations: int) -> DataFrame:
+    """Driver twin of :func:`label_propagation` over the trade graph —
+    identical counts and the identical (cnt DESC, label ASC) argmax
+    tie-break, on label INDICES whose order equals label-value order
+    (np.unique sorts ascending). Per round: one in-place sort of the
+    (dst, label) message keys gives run-length counts, and the argmax
+    is a packed-key max — maximize (cnt, n-1-label) ⇔ maximize
+    cnt·n + (n-1-label), since 0 ≤ n-1-label < n."""
+    import numpy as np
+
+    src_idx, dst_idx, ids = _collect_trade_edges(lineitem, orders)
+    n = len(ids)
+    if n == 0:
+        return local_rows_df(
+            lineitem.sparkSession, [], "id long, community long"
+        )
+    labels = np.arange(n, dtype=np.int64)
+    dstn = dst_idx * np.int64(n)
+    for _ in range(iterations):
+        comb = dstn + labels[src_idx]
+        comb.sort()
+        starts = np.flatnonzero(
+            np.concatenate(([True], comb[1:] != comb[:-1]))
+        )
+        keys = comb[starts]
+        cnt = np.diff(np.concatenate((starts, [len(comb)])))
+        d = keys // n
+        lab = keys % n
+        packed = cnt * np.int64(n) + (np.int64(n) - 1 - lab)
+        best = np.zeros(n, dtype=np.int64)
+        np.maximum.at(best, d, packed)
+        # symmetric edge list: every node receives >= 1 message, so
+        # best > 0 everywhere and the label table is fully overwritten
+        # each round (the distributed loop's `picked` likewise REPLACES
+        # the state)
+        labels = (np.int64(n) - 1) - (best % n)
+    return local_rows_df(
+        lineitem.sparkSession,
+        [(int(i), int(ids[l])) for i, l in zip(ids, labels)],
+        "id long, community long",
+    )
+
+
 def communities_trade(
     lineitem: DataFrame, orders: DataFrame, iterations: int = 4
 ) -> DataFrame:
     """Label-propagation communities of the supplier↔customer trade
     graph — purchasing neighborhoods (which customers cluster around
     which supplier groups)."""
+    cap = _graph_driver_cap()
+    if cap and _edges_bound(lineitem) <= cap:
+        return _label_propagation_np(lineitem, orders, iterations)
     return label_propagation(
         trade_edges(lineitem, orders), iterations=iterations
     )
@@ -425,6 +554,41 @@ def shortest_hops(
     return out
 
 
+def _shortest_hops_np(
+    lineitem: DataFrame, orders: DataFrame, sources: "list[int]",
+    iterations: int
+) -> DataFrame:
+    """Driver twin of :func:`shortest_hops` (plain relaxation form)
+    over the trade graph: synchronous min-plus rounds — candidates are
+    computed from the PREVIOUS round's snapshot before the min-merge,
+    exactly like the distributed union+min aggregate. Sources absent
+    from the graph keep their 0 row (they relax nothing), as in the
+    distributed loop."""
+    import numpy as np
+
+    src_idx, dst_idx, ids = _collect_trade_edges(lineitem, orders)
+    n = len(ids)
+    INF = np.int64(1) << 62
+    dist = np.full(n, INF, dtype=np.int64)
+    extras: dict[int, int] = {}
+    for s in sources:
+        pos = int(np.searchsorted(ids, s))
+        if pos < n and ids[pos] == s:
+            dist[pos] = 0
+        else:
+            extras[int(s)] = 0
+    for _ in range(iterations):
+        m = dist[src_idx] < INF
+        cand = dist[src_idx[m]] + 1  # snapshot BEFORE the merge
+        cand_dst = dst_idx[m]
+        np.minimum.at(dist, cand_dst, cand)
+    rows = sorted(
+        [(int(i), int(h)) for i, h in zip(ids, dist) if h < INF]
+        + list(extras.items())
+    )
+    return local_rows_df(lineitem.sparkSession, rows, "id long, hops int")
+
+
 def trade_hops(
     lineitem: DataFrame,
     orders: DataFrame,
@@ -434,6 +598,11 @@ def trade_hops(
     """BFS hop distances over the trade graph from one customer: hop 1 =
     their suppliers, hop 2 = those suppliers' other customers, ... —
     the supply-chain blast radius of a single account."""
+    cap = _graph_driver_cap()
+    if cap and _edges_bound(lineitem) <= cap:
+        return _shortest_hops_np(
+            lineitem, orders, [source_customer], iterations
+        )
     return shortest_hops(
         trade_edges(lineitem, orders), [source_customer], iterations
     )

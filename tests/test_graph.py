@@ -232,6 +232,28 @@ def test_pagerank_trade_runs_on_testdata(spark, sf_dir):
     assert all(r.rank > 0 for r in rows)
 
 
+def test_driver_graph_paths_equal_distributed_exactly(spark, sf_dir, monkeypatch):
+    """The numpy driver fast paths (small-graph gate) and the
+    distributed loops produce IDENTICAL rows for all three trade
+    queries — the same both-paths pin the CC union-find and classifier
+    driver GD carry. All three algorithms are exact integer arithmetic,
+    so equality is bitwise, not approximate."""
+    from spark_indexedrdd_spark.operators.graph import (
+        communities_trade,
+        trade_hops,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    for fn in (pagerank_trade, communities_trade, trade_hops):
+        monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_MAX_EDGES", "100000000")
+        fast = sorted(map(tuple, fn(li, orders).collect()))
+        monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_MAX_EDGES", "0")
+        slow = sorted(map(tuple, fn(li, orders).collect()))
+        assert fast == slow, fn.__name__
+        assert len(fast) > 0, fn.__name__
+
+
 def test_checkpoint_device_knob(spark, sf_dir, tmp_path, monkeypatch):
     """SPARK_GRAFT_CHECKPOINT=reliable swaps the lineage-truncation
     device (localCheckpoint -> reliable checkpoint) without changing a
