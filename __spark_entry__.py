@@ -2403,6 +2403,10 @@ _FILL_R13 = (
 # batch is contract minus (r14 window ∪ CORRECTNESS_r13) minus
 # ROWS_ONLY ≈ 46 stale names again — the same ~4 spare slots; same
 # rule: consolidate before growing.
+# r15 (optimization round, no contract growth): the tripwire emitted
+# exactly 50 stale names after CORRECTNESS_r14 landed (last green
+# r12), so the r15 window = HORIZON_STALE_R15 verbatim — a full
+# window, zero spare slots, no debuts/fills.
 # --------------------------------------------------------------------- #
 
 # The 46 queries the staleness tripwire named verbatim after
@@ -2483,8 +2487,67 @@ _FILL_R14 = (
     "corpus_span_stats",
 )
 
+# The 50 queries the staleness tripwire named verbatim after
+# CORRECTNESS_r14 landed (last hash-green r12; asserted
+# verbatim-complete by tests/test_driver_sim.py::TRIPWIRE_R15 so a
+# partial rotation cannot pass locally). Exactly 50 — a full window,
+# no spare slots, so no debuts or fills this round (PAST_CUTOFF_NEW
+# is empty; r15 is an optimization round and adds no entries anyway).
+HORIZON_STALE_R15 = (
+    "quality_filter",
+    "repetition_stats",
+    "domain_cap_sample",
+    "ivf_store_delete_serve",
+    "zonemap_pruned_scan",
+    "postings_optimize_serve",
+    "temperature_sample",
+    "weighted_sample",
+    "dedup_incremental_lsh",
+    "training_order",
+    "similarity_ann_pq",
+    "similarity_ann_ivfpq",
+    "similarity_ann_ivfpq_res",
+    "ann_recall",
+    "dedup_pipeline",
+    "pricing_summary",
+    "forecast_revenue_q6",
+    "order_priority_q4",
+    "customer_order_dist_q13",
+    "large_orders_q18",
+    "disjunctive_revenue_q19",
+    "waiting_customers_q22",
+    "small_qty_revenue_q17",
+    "waiting_suppliers_q21",
+    "market_share_q8",
+    "top_supplier_q15",
+    "min_cost_supplier_q2",
+    "important_parts_q11",
+    "excess_suppliers_q20",
+    "product_profit_q9",
+    "shipmode_priority_q12",
+    "parts_supplier_q16",
+    "running_revenue_by_month",
+    "chunk_documents",
+    "epoch_upsample",
+    "late_shipment_orders",
+    "revenue_month_over_month",
+    "windowed_event_dedup",
+    "range_join_sessions",
+    "orders_by_month",
+    "image_dhash",
+    "embedding_quantize_stats",
+    "profile_documents",
+    "pagerank_trade",
+    "communities_trade",
+    "trade_hops",
+    "event_rate_anomalies",
+    "uuid_key_ops",
+    "decimal_key_ops",
+    "count",
+)
+
 _ALL = {**EXTENSION_QUERIES, **_NEW_R3, **_NEW_R8}
-_WINDOW = HORIZON_STALE_R14 + DEBUTS_R14 + _FILL_R14
+_WINDOW = HORIZON_STALE_R15
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{k: _ALL.get(k, CORE_QUERIES.get(k)) for k in _WINDOW},

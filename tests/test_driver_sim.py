@@ -432,6 +432,41 @@ def test_r14_window_front_queues_every_tripwire_name():
     assert not missing, f"r14 rotation is partial — not windowed: {missing}"
 
 
+TRIPWIRE_R15 = (
+    "quality_filter", "repetition_stats", "domain_cap_sample",
+    "ivf_store_delete_serve", "zonemap_pruned_scan",
+    "postings_optimize_serve", "temperature_sample", "weighted_sample",
+    "dedup_incremental_lsh", "training_order", "similarity_ann_pq",
+    "similarity_ann_ivfpq", "similarity_ann_ivfpq_res", "ann_recall",
+    "dedup_pipeline", "pricing_summary", "forecast_revenue_q6",
+    "order_priority_q4", "customer_order_dist_q13", "large_orders_q18",
+    "disjunctive_revenue_q19", "waiting_customers_q22",
+    "small_qty_revenue_q17", "waiting_suppliers_q21", "market_share_q8",
+    "top_supplier_q15", "min_cost_supplier_q2", "important_parts_q11",
+    "excess_suppliers_q20", "product_profit_q9", "shipmode_priority_q12",
+    "parts_supplier_q16", "running_revenue_by_month", "chunk_documents",
+    "epoch_upsample", "late_shipment_orders", "revenue_month_over_month",
+    "windowed_event_dedup", "range_join_sessions", "orders_by_month",
+    "image_dhash", "embedding_quantize_stats", "profile_documents",
+    "pagerank_trade", "communities_trade", "trade_hops",
+    "event_rate_anomalies", "uuid_key_ops", "decimal_key_ops", "count",
+)
+
+
+def test_r15_window_front_queues_every_tripwire_name():
+    import json
+
+    import __spark_entry__ as E
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    covered = set(list(E.queries().keys())[:50])
+    rec = os.path.join(repo, "CORRECTNESS_r15.json")
+    if os.path.exists(rec):
+        covered |= set(json.load(open(rec)))
+    missing = [q for q in TRIPWIRE_R15 if q not in covered]
+    assert not missing, f"r15 rotation is partial — not windowed: {missing}"
+
+
 def test_r13_window_front_queues_every_tripwire_name():
     import json
 
