@@ -129,6 +129,7 @@ def test_incremental_dedup_ignores_tombstoned_neighbors(spark, tmp_path):
     assert len(r2) == 1 and r2[0].keep and r2[0].dup_of is None
 
 
+@pytest.mark.slow
 def test_reingest_tombstoned_id_excluded_until_compact(spark, store):
     """Delete-wins until compaction: append_ivf_batch drops currently
     tombstoned ids (they would be written but permanently shadowed by

@@ -329,6 +329,7 @@ def test_streaming_ingest_is_exactly_once_and_optimizes(
     assert served.count() == len(QIDS) * 5
 
 
+@pytest.mark.slow
 def test_streaming_ivf_vacuum_cadence_is_pin_safe(spark, sf_dir, tmp_path):
     """r13: the vector tier gets the SAME self-maintenance composition
     the lexical tier has (snapshots.LedgerVacuumCadence, one shared
@@ -855,6 +856,7 @@ from hypothesis import strategies as st  # noqa: E402
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_ivf_versioned_lifecycle_model(spark, sf_dir, ops):
     """Property over store lifecycles: for ANY sequence of appends
     (clean / crash-after-publish replay / duplicate redelivery),

@@ -378,6 +378,7 @@ def _scd_model_apply(history, updates, ts):
     )
 )
 @_slow
+@pytest.mark.slow
 def test_scd2_chained_batches_match_python_model(spark, batches):
     from spark_indexedrdd_spark.operators.scd import scd2_apply, scd2_init
 

@@ -400,6 +400,7 @@ def test_postings_append_crash_replay_exact(spark, docs, tmp_path):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_postings_commit_protocol_model(spark, docs, ops):
     """Property over delivery histories: for ANY sequence of batch
     deliveries — clean commit, crash-after-publish-then-replay, or
@@ -657,6 +658,7 @@ def test_postings_serve_ignores_unmanifested_files(spark, docs, tmp_path):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_postings_full_lifecycle_model(spark, docs, ops):
     """Property over FULL store lifecycles — appends (clean or
     crash-replayed), takedowns (clean or crash-replayed), compaction,
@@ -760,6 +762,7 @@ def test_snapshot_serve_keeps_manifest_pruning(spark, docs, tmp_path):
         assert 0 < len(touched) <= len(terms), touched
 
 
+@pytest.mark.slow
 def test_streaming_postings_store_optimize_cadence(spark, docs, tmp_path):
     """optimize_every bounds the manifest/file growth under continuous
     ingest: with the cadence at 2 the streamed store ends with a folded
@@ -856,6 +859,7 @@ def test_pin_held_floor_does_not_refire_vacuum_per_batch(
     assert R.bm25_from_store(spark, store, version=v["lexical"]).count() >= 0
 
 
+@pytest.mark.slow
 def test_streaming_postings_store_vacuum_cadence_is_pin_safe(
     spark, docs, tmp_path
 ):

@@ -88,6 +88,7 @@ def test_reopen_reads_same_table(store, spark):
     assert reopened.versions() == store.versions()
 
 
+@pytest.mark.slow
 def test_random_commit_sequences_match_python_model(spark, tmp_path):
     """Hypothesis: any sequence of overwrite-put / sum-put / delete
     batches must make EVERY version's read agree with a plain Python
@@ -206,6 +207,7 @@ def test_stream_ingest_matches_batch_fold(spark, tmp_path):
     assert _as_dict(store.read()) == want
 
 
+@pytest.mark.slow
 def test_fresh_checkpoint_never_drops_below_another_runs_watermark(
     spark, tmp_path
 ):
@@ -392,6 +394,7 @@ def test_prune_manifest_keeps_tagged_replay_idempotent(store, spark):
     assert v_new > v3 and _as_dict(store.read())[9] == 9.0
 
 
+@pytest.mark.slow
 def test_pruned_replay_ledger_is_bounded(store, spark):
     """r12 ADVICE: pruned_tags grew one entry per pruned tagged commit
     FOREVER — a year of micro-batches left an O(commits) map parsed on
@@ -470,6 +473,7 @@ from hypothesis import strategies as st  # noqa: E402
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_cow_lifecycle_model_with_pruning(spark, tmp_path_factory, ops):
     """Property over COW-store lifecycles (the versioned-IVF model's
     twin on the other ledger design): for ANY sequence of tagged puts,

@@ -224,6 +224,7 @@ from hypothesis import strategies as st
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_zonemap_commit_protocol_model(spark, sf_dir, ops):
     """Property over delivery histories (postings model, zonemap form):
     for ANY sequence of clean commits, crash-after-publish replays, and
