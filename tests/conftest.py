@@ -12,7 +12,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    # local[8]: the suite is serial and job-latency-bound; 8 cores lets
+    # every 8-task shuffle stage run in one wave instead of two. Results
+    # are core-count independent by contract (the driver benches the
+    # same code at 32 AND 8 cores); shuffle_partitions stays 8.
+    s = get_spark(app_name="tests", master="local[8]", shuffle_partitions=8)
     yield s
 
 

@@ -13,7 +13,7 @@ SCRIPT = r"""
 import sys
 sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
-spark = (SparkSession.builder.master('local[2]')
+spark = (SparkSession.builder.master('local[6]')
          .config('spark.ui.enabled','false')
          .config('spark.sql.session.timeZone','America/New_York')
          .config('spark.sql.shuffle.partitions','8')
@@ -52,7 +52,7 @@ STREAM_SCRIPT = r"""
 import sys
 sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
-spark = (SparkSession.builder.master('local[2]')
+spark = (SparkSession.builder.master('local[4]')
          .config('spark.ui.enabled','false')
          .config('spark.sql.shuffle.partitions','4')
          .getOrCreate())
